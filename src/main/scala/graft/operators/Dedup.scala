@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (north-star extension, SURVEY.md §2.13).
+  *
+  * Scale design notes (100 TB):
+  *  - `exact` is one hash-groupBy: a single shuffle on the fingerprint, map-side
+  *    partial aggregation.
+  *  - `minHashLshPairs` is the scale path for near-dup: signatures are computed with
+  *    ONE groupBy over the exploded shingle stream (all `numPerm` mins in a single
+  *    shuffle pass), then candidates come from equality joins on narrow (band, hash)
+  *    keys — no O(n²) comparison ever materializes.
+  *  - `jaccardPairs` (exact) self-joins on shingle hashes; it is the correctness
+  *    oracle / verifier, quadratic in the worst case by design. At scale, only run
+  *    it over LSH candidates (which `minHashLshPairs` does internally).
+  */
+object Dedup {
+
+  private val P = 2305843009213693951L // 2^61 - 1
+
+  /** (doc_id, sh) — distinct xxhash64 of the lower-cased word n-gram shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("sh"))
+      .distinct()
+
+  /** Exact dedup: keep the smallest doc_id per normalized-text fingerprint.
+    * Normalization = lower-case + whitespace-collapse; fingerprint = md5.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  /** Exact pairwise Jaccard over word n-gram shingle sets, pairs ≥ threshold.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    jaccardOfPairs(sh, candidatePairs = None, threshold)
+  }
+
+  /** Jaccard of (doc_a, doc_b) pairs given the shingle stream; if `candidatePairs`
+    * is supplied only those pairs are scored (LSH verify path).
+    */
+  private def jaccardOfPairs(sh: DataFrame, candidatePairs: Option[DataFrame],
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count("*").as("nsh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val joined = candidatePairs match {
+      case Some(cand) =>
+        // score only candidates: fan shingles out to the candidate pairs
+        cand.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
+      case None =>
+        a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+    }
+    val inter = joined.groupBy("doc_a", "doc_b").agg(count("*").as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding near-dup: candidates from band-bucket equality joins,
+    * verified with exact Jaccard ≥ threshold. With numPerm=32, bands=8 (r=4) and
+    * planted dups at J≈0.99, recall ≈ 1 - (1-0.99⁴)⁸ ≈ 1-5e-12.
+    * Permutation parameters derive from a fixed seed, so results are deterministic.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numPerm)(math.abs(rnd.nextLong()) % (P - 1) + 1)
+    val bs = Array.fill(numPerm)(math.abs(rnd.nextLong()) % P)
+
+    val sh = shingles(docs, idCol, textCol, n).cache()
+
+    // one shuffle: all numPerm signature mins in a single hash aggregate
+    val minExprs = (0 until numPerm).map { j =>
+      min(pmod(lit(as(j)) * col("sh") + lit(bs(j)), lit(P))).as(s"m$j")
+    }
+    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+
+    // band hashes: narrow (band, bh) keys, then equality self-join per bucket
+    val bandCols = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        xxhash64(((k * r) until ((k + 1) * r)).map(j => col(s"m$j")): _*).as("bh"))
+    }
+    val buckets = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val cand = buckets.as("x")
+      .join(buckets.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    jaccardOfPairs(sh, Some(cand), threshold)
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints from token-level xxhash64, candidate
+    * pairs blocked on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least
+    * one of 4 chunks equal), final filter hamming ≤ maxHamming.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val tokens = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+
+    // per-bit balance: +1 when bit set, -1 otherwise; 64 sums in one aggregate pass
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i")
+    }
+    val fpExpr = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val fps = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("fp"))
+
+    // block on 16-bit chunks; any chunk equal ⇒ candidate
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
+    }
+    val blocked = fps
+      .select(col("doc_id"), col("fp"), explode(array(chunks: _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    blocked.as("x").join(blocked.as("y"), Seq("chunk", "ch"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ threshold, computed in double precision with
+    * the codegen'd CosineSimilarity expression. Brute-force pairwise (broadcast
+    * nested-loop) — correct baseline; at scale, block with RandomHyperplaneBits
+    * first (see Similarity.annTopK).
+    */
+  def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    val a = emb.select(col(idCol).cast("long").as("vec_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).cast("long").as("vec_b"), col(vecCol).as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineSim(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+}

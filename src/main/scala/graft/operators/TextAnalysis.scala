@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document corpus (north-star extension,
+  * SURVEY.md §2.13). Everything here is pure `functions._` composition — codegen'd,
+  * no UDFs, trivially distributed: one narrow map stage over the corpus, so at
+  * 100 TB it scales linearly with input splits and never shuffles.
+  */
+object TextAnalysis {
+
+  private def words(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), w => length(w) > 0)
+
+  /** Per-document stats: token count, char count, avg word length, stopword ratio,
+    * punctuation ratio, uppercase ratio.
+    */
+  def qualityStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nTok = size(w)
+    val stop = size(filter(w, x => x.isin("the", "a", "an", "and", "of", "to", "in")))
+    val punct = length(regexp_replace(col(textCol), "[^.,;:!?'\"()-]", ""))
+    val upper = length(regexp_replace(col(textCol), "[^A-Z]", ""))
+    val chars = length(col(textCol))
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      chars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round((chars - (nTok - 1)).cast("double") / nTok, 4).as("avg_word_len"),
+      round(stop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(punct.cast("double") / chars, 4).as("punct_ratio"),
+      round(upper.cast("double") / chars, 4).as("upper_ratio"))
+  }
+
+  /** Language-ID heuristic: count marker-word hits per language, pick the max with
+    * deterministic tie priority en > fr > es > de; zero hits → "und".
+    * The decision rule is deliberately a pure CASE over the four scores so an SQL
+    * oracle can state the identical rule.
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val markers = Seq(
+      "en" -> Seq("the", "a", "of", "and", "is"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "es" -> Seq("el", "los", "las", "y", "es"),
+      "de" -> Seq("der", "die", "das", "und", "ist"))
+    val scored = markers.foldLeft(docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__t"))) { case (df, (lang, ms)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(words(col("__t")), x => x.isin(ms.map(lit): _*))))
+    }
+    val (en, fr, es, de) =
+      (col("score_en"), col("score_fr"), col("score_es"), col("score_de"))
+    val pred =
+      when(en >= greatest(fr, es, de) && en > 0, "en")
+        .when(fr >= greatest(es, de) && fr > 0, "fr")
+        .when(es >= de && es > 0, "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    scored.select(col("doc_id"), pred.as("lang_pred"))
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space chars — the classic pre-tokenizer split.
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+      size(words(col(textCol))).as("n_ws_tokens"))
+}

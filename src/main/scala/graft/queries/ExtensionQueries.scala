@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.plans.{ColumnMask, Governance, TablePolicy}
+import graft.sources.{Multimodal, Tables}
+import graft.streaming.EventStreams
+
+/** North-star extension operators (SURVEY.md §2.13, §2.9, §2.12-X4): dedup,
+  * similarity search, text analysis, streaming-shaped windows (batch-verified;
+  * the genuinely-streaming runs live in StreamingSpec), as-of join, governance,
+  * multimodal plumbing.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Shared DuckDB CTE: exact word-3-gram Jaccard pairs at threshold 0.8 —
+    * oracle for both the exact operator and the MinHash-LSH operator (whose
+    * banding at numPerm=32/bands=8 has recall ≈ 1 at the planted J≈0.99).
+    */
+  private val jaccardOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |                             x -> length(x) > 0) AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = da
+      |JOIN sz sb ON sb.doc_id = db
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_dedup_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", n = 3, threshold = 0.8)),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      // fingerprint-space op, engine-specific hashes ⇒ rows-only check
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .select("doc_a", "doc_b")),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+
+    // ---- similarity search ----
+    "q_sim_topk" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Similarity.bruteForceTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 20)
+    }),
+
+    "q_sim_ann" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      // LSH-bucketed ANN: approximate by construction ⇒ rows-only check
+      Similarity.annTopK(s, t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+    }),
+
+    // ---- text analysis ----
+    "q_text_stats" -> ((s, d) =>
+      TextAnalysis.qualityStats(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_text_langid" -> ((s, d) =>
+      TextAnalysis.languageId(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_text_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_text_tokens" -> ((s, d) =>
+      TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- streaming-shaped windows (batch-verified here; stream runs in tests) ----
+    "q_events_tumbling" -> ((s, d) =>
+      EventStreams.tumbling(t(s, d, "events"), "1 hour")),
+
+    "q_events_sliding" -> ((s, d) =>
+      EventStreams.sliding(t(s, d, "events"), "1 hour", "30 minutes")),
+
+    "q_events_session" -> ((s, d) =>
+      EventStreams.sessions(t(s, d, "events"), "30 minutes")),
+
+    // ---- as-of join (absent from Trino 400 and stock Spark, SURVEY §2.4) ----
+    "q_asof_join" -> ((s, d) =>
+      AsOfJoin.backward(
+        left = t(s, d, "events"), right = t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_totalprice").as("o_totalprice"))),
+
+    // ---- governance (reference X4: planner-side row/column policy) ----
+    "q_governance" -> ((s, d) =>
+      Governance.secure(t(s, d, "customer"), TablePolicy(
+        dropColumns = Seq("c_acctbal"),
+        masks = Seq(ColumnMask("c_name", "md5(c_name)")),
+        rowFilterSql = Some("c_nationkey < 20")))),
+
+    // ---- multimodal plumbing (stubbed decode, real schema/partitioning) ----
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT min(doc_id) AS doc_id FROM documents " +
+        "GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+
+    "q_dedup_jaccard" -> jaccardOracle,
+
+    "q_dedup_minhash" -> jaccardOracle,
+
+    "q_dedup_embedding" ->
+      ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
+        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"),
+
+    "q_sim_topk" ->
+      ("SELECT b.vec_id, " +
+        "round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos " +
+        "FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20"),
+
+    "q_text_stats" ->
+      ("WITH w AS (SELECT doc_id, text, " +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ws " +
+        "FROM documents) " +
+        "SELECT doc_id, length(text)::INTEGER AS n_chars, len(ws)::INTEGER AS n_tokens, " +
+        "round((length(text) - (len(ws) - 1)) * 1.0 / len(ws), 4) AS avg_word_len, " +
+        "round(len(list_filter(ws, x -> x IN ('the','a','an','and','of','to','in'))) * 1.0 / len(ws), 4) AS stopword_ratio, " +
+        "round(length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio, " +
+        "round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text), 4) AS upper_ratio " +
+        "FROM w"),
+
+    "q_text_langid" ->
+      ("WITH w AS (SELECT doc_id, " +
+        "list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ws " +
+        "FROM documents), " +
+        "sc AS (SELECT doc_id, " +
+        "len(list_filter(ws, x -> x IN ('the','a','of','and','is')))   AS s_en, " +
+        "len(list_filter(ws, x -> x IN ('le','la','les','et','est')))  AS s_fr, " +
+        "len(list_filter(ws, x -> x IN ('el','los','las','y','es')))   AS s_es, " +
+        "len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS s_de " +
+        "FROM w) " +
+        "SELECT doc_id, CASE " +
+        "WHEN s_en >= greatest(s_fr, s_es, s_de) AND s_en > 0 THEN 'en' " +
+        "WHEN s_fr >= greatest(s_es, s_de) AND s_fr > 0 THEN 'fr' " +
+        "WHEN s_es >= s_de AND s_es > 0 THEN 'es' " +
+        "WHEN s_de > 0 THEN 'de' ELSE 'und' END AS lang_pred FROM sc"),
+
+    "q_text_fingerprint" ->
+      ("SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp " +
+        "FROM documents"),
+
+    "q_text_tokens" ->
+      ("SELECT doc_id, " +
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INTEGER AS n_bpe_tokens, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))::INTEGER AS n_ws_tokens " +
+        "FROM documents"),
+
+    "q_events_tumbling" ->
+      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+
+    "q_events_sliding" ->
+      // 1h windows sliding by 30min: each event falls in the windows starting at
+      // floor_30m(ts) and floor_30m(ts) - 30m
+      ("SELECT window_start, event_type, count(*) AS n FROM (" +
+        "SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events " +
+        "UNION ALL " +
+        "SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' " +
+        "  AS window_start, event_type FROM events " +
+        ") GROUP BY 1, 2"),
+
+    "q_events_session" ->
+      ("WITH x AS (SELECT user_id, ts, value, CASE WHEN ts - lag(ts) OVER " +
+        "(PARTITION BY user_id ORDER BY ts) <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS newf " +
+        "FROM events), " +
+        "y AS (SELECT user_id, ts, value, sum(newf) OVER (PARTITION BY user_id ORDER BY ts " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL '30 minutes' AS session_end, " +
+        "count(*) AS n, round(sum(value), 2) AS sum_value FROM y GROUP BY user_id, sid"),
+
+    "q_asof_join" ->
+      ("WITH m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id " +
+        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+        "FROM events e LEFT JOIN orders o " +
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
+        "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
+
+    "q_governance" ->
+      ("SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_mktsegment " +
+        "FROM customer WHERE c_nationkey < 20"),
+
+    "q_multimodal_meta" ->
+      ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "octet_length(encode(text))::INTEGER AS n_bytes, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 640 + 16 END)::INTEGER AS width, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 480 + 16 END)::INTEGER AS height, " +
+        "(CASE WHEN doc_id % 3 = 1 THEN round(octet_length(encode(text)) / 16.0, 2) END)::DOUBLE AS duration_s, " +
+        "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 24 + 1 END)::INTEGER AS n_frames " +
+        "FROM documents")
+  )
+}

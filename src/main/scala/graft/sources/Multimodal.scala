@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (north-star extension). Media are opaque BINARY
+  * columns + typed metadata; transforms run per-partition over Arrow-sized batches.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a clearly
+  * marked DETERMINISTIC STUB (dimensions derived from the byte stream) — but the
+  * Spark-side contract is real: schema, binary column handling, partition-parallel
+  * decode, and metadata extraction all behave exactly as they would with a real
+  * codec behind the same signature.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("media", BinaryType),
+    StructField("kind", StringType)))
+
+  /** Wrap a text corpus as a binary media column (stand-in for real image/audio
+    * payload bytes; deterministic).
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      when(col(idCol) % 3 === 0, "image")
+        .when(col(idCol) % 3 === 1, "audio")
+        .otherwise("video").as("kind"))
+
+  /** STUB decode: metadata a real decoder would emit (width/height/duration/frames)
+    * derived deterministically from the payload size. A production build swaps the
+    * expressions for a mapPartitions/Arrow kernel calling the actual codec; the
+    * output schema and partitioning contract are unchanged.
+    */
+  def decodeMeta(media: DataFrame): DataFrame = {
+    val bytes = length(col("media"))
+    media.select(
+      col("doc_id"),
+      col("kind"),
+      bytes.as("n_bytes"),
+      when(col("kind") === "image", pmod(bytes, lit(640)) + 16).otherwise(null)
+        .cast("int").as("width"),
+      when(col("kind") === "image", pmod(bytes, lit(480)) + 16).otherwise(null)
+        .cast("int").as("height"),
+      when(col("kind") === "audio", round(bytes / lit(16.0), 2)).otherwise(null)
+        .cast("double").as("duration_s"),
+      when(col("kind") === "video", pmod(bytes, lit(24)) + 1).otherwise(null)
+        .cast("int").as("n_frames"))
+  }
+
+  /** STUB frame sampler for video media: emits every k-th "frame" (byte-slice
+    * stand-in). Real impl: mapPartitions + codec; identical shape/partitioning.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("doc_id"),
+        posexplode(split(base64(col("media")), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
+      .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming extension (SURVEY.md §2.9 — absent from the reference; Trino 400 has
+  * no streaming). The transforms are expressed once and run identically in batch
+  * (for oracle verification) and with `readStream` (Structured Streaming): windowed
+  * aggregation is the same logical plan; in streaming it becomes incremental state
+  * with watermark-based eviction — state size bounded by (watermark horizon ×
+  * key cardinality), which is what keeps it viable on an unbounded 100 TB/day feed.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event_type. Works on batch or streaming df. */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding-window event counts. */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows per user with the given inactivity gap. Session end =
+    * last event + gap (Spark session_window semantics).
+    */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"), col("sum_value"))
+
+  /** Open the events fixture as a genuine stream (file source). */
+  def readEventStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(path)
+
+  /** Streaming tumbling aggregation with watermark — the canonical incremental
+    * plan: state per (window, event_type), evicted once the watermark passes.
+    */
+  def streamingTumbling(events: DataFrame, width: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count("*").as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+}
