@@ -4,6 +4,7 @@ import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -11,6 +12,8 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.plans.GovernancePolicies
 
 /** DSv2 TableCatalog + SupportsNamespaces over a directory of parquet tables — the
   * Spark-native analog of the reference's connector metadata layer
@@ -23,13 +26,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.sql.catalog.graft.dir = /path/with/parquet/tables
   * Then `SELECT ... FROM graft.main.lineitem` resolves here.
   *
-  * Table IO is delegated to Spark's ParquetTable (FileTable machinery), which brings
-  * the whole DSv2 pushdown surface for free — column pruning
-  * (SupportsPushDownRequiredColumns ≈ reference P1), filter pushdown
-  * (SupportsPushDownFilters ≈ P2-P8), limit, aggregate pushdown (count(*) fast path
-  * ≈ S7, trino/RecordServicePageSource.java:79-84), vectorized columnar decode
-  * (≈ S2) with row fallback for nested types (≈ S3), and file-split planning with
-  * locality (≈ S4).
+  * All filesystem access goes through Hadoop `FileSystem`, so the same catalog
+  * works on local disk, HDFS, or s3a:// at the 100 TB deployment — never
+  * java.io.File. A table is either a single `<name>.parquet` file or a `<name>`
+  * directory of parquet part-files.
+  *
+  * Table IO is delegated to Spark's ParquetTable (FileTable machinery), which
+  * brings the DSv2 pushdown surface for free — column pruning (P1), filter
+  * pushdown (P2-P8), aggregate pushdown (S7 count(*) fast path,
+  * trino/RecordServicePageSource.java:79-84), vectorized columnar decode (S2)
+  * with row fallback for nested types (S3), and file-split planning with
+  * locality (S4). On top of that, `GraftTable` adds footer-exact row-count
+  * statistics for the CBO (M9, trino/RecordServiceMetadata.java:504-537).
+  *
+  * Governance: no-access columns are removed from the reported schema at load
+  * time, mirroring the reference's silent column drop for hasAccess == false
+  * (trino/RecordServiceMetadata.java:803-804). Masks and row filters are injected
+  * by the analyzer rule (graft.plans.GovernanceRule).
   *
   * Loaded tables are cached with a TTL, mirroring the reference's metadata cache
   * (okera.metadata.cache-ttl-ms, trino/RecordServiceConfig.java:201-206); per-query
@@ -53,6 +66,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def defaultNs = Array("main")
 
+  private def hadoopConf = SparkSession.active.sessionState.newHadoopConf()
+
+  private def fs = new Path(dir).getFileSystem(hadoopConf)
+
+  /** Resolve a table name to its storage path: `<dir>/<name>.parquet` (single
+    * file) or `<dir>/<name>` (directory of part files).
+    */
+  private def tablePath(name: String): Option[Path] = {
+    val f = new Path(dir, s"$name.parquet")
+    val d = new Path(dir, name)
+    val filesystem = fs
+    if (filesystem.exists(f)) Some(f)
+    else if (filesystem.exists(d) && filesystem.getFileStatus(d).isDirectory) Some(d)
+    else None
+  }
+
   override def listNamespaces(): Array[Array[String]] = Array(defaultNs)
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -64,7 +93,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
-      namespace.mkString("."))
+      namespace.toSeq)
 
   override def createNamespace(ns: Array[String], meta: java.util.Map[String, String]): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
@@ -76,34 +105,58 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-    files.filter(f => f.getName.endsWith(".parquet"))
-      .map(f => Identifier.of(namespace, f.getName.stripSuffix(".parquet")))
+    val filesystem = fs
+    val root = new Path(dir)
+    if (!filesystem.exists(root)) return Array.empty
+    filesystem.listStatus(root).flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(".parquet"))
+        Some(Identifier.of(namespace, n.stripSuffix(".parquet")))
+      else if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+        Some(Identifier.of(namespace, n))
+      else None
+    }
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    new java.io.File(s"$dir/${ident.name}.parquet").exists()
+  override def tableExists(ident: Identifier): Boolean = tablePath(ident.name).isDefined
 
   override def loadTable(ident: Identifier): Table = {
-    val key = ident.toString
+    // governance is part of the cache key: a policy change must not be masked
+    // by a stale cached schema
+    val dropped = GovernancePolicies.get(ident.name)
+      .map(_.dropColumns.map(_.toLowerCase).toSet).getOrElse(Set.empty)
+    val key = ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now - cached._1 < ttlMs) return cached._2
-    val path = s"$dir/${ident.name}.parquet"
-    if (!new java.io.File(path).exists()) {
+    val path = tablePath(ident.name).getOrElse {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        ident.toString)
+        ident.namespace.toSeq :+ ident.name)
     }
-    val table = ParquetTable(
+    val spark = SparkSession.active
+    def parquetTable(userSchema: Option[StructType]) = ParquetTable(
       ident.name,
-      SparkSession.active,
+      spark,
       CaseInsensitiveStringMap.empty(),
-      Seq(path),
-      None,
+      Seq(path.toString),
+      userSchema,
       classOf[ParquetFileFormat])
-    cache.put(key, (now, table))
-    table
+
+    // schema-level governance: no-access columns never appear (reference
+    // trino/RecordServiceMetadata.java:803-804)
+    val base = parquetTable(None)
+    val table =
+      if (dropped.isEmpty) base
+      else {
+        val pruned = StructType(base.schema.fields.filterNot(f => dropped(f.name.toLowerCase)))
+        parquetTable(Some(pruned))
+      }
+
+    val conf = hadoopConf
+    lazy val rows = ParquetFooters.rowCount(path, conf)
+    val wrapped: Table = new GraftTable(table, () => rows)
+    cache.put(key, (now, wrapped))
+    wrapped
   }
 
   override def createTable(ident: Identifier, schema: StructType,

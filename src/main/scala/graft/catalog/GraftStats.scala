@@ -1,0 +1,109 @@
+package graft.catalog
+
+import java.util.OptionalLong
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Table statistics for cost-based planning (SURVEY.md §2.11 M9). The reference
+  * reports rowCount + dataSize to the engine's CBO so it can pick join order and
+  * broadcast sides (trino/RecordServiceMetadata.java:504-537, stats config at
+  * trino/RecordServiceConfig.java:103-122). Spark's DSv2 path reads statistics from
+  * the Scan (`SupportsReportStatistics`); the stock file scan reports bytes only,
+  * so this wrapper adds an exact row count read from parquet footers — the same
+  * "ask the storage layer" move the reference makes, without scanning data.
+  *
+  * Row counts are computed once per table and cached (the footers are a few KB per
+  * file; at 100 TB this is a metadata-only driver-side pass, the same cost class as
+  * the reference's planner stats RPC).
+  */
+object ParquetFooters {
+  /** Sum of footer row counts across all parquet files under `path`. */
+  def rowCount(path: Path, conf: Configuration): Long = {
+    val fs = path.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(path).isDirectory)
+        fs.listStatus(path).filter(s => s.isFile && !s.getPath.getName.startsWith("_")).toSeq
+      else Seq(fs.getFileStatus(path))
+    files.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+}
+
+/** Delegating Table that swaps the ScanBuilder for a stats-reporting one.
+  * Read-only (the reference connector has no write path,
+  * trino/RecordServiceTransactionHandle.java:17-19).
+  */
+class GraftTable(delegate: ParquetTable, rowCount: () => Long) extends Table with SupportsRead {
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): java.util.Map[String, String] = delegate.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(
+      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount)
+}
+
+/** Forwards the full parquet pushdown surface (column pruning ≈ reference P1,
+  * catalyst filter pushdown ≈ P2-P8, aggregate pushdown ≈ S7 count(*) fast path)
+  * to the stock builder, then wraps the built Scan with footer-backed statistics.
+  */
+class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
+    extends ScanBuilder
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+
+  override def build(): Scan = {
+    val scan = delegate.build()
+    // after an aggregate pushdown the scan's output is the aggregated rows, not
+    // the table rows — footer counts would be wrong, so skip stats there
+    if (scan.pushedAggregate.isDefined) scan else new GraftStatsScan(scan, rowCount)
+  }
+}
+
+class GraftStatsScan(delegate: ParquetScan, rowCount: () => Long)
+    extends Scan with SupportsReportStatistics {
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def estimateStatistics(): Statistics = {
+    val base = delegate.estimateStatistics()
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = base.sizeInBytes()
+      override def numRows(): OptionalLong = OptionalLong.of(rowCount())
+    }
+  }
+}

@@ -12,14 +12,16 @@ object GraftFunctions {
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // "source" must be one of Spark 4's fixed FunctionRegistry source tags;
+    // custom Catalyst expressions register as "scala_udf".
     reg.createOrReplaceTempFunction(
-      "cosine_sim", (e: Seq[Expression]) => CosineSimilarity(e(0), e(1)), "graft")
+      "cosine_sim", (e: Seq[Expression]) => CosineSimilarity(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "dot_product", (e: Seq[Expression]) => DotProduct(e(0), e(1)), "graft")
+      "dot_product", (e: Seq[Expression]) => DotProduct(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "word_ngrams", (e: Seq[Expression]) => WordNGrams(e(0), e(1)), "graft")
+      "word_ngrams", (e: Seq[Expression]) => WordNGrams(e(0), e(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "current_engine", (_: Seq[Expression]) => CurrentEngine(), "graft")
+      "current_engine", (_: Seq[Expression]) => CurrentEngine(), "scala_udf")
     spark.udf.register("geomean", udaf(GeoMean))
   }
 
@@ -39,5 +41,5 @@ object GraftFunctions {
   def registerRhBits(spark: SparkSession, numBits: Int, seed: Long): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "rh_bits_" + numBits + "_" + seed,
-      (e: Seq[Expression]) => RandomHyperplaneBits(e.head, numBits, seed), "graft")
+      (e: Seq[Expression]) => RandomHyperplaneBits(e.head, numBits, seed), "scala_udf")
 }

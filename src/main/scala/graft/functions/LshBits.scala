@@ -15,11 +15,18 @@ import org.apache.spark.sql.types._
   * path (graft.operators.Similarity) to bucket vectors before exact re-ranking.
   */
 case class RandomHyperplaneBits(child: Expression, numBits: Int, seed: Long)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with CodegenFallback {
 
   require(numBits >= 1 && numBits <= 64, "numBits must be in [1, 64]")
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects array<float>, got $other")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "rh_bits"
 

@@ -18,8 +18,6 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val P = 2305843009213693951L // 2^61 - 1
-
   /** (doc_id, sh) — distinct xxhash64 of the lower-cased word n-gram shingles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
@@ -76,22 +74,21 @@ object Dedup {
   /** MinHash + LSH banding near-dup: candidates from band-bucket equality joins,
     * verified with exact Jaccard ≥ threshold. With numPerm=32, bands=8 (r=4) and
     * planted dups at J≈0.99, recall ≈ 1 - (1-0.99⁴)⁸ ≈ 1-5e-12.
-    * Permutation parameters derive from a fixed seed, so results are deterministic.
+    * Permutations are xxhash64 re-hashes keyed by the permutation index —
+    * deterministic, independent, and (unlike an a*h+b congruential scheme)
+    * overflow-free under ANSI arithmetic.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
-    val rnd = new scala.util.Random(42)
-    val as = Array.fill(numPerm)(math.abs(rnd.nextLong()) % (P - 1) + 1)
-    val bs = Array.fill(numPerm)(math.abs(rnd.nextLong()) % P)
 
     val sh = shingles(docs, idCol, textCol, n).cache()
 
     // one shuffle: all numPerm signature mins in a single hash aggregate
     val minExprs = (0 until numPerm).map { j =>
-      min(pmod(lit(as(j)) * col("sh") + lit(bs(j)), lit(P))).as(s"m$j")
+      min(xxhash64(lit(j), col("sh"))).as(s"m$j")
     }
     val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
 
@@ -153,16 +150,44 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs ≥ threshold, computed in double precision with
-    * the codegen'd CosineSimilarity expression. Brute-force pairwise (broadcast
-    * nested-loop) — correct baseline; at scale, block with RandomHyperplaneBits
-    * first (see Similarity.annTopK).
+    * the codegen'd CosineSimilarity expression.
+    *
+    * Default path (`exact = false`) blocks candidates with sign-random-projection
+    * LSH first: vectors sharing any 4-bit band of a 16-bit signature are compared,
+    * everything else never meets — equality joins on narrow (band, bucket) keys,
+    * no O(n²) pair stream. This is the only shape that survives 100 TB; recall is
+    * high for near-duplicate thresholds (cos ≥ ~0.9 ⇒ P(miss) ≈ (1-p⁴)⁴ with
+    * p = 1 - θ/π close to 1) and every emitted pair is exact-verified.
+    *
+    * `exact = true` scores all pairs (broadcast nested-loop) — the correctness
+    * oracle / small-data path; do not run it at scale.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, exact: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     val a = emb.select(col(idCol).cast("long").as("vec_a"), col(vecCol).as("va"))
     val b = emb.select(col(idCol).cast("long").as("vec_b"), col(vecCol).as("vb"))
-    a.join(b, col("vec_a") < col("vec_b"))
+    val pairs =
+      if (exact) a.join(b, col("vec_a") < col("vec_b"))
+      else {
+        val spark = emb.sparkSession
+        val numBits = 16; val bandBits = 4; val seed = 11L
+        graft.functions.GraftFunctions.registerRhBits(spark, numBits, seed)
+        def buckets(df: DataFrame, id: String, v: String) = {
+          val sig = graft.functions.GraftFunctions.rhBits(col(v), numBits, seed)
+          val bandCols = (0 until numBits / bandBits).map { k =>
+            struct(lit(k).as("band"),
+              shiftright(sig, k * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))
+          }
+          df.select(col(id), col(v), explode(array(bandCols: _*)).as("b"))
+            .select(col(id), col(v), col("b.band").as("band"), col("b.bh").as("bh"))
+        }
+        buckets(a, "vec_a", "va").join(buckets(b, "vec_b", "vb"), Seq("band", "bh"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "va", "vec_b", "vb")
+          .distinct()
+      }
+    pairs
       .withColumn("cos", cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))

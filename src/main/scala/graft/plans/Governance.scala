@@ -45,37 +45,87 @@ object Governance {
   }
 }
 
-/** Analyzer rule: rewrites any resolved SubqueryAlias whose name has a registered
-  * policy into Project(masked cols, Filter(rowFilter, relation)). Runs in the
-  * resolution batch (fixed point), so the unresolved mask/filter expressions we
-  * inject are resolved by the normal analyzer rules right after. A TreeNodeTag
-  * guards against re-application.
+/** Analyzer rule: rewrites any resolved *relation* node whose table name has a
+  * registered policy into Project(masked cols, Filter(rowFilter, relation)).
+  *
+  * Matching the leaf relation (not SubqueryAlias) means every access path hits the
+  * policy — `spark.sql` over temp views, catalog-resolved `graft.main.t`, and raw
+  * `spark.read.parquet(...)` DataFrames — and each table is rewritten exactly once
+  * (a SubqueryAlias over a governed relation would otherwise double-apply masks).
+  * The reference applies policy planner-side before data reaches the engine
+  * (trino/RecordServiceMetadata.java:803-804); here the injected Filter sits below
+  * every consumer, so Catalyst pushes it into the scan like any user predicate.
+  *
+  * Runs in the resolution batch (fixed point): injected mask/filter expressions are
+  * unresolved UnresolvedAttributes that the normal analyzer rules resolve right
+  * after. A TreeNodeTag guards against re-application across iterations.
   */
 case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
   private val tag = TreeNodeTag[Boolean]("graft.governed")
 
   private def parse(sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case sa: SubqueryAlias if sa.resolved &&
-        sa.getTagValue(tag).isEmpty &&
-        GovernancePolicies.get(sa.alias).isDefined =>
-      sa.setTagValue(tag, true)
-      val p = GovernancePolicies.get(sa.alias).get
+  /** Table-name candidates for a relation: v2 identifier/table name, or for
+    * file relations the root path's basename minus extension (customer.parquet →
+    * customer) — so pathless `spark.read.parquet` access cannot bypass policy.
+    */
+  private def tableNames(plan: LogicalPlan): Seq[String] = plan match {
+    case r: DataSourceV2Relation =>
+      r.identifier.map(_.name()).toSeq :+ r.table.name()
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(p => p.getName.replaceAll("\\.[A-Za-z0-9]+$", ""))
+        case _ => Nil
+      }
+    case _ => Nil
+  }
+
+  private def policyFor(plan: LogicalPlan): Option[TablePolicy] =
+    tableNames(plan).flatMap(GovernancePolicies.get).headOption
+
+  /** Parent operators may already be resolved against the relation's original
+    * attributes (a star expanded in the same analyzer iteration, a cached view
+    * plan), so the rewrite uses `resolveOperatorsUpWithNewOutput`: changed columns
+    * get FRESH exprIds and the framework rewrites every upstream reference via the
+    * returned old→new mapping. Reusing exprIds instead would violate Catalyst's
+    * attribute-identity invariant and lets the optimizer elide the mask.
+    *
+    * Masked columns are rewritten in place; no-access columns are NULL-redacted
+    * here (value-level), while true schema-level removal — the reference's
+    * hasAccess drop — happens in GraftCatalog.loadTable before resolution.
+    */
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUpWithNewOutput {
+    case rel if rel.resolved && rel.children.isEmpty &&
+        rel.getTagValue(tag).isEmpty && policyFor(rel).isDefined =>
+      rel.setTagValue(tag, true)
+      val p = policyFor(rel).get
       val filtered: LogicalPlan =
-        p.rowFilterSql.map(f => Filter(parse(f), sa): LogicalPlan).getOrElse(sa)
+        p.rowFilterSql.map(f => Filter(parse(f), rel): LogicalPlan).getOrElse(rel)
       val dropped = p.dropColumns.map(_.toLowerCase).toSet
       val masks = p.masks.map(m => m.column.toLowerCase -> m.maskSql).toMap
-      val projList = sa.output
-        .filterNot(a => dropped(a.name.toLowerCase))
-        .map { a =>
-          masks.get(a.name.toLowerCase) match {
-            case Some(m) => Alias(parse(m), a.name)()
-            case None => a
-          }
+      val projList = rel.output.map { a =>
+        if (dropped(a.name.toLowerCase)) {
+          Alias(org.apache.spark.sql.catalyst.expressions.Literal.create(null, a.dataType),
+            a.name)(qualifier = a.qualifier)
+        } else masks.get(a.name.toLowerCase) match {
+          case Some(m) => Alias(parse(m), a.name)(qualifier = a.qualifier)
+          case None => a
         }
-      Project(projList, filtered)
+      }
+      // the governed subtree carries unresolved mask/filter expressions — resolve
+      // them now with a nested analyzer pass (the tag stops re-entry) so the new
+      // output attributes exist for the old→new mapping
+      val resolved = spark.sessionState.analyzer.execute(Project(projList, filtered))
+      require(resolved.resolved,
+        s"governance policy for '${tableNames(rel).mkString("/")}' failed to resolve: $resolved")
+      val mapping = rel.output.zip(resolved.output)
+        .filter { case (o, n) => o.exprId != n.exprId }
+      (resolved, mapping)
   }
 }
 

@@ -58,7 +58,10 @@ object ExtensionQueries {
         .select("doc_a", "doc_b")),
 
     "q_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4)),
+      // exact=true: this entry IS the oracle-verified baseline; the scale path
+      // (LSH-blocked, the default) is covered by q_dedup_embedding_ann
+      Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, exact = true)),
 
     // ---- similarity search ----
     "q_sim_topk" -> ((s, d) => {
@@ -180,21 +183,23 @@ object ExtensionQueries {
         "FROM documents"),
 
     "q_events_tumbling" ->
-      ("SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type, " +
+      // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads
+      ("SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
 
     "q_events_sliding" ->
       // 1h windows sliding by 30min: each event falls in the windows starting at
       // floor_30m(ts) and floor_30m(ts) - 30m
       ("SELECT window_start, event_type, count(*) AS n FROM (" +
-        "SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events " +
+        "SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) AS window_start, event_type FROM events " +
         "UNION ALL " +
-        "SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' " +
+        "SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL '30 minutes' " +
         "  AS window_start, event_type FROM events " +
         ") GROUP BY 1, 2"),
 
     "q_events_session" ->
-      ("WITH x AS (SELECT user_id, ts, value, CASE WHEN ts - lag(ts) OVER " +
+      ("WITH x AS (SELECT user_id, ts::TIMESTAMP AS ts, value, " +
+        "CASE WHEN ts::TIMESTAMP - lag(ts::TIMESTAMP) OVER " +
         "(PARTITION BY user_id ORDER BY ts) <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS newf " +
         "FROM events), " +
         "y AS (SELECT user_id, ts, value, sum(newf) OVER (PARTITION BY user_id ORDER BY ts " +

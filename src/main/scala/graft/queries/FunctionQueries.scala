@@ -35,7 +35,7 @@ object FunctionQueries {
         dayofmonth(col("o_orderdate")).as("dom"),
         quarter(col("o_orderdate")).as("q"),
         dayofyear(col("o_orderdate")).as("doy"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
         col("o_orderdate").cast("date").as("od"))),
 
     "q_math_funcs" -> ((s, d) =>
@@ -111,7 +111,7 @@ object FunctionQueries {
       ("SELECT o_orderkey, year(o_orderdate)::INTEGER AS y, " +
         "month(o_orderdate)::INTEGER AS m, day(o_orderdate)::INTEGER AS dom, " +
         "quarter(o_orderdate)::INTEGER AS q, dayofyear(o_orderdate)::INTEGER AS doy, " +
-        "date_trunc('month', o_orderdate) AS month_start, " +
+        "date_trunc('month', o_orderdate)::DATE AS month_start, " +
         "o_orderdate::DATE AS od FROM orders"),
 
     "q_math_funcs" ->

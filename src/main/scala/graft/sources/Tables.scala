@@ -17,9 +17,34 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.plans.SessionProps(spark, read(spark, dir, name))
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+      // (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and truncate to Spark's
+      // native µs precision (SURVEY.md §7.4). `div` keeps the arithmetic in longs —
+      // a double round-trip would corrupt ~1.7e18-scale values (> 2^53).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Register every fixture table as a temp view so `spark.sql` corpora work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Register the graft DSv2 catalog over `dir` (idempotent; first dir wins for
+    * the session since CatalogManager caches the instance) and enable parquet
+    * aggregate pushdown so count(*) resolves from footers (reference S7,
+    * trino/RecordServicePageSource.java:79-84).
+    */
+  def registerCatalog(spark: SparkSession, dir: String): Unit = {
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.dir", dir)
+    }
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** As-of join semantics: backward match, tie at equal timestamps included,
+  * tie among right rows broken by largest tiebreak, unmatched left rows kept.
+  */
+class AsOfJoinSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("backward as-of picks most recent right row at or before left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 10L, ts("2024-01-01 08:00:00")), // before any right row → null
+      (4L, 99L, ts("2024-01-01 12:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), 5.0),
+      (101L, 10L, ts("2024-01-01 10:00:00"), 6.0), // equal ts: included (<=)
+      (102L, 10L, ts("2024-01-01 10:00:00"), 7.0), // same ts, larger tiebreak wins
+      (103L, 10L, ts("2024-01-01 11:00:00"), 8.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+    val out = AsOfJoin.backward(left, right,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out(1L) == 102L, "equal-time right row with max tiebreak must win")
+    assert(out(2L) == 103L)
+    assert(out(3L) == -1L, "left row before all right rows must be unmatched")
+    assert(out(4L) == -1L, "unmatched key must be kept with null payload")
+  }
+
+  test("as-of join preserves every left row exactly once") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val out = AsOfJoin.backward(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    assert(out.count() == events.count())
+    assert(out.select("event_id").distinct().count() == events.count())
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+
+/** GraftCatalog (SURVEY.md §2.11 M1-M5, M10): namespace/table listing, load,
+  * SQL resolution through `graft.main.<t>`, and error behavior.
+  */
+class CatalogSpec extends SparkSpec {
+
+  private def catalog: TableCatalog = {
+    spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+  }
+
+  test("listNamespaces exposes main") {
+    val ns = catalog.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsNamespaces]
+      .listNamespaces()
+    assert(ns.map(_.mkString(".")).contains("main"))
+  }
+
+  test("listTables sees every fixture table") {
+    val tables = catalog.listTables(Array("main")).map(_.name()).toSet
+    graft.sources.Tables.names.foreach(t => assert(tables.contains(t), s"missing $t"))
+  }
+
+  test("loadTable returns schema and SQL resolves through the catalog") {
+    val t = catalog.loadTable(Identifier.of(Array("main"), "nation"))
+    assert(t.columns().map(_.name()).toSet ==
+      Set("n_nationkey", "n_name", "n_regionkey"))
+    val n = spark.sql("SELECT count(*) AS n FROM graft.main.nation").collect().head.getLong(0)
+    assert(n == 25)
+  }
+
+  test("SHOW TABLES works against the catalog") {
+    val shown = spark.sql("SHOW TABLES IN graft.main").collect().map(_.getString(1)).toSet
+    assert(shown.contains("lineitem"))
+  }
+
+  test("missing table raises NoSuchTableException") {
+    intercept[Exception] {
+      catalog.loadTable(Identifier.of(Array("main"), "nope"))
+    }
+  }
+
+  test("catalog-resolved join query returns correct result") {
+    val df = spark.sql(
+      """SELECT r_name, count(*) AS n
+        |FROM graft.main.nation n JOIN graft.main.region r
+        |  ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == 25)
+    assert(rows.length == 5)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Dedup operators: recall on planted duplicates + agreement between the LSH path
+  * and the exact-Jaccard oracle path over the real documents fixture.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    // real fixture docs + planted near-duplicates (one word changed) and one
+    // exact duplicate, at ids >= 100000
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val sample = base.orderBy("doc_id").limit(3).collect()
+    val planted = sample.zipWithIndex.flatMap { case (r, i) =>
+      val id = r.getLong(0); val t = r.getString(1)
+      val words = t.split("\\s+")
+      val near = (words.take(words.length - 1) :+ "zzzqx").mkString(" ")
+      Seq((100000L + id, t), // exact dup
+          (200000L + id, near)) // near dup (J high for long docs)
+    }.toSeq
+    base.unionByName(planted.toDF("doc_id", "text"))
+  }
+
+  test("exact dedup keeps one representative per normalized text") {
+    val d = docs
+    val kept = Dedup.exact(d, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    // the 3 planted exact duplicates (ids 100000+x) collapse onto their originals:
+    // min(doc_id) per group ⇒ the original id is kept, the 100000+ id is not
+    assert(kept.size == d.count() - 3, s"expected exactly 3 collapsed dups")
+    assert(!kept.exists(id => id >= 100000L && id < 200000L),
+      "exact-dup copy must never be the kept representative")
+    // near-dup texts are distinct under exact dedup and must all survive
+    val nearIds = d.filter(col("doc_id") >= 200000).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(nearIds.subsetOf(kept))
+  }
+
+  test("minhash LSH finds planted near-duplicates (recall) and agrees with exact jaccard") {
+    val d = docs
+    val exact = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashLshPairs(d, "doc_id", "text", n = 3, numPerm = 32,
+      bands = 8, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact jaccard ⇒ no false positives
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // planted exact dups are J=1.0 pairs; LSH recall at J≈1 is ~certain
+    val planted = exact.filter { case (a, b) => b >= 100000L && b < 200000L && b - 100000L == a }
+    assert(planted.nonEmpty, "fixture should contain the planted J=1 pairs")
+    assert(planted.subsetOf(lsh), s"LSH missed planted dups: ${planted.diff(lsh)}")
+  }
+
+  test("simhash blocks catch hamming<=3 pairs without false positives") {
+    val d = docs
+    val pairs = Dedup.simHashPairs(d, "doc_id", "text", maxHamming = 3).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Number](2).longValue <= 3)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+    // exact dup pairs have identical fingerprints → hamming 0, always caught
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactDups = docs.filter(col("doc_id") >= 100000 && col("doc_id") < 200000)
+      .select((col("doc_id") - 100000).as("a"), col("doc_id").as("b"))
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    exactDups.foreach(p => assert(ids.contains(p), s"simhash missed exact dup $p"))
+  }
+
+  test("embedding dedup finds self-similar planted vector") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val one = emb.filter(col("vec_id") === 1).collect().head
+    val planted = Seq((900000L, one.getSeq[Float](1).toArray)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(emb.unionByName(planted), "vec_id", "embedding",
+      threshold = 0.999)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((1L, 900000L)), s"identical vector pair missing: ${found.toSeq}")
+  }
+}

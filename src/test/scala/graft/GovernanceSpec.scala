@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
+import graft.sources.Tables
+
+/** Governance (SURVEY.md §2.12 X4) must hold on EVERY access path — SQL over a
+  * temp view, catalog-resolved identifiers, and raw-path DataFrame reads. A path
+  * that returns unmasked data is a policy bypass, the one failure a governance
+  * layer cannot have.
+  */
+class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
+
+  private val policy = TablePolicy(
+    dropColumns = Seq("c_acctbal"),
+    masks = Seq(ColumnMask("c_name", "md5(c_name)")),
+    rowFilterSql = Some("c_nationkey < 10"))
+
+  override def beforeEach(): Unit = GovernancePolicies.clear()
+  override def afterEach(): Unit = GovernancePolicies.clear()
+
+  /** A governed result must never expose c_acctbal values (column either absent —
+    * schema-level drop — or NULL-redacted), must mask c_name, and must row-filter.
+    */
+  private def assertGoverned(df: org.apache.spark.sql.DataFrame): Unit = {
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val acctIdx = df.columns.indexWhere(_.equalsIgnoreCase("c_acctbal"))
+    if (acctIdx >= 0)
+      assert(rows.forall(_.isNullAt(acctIdx)), "no-access column values leaked")
+    val nkIdx = df.columns.indexWhere(_.equalsIgnoreCase("c_nationkey"))
+    assert(rows.forall(r => r.getAs[Number](nkIdx).longValue < 10), "row filter bypassed")
+    val nameIdx = df.columns.indexWhere(_.equalsIgnoreCase("c_name"))
+    assert(rows.forall(r => r.getString(nameIdx).matches("[0-9a-f]{32}")),
+      "mask bypassed (c_name not md5)")
+  }
+
+  test("DataFrame composition API applies drop/mask/filter") {
+    val df = Governance.secure(Tables(spark, sfDir, "customer"), policy)
+    assert(!df.columns.map(_.toLowerCase).contains("c_acctbal"),
+      "composition API drops the column from the schema")
+    assertGoverned(df)
+  }
+
+  test("analyzer rule governs raw spark.read.parquet path") {
+    GovernancePolicies.register("customer", policy)
+    assertGoverned(spark.read.parquet(s"$sfDir/customer.parquet"))
+  }
+
+  test("analyzer rule governs SQL over a temp view") {
+    GovernancePolicies.register("customer", policy)
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer")
+    assertGoverned(spark.sql("SELECT * FROM customer"))
+    // and through a projection that references a masked column
+    val one = spark.sql("SELECT c_name FROM customer").collect()
+    assert(one.forall(_.getString(0).matches("[0-9a-f]{32}")))
+    spark.catalog.dropTempView("customer")
+  }
+
+  test("analyzer rule governs catalog-resolved graft.main.customer") {
+    GovernancePolicies.register("customer", policy)
+    assertGoverned(spark.sql("SELECT * FROM graft.main.customer"))
+  }
+
+  test("policy is applied exactly once (no double masking via view over path)") {
+    GovernancePolicies.register("customer", policy)
+    spark.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("customer")
+    val viaSql = spark.sql("SELECT c_name FROM customer ORDER BY c_custkey LIMIT 5")
+      .collect().map(_.getString(0))
+    GovernancePolicies.clear()
+    val raw = spark.read.parquet(s"$sfDir/customer.parquet")
+      .filter(col("c_nationkey") < 10)
+      .orderBy("c_custkey").select(md5(col("c_name"))).limit(5)
+      .collect().map(_.getString(0))
+    assert(viaSql.sameElements(raw), "mask must be md5(raw), not md5(md5(raw))")
+    spark.catalog.dropTempView("customer")
+  }
+
+  test("ungoverned tables are untouched") {
+    GovernancePolicies.register("customer", policy)
+    val nation = Tables(spark, sfDir, "nation")
+    assert(nation.columns.contains("n_name"))
+    assert(nation.count() == 25)
+  }
+}

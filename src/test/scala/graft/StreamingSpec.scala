@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.streaming.EventStreams
+
+/** Genuine Structured Streaming run (SURVEY.md §2.9, ST4/ST5): readStream over the
+  * events fixture → watermarked tumbling aggregation → checkpointed sink, then the
+  * streamed result is compared against the identical batch plan. Also asserts the
+  * watermark actually drops late rows.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("readStream → watermark → checkpointed sink matches batch result") {
+    val batchEvents = Tables(spark, sfDir, "events")
+    val schema = batchEvents.schema
+
+    // stage the fixture as a one-file stream source dir (µs-truncated ts so the
+    // stream schema matches what Tables produces)
+    val srcDir = Files.createTempDirectory("graft-stream-src").toFile
+    val ckDir = Files.createTempDirectory("graft-stream-ck").toFile
+    val outDir = Files.createTempDirectory("graft-stream-out").toFile
+    batchEvents.coalesce(1).write.mode("overwrite").parquet(srcDir.getAbsolutePath)
+
+    val stream = EventStreams.readEventStream(spark, srcDir.getAbsolutePath, schema)
+    assert(stream.isStreaming, "readStream must produce a streaming DataFrame")
+
+    val q = EventStreams.streamingTumbling(stream, "1 hour", watermark = "2 hours")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // append mode only emits windows the watermark has passed; with AvailableNow
+    // the final watermark sits 2h behind max(ts), so compare on closed windows only
+    val streamed = spark.read.parquet(outDir.getAbsolutePath)
+      .groupBy("window_start", "event_type").agg(sum("n").as("n"))
+    val maxTs = batchEvents.agg(max("ts")).collect().head.getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 2 * 3600 * 1000)
+    val batch = EventStreams.tumbling(batchEvents, "1 hour")
+      .filter(col("window_start") < lit(horizon) - expr("INTERVAL 1 HOUR"))
+      .select("window_start", "event_type", "n")
+
+    val s = streamed.filter(col("window_start") < lit(horizon) - expr("INTERVAL 1 HOUR"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(s == b, s"streamed windows diverge from batch: missing=${b.diff(s).take(3)} extra=${s.diff(b).take(3)}")
+    assert(s.nonEmpty, "expected at least one closed window")
+  }
+
+  test("watermark drops late data in update mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val agg = df.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count("*").as("n"))
+
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("update").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 10:00:00"), "a"), (t("2024-01-01 11:00:00"), "a"))
+    q.processAllAvailable() // watermark advances to 10:50
+    input.addData((t("2024-01-01 10:01:00"), "a")) // > 10 min late → dropped
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 11:01:00"), "a")) // on time → counted
+    q.processAllAvailable()
+
+    val rows = spark.sql("SELECT w.start, event_type, n FROM late_test").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    // the 10:00 window must never reach n=2 (late row dropped)
+    val w10 = rows.filter(_._1.startsWith("2024-01-01 10:00")).map(_._2)
+    assert(w10.nonEmpty && w10.max == 1, s"late row leaked into closed window: ${rows.toSeq}")
+    val w11 = rows.filter(_._1.startsWith("2024-01-01 11:00")).map(_._2)
+    assert(w11.max == 2, s"on-time row missing: ${rows.toSeq}")
+    q.stop()
+  }
+}
