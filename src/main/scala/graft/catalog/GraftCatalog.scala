@@ -121,9 +121,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = tablePath(ident.name).isDefined
 
   override def loadTable(ident: Identifier): Table = {
-    // governance is part of the cache key: a policy change must not be masked
-    // by a stale cached schema
-    val dropped = GovernancePolicies.get(ident.name)
+    // governance is part of the cache key: a policy or user change must not be
+    // masked by a stale cached schema
+    val user = graft.plans.Users.current(SparkSession.active)
+    val dropped = GovernancePolicies.getFor(user, ident.name)
       .map(_.dropColumns.map(_.toLowerCase).toSet).getOrElse(Set.empty)
     val key = ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
     val now = System.currentTimeMillis()

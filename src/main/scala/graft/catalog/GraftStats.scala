@@ -62,6 +62,12 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long) extends Table wit
 /** Forwards the full parquet pushdown surface (column pruning ≈ reference P1,
   * catalyst filter pushdown ≈ P2-P8, aggregate pushdown ≈ S7 count(*) fast path)
   * to the stock builder, then wraps the built Scan with footer-backed statistics.
+  *
+  * Pushdown deny list (reference P9,
+  * trino/RecordServiceSplitManagerImpl.java:196-225): predicates referencing any
+  * column named in `graft.pushdown.deny` (comma-separated session conf) stay
+  * engine-side as residuals instead of reaching the scan — the reference uses
+  * this to keep storage-cache keys stable per table.
   */
 class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
     extends ScanBuilder
@@ -69,8 +75,18 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+  private def deniedColumns: Set[String] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .getOption("graft.pushdown.deny")
+      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    val deny = deniedColumns
+    val (held, pushable) =
+      filters.partition(_.references.exists(a => deny(a.name.toLowerCase)))
+    held ++ delegate.pushFilters(pushable)
+  }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
     delegate.pushedFilters
   override def pruneColumns(requiredSchema: StructType): Unit =

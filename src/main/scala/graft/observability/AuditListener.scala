@@ -39,9 +39,14 @@ class AuditListener extends QueryExecutionListener {
   def clear(): Unit = ring.clear()
 
   private def record(qe: QueryExecution, durationNs: Long, error: Option[Throwable]): Unit = {
+    // audit the effective (possibly delegated) user like the reference's
+    // context.user; fall back to the authenticated principal on delegation errors
+    val effectiveUser =
+      try graft.plans.Users.current(qe.sparkSession)
+      catch { case _: SecurityException => qe.sparkSession.sparkContext.sparkUser }
     val r = AuditRecord(
       queryId = nextId.getAndIncrement(),
-      user = qe.sparkSession.sparkContext.sparkUser,
+      user = effectiveUser,
       startMs = System.currentTimeMillis() - durationNs / 1000000L,
       durationNs = durationNs,
       success = error.isEmpty,

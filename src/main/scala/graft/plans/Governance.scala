@@ -24,12 +24,48 @@ case class TablePolicy(
     masks: Seq[ColumnMask] = Nil,
     rowFilterSql: Option[String] = None)
 
-/** Process-wide policy registry keyed by table/view name (lower-cased). */
+/** Process-wide policy registry keyed by (user, table), both lower-cased; user
+  * "*" applies to everyone. Per-user resolution mirrors the reference, where the
+  * planner evaluates policy against the (possibly delegated) request user
+  * (trino/RecordServiceUtil.java:494-503).
+  */
 object GovernancePolicies {
-  private val policies = TrieMap.empty[String, TablePolicy]
-  def register(table: String, p: TablePolicy): Unit = policies.put(table.toLowerCase, p)
+  private val policies = TrieMap.empty[(String, String), TablePolicy]
+  def register(table: String, p: TablePolicy): Unit =
+    policies.put(("*", table.toLowerCase), p)
+  def registerFor(user: String, table: String, p: TablePolicy): Unit =
+    policies.put((user.toLowerCase, table.toLowerCase), p)
   def clear(): Unit = policies.clear()
-  def get(table: String): Option[TablePolicy] = policies.get(table.toLowerCase)
+  def get(table: String): Option[TablePolicy] = getFor("*", table)
+  def getFor(user: String, table: String): Option[TablePolicy] =
+    policies.get((user.toLowerCase, table.toLowerCase))
+      .orElse(policies.get(("*", table.toLowerCase)))
+}
+
+/** Session user identity + delegation (SURVEY.md §2.12 X3). The reference resolves
+  * the effective user from session token / config token / user-as-token and gates
+  * impersonation with canDelegate(authenticatedUser, sessionUser)
+  * (trino/RecordServiceConfig.java:272-323,376-402). Spark-native equivalent:
+  * the authenticated principal is the Spark user; `graft.user` optionally
+  * impersonates, allowed only when the authenticated principal is listed in
+  * `graft.delegation.allowed`.
+  */
+object Users {
+  val UserKey = "graft.user"
+  val DelegationKey = "graft.delegation.allowed"
+
+  def current(spark: SparkSession): String = {
+    val authenticated = spark.sparkContext.sparkUser
+    spark.conf.getOption(UserKey).filter(_ != authenticated).map { impersonated =>
+      val allowed = spark.conf.getOption(DelegationKey)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      if (allowed(authenticated)) impersonated
+      else throw new SecurityException(
+        s"user '$authenticated' may not delegate to '$impersonated' " +
+          s"(not in $DelegationKey)")
+    }.getOrElse(authenticated)
+  }
 }
 
 object Governance {
@@ -85,8 +121,10 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => Nil
   }
 
-  private def policyFor(plan: LogicalPlan): Option[TablePolicy] =
-    tableNames(plan).flatMap(GovernancePolicies.get).headOption
+  private def policyFor(plan: LogicalPlan): Option[TablePolicy] = {
+    val user = Users.current(spark)
+    tableNames(plan).flatMap(GovernancePolicies.getFor(user, _)).headOption
+  }
 
   /** Parent operators may already be resolved against the relation's original
     * attributes (a star expanded in the same analyzer iteration, a cached view

@@ -84,4 +84,41 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
     assert(nation.columns.contains("n_name"))
     assert(nation.count() == 25)
   }
+
+  test("per-user policy applies to the delegated user only (X3)") {
+    import graft.plans.Users
+    val me = spark.sparkContext.sparkUser
+    GovernancePolicies.registerFor("analyst",
+      "customer", TablePolicy(rowFilterSql = Some("c_nationkey = 1")))
+    spark.conf.set(Users.DelegationKey, me)
+    try {
+      // as the authenticated user: no policy, full table
+      val all = spark.read.parquet(s"$sfDir/customer.parquet").count()
+      // impersonate analyst: row filter applies
+      spark.conf.set(Users.UserKey, "analyst")
+      val filtered = spark.read.parquet(s"$sfDir/customer.parquet")
+      val rows = filtered.collect()
+      assert(rows.length < all)
+      val nk = filtered.columns.indexWhere(_.equalsIgnoreCase("c_nationkey"))
+      assert(rows.forall(_.getAs[Number](nk).longValue == 1))
+    } finally {
+      spark.conf.unset(Users.UserKey)
+      spark.conf.unset(Users.DelegationKey)
+    }
+  }
+
+  test("delegation to another user is denied without allow-listing") {
+    import graft.plans.Users
+    GovernancePolicies.register("customer", policy)
+    spark.conf.set(Users.UserKey, "someone_else")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(s"$sfDir/customer.parquet").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[SecurityException]),
+        s"expected SecurityException, got $e")
+    } finally spark.conf.unset(Users.UserKey)
+  }
 }

@@ -47,6 +47,22 @@ class PlanSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("pushdown deny list keeps predicates engine-side (P9)") {
+    spark.conf.set("graft.pushdown.deny", "l_quantity")
+    try {
+      val df = spark.sql(
+        "SELECT l_orderkey FROM graft.main.lineitem WHERE l_quantity > 49")
+      val plan = executedPlan(df)
+      assert(!plan.replaceAll("\\s", "").contains("GreaterThan(l_quantity"),
+        s"denied predicate was pushed:\n$plan")
+      // correctness unchanged: residual filter still applies
+      val n = df.count()
+      val expected = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_quantity") > 49).count()
+      assert(n == expected)
+    } finally spark.conf.unset("graft.pushdown.deny")
+  }
+
   test("small dimension side broadcasts in a fact-dim join") {
     val df = spark.sql(
       """SELECT n_name, count(*) AS n FROM graft.main.customer c

@@ -15,8 +15,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # driver-ish normalization: repr with limited precision
-        return f"{v:.6g}"
+        # high precision: must expose last-cent drift in rounded sums while
+        # tolerating only sub-ulp formatting noise
+        return f"{v:.12g}"
     if isinstance(v, bool):
         return str(v).lower()
     if hasattr(v, "isoformat"):
