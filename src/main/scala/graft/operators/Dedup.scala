@@ -71,12 +71,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Per-document DISTINCT shingle-hash array, computed in one narrow pass —
+    * no explode, no shuffle. The array form is the scale-friendly layout: at
+    * 100 TB the shingle stream never materializes as rows, so the only shuffle
+    * in the LSH pipeline below is the band-bucket self-join.
+    */
+  private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))").as("shs"))
+      .filter(size(col("shs")) > 0)
+
   /** MinHash + LSH banding near-dup: candidates from band-bucket equality joins,
     * verified with exact Jaccard ≥ threshold. With numPerm=32, bands=8 (r=4) and
     * planted dups at J≈0.99, recall ≈ 1 - (1-0.99⁴)⁸ ≈ 1-5e-12.
     * Permutations are xxhash64 re-hashes keyed by the permutation index —
     * deterministic, independent, and (unlike an a*h+b congruential scheme)
     * overflow-free under ANSI arithmetic.
+    *
+    * Plan shape (the 100 TB story): signatures and band keys are pure narrow
+    * projections over the per-doc shingle arrays; the band-bucket self-join is
+    * the single shuffle; exact verification touches only candidate pairs via
+    * `array_intersect` on the two docs' shingle arrays — the full shingle
+    * stream is never exploded into rows and no O(n²) stage exists.
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
@@ -84,13 +105,13 @@ object Dedup {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     val r = numPerm / bands
 
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    val cached = shingleArrays(docs, idCol, textCol, n).cache()
 
-    // one shuffle: all numPerm signature mins in a single hash aggregate
-    val minExprs = (0 until numPerm).map { j =>
-      min(xxhash64(lit(j), col("sh"))).as(s"m$j")
+    // narrow: numPerm signature mins per doc, straight from the array
+    val sigCols = (0 until numPerm).map { j =>
+      expr(s"array_min(transform(shs, s -> xxhash64($j, s)))").as(s"m$j")
     }
-    val sig = sh.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    val sig = cached.select(col("doc_id") +: sigCols: _*)
 
     // band hashes: narrow (band, bh) keys, then equality self-join per bucket
     val bandCols = (0 until bands).map { k =>
@@ -106,7 +127,16 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    jaccardOfPairs(sh, Some(cand), threshold)
+    // exact verify on candidates only: set algebra on the two shingle arrays
+    cand
+      .join(cached.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(cached.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("double").as("i"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** SimHash near-dup: 64-bit fingerprints from token-level xxhash64, candidate

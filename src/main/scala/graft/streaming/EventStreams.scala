@@ -51,4 +51,29 @@ object EventStreams {
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
       .agg(count("*").as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Custom keyed state (SURVEY.md §2.9): per-user running totals via
+    * `mapGroupsWithState` — the extension point for stateful logic that windowed
+    * aggregates can't express. State is one small record per user, updated
+    * incrementally per micro-batch; at 100 TB/day the state size is bounded by
+    * key cardinality, not input volume.
+    */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserTotal, UserTotal](GroupStateTimeout.NoTimeout()) {
+        (uid, rows, state) =>
+          val prior = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          var n = prior.n; var s = prior.sumValue
+          rows.foreach { r => n += 1; s += r._2 }
+          val updated = UserTotal(uid, n, math.rint(s * 100) / 100)
+          state.update(updated)
+          updated
+      }.toDF()
+  }
 }
+
+case class UserTotal(userId: Long, n: Long, sumValue: Double)

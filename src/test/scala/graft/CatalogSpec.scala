@@ -36,6 +36,13 @@ class CatalogSpec extends SparkSpec {
     assert(shown.contains("lineitem"))
   }
 
+  test("DESCRIBE TABLE lists columns (bulk metadata, M4)") {
+    val desc = spark.sql("DESCRIBE TABLE graft.main.customer").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("c_custkey").contains("bigint"))
+    assert(desc.contains("c_name") && desc.contains("c_nationkey"))
+  }
+
   test("missing table raises NoSuchTableException") {
     intercept[Exception] {
       catalog.loadTable(Identifier.of(Array("main"), "nope"))

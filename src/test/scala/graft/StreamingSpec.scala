@@ -55,6 +55,30 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty, "expected at least one closed window")
   }
 
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Double)]
+    val df = input.toDF().toDF("user_id", "value")
+    val q = EventStreams.statefulUserTotals(df)
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+
+    input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    input.addData((1L, 2.5)) // second batch: state must carry over
+    q.processAllAvailable()
+
+    val rows = spark.sql(
+      "SELECT userId, max(n) AS n, max(sumValue) AS s FROM user_totals GROUP BY userId")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows(1L) == ((3L, 17.5)), s"state did not accumulate: $rows")
+    assert(rows(2L) == ((1L, 1.0)))
+    q.stop()
+  }
+
   test("watermark drops late data in update mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
