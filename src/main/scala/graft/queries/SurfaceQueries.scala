@@ -125,7 +125,14 @@ object SurfaceQueries {
       graft.sources.Multimodal.sampleFrames(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"),
         everyK = 4)
-        .groupBy("doc_id").agg(count("*").as("n_frames")))
+        .groupBy("doc_id").agg(count("*").as("n_frames"))),
+
+    // ---- multimodal mapPartitions feature kernel (stub decode ⇒ rows-only) ----
+    "q_multimodal_features" -> ((s, d) =>
+      graft.sources.Multimodal.featureExtract(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), size(col("features")).as("dim"),
+          round(element_at(col("features"), 1), 4).as("f0")))
   )
 
   val oracles: Map[String, String] = Map(

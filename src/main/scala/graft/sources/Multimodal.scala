@@ -60,4 +60,32 @@ object Multimodal {
       .select(col("doc_id"),
         posexplode(split(base64(col("media")), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
+
+  /** Partition-parallel feature extraction over the binary column — the
+    * mapPartitions kernel contract a real codec plugs into: one iterator pass
+    * per partition, per-partition (not per-row) kernel setup, fixed-width
+    * Array[Float] feature output. The DECODE STEP IS A DETERMINISTIC STUB
+    * (a 16-bin byte histogram, L1-normalized, standing in for e.g. an image
+    * embedding); schema, batching, and partitioning are the real contract.
+    */
+  def featureExtract(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition kernel init happens HERE (a real impl opens the codec once)
+        rows.map { case (id, bytes) =>
+          val hist = new Array[Float](dim)
+          if (bytes != null && bytes.nonEmpty) {
+            var i = 0
+            while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
+            var j = 0
+            while (j < dim) { hist(j) /= bytes.length.toFloat; j += 1 }
+          }
+          (id, hist)
+        }
+      }
+      .toDF("doc_id", "features")
+  }
 }
