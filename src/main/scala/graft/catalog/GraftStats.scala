@@ -29,14 +29,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the reference's planner stats RPC).
   */
 object ParquetFooters {
-  /** Sum of footer row counts across all parquet files under `path`. */
+  /** Sum of footer row counts across all parquet files under `path`, recursing
+    * through partition directories (`k=v` subdirs) like the file index does.
+    */
   def rowCount(path: Path, conf: Configuration): Long = {
     val fs = path.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(path).isDirectory)
-        fs.listStatus(path).filter(s => s.isFile && !s.getPath.getName.startsWith("_")).toSeq
-      else Seq(fs.getFileStatus(path))
-    files.map { st =>
+    def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st)
+      else fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") || s.getPath.getName.startsWith("."))
+        .flatMap(s => if (s.isDirectory) files(s.getPath) else Seq(s))
+    }
+    files(path).map { st =>
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       try r.getRecordCount finally r.close()
     }.sum

@@ -31,6 +31,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer assigns
+    * every vector to its nearest of `nlist` centroids; a query probes only the
+    * `nprobe` centroid cells nearest to it and exact-ranks those candidates.
+    * The 100 TB deployment materializes the assignment once, partitioned by
+    * cell, so a probe reads nprobe/nlist of the data; here the assignment is
+    * computed in-plan. Centroids are tiny (nlist × dim) and ride to executors
+    * inside the KMeans model's transform — no manual broadcast needed.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vecs = emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assigned = model.transform(vecs).select("vec_id", "v", "cell")
+
+    // the query's nprobe nearest cells, by exact centroid distance (driver-side:
+    // nlist rows of work, same cost class as the reference's plan-time metadata)
+    val qv = vecs.filter(col("vec_id") === queryId)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    val probeCells = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, org.apache.spark.ml.linalg.Vectors.sqdist(c, qv)) }
+      .sortBy(_._2).take(nprobe).map(_._1)
+
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    assigned
+      .filter(col("cell").isin(probeCells.toSeq: _*) && col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(GraftFunctions.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Approximate top-k: LSH multi-table bucketing, exact re-rank of candidates. */
   def annTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {

@@ -127,6 +127,13 @@ object SurfaceQueries {
         everyK = 4)
         .groupBy("doc_id").agg(count("*").as("n_frames"))),
 
+    // ---- IVF ANN: KMeans coarse quantizer + probe (approximate ⇒ rows-only) ----
+    "q_sim_ivf" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      graft.operators.Similarity.ivfTopK(
+        t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
+    }),
+
     // ---- multimodal mapPartitions feature kernel (stub decode ⇒ rows-only) ----
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.featureExtract(

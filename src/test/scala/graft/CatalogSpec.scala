@@ -49,6 +49,30 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("directory tables with partitioned layout resolve, prune, and report stats") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-part").toFile.getAbsolutePath
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders_part")
+
+    spark.conf.set("spark.sql.catalog.graft_part", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_part.dir", dir)
+
+    // multi-file directory table: correct count and footer-summed stats
+    val t = spark.table("graft_part.main.orders_part")
+    assert(t.count() == orders.count())
+    assert(t.queryExecution.optimizedPlan.stats.rowCount.contains(BigInt(orders.count())))
+
+    // partition pruning: filtering the partition column prunes input files
+    val pruned = spark.sql(
+      "SELECT count(*) FROM graft_part.main.orders_part WHERE o_year = 1995")
+    val expected = orders.filter(year(col("o_orderdate")) === 1995).count()
+    assert(pruned.collect().head.getLong(0) == expected)
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("o_year"), s"partition filter missing:\n$planStr")
+  }
+
   test("catalog-resolved join query returns correct result") {
     val df = spark.sql(
       """SELECT r_name, count(*) AS n

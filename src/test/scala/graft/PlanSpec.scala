@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$plan")
   }
 
+  test("stats drive plan-time broadcast choice before AQE runs (M9 payoff)") {
+    // with footer row counts reported, the planner picks BroadcastHashJoin at
+    // plan time — the decision the reference feeds with rowCount+dataSize
+    // (trino/RecordServiceMetadata.java:504-537) — rather than discovering it
+    // at runtime via AQE
+    val df = spark.sql(
+      """SELECT c.c_custkey, n.n_name FROM graft.main.customer c
+        |JOIN graft.main.nation n ON c.c_nationkey = n.n_nationkey""".stripMargin)
+    val initial = df.queryExecution.sparkPlan.toString // pre-AQE physical plan
+    assert(initial.contains("BroadcastHashJoin"),
+      s"plan-time broadcast missing (stats not consumed):\n$initial")
+  }
+
   test("catalog tables report footer-exact row counts to the CBO (M9)") {
     val df = spark.table("graft.main.lineitem")
     val stats = df.queryExecution.optimizedPlan.stats
