@@ -127,6 +127,58 @@ object SurfaceQueries {
         everyK = 4)
         .groupBy("doc_id").agg(count("*").as("n_frames"))),
 
+    // ---- relational surface, batch 2: pivot / unpivot / explode / VALUES ----
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")),
+
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").select(col("l_orderkey"),
+        expr("stack(2, 'extended', l_extendedprice, 'tax', l_tax)").as(Seq("metric", "v")))),
+
+    "q_explode" -> ((s, d) =>
+      t(s, d, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("pos").as("pos"),
+          round(col("col").cast("double"), 4).as("val"))),
+
+    "q_values" -> ((s, _) =>
+      s.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, NULL) AS t(id, tag)")),
+
+    // ---- function surface, batch 2 ----
+    "q_string_funcs2" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        trim(lit("  x  ")).as("t"),
+        expr("replace(p_name, ' ', '-')").as("rep"),
+        expr("split_part(p_name, ' ', 1)").as("sp"),
+        instr(col("p_name"), "a").as("ip"),
+        repeat(col("p_brand"), 2).as("rp"),
+        expr("left(p_name, 3)").as("lf"),
+        expr("right(p_name, 3)").as("rt"))),
+
+    "q_date_funcs2" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).as("dd"),
+        add_months(col("o_orderdate"), 3).as("am"),
+        last_day(col("o_orderdate")).as("ld"),
+        date_add(col("o_orderdate"), 7).as("da"))),
+
+    "q_math_funcs2" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        round(sin(col("o_totalprice") / 100000), 6).as("sn"),
+        round(exp(col("o_totalprice") / 1000000), 6).as("ex"),
+        signum(col("o_totalprice") - 100000).cast("int").as("sg"),
+        round(atan2(col("o_totalprice"), lit(7.0)), 6).as("at"),
+        round(log10(col("o_totalprice")), 6).as("lt"),
+        round(cbrt(col("o_totalprice")), 6).as("cb"),
+        greatest(col("o_totalprice"), lit(150000.0)).as("gr"),
+        least(col("o_orderkey") % 10, lit(5L)).as("ls"))),
+
     // ---- IVF ANN: KMeans coarse quantizer + probe (approximate ⇒ rows-only) ----
     "q_sim_ivf" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -190,6 +242,43 @@ object SurfaceQueries {
         "ON c.c_nationkey = n.n_nationkey GROUP BY n_name"),
 
     "q_count_pushdown" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_pivot" ->
+      ("SELECT l_returnflag, " +
+        "round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f, " +
+        "round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q_unpivot" ->
+      ("SELECT l_orderkey, 'extended' AS metric, l_extendedprice AS v FROM lineitem " +
+        "UNION ALL SELECT l_orderkey, 'tax' AS metric, l_tax AS v FROM lineitem"),
+
+    "q_explode" ->
+      ("SELECT vec_id, (i - 1)::INTEGER AS pos, round(embedding[i]::DOUBLE, 4) AS val " +
+        "FROM embeddings, range(1, 100000) r(i) " +
+        "WHERE vec_id < 3 AND i <= len(embedding)"),
+
+    "q_values" -> "SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, NULL)) t(id, tag)",
+
+    "q_string_funcs2" ->
+      ("SELECT p_partkey, trim('  x  ') AS t, replace(p_name, ' ', '-') AS rep, " +
+        "split_part(p_name, ' ', 1) AS sp, strpos(p_name, 'a')::INTEGER AS ip, " +
+        "repeat(p_brand, 2) AS rp, left(p_name, 3) AS lf, right(p_name, 3) AS rt " +
+        "FROM part"),
+
+    "q_date_funcs2" ->
+      ("SELECT o_orderkey, date_diff('day', DATE '1995-01-01', o_orderdate)::INTEGER AS dd, " +
+        "(o_orderdate + INTERVAL 3 MONTH)::DATE AS am, last_day(o_orderdate::DATE) AS ld, " +
+        "(o_orderdate::DATE + 7) AS da FROM orders"),
+
+    "q_math_funcs2" ->
+      ("SELECT o_orderkey, round(sin(o_totalprice / 100000), 6) AS sn, " +
+        "round(exp(o_totalprice / 1000000), 6) AS ex, " +
+        "sign(o_totalprice - 100000)::INTEGER AS sg, " +
+        "round(atan2(o_totalprice, 7.0), 6) AS at, " +
+        "round(log10(o_totalprice), 6) AS lt, round(cbrt(o_totalprice), 6) AS cb, " +
+        "greatest(o_totalprice, 150000.0) AS gr, least(o_orderkey % 10, 5)::BIGINT AS ls " +
+        "FROM orders"),
 
     "q_session_limit" ->
       "SELECT count(*) AS n FROM (SELECT * FROM lineitem LIMIT 500)"
