@@ -73,4 +73,22 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       size(words(col(textCol))).as("n_ws_tokens"))
+
+  /** Winnowing fingerprint (rolling-hash document sketch, cf. Schleimer et al.
+    * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * hash every word k-gram (the rolling window), keep the `sketchSize`
+    * smallest hashes as the document sketch. Two documents sharing content
+    * share sketch entries; overlap of sketches estimates containment. One
+    * narrow pass, array output — no shuffle, same scale shape as minhash.
+    */
+  def winnowingSketch(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, sketchSize: Int = 16): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        words(col(textCol)).as("w"))
+      .select(col("doc_id"), expr(
+        s"slice(array_sort(array_distinct(transform(" +
+          s"sequence(1, greatest(size(w) - ${k - 1}, 0)), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))))), 1, $sketchSize)")
+        .as("sketch"))
 }

@@ -20,6 +20,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SessionProps {
   val LimitKey = "graft.limit"
   val SamplingKey = "graft.sampling_value"
+  val SamplingBytesKey = "graft.sampling_bytes"
   val StatsModeKey = "graft.stats_mode"
 
   def limit(spark: SparkSession): Option[Int] =
@@ -28,12 +29,28 @@ object SessionProps {
   def samplingValue(spark: SparkSession): Option[Double] =
     spark.conf.getOption(SamplingKey).map(_.toDouble).filter(v => v > 0 && v <= 1)
 
+  def samplingBytes(spark: SparkSession): Option[Long] =
+    spark.conf.getOption(SamplingBytesKey).map(_.toLong).filter(_ > 0)
+
   def statsEnabled(spark: SparkSession): Boolean =
     !spark.conf.getOption(StatsModeKey).contains("none")
 
-  /** Apply session-property scan transforms to a freshly-read table. */
-  def apply(spark: SparkSession, df: DataFrame): DataFrame = {
-    val sampled = samplingValue(spark)
+  /** Apply session-property scan transforms to a freshly-read table.
+    * `tableBytes` (when known) enables byte-budget sampling: the reference's
+    * sampled catalogs cap the bytes a scan may read
+    * (okera_sampled_10mb/okera_sampled_100mb, trino/RecordServicePlugin.java:63-65,
+    * trino/RecordServiceConfig.java:404-422); here the byte budget converts to
+    * a row fraction via the table's on-disk size.
+    */
+  def apply(spark: SparkSession, df: DataFrame, tableBytes: => Option[Long] = None): DataFrame = {
+    val byteFraction = samplingBytes(spark).flatMap { budget =>
+      tableBytes.filter(_ > 0).map(total => math.min(1.0, budget.toDouble / total))
+    }
+    val fraction = (samplingValue(spark), byteFraction) match {
+      case (Some(a), Some(b)) => Some(math.min(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    val sampled = fraction.filter(_ < 1.0)
       .map(f => df.sample(withReplacement = false, f, seed = 42L)).getOrElse(df)
     limit(spark).map(sampled.limit).getOrElse(sampled)
   }

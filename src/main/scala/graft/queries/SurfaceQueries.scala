@@ -186,6 +186,12 @@ object SurfaceQueries {
         t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
     }),
 
+    // ---- winnowing rolling-hash sketch (hash-space output ⇒ rows-only) ----
+    "q_text_winnow" -> ((s, d) =>
+      graft.operators.TextAnalysis.winnowingSketch(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), size(col("sketch")).as("n"))),
+
     // ---- multimodal mapPartitions feature kernel (stub decode ⇒ rows-only) ----
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.featureExtract(

@@ -17,7 +17,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    graft.plans.SessionProps(spark, read(spark, dir, name))
+    graft.plans.SessionProps(spark, read(spark, dir, name), tableBytes(spark, dir, name))
+
+  /** On-disk size via Hadoop FileSystem (drives byte-budget sampling). */
+  private def tableBytes(spark: SparkSession, dir: String, name: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      Some(fs.getContentSummary(p).getLength)
+    } catch { case _: Exception => None }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

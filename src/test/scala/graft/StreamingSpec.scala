@@ -55,6 +55,41 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty, "expected at least one closed window")
   }
 
+  test("session windows run in streaming mode with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+
+    val q = df.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count("*").as("n"))
+      .select(col("user_id"), col("w.start").as("s"), col("w.end").as("e"), col("n"))
+      .writeStream.format("memory").queryName("stream_sessions")
+      .outputMode("append").start()
+
+    // user 1: two events 10 min apart (one session), then a 2h gap (new session)
+    input.addData((t("2024-01-01 10:00:00"), 1L, 1.0), (t("2024-01-01 10:10:00"), 1L, 1.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 12:30:00"), 1L, 1.0), (t("2024-01-01 15:00:00"), 9L, 1.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 23:00:00"), 9L, 1.0)) // push watermark far ahead
+    q.processAllAvailable()
+
+    val rows = spark.sql("SELECT user_id, s, e, n FROM stream_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+    val u1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(u1.length == 2, s"expected two closed sessions for user 1: ${rows.toSeq}")
+    assert(u1(0)._2.startsWith("2024-01-01 10:00") && u1(0)._3.startsWith("2024-01-01 10:40"),
+      s"first session must merge both events and end 30min after the last: ${u1.toSeq}")
+    assert(u1(0)._4 == 2)
+    assert(u1(1)._2.startsWith("2024-01-01 12:30") && u1(1)._4 == 1)
+    q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user state across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
