@@ -186,6 +186,24 @@ object SurfaceQueries {
         t(s, d, "embeddings"), "vec_id", "embedding", queryId = 0L, k = 10)
     }),
 
+    // ---- CTEs: plain and recursive ----
+    "q_cte" -> sql(
+      """WITH hot AS (SELECT o_custkey, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 500000)
+        |SELECT count(*) AS n, round(sum(rev), 2) AS total FROM hot""".stripMargin),
+
+    "q_recursive_cte" -> sql(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100
+        |) SELECT sum(n) AS s, count(*) AS c FROM t""".stripMargin),
+
+    // ---- W5 companion: time-based RANGE frame over event time ----
+    "q_window_timerange" -> sql(
+      """SELECT o_custkey, o_orderkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
+        |FROM orders""".stripMargin),
+
     // ---- winnowing rolling-hash sketch (hash-space output ⇒ rows-only) ----
     "q_text_winnow" -> ((s, d) =>
       graft.operators.TextAnalysis.winnowingSketch(
@@ -276,6 +294,20 @@ object SurfaceQueries {
       ("SELECT o_orderkey, date_diff('day', DATE '1995-01-01', o_orderdate)::INTEGER AS dd, " +
         "(o_orderdate + INTERVAL 3 MONTH)::DATE AS am, last_day(o_orderdate::DATE) AS ld, " +
         "(o_orderdate::DATE + 7) AS da FROM orders"),
+
+    "q_cte" ->
+      ("WITH hot AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders " +
+        "GROUP BY o_custkey HAVING sum(o_totalprice) > 500000) " +
+        "SELECT count(*) AS n, round(sum(rev), 2) AS total FROM hot"),
+
+    "q_recursive_cte" ->
+      ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) " +
+        "SELECT sum(n)::BIGINT AS s, count(*) AS c FROM t"),
+
+    "q_window_timerange" ->
+      ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
+        "::BIGINT AS c30 FROM orders"),
 
     "q_math_funcs2" ->
       ("SELECT o_orderkey, round(sin(o_totalprice / 100000), 6) AS sn, " +

@@ -61,6 +61,23 @@ object Multimodal {
         posexplode(split(base64(col("media")), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
 
+  /** STUB resize for image media: computes the scaled-to-fit dimensions for a
+    * bounding box and a proportionally truncated payload stand-in. A real
+    * implementation swaps the byte-slice for a codec resample behind the same
+    * (doc_id, new_width, new_height, media) contract.
+    */
+  def resize(media: DataFrame, maxSide: Int): DataFrame =
+    decodeMeta(media).filter(col("kind") === "image")
+      .join(media.select("doc_id", "media"), "doc_id")
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide.toDouble) / greatest(col("width"), col("height"))))
+      .select(
+        col("doc_id"),
+        ceil(col("width") * col("scale")).cast("int").as("new_width"),
+        ceil(col("height") * col("scale")).cast("int").as("new_height"),
+        expr("substring(media, 1, greatest(1, cast(n_bytes * scale * scale as int)))")
+          .as("media"))
+
   /** Partition-parallel feature extraction over the binary column — the
     * mapPartitions kernel contract a real codec plugs into: one iterator pass
     * per partition, per-partition (not per-row) kernel setup, fixed-width

@@ -48,6 +48,18 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize fits images inside the bounding box, preserving aspect") {
+    val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
+    val resized = Multimodal.resize(media, maxSide = 64).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (w, h) = (r.getInt(1), r.getInt(2))
+      assert(w <= 64 && h <= 64, s"doc ${r.getLong(0)}: $w x $h exceeds box")
+      assert(w >= 1 && h >= 1)
+      assert(r.getAs[Array[Byte]](3).nonEmpty)
+    }
+  }
+
   test("decodeMeta kinds get the right metadata columns") {
     val meta = Multimodal.decodeMeta(
       Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text"))
