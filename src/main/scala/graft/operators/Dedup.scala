@@ -44,25 +44,11 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n)
-    jaccardOfPairs(sh, candidatePairs = None, threshold)
-  }
-
-  /** Jaccard of (doc_a, doc_b) pairs given the shingle stream; if `candidatePairs`
-    * is supplied only those pairs are scored (LSH verify path).
-    */
-  private def jaccardOfPairs(sh: DataFrame, candidatePairs: Option[DataFrame],
-      threshold: Double): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count("*").as("nsh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val joined = candidatePairs match {
-      case Some(cand) =>
-        // score only candidates: fan shingles out to the candidate pairs
-        cand.join(a, "doc_a").join(b, Seq("doc_b", "sh"))
-      case None =>
-        a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
-    }
-    val inter = joined.groupBy("doc_a", "doc_b").agg(count("*").as("i"))
+    val inter = a.join(b, "sh").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count("*").as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
