@@ -204,6 +204,11 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- end-to-end curation pipeline: quality → language → dedup ----
+    "q_pipeline_curate" -> ((s, d) =>
+      graft.operators.Pipelines.curate(t(s, d, "documents"), "doc_id", "text",
+        minTokens = 5, lang = "en")),
+
     // ---- winnowing rolling-hash sketch (hash-space output ⇒ rows-only) ----
     "q_text_winnow" -> ((s, d) =>
       graft.operators.TextAnalysis.winnowingSketch(
@@ -308,6 +313,21 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    "q_pipeline_curate" ->
+      ("""WITH w AS (SELECT doc_id, text, """ +
+        """list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0) AS ws """ +
+        """FROM documents), """ +
+        """q AS (SELECT doc_id, text, ws FROM w WHERE len(ws) BETWEEN 5 AND 100000), """ +
+        """sc AS (SELECT doc_id, text, """ +
+        """len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS s_en, """ +
+        """len(list_filter(ws, x -> x IN ('le','la','les','et','est'))) AS s_fr, """ +
+        """len(list_filter(ws, x -> x IN ('el','los','las','y','es'))) AS s_es, """ +
+        """len(list_filter(ws, x -> x IN ('der','die','das','und','ist'))) AS s_de FROM q), """ +
+        """en AS (SELECT doc_id, text FROM sc """ +
+        """WHERE s_en >= greatest(s_fr, s_es, s_de) AND s_en > 0) """ +
+        """SELECT min(doc_id) AS doc_id FROM en """ +
+        """GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""),
 
     "q_math_funcs2" ->
       ("SELECT o_orderkey, round(sin(o_totalprice / 100000), 6) AS sn, " +
