@@ -18,20 +18,20 @@ object Pipelines {
   /** Curate a document corpus: keep docs passing the quality thresholds, in the
     * wanted language, and unique by normalized text (smallest doc_id wins).
     * Returns (doc_id) of survivors.
+    *
+    * Both gates are column expressions evaluated in the same narrow stage — no
+    * self-joins of the corpus — so the plan is exactly: one codegen'd
+    * scan+filter pass, then the dedup exchange.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 5, maxTokens: Int = 100000,
       lang: String = "en"): DataFrame = {
-    val stats = TextAnalysis.qualityStats(docs, idCol, textCol)
-      .filter(col("n_tokens").between(minTokens, maxTokens))
-      .select("doc_id")
-    val language = TextAnalysis.languageId(docs, idCol, textCol)
-      .filter(col("lang_pred") === lang)
-      .select("doc_id")
-    val candidates = docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
-      .join(stats, "doc_id")
-      .join(language, "doc_id")
-    Dedup.exact(candidates, "doc_id", "__text")
+    val text = col(textCol)
+    val nTokens = size(filter(split(lower(text), "\\s+"), w => length(w) > 0))
+    val kept = docs
+      .filter(nTokens.between(minTokens, maxTokens) &&
+        TextAnalysis.langPred(text) === lang)
+      .select(col(idCol).cast("long").as("doc_id"), text.as("__text"))
+    Dedup.exact(kept, "doc_id", "__text")
   }
 }

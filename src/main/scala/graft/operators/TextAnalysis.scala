@@ -33,32 +33,34 @@ object TextAnalysis {
       round(upper.cast("double") / chars, 4).as("upper_ratio"))
   }
 
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"))
+
+  /** The language decision as a single column expression over the raw text —
+    * usable inside any narrow stage (see Pipelines.curate) without a join.
+    */
+  def langPred(textCol: Column): Column = {
+    val score = langMarkers.toMap.view.mapValues(ms =>
+      size(filter(words(textCol), x => x.isin(ms.map(lit): _*)))).toMap
+    val (en, fr, es, de) = (score("en"), score("fr"), score("es"), score("de"))
+    when(en >= greatest(fr, es, de) && en > 0, "en")
+      .when(fr >= greatest(es, de) && fr > 0, "fr")
+      .when(es >= de && es > 0, "es")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
   /** Language-ID heuristic: count marker-word hits per language, pick the max with
     * deterministic tie priority en > fr > es > de; zero hits → "und".
     * The decision rule is deliberately a pure CASE over the four scores so an SQL
     * oracle can state the identical rule.
     */
-  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val markers = Seq(
-      "en" -> Seq("the", "a", "of", "and", "is"),
-      "fr" -> Seq("le", "la", "les", "et", "est"),
-      "es" -> Seq("el", "los", "las", "y", "es"),
-      "de" -> Seq("der", "die", "das", "und", "ist"))
-    val scored = markers.foldLeft(docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).as("__t"))) { case (df, (lang, ms)) =>
-      df.withColumn(s"score_$lang",
-        size(filter(words(col("__t")), x => x.isin(ms.map(lit): _*))))
-    }
-    val (en, fr, es, de) =
-      (col("score_en"), col("score_fr"), col("score_es"), col("score_de"))
-    val pred =
-      when(en >= greatest(fr, es, de) && en > 0, "en")
-        .when(fr >= greatest(es, de) && fr > 0, "fr")
-        .when(es >= de && es > 0, "es")
-        .when(de > 0, "de")
-        .otherwise("und")
-    scored.select(col("doc_id"), pred.as("lang_pred"))
-  }
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      langPred(col(textCol)).as("lang_pred"))
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =

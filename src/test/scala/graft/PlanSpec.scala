@@ -126,6 +126,15 @@ class PlanSpec extends SparkSpec {
     spark.catalog.dropTempView("dim_years")
   }
 
+  test("curation pipeline plans one narrow pass + one dedup shuffle, no joins") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.curate(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"curate must not self-join the corpus:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly the dedup shuffle, got $shuffles:\n$plan")
+  }
+
   test("as-of join plans exactly one shuffle and no join explosion") {
     val events = graft.sources.Tables(spark, sfDir, "events")
     val orders = graft.sources.Tables(spark, sfDir, "orders")
