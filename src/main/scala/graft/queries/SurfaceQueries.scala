@@ -204,6 +204,36 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- function surface, batch 3: TRY semantics, LIKE family, string agg,
+    //      bitwise ----
+    "q_try_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        expr("try_cast(p_name AS int)").as("tc"),
+        expr("try_divide(p_retailprice, p_size)").as("td"),
+        expr("try_cast(p_size AS string)").as("ts"))),
+
+    "q_like_funcs" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        col("p_name").like("%old%").as("lk"),
+        col("p_name").ilike("%OLD%").as("il"),
+        col("p_name").rlike("^[a-z]+ ").as("rx"),
+        col("p_name").rlike("^[a-z ]+$").as("sm"))),
+
+    "q_string_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("sa"))),
+
+    "q_bitwise" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255)).as("ba"),
+        (col("o_orderkey").bitwiseOR(16)).as("bo"),
+        (col("o_orderkey").bitwiseXOR(7)).as("bx"),
+        shiftleft(col("o_orderkey"), 2).as("bs"),
+        shiftright(col("o_orderkey"), 1).as("br"))),
+
     // ---- end-to-end curation pipeline: quality → language → dedup ----
     "q_pipeline_curate" -> ((s, d) =>
       graft.operators.Pipelines.curate(t(s, d, "documents"), "doc_id", "text",
@@ -313,6 +343,25 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    "q_try_funcs" ->
+      ("SELECT p_partkey, TRY_CAST(p_name AS INTEGER) AS tc, " +
+        "p_retailprice / nullif(p_size, 0) AS td, " +
+        "TRY_CAST(p_size AS VARCHAR) AS ts FROM part"),
+
+    "q_like_funcs" ->
+      ("SELECT p_partkey, (p_name LIKE '%old%') AS lk, (p_name ILIKE '%OLD%') AS il, " +
+        "regexp_matches(p_name, '^[a-z]+ ') AS rx, " +
+        "regexp_matches(p_name, '^[a-z ]+$') AS sm FROM part"),
+
+    "q_string_agg" ->
+      ("SELECT l_returnflag, string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS sa " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q_bitwise" ->
+      ("SELECT o_orderkey, (o_orderkey & 255)::BIGINT AS ba, (o_orderkey | 16)::BIGINT AS bo, " +
+        "xor(o_orderkey, 7)::BIGINT AS bx, (o_orderkey << 2)::BIGINT AS bs, " +
+        "(o_orderkey >> 1)::BIGINT AS br FROM orders"),
 
     "q_pipeline_curate" ->
       ("""WITH w AS (SELECT doc_id, text, """ +
