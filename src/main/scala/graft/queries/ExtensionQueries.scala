@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
-import graft.plans.{ColumnMask, Governance, TablePolicy}
+import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables}
 import graft.streaming.EventStreams
 
@@ -119,6 +119,21 @@ object ExtensionQueries {
         masks = Seq(ColumnMask("c_name", "md5(c_name)")),
         rowFilterSql = Some("c_nationkey < 20")))),
 
+    // same policy enforced by the analyzer RULE on the SQL path — the rewrite
+    // happens during analysis, so clearing the registry afterwards is safe
+    "q_governance_rule" -> ((s, d) => {
+      GovernancePolicies.register("customer", TablePolicy(
+        masks = Seq(ColumnMask("c_name", "md5(c_name)")),
+        rowFilterSql = Some("c_nationkey < 20")))
+      try {
+        Tables.registerAll(s, d)
+        s.sql("SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer")
+      } finally {
+        GovernancePolicies.clear()
+        Tables.registerAll(s, d) // re-register views ungoverned for later queries
+      }
+    }),
+
     // ---- multimodal plumbing (stubbed decode, real schema/partitioning) ----
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")))
@@ -217,6 +232,10 @@ object ExtensionQueries {
         "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
 
     "q_governance" ->
+      ("SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_mktsegment " +
+        "FROM customer WHERE c_nationkey < 20"),
+
+    "q_governance_rule" ->
       ("SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_mktsegment " +
         "FROM customer WHERE c_nationkey < 20"),
 
