@@ -27,10 +27,17 @@ object AsOfJoin {
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayloadCols: Seq[String],
-      rightTieBreak: String): DataFrame = {
+      rightTieBreak: String,
+      leftPayloadCols: Seq[String] = Nil): DataFrame = {
     val payloadCols = (rightPayloadCols :+ rightTieBreak).distinct
     val payload = struct(payloadCols.map(col): _*)
-    val lRow = struct(left.columns.map(col): _*)
+    // carry only the requested left columns through the shuffle+window —
+    // Catalyst cannot prune struct fields through last(..., ignoreNulls), so
+    // narrowing here is what keeps the exchanged bytes proportional to what the
+    // caller actually reads at 100 TB
+    val lCols = if (leftPayloadCols.isEmpty) left.columns.toSeq
+      else (leftPayloadCols ++ Seq(leftKey, leftTime)).distinct
+    val lRow = struct(lCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val lRowType = left.select(lRow).schema.head.dataType
 

@@ -107,7 +107,8 @@ object ExtensionQueries {
         leftKey = "user_id", rightKey = "o_custkey",
         leftTime = "ts", rightTime = "o_orderdate",
         rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
-        rightTieBreak = "o_orderkey")
+        rightTieBreak = "o_orderkey",
+        leftPayloadCols = Seq("event_id", "user_id"))
         .select(col("event_id"), col("user_id"),
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_totalprice").as("o_totalprice"))),
