@@ -55,6 +55,60 @@ class StreamingSpec extends SparkSpec {
     assert(s.nonEmpty, "expected at least one closed window")
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = input.toDF().toDF("event_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+
+    input.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:01:00")))
+    q.processAllAvailable()
+    // duplicate id 1 in a later batch (within watermark) must be dropped
+    input.addData((1L, t("2024-01-01 10:05:00")), (3L, t("2024-01-01 10:06:00")))
+    q.processAllAvailable()
+
+    val ids = spark.sql("SELECT event_id FROM stream_dedup").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L), s"dedup state failed: ${ids.toSeq}")
+    q.stop()
+  }
+
+  test("stream-stream join matches events to orders within the time bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val c = clicks.toDF().toDF("user", "cts").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("buyer", "bts").withWatermark("bts", "1 hour")
+
+    val joined = c.join(b,
+      expr("user = buyer AND bts BETWEEN cts AND cts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+
+    clicks.addData((1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:00:00")))
+    buys.addData((1L, t("2024-01-01 10:10:00")), // within 30 min → match
+      (2L, t("2024-01-01 11:30:00")))            // outside bound → no match
+    q.processAllAvailable()
+    // advance both watermarks so results finalize
+    clicks.addData((99L, t("2024-01-01 23:00:00")))
+    buys.addData((98L, t("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+
+    val rows = spark.sql("SELECT user FROM ss_join").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(1L), s"expected only user 1 matched: ${rows.toSeq}")
+    q.stop()
+  }
+
   test("session windows run in streaming mode with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
