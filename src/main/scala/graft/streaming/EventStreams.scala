@@ -52,6 +52,14 @@ object EventStreams {
       .agg(count("*").as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Streaming exact dedup: first occurrence of each id wins; dedup state is
+    * evicted once the watermark passes — the incremental counterpart of
+    * Dedup.exact for an unbounded training-data feed.
+    */
+  def streamingDedup(events: DataFrame, idCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark).dropDuplicates(idCol)
+
   /** Custom keyed state (SURVEY.md §2.9): per-user running totals via
     * `mapGroupsWithState` — the extension point for stateful logic that windowed
     * aggregates can't express. State is one small record per user, updated

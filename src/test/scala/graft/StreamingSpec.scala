@@ -62,9 +62,8 @@ class StreamingSpec extends SparkSpec {
 
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val input = MemoryStream[(Long, java.sql.Timestamp)]
-    val q = input.toDF().toDF("event_id", "ts")
-      .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+    val q = EventStreams.streamingDedup(
+        input.toDF().toDF("event_id", "ts"), "event_id", "ts", "1 hour")
       .writeStream.format("memory").queryName("stream_dedup")
       .outputMode("append").start()
 
