@@ -204,6 +204,21 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- subquery surface, batch 2 ----
+    "q_not_exists" -> sql(
+      """SELECT n_name FROM nation n
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)""".stripMargin),
+
+    "q_scalar_select" -> sql(
+      """SELECT o_orderkey,
+        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 6) AS rel
+        |FROM orders""".stripMargin),
+
+    // ---- table-valued function ----
+    "q_range_tvf" -> ((s, _) =>
+      s.sql("SELECT id, id * id AS sq FROM range(0, 10)")),
+
     // ---- function surface, batch 3: TRY semantics, LIKE family, string agg,
     //      bitwise ----
     "q_try_funcs" -> ((s, d) =>
@@ -343,6 +358,17 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    "q_not_exists" ->
+      ("SELECT n_name FROM nation n WHERE NOT EXISTS (SELECT 1 FROM supplier s " +
+        "WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000)"),
+
+    "q_scalar_select" ->
+      ("SELECT o_orderkey, round(o_totalprice / " +
+        "(SELECT avg(o_totalprice) FROM orders), 6) AS rel FROM orders"),
+
+    "q_range_tvf" ->
+      "SELECT range AS id, (range * range)::BIGINT AS sq FROM range(0, 10)",
 
     "q_try_funcs" ->
       ("SELECT p_partkey, TRY_CAST(p_name AS INTEGER) AS tc, " +
