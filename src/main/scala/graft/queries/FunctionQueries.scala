@@ -130,8 +130,9 @@ object FunctionQueries {
         "FROM events GROUP BY 1"),
 
     "q_array_funcs" ->
+      // `+ 0` folds DuckDB's negative zero to +0.0 (Spark's round never emits -0.0)
       ("SELECT vec_id, len(embedding)::INTEGER AS dim, " +
-        "round(embedding[1]::DOUBLE, 4) AS first_val, " +
+        "round(embedding[1]::DOUBLE, 4) + 0 AS first_val, " +
         "round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm " +
         "FROM embeddings"),
 

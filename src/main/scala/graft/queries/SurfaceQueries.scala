@@ -204,6 +204,16 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- statistical aggregates (A-surface completion) ----
+    "q_stats_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("cr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"),
+        round(median(col("l_quantity")), 2).as("md"),
+        round(skewness(col("l_extendedprice")), 6).as("sk"),
+        round(kurtosis(col("l_extendedprice")), 6).as("ku"))),
+
     // ---- subquery surface, batch 2 ----
     "q_not_exists" -> sql(
       """SELECT n_name FROM nation n
@@ -328,7 +338,7 @@ object SurfaceQueries {
         "UNION ALL SELECT l_orderkey, 'tax' AS metric, l_tax AS v FROM lineitem"),
 
     "q_explode" ->
-      ("SELECT vec_id, (i - 1)::INTEGER AS pos, round(embedding[i]::DOUBLE, 4) AS val " +
+      ("SELECT vec_id, (i - 1)::INTEGER AS pos, round(embedding[i]::DOUBLE, 4) + 0 AS val " +
         "FROM embeddings, range(1, 100000) r(i) " +
         "WHERE vec_id < 3 AND i <= len(embedding)"),
 
@@ -358,6 +368,24 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    // DuckDB's skewness/kurtosis are sample-corrected; Spark's are population
+    // central moments — the oracle computes the moments directly
+    "q_stats_agg" ->
+      ("WITH mu AS (SELECT l_returnflag AS rf, avg(l_extendedprice) AS m, count(*) AS n " +
+        "FROM lineitem GROUP BY 1), " +
+        "mom AS (SELECT l_returnflag AS rf, " +
+        "sum(pow(l_extendedprice - m, 2)) / max(n) AS m2, " +
+        "sum(pow(l_extendedprice - m, 3)) / max(n) AS m3, " +
+        "sum(pow(l_extendedprice - m, 4)) / max(n) AS m4 " +
+        "FROM lineitem JOIN mu ON l_returnflag = rf GROUP BY 1) " +
+        "SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS sd, " +
+        "round(corr(l_quantity, l_extendedprice), 6) + 0 AS cr, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cv, " +
+        "round(median(l_quantity), 2) AS md, " +
+        "round(max(m3 / pow(m2, 1.5)), 6) + 0 AS sk, " +
+        "round(max(m4 / (m2 * m2) - 3), 6) + 0 AS ku " +
+        "FROM lineitem JOIN mom ON l_returnflag = rf GROUP BY 1"),
 
     "q_not_exists" ->
       ("SELECT n_name FROM nation n WHERE NOT EXISTS (SELECT 1 FROM supplier s " +
@@ -405,7 +433,8 @@ object SurfaceQueries {
         """GROUP BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))"""),
 
     "q_math_funcs2" ->
-      ("SELECT o_orderkey, round(sin(o_totalprice / 100000), 6) AS sn, " +
+      // `+ 0` folds DuckDB's -0.0 to +0.0 (Spark round never emits -0.0)
+      ("SELECT o_orderkey, round(sin(o_totalprice / 100000), 6) + 0 AS sn, " +
         "round(exp(o_totalprice / 1000000), 6) AS ex, " +
         "sign(o_totalprice - 100000)::INTEGER AS sg, " +
         "round(atan2(o_totalprice, 7.0), 6) AS at, " +
