@@ -204,6 +204,32 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- window cumulative distribution ----
+    "q_window_cume" -> sql(
+      """SELECT o_orderkey,
+        |  round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS cd
+        |FROM orders""".stripMargin),
+
+    // ---- boolean aggregates / count_if ----
+    "q_bool_agg" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy("l_returnflag").agg(
+        expr("bool_and(l_quantity > 0)").as("ba"),
+        expr("bool_or(l_discount > 0.05)").as("bo"),
+        expr("count_if(l_quantity > 25)").as("ci"))),
+
+    // ---- array functions, batch 2 ----
+    "q_array_funcs2" -> ((s, d) => {
+      val arr = array(lit(1), lit(2), col("p_size"))
+      val arr2 = array(col("p_size"), lit(1), lit(7))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        array_contains(arr, 5).as("ac"),
+        array_position(arr, 2).cast("int").as("ap"),
+        sort_array(arr2).as("srt"),
+        slice(arr2, 2, 2).as("sl"),
+        reverse(arr2).as("rv"))
+    }),
+
     // ---- statistical aggregates (A-surface completion) ----
     "q_stats_agg" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag").agg(
@@ -368,6 +394,22 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    "q_window_cume" ->
+      ("SELECT o_orderkey, round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) " +
+        "AS cd FROM orders"),
+
+    "q_bool_agg" ->
+      ("SELECT l_returnflag, bool_and(l_quantity > 0) AS ba, " +
+        "bool_or(l_discount > 0.05) AS bo, " +
+        "sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)::BIGINT AS ci " +
+        "FROM lineitem GROUP BY 1"),
+
+    "q_array_funcs2" ->
+      ("SELECT p_partkey, list_contains([1, 2, p_size], 5) AS ac, " +
+        "list_position([1, 2, p_size], 2)::INTEGER AS ap, " +
+        "list_sort([p_size, 1, 7]) AS srt, [p_size, 1, 7][2:3] AS sl, " +
+        "list_reverse([p_size, 1, 7]) AS rv FROM part"),
 
     // DuckDB's skewness/kurtosis are sample-corrected; Spark's are population
     // central moments — the oracle computes the moments directly
