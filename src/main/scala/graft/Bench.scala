@@ -14,7 +14,7 @@ object Bench {
     "q_broadcast_join", "q_window_running", "q_agg_distinct",
     "q_dedup_minhash", "q_sim_topk", "q_text_stats",
     "q_events_session", "q_asof_join",
-    "q_catalog_scan", "q_count_pushdown")
+    "q_catalog_scan", "q_count_pushdown", "q_pipeline_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
