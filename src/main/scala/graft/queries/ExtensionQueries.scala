@@ -52,6 +52,12 @@ object ExtensionQueries {
       Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
 
+    // near-dup clusters: connected components over the LSH pair stream;
+    // cluster_id = min reachable doc_id
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.8))),
+
     "q_dedup_simhash" -> ((s, d) =>
       // fingerprint-space op, engine-specific hashes ⇒ rows-only check
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
@@ -148,6 +154,33 @@ object ExtensionQueries {
     "q_dedup_jaccard" -> jaccardOracle,
 
     "q_dedup_minhash" -> jaccardOracle,
+
+    // connected components over the exact-jaccard pair set (identical to the
+    // LSH pair set at this threshold) via a recursive label-propagation CTE
+    "q_dedup_clusters" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d)
+        |SELECT d AS doc_id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY d""".stripMargin),
 
     "q_dedup_embedding" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

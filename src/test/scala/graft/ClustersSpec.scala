@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Connected components over dedup pairs: transitivity, chain collapse, and
+  * representative selection.
+  */
+class ClustersSpec extends SparkSpec {
+
+  test("label propagation merges chains transitively") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+  }
+
+  test("cluster representatives = one doc per near-dup group on the fixture") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")
+    val clusters = Dedup.clusters(pairs)
+    // every clustered doc maps to the min doc_id of its component
+    val reps = clusters.groupBy("cluster_id").agg(min("doc_id").as("m")).collect()
+    reps.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      "cluster_id must equal the component's min doc_id"))
+    // cluster membership covers exactly the docs that appear in some pair
+    val paired = pairs.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct().count()
+    assert(clusters.count() == paired)
+  }
+}
