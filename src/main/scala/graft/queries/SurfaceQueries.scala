@@ -204,6 +204,16 @@ object SurfaceQueries {
         |    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS c30
         |FROM orders""".stripMargin),
 
+    // ---- time-part extraction over event timestamps ----
+    "q_time_parts" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        hour(col("ts")).as("h"),
+        minute(col("ts")).as("mi"),
+        second(col("ts")).as("sec"),
+        weekday(col("ts")).as("wd"),
+        weekofyear(col("ts")).as("wk"))),
+
     // ---- window cumulative distribution ----
     "q_window_cume" -> sql(
       """SELECT o_orderkey,
@@ -394,6 +404,13 @@ object SurfaceQueries {
       ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
         "ORDER BY o_orderdate RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)" +
         "::BIGINT AS c30 FROM orders"),
+
+    "q_time_parts" ->
+      // Spark weekday(): Monday=0; DuckDB isodow: Monday=1
+      ("SELECT event_id, hour(ts::TIMESTAMP)::INTEGER AS h, " +
+        "minute(ts::TIMESTAMP)::INTEGER AS mi, second(ts::TIMESTAMP)::INTEGER AS sec, " +
+        "(isodow(ts::TIMESTAMP) - 1)::INTEGER AS wd, " +
+        "weekofyear(ts::TIMESTAMP)::INTEGER AS wk FROM events"),
 
     "q_window_cume" ->
       ("SELECT o_orderkey, round(cume_dist() OVER (ORDER BY o_totalprice, o_orderkey), 6) " +
