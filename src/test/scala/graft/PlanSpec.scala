@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
     spark.catalog.dropTempView("dim_years")
   }
 
+  test("top-k per group triggers the WindowGroupLimit optimization") {
+    // rn <= 3 over a ranked window must prune per-group rows before the full
+    // window evaluation — at scale this caps the sort input per partition
+    val df = spark.sql(
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM graft.main.customer) WHERE rn <= 3""".stripMargin)
+    val plan = executedPlan(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"window top-k not optimized:\n$plan")
+  }
+
   test("curation pipeline plans one narrow pass + one dedup shuffle, no joins") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.Pipelines.curate(docs, "doc_id", "text")
