@@ -18,14 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Word n-gram shingle hashes of `w` as an array expression. Docs shorter than
+    * n words yield an empty array — `sequence(1, 0)` is DESCENDING `[1, 0]` in
+    * Spark, so an unguarded transform would call `slice(w, 0, n)` and throw.
+    */
+  private def shingleArrayExpr(n: Int): Column = expr(
+    s"case when size(w) >= $n then " +
+      s"transform(sequence(1, size(w) - ${n - 1}), " +
+      s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))) " +
+      s"else cast(array() as array<bigint>) end")
+
   /** (doc_id, sh) — distinct xxhash64 of the lower-cased word n-gram shingles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n))))")).as("sh"))
+      .select(col("doc_id"), explode(shingleArrayExpr(n)).as("sh"))
       .distinct()
 
   /** Exact dedup: keep the smallest doc_id per normalized-text fingerprint.
@@ -67,9 +75,7 @@ object Dedup {
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(1, greatest(size(w) - ${n - 1}, 0)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))))").as("shs"))
+      .select(col("doc_id"), array_distinct(shingleArrayExpr(n)).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** MinHash + LSH banding near-dup: candidates from band-bucket equality joins,
@@ -225,11 +231,23 @@ object Dedup {
       if (exact) a.join(b, col("vec_a") < col("vec_b"))
       else {
         val spark = emb.sparkSession
-        val numBits = 16; val bandBits = 4; val seed = 11L
+        // Band structure tuned to the threshold: sign-random-projection bits
+        // collide w.p. p = 1 - θ/π, so recall over b bands of r bits is
+        // 1-(1-p^r)^b. Pick the FINEST bands (largest r ⇒ smallest buckets ⇒
+        // fewest candidates) that still reach ≥0.9 theoretical recall at the
+        // threshold within a 64-bit packed signature and ≤16 bands. High
+        // thresholds get long fine bands (0.9 ⇒ 8×7); low ones get shorter,
+        // more numerous bands (0.4 ⇒ 4×14) — recall costs candidates, honestly.
+        val p = 1.0 - math.acos(threshold) / math.Pi
+        val (bandBits, bands) = (16 to 1 by -1).iterator.map { r =>
+          val need = math.log(1 - 0.9) / math.log1p(-math.pow(p, r))
+          (r, math.max(1, math.ceil(need).toInt))
+        }.find { case (r, b) => b <= 16 && r * b <= 64 }.getOrElse((4, 16))
+        val numBits = bandBits * bands; val seed = 11L
         graft.functions.GraftFunctions.registerRhBits(spark, numBits, seed)
         def buckets(df: DataFrame, id: String, v: String) = {
           val sig = graft.functions.GraftFunctions.rhBits(col(v), numBits, seed)
-          val bandCols = (0 until numBits / bandBits).map { k =>
+          val bandCols = (0 until bands).map { k =>
             struct(lit(k).as("band"),
               shiftright(sig, k * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))
           }

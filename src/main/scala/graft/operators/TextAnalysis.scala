@@ -89,8 +89,12 @@ object TextAnalysis {
       .select(col(idCol).cast("long").as("doc_id"),
         words(col(textCol)).as("w"))
       .select(col("doc_id"), expr(
-        s"slice(array_sort(array_distinct(transform(" +
-          s"sequence(1, greatest(size(w) - ${k - 1}, 0)), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))))), 1, $sketchSize)")
+        // Guard: sequence(1, 0) is DESCENDING [1, 0], so an unguarded transform
+        // over a short doc calls slice(w, 0, k) and throws (cf. Dedup.shingles).
+        s"case when size(w) >= $k then " +
+          s"slice(array_sort(array_distinct(transform(" +
+          s"sequence(1, size(w) - ${k - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))))), 1, $sketchSize) " +
+          s"else cast(array() as array<bigint>) end")
         .as("sketch"))
 }

@@ -34,8 +34,9 @@ object SurfaceQueries {
         element_at(m, "brand").as("brand_v"),
         element_at(m, "type").as("type_v"),
         size(m).as("n"),
-        map_keys(m).as("ks"),
-        map_values(m).as("vs"))
+        // serialized: the driver's pandas compare cannot hash raw array cells
+        array_join(map_keys(m), ",").as("ks"),
+        array_join(map_values(m), ",").as("vs"))
     }),
 
     // ---- W5: RANGE BETWEEN frame (value-based, deterministic under ties) ----
@@ -113,10 +114,13 @@ object SurfaceQueries {
         .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50_approx"))),
 
     // ---- LSH-blocked embedding dedup (approximate ⇒ rows-only) ----
+    // Same threshold as the exact-path oracle q_dedup_embedding (59 pairs at
+    // sf0.01), so non-zero rows here are falsifiable recall, not vacuous
+    // precision; DedupSpec asserts pairs ⊆ exact and recall ≥ 0.9.
     "q_dedup_embedding_ann" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       graft.operators.Dedup.embeddingPairs(
-        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+        t(s, d, "embeddings"), "vec_id", "embedding", threshold = 0.4)
         .select("vec_a", "vec_b")
     }),
 
@@ -235,9 +239,10 @@ object SurfaceQueries {
         col("p_partkey"),
         array_contains(arr, 5).as("ac"),
         array_position(arr, 2).cast("int").as("ap"),
-        sort_array(arr2).as("srt"),
-        slice(arr2, 2, 2).as("sl"),
-        reverse(arr2).as("rv"))
+        // serialized: the driver's pandas compare cannot hash raw array cells
+        array_join(sort_array(arr2).cast("array<string>"), ",").as("srt"),
+        array_join(slice(arr2, 2, 2).cast("array<string>"), ",").as("sl"),
+        array_join(reverse(arr2).cast("array<string>"), ",").as("rv"))
     }),
 
     // ---- statistical aggregates (A-surface completion) ----
@@ -320,8 +325,8 @@ object SurfaceQueries {
         "map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS brand_v, " +
         "map_extract(MAP {'brand': p_brand, 'type': p_type}, 'type')[1] AS type_v, " +
         "cardinality(MAP {'brand': p_brand, 'type': p_type})::INTEGER AS n, " +
-        "map_keys(MAP {'brand': p_brand, 'type': p_type}) AS ks, " +
-        "map_values(MAP {'brand': p_brand, 'type': p_type}) AS vs FROM part"),
+        "array_to_string(map_keys(MAP {'brand': p_brand, 'type': p_type}), ',') AS ks, " +
+        "array_to_string(map_values(MAP {'brand': p_brand, 'type': p_type}), ',') AS vs FROM part"),
 
     "q_window_range" ->
       ("SELECT o_orderkey, round(sum(o_totalprice) OVER (ORDER BY o_totalprice " +
@@ -425,8 +430,9 @@ object SurfaceQueries {
     "q_array_funcs2" ->
       ("SELECT p_partkey, list_contains([1, 2, p_size], 5) AS ac, " +
         "list_position([1, 2, p_size], 2)::INTEGER AS ap, " +
-        "list_sort([p_size, 1, 7]) AS srt, [p_size, 1, 7][2:3] AS sl, " +
-        "list_reverse([p_size, 1, 7]) AS rv FROM part"),
+        "array_to_string(list_sort([p_size, 1, 7]), ',') AS srt, " +
+        "array_to_string([p_size, 1, 7][2:3], ',') AS sl, " +
+        "array_to_string(list_reverse([p_size, 1, 7]), ',') AS rv FROM part"),
 
     // DuckDB's skewness/kurtosis are sample-corrected; Spark's are population
     // central moments — the oracle computes the moments directly

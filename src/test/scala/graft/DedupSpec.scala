@@ -70,6 +70,41 @@ class DedupSpec extends SparkSpec {
     exactDups.foreach(p => assert(ids.contains(p), s"simhash missed exact dup $p"))
   }
 
+  test("shingle-based ops survive docs shorter than the n-gram window") {
+    import spark.implicits._
+    // sequence(1, 0) is descending [1, 0] in Spark — an unguarded transform would
+    // slice(w, 0, n) and abort the whole job on the first short doc
+    val corpus = Seq(
+      (1L, ""), (2L, "   "), (3L, "one"), (4L, "two words"),
+      (5L, "three words here"),
+      (6L, "a longer document with enough words to form shingles"),
+      (7L, "a longer document with enough words to form shingles") // exact dup of 6
+    ).toDF("doc_id", "text")
+    assert(Dedup.shingles(corpus, "doc_id", "text", n = 3)
+      .filter(col("doc_id") <= 2).count() == 0)
+    val lsh = Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == Set((6L, 7L)), s"expected only the planted dup pair, got $lsh")
+    val sketches = graft.operators.TextAnalysis.winnowingSketch(corpus, "doc_id", "text", k = 5)
+    assert(sketches.filter(col("doc_id") <= 4 && size(col("sketch")) =!= 0).count() == 0)
+    assert(sketches.filter(col("doc_id") === 6 && size(col("sketch")) > 0).count() == 1)
+  }
+
+  test("LSH-blocked embedding dedup: no false positives, recall >= 0.9 vs exact") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(Dedup.embeddingPairs(emb, "vec_id", "embedding",
+      threshold = 0.4, exact = true))
+    val ann = pairSet(Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.4))
+    assert(exact.nonEmpty, "fixture must contain exact pairs at threshold 0.4")
+    assert(ann.subsetOf(exact), s"ANN false positives: ${ann.diff(exact)}")
+    val recall = ann.size.toDouble / exact.size
+    assert(recall >= 0.9, s"ANN recall $recall < 0.9 (${ann.size}/${exact.size})")
+  }
+
   test("embedding dedup finds self-similar planted vector") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
