@@ -93,8 +93,9 @@ object Dedup {
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    require(maxBucket > 1, "maxBucket must be > 1")
     val r = numPerm / bands
 
     val cached = shingleArrays(docs, idCol, textCol, n).cache()
@@ -113,8 +114,27 @@ object Dedup {
     val buckets = sig
       .select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val cand = buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "bh"))
+
+    // Hot-bucket cap: a band bucket holding m docs makes m² candidate pairs
+    // inside ONE reducer — a boilerplate corpus (m ~ millions at 100 TB) would
+    // wedge the stage. Buckets wider than maxBucket are split into
+    // ceil(m/maxBucket) salt groups keyed by xxhash64(band, doc_id): reducers
+    // are bounded by ~maxBucket² regardless of skew. The salt is
+    // band-independent, so a pair sharing k hot buckets still collides with
+    // prob 1-(1-1/nsplit)^k, and `clusters()` transitively reconnects the
+    // component even when individual pairs are dropped. The width count is a
+    // map-side-combined aggregate over the narrow bucket stream and the hot
+    // list is tiny by construction (only skewed keys), hence broadcastable.
+    val hot = buckets.groupBy("band", "bh").count()
+      .filter(col("count") > maxBucket)
+      .select(col("band"), col("bh"),
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"))
+    val salted = buckets.join(broadcast(hot), Seq("band", "bh"), "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("band"), col("doc_id")), col("nsplit")).cast("int")))
+      .select("doc_id", "band", "bh", "salt")
+    val cand = salted.as("x")
+      .join(salted.as("y"), Seq("band", "bh", "salt"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()

@@ -90,6 +90,33 @@ class DedupSpec extends SparkSpec {
     assert(sketches.filter(col("doc_id") === 6 && size(col("sketch")) > 0).count() == 1)
   }
 
+  test("hot-bucket cap bounds candidates on a boilerplate corpus, leaves the fixture unchanged") {
+    import spark.implicits._
+    // 1000 identical docs: every band bucket holds all 1000, so the uncapped
+    // join would make bands * C(1000,2) = 4M candidates in single reducers
+    val boiler = (0 until 1000).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minHashLshPairs(boiler, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = 32)
+    val nPairs = capped.count()
+    // per band: ~32 salt groups of ~32 docs -> <= 32*C(32,2) candidates;
+    // across 8 bands (union, dedup) the pair count must stay far below C(1000,2)
+    assert(nPairs > 0, "cap must not kill recall entirely")
+    assert(nPairs < 250000, s"cap failed to bound candidates: $nPairs pairs")
+    // transitivity heals the dropped pairs: all 1000 docs end in ONE cluster
+    val cl = Dedup.clusters(capped)
+    assert(cl.count() == 1000, "every doc must be clustered")
+    assert(cl.select("cluster_id").distinct().count() == 1,
+      "identical docs must reconnect into a single component via transitivity")
+    // fixture has no bucket wider than the default cap: pairs must be identical
+    val d = docs
+    def pairs(cap: Int) = Dedup.minHashLshPairs(d, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = cap)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(256) == pairs(Int.MaxValue), "cap changed pairs on an unskewed corpus")
+  }
+
   test("LSH-blocked embedding dedup: no false positives, recall >= 0.9 vs exact") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
