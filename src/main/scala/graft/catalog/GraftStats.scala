@@ -9,8 +9,10 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read.{Batch, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
@@ -73,6 +75,12 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long) extends Table wit
   * column named in `graft.pushdown.deny` (comma-separated session conf) stay
   * engine-side as residuals instead of reaching the scan — the reference uses
   * this to keep storage-cache keys stable per table.
+  *
+  * Equality-pushdown allow list (the other half of reference P9, consumed at
+  * trino/RecordServiceSplitManagerImpl.java:342,376-377): when
+  * `graft.pushdown.eq_allow` is set, EQUALITY predicates (=, <=>, IN) are pushed
+  * only for listed columns; unset = push all, set-but-empty = push none.
+  * Non-equality predicates are unaffected — only the deny list governs those.
   */
 class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
     extends ScanBuilder
@@ -80,16 +88,31 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
 
+  private def conf = org.apache.spark.sql.SparkSession.active.conf
+
+  private def parseCols(v: String): Set[String] =
+    v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
   private def deniedColumns: Set[String] =
-    org.apache.spark.sql.SparkSession.active.conf
-      .getOption("graft.pushdown.deny")
-      .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty)
+    conf.getOption("graft.pushdown.deny").map(parseCols).getOrElse(Set.empty)
+
+  /** None = no allow list configured (push everything). */
+  private def eqAllowedColumns: Option[Set[String]] =
+    conf.getOption("graft.pushdown.eq_allow").map(parseCols)
+
+  private def isEquality(e: Expression): Boolean = e match {
+    case _: EqualTo | _: EqualNullSafe | _: In | _: InSet => true
+    case _ => false
+  }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     val deny = deniedColumns
-    val (held, pushable) =
-      filters.partition(_.references.exists(a => deny(a.name.toLowerCase)))
+    val allow = eqAllowedColumns
+    val (held, pushable) = filters.partition { f =>
+      f.references.exists(a => deny(a.name.toLowerCase)) ||
+        (isEquality(f) && allow.exists(ok =>
+          f.references.exists(a => !ok(a.name.toLowerCase))))
+    }
     held ++ delegate.pushFilters(pushable)
   }
   override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
@@ -109,10 +132,29 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
   }
 }
 
+/** Stats + runtime-filtering wrapper around the stock ParquetScan.
+  *
+  * Statistics: adds the footer-exact row count (suppressed when the
+  * `graft.stats_mode=none` session property is set — reference stats_mode,
+  * trino/RecordServiceConfig.java:103-122).
+  *
+  * Runtime filtering (reference J12 dynamic filtering): Spark 4's DSv2
+  * `FileScan` implements no runtime-filtering mixin, so v2 parquet tables —
+  * unlike the default v1 path — would never see dynamic partition pruning.
+  * This wrapper restores it: `filterAttributes` exposes the partition columns,
+  * and `filter` re-derives the delegate with the runtime predicates appended to
+  * its `partitionFilters`, which the file index binds by column name during
+  * file listing. Runtime filters are best-effort by contract, so predicates
+  * that don't translate are dropped, never wrongly applied.
+  */
 class GraftStatsScan(delegate: ParquetScan, rowCount: () => Long)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // runtime-pruned view of the delegate; swapped by filter() at execution time
+  @volatile private var current: ParquetScan = delegate
+
   override def readSchema(): StructType = delegate.readSchema()
-  override def toBatch: Batch = delegate.toBatch
+  override def toBatch: Batch = current.toBatch
   override def description(): String = delegate.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
@@ -120,11 +162,36 @@ class GraftStatsScan(delegate: ParquetScan, rowCount: () => Long)
     delegate.supportedCustomMetrics()
   override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     delegate.reportDriverMetrics()
+
+  override def filterAttributes(): Array[NamedReference] =
+    delegate.fileIndex.partitionSchema.fieldNames
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val partSchema = delegate.fileIndex.partitionSchema
+    def attr(name: String): Option[AttributeReference] =
+      partSchema.fields.find(_.name.equalsIgnoreCase(name))
+        .map(f => AttributeReference(f.name, f.dataType)())
+    val converted: Seq[Expression] = filters.toSeq.flatMap {
+      case sources.In(name, values) => attr(name).map(a =>
+        In(a, values.toSeq.map(v => Literal.create(v, a.dataType))))
+      case sources.EqualTo(name, v) => attr(name).map(a =>
+        EqualTo(a, Literal.create(v, a.dataType)))
+      case _ => None
+    }
+    if (converted.nonEmpty)
+      current = delegate.copy(
+        partitionFilters = delegate.partitionFilters ++ converted)
+  }
+
   override def estimateStatistics(): Statistics = {
     val base = delegate.estimateStatistics()
+    val enabled = graft.plans.SessionProps.statsEnabled(
+      org.apache.spark.sql.SparkSession.active)
     new Statistics {
       override def sizeInBytes(): OptionalLong = base.sizeInBytes()
-      override def numRows(): OptionalLong = OptionalLong.of(rowCount())
+      override def numRows(): OptionalLong =
+        if (enabled) OptionalLong.of(rowCount()) else base.numRows()
     }
   }
 }

@@ -65,8 +65,16 @@ class AuditListener extends QueryExecutionListener {
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
     record(qe, durationNs, None)
 
-  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-    record(qe, 0L, Some(exception))
+  override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = {
+    // Spark passes no duration on the error path; recover the true start from
+    // the planning tracker (earliest recorded phase) so failed queries carry a
+    // real duration like the reference's create/start/end times for errors
+    // (trino/OkeraEventListener.java:43-53)
+    val now = System.currentTimeMillis()
+    val startMs = qe.tracker.phases.values.map(_.startTimeMs)
+      .minOption.getOrElse(now)
+    record(qe, (now - startMs) * 1000000L, Some(exception))
+  }
 }
 
 object AuditListener {

@@ -40,20 +40,24 @@ object AsOfJoin {
     val lRow = struct(lCols.map(col): _*)
     val payloadType = right.select(payload).schema.head.dataType
     val lRowType = left.select(lRow).schema.head.dataType
+    // keys keep their own scalar type (string keys join as well as longs; a
+    // blanket long cast silently nulled them out) — Keys.id only widens
+    // integrals and rejects non-scalar keys loudly
+    val tieType = right.select(col(rightTieBreak)).schema.head.dataType
 
     val l = left.select(
-      col(leftKey).cast("long").as("__k"),
+      Keys.id(left, leftKey).as("__k"),
       col(leftTime).as("__t"),
       lit(1).as("__side"),
-      lit(null).cast("long").as("__tie"),
+      lit(null).cast(tieType).as("__tie"),
       lRow.as("__lrow"),
       lit(null).cast(payloadType).as("__rrow"))
 
     val r = right.select(
-      col(rightKey).cast("long").as("__k"),
+      Keys.id(right, rightKey).as("__k"),
       col(rightTime).as("__t"),
       lit(0).as("__side"),
-      col(rightTieBreak).cast("long").as("__tie"),
+      col(rightTieBreak).as("__tie"),
       lit(null).cast(lRowType).as("__lrow"),
       payload.as("__rrow"))
 

@@ -31,7 +31,7 @@ object Dedup {
   /** (doc_id, sh) — distinct xxhash64 of the lower-cased word n-gram shingles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Keys.id(docs, idCol).as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
       .select(col("doc_id"), explode(shingleArrayExpr(n)).as("sh"))
       .distinct()
@@ -41,7 +41,7 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Keys.id(docs, idCol).as("doc_id"),
         md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
@@ -73,7 +73,7 @@ object Dedup {
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Keys.id(docs, idCol).as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
       .select(col("doc_id"), array_distinct(shingleArrayExpr(n)).as("shs"))
       .filter(size(col("shs")) > 0)
@@ -159,7 +159,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val tokens = docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Keys.id(docs, idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -193,11 +193,18 @@ object Dedup {
 
   /** Connected components over near-dup pairs → (doc_id, cluster_id) with
     * cluster_id = smallest doc_id reachable, so "keep one per near-dup group"
-    * is `groupBy(cluster_id).agg(min(doc_id))`. Distributed min-label
-    * propagation: each iteration is one join + aggregate over the edge list;
-    * iterations ≤ graph diameter (near-dup clusters are shallow — a handful of
-    * rounds even at 100 TB). The driver only checks the converged flag; labels
-    * never leave the cluster.
+    * is `groupBy(cluster_id).agg(min(doc_id))`.
+    *
+    * Each iteration combines min-label propagation over the edge list (one
+    * join + aggregate) with pointer halving (label := label(label), one
+    * self-join): propagation moves a label one hop, halving collapses label
+    * chains geometrically, so convergence takes O(log diameter) rounds — a
+    * path graph of length 2^20 converges within the default maxIter, unlike
+    * plain propagation which moves one hop per round. Every ~4 iterations the
+    * label frame is `localCheckpoint`ed to truncate the otherwise linearly
+    * growing plan lineage. Non-convergence at maxIter throws — silently
+    * returning partially merged components is how a dedup pipeline
+    * over-retains duplicates without anyone noticing.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -215,10 +222,18 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
+      // pointer halving: replace label with its own current label (labels are
+      // node ids, and a node's label is always <= its id, so this only shrinks)
+      val halved = prop.as("a")
+        .join(prop.select(col("doc_id").as("label"), col("label").as("plabel")),
+          Seq("label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("plabel"), col("label")).as("label"))
+      val next =
+        (if ((i + 1) % 4 == 0) halved.localCheckpoint() else halved).cache()
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
@@ -226,6 +241,9 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.clusters did not converge within $maxIter iterations — " +
+        "component labels would be partially merged; raise maxIter")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -245,8 +263,8 @@ object Dedup {
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exact: Boolean = false): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
-    val a = emb.select(col(idCol).cast("long").as("vec_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).cast("long").as("vec_b"), col(vecCol).as("vb"))
+    val a = emb.select(Keys.id(emb, idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = emb.select(Keys.id(emb, idCol).as("vec_b"), col(vecCol).as("vb"))
     val pairs =
       if (exact) a.join(b, col("vec_a") < col("vec_b"))
       else {

@@ -31,7 +31,7 @@ object Pipelines {
     val kept = docs
       .filter(nTokens.between(minTokens, maxTokens) &&
         TextAnalysis.langPred(text) === lang)
-      .select(col(idCol).cast("long").as("doc_id"), text.as("__text"))
+      .select(Keys.id(docs, idCol).as("doc_id"), text.as("__text"))
     Dedup.exact(kept, "doc_id", "__text")
   }
 }

@@ -25,7 +25,7 @@ object Similarity {
       .select(col(vecCol).as("qv"))
     emb.filter(col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
-      .select(col(idCol).cast("long").as("vec_id"),
+      .select(Keys.id(emb, idCol).as("vec_id"),
         round(GraftFunctions.cosineSim(col(vecCol), col("qv")), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(k)
@@ -45,7 +45,7 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val vecs = emb.select(col(idCol).cast("long").as("vec_id"),
+    val vecs = emb.select(Keys.id(emb, idCol).as("vec_id"),
       col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
 
@@ -79,7 +79,7 @@ object Similarity {
     require(numBits <= 64, "tables * bitsPerTable must fit in 64 bits")
     GraftFunctions.registerRhBits(spark, numBits, seed = 7L)
 
-    val sigd = emb.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"),
+    val sigd = emb.select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v"),
       GraftFunctions.rhBits(col(vecCol), numBits, 7L).as("sig"))
     val tableCols = (0 until tables).map { t =>
       struct(lit(t).as("t"),

@@ -24,7 +24,7 @@ object TextAnalysis {
     val upper = length(regexp_replace(col(textCol), "[^A-Z]", ""))
     val chars = length(col(textCol))
     docs.select(
-      col(idCol).cast("long").as("doc_id"),
+      Keys.id(docs, idCol).as("doc_id"),
       chars.as("n_chars"),
       nTok.as("n_tokens"),
       round((chars - (nTok - 1)).cast("double") / nTok, 4).as("avg_word_len"),
@@ -59,19 +59,19 @@ object TextAnalysis {
     * oracle can state the identical rule.
     */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
       langPred(col(textCol)).as("lang_pred"))
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric non-space chars — the classic pre-tokenizer split.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       size(words(col(textCol))).as("n_ws_tokens"))
@@ -86,7 +86,7 @@ object TextAnalysis {
   def winnowingSketch(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, sketchSize: Int = 16): DataFrame =
     docs
-      .select(col(idCol).cast("long").as("doc_id"),
+      .select(Keys.id(docs, idCol).as("doc_id"),
         words(col(textCol)).as("w"))
       .select(col("doc_id"), expr(
         // Guard: sequence(1, 0) is DESCENDING [1, 0], so an unguarded transform

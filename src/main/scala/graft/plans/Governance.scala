@@ -47,23 +47,39 @@ object GovernancePolicies {
   * impersonation with canDelegate(authenticatedUser, sessionUser)
   * (trino/RecordServiceConfig.java:272-323,376-402). Spark-native equivalent:
   * the authenticated principal is the Spark user; `graft.user` optionally
-  * impersonates, allowed only when the authenticated principal is listed in
-  * `graft.delegation.allowed`.
+  * impersonates, gated by `graft.delegation.allowed`.
+  *
+  * The allow-list is read ONLY from the immutable SparkConf captured at context
+  * start (spark-defaults / builder config) — the runtime conf is writable by the
+  * same client that sets `graft.user`, so honoring it would make the delegation
+  * gate self-service. The reference likewise resolves delegated users from
+  * server-side config, never from a client-settable session property.
+  *
+  * Entries are comma-separated: `alice` lets alice impersonate anyone,
+  * `alice:bob` lets alice impersonate bob only (the pairwise form of the
+  * reference's canDelegate(authenticated, session) check).
   */
 object Users {
   val UserKey = "graft.user"
   val DelegationKey = "graft.delegation.allowed"
 
+  private def canDelegate(spark: SparkSession,
+      authenticated: String, impersonated: String): Boolean =
+    spark.sparkContext.getConf.get(DelegationKey, "")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .exists(_.split(":") match {
+        case Array(p) => p == authenticated
+        case Array(p, t) => p == authenticated && t == impersonated
+        case _ => false
+      })
+
   def current(spark: SparkSession): String = {
     val authenticated = spark.sparkContext.sparkUser
     spark.conf.getOption(UserKey).filter(_ != authenticated).map { impersonated =>
-      val allowed = spark.conf.getOption(DelegationKey)
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String])
-      if (allowed(authenticated)) impersonated
+      if (canDelegate(spark, authenticated, impersonated)) impersonated
       else throw new SecurityException(
         s"user '$authenticated' may not delegate to '$impersonated' " +
-          s"(not in $DelegationKey)")
+          s"(not in the static $DelegationKey conf)")
     }.getOrElse(authenticated)
   }
 }

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   graft.sampling_value — fraction in (0, 1]: row-sampling approximation of the
   *                          reference's byte-based sampled catalogs (S8)
   *   graft.stats_mode     — "none" suppresses footer row-count statistics
-  *                          (consumed by GraftCatalog; reference stats_mode)
+  *                          (consumed by GraftStatsScan.estimateStatistics;
+  *                          reference stats_mode)
   */
 object SessionProps {
   val LimitKey = "graft.limit"

@@ -25,7 +25,7 @@ object Multimodal {
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
-      col(idCol).cast("long").as("doc_id"),
+      graft.operators.Keys.id(docs, idCol).as("doc_id"),
       encode(col(textCol), "UTF-8").as("media"),
       when(col(idCol) % 3 === 0, "image")
         .when(col(idCol) % 3 === 1, "audio")

@@ -42,6 +42,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == -1L, "unmatched key must be kept with null payload")
   }
 
+  test("string keys join correctly (no silent long coercion)") {
+    import spark.implicits._
+    val left = Seq(
+      ("e1", "alice", ts("2024-01-01 10:00:00")),
+      ("e2", "bob", ts("2024-01-01 12:00:00")),
+      ("e3", "carol", ts("2024-01-01 12:00:00")) // key with no right rows
+    ).toDF("event_id", "user", "ts")
+    val right = Seq(
+      (100L, "alice", ts("2024-01-01 09:00:00")),
+      (101L, "bob", ts("2024-01-01 11:00:00")),
+      (102L, "bob", ts("2024-01-01 13:00:00")) // after left time → not matched
+    ).toDF("o_orderkey", "o_user", "o_ts")
+    val out = AsOfJoin.backward(left, right,
+      leftKey = "user", rightKey = "o_user",
+      leftTime = "ts", rightTime = "o_ts",
+      rightPayloadCols = Seq("o_orderkey"), rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("e1" -> 100L, "e2" -> 101L, "e3" -> -1L), s"got $out")
+  }
+
+  test("non-scalar keys are rejected loudly") {
+    import spark.implicits._
+    val left = Seq((Seq(1L), ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, left.toDF("k", "o_ts"), "k", "k", "ts", "o_ts",
+        Seq("o_ts"), "o_ts")
+    }
+    assert(e.getMessage.contains("non-scalar"))
+  }
+
   test("as-of join preserves every left row exactly once") {
     val events = graft.sources.Tables(spark, sfDir, "events")
     val orders = graft.sources.Tables(spark, sfDir, "orders")

@@ -28,8 +28,11 @@ class AuditSpec extends SparkSpec {
       spark.sql("SELECT raise_error('boom') FROM graft.main.region").collect()
     }
     eventuallyRecords(listener) { rs =>
-      assert(rs.exists(r => !r.success && r.error.exists(_.contains("boom"))),
-        s"error record missing: $rs")
+      val err = rs.find(r => !r.success && r.error.exists(_.contains("boom")))
+      assert(err.isDefined, s"error record missing: $rs")
+      // the error path recovers the true start from the planning tracker —
+      // failed queries must carry a real duration, not 0
+      assert(err.get.durationNs > 0, s"failure duration lost: ${err.get}")
     }
     spark.listenerManager.unregister(listener)
   }

@@ -23,6 +23,26 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
   }
 
+  test("chains far longer than maxIter converge via pointer halving") {
+    import spark.implicits._
+    // a 200-node path: plain one-hop propagation needs 199 rounds; pointer
+    // halving must collapse it within the default maxIter=20 (O(log n))
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain)
+    assert(got.count() == 200)
+    assert(got.select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("non-convergence raises instead of returning partially merged labels") {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // maxIter=1: one propagation+halving round cannot collapse a 64-node path
+    val e = intercept[IllegalStateException] {
+      Dedup.clusters(chain, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("cluster representatives = one doc per near-dup group on the fixture") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text")

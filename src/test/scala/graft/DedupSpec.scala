@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs(256) == pairs(Int.MaxValue), "cap changed pairs on an unskewed corpus")
   }
 
+  test("string doc ids flow through dedup operators (no silent long coercion)") {
+    import spark.implicits._
+    val corpus = Seq(
+      ("doc-a", "the quick brown fox jumps over the lazy dog today"),
+      ("doc-b", "the quick brown fox jumps over the lazy dog today"), // dup of a
+      ("doc-c", "completely different text about spark query engines here")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exact(corpus, "doc_id", "text")
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("doc-a", "doc-c"), s"got $kept")
+    val pairs = Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("doc-a", "doc-b")), s"got $pairs")
+  }
+
   test("LSH-blocked embedding dedup: no false positives, recall >= 0.9 vs exact") {
     graft.functions.GraftFunctions.register(spark)
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -90,7 +90,9 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
     val me = spark.sparkContext.sparkUser
     GovernancePolicies.registerFor("analyst",
       "customer", TablePolicy(rowFilterSql = Some("c_nationkey = 1")))
-    spark.conf.set(Users.DelegationKey, me)
+    // the grant comes from the STATIC conf set at context build (SparkSpec):
+    // "<me>:analyst" — nothing to set at runtime
+    assert(spark.sparkContext.getConf.get(Users.DelegationKey).startsWith(me))
     try {
       // as the authenticated user: no policy, full table
       val all = spark.read.parquet(s"$sfDir/customer.parquet").count()
@@ -103,13 +105,13 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
       assert(rows.forall(_.getAs[Number](nk).longValue == 1))
     } finally {
       spark.conf.unset(Users.UserKey)
-      spark.conf.unset(Users.DelegationKey)
     }
   }
 
-  test("delegation to another user is denied without allow-listing") {
+  test("delegation to a non-allow-listed target is denied") {
     import graft.plans.Users
     GovernancePolicies.register("customer", policy)
+    // static conf allows "<me>:analyst" only — someone_else is out of scope
     spark.conf.set(Users.UserKey, "someone_else")
     try {
       val e = intercept[Exception] {
@@ -120,5 +122,27 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
       assert(causes(e).exists(_.isInstanceOf[SecurityException]),
         s"expected SecurityException, got $e")
     } finally spark.conf.unset(Users.UserKey)
+  }
+
+  test("runtime conf cannot self-grant delegation rights") {
+    import graft.plans.Users
+    GovernancePolicies.register("customer", policy)
+    // an attacker that can set graft.user tries to widen the allow-list via the
+    // session conf; the gate must keep reading the immutable context conf
+    val me = spark.sparkContext.sparkUser
+    spark.conf.set(Users.DelegationKey, s"$me:someone_else,$me")
+    spark.conf.set(Users.UserKey, "someone_else")
+    try {
+      val e = intercept[Exception] {
+        spark.read.parquet(s"$sfDir/customer.parquet").collect()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[SecurityException]),
+        s"runtime conf must not grant delegation, got $e")
+    } finally {
+      spark.conf.unset(Users.UserKey)
+      spark.conf.unset(Users.DelegationKey)
+    }
   }
 }

@@ -63,6 +63,31 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset("graft.pushdown.deny")
   }
 
+  test("equality-pushdown allow list (P9): unset=push all, empty=push none, listed=only those") {
+    val q = "SELECT o_orderkey FROM graft.main.orders " +
+      "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 0"
+    // unset: equality pushes as before
+    assert(executedPlan(spark.sql(q)).replaceAll("\\s", "")
+      .contains("EqualTo(o_orderpriority"))
+    try {
+      // set-but-empty: NO equality predicate reaches the scan
+      spark.conf.set("graft.pushdown.eq_allow", "")
+      val none = executedPlan(spark.sql(q)).replaceAll("\\s", "")
+      assert(!none.contains("EqualTo(o_orderpriority"),
+        s"empty allow list must hold equality predicates:\n$none")
+      assert(none.contains("GreaterThan(o_totalprice"),
+        s"allow list must not affect non-equality predicates:\n$none")
+      // correctness unchanged: held predicate evaluates engine-side
+      assert(spark.sql(q).count() ==
+        spark.read.parquet(s"$sfDir/orders.parquet")
+          .filter(col("o_orderpriority") === "1-URGENT").count())
+      // listed column: its equality pushes again
+      spark.conf.set("graft.pushdown.eq_allow", "o_orderpriority")
+      assert(executedPlan(spark.sql(q)).replaceAll("\\s", "")
+        .contains("EqualTo(o_orderpriority"))
+    } finally spark.conf.unset("graft.pushdown.eq_allow")
+  }
+
   test("small dimension side broadcasts in a fact-dim join") {
     val df = spark.sql(
       """SELECT n_name, count(*) AS n FROM graft.main.customer c
@@ -98,11 +123,13 @@ class PlanSpec extends SparkSpec {
   test("stats_mode=none suppresses row-count statistics (X1)") {
     spark.conf.set(graft.plans.SessionProps.StatsModeKey, "none")
     try {
-      // fresh identifier to dodge the catalog TTL cache
       val df = spark.table("graft.main.orders")
-      assert(df.queryExecution.optimizedPlan.stats.rowCount.isEmpty ||
-        df.count() > 0) // row count may be cached from an earlier load; value must still be sane
+      assert(df.queryExecution.optimizedPlan.stats.rowCount.isEmpty,
+        "stats_mode=none must suppress the footer row count")
     } finally spark.conf.unset(graft.plans.SessionProps.StatsModeKey)
+    // and the default mode restores it
+    val df2 = spark.table("graft.main.orders")
+    assert(df2.queryExecution.optimizedPlan.stats.rowCount.isDefined)
   }
 
   test("dynamic partition pruning fires on a partitioned fact table") {
@@ -124,6 +151,52 @@ class PlanSpec extends SparkSpec {
       orders.filter(year(col("o_orderdate")) === 1995).count())
     spark.catalog.dropTempView("orders_part")
     spark.catalog.dropTempView("dim_years")
+  }
+
+  test("dynamic partition pruning reaches graft catalog (v2) scans (J12)") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, TableCatalog}
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft-dpp-cat").toFile.getAbsolutePath
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    orders.withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders_part")
+    spark.conf.set("spark.sql.catalog.graft_dpp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dpp.dir", dir)
+
+    // unit level: a runtime In-filter on the partition column must shrink the
+    // planned input splits (Spark 4's v2 FileScan has no runtime-filtering
+    // mixin of its own — this is GraftStatsScan's contribution)
+    val cat = spark.sessionState.catalogManager.catalog("graft_dpp")
+      .asInstanceOf[TableCatalog]
+    val tbl = cat.loadTable(Identifier.of(Array("main"), "orders_part"))
+    def splits(rt: Option[org.apache.spark.sql.sources.Filter]): Int = {
+      val scan = tbl.asInstanceOf[SupportsRead]
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      rt.foreach(f =>
+        scan.asInstanceOf[SupportsRuntimeFiltering].filter(Array(f)))
+      scan.toBatch.planInputPartitions().length
+    }
+    val all = splits(None)
+    val pruned = splits(Some(org.apache.spark.sql.sources.In("o_year", Array(1995))))
+    assert(pruned < all, s"runtime filter did not prune splits: $pruned vs $all")
+
+    // plan level: the planner inserts a DPP subquery against the v2 scan when
+    // the dim-side filter is not statically inferable on the join key — the
+    // dim must come from storage, or constant folding turns this into static
+    // pruning and no runtime filter is ever needed
+    import spark.implicits._
+    Seq((1995, "x"), (1996, "yy")).toDF("y", "nm")
+      .write.mode("overwrite").parquet(s"$dir/dim_y")
+    spark.read.parquet(s"$dir/dim_y").createOrReplaceTempView("dim_y")
+    val df = spark.sql(
+      """SELECT count(*) FROM graft_dpp.main.orders_part f
+        |JOIN dim_y d ON f.o_year = d.y WHERE d.nm = 'x'""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      s"no DPP subquery on the v2 scan:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().head.getLong(0) ==
+      orders.filter(year(col("o_orderdate")) === 1995).count())
+    spark.catalog.dropTempView("dim_y")
   }
 
   test("top-k per group triggers the WindowGroupLimit optimization") {

@@ -31,6 +31,11 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
       .config("spark.sql.catalog.graft.dir", "/root/testdata/sf0.001")
+      // delegation allow-list is static-conf-only (set at context build, like
+      // spark-defaults in production): this principal may impersonate ONLY
+      // "analyst" — GovernanceSpec exercises both the grant and the denial
+      .config(graft.plans.Users.DelegationKey,
+        s"${System.getProperty("user.name")}:analyst")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
