@@ -14,7 +14,8 @@ object Bench {
     "q_broadcast_join", "q_window_running", "q_agg_distinct",
     "q_dedup_minhash", "q_sim_topk", "q_text_stats",
     "q_events_session", "q_asof_join",
-    "q_catalog_scan", "q_count_pushdown", "q_pipeline_curate")
+    "q_catalog_scan", "q_count_pushdown", "q_pipeline_curate",
+    "q_dedup_clusters", "q_window_timerange")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,15 +45,19 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      // best-of-2: the first run pays codegen/JIT/shuffle-file warmup that a
-      // long-lived 100 TB deployment would have amortized away
-      val a = once()
-      val best = if (a < 0) a else { val b = once(); if (b < 0) a else math.min(a, b) }
-      name -> best
+      // 3 runs: the first pays codegen/JIT/shuffle-file warmup that a
+      // long-lived 100 TB deployment would have amortized away. Headline =
+      // best (the steady-state number); median also reported for noise audit
+      // — this box swings 2x between identical runs.
+      val runs = Seq(once(), once(), once()).filter(_ >= 0).sorted
+      name -> (if (runs.isEmpty) (-1.0, -1.0) else (runs.head, runs(runs.size / 2)))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, (b, _)) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
+    val med = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""median_total":$totalMed,"queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -222,9 +222,12 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "src"), "src")
         .groupBy(col("dst").as("doc_id"))
         .agg(min("label").as("nlabel"))
+      // cached: the halving step self-joins this frame, and an uncached plan
+      // would recompute the propagation join twice per iteration
       val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
       // pointer halving: replace label with its own current label (labels are
       // node ids, and a node's label is always <= its id, so this only shrinks)
       val halved = prop.as("a")
@@ -234,8 +237,14 @@ object Dedup {
           coalesce(col("plabel"), col("label")).as("label"))
       val next =
         (if ((i + 1) % 4 == 0) halved.localCheckpoint() else halved).cache()
+      // materialize next FULLY before unpersisting its parents: a partial
+      // materialization (e.g. via isEmpty's limit-1) would leave uncached
+      // partitions whose recompute chains reach back through every unpersisted
+      // iteration to the original pair computation — observed as a 6x blowup
+      next.count()
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).isEmpty
+      prop.unpersist()
       labels.unpersist()
       labels = next
       i += 1

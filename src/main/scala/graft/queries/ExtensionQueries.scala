@@ -141,9 +141,16 @@ object ExtensionQueries {
       }
     }),
 
-    // ---- multimodal plumbing (stubbed decode, real schema/partitioning) ----
+    // ---- multimodal decode (REAL javax.imageio PNG decode for images) ----
+    // The oracle computes image dimensions from the same deterministic formula
+    // asMedia uses to SYNTHESIZE the PNGs; the engine value comes from actually
+    // DECODING them — a hash match proves the decode is real. Image payload
+    // size is codec-dependent, so n_bytes is only checked for non-image rows.
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")))
+      Multimodal.decodeMeta(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+        .select(col("doc_id"), col("kind"),
+          when(col("kind") =!= "image", col("n_bytes")).cast("int").as("src_bytes"),
+          col("width"), col("height"), col("duration_s"), col("n_frames")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,9 +283,9 @@ object ExtensionQueries {
     "q_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "octet_length(encode(text))::INTEGER AS n_bytes, " +
-        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 640 + 16 END)::INTEGER AS width, " +
-        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 480 + 16 END)::INTEGER AS height, " +
+        "(CASE WHEN doc_id % 3 <> 0 THEN octet_length(encode(text)) END)::INTEGER AS src_bytes, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 64 + 16 END)::INTEGER AS width, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 48 + 16 END)::INTEGER AS height, " +
         "(CASE WHEN doc_id % 3 = 1 THEN round(octet_length(encode(text)) / 16.0, 2) END)::DOUBLE AS duration_s, " +
         "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 24 + 1 END)::INTEGER AS n_frames " +
         "FROM documents")

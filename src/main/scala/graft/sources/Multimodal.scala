@@ -1,17 +1,24 @@
 package graft.sources
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (north-star extension). Media are opaque BINARY
-  * columns + typed metadata; transforms run per-partition over Arrow-sized batches.
+  * columns + typed metadata; transforms run per-partition over the binary
+  * payloads with per-partition (not per-row) kernel setup — the contract a
+  * production codec plugs into.
   *
-  * The container has no image/audio codecs, so the decode kernel is a clearly
-  * marked DETERMINISTIC STUB (dimensions derived from the byte stream) — but the
-  * Spark-side contract is real: schema, binary column handling, partition-parallel
-  * decode, and metadata extraction all behave exactly as they would with a real
-  * codec behind the same signature.
+  * Image decode, metadata extraction, and resize are REAL: payloads are PNG
+  * bytes and the kernels run `javax.imageio` (in the JVM, no external codec).
+  * Audio/video remain deterministic byte-payload STUBS (the container ships no
+  * audio/video codec): their metadata derives from payload size behind the same
+  * kernel signature a real decoder would use.
   */
 object Multimodal {
 
@@ -20,36 +27,84 @@ object Multimodal {
     StructField("media", BinaryType),
     StructField("kind", StringType)))
 
-  /** Wrap a text corpus as a binary media column (stand-in for real image/audio
-    * payload bytes; deterministic).
+  /** Deterministic PNG of the given dimensions: pixel (x,y) is a pure function
+    * of (x, y, seed), so the same doc always produces the same image.
     */
-  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-      graft.operators.Keys.id(docs, idCol).as("doc_id"),
-      encode(col(textCol), "UTF-8").as("media"),
-      when(col(idCol) % 3 === 0, "image")
-        .when(col(idCol) % 3 === 1, "audio")
-        .otherwise("video").as("kind"))
+  private[graft] def pngBytes(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 31 + y * 17 + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
 
-  /** STUB decode: metadata a real decoder would emit (width/height/duration/frames)
-    * derived deterministically from the payload size. A production build swaps the
-    * expressions for a mapPartitions/Arrow kernel calling the actual codec; the
-    * output schema and partitioning contract are unchanged.
+  /** Wrap a text corpus as binary media. Image-kind docs (doc_id % 3 == 0) get
+    * REAL PNG payloads whose dimensions derive from the text's UTF-8 byte
+    * length (width = n % 64 + 16, height = n % 48 + 16) — a formula an external
+    * oracle can compute without decoding, so `decodeMeta`'s decoded dimensions
+    * are checkable end-to-end. Audio/video docs carry the raw text bytes
+    * (payload stand-in).
+    */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(graft.operators.Keys.id(docs, idCol).cast("long").as("doc_id"),
+        col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+          val kind = id % 3 match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val media =
+            if (kind == "image")
+              pngBytes(bytes.length % 64 + 16, bytes.length % 48 + 16, id)
+            else bytes
+          (id, media, kind)
+        }
+      }
+      .toDF("doc_id", "media", "kind")
+  }
+
+  /** Decode metadata per media row. Image width/height come from REAL
+    * `ImageIO` decode of the PNG payload (nulls on undecodable bytes — the
+    * honest failure mode); audio duration / video frame count remain size-based
+    * stubs (no JVM codec for those). One iterator pass per partition,
+    * per-partition kernel setup.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
-    val bytes = length(col("media"))
-    media.select(
-      col("doc_id"),
-      col("kind"),
-      bytes.as("n_bytes"),
-      when(col("kind") === "image", pmod(bytes, lit(640)) + 16).otherwise(null)
-        .cast("int").as("width"),
-      when(col("kind") === "image", pmod(bytes, lit(480)) + 16).otherwise(null)
-        .cast("int").as("height"),
-      when(col("kind") === "audio", round(bytes / lit(16.0), 2)).otherwise(null)
-        .cast("double").as("duration_s"),
-      when(col("kind") === "video", pmod(bytes, lit(24)) + 1).otherwise(null)
-        .cast("int").as("n_frames"))
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        // per-partition kernel init: no on-disk stream cache, headless raster ops
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes, kind) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val (w, h) =
+            if (kind == "image" && n > 0)
+              Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+                .map(img => (Option(img.getWidth), Option(img.getHeight)))
+                .getOrElse((None, None))
+            else (Option.empty[Int], Option.empty[Int])
+          val dur =
+            if (kind == "audio") Some(math.round(n / 16.0 * 100) / 100.0) else None
+          val frames = if (kind == "video") Some(n % 24 + 1) else None
+          (id, kind, n, w, h, dur, frames)
+        }
+      }
+      .toDF("doc_id", "kind", "n_bytes", "width", "height", "duration_s", "n_frames")
   }
 
   /** STUB frame sampler for video media: emits every k-th "frame" (byte-slice
@@ -61,28 +116,43 @@ object Multimodal {
         posexplode(split(base64(col("media")), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
       .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
 
-  /** STUB resize for image media: computes the scaled-to-fit dimensions for a
-    * bounding box and a proportionally truncated payload stand-in. A real
-    * implementation swaps the byte-slice for a codec resample behind the same
-    * (doc_id, new_width, new_height, media) contract.
+  /** REAL image resize: decode the PNG, scale to fit `maxSide` (never
+    * upscale), resample through Graphics2D, re-encode as PNG. Output media
+    * round-trips through `decodeMeta` at the new dimensions.
     */
-  def resize(media: DataFrame, maxSide: Int): DataFrame =
-    decodeMeta(media).filter(col("kind") === "image")
-      .join(media.select("doc_id", "media"), "doc_id")
-      .withColumn("scale",
-        least(lit(1.0), lit(maxSide.toDouble) / greatest(col("width"), col("height"))))
-      .select(
-        col("doc_id"),
-        ceil(col("width") * col("scale")).cast("int").as("new_width"),
-        ceil(col("height") * col("scale")).cast("int").as("new_height"),
-        expr("substring(media, 1, greatest(1, cast(n_bytes * scale * scale as int)))")
-          .as("media"))
+  def resize(media: DataFrame, maxSide: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("media"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes, kind) =>
+          if (kind != "image" || bytes == null || bytes.isEmpty) None
+          else Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+            val scale = math.min(1.0,
+              maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+            val nw = math.max(1, math.ceil(img.getWidth * scale).toInt)
+            val nh = math.max(1, math.ceil(img.getHeight * scale).toInt)
+            val out = new BufferedImage(nw, nh, BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.drawImage(img.getScaledInstance(nw, nh, java.awt.Image.SCALE_SMOOTH),
+              0, 0, null)
+            g.dispose()
+            val buf = new ByteArrayOutputStream()
+            ImageIO.write(out, "png", buf)
+            (id, nw, nh, buf.toByteArray)
+          }
+        }
+      }
+      .toDF("doc_id", "new_width", "new_height", "media")
+  }
 
   /** Partition-parallel feature extraction over the binary column — the
-    * mapPartitions kernel contract a real codec plugs into: one iterator pass
-    * per partition, per-partition (not per-row) kernel setup, fixed-width
-    * Array[Float] feature output. The DECODE STEP IS A DETERMINISTIC STUB
-    * (a 16-bin byte histogram, L1-normalized, standing in for e.g. an image
+    * mapPartitions kernel contract a real embedding model plugs into: one
+    * iterator pass per partition, per-partition kernel setup, fixed-width
+    * Array[Float] feature output. The FEATURE FUNCTION IS A DETERMINISTIC
+    * STAND-IN (a 16-bin byte histogram, L1-normalized, in place of e.g. a CLIP
     * embedding); schema, batching, and partitioning are the real contract.
     */
   def featureExtract(media: DataFrame, dim: Int = 16): DataFrame = {
@@ -91,7 +161,7 @@ object Multimodal {
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition kernel init happens HERE (a real impl opens the codec once)
+        // per-partition kernel init happens HERE (a real impl loads the model once)
         rows.map { case (id, bytes) =>
           val hist = new Array[Float](dim)
           if (bytes != null && bytes.nonEmpty) {

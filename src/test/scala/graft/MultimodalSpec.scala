@@ -6,9 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.{Multimodal, Tables}
 
-/** Multimodal plumbing: binary column contract, typed metadata, partition-parallel
-  * feature kernel. The decode math is a stub; the schema/partitioning/batching
-  * contract is what these tests pin down.
+/** Multimodal plumbing: binary column contract, typed metadata, REAL PNG
+  * decode/resize via javax.imageio, partition-parallel feature kernel.
   */
 class MultimodalSpec extends SparkSpec {
 
@@ -18,21 +17,60 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
     val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("image", "audio", "video"))
-    // payload bytes are the raw UTF-8 text (stand-in), not lossy
+    // non-image payload bytes are the raw UTF-8 text (stand-in), not lossy;
+    // image payloads are real PNGs (magic bytes)
     val r = media.join(Tables(spark, sfDir, "documents"), "doc_id")
-      .select("media", "text").limit(3).collect()
+      .select("kind", "media", "text").limit(9).collect()
     r.foreach { row =>
-      assert(new String(row.getAs[Array[Byte]](0), StandardCharsets.UTF_8) == row.getString(1))
+      val bytes = row.getAs[Array[Byte]](1)
+      if (row.getString(0) == "image")
+        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N',
+          "image payload must be a real PNG")
+      else
+        assert(new String(bytes, StandardCharsets.UTF_8) == row.getString(2))
     }
   }
 
+  test("decodeMeta performs REAL image decode: dims round-trip through PNG bytes") {
+    import spark.implicits._
+    // construct PNGs of known dimensions, decode them back, and include
+    // undecodable bytes — the honest null path for a broken payload
+    val rows = Seq(
+      (0L, Multimodal.pngBytes(33, 21, seed = 7L), "image"),
+      (3L, Multimodal.pngBytes(128, 64, seed = 9L), "image"),
+      (6L, "not a png at all".getBytes(StandardCharsets.UTF_8), "image"),
+      (1L, "audio payload bytes".getBytes(StandardCharsets.UTF_8), "audio")
+    ).toDF("doc_id", "media", "kind")
+    val got = Multimodal.decodeMeta(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1 else r.getInt(3)), if (r.isNullAt(4)) -1 else r.getInt(4)))
+      .toMap
+    assert(got(0L) == ((33, 21)), s"got ${got(0L)}")
+    assert(got(3L) == ((128, 64)), s"got ${got(3L)}")
+    assert(got(6L) == ((-1, -1)), "undecodable image bytes must yield null dims")
+    assert(got(1L) == ((-1, -1)), "audio rows carry no image dims")
+  }
+
+  test("decoded dimensions equal the synthesis formula on the corpus (oracle contract)") {
+    val docs = Tables(spark, sfDir, "documents")
+    val meta = Multimodal.decodeMeta(Multimodal.asMedia(docs, "doc_id", "text"))
+      .filter(col("kind") === "image")
+    val joined = meta.join(docs, "doc_id")
+      .select(col("doc_id"), col("width"), col("height"),
+        (octet_length(col("text")) % 64 + 16).as("ew"),
+        (octet_length(col("text")) % 48 + 16).as("eh"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("width") =!= col("ew") || col("height") =!= col("eh"))
+      .count() == 0, "decoded dims must match the deterministic synthesis formula")
+  }
+
   test("featureExtract: fixed-dim, L1-normalized, matches a local reference") {
-    val media = Multimodal.asMedia(
-      Tables(spark, sfDir, "documents").filter(col("doc_id") < 5), "doc_id", "text")
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 5 && col("doc_id") % 3 =!= 0) // non-image: text payload
+    val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.featureExtract(media, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val texts = Tables(spark, sfDir, "documents").filter(col("doc_id") < 5)
-      .select("doc_id", "text").collect()
+    val texts = docs.select("doc_id", "text").collect()
       .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
     assert(feats.keySet == texts.keySet)
     texts.foreach { case (id, text) =>
@@ -48,15 +86,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("resize fits images inside the bounding box, preserving aspect") {
+  test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
     val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
-    val resized = Multimodal.resize(media, maxSide = 64).collect()
-    assert(resized.nonEmpty)
-    resized.foreach { r =>
-      val (w, h) = (r.getInt(1), r.getInt(2))
-      assert(w <= 64 && h <= 64, s"doc ${r.getLong(0)}: $w x $h exceeds box")
-      assert(w >= 1 && h >= 1)
-      assert(r.getAs[Array[Byte]](3).nonEmpty)
+    val resized = Multimodal.resize(media, maxSide = 24)
+    val redecoded = Multimodal.decodeMeta(
+      resized.select(col("doc_id"), col("media"), lit("image").as("kind")))
+    val checked = resized.select("doc_id", "new_width", "new_height")
+      .join(redecoded.select("doc_id", "width", "height"), "doc_id")
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      val (nw, nh, w, h) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(nw <= 24 && nh <= 24, s"doc ${r.getLong(0)}: $nw x $nh exceeds box")
+      assert(w == nw && h == nh,
+        s"doc ${r.getLong(0)}: re-decoded $w x $h != claimed $nw x $nh")
     }
   }
 
