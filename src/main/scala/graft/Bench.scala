@@ -43,21 +43,30 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // per-run progress on stderr: a wedged run is diagnosable from the log
+        // tail instead of silently eating the whole bench timeout
+        System.err.println(f"[bench] $name $dt%.2f s")
+        dt
       }
       // 3 runs: the first pays codegen/JIT/shuffle-file warmup that a
       // long-lived 100 TB deployment would have amortized away. Headline =
       // best (the steady-state number); median also reported for noise audit
       // — this box swings 2x between identical runs.
       val runs = Seq(once(), once(), once()).filter(_ >= 0).sorted
-      name -> (if (runs.isEmpty) (-1.0, -1.0) else (runs.head, runs(runs.size / 2)))
+      name -> (if (runs.isEmpty) (-1.0, -1.0, runs) else (runs.head, runs(runs.size / 2), runs))
     }
-    val qs = results.map { case (k, (b, _)) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
-    val med = results.map { case (k, (_, m)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    val qs = results.map { case (k, (b, _, _)) => "\"" + k + "\":" + b }.mkString("{", ",", "}")
+    val med = results.map { case (k, (_, m, _)) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+    // raw sorted runs per query: lets a consumer tell a 2-sample "median"
+    // (one run failed) from a true 3-run median, instead of trusting the label
+    val raw = results.map { case (k, (_, _, r)) =>
+      "\"" + k + "\":[" + r.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""median_total":$totalMed,"queries_median":$med,"sf":"$sfDir"}""")
+      s""""median_total":$totalMed,"queries_median":$med,"queries_runs":$raw,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -147,7 +147,7 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
   * file listing. Runtime filters are best-effort by contract, so predicates
   * that don't translate are dropped, never wrongly applied.
   */
-class GraftStatsScan(delegate: ParquetScan, rowCount: () => Long)
+class GraftStatsScan(val delegate: ParquetScan, rowCount: () => Long)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // runtime-pruned view of the delegate; swapped by filter() at execution time
@@ -167,7 +167,18 @@ class GraftStatsScan(delegate: ParquetScan, rowCount: () => Long)
     delegate.fileIndex.partitionSchema.fieldNames
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
+  // plan/exchange reuse compares Scan instances — identity must follow the
+  // delegate, and a re-executed filter() must not leak the previous run's
+  // pruned delegate (or keep pruning when the new predicates all fail to
+  // translate), so reset to the unpruned delegate before applying filters
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftStatsScan => delegate == o.delegate
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
+
   override def filter(filters: Array[sources.Filter]): Unit = {
+    current = delegate
     val partSchema = delegate.fileIndex.partitionSchema
     def attr(name: String): Option[AttributeReference] =
       partSchema.fields.find(_.name.equalsIgnoreCase(name))

@@ -52,14 +52,32 @@ class AuditListener extends QueryExecutionListener {
       success = error.isEmpty,
       error = error.map(e => e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)),
       // the analyzed plan is the faithful "query text" for DataFrame-built plans;
-      // the reference escapes raw SQL (OkeraEventListener.java:58-64) — same intent
-      sql = qe.analyzed.toString.replaceAll("\\s+", " ").take(2048))
+      // the reference escapes raw SQL (OkeraEventListener.java:58-64) — same
+      // intent. Rendering is BOUNDED: a full toString of a large plan (e.g. an
+      // iterative algorithm's unrolled lineage) costs seconds per action and
+      // turned this listener into the slowest operator in the bench
+      sql = boundedPlanString(qe))
     ring.add(r)
     while (ring.size() > maxRing) ring.poll()
     val status = if (r.success) "success" else "error"
     AuditListener.log.info(
       s"audit queryId=${r.queryId} user=${r.user} startMs=${r.startMs} " +
         s"durationNs=${r.durationNs} status=$status error=${r.error.getOrElse("-")}")
+  }
+
+  /** First ~2 KiB of the analyzed plan tree, aborting the tree walk once the
+    * budget is hit — cost is O(budget), not O(plan size).
+    */
+  private def boundedPlanString(qe: QueryExecution): String = {
+    val limit = 2048
+    val sb = new java.lang.StringBuilder(limit + 64)
+    object Full extends RuntimeException with scala.util.control.NoStackTrace
+    try qe.analyzed.treeString(
+      (s: String) => { if (sb.length < limit) sb.append(s) else throw Full },
+      verbose = false, addSuffix = false, maxFields = 10, printOperatorId = false,
+      printOutputColumns = false)
+    catch { case Full => () }
+    sb.toString.replaceAll("\\s+", " ").take(limit)
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

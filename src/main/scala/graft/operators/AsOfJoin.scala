@@ -1,25 +1,34 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join: for each left row, attach the most recent right row with
-  * rightTime <= leftTime within the same key. Neither the reference's engine
-  * (Trino 400) nor stock Spark SQL has this operator (SURVEY.md §2.4) — composed
-  * here from a union + one window, the Spark-idiomatic pattern:
+/** As-of join: for each left row, attach one right row within the same key,
+  * chosen by time direction. Neither the reference's engine (Trino 400) nor
+  * stock Spark SQL has this operator (SURVEY.md §2.4) — composed here from a
+  * union + one window, the Spark-idiomatic pattern:
   *
   *   union(left tagged, right tagged)
   *     → single shuffle on key
   *     → in-partition sort by (time, side, tiebreak)
-  *     → last(right payload, ignoreNulls) carried forward
+  *     → last/first(right payload, ignoreNulls) carried across the frame
   *     → keep left rows
   *
-  * Exactly one shuffle + one sort regardless of table sizes; no row explosion —
-  * this holds at 100 TB where a naive range-join would be quadratic.
-  * Ties on time: the right row sorts before the left row at equal time (backward
-  * semantics include t_right == t_left); among equal right times the largest
-  * tiebreak value wins.
+  * Exactly one shuffle regardless of table sizes; no row explosion — this
+  * holds at 100 TB where a naive range-join would be quadratic.
+  *
+  * Directions:
+  *  - `backward` — most recent right row with rightTime <= leftTime; ties on
+  *    time include the equal-time right row, and among equal right times the
+  *    LARGEST tiebreak value wins.
+  *  - `forward` — earliest right row with rightTime >= leftTime; equal-time
+  *    right rows are included, and among equal right times the SMALLEST
+  *    tiebreak value wins.
+  *  - `nearest` — whichever of the backward/forward candidates is closer in
+  *    absolute time (microsecond-exact integer compare); exact-distance ties
+  *    resolve backward. Still one shuffle: both window frames share the same
+  *    hash partitioning, so Spark re-sorts in place rather than re-exchanging.
   */
 object AsOfJoin {
 
@@ -28,9 +37,43 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayloadCols: Seq[String],
       rightTieBreak: String,
-      leftPayloadCols: Seq[String] = Nil): DataFrame = {
+      leftPayloadCols: Seq[String] = Nil): DataFrame =
+    run(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "backward")
+
+  def forward(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayloadCols: Seq[String],
+      rightTieBreak: String,
+      leftPayloadCols: Seq[String] = Nil): DataFrame =
+    run(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "forward")
+
+  def nearest(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayloadCols: Seq[String],
+      rightTieBreak: String,
+      leftPayloadCols: Seq[String] = Nil): DataFrame =
+    run(left, right, leftKey, rightKey, leftTime, rightTime,
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "nearest")
+
+  private def run(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightPayloadCols: Seq[String],
+      rightTieBreak: String,
+      leftPayloadCols: Seq[String],
+      direction: String): DataFrame = {
     val payloadCols = (rightPayloadCols :+ rightTieBreak).distinct
-    val payload = struct(payloadCols.map(col): _*)
+    // nearest needs the matched row's event time for the distance compare;
+    // microsecond longs keep it integer-exact (double seconds would round)
+    val payloadFields = payloadCols.map(col) ++
+      (if (direction == "nearest")
+        Seq(unix_micros(col(rightTime).cast("timestamp")).as("__rt"))
+      else Nil)
+    val payload = struct(payloadFields: _*)
     // carry only the requested left columns through the shuffle+window —
     // Catalyst cannot prune struct fields through last(..., ignoreNulls), so
     // narrowing here is what keeps the exchanged bytes proportional to what the
@@ -61,12 +104,45 @@ object AsOfJoin {
       lit(null).cast(lRowType).as("__lrow"),
       payload.as("__rrow"))
 
-    val w = Window.partitionBy("__k")
+    // backward: right(side 0) sorts BEFORE left at equal time so <= includes
+    // it; largest tiebreak wins via last() over an ascending tie order.
+    // forward: right sorts AFTER left at equal time (side desc) so >= includes
+    // it; smallest tiebreak wins via first() over the ascending tie order.
+    val wb = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").desc, col("__tie").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = l.unionByName(r)
 
-    l.unionByName(r)
-      .withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(w))
+    val matched = direction match {
+      case "backward" =>
+        unioned.withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(wb))
+      case "forward" =>
+        unioned.withColumn("__match", first(col("__rrow"), ignoreNulls = true).over(wf))
+      case "nearest" =>
+        val lt = unix_micros(col("__t").cast("timestamp"))
+        val b = last(col("__rrow"), ignoreNulls = true).over(wb)
+        val f = first(col("__rrow"), ignoreNulls = true).over(wf)
+        val pick = unioned
+          .withColumn("__b", b).withColumn("__f", f)
+          .withColumn("__pick",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              // strictly closer forward wins; equal distance → backward
+              .when(abs(col("__f.__rt") - lt) < abs(lt - col("__b.__rt")), col("__f"))
+              .otherwise(col("__b")))
+        // rebuild the payload struct without the internal __rt field so all
+        // three directions present the same `asof` shape to callers
+        pick.withColumn("__match",
+          when(col("__pick").isNull, lit(null).cast(right.select(
+            struct(payloadCols.map(col): _*)).schema.head.dataType))
+            .otherwise(struct(payloadCols.map(c => col(s"__pick.$c")): _*)))
+      case other => throw new IllegalArgumentException(
+        s"unknown as-of direction '$other' (backward|forward|nearest)")
+    }
+    matched
       .filter(col("__side") === 1)
       .select(col("__lrow.*"), col("__match").as("asof"))
   }

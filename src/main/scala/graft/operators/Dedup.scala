@@ -119,8 +119,9 @@ object Dedup {
     // inside ONE reducer — a boilerplate corpus (m ~ millions at 100 TB) would
     // wedge the stage. Buckets wider than maxBucket are split into
     // ceil(m/maxBucket) salt groups keyed by xxhash64(band, doc_id): reducers
-    // are bounded by ~maxBucket² regardless of skew. The salt is
-    // band-independent, so a pair sharing k hot buckets still collides with
+    // are bounded by ~maxBucket² regardless of skew. Salts are independent
+    // ACROSS bands (the band is hashed into the salt), so a pair sharing k hot
+    // buckets still collides with
     // prob 1-(1-1/nsplit)^k, and `clusters()` transitively reconnects the
     // component even when individual pairs are dropped. The width count is a
     // map-side-combined aggregate over the narrow bucket stream and the hot
@@ -200,20 +201,29 @@ object Dedup {
     * self-join): propagation moves a label one hop, halving collapses label
     * chains geometrically, so convergence takes O(log diameter) rounds — a
     * path graph of length 2^20 converges within the default maxIter, unlike
-    * plain propagation which moves one hop per round. Every ~4 iterations the
-    * label frame is `localCheckpoint`ed to truncate the otherwise linearly
-    * growing plan lineage. Non-convergence at maxIter throws — silently
-    * returning partially merged components is how a dedup pipeline
-    * over-retains duplicates without anyone noticing.
+    * plain propagation which moves one hop per round. The label frame is
+    * eagerly `localCheckpoint`ed EVERY iteration: the halving self-join
+    * doubles the logical plan, so an uncheckpointed loop grows the plan ~4×
+    * per round and the driver ends up spending tens of minutes per job just
+    * analyzing and stringifying million-node plans (Spark renders the plan
+    * for the listener bus on every action) — caching bounds executor compute
+    * but does nothing for driver-side plan size. Non-convergence at maxIter
+    * throws — silently returning partially merged components is how a dedup
+    * pipeline over-retains duplicates without anyone noticing.
     */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint rather than cache: a cache bounds recompute but leaves
+    // the full upstream plan (e.g. the whole minhash LSH pipeline) inside
+    // every iteration's logical plan, where it gets re-canonicalized for
+    // cache lookup and re-stringified for the listener bus on every action —
+    // the loop must start from a plan LEAF
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("label", col("doc_id"))
-      .cache()
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -235,21 +245,18 @@ object Dedup {
           Seq("label"), "left")
         .select(col("doc_id"),
           coalesce(col("plabel"), col("label")).as("label"))
-      val next =
-        (if ((i + 1) % 4 == 0) halved.localCheckpoint() else halved).cache()
-      // materialize next FULLY before unpersisting its parents: a partial
-      // materialization (e.g. via isEmpty's limit-1) would leave uncached
-      // partitions whose recompute chains reach back through every unpersisted
-      // iteration to the original pair computation — observed as a 6x blowup
-      next.count()
+      // eager localCheckpoint: materializes next (so prop can be dropped) AND
+      // resets the logical plan to a LogicalRDD leaf — see the scaladoc note
+      val next = halved.localCheckpoint()
       converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).isEmpty
       prop.unpersist()
-      labels.unpersist()
+      // old labels' checkpoint blocks are reclaimed by the context cleaner
+      // once unreferenced; explicit unpersist on a checkpointed frame is a
+      // no-op, so we simply drop the reference
       labels = next
       i += 1
     }
-    edges.unpersist()
     if (!converged) throw new IllegalStateException(
       s"Dedup.clusters did not converge within $maxIter iterations — " +
         "component labels would be partially merged; raise maxIter")

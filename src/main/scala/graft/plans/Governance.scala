@@ -31,11 +31,19 @@ case class TablePolicy(
   */
 object GovernancePolicies {
   private val policies = TrieMap.empty[(String, String), TablePolicy]
-  def register(table: String, p: TablePolicy): Unit =
-    policies.put(("*", table.toLowerCase), p)
-  def registerFor(user: String, table: String, p: TablePolicy): Unit =
-    policies.put((user.toLowerCase, table.toLowerCase), p)
-  def clear(): Unit = policies.clear()
+  // bumped on every registry mutation: anything that caches an ANALYZED plan
+  // (temp-view registration, metadata caches) must key on this, because the
+  // governance rewrite happens at analysis time and is tagged exactly-once —
+  // a plan analyzed under old policies silently keeps them
+  private val epochCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  def epoch: Long = epochCounter.get()
+  def register(table: String, p: TablePolicy): Unit = {
+    policies.put(("*", table.toLowerCase), p); epochCounter.incrementAndGet()
+  }
+  def registerFor(user: String, table: String, p: TablePolicy): Unit = {
+    policies.put((user.toLowerCase, table.toLowerCase), p); epochCounter.incrementAndGet()
+  }
+  def clear(): Unit = { policies.clear(); epochCounter.incrementAndGet() }
   def get(table: String): Option[TablePolicy] = getFor("*", table)
   def getFor(user: String, table: String): Option[TablePolicy] =
     policies.get((user.toLowerCase, table.toLowerCase))

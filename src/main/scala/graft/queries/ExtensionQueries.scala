@@ -119,6 +119,30 @@ object ExtensionQueries {
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_totalprice").as("o_totalprice"))),
 
+    "q_asof_forward" -> ((s, d) =>
+      AsOfJoin.forward(
+        left = t(s, d, "events"), right = t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey",
+        leftPayloadCols = Seq("event_id", "user_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_totalprice").as("o_totalprice"))),
+
+    "q_asof_nearest" -> ((s, d) =>
+      AsOfJoin.nearest(
+        left = t(s, d, "events"), right = t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey",
+        leftPayloadCols = Seq("event_id", "user_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_totalprice").as("o_totalprice"))),
+
     // ---- governance (reference X4: planner-side row/column policy) ----
     "q_governance" -> ((s, d) =>
       Governance.secure(t(s, d, "customer"), TablePolicy(
@@ -136,21 +160,25 @@ object ExtensionQueries {
         Tables.registerAll(s, d)
         s.sql("SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer")
       } finally {
+        // the rule consults the registry at analysis time and the temp views
+        // themselves are never rewritten, so clearing the registry is all
+        // later queries need
         GovernancePolicies.clear()
-        Tables.registerAll(s, d) // re-register views ungoverned for later queries
       }
     }),
 
-    // ---- multimodal decode (REAL javax.imageio PNG decode for images) ----
-    // The oracle computes image dimensions from the same deterministic formula
-    // asMedia uses to SYNTHESIZE the PNGs; the engine value comes from actually
-    // DECODING them — a hash match proves the decode is real. Image payload
-    // size is codec-dependent, so n_bytes is only checked for non-image rows.
+    // ---- multimodal decode (REAL javax.imageio PNG + javax.sound WAV) ----
+    // The oracle computes image dimensions / audio duration+rate from the same
+    // deterministic formulas asMedia uses to SYNTHESIZE the payloads; the
+    // engine values come from actually DECODING them — a hash match proves
+    // both decodes are real. Image/audio payload sizes are codec-dependent, so
+    // n_bytes is only checked for video rows (raw byte payload stand-in).
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
         .select(col("doc_id"), col("kind"),
-          when(col("kind") =!= "image", col("n_bytes")).cast("int").as("src_bytes"),
-          col("width"), col("height"), col("duration_s"), col("n_frames")))
+          when(col("kind") === "video", col("n_bytes")).cast("int").as("src_bytes"),
+          col("width"), col("height"), col("duration_s"), col("sample_rate"),
+          col("n_frames")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,6 +300,28 @@ object ExtensionQueries {
         "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
         "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
 
+    // forward: earliest order at-or-after the event; smallest orderkey on ties
+    "q_asof_forward" ->
+      ("WITH m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id " +
+        "ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn " +
+        "FROM events e LEFT JOIN orders o " +
+        "ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts) " +
+        "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
+
+    // nearest: min |Δt| in exact integer microseconds; distance ties prefer the
+    // backward side, then the per-side tiebreak (backward: largest orderkey,
+    // forward: smallest) — mirrors AsOfJoin.nearest exactly
+    "q_asof_nearest" ->
+      ("WITH m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id ORDER BY " +
+        "abs(epoch_us(o.o_orderdate::TIMESTAMP) - epoch_us(e.ts::TIMESTAMP)) ASC, " +
+        "CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC, " +
+        "CASE WHEN o.o_orderdate <= e.ts THEN -o.o_orderkey ELSE o.o_orderkey END ASC" +
+        ") AS rn " +
+        "FROM events e LEFT JOIN orders o ON o.o_custkey = e.user_id) " +
+        "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
+
     "q_governance" ->
       ("SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_mktsegment " +
         "FROM customer WHERE c_nationkey < 20"),
@@ -280,14 +330,17 @@ object ExtensionQueries {
       ("SELECT c_custkey, md5(c_name) AS c_name, c_nationkey, c_mktsegment " +
         "FROM customer WHERE c_nationkey < 20"),
 
+    // duration: one WAV sample per text byte at 8192 Hz — n/8192.0 is exact in
+    // double (power-of-two divisor), so no rounding is needed on either side
     "q_multimodal_meta" ->
       ("SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, " +
-        "(CASE WHEN doc_id % 3 <> 0 THEN octet_length(encode(text)) END)::INTEGER AS src_bytes, " +
-        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 64 + 16 END)::INTEGER AS width, " +
-        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(text)) % 48 + 16 END)::INTEGER AS height, " +
-        "(CASE WHEN doc_id % 3 = 1 THEN round(octet_length(encode(text)) / 16.0, 2) END)::DOUBLE AS duration_s, " +
-        "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(text)) % 24 + 1 END)::INTEGER AS n_frames " +
+        "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(coalesce(text, ''))) END)::INTEGER AS src_bytes, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(coalesce(text, ''))) % 64 + 16 END)::INTEGER AS width, " +
+        "(CASE WHEN doc_id % 3 = 0 THEN octet_length(encode(coalesce(text, ''))) % 48 + 16 END)::INTEGER AS height, " +
+        "(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(coalesce(text, ''))) / 8192.0 END)::DOUBLE AS duration_s, " +
+        "(CASE WHEN doc_id % 3 = 1 THEN 8192 END)::INTEGER AS sample_rate, " +
+        "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(coalesce(text, ''))) % 24 + 1 END)::INTEGER AS n_frames " +
         "FROM documents")
   )
 }

@@ -4,6 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -16,9 +17,11 @@ import org.apache.spark.sql.types._
   *
   * Image decode, metadata extraction, and resize are REAL: payloads are PNG
   * bytes and the kernels run `javax.imageio` (in the JVM, no external codec).
-  * Audio/video remain deterministic byte-payload STUBS (the container ships no
-  * audio/video codec): their metadata derives from payload size behind the same
-  * kernel signature a real decoder would use.
+  * Audio decode is REAL too: payloads are WAV (16-bit mono PCM) and the kernel
+  * reads frame count / sample rate through `javax.sound.sampled` — file-format
+  * parsing only, no audio hardware involved. Video remains a deterministic
+  * byte-payload STUB (the JVM ships no video codec): its metadata derives from
+  * payload size behind the same kernel signature a real decoder would use.
   */
 object Multimodal {
 
@@ -46,18 +49,51 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM WAV at 8192 Hz with `nSamples` samples:
+    * sample i is a pure function of (i, seed), so the same doc always produces
+    * the same audio. The power-of-two sample rate makes
+    * `duration = nSamples / 8192.0` an EXACT double, so an external oracle can
+    * compute the decoded duration from the sample count with no rounding.
+    */
+  private[graft] def wavBytes(nSamples: Int, seed: Long): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((i * 2654435761L + seed) & 0xffffL) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8192f, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new ByteArrayOutputStream()
+    try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out) finally ais.close()
+    out.toByteArray
+  }
+
   /** Wrap a text corpus as binary media. Image-kind docs (doc_id % 3 == 0) get
     * REAL PNG payloads whose dimensions derive from the text's UTF-8 byte
-    * length (width = n % 64 + 16, height = n % 48 + 16) — a formula an external
-    * oracle can compute without decoding, so `decodeMeta`'s decoded dimensions
-    * are checkable end-to-end. Audio/video docs carry the raw text bytes
-    * (payload stand-in).
+    * length (width = n % 64 + 16, height = n % 48 + 16); audio-kind docs
+    * (doc_id % 3 == 1) get REAL WAV payloads with one sample per text byte —
+    * formulas an external oracle can compute without decoding, so
+    * `decodeMeta`'s decoded dimensions/duration are checkable end-to-end.
+    * Video docs carry the raw text bytes (payload stand-in).
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // kind derivation (id % 3) genuinely needs a numeric id, so unlike the
+    // other Keys.id callers a non-integral key must fail here, loudly — not
+    // as a null from a silent string→long cast inside the encoder
+    val idType = docs.select(col(idCol)).schema.head.dataType
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"asMedia id column '$idCol' must be integral (kind = id % 3); " +
+          s"got ${other.simpleString}")
+    }
     docs
-      .select(graft.operators.Keys.id(docs, idCol).cast("long").as("doc_id"),
+      .select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -66,10 +102,11 @@ object Multimodal {
           val kind = id % 3 match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
-          val media =
-            if (kind == "image")
-              pngBytes(bytes.length % 64 + 16, bytes.length % 48 + 16, id)
-            else bytes
+          val media = kind match {
+            case "image" => pngBytes(bytes.length % 64 + 16, bytes.length % 48 + 16, id)
+            case "audio" => wavBytes(bytes.length, id)
+            case _ => bytes
+          }
           (id, media, kind)
         }
       }
@@ -77,10 +114,12 @@ object Multimodal {
   }
 
   /** Decode metadata per media row. Image width/height come from REAL
-    * `ImageIO` decode of the PNG payload (nulls on undecodable bytes — the
-    * honest failure mode); audio duration / video frame count remain size-based
-    * stubs (no JVM codec for those). One iterator pass per partition,
-    * per-partition kernel setup.
+    * `ImageIO` decode of the PNG payload; audio duration / sample rate from
+    * REAL `AudioSystem` parsing of the WAV payload (duration = frame count /
+    * frame rate, exact at the power-of-two rate). Undecodable bytes yield
+    * nulls — the honest failure mode. Video frame count remains a size-based
+    * stub (no JVM video codec). One iterator pass per partition, per-partition
+    * kernel setup.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -98,13 +137,23 @@ object Multimodal {
                 .map(img => (Option(img.getWidth), Option(img.getHeight)))
                 .getOrElse((None, None))
             else (Option.empty[Int], Option.empty[Int])
-          val dur =
-            if (kind == "audio") Some(math.round(n / 16.0 * 100) / 100.0) else None
+          val (dur, rate) =
+            if (kind == "audio" && n > 0)
+              try {
+                val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+                try {
+                  val f = ais.getFormat
+                  (Some(ais.getFrameLength.toDouble / f.getFrameRate.toDouble),
+                    Some(f.getSampleRate.toInt))
+                } finally ais.close()
+              } catch { case _: Exception => (None, None) }
+            else (Option.empty[Double], Option.empty[Int])
           val frames = if (kind == "video") Some(n % 24 + 1) else None
-          (id, kind, n, w, h, dur, frames)
+          (id, kind, n, w, h, dur, rate, frames)
         }
       }
-      .toDF("doc_id", "kind", "n_bytes", "width", "height", "duration_s", "n_frames")
+      .toDF("doc_id", "kind", "n_bytes", "width", "height", "duration_s",
+        "sample_rate", "n_frames")
   }
 
   /** STUB frame sampler for video media: emits every k-th "frame" (byte-slice

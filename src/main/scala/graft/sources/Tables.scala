@@ -39,9 +39,22 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Register every fixture table as a temp view so `spark.sql` corpora work. */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  // last (dir, governance epoch) registered per session: registering builds
+  // 10 DataFrames (a parquet footer/schema read each), which at ~3.5 s per
+  // call dominated every SQL-corpus query when re-run per invocation. The
+  // governance epoch is part of the key because temp views store their
+  // ANALYZED plan — a view analyzed under old policies keeps them forever,
+  // so any policy change must force re-registration.
+  private val lastReg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Register every fixture table as a temp view so `spark.sql` corpora work.
+    * Idempotent per (session, dir, governance epoch).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val state = dir + "@" + graft.plans.GovernancePolicies.epoch
+    if (lastReg.put(System.identityHashCode(spark).toString, state) != state)
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+  }
 
   /** Register the graft DSv2 catalog over `dir` (idempotent; first dir wins for
     * the session since CatalogManager caches the instance) and enable parquet

@@ -42,6 +42,66 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(4L) == -1L, "unmatched key must be kept with null payload")
   }
 
+  test("forward as-of picks earliest right row at or after left time") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // equal-ts rows included, min tiebreak
+      (2L, 10L, ts("2024-01-01 10:30:00")),
+      (3L, 10L, ts("2024-01-01 12:00:00")), // after all right rows → null
+      (4L, 99L, ts("2024-01-01 10:00:00"))  // key with no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), 5.0),
+      (101L, 10L, ts("2024-01-01 10:00:00"), 6.0),
+      (102L, 10L, ts("2024-01-01 10:00:00"), 7.0),
+      (103L, 10L, ts("2024-01-01 11:00:00"), 8.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+    val out = AsOfJoin.forward(left, right,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out(1L) == 101L, "equal-time right row with min tiebreak must win")
+    assert(out(2L) == 103L)
+    assert(out(3L) == -1L, "left row after all right rows must be unmatched")
+    assert(out(4L) == -1L, "unmatched key must be kept with null payload")
+  }
+
+  test("nearest as-of picks the closer side; exact ties resolve backward") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:10:00")), // 10 min after A, 50 min before B → A
+      (2L, 10L, ts("2024-01-01 10:45:00")), // 45 after A, 15 before B → B
+      (3L, 10L, ts("2024-01-01 10:30:00")), // exactly midway → backward (A)
+      (4L, 10L, ts("2024-01-01 07:00:00")), // before all → forward only (A)
+      (5L, 10L, ts("2024-01-01 23:00:00")), // after all → backward only (B)
+      (6L, 99L, ts("2024-01-01 10:00:00"))  // no right rows → null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 10:00:00"), 5.0), // A
+      (101L, 10L, ts("2024-01-01 11:00:00"), 8.0)  // B
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+
+    val out = AsOfJoin.nearest(left, right,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = "o_orderkey")
+      .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    assert(out(1L) == 100L)
+    assert(out(2L) == 101L)
+    assert(out(3L) == 100L, "exact-distance tie must resolve to the backward row")
+    assert(out(4L) == 100L, "no backward candidate → forward row")
+    assert(out(5L) == 101L, "no forward candidate → backward row")
+    assert(out(6L) == -1L)
+  }
+
   test("string keys join correctly (no silent long coercion)") {
     import spark.implicits._
     val left = Seq(

@@ -17,18 +17,42 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
     val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("image", "audio", "video"))
-    // non-image payload bytes are the raw UTF-8 text (stand-in), not lossy;
-    // image payloads are real PNGs (magic bytes)
+    // image payloads are real PNGs, audio payloads are real WAVs (magic
+    // bytes); video payload bytes are the raw UTF-8 text (stand-in), not lossy
     val r = media.join(Tables(spark, sfDir, "documents"), "doc_id")
       .select("kind", "media", "text").limit(9).collect()
     r.foreach { row =>
       val bytes = row.getAs[Array[Byte]](1)
-      if (row.getString(0) == "image")
-        assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N',
-          "image payload must be a real PNG")
-      else
-        assert(new String(bytes, StandardCharsets.UTF_8) == row.getString(2))
+      row.getString(0) match {
+        case "image" =>
+          assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N',
+            "image payload must be a real PNG")
+        case "audio" =>
+          assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
+            "audio payload must be a real WAV (RIFF header)")
+        case _ =>
+          assert(new String(bytes, StandardCharsets.UTF_8) == row.getString(2))
+      }
     }
+  }
+
+  test("decodeMeta performs REAL audio decode: duration/rate round-trip through WAV bytes") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.wavBytes(4096, seed = 5L), "audio"), // 0.5 s exactly
+      (4L, Multimodal.wavBytes(12288, seed = 6L), "audio"), // 1.5 s exactly
+      (7L, "definitely not a wav".getBytes(StandardCharsets.UTF_8), "audio"),
+      (0L, Multimodal.pngBytes(20, 20, seed = 1L), "image")
+    ).toDF("doc_id", "media", "kind")
+    val got = Multimodal.decodeMeta(rows).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(5)) -1.0 else r.getDouble(5)),
+          if (r.isNullAt(6)) -1 else r.getInt(6)))
+      .toMap
+    assert(got(1L) == ((0.5, 8192)), s"got ${got(1L)}")
+    assert(got(4L) == ((1.5, 8192)), s"got ${got(4L)}")
+    assert(got(7L) == ((-1.0, -1)), "undecodable audio bytes must yield null duration/rate")
+    assert(got(0L) == ((-1.0, -1)), "image rows carry no audio metadata")
   }
 
   test("decodeMeta performs REAL image decode: dims round-trip through PNG bytes") {
@@ -66,7 +90,7 @@ class MultimodalSpec extends SparkSpec {
 
   test("featureExtract: fixed-dim, L1-normalized, matches a local reference") {
     val docs = Tables(spark, sfDir, "documents")
-      .filter(col("doc_id") < 5 && col("doc_id") % 3 =!= 0) // non-image: text payload
+      .filter(col("doc_id") < 9 && col("doc_id") % 3 === 2) // video: raw text payload
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.featureExtract(media, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
