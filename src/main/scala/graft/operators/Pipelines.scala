@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation (the north-star use case, SURVEY.md §2.13):
@@ -33,5 +34,59 @@ object Pipelines {
         TextAnalysis.langPred(text) === lang)
       .select(Keys.id(docs, idCol).as("doc_id"), text.as("__text"))
     Dedup.exact(kept, "doc_id", "__text")
+  }
+
+  /** Sequence packing for training-data prep: concatenate documents (in
+    * deterministic doc_id order within a shard) and cut every `maxTokens`
+    * tokens — the standard concat-and-chunk packing an LLM data loader does,
+    * with documents allowed to straddle pack boundaries. Returns per document
+    * its shard, token count, pack id, and starting offset inside the pack.
+    *
+    * Scale shape: one shuffle on the shard key, an in-partition sort by
+    * doc_id, and a linear running-sum window — packing 100 TB is exactly one
+    * exchange of (doc_id, n_tokens) pairs. Shards are independent (a doc
+    * never crosses shards), so downstream writers can emit one pack stream
+    * per shard with no coordination.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 2048, shards: Int = 64): DataFrame = {
+    require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    val base = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      nTok.cast("long").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+    // exclusive running sum = where this doc's tokens start in the shard's
+    // concatenated token stream; pack id / offset are pure arithmetic on it
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("start_tok") / maxTokens).as("pack_id"),
+        pmod(col("start_tok"), lit(maxTokens.toLong)).as("pack_offset"))
+  }
+
+  /** Deterministic hash-based mixture sampling: keep a row iff the first 8 hex
+    * chars of md5(doc_id) sort below the rate's threshold — the reproducible
+    * per-source downsampling a training-mixture spec needs ("25% of web, 90%
+    * of books"). md5 is stable across engines and the comparison is plain
+    * string ordering, so the exact kept-set is portable (and SQL-oracle-able),
+    * unlike seeded RNG sampling whose kept-set is engine-private. Rates
+    * clamp: >= 1 keeps everything, <= 0 keeps nothing. Narrow filter, no
+    * shuffle; resampling with a different mixture re-reads, never re-shuffles.
+    */
+  def hashSample(docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    def thresholdHex(r: Double): String =
+      if (r >= 1.0) "g" // sorts above every hex digit → keep all
+      else if (r <= 0.0) "" // nothing sorts below empty → keep none
+      else f"${(r * (1L << 32)).toLong}%08x"
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 8)
+    val threshold = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (src, r)) => when(col(sourceCol) === src, lit(thresholdHex(r))).otherwise(acc)
+    }
+    docs.filter(bucket < threshold)
+      .select(Keys.id(docs, idCol).as("doc_id"), col(sourceCol).as("source"))
   }
 }

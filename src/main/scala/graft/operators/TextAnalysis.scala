@@ -76,6 +76,32 @@ object TextAnalysis {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       size(words(col(textCol))).as("n_ws_tokens"))
 
+  /** PII scrubbing: replace emails, IPv4 addresses, and phone-like digit runs
+    * with typed placeholders, and report per-kind hit counts. Patterns are
+    * deliberately restricted to syntax that Java regex and RE2 interpret
+    * identically (no backrefs, no lookaround), so an external SQL engine can
+    * state the same rewrite — and so the operator ports to any regex engine a
+    * production scrubber would use. Scrub order (email → ip → phone) matters:
+    * emails and IPs contain digit runs the phone pattern would otherwise eat.
+    * One narrow codegen'd pass, no shuffle — linear at 100 TB.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d[0-9()\\- ]{6,}[0-9]"
+
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailPattern, "[EMAIL]")
+    val t2 = regexp_replace(t1, Ipv4Pattern, "[IP]")
+    val t3 = regexp_replace(t2, PhonePattern, "[PHONE]")
+    docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      t3.as("scrubbed"),
+      regexp_count(t0, lit(EmailPattern)).as("n_emails"),
+      regexp_count(t1, lit(Ipv4Pattern)).as("n_ips"),
+      regexp_count(t2, lit(PhonePattern)).as("n_phones"))
+  }
+
   /** Winnowing fingerprint (rolling-hash document sketch, cf. Schleimer et al.
     * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
     * hash every word k-gram (the rolling window), keep the `sketchSize`

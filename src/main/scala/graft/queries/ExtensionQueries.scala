@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Pipelines, Similarity, TextAnalysis}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables}
 import graft.streaming.EventStreams
@@ -95,6 +95,20 @@ object ExtensionQueries {
 
     "q_text_tokens" -> ((s, d) =>
       TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- PII scrubbing (regex dialect restricted to Java-regex ∩ RE2) ----
+    "q_text_scrub" -> ((s, d) =>
+      TextAnalysis.scrubPii(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
+    "q_pack_sequences" -> ((s, d) =>
+      Pipelines.packSequences(t(s, d, "documents"), "doc_id", "text",
+        maxTokens = 512, shards = 8)),
+
+    "q_mixture_sample" -> ((s, d) =>
+      Pipelines.hashSample(t(s, d, "documents"), "doc_id", "source",
+        rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
+        defaultRate = 0.5)),
 
     // ---- streaming-shaped windows (batch-verified here; stream runs in tests) ----
     "q_events_tumbling" -> ((s, d) =>
@@ -265,6 +279,44 @@ object ExtensionQueries {
         "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INTEGER AS n_bpe_tokens, " +
         "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))::INTEGER AS n_ws_tokens " +
         "FROM documents"),
+
+    // same scrub order (email → ip → phone) and same patterns, counted on the
+    // same intermediate stages; 'g' because DuckDB replaces first-match only
+    // by default while Spark always replaces all
+    "q_text_scrub" ->
+      ("WITH s1 AS (SELECT doc_id, text AS t0, " +
+        "regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1 " +
+        "FROM documents), " +
+        "s2 AS (SELECT doc_id, t0, t1, " +
+        "regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS t2 " +
+        "FROM s1) " +
+        "SELECT doc_id, " +
+        "regexp_replace(t2, '\\+?\\d[0-9()\\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed, " +
+        "len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INTEGER AS n_emails, " +
+        "len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INTEGER AS n_ips, " +
+        "len(regexp_extract_all(t2, '\\+?\\d[0-9()\\- ]{6,}[0-9]'))::INTEGER AS n_phones " +
+        "FROM s2"),
+
+    // identical concat-and-chunk arithmetic: exclusive running token sum per
+    // shard, pack boundaries every 512 tokens, docs straddle boundaries
+    "q_pack_sequences" ->
+      ("WITH b AS (SELECT doc_id, (doc_id % 8)::INTEGER AS shard, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0)) AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, shard, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM b) " +
+        "SELECT doc_id, shard, n_tokens, " +
+        "(start_tok // 512) AS pack_id, (start_tok % 512) AS pack_offset FROM c"),
+
+    // md5-prefix thresholds: 0.9→e6666666, 0.5→80000000, 0.25→40000000, 0→''
+    // (string compare of lowercase hex — portable across engines, unlike
+    // seeded RNG sampling whose kept-set is engine-private)
+    "q_mixture_sample" ->
+      ("SELECT doc_id, source FROM documents " +
+        "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
+        "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
+        "WHEN 'src2' THEN '' ELSE '80000000' END"),
 
     "q_events_tumbling" ->
       // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads
