@@ -15,7 +15,8 @@ object Bench {
     "q_dedup_minhash", "q_sim_topk", "q_text_stats",
     "q_events_session", "q_asof_join",
     "q_catalog_scan", "q_count_pushdown", "q_pipeline_curate",
-    "q_dedup_clusters", "q_window_timerange")
+    "q_dedup_clusters", "q_window_timerange",
+    "q_asof_nearest", "q_pack_sequences", "q_text_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -100,11 +100,18 @@ object Dedup {
 
     val cached = shingleArrays(docs, idCol, textCol, n).cache()
 
-    // narrow: numPerm signature mins per doc, straight from the array
+    // narrow: numPerm signature mins per doc, straight from the array.
+    // Cached because three consumers read it (the hot-bucket width aggregate
+    // and both sides of the band self-join — exchange reuse covers the join
+    // sides but not the aggregate): signatures are numPerm longs per doc, and
+    // computing them is the pipeline's dominant narrow cost (numPerm hashes
+    // per shingle). At 100 TB a deployment materializes signatures to storage
+    // once and reuses them across dedup runs — this cache is the single-run
+    // form of that standard practice.
     val sigCols = (0 until numPerm).map { j =>
       expr(s"array_min(transform(shs, s -> xxhash64($j, s)))").as(s"m$j")
     }
-    val sig = cached.select(col("doc_id") +: sigCols: _*)
+    val sig = cached.select(col("doc_id") +: sigCols: _*).cache()
 
     // band hashes: narrow (band, bh) keys, then equality self-join per bucket
     val bandCols = (0 until bands).map { k =>

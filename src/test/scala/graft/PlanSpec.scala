@@ -234,4 +234,40 @@ class PlanSpec extends SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 1, s"expected exactly 1 shuffle, got $shuffles:\n$plan")
   }
+
+  test("nearest as-of still plans one shuffle: both window frames share the partitioning") {
+    val events = graft.sources.Tables(spark, sfDir, "events")
+    val orders = graft.sources.Tables(spark, sfDir, "orders")
+    val out = graft.operators.AsOfJoin.nearest(events, orders,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"), "o_orderkey")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("NestedLoop"),
+      s"nearest as-of must not plan a join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1,
+      s"backward+forward windows must reuse one exchange, got $shuffles:\n$plan")
+  }
+
+  test("sequence packing plans exactly one shuffle (shard exchange + window)") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.packSequences(docs, "doc_id", "text",
+      maxTokens = 512, shards = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"packing must not join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly the shard shuffle, got $shuffles:\n$plan")
+  }
+
+  test("mixture sampling and PII scrub are narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val sampled = graft.operators.Pipelines.hashSample(
+      docs, "doc_id", "source", Map("src0" -> 0.5), defaultRate = 0.25)
+    val scrubbed = graft.operators.TextAnalysis.scrubPii(docs, "doc_id", "text")
+    for ((label, df) <- Seq("hashSample" -> sampled, "scrubPii" -> scrubbed)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$label must be a narrow pass, found a shuffle:\n$plan")
+    }
+  }
 }
