@@ -22,7 +22,7 @@ object Dedup {
     * n words yield an empty array — `sequence(1, 0)` is DESCENDING `[1, 0]` in
     * Spark, so an unguarded transform would call `slice(w, 0, n)` and throw.
     */
-  private def shingleArrayExpr(n: Int): Column = expr(
+  private[operators] def shingleArrayExpr(n: Int): Column = expr(
     s"case when size(w) >= $n then " +
       s"transform(sequence(1, size(w) - ${n - 1}), " +
       s"i -> xxhash64(concat_ws(' ', slice(w, i, $n)))) " +

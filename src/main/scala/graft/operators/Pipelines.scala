@@ -67,6 +67,74 @@ object Pipelines {
         pmod(col("start_tok"), lit(maxTokens.toLong)).as("pack_offset"))
   }
 
+  /** Corpus-level line deduplication (the C4/CCNet preprocessing step): drop
+    * every line whose corpus-wide occurrence count reaches `minCount`
+    * (`keepFirst = true` instead keeps the globally-first occurrence, ordered
+    * by (doc_id, position) — CCNet's variant). Returns per document the
+    * reassembled text plus kept/dropped line counts; documents whose lines are
+    * all dropped survive with empty text, so the output is a total function of
+    * the input corpus.
+    *
+    * Scale shape: one exchange hash-partitioned on the line (both the
+    * occurrence count and the first-occurrence rank come from window functions
+    * over that same partitioning), then one exchange on doc_id to reassemble.
+    * Two shuffles of (doc_id, pos, line) triples is the floor for a corpus-wide
+    * line count + per-doc reassembly; no self-join of the corpus ever forms.
+    * A pathological line shared by m documents costs one reducer O(m) — counts
+    * and ranks are streaming aggregates, never m² pairs.
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 2, keepFirst: Boolean = false, sep: String = "\n"): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would drop every line)")
+    val lines = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val byLine = Window.partitionBy("line")
+    val firstOcc = byLine.orderBy("doc_id", "pos")
+    val keep = lines
+      .withColumn("cnt", count(lit(1)).over(byLine))
+      .withColumn("rn", row_number().over(firstOcc))
+      .withColumn("keep",
+        col("cnt") < minCount || (lit(keepFirst) && col("rn") === 1))
+    keep.groupBy("doc_id").agg(
+      array_join(
+        transform(
+          array_sort(collect_list(when(col("keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line")),
+        sep).as("clean_text"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
+  /** Test-set decontamination: count, per document, how many of its distinct
+    * word n-gram shingles also occur in `evalDocs` (the benchmark/eval corpus),
+    * and return documents with at least `minHits` overlapping shingles — the
+    * standard n-gram–overlap contamination check run before training.
+    *
+    * Scale shape: the corpus side is narrow — per-doc distinct shingle arrays
+    * (no corpus-wide distinct), exploded straight into a broadcast hash join
+    * against the (small) eval shingle set, so only matching (doc, shingle)
+    * hits reach the single groupBy exchange. At 100 TB this is one map-heavy
+    * pass over the corpus plus a shuffle of just the contaminated hits.
+    * Shingles are xxhash64-hashed (as in [[Dedup.shingles]]): the join runs on
+    * 8-byte keys, never on n-gram strings.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1, "n and minHits must be positive")
+    def shingleSets(df: DataFrame) = df
+      .select(Keys.id(df, idCol).as("doc_id"),
+        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleArrayExpr(n))).as("sh"))
+    val evalSet = shingleSets(evalDocs).select("sh").distinct()
+    shingleSets(docs)
+      .join(broadcast(evalSet), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+  }
+
   /** Deterministic hash-based mixture sampling: keep a row iff the first 8 hex
     * chars of md5(doc_id) sort below the rate's threshold — the reproducible
     * per-source downsampling a training-mixture spec needs ("25% of web, 90%

@@ -31,6 +31,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding hygiene for a vector pipeline: the L2 norm (rounded to 4dp) and
+    * an int8 max-abs quantization of each vector, serialized as a comma-joined
+    * string so the result is hash-comparable across engines (raw array columns
+    * are not). Quantization scales by the vector's max |component| — max and
+    * division are exactly reproducible IEEE ops, unlike scaling by the norm,
+    * whose summation could differ across engines by an ulp and flip a
+    * floor boundary. `floor(x·127/amax + 0.5)` is engine-portable rounding
+    * (SQL round() half-away-from-zero semantics vary). One narrow codegen'd
+    * pass, no shuffle: quantizing 100 TB of vectors is a map-only job.
+    */
+  def normalizeQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb
+      .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("__v"))
+      .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("__amax", expr(
+        "array_max(transform(__v, x -> abs(cast(x as double))))"))
+      .select(
+        col("vec_id"),
+        round(col("__n"), 4).as("norm"),
+        expr("array_join(transform(__v, x -> cast(cast(floor(" +
+          "cast(x as double) / greatest(__amax, cast(1e-12 as double)) * cast(127 as double)" +
+          " + cast(0.5 as double)) as int) as string)), ',')").as("q8"))
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer assigns
     * every vector to its nearest of `nlist` centroids; a query probes only the
     * `nprobe` centroid cells nearest to it and exact-ranks those candidates.

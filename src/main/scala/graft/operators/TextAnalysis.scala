@@ -102,6 +102,49 @@ object TextAnalysis {
       regexp_count(t2, lit(PhonePattern)).as("n_phones"))
   }
 
+  /** Rebuild each document's text as `sep`-joined lines of `k` words each —
+    * a deterministic "linefier" for corpora (like the synthetic fixture) whose
+    * documents carry no line structure of their own. Purely narrow; feeds
+    * [[Pipelines.dedupLines]].
+    */
+  def toLines(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      sep: String = "\n"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("w"))
+      .select(col("doc_id"), expr(
+        s"case when size(w) = 0 then '' else array_join(" +
+          s"transform(sequence(1, cast(ceil(size(w) / ${k}.0) as int)), " +
+          s"i -> concat_ws(' ', slice(w, (i - 1) * $k + 1, $k))), '$sep') end")
+        .as("text"))
+  }
+
+  /** Gopher-style repetition signals (cf. Rae et al. 2021, appendix A1.1):
+    * duplicate-word fraction (1 − distinct/total) and the fraction of the
+    * document covered by its most frequent word bigram. Documents with fewer
+    * than 2 words are dropped (every ratio is 0/0 for them). One narrow pass;
+    * the most-frequent-bigram search is O(d²) in the DOCUMENT's length — a
+    * per-row cost independent of corpus size, bounded in practice by the
+    * max-doc-length gate every curation pipeline applies first.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(Keys.id(docs, idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bg", expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+    base.select(
+      col("doc_id"),
+      size(col("w")).as("n_words"),
+      size(array_distinct(col("w"))).as("n_distinct_words"),
+      round(lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w")), 4)
+        .as("dup_word_frac"),
+      round(expr("array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+        .cast("double") / size(col("bg")), 4).as("top_bigram_frac"))
+  }
+
   /** Winnowing fingerprint (rolling-hash document sketch, cf. Schleimer et al.
     * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
     * hash every word k-gram (the rolling window), keep the `sketchSize`

@@ -110,6 +110,28 @@ object ExtensionQueries {
         rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
         defaultRate = 0.5)),
 
+    // corpus-level line dedup (C4/CCNet step); the fixture has no line
+    // structure, so toLines first materializes deterministic 10-word lines
+    "q_dedup_lines" -> ((s, d) =>
+      Pipelines.dedupLines(
+        TextAnalysis.toLines(t(s, d, "documents"), "doc_id", "text", k = 10),
+        "doc_id", "text", minCount = 2, keepFirst = false)),
+
+    // Gopher-style repetition signals
+    "q_text_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // n-gram-overlap decontamination: every ~97th doc plays the eval set
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Pipelines.decontaminate(docs, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, minHits = 5)
+    }),
+
+    // embedding hygiene: L2 norm + int8 max-abs quantization
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.normalizeQuantize(t(s, d, "embeddings"), "vec_id", "embedding")),
+
     // ---- streaming-shaped windows (batch-verified here; stream runs in tests) ----
     "q_events_tumbling" -> ((s, d) =>
       EventStreams.tumbling(t(s, d, "events"), "1 hour")),
@@ -317,6 +339,61 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    // same 10-word linefication, then drop every line with corpus count >= 2;
+    // docs losing all lines survive with empty text on both sides
+    "q_dedup_lines" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |ch AS (SELECT doc_id, array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ') AS line,
+        |              i AS pos
+        |       FROM w, range(1, 100000) r(i) WHERE i <= (len(ws) + 9) // 10),
+        |c AS (SELECT line, count(*) AS cnt FROM ch GROUP BY 1),
+        |j AS (SELECT ch.doc_id, ch.line, ch.pos, c.cnt FROM ch JOIN c USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE cnt < 2), '') AS clean_text,
+        |  count(*) FILTER (WHERE cnt < 2) AS n_kept,
+        |  count(*) FILTER (WHERE cnt >= 2) AS n_dropped
+        |FROM j GROUP BY 1""".stripMargin),
+
+    // identical ratio arithmetic; nested lambda = DuckDB list_filter under
+    // list_transform, same O(doc²) most-frequent-bigram rule
+    "q_text_repetition" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |bgt AS (SELECT doc_id, list(ws[i] || ' ' || ws[i+1] ORDER BY i) AS bg
+        |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 1 GROUP BY 1)
+        |SELECT w.doc_id, len(ws)::INTEGER AS n_words,
+        |  len(list_distinct(ws))::INTEGER AS n_distinct_words,
+        |  round(1.0::DOUBLE - len(list_distinct(ws)) * 1.0::DOUBLE / len(ws), 4) AS dup_word_frac,
+        |  round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x))))
+        |        * 1.0::DOUBLE / len(bg), 4) AS top_bigram_frac
+        |FROM w JOIN bgt ON w.doc_id = bgt.doc_id WHERE len(ws) >= 2""".stripMargin),
+
+    // string 3-grams stand in for the engine's xxhash64 shingles: equality of
+    // hashes == equality of strings (same reasoning as the jaccard oracle)
+    "q_decontaminate" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |       FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
+        |SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN ev USING (s)
+        |GROUP BY 1 HAVING count(*) >= 5""".stripMargin),
+
+    // same double-precision pipeline: float32 inputs widened to double, max-abs
+    // scale (exact IEEE max/divide), floor(x+0.5) portable rounding
+    "q_embed_quantize" ->
+      ("""SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm,
+        |  array_to_string(list_transform(embedding, x ->
+        |    CAST(floor(x::DOUBLE / greatest(amax, 1e-12) * 127.0::DOUBLE + 0.5) AS INTEGER)::VARCHAR), ',') AS q8
+        |FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS amax
+        |      FROM embeddings)""".stripMargin),
 
     "q_events_tumbling" ->
       // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads

@@ -69,6 +69,79 @@ class PipelinesSpec extends SparkSpec {
     assert(bySrc.keySet.subsetOf(Set("src0")), "defaultRate 0.0 must drop other sources")
   }
 
+  test("dedupLines: drop-all vs keep-first semantics on planted duplicate lines") {
+    import spark.implicits._
+    // line "dup dup" appears in docs 1, 2, 3; every other line is unique
+    val docs = Seq(
+      (1L, "dup dup\nuniq one"),
+      (2L, "uniq two\ndup dup"),
+      (3L, "dup dup"),
+      (4L, "all alone")
+    ).toDF("doc_id", "text")
+
+    val dropAll = Pipelines.dedupLines(docs, "doc_id", "text", minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(dropAll(1L) == (("uniq one", 1L, 1L)))
+    assert(dropAll(2L) == (("uniq two", 1L, 1L)))
+    assert(dropAll(3L) == (("", 0L, 1L)), "doc with every line dropped survives with empty text")
+    assert(dropAll(4L) == (("all alone", 1L, 0L)))
+
+    val keepFirst = Pipelines.dedupLines(docs, "doc_id", "text", minCount = 2, keepFirst = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keepFirst(1L) == "dup dup\nuniq one",
+      "globally-first occurrence (smallest doc_id, pos) must survive")
+    assert(keepFirst(2L) == "uniq two")
+    assert(keepFirst(3L) == "")
+  }
+
+  test("dedupLines: reassembly preserves original line order") {
+    import spark.implicits._
+    val docs = Seq((1L, (0 until 20).map(i => s"line $i").mkString("\n"))).toDF("doc_id", "text")
+    val out = Pipelines.dedupLines(docs, "doc_id", "text", minCount = 2).collect()
+    assert(out.head.getString(1) == (0 until 20).map(i => s"line $i").mkString("\n"))
+  }
+
+  test("decontaminate finds planted eval overlap and nothing else") {
+    import spark.implicits._
+    val eval = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "prefix words then the quick brown fox jumps over something"), // 4 shared 3-grams
+      (2L, "quick brown dog sits still"), // 0 shared 3-grams
+      (3L, "totally unrelated content here")
+    ).toDF("doc_id", "text")
+    val hits = Pipelines.decontaminate(docs, eval, "doc_id", "text", n = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares: "the quick brown", "quick brown fox", "brown fox jumps", "fox jumps over"
+    assert(hits == Map(1L -> 4L), s"got $hits")
+    val strict = Pipelines.decontaminate(docs, eval, "doc_id", "text", n = 3, minHits = 5)
+    assert(strict.count() == 0)
+  }
+
+  test("repetitionStats: ratios match hand-computed values") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"), // 6 words, 2 distinct; bigrams: ab ba ab ba ab -> top 3/5
+      (2L, "w x y z")      // no repetition: 4 distinct, top bigram 1/3
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((6, 2, 0.6667, 0.6)))
+    assert(got(2L) == ((4, 4, 0.0, 0.3333)))
+  }
+
+  test("normalizeQuantize: unit-norm vector quantizes to exact int8 levels") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f)),          // norm 5, amax 4 -> q = floor(3/4*127+.5), 127
+      (2L, Seq(-1.0f, 0.5f, 0.25f))   // amax 1 -> -127, floor(64)=64, floor(32.25)=32
+    ).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.normalizeQuantize(emb, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+    assert(got(1L) == ((5.0, "95,127")))
+    assert(got(2L)._2 == "-127,64,32")
+    assert(math.abs(got(2L)._1 - 1.1456) < 1e-9)
+  }
+
   test("scrubPii replaces emails, IPs, and phones with typed placeholders") {
     import spark.implicits._
     val docs = Seq(

@@ -259,6 +259,38 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly the shard shuffle, got $shuffles:\n$plan")
   }
 
+  test("line dedup plans exactly two shuffles (line window + doc reassembly), no join") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.dedupLines(
+      graft.operators.TextAnalysis.toLines(docs, "doc_id", "text", k = 10),
+      "doc_id", "text", minCount = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"line dedup must not self-join the corpus:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 2, s"expected line + doc exchanges only, got $shuffles:\n$plan")
+  }
+
+  test("decontamination broadcasts the eval shingle set; corpus side never sort-merges") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.decontaminate(
+      docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 3, minHits = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval set must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$plan")
+  }
+
+  test("repetition stats and embedding quantization are narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val rep = graft.operators.TextAnalysis.repetitionStats(docs, "doc_id", "text")
+    val qz = graft.operators.Similarity.normalizeQuantize(emb, "vec_id", "embedding")
+    for ((label, df) <- Seq("repetitionStats" -> rep, "normalizeQuantize" -> qz)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$label must be a narrow pass, found a shuffle:\n$plan")
+    }
+  }
+
   test("mixture sampling and PII scrub are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val sampled = graft.operators.Pipelines.hashSample(
