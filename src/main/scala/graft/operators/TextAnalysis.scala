@@ -145,6 +145,75 @@ object TextAnalysis {
         .cast("double") / size(col("bg")), 4).as("top_bigram_frac"))
   }
 
+  /** Unigram language-model quality scoring (the KenLM-filter shape, cf.
+    * CCNet, Wenzek et al. 2020, with a unigram model): build a top-`topV`
+    * vocabulary with corpus frequencies, then score every document by its
+    * total and mean log10 word probability; out-of-vocabulary words get the
+    * 1/total floor. Low (very negative) mean log-prob = gibberish or
+    * boilerplate-speak relative to the corpus.
+    *
+    * Scale shape: the model build is one groupBy(word) exchange plus a
+    * TakeOrdered for the top-V cut; scoring is a narrow explode into a
+    * BroadcastHashJoin against the (small, capped) vocabulary and one final
+    * groupBy(doc) exchange. No driver-side collect — the corpus total rides
+    * in as a broadcast 1-row cross join.
+    *
+    * Cross-engine determinism: each word's log10 prob is rounded to 6dp and
+    * summed as DECIMAL(18,6) — decimal addition is exact and order-free, so
+    * the per-doc sum is bit-identical no matter how Spark or the oracle
+    * engine orders the aggregation (a raw double sum would drift by ulps with
+    * partitioning). Only the final division back to double rounds.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 65536): DataFrame = {
+    require(topV >= 1, "topV must be positive")
+    val tokens = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val freq = tokens.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("t"))
+    val vocab = freq.crossJoin(broadcast(total))
+      .orderBy(col("c").desc, col("w").asc).limit(topV)
+      .select(col("w"), expr(
+        "cast(round(log10(cast(c as double) / cast(t as double)), 6) as decimal(18,6))")
+        .as("lp"))
+    val oov = total.select(expr(
+      "cast(round(log10(cast(1 as double) / cast(t as double)), 6) as decimal(18,6))")
+      .as("oov_lp"))
+    tokens
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("lp"), col("oov_lp"))).as("__s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__s").cast("double"), 4).as("sum_log10p"),
+        round(col("__s").cast("double") / col("n_tokens"), 4).as("avg_log10p"))
+  }
+
+  /** Overlapping word-window chunking (RAG / context-window prep): cut each
+    * document into windows of `width` words advancing by `stride`, emitting
+    * (doc_id, chunk_id, n_words, chunk). The last window is the final partial
+    * tail (if any); a doc shorter than `width` yields one chunk. Purely narrow —
+    * chunking 100 TB is a map-only job whose output order is (doc_id,
+    * chunk_id), no shuffle.
+    */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+      width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      "need width >= stride >= 1 (stride > width would drop words)")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 1)
+      .select(col("doc_id"), posexplode(expr(
+        // number of windows = 1 + ceil((n - width) / stride) clamped at >= 1
+        s"transform(sequence(1, greatest(1, cast(ceil((size(w) - $width) / $stride.0) as int) + 1)), " +
+          s"i -> concat_ws(' ', slice(w, (i - 1) * $stride + 1, $width)))"))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(split(col("chunk"), " ")).as("n_words"), col("chunk"))
+  }
+
   /** Winnowing fingerprint (rolling-hash document sketch, cf. Schleimer et al.
     * SIGMOD'03 "Winnowing: Local Algorithms for Document Fingerprinting"):
     * hash every word k-gram (the rolling window), keep the `sketchSize`

@@ -132,6 +132,16 @@ object ExtensionQueries {
     "q_embed_quantize" -> ((s, d) =>
       Similarity.normalizeQuantize(t(s, d, "embeddings"), "vec_id", "embedding")),
 
+    // unigram-LM quality score; topV=20 < fixture vocab so the OOV floor
+    // path is actually exercised
+    "q_unigram_lm" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text", topV = 20)),
+
+    // overlapping word windows (RAG chunking), 64-word windows, stride 48
+    "q_chunk_windows" -> ((s, d) =>
+      TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text",
+        width = 64, stride = 48)),
+
     // ---- streaming-shaped windows (batch-verified here; stream runs in tests) ----
     "q_events_tumbling" -> ((s, d) =>
       EventStreams.tumbling(t(s, d, "events"), "1 hour")),
@@ -383,6 +393,37 @@ object ExtensionQueries {
         |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0)
         |SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN ev USING (s)
         |GROUP BY 1 HAVING count(*) >= 5""".stripMargin),
+
+    // decimal-sum determinism: per-word log10 probs rounded to 6dp and summed
+    // as DECIMAL — exact, order-free addition — so both engines agree no
+    // matter how they order the per-doc aggregation; only the final division
+    // returns to double
+    "q_unigram_lm" ->
+      ("""WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                              x -> length(x) > 0)) AS w
+        |            FROM documents),
+        |f AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM f),
+        |v AS (SELECT w, round(log10(c::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |      FROM f, tot ORDER BY c DESC, w LIMIT 20),
+        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round((sum(coalesce(lp, oov_lp)))::DOUBLE, 4) AS sum_log10p,
+        |  round((sum(coalesce(lp, oov_lp)))::DOUBLE / count(*), 4) AS avg_log10p
+        |FROM w LEFT JOIN v USING (w), o GROUP BY doc_id""".stripMargin),
+
+    // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],
+    // window count = 1 + ceil((n-64)/48) clamped at >= 1
+    "q_chunk_windows" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents)
+        |SELECT doc_id, (i - 1)::INTEGER AS chunk_id,
+        |  len(ws[(i-1)*48+1 : (i-1)*48+64])::INTEGER AS n_words,
+        |  array_to_string(ws[(i-1)*48+1 : (i-1)*48+64], ' ') AS chunk
+        |FROM w, range(1, 100000) r(i)
+        |WHERE len(ws) >= 1
+        |  AND i <= greatest(1, ceil((len(ws) - 64) / 48::DOUBLE)::INTEGER + 1)""".stripMargin),
 
     // same double-precision pipeline: float32 inputs widened to double, max-abs
     // scale (exact IEEE max/divide), floor(x+0.5) portable rounding

@@ -142,6 +142,38 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got(2L)._1 - 1.1456) < 1e-9)
   }
 
+  test("unigramLogProb: hand-computed model probabilities, OOV floor, decimal-exact sums") {
+    import spark.implicits._
+    // freq: a=2, b=2, c=1, total=5; topV=2 keeps a,b (tie at c=2 broken by word
+    // asc); c is OOV -> floor prob 1/5
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text", topV = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // log10(0.4) -> -0.397940 (6dp), log10(0.2) -> -0.698970 (6dp)
+    assert(got(1L)._1 == 3L && got(1L)._2 == -1.1938, s"got ${got(1L)}")
+    assert(got(2L)._1 == 2L && got(2L)._2 == -1.0969, s"got ${got(2L)}")
+    assert(math.abs(got(1L)._3 - (-0.3979)) < 1e-4)
+    assert(math.abs(got(2L)._3 - (-0.5485)) < 1e-4)
+  }
+
+  test("chunkWindows: full coverage with overlap, partial tail, short-doc single chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (2L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkWindows(docs, "doc_id", "text", width = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.filter(_._1 == 1L).map(_._4).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"),
+      s"got ${got.toSeq}")
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)).toSeq == Seq((0, 3, "x y z")))
+    // every word index appears in at least one chunk (coverage invariant)
+    val covered = got.filter(_._1 == 1L).flatMap(_._4.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"w$i").toSet)
+  }
+
   test("scrubPii replaces emails, IPs, and phones with typed placeholders") {
     import spark.implicits._
     val docs = Seq(

@@ -279,6 +279,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$plan")
   }
 
+  test("unigram LM scoring: model broadcasts to the corpus, no sort-merge join") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.TextAnalysis.unigramLogProb(docs, "doc_id", "text", topV = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"scoring must not sort-merge:\n$plan")
+  }
+
+  test("chunk windows are narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.TextAnalysis.chunkWindows(docs, "doc_id", "text", 64, 48)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
+  }
+
   test("repetition stats and embedding quantization are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
