@@ -67,6 +67,28 @@ object Pipelines {
         pmod(col("start_tok"), lit(maxTokens.toLong)).as("pack_offset"))
   }
 
+  /** End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs →
+    * connected-component clusters → keep each cluster's smallest doc_id (plus
+    * every unclustered doc). This is the composed form a curation pipeline
+    * actually runs — `minHashLshPairs` and `clusters` are its building blocks.
+    *
+    * Scale shape: the pair/cluster stages are the audited LSH + CC plans
+    * (PLANS.md); the final cut is a LEFT ANTI join of the corpus against the
+    * non-representative cluster members. Cluster membership is bounded by the
+    * number of near-duplicated docs — a small fraction of any real corpus —
+    * so that side broadcasts; the corpus never shuffles for the cut.
+    */
+  def dedupNear(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val members = Dedup.clusters(
+      Dedup.minHashLshPairs(docs, idCol, textCol, n, numPerm, bands, threshold))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.select(Keys.id(docs, idCol).as("doc_id"))
+      .join(broadcast(members), Seq("doc_id"), "left_anti")
+  }
+
   /** Corpus-level line deduplication (the C4/CCNet preprocessing step): drop
     * every line whose corpus-wide occurrence count reaches `minCount`
     * (`keepFirst = true` instead keeps the globally-first occurrence, ordered

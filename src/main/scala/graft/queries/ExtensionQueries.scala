@@ -110,6 +110,12 @@ object ExtensionQueries {
         rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
         defaultRate = 0.5)),
 
+    // the composed near-dup REMOVAL pipeline: LSH pairs -> CC clusters ->
+    // anti-join survivors (smallest doc_id per cluster + all unclustered)
+    "q_pipeline_neardedup" -> ((s, d) =>
+      Pipelines.dedupNear(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
+
     // corpus-level line dedup (C4/CCNet step); the fixture has no line
     // structure, so toLines first materializes deterministic 10-word lines
     "q_dedup_lines" -> ((s, d) =>
@@ -349,6 +355,35 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    // differential oracle: every document EXCEPT the recursive-CTE cluster
+    // members whose label is not their own doc_id (same CC as q_dedup_clusters)
+    "q_pipeline_neardedup" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d),
+        |cc AS (SELECT d AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY d)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_id)""".stripMargin),
 
     // same 10-word linefication, then drop every line with corpus count >= 2;
     // docs losing all lines survive with empty text on both sides
