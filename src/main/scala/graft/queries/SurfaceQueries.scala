@@ -124,7 +124,9 @@ object SurfaceQueries {
         .select("vec_a", "vec_b")
     }),
 
-    // ---- multimodal frame sampling (stubbed decode ⇒ rows-only) ----
+    // ---- multimodal frame sampling: REAL GV01 container walk + ImageIO
+    // decode of every sampled frame; the sampled count ceil((len%24+1)/4) is
+    // oracle-computable from the text length ----
     "q_multimodal_frames" -> ((s, d) =>
       graft.sources.Multimodal.sampleFrames(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"),
@@ -320,6 +322,13 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // sampled frames per video doc = ceil(n_frames / everyK) with
+    // n_frames = text byte length % 24 + 1, everyK = 4; only reachable by the
+    // engine through an actual container walk
+    "q_multimodal_frames" ->
+      ("SELECT doc_id, ((octet_length(encode(coalesce(text, ''))) % 24 + 1 + 3) // 4) AS n_frames " +
+        "FROM documents WHERE doc_id % 3 = 2"),
+
     "q_map_funcs" ->
       ("SELECT p_partkey, " +
         "map_extract(MAP {'brand': p_brand, 'type': p_type}, 'brand')[1] AS brand_v, " +

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
   * bytes and the kernels run `javax.imageio` (in the JVM, no external codec).
   * Audio decode is REAL too: payloads are WAV (16-bit mono PCM) and the kernel
   * reads frame count / sample rate through `javax.sound.sampled` — file-format
-  * parsing only, no audio hardware involved. Video remains a deterministic
-  * byte-payload STUB (the JVM ships no video codec): its metadata derives from
-  * payload size behind the same kernel signature a real decoder would use.
+  * parsing only, no audio hardware involved. Video decode is a REAL container
+  * parse: payloads are a motion-PNG container ("GV01" magic, declared source
+  * size, frame count, then length-prefixed PNG frames — the MJPEG idea with
+  * PNG in place of JPEG, since the JVM ships no video codec). `decodeMeta`
+  * walks the container and validates every frame length; `sampleFrames`
+  * decodes each sampled frame through `javax.imageio`.
   */
 object Multimodal {
 
@@ -71,13 +74,66 @@ object Multimodal {
     out.toByteArray
   }
 
+  private val GvMagic: Array[Byte] = Array('G', 'V', '0', '1').map(_.toByte)
+
+  /** Deterministic motion-PNG container: "GV01" + int32 declared-source-size +
+    * int32 frame count + per frame (int32 length + PNG bytes). Each frame is a
+    * 16×12 `pngBytes` image seeded by (seed, frame index), so frames differ
+    * deterministically within a video and across docs.
+    */
+  private[graft] def gvBytes(srcBytes: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    dos.write(GvMagic)
+    dos.writeInt(srcBytes)
+    dos.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = pngBytes(16, 12, seed * 131L + f)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.flush()
+    out.toByteArray
+  }
+
+  /** Parse a GV01 container: (declared source size, frame payloads in order).
+    * None on bad magic / truncated frames — the honest failure mode.
+    */
+  private[graft] def gvParse(bytes: Array[Byte]): Option[(Int, Vector[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 12 ||
+      !java.util.Arrays.equals(bytes.slice(0, 4), GvMagic)) return None
+    val in = new java.io.DataInputStream(
+      new ByteArrayInputStream(bytes, 4, bytes.length - 4))
+    try {
+      val src = in.readInt()
+      val n = in.readInt()
+      if (n < 0) return None
+      val frames = Vector.newBuilder[Array[Byte]]
+      var f = 0
+      while (f < n) {
+        val len = in.readInt()
+        if (len < 0) return None
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        frames += buf
+        f += 1
+      }
+      Some((src, frames.result()))
+    } catch { case _: java.io.IOException => None }
+  }
+
   /** Wrap a text corpus as binary media. Image-kind docs (doc_id % 3 == 0) get
     * REAL PNG payloads whose dimensions derive from the text's UTF-8 byte
     * length (width = n % 64 + 16, height = n % 48 + 16); audio-kind docs
     * (doc_id % 3 == 1) get REAL WAV payloads with one sample per text byte —
     * formulas an external oracle can compute without decoding, so
     * `decodeMeta`'s decoded dimensions/duration are checkable end-to-end.
-    * Video docs carry the raw text bytes (payload stand-in).
+    * Video docs (doc_id % 3 == 2) get REAL GV01 motion-PNG containers with
+    * one 16×12 frame per `n % 24 + 1` and the text byte length declared in
+    * the header — so frame count and source size are oracle-computable yet
+    * only reachable by actually parsing the container.
     */
   def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
@@ -105,7 +161,7 @@ object Multimodal {
           val media = kind match {
             case "image" => pngBytes(bytes.length % 64 + 16, bytes.length % 48 + 16, id)
             case "audio" => wavBytes(bytes.length, id)
-            case _ => bytes
+            case _ => gvBytes(bytes.length, bytes.length % 24 + 1, id)
           }
           (id, media, kind)
         }
@@ -116,10 +172,13 @@ object Multimodal {
   /** Decode metadata per media row. Image width/height come from REAL
     * `ImageIO` decode of the PNG payload; audio duration / sample rate from
     * REAL `AudioSystem` parsing of the WAV payload (duration = frame count /
-    * frame rate, exact at the power-of-two rate). Undecodable bytes yield
-    * nulls — the honest failure mode. Video frame count remains a size-based
-    * stub (no JVM video codec). One iterator pass per partition, per-partition
-    * kernel setup.
+    * frame rate, exact at the power-of-two rate); video frame count and
+    * declared source size from a REAL walk of the GV01 container (every frame
+    * length validated). Undecodable bytes yield nulls — the honest failure
+    * mode. For video, `n_bytes` reports the container's DECLARED source size
+    * (the decoded quantity, parallel to width/duration) rather than the
+    * payload length. One iterator pass per partition, per-partition kernel
+    * setup.
     */
   def decodeMeta(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -148,22 +207,44 @@ object Multimodal {
                 } finally ais.close()
               } catch { case _: Exception => (None, None) }
             else (Option.empty[Double], Option.empty[Int])
-          val frames = if (kind == "video") Some(n % 24 + 1) else None
-          (id, kind, n, w, h, dur, rate, frames)
+          val parsed = if (kind == "video" && n > 0) gvParse(bytes) else None
+          val frames = parsed.map(_._2.length)
+          val outBytes = if (kind == "video") parsed.map(_._1) else Some(n)
+          (id, kind, outBytes, w, h, dur, rate, frames)
         }
       }
       .toDF("doc_id", "kind", "n_bytes", "width", "height", "duration_s",
         "sample_rate", "n_frames")
   }
 
-  /** STUB frame sampler for video media: emits every k-th "frame" (byte-slice
-    * stand-in). Real impl: mapPartitions + codec; identical shape/partitioning.
+  /** REAL frame sampler for video media: walk the GV01 container, take every
+    * k-th frame, decode it through `ImageIO`, and emit its true dimensions
+    * and encoded size. mapPartitions kernel with per-partition setup — the
+    * same shape a hardware-codec sampler runs at scale (frame extraction is
+    * embarrassingly parallel over documents; no shuffle).
     */
-  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
     media.filter(col("kind") === "video")
-      .select(col("doc_id"),
-        posexplode(split(base64(col("media")), "(?<=\\G.{32})")).as(Seq("frame_no", "frame")))
-      .filter(col("frame_no") % everyK === 0 && length(col("frame")) > 0)
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          gvParse(bytes).toSeq.flatMap { case (_, frames) =>
+            frames.zipWithIndex
+              .filter(_._2 % everyK == 0)
+              .flatMap { case (png, idx) =>
+                Option(ImageIO.read(new ByteArrayInputStream(png))).map(img =>
+                  (id, idx, img.getWidth, img.getHeight, png.length))
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "width", "height", "n_png_bytes")
+  }
 
   /** REAL image resize: decode the PNG, scale to fit `maxSide` (never
     * upscale), resample through Graphics2D, re-encode as PNG. Output media

@@ -17,8 +17,8 @@ class MultimodalSpec extends SparkSpec {
       org.apache.spark.sql.types.BinaryType)
     val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
     assert(kinds == Set("image", "audio", "video"))
-    // image payloads are real PNGs, audio payloads are real WAVs (magic
-    // bytes); video payload bytes are the raw UTF-8 text (stand-in), not lossy
+    // image payloads are real PNGs, audio payloads are real WAVs, video
+    // payloads are real GV01 containers (magic bytes each)
     val r = media.join(Tables(spark, sfDir, "documents"), "doc_id")
       .select("kind", "media", "text").limit(9).collect()
     r.foreach { row =>
@@ -31,7 +31,8 @@ class MultimodalSpec extends SparkSpec {
           assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F',
             "audio payload must be a real WAV (RIFF header)")
         case _ =>
-          assert(new String(bytes, StandardCharsets.UTF_8) == row.getString(2))
+          assert(bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == '0' && bytes(3) == '1',
+            "video payload must be a GV01 motion-PNG container")
       }
     }
   }
@@ -90,15 +91,16 @@ class MultimodalSpec extends SparkSpec {
 
   test("featureExtract: fixed-dim, L1-normalized, matches a local reference") {
     val docs = Tables(spark, sfDir, "documents")
-      .filter(col("doc_id") < 9 && col("doc_id") % 3 === 2) // video: raw text payload
+      .filter(col("doc_id") < 9 && col("doc_id") % 3 === 2)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     val feats = Multimodal.featureExtract(media, dim = 16).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val texts = docs.select("doc_id", "text").collect()
-      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
-    assert(feats.keySet == texts.keySet)
-    texts.foreach { case (id, text) =>
-      val bytes = text.getBytes(StandardCharsets.UTF_8)
+    // the local reference histogram runs over the same payload bytes the
+    // kernel sees (the GV01 container for these video docs)
+    val payloads = media.select("doc_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(feats.keySet == payloads.keySet && feats.nonEmpty)
+    payloads.foreach { case (id, bytes) =>
       val ref = new Array[Float](16)
       bytes.foreach(b => ref((b & 0xff) % 16) += 1f)
       (0 until 16).foreach(i => ref(i) /= bytes.length.toFloat)
@@ -125,6 +127,46 @@ class MultimodalSpec extends SparkSpec {
       assert(w == nw && h == nh,
         s"doc ${r.getLong(0)}: re-decoded $w x $h != claimed $nw x $nh")
     }
+  }
+
+  test("video GV01 container: real parse round-trip, frame decode, sampling arithmetic") {
+    val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .filter(col("kind") === "video")
+    val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), octet_length(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(docs.nonEmpty)
+
+    // decodeMeta: frame count and declared source size come from the header
+    val meta = Multimodal.decodeMeta(media)
+      .select("doc_id", "n_bytes", "n_frames").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    docs.foreach { case (id, n) =>
+      assert(meta(id) == ((n, n % 24 + 1)),
+        s"doc $id: decoded ${meta(id)}, expected ($n, ${n % 24 + 1})")
+    }
+
+    // sampleFrames: every 4th frame, each one a REAL 16x12 PNG decode
+    val frames = Multimodal.sampleFrames(media, everyK = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(frames.nonEmpty)
+    frames.foreach { case (id, fno, w, h, nb) =>
+      assert(fno % 4 == 0 && w == 16 && h == 12 && nb > 0,
+        s"doc $id frame $fno: $w x $h ($nb bytes)")
+    }
+    val perDoc = frames.groupBy(_._1).view.mapValues(_.length).toMap
+    docs.foreach { case (id, n) =>
+      val expect = (n % 24 + 1 + 3) / 4
+      assert(perDoc(id) == expect, s"doc $id: sampled ${perDoc(id)}, expected $expect")
+    }
+
+    // corrupted payload -> honest nulls, no crash
+    val spark2 = spark
+    import spark2.implicits._
+    val bad = Seq((1L, "not a container".getBytes, "video")).toDF("doc_id", "media", "kind")
+    val badMeta = Multimodal.decodeMeta(bad).select("n_bytes", "n_frames").head()
+    assert(badMeta.isNullAt(0) && badMeta.isNullAt(1))
+    assert(Multimodal.sampleFrames(bad, 2).count() == 0)
   }
 
   test("decodeMeta kinds get the right metadata columns") {
