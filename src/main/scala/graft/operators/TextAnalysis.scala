@@ -222,7 +222,14 @@ object TextAnalysis {
     * narrow pass, array output — no shuffle, same scale shape as minhash.
     */
   def winnowingSketch(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, sketchSize: Int = 16): DataFrame =
+      k: Int = 5, sketchSize: Int = 16, portableHash: Boolean = false): DataFrame = {
+    // xxhash64 (codegen'd, 8-byte) is the production hash; portableHash=true
+    // swaps in md5 hex strings — ~same plan, slower hash — so an external SQL
+    // engine can recompute the sketch verbatim (md5 is engine-universal,
+    // xxhash64 is not)
+    val (hashOf, emptyType) =
+      if (portableHash) ("md5(concat_ws(' ', slice(w, i, %d)))", "array<string>")
+      else ("xxhash64(concat_ws(' ', slice(w, i, %d)))", "array<bigint>")
     docs
       .select(Keys.id(docs, idCol).as("doc_id"),
         words(col(textCol)).as("w"))
@@ -232,7 +239,8 @@ object TextAnalysis {
         s"case when size(w) >= $k then " +
           s"slice(array_sort(array_distinct(transform(" +
           s"sequence(1, size(w) - ${k - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(w, i, $k)))))), 1, $sketchSize) " +
-          s"else cast(array() as array<bigint>) end")
+          s"i -> ${hashOf.format(k)}))), 1, $sketchSize) " +
+          s"else cast(array() as $emptyType) end")
         .as("sketch"))
+  }
 }

@@ -307,11 +307,13 @@ object SurfaceQueries {
       graft.operators.Pipelines.curate(t(s, d, "documents"), "doc_id", "text",
         minTokens = 5, lang = "en")),
 
-    // ---- winnowing rolling-hash sketch (hash-space output ⇒ rows-only) ----
+    // ---- winnowing rolling-hash sketch; the portable-md5 variant makes the
+    // full sketch content oracle-checkable (string-joined for the compare) ----
     "q_text_winnow" -> ((s, d) =>
       graft.operators.TextAnalysis.winnowingSketch(
-        t(s, d, "documents"), "doc_id", "text")
-        .select(col("doc_id"), size(col("sketch")).as("n"))),
+        t(s, d, "documents"), "doc_id", "text", portableHash = true)
+        .select(col("doc_id"), size(col("sketch")).as("n"),
+          array_join(col("sketch"), ",").as("sk"))),
 
     // ---- multimodal mapPartitions feature kernel (stub decode ⇒ rows-only) ----
     "q_multimodal_features" -> ((s, d) =>
@@ -322,6 +324,20 @@ object SurfaceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // portable winnowing sketch: 16 smallest md5s of the word 5-grams; docs
+    // shorter than 5 words yield an empty sketch on both sides
+    "q_text_winnow" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |g AS (SELECT doc_id, md5(array_to_string(ws[i : i+4], ' ')) AS h
+        |      FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 4),
+        |sk AS (SELECT doc_id, list_sort(list_distinct(list(h)))[1:16] AS sketch
+        |       FROM g GROUP BY 1)
+        |SELECT w.doc_id, coalesce(len(sketch), 0)::INTEGER AS n,
+        |  coalesce(array_to_string(sketch, ','), '') AS sk
+        |FROM w LEFT JOIN sk ON w.doc_id = sk.doc_id""".stripMargin),
+
     // sampled frames per video doc = ceil(n_frames / everyK) with
     // n_frames = text byte length % 24 + 1, everyK = 4; only reachable by the
     // engine through an actual container walk
