@@ -46,6 +46,30 @@ object Dedup {
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
+  /** Incremental exact dedup — the continuously-ingesting form: keep rows of
+    * `newDocs` whose normalized-text fingerprint (1) does not occur in
+    * `seenFps` (an `fp` column persisted from previous runs, e.g. this
+    * function's own by-product or [[graft.operators.TextAnalysis.fingerprint]]
+    * output) and (2) is the batch's first occurrence (smallest doc_id).
+    *
+    * Scale shape: at 100 TB the SEEN side is the big one — a left ANTI join
+    * hash-partitioned on the 16-byte fingerprint, which shuffles only
+    * (fp, doc_id) pairs of the new batch plus the fingerprint column of the
+    * history (never either corpus's text), then the usual min-per-fp exchange
+    * within the batch. AQE broadcasts the history instead when it is small.
+    */
+  def exactIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      seenFps: DataFrame): DataFrame = {
+    require(seenFps.columns.contains("fp"),
+      "seenFps must carry the fingerprint column 'fp'")
+    newDocs
+      .select(Keys.id(newDocs, idCol).as("doc_id"),
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+      .join(seenFps.select("fp"), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+  }
+
   /** Exact pairwise Jaccard over word n-gram shingle sets, pairs ≥ threshold.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */

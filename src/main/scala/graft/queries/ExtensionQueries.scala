@@ -110,6 +110,15 @@ object ExtensionQueries {
         rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
         defaultRate = 0.5)),
 
+    // incremental exact dedup: docs >= 250 are "today's batch", the fps of
+    // docs < 250 are the persisted history
+    "q_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.exactIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        TextAnalysis.fingerprint(docs.filter(col("doc_id") < 250), "doc_id", "text"))
+    }),
+
     // the composed near-dup REMOVAL pipeline: LSH pairs -> CC clusters ->
     // anti-join survivors (smallest doc_id per cluster + all unclustered)
     "q_pipeline_neardedup" -> ((s, d) =>
@@ -355,6 +364,14 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    "q_dedup_incremental" ->
+      ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |              FROM documents WHERE doc_id < 250),
+        |nw AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id FROM nw
+        |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
 
     // differential oracle: every document EXCEPT the recursive-CTE cluster
     // members whose label is not their own doc_id (same CC as q_dedup_clusters)

@@ -147,6 +147,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"ANN recall $recall < 0.9 (${ann.size}/${exact.size})")
   }
 
+  test("exactIncremental: drops seen fingerprints, keeps batch-first occurrence") {
+    import spark.implicits._
+    val history = Seq((1L, "already ingested doc"), (2L, "another old doc"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "ALREADY   ingested doc"), // dup of history doc 1 modulo normalization
+      (101L, "brand new doc"),
+      (102L, "brand new doc"), // batch-internal dup of 101
+      (103L, "second new doc")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.exactIncremental(batch, "doc_id", "text",
+      graft.operators.TextAnalysis.fingerprint(history, "doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 103L), s"got $kept")
+  }
+
   test("embedding dedup finds self-similar planted vector") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
