@@ -187,21 +187,31 @@ object Dedup {
     * pairs blocked on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least
     * one of 4 chunks equal), final filter hamming ≤ maxHamming.
     * Output: (doc_a, doc_b, hamming).
+    *
+    * `portableHash = true` derives a 60-bit token hash from md5 hex instead of
+    * xxhash64 (same plan, slower hash), so an external SQL engine can
+    * recompute the fingerprints — and therefore the exact pair set —
+    * verbatim. The pigeonhole argument is unaffected (the top chunk just
+    * carries 12 live bits).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val nBits = if (portableHash) 60 else 64
+    val hashCol =
+      if (portableHash) expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)")
+      else xxhash64(col("tok"))
     val tokens = docs
       .select(Keys.id(docs, idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), hashCol.as("h"))
 
-    // per-bit balance: +1 when bit set, -1 otherwise; 64 sums in one aggregate pass
-    val bitSums = (0 until 64).map { i =>
+    // per-bit balance: +1 when bit set, -1 otherwise; all sums in one aggregate pass
+    val bitSums = (0 until nBits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$i")
     }
-    val fpExpr = (0 until 64).map { i =>
+    val fpExpr = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
     val fps = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)

@@ -59,9 +59,10 @@ object ExtensionQueries {
         n = 3, numPerm = 32, bands = 8, threshold = 0.8))),
 
     "q_dedup_simhash" -> ((s, d) =>
-      // fingerprint-space op, engine-specific hashes ⇒ rows-only check
-      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)
-        .select("doc_a", "doc_b")),
+      // portable-md5 fingerprints make the exact pair set oracle-checkable
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 3, portableHash = true)
+        .select("doc_a", "doc_b", "hamming")),
 
     "q_dedup_embedding" -> ((s, d) =>
       // exact=true: this entry IS the oracle-verified baseline; the scale path
@@ -242,7 +243,34 @@ object ExtensionQueries {
           col("n_frames")))
   )
 
+  /** Recomputes the portable-md5 SimHash verbatim: 60 per-bit ±1 balances,
+    * sign-threshold fingerprint, brute-force pairing at hamming ≤ 3 (the
+    * engine's pigeonhole blocking is exact at this radius, so blocked pairs ==
+    * all pairs). Generated programmatically — 60 bit sums is SQL nobody should
+    * hand-write.
+    */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val fp = (0 until 60)
+      .map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                               x -> length(x) > 0)) AS tok
+       |             FROM documents),
+       |t AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+       |b AS (SELECT doc_id, $bitSums FROM t GROUP BY 1),
+       |fps AS (SELECT doc_id, $fp AS fp FROM b)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  bit_count(xor(a.fp, b.fp))::INTEGER AS hamming
+       |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_simhash" -> simhashOracle,
+
     "q_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id FROM documents " +
         "GROUP BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
