@@ -111,6 +111,11 @@ object ExtensionQueries {
         rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
         defaultRate = 0.5)),
 
+    // fuzzy self-join: exact edit-distance-1 pairs over customer names
+    // (consecutive ids differ by one digit, so the fixture is pair-dense)
+    "q_fuzzy_join" -> ((s, d) =>
+      graft.operators.FuzzyJoin.pairsWithin1(t(s, d, "customer"), "c_custkey", "c_name")),
+
     // incremental exact dedup: docs >= 250 are "today's batch", the fps of
     // docs < 250 are the persisted history
     "q_dedup_incremental" -> ((s, d) => {
@@ -392,6 +397,14 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    // brute-force levenshtein over all pairs — the quadratic oracle the
+    // deletion-neighborhood join must reproduce exactly
+    "q_fuzzy_join" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name)::INTEGER AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
 
     "q_dedup_incremental" ->
       ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -294,6 +294,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
   }
 
+  test("fuzzy join blocks on variant hashes: equality join, never a cartesian product") {
+    val cust = graft.sources.Tables(spark, sfDir, "customer")
+    val out = graft.operators.FuzzyJoin.pairsWithin1(cust, "c_custkey", "c_name")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must never compare all pairs:\n$plan")
+    assert(plan.contains("Join") || plan.contains("join"),
+      s"expected a hash-blocked equality join:\n$plan")
+  }
+
   test("repetition stats and embedding quantization are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
