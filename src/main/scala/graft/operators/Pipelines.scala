@@ -157,6 +157,24 @@ object Pipelines {
       .filter(col("n_hits") >= minHits)
   }
 
+  /** Deterministic stratified exact-k sampling: keep exactly `k` rows per
+    * stratum (fewer if the stratum is smaller), chosen by md5-of-id order — a
+    * reproducible, engine-portable "give me 1000 docs per source" eval-set
+    * cut. One exchange hash-partitioned on the stratum + an in-partition
+    * top-k rank; at 100 TB only (id, stratum) pairs shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"), col(strataCol).as("stratum"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("stratum"), col("rn"))
+  }
+
   /** Deterministic hash-based mixture sampling: keep a row iff the first 8 hex
     * chars of md5(doc_id) sort below the rate's threshold — the reproducible
     * per-source downsampling a training-mixture spec needs ("25% of web, 90%

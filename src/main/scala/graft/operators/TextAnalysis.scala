@@ -102,6 +102,41 @@ object TextAnalysis {
       regexp_count(t2, lit(PhonePattern)).as("n_phones"))
   }
 
+  /** TF-IDF top terms per document (keyword extraction / feature selection):
+    * term frequency within the doc × inverse document frequency across the
+    * corpus, top `k` terms per doc ranked by (score desc, term asc).
+    *
+    * Scale shape: one (doc, term) count exchange, a small groupBy(term)
+    * document-frequency aggregate that BROADCASTS back (the vocabulary is
+    * tiny next to the corpus), and one window exchange on doc_id for the
+    * top-k — the corpus text itself moves through exactly two shuffles of
+    * (doc, term, count) triples.
+    *
+    * Determinism: idf = round(log10(nDocs/df), 6) held as DECIMAL(18,6);
+    * score = tf × idf in exact decimal arithmetic, so ranking ties and the
+    * final doubles are identical on any engine and any partitioning.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val tokens = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      explode(words(col(textCol))).as("w"))
+    val tf = tokens.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(Keys.id(docs, idCol)).as("nd"))
+    val idf = dfreq.crossJoin(broadcast(nDocs)).select(col("w"), expr(
+      "cast(round(log10(cast(nd as double) / cast(df as double)), 6) as decimal(18,6))")
+      .as("idf"))
+    tf.join(broadcast(idf), "w")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("w").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"),
+        round(col("score").cast("double"), 4).as("score"))
+  }
+
   /** Rebuild each document's text as `sep`-joined lines of `k` words each —
     * a deterministic "linefier" for corpora (like the synthetic fixture) whose
     * documents carry no line structure of their own. Purely narrow; feeds

@@ -111,6 +111,14 @@ object ExtensionQueries {
         rates = Map("src0" -> 0.9, "src1" -> 0.25, "src2" -> 0.0),
         defaultRate = 0.5)),
 
+    // exactly-k-per-stratum deterministic eval-set cut
+    "q_stratified_sample" -> ((s, d) =>
+      Pipelines.stratifiedSample(t(s, d, "documents"), "doc_id", "source", k = 50)),
+
+    // TF-IDF keyword extraction, decimal-exact scoring
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
+
     // fuzzy self-join: exact edit-distance-1 pairs over customer names
     // (consecutive ids differ by one digit, so the fixture is pair-dense)
     "q_fuzzy_join" -> ((s, d) =>
@@ -397,6 +405,30 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    "q_stratified_sample" ->
+      ("SELECT doc_id, source AS stratum, rn::INTEGER AS rn FROM (" +
+        "SELECT doc_id, source, row_number() OVER (" +
+        "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
+        "FROM documents) WHERE rn <= 50"),
+
+    // identical decimal pipeline: idf rounded to 6dp as DECIMAL(18,6),
+    // score = tf * idf in exact decimal arithmetic, ties broken by term
+    "q_tfidf" ->
+      ("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                                                x -> length(x) > 0)) AS w
+        |              FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+        |idf AS (SELECT w, round(log10(nd::DOUBLE / df::DOUBLE), 6)::DECIMAL(18,6) AS idf
+        |        FROM dfreq, nd),
+        |sc AS (SELECT tf.doc_id, tf.w, tf.tf * idf.idf AS score FROM tf JOIN idf USING (w)),
+        |rk AS (SELECT doc_id, w, score,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+        |       FROM sc)
+        |SELECT doc_id, rnk::INTEGER AS rnk, w AS term, round(score::DOUBLE, 4) AS score
+        |FROM rk WHERE rnk <= 5""".stripMargin),
 
     // brute-force levenshtein over all pairs — the quadratic oracle the
     // deletion-neighborhood join must reproduce exactly

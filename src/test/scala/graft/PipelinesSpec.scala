@@ -174,6 +174,37 @@ class PipelinesSpec extends SparkSpec {
     assert(covered == (1 to 10).map(i => s"w$i").toSet)
   }
 
+  test("stratifiedSample: exactly k per stratum, deterministic, small strata intact") {
+    val docs = Tables(spark, sfDir, "documents")
+    val sample = Pipelines.stratifiedSample(docs, "doc_id", "source", k = 20)
+    val bySrc = sample.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (src, n) =>
+      assert(bySrc(src) == math.min(20L, n), s"$src: got ${bySrc(src)} of $n")
+    }
+    val again = Pipelines.stratifiedSample(docs, "doc_id", "source", k = 20)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == sample.collect().map(_.getLong(0)).sorted.toSeq,
+      "stratified sample must be exactly reproducible")
+  }
+
+  test("tfidfTopTerms: hand-computed scores, decimal-exact tie ordering") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c d")).toDF("doc_id", "text")
+    // idf: a,d -> log10(3)≈0.477121; b,c -> log10(1.5)≈0.176091
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3)))).toMap
+    assert(got((1L, 1)) == (("a", 0.9542)))
+    assert(got((1L, 2)) == (("b", 0.1761)))
+    // doc 2: b and c tie exactly (decimal equality) -> term asc breaks it
+    assert(got((2L, 1)) == (("b", 0.1761)))
+    assert(got((2L, 2)) == (("c", 0.1761)))
+    assert(got((3L, 1)) == (("d", 0.4771)))
+    assert(got((3L, 2)) == (("c", 0.3522)))
+  }
+
   test("scrubPii replaces emails, IPs, and phones with typed placeholders") {
     import spark.implicits._
     val docs = Seq(
