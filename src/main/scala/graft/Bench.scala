@@ -18,7 +18,8 @@ object Bench {
     "q_dedup_clusters", "q_window_timerange",
     "q_asof_nearest", "q_pack_sequences", "q_text_scrub",
     "q_dedup_lines", "q_unigram_lm", "q_decontaminate",
-    "q_pipeline_neardedup", "q_chunk_windows")
+    "q_pipeline_neardedup", "q_chunk_windows",
+    "q_tfidf", "q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,14 +30,15 @@ object FuzzyJoin {
         "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))))"))
       .as("v"))
       .select(col("id"), col("s"), xxhash64(col("v")).as("vh"))
-    val cand = variants.as("x").join(variants.as("y"), "vh")
+    // verify BEFORE deduplicating: levenshtein on short strings is cheap CPU,
+    // so re-checking a pair once per shared variant costs less than shuffling
+    // every candidate's strings through a wide distinct — the final distinct
+    // carries only surviving (id, id, dist) triples
+    variants.as("x").join(variants.as("y"), "vh")
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.s").as("s_a"), col("y.s").as("s_b"))
+        levenshtein(col("x.s"), col("y.s")).as("dist"))
+      .filter(col("dist") <= 1)
       .distinct()
-    cand
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
   }
 }
