@@ -113,12 +113,14 @@ object Pipelines {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     val byLine = Window.partitionBy("line")
-    val firstOcc = byLine.orderBy("doc_id", "pos")
-    val keep = lines
-      .withColumn("cnt", count(lit(1)).over(byLine))
-      .withColumn("rn", row_number().over(firstOcc))
-      .withColumn("keep",
-        col("cnt") < minCount || (lit(keepFirst) && col("rn") === 1))
+    val counted = lines.withColumn("cnt", count(lit(1)).over(byLine))
+    // the (doc_id, pos)-ordered rank exists only in keep-first mode; the
+    // drop-all default never pays for the per-line ordering
+    val keep =
+      if (keepFirst) counted
+        .withColumn("rn", row_number().over(byLine.orderBy("doc_id", "pos")))
+        .withColumn("keep", col("cnt") < minCount || col("rn") === 1)
+      else counted.withColumn("keep", col("cnt") < minCount)
     keep.groupBy("doc_id").agg(
       array_join(
         transform(

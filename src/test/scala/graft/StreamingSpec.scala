@@ -78,6 +78,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static anti-join: incoming docs deduped against a static fingerprint history") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the streaming form of Dedup.exactIncremental: the history is a static
+    // frame (at scale: the persisted fingerprint table), each micro-batch
+    // anti-joins against it — no streaming state needed for history dedup
+    val history = graft.operators.TextAnalysis.fingerprint(
+      Seq((1L, "seen before")).toDF("doc_id", "text"), "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val incoming = input.toDF().toDF("doc_id", "text")
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .join(history.select("fp"), Seq("fp"), "left_anti")
+    val q = incoming.writeStream.format("memory").queryName("stream_incr")
+      .outputMode("append").start()
+
+    input.addData((10L, "SEEN   before"), (11L, "fresh one"))
+    q.processAllAvailable()
+    input.addData((12L, "another fresh"), (13L, "seen before"))
+    q.processAllAvailable()
+
+    val ids = spark.sql("SELECT doc_id FROM stream_incr").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq == Seq(11L, 12L),
+      s"history dups must be dropped in every micro-batch: ${ids.toSeq}")
+    q.stop()
+  }
+
   test("stream-stream join matches events to orders within the time bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
