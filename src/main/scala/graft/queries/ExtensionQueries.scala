@@ -124,6 +124,9 @@ object ExtensionQueries {
     "q_fuzzy_join" -> ((s, d) =>
       graft.operators.FuzzyJoin.pairsWithin1(t(s, d, "customer"), "c_custkey", "c_name")),
 
+    "q_fuzzy_join2" -> ((s, d) =>
+      graft.operators.FuzzyJoin.pairsWithin(t(s, d, "customer"), "c_custkey", "c_name", k = 2)),
+
     // incremental exact dedup: docs >= 250 are "today's batch", the fps of
     // docs < 250 are the persisted history
     "q_dedup_incremental" -> ((s, d) => {
@@ -437,6 +440,12 @@ object ExtensionQueries {
         "levenshtein(a.c_name, b.c_name)::INTEGER AS dist " +
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 1"),
+
+    "q_fuzzy_join2" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name)::INTEGER AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE levenshtein(a.c_name, b.c_name) <= 2"),
 
     "q_dedup_incremental" ->
       ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
