@@ -114,7 +114,9 @@ object Multimodal {
       var f = 0
       while (f < n) {
         val len = in.readInt()
-        if (len < 0) return None
+        // a declared frame length beyond the payload is corruption — reject it
+        // BEFORE allocating (a hostile 2 GB length must not OOM the executor)
+        if (len < 0 || len > bytes.length) return None
         val buf = new Array[Byte](len)
         in.readFully(buf)
         frames += buf

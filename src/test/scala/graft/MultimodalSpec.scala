@@ -160,12 +160,22 @@ class MultimodalSpec extends SparkSpec {
       assert(perDoc(id) == expect, s"doc $id: sampled ${perDoc(id)}, expected $expect")
     }
 
-    // corrupted payload -> honest nulls, no crash
+    // corrupted payload -> honest nulls, no crash; includes a hostile frame
+    // length (valid magic, 2 GB declared frame) that must not allocate
     val spark2 = spark
     import spark2.implicits._
-    val bad = Seq((1L, "not a container".getBytes, "video")).toDF("doc_id", "media", "kind")
-    val badMeta = Multimodal.decodeMeta(bad).select("n_bytes", "n_frames").head()
-    assert(badMeta.isNullAt(0) && badMeta.isNullAt(1))
+    val hostile = {
+      val out = new java.io.ByteArrayOutputStream()
+      val dos = new java.io.DataOutputStream(out)
+      dos.write("GV01".getBytes); dos.writeInt(10); dos.writeInt(1)
+      dos.writeInt(Int.MaxValue); dos.write(Array[Byte](1, 2, 3)); dos.flush()
+      out.toByteArray
+    }
+    val bad = Seq(
+      (1L, "not a container".getBytes, "video"),
+      (2L, hostile, "video")).toDF("doc_id", "media", "kind")
+    val badMeta = Multimodal.decodeMeta(bad).select("n_bytes", "n_frames").collect()
+    assert(badMeta.length == 2 && badMeta.forall(r => r.isNullAt(0) && r.isNullAt(1)))
     assert(Multimodal.sampleFrames(bad, 2).count() == 0)
   }
 
