@@ -145,6 +145,8 @@ object TextAnalysis {
   def toLines(docs: DataFrame, idCol: String, textCol: String, k: Int,
       sep: String = "\n"): DataFrame = {
     require(k >= 1, "k must be positive")
+    require(!sep.contains("'") && !sep.contains("\\"),
+      "sep is spliced into a SQL literal; quotes/backslashes are not supported")
     docs
       .select(Keys.id(docs, idCol).as("doc_id"),
         filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("w"))

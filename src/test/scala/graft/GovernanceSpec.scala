@@ -37,6 +37,28 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
       "mask bypassed (c_name not md5)")
   }
 
+  test("extension operators inherit governance: dedup and fuzzy join see only permitted rows") {
+    // a row-filter policy on documents/customer must constrain EVERY extension
+    // operator built over Tables() — otherwise dedup/similarity pipelines are
+    // a governance bypass
+    GovernancePolicies.register("documents",
+      TablePolicy(rowFilterSql = Some("doc_id < 100")))
+    val survivors = graft.operators.Dedup.exact(
+      Tables(spark, sfDir, "documents"), "doc_id", "text")
+      .collect().map(_.getLong(0))
+    assert(survivors.nonEmpty && survivors.forall(_ < 100),
+      "dedup must only consider rows the policy permits")
+
+    GovernancePolicies.register("customer",
+      TablePolicy(rowFilterSql = Some("c_custkey <= 50")))
+    val pairs = graft.operators.FuzzyJoin.pairsWithin1(
+      Tables(spark, sfDir, "customer"), "c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "ids 1..50 contain distance-1 name pairs")
+    assert(pairs.forall { case (a, b) => a <= 50 && b <= 50 },
+      "fuzzy join must not pair governed-out rows")
+  }
+
   test("DataFrame composition API applies drop/mask/filter") {
     val df = Governance.secure(Tables(spark, sfDir, "customer"), policy)
     assert(!df.columns.map(_.toLowerCase).contains("c_acctbal"),
