@@ -106,18 +106,37 @@ object Pipelines {
     * and ranks are streaming aggregates, never m² pairs.
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-      minCount: Int = 2, keepFirst: Boolean = false, sep: String = "\n"): DataFrame = {
+      minCount: Int = 2, keepFirst: Boolean = false, sep: String = "\n",
+      aggregateCounts: Boolean = false): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would drop every line)")
     val lines = docs.select(
       Keys.id(docs, idCol).as("doc_id"),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     val byLine = Window.partitionBy("line")
-    val counted = lines.withColumn("cnt", count(lit(1)).over(byLine))
-    // the (doc_id, pos)-ordered rank exists only in keep-first mode; the
-    // drop-all default never pays for the per-line ordering
+    // Two equivalent counting strategies (PrepPropertySpec proves identity):
+    //  - window (default): one exchange on the line; WindowExec groups by
+    //    sorting each partition — fine when duplication is moderate.
+    //  - aggregateCounts: groupBy(line) with MAP-SIDE PARTIAL AGGREGATION
+    //    joined back. Costs one more (tiny, combiner-compressed) exchange but
+    //    never sorts, and a line duplicated m times shuffles as one (line, m)
+    //    row instead of m sort keys — the right shape when duplication is
+    //    extreme (the exact corpora line dedup exists for).
+    val counted =
+      if (aggregateCounts) {
+        val counts = lines.groupBy("line").agg(count(lit(1)).as("cnt"))
+        val firsts =
+          if (keepFirst) counts.join(
+            lines.groupBy("line").agg(min(struct(col("doc_id"), col("pos"))).as("first")),
+            "line")
+          else counts
+        lines.join(firsts, "line")
+      } else lines.withColumn("cnt", count(lit(1)).over(byLine))
     val keep =
-      if (keepFirst) counted
+      if (keepFirst && aggregateCounts) counted.withColumn("keep",
+        col("cnt") < minCount ||
+          (col("first.doc_id") === col("doc_id") && col("first.pos") === col("pos")))
+      else if (keepFirst) counted
         .withColumn("rn", row_number().over(byLine.orderBy("doc_id", "pos")))
         .withColumn("keep", col("cnt") < minCount || col("rn") === 1)
       else counted.withColumn("keep", col("cnt") < minCount)
