@@ -195,7 +195,9 @@ object Dedup {
     * carries 12 live bits).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+      maxHamming: Int = 3, portableHash: Boolean = false,
+      maxBucket: Int = 256): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
     val nBits = if (portableHash) 60 else 64
     val hashCol =
       if (portableHash) expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)")
@@ -225,7 +227,27 @@ object Dedup {
     val blocked = fps
       .select(col("doc_id"), col("fp"), explode(array(chunks: _*)).as("b"))
       .select(col("doc_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
-    blocked.as("x").join(blocked.as("y"), Seq("chunk", "ch"))
+
+    // Hot-bucket cap (same pattern as minHashLshPairs above): a 16-bit chunk
+    // value shared by m docs — boilerplate corpora make m huge — would put m²
+    // candidate pairs in ONE reducer. Chunk buckets wider than maxBucket split
+    // into ceil(m/maxBucket) salt groups keyed by xxhash64(chunk, doc_id), so
+    // reducers are bounded by ~maxBucket² regardless of skew. Salts are
+    // independent ACROSS the 4 chunks, so a near-dup pair (which shares ≥ 1
+    // chunk by pigeonhole, usually several) still collides in some chunk with
+    // prob 1-(1-1/nsplit)^k — bounded recall loss only inside pathological
+    // buckets, consistent with simhash's already-approximate contract. The
+    // width count is a map-side-combined aggregate and the hot list holds only
+    // skewed keys, hence broadcastable.
+    val hot = blocked.groupBy("chunk", "ch").count()
+      .filter(col("count") > maxBucket)
+      .select(col("chunk"), col("ch"),
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"))
+    val salted = blocked.join(broadcast(hot), Seq("chunk", "ch"), "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("chunk"), col("doc_id")), col("nsplit")).cast("int")))
+      .select("doc_id", "fp", "chunk", "ch", "salt")
+    salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))

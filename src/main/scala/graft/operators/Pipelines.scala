@@ -60,10 +60,14 @@ object Pipelines {
     // concatenated token stream; pack id / offset are pure arithmetic on it
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // pack_id/pack_offset are PURE INTEGER arithmetic (`div`/`pmod` on longs):
+    // start_tok >= 0 so truncating division == floor division, and unlike
+    // floor(start_tok / maxTokens) there is no double-precision intermediate —
+    // exact at any token count, not just below 2^53.
     base
       .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),
-        floor(col("start_tok") / maxTokens).as("pack_id"),
+        expr(s"start_tok div ${maxTokens.toLong}L").as("pack_id"),
         pmod(col("start_tok"), lit(maxTokens.toLong)).as("pack_offset"))
   }
 

@@ -398,7 +398,11 @@ object ExtensionQueries {
         "coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM b) " +
         "SELECT doc_id, shard, n_tokens, " +
-        "(start_tok // 512) AS pack_id, (start_tok % 512) AS pack_offset FROM c"),
+        // ::BIGINT: DuckDB's windowed sum(BIGINT) yields HUGEINT, so without
+        // the cast pack_id/pack_offset surface as int128 — hashes differently
+        // from Spark's LongType in some duckdb/pandas pairings even when the
+        // values are identical.
+        "(start_tok // 512)::BIGINT AS pack_id, (start_tok % 512)::BIGINT AS pack_offset FROM c"),
 
     // md5-prefix thresholds: 0.9→e6666666, 0.5→80000000, 0.25→40000000, 0→''
     // (string compare of lowercase hex — portable across engines, unlike
