@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   *    absolute time (microsecond-exact integer compare); exact-distance ties
   *    resolve backward. Still one shuffle: both window frames share the same
   *    hash partitioning, so Spark re-sorts in place rather than re-exchanging.
+  *
+  * Null event times: a right row with null time is never a match in any
+  * direction (it is filtered before the union); a left row with null time is
+  * kept in the output — lefts are total — with a null `asof`.
   */
 object AsOfJoin {
 
@@ -96,6 +100,11 @@ object AsOfJoin {
       lRow.as("__lrow"),
       lit(null).cast(payloadType).as("__rrow"))
 
+    // null-time right rows can never be a valid match in any direction, but
+    // left in the union they sort nulls-first under the ascending time order,
+    // where `backward`'s frame would pick them up as phantom "most recent"
+    // matches (and `nearest`'s null-poisoned distance compare would fall
+    // through to them) — filter them out before the union
     val r = right.select(
       Keys.id(right, rightKey).as("__k"),
       col(rightTime).as("__t"),
@@ -103,6 +112,7 @@ object AsOfJoin {
       col(rightTieBreak).as("__tie"),
       lit(null).cast(lRowType).as("__lrow"),
       payload.as("__rrow"))
+      .filter(col("__t").isNotNull)
 
     // backward: right(side 0) sorts BEFORE left at equal time so <= includes
     // it; largest tiebreak wins via last() over an ascending tie order.
@@ -142,8 +152,13 @@ object AsOfJoin {
       case other => throw new IllegalArgumentException(
         s"unknown as-of direction '$other' (backward|forward|nearest)")
     }
+    // a null-time LEFT row is before/after nothing — it stays in the output
+    // (left totality) but matches nothing. Its own window result is garbage
+    // (null sorts first, so `forward` would see the whole partition), so the
+    // match is nulled explicitly rather than trusted.
     matched
       .filter(col("__side") === 1)
-      .select(col("__lrow.*"), col("__match").as("asof"))
+      .select(col("__lrow.*"),
+        when(col("__t").isNotNull, col("__match")).as("asof"))
   }
 }

@@ -190,9 +190,17 @@ object Dedup {
     *
     * `portableHash = true` derives a 60-bit token hash from md5 hex instead of
     * xxhash64 (same plan, slower hash), so an external SQL engine can
-    * recompute the fingerprints — and therefore the exact pair set —
-    * verbatim. The pigeonhole argument is unaffected (the top chunk just
-    * carries 12 live bits).
+    * recompute the fingerprints — and therefore the pair set — verbatim. The
+    * pigeonhole argument is unaffected (the top chunk just carries 12 live
+    * bits).
+    *
+    * `maxBucket` bounds reducer work at the price of RECALL inside hot
+    * buckets: a chunk bucket wider than maxBucket is salted into nsplit
+    * groups, and a pair whose ONLY shared chunk lands there is missed with
+    * probability ~1-1/nsplit. The default (256) is the scale-safe setting;
+    * pass `maxBucket >= corpus size` to restore the pigeonhole-complete
+    * "blocked pairs == all pairs at hamming <= 3" contract (what an external
+    * oracle recomputing fingerprints will reproduce verbatim).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portableHash: Boolean = false,
@@ -216,8 +224,14 @@ object Dedup {
     val fpExpr = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+    // cached: three consumers (the hot-bucket width aggregate and both sides
+    // of the salted self-join — exchange reuse covers the join sides but not
+    // the aggregate), and recomputing fps means re-running the token explode
+    // + 64-column fingerprint aggregate, the pipeline's dominant cost. Same
+    // rationale as the sig cache in minHashLshPairs above.
     val fps = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
+      .cache()
 
     // block on 16-bit chunks; any chunk equal ⇒ candidate
     val chunks = (0 until 4).map { c =>
@@ -231,13 +245,13 @@ object Dedup {
     // Hot-bucket cap (same pattern as minHashLshPairs above): a 16-bit chunk
     // value shared by m docs — boilerplate corpora make m huge — would put m²
     // candidate pairs in ONE reducer. Chunk buckets wider than maxBucket split
-    // into ceil(m/maxBucket) salt groups keyed by xxhash64(chunk, doc_id), so
-    // reducers are bounded by ~maxBucket² regardless of skew. Salts are
-    // independent ACROSS the 4 chunks, so a near-dup pair (which shares ≥ 1
-    // chunk by pigeonhole, usually several) still collides in some chunk with
-    // prob 1-(1-1/nsplit)^k — bounded recall loss only inside pathological
-    // buckets, consistent with simhash's already-approximate contract. The
-    // width count is a map-side-combined aggregate and the hot list holds only
+    // into ceil(m/maxBucket) salt groups keyed by xxhash64 of the full bucket
+    // key — (chunk position, chunk value, doc_id) — so salt assignments are
+    // independent across buckets, not just across chunk positions. A near-dup
+    // pair (which shares ≥ 1 chunk by pigeonhole, usually several) still
+    // collides in some chunk with prob 1-(1-1/nsplit)^k — the recall loss
+    // documented in the scaladoc, confined to pathological buckets. The width
+    // count is a map-side-combined aggregate and the hot list holds only
     // skewed keys, hence broadcastable.
     val hot = blocked.groupBy("chunk", "ch").count()
       .filter(col("count") > maxBucket)
@@ -245,7 +259,8 @@ object Dedup {
         ceil(col("count") / maxBucket).cast("int").as("nsplit"))
     val salted = blocked.join(broadcast(hot), Seq("chunk", "ch"), "left")
       .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
-        pmod(xxhash64(col("chunk"), col("doc_id")), col("nsplit")).cast("int")))
+        pmod(xxhash64(col("chunk"), col("ch"), col("doc_id")), col("nsplit"))
+          .cast("int")))
       .select("doc_id", "fp", "chunk", "ch", "salt")
     salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -78,9 +78,13 @@ object Pipelines {
     *
     * Scale shape: the pair/cluster stages are the audited LSH + CC plans
     * (PLANS.md); the final cut is a LEFT ANTI join of the corpus against the
-    * non-representative cluster members. Cluster membership is bounded by the
-    * number of near-duplicated docs — a small fraction of any real corpus —
-    * so that side broadcasts; the corpus never shuffles for the cut.
+    * non-representative cluster members. The member side is NOT hint-forced to
+    * broadcast: on the corpora dedup exists for (heavily near-duplicated),
+    * members is an unbounded fraction of the corpus and a forced broadcast is
+    * the one thing that cannot survive the 100-TB design point. AQE sees the
+    * members side's true post-shuffle size (the CC loop ends in materialized
+    * localCheckpoint leaves) and picks broadcast when it actually fits,
+    * shuffled anti-join when it doesn't — graceful on both ends.
     */
   def dedupNear(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
@@ -90,7 +94,7 @@ object Pipelines {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.select(Keys.id(docs, idCol).as("doc_id"))
-      .join(broadcast(members), Seq("doc_id"), "left_anti")
+      .join(members, Seq("doc_id"), "left_anti")
   }
 
   /** Corpus-level line deduplication (the C4/CCNet preprocessing step): drop
@@ -98,8 +102,9 @@ object Pipelines {
     * (`keepFirst = true` instead keeps the globally-first occurrence, ordered
     * by (doc_id, position) — CCNet's variant). Returns per document the
     * reassembled text plus kept/dropped line counts; documents whose lines are
-    * all dropped survive with empty text, so the output is a total function of
-    * the input corpus.
+    * all dropped survive with empty text, and a null-text document is treated
+    * as empty text (one empty line), so the output is a total function of the
+    * input corpus — every input doc_id appears exactly once.
     *
     * Scale shape: one exchange hash-partitioned on the line (both the
     * occurrence count and the first-occurrence rank come from window functions
@@ -111,21 +116,25 @@ object Pipelines {
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
       minCount: Int = 2, keepFirst: Boolean = false, sep: String = "\n",
-      aggregateCounts: Boolean = false): DataFrame = {
+      aggregateCounts: Boolean = true): DataFrame = {
     require(minCount >= 2, "minCount must be >= 2 (1 would drop every line)")
+    // coalesce: split(NULL) yields no posexplode rows, which would silently
+    // drop null-text docs from the output and break totality
     val lines = docs.select(
       Keys.id(docs, idCol).as("doc_id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep)))
         .as(Seq("pos", "line")))
     val byLine = Window.partitionBy("line")
     // Two equivalent counting strategies (PrepPropertySpec proves identity):
-    //  - window (default): one exchange on the line; WindowExec groups by
-    //    sorting each partition — fine when duplication is moderate.
-    //  - aggregateCounts: groupBy(line) with MAP-SIDE PARTIAL AGGREGATION
-    //    joined back. Costs one more (tiny, combiner-compressed) exchange but
-    //    never sorts, and a line duplicated m times shuffles as one (line, m)
-    //    row instead of m sort keys — the right shape when duplication is
-    //    extreme (the exact corpora line dedup exists for).
+    //  - aggregateCounts (default): groupBy(line) with MAP-SIDE PARTIAL
+    //    AGGREGATION joined back. One more (tiny, combiner-compressed)
+    //    exchange than the window path but never sorts, and a line duplicated
+    //    m times shuffles as one (line, m) row instead of m sort keys — the
+    //    right default because extreme duplication is exactly the corpus
+    //    shape line dedup exists for.
+    //  - window: one exchange on the line; WindowExec groups by sorting each
+    //    partition — equivalent, fine when duplication is known-moderate.
     val counted =
       if (aggregateCounts) {
         val counts = lines.groupBy("line").agg(count(lit(1)).as("cnt"))

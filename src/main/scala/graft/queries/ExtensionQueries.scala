@@ -59,9 +59,13 @@ object ExtensionQueries {
         n = 3, numPerm = 32, bands = 8, threshold = 0.8))),
 
     "q_dedup_simhash" -> ((s, d) =>
-      // portable-md5 fingerprints make the exact pair set oracle-checkable
+      // portable-md5 fingerprints make the pair set oracle-checkable, and
+      // maxBucket = MaxValue disables the hot-bucket salting so the
+      // pigeonhole-complete "blocked pairs == all pairs" contract the oracle
+      // recomputes holds STRUCTURALLY, not just because the fixture happens to
+      // have no bucket wider than the scale-safe default cap
       Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 3, portableHash = true)
+        maxHamming = 3, portableHash = true, maxBucket = Int.MaxValue)
         .select("doc_a", "doc_b", "hamming")),
 
     "q_dedup_embedding" -> ((s, d) =>

@@ -45,15 +45,24 @@ object Tables {
   // governance epoch is part of the key because temp views store their
   // ANALYZED plan — a view analyzed under old policies keeps them forever,
   // so any policy change must force re-registration.
-  private val lastReg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // WeakHashMap keyed on the session object itself: an identityHashCode key is
+  // reusable after GC (a fresh session colliding with a dead one would silently
+  // skip registration) and pins nothing — the weak key lets closed sessions be
+  // collected. Synchronized because sessions register from test/query threads.
+  private val lastReg = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
 
   /** Register every fixture table as a temp view so `spark.sql` corpora work.
     * Idempotent per (session, dir, governance epoch).
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val state = dir + "@" + graft.plans.GovernancePolicies.epoch
-    if (lastReg.put(System.identityHashCode(spark).toString, state) != state)
+    if (lastReg.get(spark) != state) {
       names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      // recorded only AFTER every view registered: a mid-loop failure must not
+      // leave the memo claiming registration happened
+      lastReg.put(spark, state)
+    }
   }
 
   /** Register the graft DSv2 catalog over `dir` (idempotent; first dir wins for

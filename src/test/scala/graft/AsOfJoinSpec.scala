@@ -133,6 +133,35 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("non-scalar"))
   }
 
+  test("null event times: null-time right rows never match; null-time lefts kept, asof null") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, null.asInstanceOf[Timestamp]), // null left time → kept, matches nothing
+      (3L, 10L, ts("2024-01-01 08:00:00"))     // before all real right rows
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      // null right time: sorts nulls-first, where an unfiltered union would make
+      // it a phantom "most recent" backward match for doc 3
+      (100L, 10L, null.asInstanceOf[Timestamp], 5.0),
+      (101L, 10L, ts("2024-01-01 09:00:00"), 6.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val dirs = Map[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, String, String, Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame](
+      "backward" -> AsOfJoin.backward, "forward" -> AsOfJoin.forward, "nearest" -> AsOfJoin.nearest)
+    val expected = Map(
+      "backward" -> Map(1L -> 101L, 2L -> -1L, 3L -> -1L),
+      "forward" -> Map(1L -> -1L, 2L -> -1L, 3L -> 101L),
+      "nearest" -> Map(1L -> 101L, 2L -> -1L, 3L -> 101L))
+    dirs.foreach { case (name, join) =>
+      val out = join(left, right, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"), "o_orderkey", Nil)
+        .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(out == expected(name), s"$name: got $out")
+    }
+  }
+
   test("as-of join preserves every left row exactly once") {
     val events = graft.sources.Tables(spark, sfDir, "events")
     val orders = graft.sources.Tables(spark, sfDir, "orders")

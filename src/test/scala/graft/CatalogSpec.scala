@@ -73,6 +73,17 @@ class CatalogSpec extends SparkSpec {
     assert(planStr.contains("o_year"), s"partition filter missing:\n$planStr")
   }
 
+  test("registerAll registers views in EVERY session, keyed on the session itself") {
+    graft.sources.Tables.registerAll(spark, sfDir)
+    // a second session must get its own registration pass — temp views are
+    // per-session state, and a memo keyed on a recycled identityHashCode slot
+    // could silently skip it
+    val s2 = spark.newSession()
+    graft.sources.Tables.registerAll(s2, sfDir)
+    assert(s2.sql("SELECT count(*) FROM region").collect().head.getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM region").collect().head.getLong(0) == 5)
+  }
+
   test("catalog-resolved join query returns correct result") {
     val df = spark.sql(
       """SELECT r_name, count(*) AS n

@@ -94,6 +94,46 @@ class PipelinesSpec extends SparkSpec {
     assert(keepFirst(3L) == "")
   }
 
+  test("dedupLines: null-text docs survive with empty text (totality)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "real line\nshared line"),
+      (2L, "shared line\nother line"),
+      (3L, null.asInstanceOf[String]), // split(NULL) yields no rows — must not vanish
+      (4L, "")
+    ).toDF("doc_id", "text")
+    for (agg <- Seq(true, false)) {
+      val out = Pipelines.dedupLines(docs, "doc_id", "text", minCount = 2,
+        aggregateCounts = agg)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(out.keySet == Set(1L, 2L, 3L, 4L),
+        s"agg=$agg: output must be total over input doc_ids, got ${out.keySet}")
+      assert(out(3L)._1 == "", s"agg=$agg: null-text doc must surface as empty text")
+      // null and "" normalize to the same single empty line, so they dedup
+      // against each other: both appear, both end up empty
+      assert(out(4L)._1 == "")
+      assert(out(1L)._1 == "real line" && out(2L)._1 == "other line")
+    }
+  }
+
+  test("dedupNear: high-duplication corpus — no forced broadcast of the member set") {
+    import spark.implicits._
+    // 60 of 75 docs are one near-dup cluster (the corpus shape dedup exists
+    // for): the cluster-member side is 80% of the corpus, exactly where a
+    // forced broadcast() hint would stop scaling; AQE must choose the strategy
+    val dupText = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = ((0L until 60L).map(i => (i, dupText)) ++
+      (100L until 115L).map(i => (i, s"unique doc $i with words w${i}a w${i}b w${i}c w${i}d w${i}e")))
+      .toDF("doc_id", "text")
+    val out = Pipelines.dedupNear(docs, "doc_id", "text",
+      n = 3, numPerm = 32, bands = 8, threshold = 0.8)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "member anti-join side must not carry a forced broadcast hint")
+    val survivors = out.collect().map(_.getLong(0)).toSet
+    assert(survivors == (Set(0L) ++ (100L until 115L)),
+      s"expected cluster representative 0 + all uniques, got $survivors")
+  }
+
   test("dedupLines: reassembly preserves original line order") {
     import spark.implicits._
     val docs = Seq((1L, (0 until 20).map(i => s"line $i").mkString("\n"))).toDF("doc_id", "text")

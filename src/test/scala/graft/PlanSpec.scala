@@ -259,11 +259,24 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1, s"expected exactly the shard shuffle, got $shuffles:\n$plan")
   }
 
-  test("line dedup plans exactly two shuffles (line window + doc reassembly), no join") {
+  test("line dedup default (aggregate counts): no WindowExec sort; counts broadcast back") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.Pipelines.dedupLines(
       graft.operators.TextAnalysis.toLines(docs, "doc_id", "text", k = 10),
       "doc_id", "text", minCount = 2)
+    // the default path must never sort m duplicate copies of a line inside one
+    // reducer — that is the window path's failure mode on extreme-dup corpora
+    val plan = executedPlan(out)
+    assert(!plan.contains("Window"), s"default line dedup must not sort in a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"combiner-compressed line counts must broadcast back to the line stream:\n$plan")
+  }
+
+  test("line dedup window path plans exactly two shuffles (line window + doc reassembly), no join") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.dedupLines(
+      graft.operators.TextAnalysis.toLines(docs, "doc_id", "text", k = 10),
+      "doc_id", "text", minCount = 2, aggregateCounts = false)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"line dedup must not self-join the corpus:\n$plan")
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length

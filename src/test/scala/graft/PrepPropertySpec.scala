@@ -68,6 +68,34 @@ class PrepPropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupLines: window and aggregate counting paths agree exactly, random + extreme-dup corpora") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf((0 until 8).map(i => s"shared line $i") ++
+      (0 until 100).map(i => s"unique line $i"))
+    val corpusGen = Gen.listOfN(15, Gen.listOfN(6, lineGen))
+    val random = corpusGen.apply(params, Seed(4200L)).get
+      .zipWithIndex.map { case (ls, i) => (i.toLong, ls.distinct.mkString("\n")) }
+    // the corpus shape the aggregate default exists for: one line duplicated
+    // across (almost) every doc, plus a null-text doc for the totality edge
+    val extreme = (100L until 400L).map(i => (i, s"boilerplate footer\npayload $i")) ++
+      Seq((900L, null.asInstanceOf[String]))
+    for {
+      corpus <- Seq(random, extreme.toList)
+      keepFirst <- Seq(false, true)
+    } {
+      val docs = corpus.toDF("doc_id", "text")
+      def run(agg: Boolean) = Pipelines.dedupLines(docs, "doc_id", "text",
+        minCount = 2, keepFirst = keepFirst, aggregateCounts = agg)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val agg = run(agg = true)
+      val win = run(agg = false)
+      assert(agg == win,
+        s"keepFirst=$keepFirst: aggregate and window paths diverge:\n$agg\nvs\n$win")
+      assert(agg.map(_._1) == corpus.map(_._1).sorted.toSeq, "output must be total")
+    }
+  }
+
   test("dedupLines: conservation and no surviving duplicates, random corpora") {
     import spark.implicits._
     val lineGen = Gen.oneOf((0 until 8).map(i => s"shared line $i") ++
