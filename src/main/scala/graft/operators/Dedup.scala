@@ -183,6 +183,78 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Persisted LSH near-dup state for [[nearIncremental]]: one row per
+    * (doc, band) carrying the band-bucket key and the doc's shingle set —
+    * the by-product every ingestion run appends to its state table, exactly
+    * as [[exactIncremental]]'s fingerprint history but for NEAR-dup.
+    * Schema: (doc_id, band, bh, shs).
+    *
+    * The shingle array rides along per band row so the incremental verify can
+    * compute exact Jaccard against collided history docs with one join; a
+    * 100-TB deployment normalizes it into a separate (doc_id, shs) table and
+    * re-joins — same plan, 1/bands the storage.
+    */
+  def minHashState(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8): DataFrame = {
+    require(numPerm % bands == 0, "numPerm must be divisible by bands")
+    val r = numPerm / bands
+    val sigCols = (0 until numPerm).map { j =>
+      expr(s"array_min(transform(shs, s -> xxhash64($j, s)))").as(s"m$j")
+    }
+    val sig = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id") +: col("shs") +: sigCols: _*)
+    val bandCols = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        xxhash64(((k * r) until ((k + 1) * r)).map(j => col(s"m$j")): _*).as("bh"))
+    }
+    sig.select(col("doc_id"), col("shs"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"), col("shs"))
+  }
+
+  /** Incremental near-dedup — the continuously-ingesting form of
+    * [[graft.operators.Pipelines.dedupNear]], mirroring [[exactIncremental]]:
+    * keep rows of `newDocs` that (1) do not Jaccard-verify (>= threshold)
+    * against any LSH band collision in `state` (a [[minHashState]] table
+    * persisted from previous runs) and (2) survive the usual dedupNear cut
+    * within the batch itself. Returns surviving doc_ids; callers append
+    * `minHashState(newDocs)` to the state table afterwards. Drive it from
+    * Structured Streaming with `foreachBatch` (StreamingSpec) — the standard
+    * shape for stream dedup against unbounded persisted state, since the
+    * band join + verify + state append is a per-batch transaction.
+    *
+    * Semantics note: history matching is BY DIRECT EDGE (new doc vs any seen
+    * doc), while batch dedupNear clusters transitively. On duplicate GROUPS
+    * (every pair of copies near-identical — the overwhelmingly common shape)
+    * the two agree exactly, and StreamingSpec pins that equivalence; on
+    * chain-shaped near-dup graphs the incremental form may keep a doc whose
+    * only links arrive in later batches — inherent to any one-pass dedup.
+    *
+    * Scale shape: at 100 TB the state side is the big one — the band join is
+    * hash-partitioned on (band, bh) and ships only colliding rows to the
+    * Jaccard verify; the batch side is one scan. Exactly the exactIncremental
+    * anti-join story with (band, bh) in place of the fingerprint.
+    */
+  def nearIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+      state: DataFrame, n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(Seq("doc_id", "band", "bh", "shs").forall(state.columns.contains),
+      "state must be a minHashState table: (doc_id, band, bh, shs)")
+    val newState = minHashState(newDocs, idCol, textCol, n, numPerm, bands)
+    val hits = newState.as("x")
+      .join(state.select(col("band"), col("bh"), col("shs").as("hshs")),
+        Seq("band", "bh"))
+      .select(col("x.doc_id").as("doc_id"), col("x.shs").as("shs"), col("hshs"))
+      .distinct()
+      .withColumn("i", size(array_intersect(col("shs"), col("hshs"))).cast("double"))
+      .filter(col("i") / (size(col("shs")) + size(col("hshs")) - col("i")) >= threshold)
+      .select("doc_id").distinct()
+    val fresh = newDocs
+      .select(Keys.id(newDocs, idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(hits, Seq("doc_id"), "left_anti")
+    graft.operators.Pipelines.dedupNear(fresh, "doc_id", "__text",
+      n, numPerm, bands, threshold)
+  }
+
   /** SimHash near-dup: 64-bit fingerprints from token-level xxhash64, candidate
     * pairs blocked on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least
     * one of 4 chunks equal), final filter hamming ≤ maxHamming.

@@ -131,6 +131,15 @@ object ExtensionQueries {
     "q_fuzzy_join2" -> ((s, d) =>
       graft.operators.FuzzyJoin.pairsWithin(t(s, d, "customer"), "c_custkey", "c_name", k = 2)),
 
+    // k=3 runs the PassJoin segment-blocking path (deletion neighborhoods stop
+    // at k=2); restricted to 200 keys because zero-padded customer ids put
+    // MOST pairs within 3 digit edits — the unrestricted answer is ~quadratic
+    // in the corpus, which is the problem's nature, not the operator's
+    "q_fuzzy_join3" -> ((s, d) =>
+      graft.operators.FuzzyJoin.pairsWithin(
+        t(s, d, "customer").filter(col("c_custkey") <= 200),
+        "c_custkey", "c_name", k = 3)),
+
     // incremental exact dedup: docs >= 250 are "today's batch", the fps of
     // docs < 250 are the persisted history
     "q_dedup_incremental" -> ((s, d) => {
@@ -138,6 +147,16 @@ object ExtensionQueries {
       Dedup.exactIncremental(
         docs.filter(col("doc_id") >= 250), "doc_id", "text",
         TextAnalysis.fingerprint(docs.filter(col("doc_id") < 250), "doc_id", "text"))
+    }),
+
+    // incremental NEAR-dedup: docs >= 250 are "today's batch", the LSH
+    // band-bucket state of docs < 250 is the persisted history (the near-dup
+    // analogue of q_dedup_incremental)
+    "q_dedup_near_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.nearIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        Dedup.minHashState(docs.filter(col("doc_id") < 250), "doc_id", "text"))
     }),
 
     // the composed near-dup REMOVAL pipeline: LSH pairs -> CC clusters ->
@@ -260,7 +279,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("kind"),
           when(col("kind") === "video", col("n_bytes")).cast("int").as("src_bytes"),
           col("width"), col("height"), col("duration_s"), col("sample_rate"),
-          col("n_frames")))
+          col("n_frames"))),
+
+    // pixel-domain proof: per-channel integer sums over ImageIO-DECODED GV01
+    // frames; the oracle recomputes them from the synthesis formula without
+    // decoding, so a hash match proves the whole decode path
+    "q_multimodal_pixels" -> ((s, d) =>
+      Multimodal.frameChannelSums(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")))
   )
 
   /** Recomputes the portable-md5 SimHash verbatim: 60 per-bit ±1 balances,
@@ -455,6 +481,13 @@ object ExtensionQueries {
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "WHERE levenshtein(a.c_name, b.c_name) <= 2"),
 
+    "q_fuzzy_join3" ->
+      ("SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, " +
+        "levenshtein(a.c_name, b.c_name)::INTEGER AS dist " +
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
+        "WHERE a.c_custkey <= 200 AND b.c_custkey <= 200 " +
+        "AND levenshtein(a.c_name, b.c_name) <= 3"),
+
     "q_dedup_incremental" ->
       ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |              FROM documents WHERE doc_id < 250),
@@ -462,6 +495,45 @@ object ExtensionQueries {
         |       FROM documents WHERE doc_id >= 250)
         |SELECT min(doc_id) AS doc_id FROM nw
         |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
+
+    // incremental near-dedup oracle: exact-jaccard pairs over ALL docs (the
+    // LSH banding has recall ~1 at the planted J≈0.99, same equivalence as
+    // q_dedup_minhash); a new doc is a history hit iff it has a DIRECT edge
+    // to a doc < 250, then the survivors get the within-batch CC cut
+    "q_dedup_near_incremental" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |hits AS (
+        |  SELECT doc_a AS d FROM pairs WHERE doc_a >= 250 AND doc_b < 250
+        |  UNION SELECT doc_b FROM pairs WHERE doc_b >= 250 AND doc_a < 250),
+        |rem AS (SELECT doc_id FROM documents WHERE doc_id >= 250
+        |        AND doc_id NOT IN (SELECT d FROM hits)),
+        |redges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM redges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN redges e ON e.a = r.d),
+        |cc AS (SELECT d, min(lab) AS cluster_id FROM reach GROUP BY d)
+        |SELECT doc_id FROM rem
+        |WHERE doc_id NOT IN (SELECT d FROM cc WHERE d <> cluster_id)""".stripMargin),
 
     // differential oracle: every document EXCEPT the recursive-CTE cluster
     // members whose label is not their own doc_id (same CC as q_dedup_clusters)
@@ -653,6 +725,23 @@ object ExtensionQueries {
         "(CASE WHEN doc_id % 3 = 1 THEN octet_length(encode(coalesce(text, ''))) / 8192.0 END)::DOUBLE AS duration_s, " +
         "(CASE WHEN doc_id % 3 = 1 THEN 8192 END)::INTEGER AS sample_rate, " +
         "(CASE WHEN doc_id % 3 = 2 THEN octet_length(encode(coalesce(text, ''))) % 24 + 1 END)::INTEGER AS n_frames " +
-        "FROM documents")
+        "FROM documents"),
+
+    // recomputes the 16x12 frame pixels from the synthesis formula
+    // (x*31 + y*17 + doc_id*131 + frame) & 0xffffff and sums each channel in
+    // exact integer arithmetic — the engine side gets the same numbers only by
+    // actually decoding the PNG frames out of the GV01 container
+    "q_multimodal_pixels" ->
+      ("""WITH v AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) % 24 + 1 AS nf
+        |           FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id, i - 1 AS frame_no FROM v, range(1, 100000) r(i) WHERE i <= nf),
+        |px AS (SELECT doc_id, frame_no,
+        |         ((x.i - 1) * 31 + (y.i - 1) * 17 + doc_id * 131 + frame_no) & 16777215 AS val
+        |       FROM f, range(1, 17) x(i), range(1, 13) y(i))
+        |SELECT doc_id, frame_no::INTEGER AS frame_no,
+        |  sum((val >> 16) & 255)::BIGINT AS sum_r,
+        |  sum((val >> 8) & 255)::BIGINT AS sum_g,
+        |  sum(val & 255)::BIGINT AS sum_b
+        |FROM px GROUP BY 1, 2""".stripMargin)
   )
 }

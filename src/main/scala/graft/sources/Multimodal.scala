@@ -248,6 +248,46 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "width", "height", "n_png_bytes")
   }
 
+  /** Pixel-domain decode proof: per GV01 frame, the per-channel SUMS of the
+    * `ImageIO`-decoded raster. The synthetic frames' pixels are the pure
+    * formula `(x*31 + y*17 + doc_id*131 + frame) & 0xffffff`, so an external
+    * oracle recomputes these sums WITHOUT decoding — a hash match proves the
+    * container walk, the PNG decode, and the raster readout end-to-end, in
+    * exact integer arithmetic (no float rounding anywhere). Same mapPartitions
+    * kernel shape as [[sampleFrames]]: embarrassingly parallel, no shuffle.
+    */
+  def frameChannelSums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          gvParse(bytes).toSeq.flatMap { case (_, frames) =>
+            frames.zipWithIndex.flatMap { case (png, idx) =>
+              Option(ImageIO.read(new ByteArrayInputStream(png))).map { img =>
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = 0
+                while (y < img.getHeight) {
+                  var x = 0
+                  while (x < img.getWidth) {
+                    val v = img.getRGB(x, y)
+                    sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                (id, idx, sr, sg, sb)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "frame_no", "sum_r", "sum_g", "sum_b")
+  }
+
   /** REAL image resize: decode the PNG, scale to fit `maxSide` (never
     * upscale), resample through Graphics2D, re-encode as PNG. Output media
     * round-trips through `decodeMeta` at the new dimensions.

@@ -64,7 +64,9 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expect, s"diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
   }
 
-  private def brute2(rows: Seq[(Long, String)]): Set[(Long, Long, Int)] = {
+  private def brute2(rows: Seq[(Long, String)]): Set[(Long, Long, Int)] = bruteK(rows, 2)
+
+  private def bruteK(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] = {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
       for (i <- 1 to a.length; j <- 1 to b.length)
@@ -74,7 +76,52 @@ class FuzzyJoinSpec extends SparkSpec {
     }
     (for {
       (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
-      dist = lev(sa, sb) if dist <= 2
+      dist = lev(sa, sb) if dist <= k
     } yield (ia, ib, dist)).toSet
+  }
+
+  test("k=3 and k=4: segment blocking == brute force, incl. sub-k+1-length strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcd"
+    // lengths 1..9: strings SHORTER than k+1 exercise the constant-key short
+    // bucket and the asymmetric (short probe, long segment) discovery path
+    val rows = (0 until 70).map(i =>
+      i.toLong -> (0 until (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    for (k <- Seq(3, 4)) {
+      val got = FuzzyJoin.pairsWithin(rows.toDF("id", "name"), "id", "name", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = bruteK(rows, k)
+      assert(expect.exists(_._3 == k), s"fixture must contain distance-$k pairs")
+      assert(got == expect,
+        s"k=$k diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
+    }
+  }
+
+  test("k=3 on realistic keys: shared-prefix identifiers, digit edits") {
+    import spark.implicits._
+    val rows = (1 to 120).map(i => i.toLong -> f"Customer#$i%09d")
+    val got = FuzzyJoin.pairsWithin(rows.toDF("id", "name"), "id", "name", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expect = bruteK(rows, 3)
+    assert(got == expect,
+      s"diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
+  }
+
+  test("duplicate strings: pair set matches brute force; dist-0 groups fully expanded") {
+    import spark.implicits._
+    // 30 copies of one name + near variants: the collapse must re-expand every
+    // within-group (dist 0) and cross-group pair a dup-oblivious join yields
+    val rows = (0L until 30L).map(i => i -> "johnson") ++
+      Seq(100L -> "jonson", 101L -> "johnsen", 102L -> "jhonson",
+        103L -> "williams", 104L -> "willaims", 105L -> "williams")
+    for (k <- Seq(1, 3)) {
+      val got = FuzzyJoin.pairsWithin(rows.toDF("id", "name"), "id", "name", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = bruteK(rows, k)
+      assert(got == expect,
+        s"k=$k diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
+      assert(got.count(_._3 == 0) >= 30 * 29 / 2, s"k=$k: within-group pairs missing")
+    }
   }
 }

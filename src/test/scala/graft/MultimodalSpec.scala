@@ -179,6 +179,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(bad, 2).count() == 0)
   }
 
+  test("frameChannelSums: decoded per-channel sums equal the synthesis formula exactly") {
+    import spark.implicits._
+    val docs = Seq((2L, "abcdef"), (5L, "a longer video payload text here"), (8L, ""))
+      .toDF("doc_id", "text") // all doc_id % 3 == 2 → video kind
+    val got = Multimodal.frameChannelSums(Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val expect = (for {
+      (id, text) <- Seq((2L, "abcdef"), (5L, "a longer video payload text here"), (8L, ""))
+      nf = text.getBytes("UTF-8").length % 24 + 1
+      f <- 0 until nf
+    } yield {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val v = (x * 31 + y * 17 + id * 131 + f) & 0xffffff
+        sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+      }
+      (id, f) -> ((sr, sg, sb))
+    }).toMap
+    assert(got == expect, s"decoded sums diverge from formula: ${got.toSeq.diff(expect.toSeq).take(3)}")
+  }
+
   test("decodeMeta kinds get the right metadata columns") {
     val meta = Multimodal.decodeMeta(
       Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text"))

@@ -34,6 +34,65 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("ANN LSH recall meets the 1-(1-p^r)^b sign-projection bound on planted neighbors") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    def rndVec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def normalize(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val q = normalize(rndVec())
+    // plant neighbors at EXACTLY cos = target: v = q·cosθ + w·sinθ with w ⊥ q,
+    // so the theoretical per-table collision prob p = 1 - θ/π is exact, not a
+    // property the fixture happens to have
+    val target = 0.95
+    val planted = (1L to 40L).map { i =>
+      val raw = rndVec()
+      val proj = q.zip(raw).map { case (a, b) => a * b }.sum
+      val orth = normalize(raw.zip(q).map { case (r, qc) => r - proj * qc })
+      i -> q.zip(orth).map { case (qc, oc) =>
+        (qc * target + oc * math.sqrt(1 - target * target)).toFloat }
+    }
+    val background = (100L until 400L).map(i => i -> normalize(rndVec()))
+    val embSet = (Seq(0L -> q) ++ planted ++ background).toDF("vec_id", "embedding")
+    val (tables, bits) = (8, 8)
+    val got = Similarity.annTopK(spark, embSet, "vec_id", "embedding",
+      queryId = 0L, k = planted.size, tables, bits)
+      .collect().map(_.getLong(0)).toSet
+    val recall = planted.count(p => got.contains(p._1)).toDouble / planted.size
+    // sign-random-projection theory: bits collide w.p. p = 1 - θ/π, a table
+    // matches w.p. p^r, any of b tables w.p. 1-(1-p^r)^b — the same formula
+    // embeddingPairs uses to tune its band structure
+    val p = 1.0 - math.acos(target) / math.Pi
+    val bound = 1.0 - math.pow(1.0 - math.pow(p, bits), tables)
+    assert(bound > 0.9, s"fixture must make the bound falsifiable, got $bound")
+    assert(recall >= bound - 0.1,
+      f"measured ANN recall $recall%.3f below theoretical $bound%.3f - 0.1 slack")
+  }
+
+  test("IVF recall sweep: non-decreasing in nprobe, exact at nprobe = nlist") {
+    GraftFunctions.register(spark)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      val ids = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+        nlist = 8, nprobe = np).collect().map(_.getLong(0)).toSet
+      np -> exact.intersect(ids).size.toDouble / exact.size
+    }
+    // probed cells are a prefix of the same centroid-distance order, so the
+    // candidate set only grows with nprobe and recall of the exact top-k can
+    // only rise (nothing outside the exact top-k can displace a member)
+    recalls.sliding(2).foreach {
+      case Seq((n1, r1), (n2, r2)) =>
+        assert(r2 >= r1, s"recall fell from $r1 (nprobe=$n1) to $r2 (nprobe=$n2)")
+      case _ =>
+    }
+    assert(recalls.last._2 == 1.0, s"nprobe = nlist must be exact: $recalls")
+  }
+
   test("IVF with nprobe = nlist degenerates to exact search") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)

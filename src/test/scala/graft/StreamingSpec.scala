@@ -106,6 +106,52 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dedup: foreachBatch vs persisted LSH state == batch dedupNear") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // near-dup groups are CLIQUES (identical copies), where incremental
+    // direct-edge matching and batch CC clustering agree exactly — the
+    // equivalence nearIncremental's scaladoc pins
+    val dupA = "the quick brown fox jumps over the lazy dog in the misty morning light"
+    val dupB = "distributed query engines shuffle partitioned data across many executor nodes"
+    def uniq(i: Long) = s"unique doc $i with tokens u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+    val batches = Seq(
+      Seq((1L, dupA), (2L, uniq(2)), (3L, dupB)),
+      Seq((4L, dupA), (5L, uniq(5))),               // 4 dups history doc 1
+      Seq((6L, dupB), (7L, dupA), (8L, uniq(8))))   // 6, 7 dup history docs 3, 1
+
+    val input = MemoryStream[(Long, String)]
+    // persisted state starts empty; each micro-batch near-dedups against it,
+    // emits survivors, then appends its own LSH state — the foreachBatch
+    // transaction a continuously-ingesting pipeline runs
+    var state = graft.operators.Dedup.minHashState(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = graft.operators.Dedup.nearIncremental(
+          batch, "doc_id", "text", state)
+        kept ++= survivors.collect().map(_.getLong(0))
+        state = state.unionByName(
+          graft.operators.Dedup.minHashState(batch, "doc_id", "text"))
+          .localCheckpoint() // state table stays a plan LEAF across batches
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batchResult = graft.operators.Pipelines.dedupNear(
+      batches.flatten.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == kept.toSet.size, "a doc must be emitted at most once")
+    assert(kept.toSet == batchResult,
+      s"stream ${kept.sorted} != batch ${batchResult.toSeq.sorted}")
+    assert(kept.toSet == Set(1L, 2L, 3L, 5L, 8L))
+  }
+
   test("stream-stream join matches events to orders within the time bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
