@@ -240,11 +240,15 @@ object Dedup {
     require(Seq("doc_id", "band", "bh", "shs").forall(state.columns.contains),
       "state must be a minHashState table: (doc_id, band, bh, shs)")
     val newState = minHashState(newDocs, idCol, textCol, n, numPerm, bands)
+    // dedupe candidate (new, history) DOC pairs on the two ids — a pair can
+    // collide in up to `bands` buckets, and deduping on ids is cheaper than a
+    // distinct that compares the two shingle arrays element-wise
     val hits = newState.as("x")
-      .join(state.select(col("band"), col("bh"), col("shs").as("hshs")),
-        Seq("band", "bh"))
-      .select(col("x.doc_id").as("doc_id"), col("x.shs").as("shs"), col("hshs"))
-      .distinct()
+      .join(state.select(col("band"), col("bh"), col("doc_id").as("hdoc"),
+        col("shs").as("hshs")), Seq("band", "bh"))
+      .select(col("x.doc_id").as("doc_id"), col("hdoc"), col("x.shs").as("shs"),
+        col("hshs"))
+      .dropDuplicates("doc_id", "hdoc")
       .withColumn("i", size(array_intersect(col("shs"), col("hshs"))).cast("double"))
       .filter(col("i") / (size(col("shs")) + size(col("hshs")) - col("i")) >= threshold)
       .select("doc_id").distinct()

@@ -155,8 +155,11 @@ object FuzzyJoin {
         greatest(col("sa"), col("sb")).as("sb"))
 
     // both strings shorter than k+1 ⇒ ed <= max length <= k always — block
-    // them in one constant-key bucket (an equality join, not a cartesian node)
-    val short = reps.filter(length(col("s")) < n).withColumn("z", lit(0))
+    // them in one shared bucket. The key must be COLUMN-derived (always 0,
+    // but not a literal): a lit(0) key constant-folds the equi-condition away
+    // and the join degrades to BroadcastNestedLoopJoin
+    val short = reps.filter(length(col("s")) < n)
+      .withColumn("z", pmod(xxhash64(col("s")), lit(1)))
     val shortCand = short.as("x").join(short.as("y"), "z")
       .filter(col("x.s") < col("y.s"))
       .select(col("x.s").as("sa"), col("y.s").as("sb"))

@@ -172,6 +172,13 @@ object ExtensionQueries {
         TextAnalysis.toLines(t(s, d, "documents"), "doc_id", "text", k = 10),
         "doc_id", "text", minCount = 2, keepFirst = false)),
 
+    // CCNet variant: the globally-first occurrence (by doc_id, pos) of each
+    // duplicated line survives instead of none
+    "q_dedup_lines_keepfirst" -> ((s, d) =>
+      Pipelines.dedupLines(
+        TextAnalysis.toLines(t(s, d, "documents"), "doc_id", "text", k = 10),
+        "doc_id", "text", minCount = 2, keepFirst = true)),
+
     // Gopher-style repetition signals
     "q_text_repetition" -> ((s, d) =>
       TextAnalysis.repetitionStats(t(s, d, "documents"), "doc_id", "text")),
@@ -286,7 +293,19 @@ object ExtensionQueries {
     // decoding, so a hash match proves the whole decode path
     "q_multimodal_pixels" -> ((s, d) =>
       Multimodal.frameChannelSums(
-        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")))
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
+
+    // resize round-trip proof: resize re-encodes PNGs, decodeMeta re-DECODES
+    // them, and the decoded dimensions must equal the scale formula the
+    // oracle computes from the source dims (identical IEEE double ops on both
+    // sides, so ceil boundaries agree bit-for-bit)
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.decodeMeta(
+        Multimodal.resize(
+          Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"),
+          maxSide = 20)
+          .withColumn("kind", lit("image")))
+        .select(col("doc_id"), col("width"), col("height")))
   )
 
   /** Recomputes the portable-md5 SimHash verbatim: 60 per-bit ±1 balances,
@@ -581,6 +600,26 @@ object ExtensionQueries {
         |  count(*) FILTER (WHERE cnt >= 2) AS n_dropped
         |FROM j GROUP BY 1""".stripMargin),
 
+    // keep-first variant: the line's globally-first (doc_id, pos) occurrence
+    // survives; rank computed over the same linefication
+    "q_dedup_lines_keepfirst" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |ch AS (SELECT doc_id, array_to_string(ws[(i-1)*10+1 : (i-1)*10+10], ' ') AS line,
+        |              i AS pos
+        |       FROM w, range(1, 100000) r(i) WHERE i <= (len(ws) + 9) // 10),
+        |c AS (SELECT line, count(*) AS cnt FROM ch GROUP BY 1),
+        |j AS (SELECT ch.doc_id, ch.line, ch.pos, c.cnt,
+        |        row_number() OVER (PARTITION BY ch.line ORDER BY ch.doc_id, ch.pos) AS rn
+        |      FROM ch JOIN c USING (line))
+        |SELECT doc_id,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |           FILTER (WHERE cnt < 2 OR rn = 1), '') AS clean_text,
+        |  count(*) FILTER (WHERE cnt < 2 OR rn = 1) AS n_kept,
+        |  count(*) FILTER (WHERE cnt >= 2 AND rn > 1) AS n_dropped
+        |FROM j GROUP BY 1""".stripMargin),
+
     // identical ratio arithmetic; nested lambda = DuckDB list_filter under
     // list_transform, same O(doc²) most-frequent-bigram rule
     "q_text_repetition" ->
@@ -742,6 +781,19 @@ object ExtensionQueries {
         |  sum((val >> 16) & 255)::BIGINT AS sum_r,
         |  sum((val >> 8) & 255)::BIGINT AS sum_g,
         |  sum(val & 255)::BIGINT AS sum_b
-        |FROM px GROUP BY 1, 2""".stripMargin)
+        |FROM px GROUP BY 1, 2""".stripMargin),
+
+    // scale-to-fit formula on the synthesis dims, maxSide 20, never upscale;
+    // 20.0/greatest and the multiply are the same IEEE ops the engine runs,
+    // so ceil boundaries agree exactly
+    "q_multimodal_resize" ->
+      ("""WITH d AS (SELECT doc_id,
+        |              octet_length(encode(coalesce(text, ''))) % 64 + 16 AS w,
+        |              octet_length(encode(coalesce(text, ''))) % 48 + 16 AS h
+        |            FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id,
+        |  greatest(1, ceil(w * least(1.0, 20.0 / greatest(w, h))))::INTEGER AS width,
+        |  greatest(1, ceil(h * least(1.0, 20.0 / greatest(w, h))))::INTEGER AS height
+        |FROM d""".stripMargin)
   )
 }

@@ -317,6 +317,16 @@ class PlanSpec extends SparkSpec {
       s"expected a hash-blocked equality join:\n$plan")
   }
 
+  test("fuzzy join k=3 (segment blocking): equality joins only, never a cartesian product") {
+    val cust = graft.sources.Tables(spark, sfDir, "customer")
+    val out = graft.operators.FuzzyJoin.pairsWithin(cust, "c_custkey", "c_name", k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // the short-string bucket is a constant-key HASH join; nothing in the
+    // segment path may degrade to an all-pairs strategy
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"segment blocking must never compare all pairs:\n$plan")
+  }
+
   test("repetition stats and embedding quantization are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
