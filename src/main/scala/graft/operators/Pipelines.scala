@@ -163,6 +163,57 @@ object Pipelines {
       sum(when(!col("keep"), 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** Corpus-duplicated token-span detection — the substring-level dedup
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better"): a rolling window of `w` tokens is DUPLICATED when its
+    * exact token sequence occurs at least `minCount` times anywhere in the
+    * corpus (other documents or elsewhere in the same one). Returns per
+    * document the window count, how many of its windows are duplicated, and
+    * the duplicated fraction — the score a curation pipeline thresholds on or
+    * feeds to a span-removal pass. Documents shorter than `w` tokens have
+    * zero windows and report dup_frac 0, so the output is total over the
+    * corpus.
+    *
+    * Scale shape — dedupLines' aggregate-count plan with rolling windows in
+    * place of lines: windows materialize as (doc_id, h) rows with the window
+    * text hashed to 8 bytes BEFORE any exchange (suffix arrays are the
+    * single-node tool for this job; hashed rolling windows are the
+    * shuffle-friendly equivalent, with hash equality standing in for string
+    * equality exactly as in [[Dedup.shingles]]); occurrence counts come from
+    * one map-side-combined groupBy on the hash — a window duplicated m times
+    * crosses the wire as one (h, m) row — and one broadcast-or-shuffled join
+    * back plus the per-doc groupBy. No self-join, no sort, ~3 exchanges of
+    * narrow keyed rows regardless of corpus size.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10, minCount: Int = 2): DataFrame = {
+    require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
+    val words = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        x => length(x) > 0).as("ws"))
+    // all len-w+1 rolling windows, hashed; sequence(1, n) is DESCENDING for
+    // n < 1 (the shingleArrayExpr gotcha) — short docs need the guard
+    val wins = words.select(col("doc_id"), explode(expr(
+      s"case when size(ws) >= $w then " +
+        s"transform(sequence(1, size(ws) - ${w - 1}), " +
+        s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
+        "else cast(array() as array<bigint>) end")).as("h"))
+    val counts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val flagged = wins.join(counts, "h")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("n_dup_windows"))
+    // left join restores zero-window docs (shorter than w tokens)
+    words.select("doc_id").join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(col("n_dup_windows") / col("n_windows"), 4))
+          .as("dup_frac"))
+  }
+
   /** Test-set decontamination: count, per document, how many of its distinct
     * word n-gram shingles also occur in `evalDocs` (the benchmark/eval corpus),
     * and return documents with at least `minHits` overlapping shingles — the

@@ -74,6 +74,30 @@ object ExtensionQueries {
       Dedup.embeddingPairs(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, exact = true)),
 
+    // ---- semantic (embedding-space) dedup: SemDeDup recipe ----
+    "q_kmeans_assign" -> ((s, d) =>
+      graft.operators.Semantic.assignCells(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 16)),
+
+    // the fixture has no high-cosine pairs (max ≈ 0.51), so the drop path is
+    // exercised by planting exact clones of vec_id < 10 at vec_id + 10000:
+    // a clone shares its original's cell BY CONSTRUCTION (identical quantized
+    // vector ⇒ identical distances ⇒ identical argmin) and cos(v, v) ≥ any
+    // threshold, so exactly the 10 clones must be pruned
+    "q_dedup_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 10000))
+      graft.operators.Semantic.semanticDedup(
+        planted, "vec_id", "embedding", k = 16, threshold = 0.9)
+    }),
+
+    // corpus-duplicated 10-token rolling spans (substring-level dedup signal)
+    "q_dup_spans" -> ((s, d) =>
+      Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        w = 10, minCount = 2)),
+
     // ---- similarity search ----
     "q_sim_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -376,6 +400,70 @@ object ExtensionQueries {
         "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"),
+
+    // identical quantized-integer arithmetic: floor(x·1e6 + 0.5) components,
+    // squared-L2 sums stay exact integers in double, argmin ties on seed id —
+    // every op is a single IEEE instruction both engines run bit-identically
+    "q_kmeans_assign" ->
+      ("""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+        |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+        |           FROM embeddings WHERE embedding IS NOT NULL),
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM q
+        |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |d AS (SELECT q.vec_id, s.seed_id,
+        |        list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        |      FROM q, seeds s),
+        |a AS (SELECT vec_id, seed_id, dist2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+        |      FROM d)
+        |SELECT vec_id, seed_id AS cell, dist2::BIGINT AS dist2 FROM a WHERE rn = 1""".stripMargin),
+
+    // same assignment over the planted corpus, then the keep-first
+    // within-cell prune at cos >= 0.9 — the clones (vec_id >= 10000) are the
+    // only drops
+    "q_dedup_semantic" ->
+      ("""WITH emb AS (SELECT vec_id, embedding FROM embeddings
+        |             UNION ALL
+        |             SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10),
+        |q AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[],
+        |               x -> floor(x * 1000000.0 + 0.5)) AS qv
+        |      FROM emb WHERE embedding IS NOT NULL),
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM q
+        |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |d AS (SELECT q.vec_id, s.seed_id,
+        |        list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        |      FROM q, seeds s),
+        |a AS (SELECT vec_id, seed_id AS cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+        |      FROM d),
+        |cells AS (SELECT a.vec_id, a.cell, q.embedding FROM a JOIN q USING (vec_id)
+        |          WHERE rn = 1),
+        |drops AS (SELECT DISTINCT y.vec_id FROM cells x JOIN cells y
+        |          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |          WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+        |                                       y.embedding::DOUBLE[]) >= 0.9)
+        |SELECT vec_id, cell FROM cells
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+
+    // string windows stand in for the engine's xxhash64'd windows (hash
+    // equality == string equality, the jaccard-oracle reasoning)
+    "q_dup_spans" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |wins AS (SELECT doc_id, array_to_string(ws[i : i+9], ' ') AS win
+        |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 9),
+        |c AS (SELECT win, count(*) AS cnt FROM wins GROUP BY 1),
+        |f AS (SELECT doc_id, count(*) AS n_windows,
+        |        sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+        |      FROM wins JOIN c USING (win) GROUP BY 1)
+        |SELECT w.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
+        |  coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
+        |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+        |       ELSE round(n_dup_windows * 1.0 / n_windows, 4) END AS dup_frac
+        |FROM w LEFT JOIN f USING (doc_id)""".stripMargin),
 
     "q_sim_topk" ->
       ("SELECT b.vec_id, " +

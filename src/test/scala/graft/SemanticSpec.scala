@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pipelines, Semantic}
+import graft.sources.Tables
+
+/** Semantic dedup (SemDeDup) + duplicate-span detection: the DuckDB oracle
+  * proves engine parity on the fixture; these tests pin the semantic
+  * invariants on crafted inputs.
+  */
+class SemanticSpec extends SparkSpec {
+
+  test("assignCells: total over non-null rows, deterministic, cells are seed ids") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val a1 = Semantic.assignCells(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val a2 = Semantic.assignCells(emb, "vec_id", "embedding", k = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a1 == a2, "assignment must be exactly reproducible")
+    assert(a1.length == emb.filter(col("embedding").isNotNull).count())
+    val cells = a1.map(_._2).distinct
+    assert(cells.length <= 16)
+    val ids = a1.map(_._1).toSet
+    assert(cells.forall(ids.contains), "every cell label is a seed's vec_id")
+    // a seed's own distance is 0 and its cell is itself
+    val seedRows = a1.filter(r => cells.contains(r._1))
+    assert(seedRows.forall(r => r._2 == r._1 && r._3 == 0L))
+  }
+
+  test("semanticDedup: exact clones are pruned, originals survive") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 10).withColumn("vec_id", col("vec_id") + 10000))
+    val kept = Semantic.semanticDedup(planted, "vec_id", "embedding",
+      k = 16, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(kept.contains), "smaller-id originals must survive")
+    assert((0L until 10L).forall(i => !kept.contains(i + 10000)),
+      "every exact clone must be pruned")
+    assert(kept.size == emb.filter(col("embedding").isNotNull).count(),
+      "nothing but the clones may be dropped at threshold 0.9 on this fixture")
+  }
+
+  test("semanticDedup: null-embedding rows are excluded, not crashed on") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings").limit(50)
+    val withNull = emb.unionByName(
+      Seq((99999L, null.asInstanceOf[Array[Float]], 0))
+        .toDF("vec_id", "embedding", "label"))
+    val kept = Semantic.semanticDedup(withNull, "vec_id", "embedding",
+      k = 4, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(99999L))
+    assert(kept.nonEmpty)
+  }
+
+  test("duplicateSpans: planted shared span flagged on both docs, short docs total") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),        // shares the 10-token run with doc 2
+      (2L, s"$shared delta epsilon zeta eta theta iota kappa"),
+      (3L, "unique words only here nothing repeats in this document at all now"),
+      (4L, "tiny doc"),                          // < w tokens → zero windows
+      (5L, null.asInstanceOf[String]))           // null text → zero windows
+      .toDF("doc_id", "text")
+    val out = Pipelines.duplicateSpans(docs, "doc_id", "text", w = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L), "output is total")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 >= 1, "doc 1 must flag the shared span")
+    assert(byId(2L)._3 >= 1, "doc 2 must flag the shared span")
+    assert(byId(3L)._3 == 0 && byId(3L)._4 == 0.0)
+    assert(byId(4L)._2 == 0 && byId(4L)._4 == 0.0)
+    assert(byId(5L)._2 == 0 && byId(5L)._4 == 0.0)
+    // within-doc repetition alone also counts (Lee et al. semantics)
+    val rep = (1 to 10).map(i => s"w$i").mkString(" ")
+    val self = Seq((7L, s"$rep $rep")).toDF("doc_id", "text")
+    val selfOut = Pipelines.duplicateSpans(self, "doc_id", "text", w = 10, minCount = 2)
+      .collect().map(r => (r.getLong(2))).head
+    assert(selfOut >= 2, "within-doc duplicated windows must be flagged")
+  }
+}
