@@ -20,7 +20,8 @@ object Bench {
     "q_dedup_lines", "q_unigram_lm", "q_decontaminate",
     "q_pipeline_neardedup", "q_chunk_windows",
     "q_tfidf", "q_fuzzy_join",
-    "q_fuzzy_join2", "q_multimodal_meta", "q_stratified_sample")
+    "q_fuzzy_join2", "q_multimodal_meta", "q_stratified_sample",
+    "q_fuzzy_link", "q_dup_spans", "q_dedup_semantic", "q_kmeans_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   * m× wider candidate buckets.
   *
   * Scale shape: every stage is a narrow explode or a hash-partitioned
-  * equality join (variant hash / segment key / exact string); the verify runs
-  * only on candidates, before the pair-distinct so only surviving triples
-  * shuffle wide. Strings shorter than k+1 chars cannot host k+1 non-empty
+  * equality join (variant hash / segment key / exact string); candidate
+  * pairs deduplicate BEFORE the levenshtein verify, so each pair pays the
+  * edit-distance DP exactly once no matter how many blocking keys it shares
+  * (O(len) shared variants at k = 2). Strings shorter than k+1 chars cannot host k+1 non-empty
   * segments — but any two such strings are trivially within k edits, so they
   * meet in one constant-key bucket (tiny on real corpora: names shorter than
   * k+1 characters).
@@ -74,6 +75,71 @@ object FuzzyJoin {
     cross.unionByName(withinGroup)
   }
 
+  /** Cross-table fuzzy join (entity resolution across two datasets): all
+    * (left_id, right_id, dist) with ed(leftStr, rightStr) <= k, EXACTLY.
+    * Same blocking schemes and exact-duplicate collapse as [[pairsWithin]],
+    * but pairs keep their (left, right) orientation and equal strings match
+    * at distance 0 — the "link dirty names to the clean registry" shape.
+    *
+    * Scale shape matches pairsWithin: blocking runs over the two DISTINCT
+    * string sets, candidates come from an equality join of left variants vs
+    * right variants (k <= 2) or segments-vs-windows in BOTH orientations
+    * (k >= 3 — the pigeonhole argument only guarantees discovery with the
+    * longer string on the segment side), and ids re-expand afterwards at
+    * output-proportional cost.
+    */
+  def pairsBetween(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, "pairsBetween supports 1 <= k <= 8")
+    val l = left.select(Keys.id(left, leftId).as("lid"), col(leftStr).as("sl"))
+    val r = right.select(Keys.id(right, rightId).as("rid"), col(rightStr).as("sr"))
+    val lReps = l.select("sl").distinct().cache()
+    val rReps = r.select("sr").distinct().cache()
+    val strPairs =
+      if (k <= 2) {
+        val lv = variantHashes(lReps, "sl", k)
+        val rv = variantHashes(rReps, "sr", k)
+        lv.join(rv, "vh")
+          .filter(abs(length(col("sl")) - length(col("sr"))) <= k)
+          .select("sl", "sr").distinct()
+      } else {
+        // both orientations of segment-vs-window, then the short-short bucket
+        val fwd = segmentSide(lReps, "sl", k).join(probeSide(rReps, "sr", k),
+          Seq("L", "i", "seg")).select("sl", "sr")
+        val bwd = probeSide(lReps, "sl", k).join(segmentSide(rReps, "sr", k),
+          Seq("L", "i", "seg")).select("sl", "sr")
+        val shortL = lReps.filter(length(col("sl")) < k + 1)
+          .withColumn("z", pmod(xxhash64(col("sl")), lit(1)))
+        val shortR = rReps.filter(length(col("sr")) < k + 1)
+          .withColumn("z", pmod(xxhash64(col("sr")), lit(1)))
+        val short = shortL.join(shortR, "z").select("sl", "sr")
+        fwd.unionByName(bwd).unionByName(short).distinct()
+      }
+    strPairs
+      .withColumn("dist", levenshtein(col("sl"), col("sr")))
+      .filter(col("dist") <= k)
+      .join(l, "sl").join(r, "sr")
+      .select(col("lid").as("left_id"), col("rid").as("right_id"), col("dist"))
+  }
+
+  /** Depth-<=k (k <= 2) deletion-neighborhood variant hashes of the distinct
+    * strings in column `c`: (c, vh) rows, shared by the self- and cross-join
+    * paths.
+    */
+  private def variantHashes(reps: DataFrame, c: String, k: Int): DataFrame = {
+    val d1 = s"transform(sequence(1, length($c)), " +
+      s"i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))"
+    val neighborhood =
+      if (k == 1) s"array_distinct(concat(array($c), $d1))"
+      else s"array_distinct(concat(array($c), $d1, " +
+        s"flatten(transform($d1, v -> case when length(v) >= 1 then " +
+        "transform(sequence(1, length(v)), " +
+        "j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))) " +
+        "else cast(array() as array<string>) end))))"
+    reps.select(col(c), explode(expr(neighborhood)).as("v"))
+      .select(col(c), xxhash64(col("v")).as("vh"))
+  }
+
   /** FastSS deletion-neighborhood candidate pairs over distinct strings.
     * Completeness at k = 2: in an optimal alignment each side has at most k
     * positions where it differs; deleting exactly those positions from both
@@ -92,16 +158,21 @@ object FuzzyJoin {
         "else cast(array() as array<string>) end))))"
     val variants = reps.select(col("s"), explode(expr(neighborhood)).as("v"))
       .select(col("s"), xxhash64(col("v")).as("vh"))
-    // verify BEFORE deduplicating: levenshtein on short strings is cheap CPU,
-    // so re-checking a pair once per shared variant costs less than shuffling
-    // every candidate through a wide distinct — the final distinct carries
-    // only surviving (sa, sb, dist) triples
+    // deduplicate candidate pairs BEFORE the levenshtein verify: a pair at
+    // distance <= k shares MANY depth-<=k variants (O(len) at k = 2), so
+    // verifying per joined row recomputes the same edit distance that many
+    // times, where distinct-first pays ONE DP per candidate pair no matter
+    // the collision multiplicity (A/B on sf0.1 customer names: equal within
+    // this box's noise, structurally bounded CPU). The length prefilter
+    // (|len diff| <= k is necessary for ed <= k) drops false candidates
+    // before they reach the exchange.
     variants.as("x").join(variants.as("y"), "vh")
-      .filter(col("x.s") < col("y.s"))
-      .select(col("x.s").as("sa"), col("y.s").as("sb"),
-        levenshtein(col("x.s"), col("y.s")).as("dist"))
-      .filter(col("dist") <= k)
+      .filter(col("x.s") < col("y.s") &&
+        abs(length(col("x.s")) - length(col("y.s"))) <= k)
+      .select(col("x.s").as("sa"), col("y.s").as("sb"))
       .distinct()
+      .select(col("sa"), col("sb"), levenshtein(col("sa"), col("sb")).as("dist"))
+      .filter(col("dist") <= k)
   }
 
   /** PassJoin-style segment-blocking candidate pairs over distinct strings,
@@ -115,41 +186,57 @@ object FuzzyJoin {
     * Both roles are complete supersets of the tight PassJoin windows; the
     * levenshtein verify makes the result exact.
     */
+  // segment geometry as SQL fragments of (L, i): all integer arithmetic
+  private def segLen(n: Int)(l: String, i: String) =
+    s"(($l) div $n + (case when ($i) >= $n - (($l) % $n) then 1 else 0 end))"
+  private def segStart(n: Int)(l: String, i: String) =
+    s"(($i) * (($l) div $n) + greatest(0, ($i) - ($n - (($l) % $n))))"
+  // sequence(a, b) is DESCENDING when a > b (the Dedup.shingleArrayExpr
+  // gotcha) — every range needs an emptiness guard
+  private def seqG(a: String, b: String) =
+    s"(case when ($a) <= ($b) then sequence($a, $b) else array() end)"
+
+  /** One side's own k+1 segments keyed (L, i, seg); strings shorter than k+1
+    * cannot host k+1 non-empty segments and are excluded (the short-string
+    * bucket handles them).
+    */
+  private def segmentSide(reps: DataFrame, c: String, k: Int): DataFrame = {
+    val n = k + 1
+    reps.filter(length(col(c)) >= n)
+      .select(col(c), explode(expr(
+        s"transform(sequence(0, $k), i -> named_struct(" +
+          s"'L', length($c), 'i', i, " +
+          s"'seg', substring($c, ${segStart(n)(s"length($c)", "i")} + 1, " +
+          s"${segLen(n)(s"length($c)", "i")})))"))
+        .as("b"))
+      .select(col(c), col("b.L").as("L"), col("b.i").as("i"), col("b.seg").as("seg"))
+  }
+
+  /** The probing side: for every plausible partner length L within ±k and
+    * every segment index, the substrings of the scheme's length at start
+    * positions within ±k of the scheme's start.
+    */
+  private def probeSide(reps: DataFrame, c: String, k: Int): DataFrame = {
+    val n = k + 1
+    reps
+      .select(col(c), explode(expr(
+        s"flatten(transform(${seqG(s"greatest(length($c) - $k, $n)", s"length($c) + $k")}, L -> " +
+          s"flatten(transform(sequence(0, $k), i -> " +
+          s"transform(${seqG(s"greatest(0, ${segStart(n)("L", "i")} - $k)",
+            s"least(length($c) - ${segLen(n)("L", "i")}, ${segStart(n)("L", "i")} + $k)")}, " +
+          s"p -> named_struct('L', L, 'i', i, " +
+          s"'seg', substring($c, p + 1, ${segLen(n)("L", "i")})))))))"))
+        .as("b"))
+      .select(col(c), col("b.L").as("L"), col("b.i").as("i"), col("b.seg").as("seg"))
+  }
+
   private def segmentPairs(reps: DataFrame, k: Int): DataFrame = {
     val n = k + 1
-    // segment geometry as SQL fragments of (L, i): all integer arithmetic
-    def segLen(l: String, i: String) =
-      s"(($l) div $n + (case when ($i) >= $n - (($l) % $n) then 1 else 0 end))"
-    def segStart(l: String, i: String) =
-      s"(($i) * (($l) div $n) + greatest(0, ($i) - ($n - (($l) % $n))))"
-    // sequence(a, b) is DESCENDING when a > b (the Dedup.shingleArrayExpr
-    // gotcha) — every range needs an emptiness guard
-    def seqG(a: String, b: String) =
-      s"(case when ($a) <= ($b) then sequence($a, $b) else array() end)"
-
-    val segSide = reps.filter(length(col("s")) >= n)
-      .select(col("s").as("sa"), explode(expr(
-        s"transform(sequence(0, $k), i -> named_struct(" +
-          s"'L', length(s), 'i', i, " +
-          s"'seg', substring(s, ${segStart("length(s)", "i")} + 1, ${segLen("length(s)", "i")})))"))
-        .as("b"))
-      .select(col("sa"), col("b.L").as("L"), col("b.i").as("i"), col("b.seg").as("seg"))
-
-    val probeSide = reps
-      .select(col("s").as("sb"), explode(expr(
-        s"flatten(transform(${seqG(s"greatest(length(s) - $k, $n)", s"length(s) + $k")}, L -> " +
-          s"flatten(transform(sequence(0, $k), i -> " +
-          s"transform(${seqG(s"greatest(0, ${segStart("L", "i")} - $k)",
-            s"least(length(s) - ${segLen("L", "i")}, ${segStart("L", "i")} + $k)")}, " +
-          s"p -> named_struct('L', L, 'i', i, " +
-          s"'seg', substring(s, p + 1, ${segLen("L", "i")})))))))"))
-        .as("b"))
-      .select(col("sb"), col("b.L").as("L"), col("b.i").as("i"), col("b.seg").as("seg"))
-
     // normalize AFTER the join rather than filtering sa < sb: a pair with one
     // side shorter than k+1 is only ever discovered with the long string on
     // the segment side, so an orientation filter would drop half those pairs
-    val segCand = segSide.join(probeSide, Seq("L", "i", "seg"))
+    val segCand = segmentSide(reps.select(col("s").as("sa")), "sa", k)
+      .join(probeSide(reps.select(col("s").as("sb")), "sb", k), Seq("L", "i", "seg"))
       .filter(col("sa") =!= col("sb"))
       .select(least(col("sa"), col("sb")).as("sa"),
         greatest(col("sa"), col("sb")).as("sb"))
@@ -164,9 +251,11 @@ object FuzzyJoin {
       .filter(col("x.s") < col("y.s"))
       .select(col("x.s").as("sa"), col("y.s").as("sb"))
 
+    // distinct before verify, as in deletionPairs: a pair can collide on up
+    // to (k+1)·O(k) different (L, i, seg) keys and must pay levenshtein once
     segCand.unionByName(shortCand)
+      .distinct()
       .select(col("sa"), col("sb"), levenshtein(col("sa"), col("sb")).as("dist"))
       .filter(col("dist") <= k)
-      .distinct()
   }
 }

@@ -214,6 +214,57 @@ object Pipelines {
           .as("dup_frac"))
   }
 
+  /** Duplicated-span REMOVAL — the transformation [[duplicateSpans]] is the
+    * signal for: every token covered by at least one corpus-duplicated
+    * w-token window is dropped, and each document's remaining tokens are
+    * reassembled in order (Lee et al. 2022's dedup applied at span
+    * granularity). Returns (doc_id, clean_text, n_kept, n_dropped); docs with
+    * no duplicated spans pass through verbatim token-wise, and sub-w-token /
+    * null-text docs survive untouched — the output is total.
+    *
+    * Scale shape: the window-count stages are [[duplicateSpans]]' plan; the
+    * removal adds one explode of DUPLICATED windows only into their covered
+    * token indices (w rows per flagged window — proportional to the
+    * duplication actually found, not the corpus), an anti-join on
+    * (doc_id, token index), and the per-doc reassembly groupBy. Everything
+    * keys on (doc_id, idx) or an 8-byte hash; no self-join, no window sort.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10, minCount: Int = 2): DataFrame = {
+    require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
+    val words = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        x => length(x) > 0).as("ws"))
+    val wins = words.select(col("doc_id"), posexplode(expr(
+      s"case when size(ws) >= $w then " +
+        s"transform(sequence(1, size(ws) - ${w - 1}), " +
+        s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
+        "else cast(array() as array<bigint>) end")).as(Seq("p", "h")))
+    val dupCounts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    // covered token indices of flagged windows only (0-based token idx)
+    val dropped = wins.join(dupCounts, "h")
+      .select(col("doc_id"), explode(expr(
+        s"sequence(p, p + ${w - 1})")).as("idx"))
+      .distinct()
+    val toks = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "tok")))
+    val kept = toks.join(dropped, Seq("doc_id", "idx"), "left_anti")
+    // left join keeps zero-token docs (short, empty, or fully-dropped)
+    words.select("doc_id").join(
+      kept.groupBy("doc_id").agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept")),
+      Seq("doc_id"), "left")
+      .join(words.select(col("doc_id"), size(col("ws")).cast("long").as("n_total")), "doc_id")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Test-set decontamination: count, per document, how many of its distinct
     * word n-gram shingles also occur in `evalDocs` (the benchmark/eval corpus),
     * and return documents with at least `minHits` overlapping shingles — the

@@ -98,6 +98,12 @@ object ExtensionQueries {
       Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
         w = 10, minCount = 2)),
 
+    // ...and the transformation it drives: drop every token covered by a
+    // duplicated span, reassemble the rest
+    "q_despan" -> ((s, d) =>
+      Pipelines.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        w = 10, minCount = 2)),
+
     // ---- similarity search ----
     "q_sim_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -163,6 +169,21 @@ object ExtensionQueries {
       graft.operators.FuzzyJoin.pairsWithin(
         t(s, d, "customer").filter(col("c_custkey") <= 200),
         "c_custkey", "c_name", k = 3)),
+
+    // cross-table fuzzy LINK (entity resolution across datasets): the dirty
+    // side deterministically deletes one character from each customer name
+    // (position keyed by the custkey), and pairsBetween must recover every
+    // (dirty, clean) pair within edit distance 1 — including each row's own
+    // corrupted original
+    "q_fuzzy_link" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val dirty = cust.select(col("c_custkey").as("d_id"),
+        expr("concat(substring(c_name, 1, cast(c_custkey % 10 as int) + 6), " +
+          "substring(c_name, cast(c_custkey % 10 as int) + 8, length(c_name)))")
+          .as("d_name"))
+      graft.operators.FuzzyJoin.pairsBetween(
+        dirty, "d_id", "d_name", cust, "c_custkey", "c_name", k = 1)
+    }),
 
     // incremental exact dedup: docs >= 250 are "today's batch", the fps of
     // docs < 250 are the persisted history
@@ -465,6 +486,30 @@ object ExtensionQueries {
         |       ELSE round(n_dup_windows * 1.0 / n_windows, 4) END AS dup_frac
         |FROM w LEFT JOIN f USING (doc_id)""".stripMargin),
 
+    // 1-based window start p covers tokens [p, p+9]; dropped = union of
+    // covered indices of corpus-duplicated windows; reassembly in index order
+    "q_despan" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |wins AS (SELECT doc_id, i AS p, array_to_string(ws[i : i+9], ' ') AS win
+        |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 9),
+        |c AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+        |dropped AS (SELECT DISTINCT doc_id, p + j AS idx
+        |            FROM wins JOIN c USING (win), range(0, 10) s(j)),
+        |toks AS (SELECT doc_id, i AS idx, ws[i] AS tok
+        |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+        |         LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |         WHERE d.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(clean_text, '') AS clean_text,
+        |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  (coalesce(len(ws), 0) - coalesce(n_kept, 0))::BIGINT AS n_dropped
+        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin),
+
     "q_sim_topk" ->
       ("SELECT b.vec_id, " +
         "round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos " +
@@ -594,6 +639,16 @@ object ExtensionQueries {
         "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey " +
         "WHERE a.c_custkey <= 200 AND b.c_custkey <= 200 " +
         "AND levenshtein(a.c_name, b.c_name) <= 3"),
+
+    // same deterministic one-char corruption, brute-force levenshtein link
+    "q_fuzzy_link" ->
+      ("""WITH dirty AS (SELECT c_custkey AS d_id,
+        |  substr(c_name, 1, (c_custkey % 10)::INTEGER + 6) ||
+        |  substr(c_name, (c_custkey % 10)::INTEGER + 8) AS d_name
+        |  FROM customer)
+        |SELECT d.d_id AS left_id, c.c_custkey AS right_id,
+        |  levenshtein(d.d_name, c.c_name)::INTEGER AS dist
+        |FROM dirty d JOIN customer c ON levenshtein(d.d_name, c.c_name) <= 1""".stripMargin),
 
     "q_dedup_incremental" ->
       ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -108,6 +108,38 @@ class FuzzyJoinSpec extends SparkSpec {
       s"diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
   }
 
+  test("pairsBetween: cross-table link == brute force at k=1,2,3, orientation kept") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcd"
+    // lengths 1..8 on both sides: short-short bucket and both segment
+    // orientations (left longer / right longer) all get exercised at k=3
+    val ls = (0 until 60).map(i =>
+      i.toLong -> (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val rs = (0 until 60).map(i =>
+      (1000 + i).toLong -> (0 until (1 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    for (k <- Seq(1, 2, 3)) {
+      val expect = (for {
+        (il, sl) <- ls; (ir, sr) <- rs
+        dist = lev(sl, sr) if dist <= k
+      } yield (il, ir, dist)).toSet
+      assert(expect.exists(_._3 == k), s"fixture must contain distance-$k links")
+      val got = FuzzyJoin.pairsBetween(
+        ls.toDF("id", "name"), "id", "name",
+        rs.toDF("id", "name"), "id", "name", k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expect,
+        s"k=$k diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
+    }
+  }
+
   test("duplicate strings: pair set matches brute force; dist-0 groups fully expanded") {
     import spark.implicits._
     // 30 copies of one name + near variants: the collapse must re-expand every

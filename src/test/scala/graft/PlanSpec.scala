@@ -300,6 +300,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"scoring must not sort-merge:\n$plan")
   }
 
+  test("semantic dedup: no cross-cell comparison — every join keys on the cell or the id") {
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val out = graft.operators.Semantic.semanticDedup(emb, "vec_id", "embedding",
+      k = 16, threshold = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    // the pairwise stage must be an EQUALITY join on the cell key — that is
+    // the SemDeDup containment guarantee bounding candidates at Σ cell² —
+    // so the only nested-loop allowed is the deliberate k-row broadcast of
+    // the seeds (BuildRight Cross over a TakeOrdered of 16 rows)
+    assert(!plan.contains("CartesianProduct"), s"no cartesian stage:\n$plan")
+    val nljs = plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(nljs.forall(_.contains("Cross")),
+      s"only the broadcast seed cross-join may nested-loop:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(plan).isDefined,
+      s"within-cell prune must hash/merge-join on the cell key:\n$plan")
+    // seed selection is a global top-k (TakeOrdered), not a full sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"seed pick must be top-k, not a global sort:\n$plan")
+  }
+
+  test("duplicate spans: aggregate-count plan — no self-join of the window stream") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.duplicateSpans(docs, "doc_id", "text",
+      w = 10, minCount = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec"),
+      s"span counts are map-side-combined aggregates, never a window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no quadratic stage:\n$plan")
+  }
+
   test("chunk windows are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.TextAnalysis.chunkWindows(docs, "doc_id", "text", 64, 48)

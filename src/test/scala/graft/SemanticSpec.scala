@@ -81,4 +81,31 @@ class SemanticSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2))).head
     assert(selfOut >= 2, "within-doc duplicated windows must be flagged")
   }
+
+  test("removeDuplicateSpans: covered tokens dropped, clean docs verbatim, totality") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta"),
+      (3L, "unique words only here nothing repeats in this document at all now"),
+      (4L, "tiny doc"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Pipelines.removeDuplicateSpans(docs, "doc_id", "text", w = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L), "output is total")
+    val byId = out.map(r => r._1 -> r).toMap
+    // doc 1: windows covering the shared run are duplicated (they appear in
+    // doc 2's prefix window only when identical) — here only the exact
+    // 10-token run [tok1..tok10] recurs, so alpha/beta/gamma must survive
+    assert(byId(1L)._2 == "alpha beta gamma", s"got '${byId(1L)._2}'")
+    assert(byId(1L)._4 == 10L)
+    assert(byId(2L)._2 == "delta")
+    assert(byId(3L)._2 == docs.filter(col("doc_id") === 3).head().getString(1).toLowerCase)
+    assert(byId(3L)._4 == 0L)
+    assert(byId(4L)._2 == "tiny doc" && byId(4L)._3 == 2L && byId(4L)._4 == 0L)
+    assert(byId(5L)._2 == "" && byId(5L)._3 == 0L && byId(5L)._4 == 0L)
+  }
 }
