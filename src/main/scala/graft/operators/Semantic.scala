@@ -64,6 +64,117 @@ object Semantic {
         col("m.d2").cast("long").as("dist2"))
   }
 
+  /** Product-quantization encoding (Jégou et al. 2011): split each vector
+    * into `m` contiguous subspaces and store, per subspace, the index of the
+    * nearest of `ksub` codebook entries — compressing a d-dim float vector to
+    * m small codes (m bytes at ksub <= 256), the standard memory layout for
+    * billion-scale ANN. Codebooks here are the subspace slices of the same
+    * deterministic md5-seed draw [[assignCells]] uses (sampled-data codebooks,
+    * the common PQ bootstrap), so the encoding — like the cell assignment —
+    * is reproducible by an external SQL engine bit-for-bit.
+    *
+    * Portability trick for the per-subspace argmin: the selection key is
+    * `min(dist2 · 64 + seedRank)` with seedRank < min(64, ksub) — dist2 is an
+    * exact integer (quantized components, see [[assignCells]]) bounded by
+    * dsub · (2·maxComp)², so the packed key stays below 2^53 and both engines
+    * compute the identical integer, ties resolved to the smallest rank by
+    * construction. code_j = key_j mod 64.
+    *
+    * Scale shape: one narrow pass over (n × ksub broadcast) rows computing m
+    * subspace distances each, then ONE groupBy(vec_id) with m struct-min
+    * aggregates — map-side combined, a single exchange of (vec_id, m keys)
+    * rows. Encoding 100 TB of vectors is one broadcast join + one shuffle of
+    * fixed-width rows.
+    */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m >= 1 && ksub >= 2 && ksub <= 64,
+      "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
+    val vecs = emb
+      .filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
+    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val seeds = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id").as("seed_id"), col("qv").as("sv"))
+      .withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))) - 1)
+    // per (vector, seed): all m subspace distances in one projected row
+    val distCols = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
+        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
+    }
+    val keyed = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id") +: col("r") +: distCols: _*)
+    val minKeys = (0 until m).map { j =>
+      min(col(s"d$j") * 64 + col("r")).as(s"k$j")
+    }
+    keyed.groupBy("vec_id").agg(minKeys.head, minKeys.tail: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until m).map(j =>
+          (col(s"k$j").cast("long") % 64).cast("string")): _*).as("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: rank the corpus against one query
+    * using only the m-code compression from [[pqEncode]] plus an m × ksub
+    * lookup table of exact subspace distances from the query to every
+    * codebook entry — the search side of PQ (Jégou et al. 2011 §IV). The
+    * approximate distance Σ_j LUT[j][code_j] is a sum of m exact integers
+    * (< 2^53), so unlike the LSH/IVF paths this approximate search is fully
+    * hash-oracle-able; ties break on vec_id.
+    *
+    * Scale shape: the LUT is m·ksub rows built from the broadcast seeds and
+    * the single query row; scoring explodes each code into m (j, code) rows,
+    * joins the broadcast LUT, and sums per vector — one narrow explode, one
+    * broadcast join, one map-side-combined groupBy, then a top-k
+    * (TakeOrdered). The raw vectors are never touched after encoding, which
+    * is the point of PQ at 100 TB: the scan reads m bytes per vector, not
+    * 4·d.
+    */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    require(m >= 1 && ksub >= 2 && ksub <= 64, "need 1 <= m, 2 <= ksub <= 64")
+    val vecs = emb
+      .filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
+    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val seeds = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id").as("seed_id"), col("qv").as("sv"))
+      .withColumn("r",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))) - 1)
+    val distCols = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
+        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
+    }
+    // LUT: the query row against every codebook entry, one row per (j, r)
+    val lut = vecs.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(seeds))
+      .select(col("r") +: distCols: _*)
+      .select(col("r"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
+      .select(col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    pqEncode(emb, idCol, vecCol, m, ksub)
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), posexplode(split(col("code"), ","))
+        .as(Seq("j", "cj")))
+      .join(broadcast(lut),
+        col("j") === col("lj") && col("cj").cast("int") === col("r"))
+      .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Semantic dedup survivors: (vec_id, cell) of every vector NOT pruned by
     * the within-cell keep-first rule — a vector is dropped iff some SMALLER-id
     * vector in the same cell has cosine similarity ≥ `threshold` with it.

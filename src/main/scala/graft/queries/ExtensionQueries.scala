@@ -93,6 +93,17 @@ object ExtensionQueries {
         planted, "vec_id", "embedding", k = 16, threshold = 0.9)
     }),
 
+    // product-quantization codes: 64-dim floats -> 8 subspace codes of 16
+    "q_pq_encode" -> ((s, d) =>
+      graft.operators.Semantic.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding",
+        m = 8, ksub = 16)),
+
+    // PQ asymmetric-distance search: approximate top-20 by summed subspace
+    // LUT distances — exact integers, so unlike ANN/IVF it is hash-checkable
+    "q_pq_topk" -> ((s, d) =>
+      graft.operators.Semantic.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 20, m = 8, ksub = 16)),
+
     // corpus-duplicated 10-token rolling spans (substring-level dedup signal)
     "q_dup_spans" -> ((s, d) =>
       Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
@@ -378,8 +389,67 @@ object ExtensionQueries {
        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
   }
 
+  /** PQ encoding recomputed verbatim: same quantized components, same md5
+    * seed draw with ranks, same packed `min(dist2·64 + rank)` argmin per
+    * subspace — every op an exact-integer double both engines share.
+    * Generated programmatically: 8 subspace distance expressions is SQL
+    * nobody should hand-write.
+    */
+  private val pqOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val code = (0 until 8).map(j => s"(k$j::BIGINT % 64)::VARCHAR")
+      .mkString(" || ',' || ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1)
+       |SELECT vec_id, $code AS code FROM k""".stripMargin
+  }
+
+  /** ADC search recomputed from the PQ oracle's own CTEs: per-subspace codes
+    * of every vector, the query's distance row per codebook rank, and the
+    * summed lookup — all exact-integer doubles.
+    */
+  private val pqTopKOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64").mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")} FROM d WHERE vec_id = 0)
+       |SELECT k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |WHERE k.vec_id <> 0
+       |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
+
+    "q_pq_encode" -> pqOracle,
+
+    "q_pq_topk" -> pqTopKOracle,
 
     "q_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id FROM documents " +

@@ -82,6 +82,53 @@ class SemanticSpec extends SparkSpec {
     assert(selfOut >= 2, "within-doc duplicated windows must be flagged")
   }
 
+  test("pqEncode: deterministic, seeds self-code, clones share codes, alphabet bounded") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val c1 = Semantic.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val c2 = Semantic.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(c1 == c2, "codes must be exactly reproducible")
+    assert(c1.length == emb.filter(col("embedding").isNotNull).count())
+    val codes = c1.toMap
+    codes.values.foreach { c =>
+      val parts = c.split(",")
+      assert(parts.length == 8)
+      assert(parts.forall(p => p.toInt >= 0 && p.toInt < 16), s"code out of range: $c")
+    }
+    // a seed's nearest codebook entry in every subspace is itself, so its
+    // code is its own rank repeated m times — and ranks 0..15 all occur
+    val selfCodes = codes.values.filter(c => c.split(",").distinct.length == 1).toSeq
+    val selfRanks = selfCodes.map(_.split(",").head.toInt).distinct
+    assert((0 until 16).forall(selfRanks.contains),
+      s"every seed must self-code (saw ranks $selfRanks)")
+    // identical vectors encode identically
+    import spark.implicits._
+    val dup = emb.limit(20).unionByName(
+      emb.limit(20).withColumn("vec_id", col("vec_id") + 50000))
+    val dupCodes = Semantic.pqEncode(dup, "vec_id", "embedding", m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    (0L until 20L).foreach { i =>
+      assert(dupCodes(i) == dupCodes(i + 50000), s"clone of $i must share its code")
+    }
+  }
+
+  test("pqTopK: ascending ADC distances; a clone of the query ties the minimum") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    // a clone of the query shares its code, and the query's own code achieves
+    // the per-subspace minimum LUT entry — so no vector can score below it
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") === 0).withColumn("vec_id", lit(77777L)))
+    val out = Semantic.pqTopK(planted, "vec_id", "embedding",
+      queryId = 0L, k = 10, m = 8, ksub = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 10)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq, "adist must ascend")
+    val cloneDist = out.find(_._1 == 77777L)
+      .getOrElse(fail("query clone missing from top-k"))._2
+    assert(cloneDist == out.head._2, "clone must tie the minimum ADC distance")
+  }
+
   test("removeDuplicateSpans: covered tokens dropped, clean docs verbatim, totality") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")
