@@ -188,17 +188,8 @@ object Pipelines {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val words = docs.select(
-      Keys.id(docs, idCol).as("doc_id"),
-      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-        x => length(x) > 0).as("ws"))
-    // all len-w+1 rolling windows, hashed; sequence(1, n) is DESCENDING for
-    // n < 1 (the shingleArrayExpr gotcha) — short docs need the guard
-    val wins = words.select(col("doc_id"), explode(expr(
-      s"case when size(ws) >= $w then " +
-        s"transform(sequence(1, size(ws) - ${w - 1}), " +
-        s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
-        "else cast(array() as array<bigint>) end")).as("h"))
+    val words = tokenArrays(docs, idCol, textCol)
+    val wins = words.select(col("doc_id"), explode(windowHashExpr(w)).as("h"))
     val counts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
     val flagged = wins.join(counts, "h")
       .groupBy("doc_id").agg(
@@ -232,21 +223,40 @@ object Pipelines {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val words = docs.select(
-      Keys.id(docs, idCol).as("doc_id"),
-      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-        x => length(x) > 0).as("ws"))
-    val wins = words.select(col("doc_id"), posexplode(expr(
-      s"case when size(ws) >= $w then " +
-        s"transform(sequence(1, size(ws) - ${w - 1}), " +
-        s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
-        "else cast(array() as array<bigint>) end")).as(Seq("p", "h")))
+    val words = tokenArrays(docs, idCol, textCol)
+    val wins = words.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
     val dupCounts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    dropCoveredTokens(words, wins.join(dupCounts, "h"), w)
+  }
+
+  /** Per-doc lower-cased whitespace tokens as an array column (null-safe:
+    * null text tokenizes to an empty array, keeping span ops total).
+    */
+  private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      Keys.id(df, idCol).as("doc_id"),
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        x => length(x) > 0).as("ws"))
+
+  /** xxhash64'd w-token rolling windows over the `ws` token array; empty for
+    * docs shorter than w tokens (the sequence() descending gotcha).
+    */
+  private def windowHashExpr(w: Int): org.apache.spark.sql.Column = expr(
+    s"case when size(ws) >= $w then " +
+      s"transform(sequence(1, size(ws) - ${w - 1}), " +
+      s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
+      "else cast(array() as array<bigint>) end")
+
+  /** Drop every token covered by a flagged window ((doc_id, p, ...) rows, p
+    * 0-based) and reassemble each doc's remaining tokens in order; total over
+    * `words` — zero-window and fully-scrubbed docs come back with empty text.
+    */
+  private def dropCoveredTokens(words: DataFrame, flagged: DataFrame,
+      w: Int): DataFrame = {
     // covered token indices of flagged windows only (0-based token idx)
-    val dropped = wins.join(dupCounts, "h")
-      .select(col("doc_id"), explode(expr(
-        s"sequence(p, p + ${w - 1})")).as("idx"))
+    val dropped = flagged
+      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("idx"))
       .distinct()
     val toks = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "tok")))
     val kept = toks.join(dropped, Seq("doc_id", "idx"), "left_anti")
@@ -263,6 +273,30 @@ object Pipelines {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
+  /** Span-level decontamination — the surgical alternative to dropping whole
+    * contaminated documents: every token covered by a w-token window whose
+    * exact token sequence occurs in `evalDocs` is removed and the remaining
+    * tokens reassembled ([[decontaminate]] flags documents; this repairs
+    * them). Output (doc_id, clean_text, n_kept, n_dropped), total over the
+    * corpus.
+    *
+    * Scale shape: the eval window set is small (eval corpora are) and
+    * broadcast; corpus windows hash to 8 bytes in a narrow pass, the
+    * broadcast semi-join keeps only CONTAMINATED windows, and the removal is
+    * [[removeDuplicateSpans]]' explode + anti-join + reassembly, its volume
+    * proportional to contamination found. One pass over the corpus, no
+    * corpus-side distinct, no self-join.
+    */
+  def removeContaminatedSpans(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, w: Int = 10): DataFrame = {
+    require(w >= 1, "w must be >= 1")
+    val evalSet = tokenArrays(evalDocs, idCol, textCol)
+      .select(explode(windowHashExpr(w)).as("h")).distinct()
+    val words = tokenArrays(docs, idCol, textCol)
+    val wins = words.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
+    dropCoveredTokens(words, wins.join(broadcast(evalSet), "h"), w)
   }
 
   /** Test-set decontamination: count, per document, how many of its distinct

@@ -115,6 +115,14 @@ object ExtensionQueries {
       Pipelines.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
         w = 10, minCount = 2)),
 
+    // span-level decontamination: remove tokens covered by any window that
+    // occurs in the eval slice (every ~97th doc), instead of dropping docs
+    "q_decontaminate_spans" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Pipelines.removeContaminatedSpans(docs,
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", w = 10)
+    }),
+
     // ---- similarity search ----
     "q_sim_topk" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
@@ -567,6 +575,29 @@ object ExtensionQueries {
         |c AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
         |dropped AS (SELECT DISTINCT doc_id, p + j AS idx
         |            FROM wins JOIN c USING (win), range(0, 10) s(j)),
+        |toks AS (SELECT doc_id, i AS idx, ws[i] AS tok
+        |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
+        |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t
+        |         LEFT JOIN dropped d ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |         WHERE d.doc_id IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(clean_text, '') AS clean_text,
+        |  coalesce(n_kept, 0)::BIGINT AS n_kept,
+        |  (coalesce(len(ws), 0) - coalesce(n_kept, 0))::BIGINT AS n_dropped
+        |FROM w LEFT JOIN agg USING (doc_id)""".stripMargin),
+
+    // same windows, flagged by membership in the eval slice's window set
+    "q_decontaminate_spans" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |wins AS (SELECT doc_id, i AS p, array_to_string(ws[i : i+9], ' ') AS win
+        |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 9),
+        |ev AS (SELECT DISTINCT win FROM wins WHERE doc_id % 97 = 0),
+        |dropped AS (SELECT DISTINCT doc_id, p + j AS idx
+        |            FROM wins JOIN ev USING (win), range(0, 10) s(j)),
         |toks AS (SELECT doc_id, i AS idx, ws[i] AS tok
         |         FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
         |kept AS (SELECT t.doc_id, t.idx, t.tok FROM toks t

@@ -129,6 +129,27 @@ class SemanticSpec extends SparkSpec {
     assert(cloneDist == out.head._2, "clone must tie the minimum ADC distance")
   }
 
+  test("removeContaminatedSpans: eval spans scrubbed, clean docs untouched, eval self-scrubs") {
+    import spark.implicits._
+    val leak = (1 to 10).map(i => s"ev$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"intro words $leak closing remark"),
+      (2L, "completely clean document with no overlap whatsoever in its body text"))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L, s"$leak tail tokens here")).toDF("doc_id", "text")
+    val out = Pipelines.removeContaminatedSpans(docs, eval, "doc_id", "text", w = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == "intro words closing remark", s"got '${byId(1L)._2}'")
+    assert(byId(1L)._4 == 10L)
+    assert(byId(2L)._4 == 0L, "clean doc must lose nothing")
+    // eval docs fed back as the corpus scrub themselves fully (>= w tokens)
+    val self = Pipelines.removeContaminatedSpans(eval, eval, "doc_id", "text", w = 10)
+      .collect().head
+    assert(self.getString(1) == "" && self.getLong(3) == 13L)
+  }
+
   test("removeDuplicateSpans: covered tokens dropped, clean docs verbatim, totality") {
     import spark.implicits._
     val shared = (1 to 10).map(i => s"tok$i").mkString(" ")

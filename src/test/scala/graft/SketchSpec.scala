@@ -23,6 +23,31 @@ class SketchSpec extends SparkSpec {
     assert(relErr <= 3 * rsd, s"relative error $relErr exceeds 3*rsd=${3 * rsd}")
   }
 
+  test("count_min_sketch: point estimates never undercount, overcount bounded by eps*N") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val eps = 0.001
+    val conf = 0.99
+    val bytes = li.agg(
+      count_min_sketch(col("l_suppkey"), lit(eps), lit(conf), lit(42))
+        .as("cms")).collect().head.getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val n = li.count()
+    val truth = li.groupBy("l_suppkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // CMS contract: estimate >= true count always (hash collisions only ADD),
+    // and estimate <= true + eps*N with probability >= conf per key — on a
+    // seeded sketch over a fixed fixture both sides are deterministic
+    var overBound = 0
+    truth.foreach { case (k, c) =>
+      val est = cms.estimateCount(k)
+      assert(est >= c, s"CMS undercounted key $k: $est < $c")
+      if (est > c + (eps * n).toLong) overBound += 1
+    }
+    assert(overBound <= math.max(1, ((1 - conf) * truth.length).toInt * 3),
+      s"$overBound of ${truth.length} keys exceed the eps*N overcount bound")
+  }
+
   test("percentile_approx honors the deterministic rank-error bound (A4)") {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val accuracy = 1000
