@@ -64,6 +64,70 @@ object Semantic {
         col("m.d2").cast("long").as("dist2"))
   }
 
+  /** Persisted semantic-dedup state for [[semanticIncremental]]: the cell
+    * assignment plus each vector, with the codebook rows marked — the
+    * by-product every ingestion run appends, mirroring
+    * [[Dedup.minHashState]] for the embedding path. Schema:
+    * (vec_id, cell, v, is_seed). Seeds are frozen by the FIRST run (cells
+    * must stay stable across batches or history lookups would cross cells);
+    * re-seeding is a full [[semanticDedup]] rebuild, exactly like re-banding
+    * an LSH state table.
+    */
+  def semanticState(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val assigned = assignCells(emb, idCol, vecCol, k).select("vec_id", "cell")
+    emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"),
+        (col("vec_id") === col("cell")).as("is_seed"))
+  }
+
+  /** Incremental semantic dedup — the continuously-ingesting form of
+    * [[semanticDedup]], mirroring [[Dedup.nearIncremental]]: keep rows of
+    * `newEmb` that (1) are not within `threshold` cosine of ANY state vector
+    * sharing their cell (assignment against the STATE's frozen seeds) and
+    * (2) survive the within-batch keep-first prune. Returns (vec_id, cell)
+    * survivors; callers append the survivors' state rows afterwards.
+    *
+    * Scale shape: seeds broadcast (k rows); the history check is an equality
+    * join on the cell key — only same-cell (new, history) pairs are scored,
+    * the SemDeDup containment argument applied across batches. One narrow
+    * assignment pass + two cell-keyed joins per batch.
+    */
+  def semanticIncremental(newEmb: DataFrame, idCol: String, vecCol: String,
+      state: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    require(Seq("vec_id", "cell", "v", "is_seed").forall(state.columns.contains),
+      "state must be a semanticState table: (vec_id, cell, v, is_seed)")
+    graft.functions.GraftFunctions.register(newEmb.sparkSession)
+    val seeds = state.filter(col("is_seed"))
+      .select(col("vec_id").as("seed_id"),
+        expr("transform(v, x -> floor(cast(x as double) * 1000000.0d + 0.5d))")
+          .as("sv"))
+    val vecs = newEmb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(newEmb, idCol).as("vec_id"), col(vecCol).as("v"),
+        quantized(vecCol).as("qv"))
+    val assigned = vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("v"), col("seed_id"),
+        aggregate(zip_with(col("qv"), col("sv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("seed_id"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.seed_id").as("cell"), col("v"))
+    val hits = assigned.as("n")
+      .join(state.select(col("cell"), col("v").as("hv")).as("h"), "cell")
+      .filter(cosineSim(col("n.v"), col("hv")) >= threshold)
+      .select(col("n.vec_id").as("vec_id")).distinct()
+    val fresh = assigned.join(hits, Seq("vec_id"), "left_anti")
+    val drops = fresh.as("a")
+      .join(fresh.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineSim(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    fresh.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+  }
+
   /** Product-quantization encoding (Jégou et al. 2011): split each vector
     * into `m` contiguous subspaces and store, per subspace, the index of the
     * nearest of `ksub` codebook entries — compressing a d-dim float vector to

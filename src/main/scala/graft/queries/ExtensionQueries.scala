@@ -93,6 +93,24 @@ object ExtensionQueries {
         planted, "vec_id", "embedding", k = 16, threshold = 0.9)
     }),
 
+    // incremental semantic dedup: vec_id < 250 is the persisted state (its
+    // seeds frozen), the rest plus planted clones are "today's batch" — a
+    // clone of a HISTORY vector must fall to the history check, a clone of a
+    // BATCH vector to the within-batch keep-first cut
+    "q_dedup_semantic_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val batch = emb.filter(col("vec_id") >= 250)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 10000))
+        .unionByName(emb.filter(col("vec_id") === 300)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      graft.operators.Semantic.semanticIncremental(
+        batch, "vec_id", "embedding",
+        graft.operators.Semantic.semanticState(
+          emb.filter(col("vec_id") < 250), "vec_id", "embedding", k = 16),
+        threshold = 0.9)
+    }),
+
     // product-quantization codes: 64-dim floats -> 8 subspace codes of 16
     "q_pq_encode" -> ((s, d) =>
       graft.operators.Semantic.pqEncode(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -458,6 +476,51 @@ object ExtensionQueries {
     "q_pq_encode" -> pqOracle,
 
     "q_pq_topk" -> pqTopKOracle,
+
+    // seeds frozen from the history half; both halves assigned against them;
+    // history hits by same-cell cosine, then the within-batch keep-first cut
+    "q_dedup_semantic_incremental" ->
+      ("""WITH hist AS (SELECT vec_id, embedding FROM embeddings
+        |              WHERE vec_id < 250 AND embedding IS NOT NULL),
+        |batch AS (SELECT vec_id, embedding FROM embeddings
+        |          WHERE vec_id >= 250 AND embedding IS NOT NULL
+        |          UNION ALL
+        |          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10
+        |          UNION ALL
+        |          SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id = 300),
+        |qh AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[],
+        |               x -> floor(x * 1000000.0 + 0.5)) AS qv FROM hist),
+        |qb AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[],
+        |               x -> floor(x * 1000000.0 + 0.5)) AS qv FROM batch),
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM qh
+        |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |ah AS (SELECT vec_id, cell FROM (
+        |         SELECT q.vec_id, s.seed_id AS cell, row_number() OVER (
+        |           PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                    p -> (p[1]-p[2])*(p[1]-p[2]))), s.seed_id) AS rn
+        |         FROM qh q, seeds s) WHERE rn = 1),
+        |ab AS (SELECT vec_id, cell FROM (
+        |         SELECT q.vec_id, s.seed_id AS cell, row_number() OVER (
+        |           PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                    p -> (p[1]-p[2])*(p[1]-p[2]))), s.seed_id) AS rn
+        |         FROM qb q, seeds s) WHERE rn = 1),
+        |hits AS (SELECT DISTINCT b.vec_id FROM ab b
+        |         JOIN ah h ON b.cell = h.cell
+        |         JOIN batch be ON be.vec_id = b.vec_id
+        |         JOIN hist he ON he.vec_id = h.vec_id
+        |         WHERE list_cosine_similarity(be.embedding::DOUBLE[],
+        |                                      he.embedding::DOUBLE[]) >= 0.9),
+        |fresh AS (SELECT * FROM ab WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+        |drops AS (SELECT DISTINCT y.vec_id FROM fresh x
+        |          JOIN fresh y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |          JOIN batch bx ON bx.vec_id = x.vec_id
+        |          JOIN batch by2 ON by2.vec_id = y.vec_id
+        |          WHERE list_cosine_similarity(bx.embedding::DOUBLE[],
+        |                                       by2.embedding::DOUBLE[]) >= 0.9)
+        |SELECT vec_id, cell FROM fresh
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
 
     "q_dedup_exact" ->
       ("SELECT min(doc_id) AS doc_id FROM documents " +

@@ -82,6 +82,26 @@ class SemanticSpec extends SparkSpec {
     assert(selfOut >= 2, "within-doc duplicated windows must be flagged")
   }
 
+  test("semanticIncremental: history clones fall to the state check, batch clones to keep-first") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val state = Semantic.semanticState(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding", k = 16)
+    val batch = emb.filter(col("vec_id") >= 250)
+      .unionByName(emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000))
+      .unionByName(emb.filter(col("vec_id") === 300)
+        .withColumn("vec_id", col("vec_id") + 20000))
+    val kept = Semantic.semanticIncremental(batch, "vec_id", "embedding",
+      state, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    assert((0L until 10L).forall(i => !kept.contains(i + 10000)),
+      "clones of history vectors must be dropped by the state check")
+    assert(!kept.contains(20300L),
+      "the larger-id clone of a batch vector must fall to keep-first")
+    assert(kept.contains(300L), "the smaller-id batch original survives")
+    assert(kept.size == emb.filter(col("vec_id") >= 250).count(),
+      "nothing else may drop at threshold 0.9 on this fixture")
+  }
+
   test("pqEncode: deterministic, seeds self-code, clones share codes, alphabet bounded") {
     val emb = Tables(spark, sfDir, "embeddings")
     val c1 = Semantic.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16)
