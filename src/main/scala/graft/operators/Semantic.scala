@@ -105,6 +105,14 @@ object Semantic {
       .select(col("vec_id").as("seed_id"),
         expr("transform(v, x -> floor(cast(x as double) * 1000000.0d + 0.5d))")
           .as("sv"))
+    // an empty codebook would assign NOTHING and silently drop the whole
+    // batch — the inverse of dedup's usual over-retention failure and far
+    // worse. First-run callers must bootstrap with semanticDedup +
+    // semanticState instead. (isEmpty on <= k rows: plan-time-metadata cost,
+    // same class as the CC convergence probes.)
+    require(!seeds.isEmpty,
+      "state has no seed rows (is_seed) — bootstrap the first batch with " +
+        "semanticDedup and persist semanticState before running incrementally")
     val vecs = newEmb.filter(col(vecCol).isNotNull)
       .select(Keys.id(newEmb, idCol).as("vec_id"), col(vecCol).as("v"),
         quantized(vecCol).as("qv"))

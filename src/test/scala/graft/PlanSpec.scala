@@ -321,6 +321,19 @@ class PlanSpec extends SparkSpec {
       s"seed pick must be top-k, not a global sort:\n$plan")
   }
 
+  test("semantic ops prune the scan to (vec_id, embedding) — label never read") {
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    for (out <- Seq(
+      graft.operators.Semantic.assignCells(emb, "vec_id", "embedding", k = 8),
+      graft.operators.Semantic.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16))) {
+      val plan = out.queryExecution.executedPlan.toString
+      val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+      assert(reads.nonEmpty)
+      assert(reads.forall(r => !r.contains("label")),
+        s"scan reads the unused label column:\n${reads.mkString("\n")}")
+    }
+  }
+
   test("duplicate spans: aggregate-count plan — no self-join of the window stream") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.Pipelines.duplicateSpans(docs, "doc_id", "text",

@@ -152,6 +152,77 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(1L, 2L, 3L, 5L, 8L))
   }
 
+  test("streaming semantic dedup: foreachBatch vs persisted cell state == batch semanticDedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // exact-clone groups are cliques in ANY cell structure (identical vectors
+    // share a cell under every frozen seed set), so the incremental form and
+    // the batch form agree exactly — the same equivalence class the
+    // near-dedup streaming test pins
+    val base = graft.sources.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 30)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val byId = base.toMap
+    val batches = Seq(
+      base.filter(_._1 < 10),
+      base.filter(t => t._1 >= 10 && t._1 < 20) :+ (103L, byId(3L)),
+      (base.filter(t => t._1 >= 20) :+ (115L, byId(15L))) :+ (121L, byId(21L)))
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    var state: org.apache.spark.sql.DataFrame = null
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (state == null) {
+          // first batch bootstraps: full semanticDedup + frozen-seed state
+          val survivors = graft.operators.Semantic.semanticDedup(
+            batch, "vec_id", "embedding", k = 4, threshold = 0.9)
+          kept ++= survivors.collect().map(_.getLong(0))
+          state = graft.operators.Semantic.semanticState(
+            batch, "vec_id", "embedding", k = 4).localCheckpoint()
+        } else {
+          val survivors = graft.operators.Semantic.semanticIncremental(
+            batch, "vec_id", "embedding", state, threshold = 0.9)
+          val ids = survivors.collect().map(_.getLong(0))
+          kept ++= ids
+          // append survivors' rows under the FROZEN cells (assignment against
+          // the state seeds), keeping is_seed false for new rows
+          val newRows = batch.join(survivors.select("vec_id"), "vec_id")
+            .select(col("vec_id"), col("embedding").as("v"))
+            .join(survivors, "vec_id")
+            .select(col("vec_id"), col("cell"), col("v"), lit(false).as("is_seed"))
+          state = state.unionByName(newRows).localCheckpoint()
+        }
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batchResult = graft.operators.Semantic.semanticDedup(
+      (base ++ Seq((103L, byId(3L)), (115L, byId(15L)), (121L, byId(21L))))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 4, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == kept.toSet.size, "a vector must be emitted at most once")
+    assert(kept.toSet == batchResult,
+      s"stream ${kept.sorted} != batch ${batchResult.toSeq.sorted}")
+    assert(kept.toSet == (0L until 30L).toSet, "exactly the clones must drop")
+  }
+
+  test("semanticIncremental refuses an empty (seedless) state instead of dropping the batch") {
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
+    val emptyState = graft.operators.Semantic.semanticState(
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Semantic.semanticIncremental(
+        emb, "vec_id", "embedding", emptyState, threshold = 0.9)
+    }
+    assert(e.getMessage.contains("bootstrap"))
+  }
+
   test("stream-stream join matches events to orders within the time bound") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
