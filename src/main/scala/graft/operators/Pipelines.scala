@@ -345,6 +345,30 @@ object Pipelines {
       .select(col("doc_id"), col("stratum"), col("rn"))
   }
 
+  /** Deterministic WEIGHTED sampling: keep a row iff its md5-derived uniform
+    * draw falls below `rate · weight` (clamped to [0, 1]) — quality-weighted
+    * downsampling ("keep high-quality docs proportionally more often"), the
+    * importance-sampling counterpart of [[hashSample]]'s per-source rates.
+    * The draw is the row's md5 32-bit prefix scaled to [0, 1); the keep
+    * decision compares it to `rate · weight` in double arithmetic — both
+    * engine-portable, so the exact kept-set is reproducible anywhere, unlike
+    * seeded RNG sampling. Null weights drop the row (no weight, no mass).
+    * Narrow filter, zero shuffles; re-weighting re-reads, never re-shuffles.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+      rate: Double): DataFrame = {
+    require(rate >= 0.0, "rate must be non-negative")
+    // 32-bit md5 prefix as an exact integer in [0, 2^32) — u/2^32 is an
+    // exact power-of-two division, so the draw is bit-identical everywhere
+    val draw = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+      "as double) / 4294967296.0d")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"), col(weightCol).cast("double").as("w"))
+      .filter(col("w").isNotNull &&
+        draw < least(lit(1.0), lit(rate) * col("w")))
+      .select(col("doc_id"), col("w").as("weight"))
+  }
+
   /** Deterministic hash-based mixture sampling: keep a row iff the first 8 hex
     * chars of md5(doc_id) sort below the rate's threshold — the reproducible
     * per-source downsampling a training-mixture spec needs ("25% of web, 90%

@@ -186,6 +186,18 @@ object ExtensionQueries {
     "q_stratified_sample" -> ((s, d) =>
       Pipelines.stratifiedSample(t(s, d, "documents"), "doc_id", "source", k = 50)),
 
+    // quality-weighted sampling: longer docs kept proportionally more often,
+    // kept-set engine-portable (md5 draw vs rate*weight)
+    "q_weighted_sample" -> ((s, d) =>
+      Pipelines.weightedSample(
+        t(s, d, "documents").withColumn("w8", col("n_chars") / lit(1000.0)),
+        "doc_id", "w8", rate = 0.5)),
+
+    // equi-width profile of the n_chars distribution, nulls as bucket -1
+    "q_profile_hist" -> ((s, d) =>
+      graft.operators.Profiling.histogram(
+        t(s, d, "documents"), "n_chars", lo = 0.0, hi = 2000.0, n = 16)),
+
     // TF-IDF keyword extraction, decimal-exact scoring
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
@@ -758,6 +770,24 @@ object ExtensionQueries {
         "WHERE substr(md5(doc_id::VARCHAR), 1, 8) < " +
         "CASE source WHEN 'src0' THEN 'e6666666' WHEN 'src1' THEN '40000000' " +
         "WHEN 'src2' THEN '' ELSE '80000000' END"),
+
+    // identical draw (32-bit md5 prefix / 2^32, an exact power-of-two
+    // division) and identical rate*weight arithmetic
+    "q_weighted_sample" ->
+      ("SELECT doc_id, n_chars / 1000.0 AS weight FROM documents " +
+        "WHERE n_chars IS NOT NULL AND " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 " +
+        "< least(1.0, 0.5 * (n_chars / 1000.0))"),
+
+    // same clamped floor((x-lo)*n/(hi-lo)) bucketing, nulls as bucket -1
+    "q_profile_hist" ->
+      ("""SELECT CASE WHEN n_chars IS NULL THEN -1
+        |       ELSE least(15, greatest(0,
+        |         floor((n_chars::DOUBLE - 0.0) * 16.0 / 2000.0)::INTEGER)) END AS bucket,
+        |  count(*) AS n_rows,
+        |  round(min(n_chars::DOUBLE), 4) AS x_min,
+        |  round(max(n_chars::DOUBLE), 4) AS x_max
+        |FROM documents GROUP BY 1""".stripMargin),
 
     "q_stratified_sample" ->
       ("SELECT doc_id, source AS stratum, rn::INTEGER AS rn FROM (" +
