@@ -96,7 +96,7 @@ object Semantic {
     * assignment pass + two cell-keyed joins per batch.
     */
   def semanticIncremental(newEmb: DataFrame, idCol: String, vecCol: String,
-      state: DataFrame, threshold: Double): DataFrame = {
+      state: DataFrame, threshold: Double, maxCell: Int = 1024): DataFrame = {
     import graft.functions.GraftFunctions.cosineSim
     require(Seq("vec_id", "cell", "v", "is_seed").forall(state.columns.contains),
       "state must be a semanticState table: (vec_id, cell, v, is_seed)")
@@ -128,12 +128,10 @@ object Semantic {
       .filter(cosineSim(col("n.v"), col("hv")) >= threshold)
       .select(col("n.vec_id").as("vec_id")).distinct()
     val fresh = assigned.join(hits, Seq("vec_id"), "left_anti")
-    val drops = fresh.as("a")
-      .join(fresh.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .filter(cosineSim(col("a.v"), col("b.v")) >= threshold)
-      .select(col("b.vec_id").as("vec_id")).distinct()
-    fresh.join(drops, Seq("vec_id"), "left_anti").select("vec_id", "cell")
+    fresh
+      .join(withinCellDrops(fresh.select("cell", "vec_id", "v"), threshold, maxCell),
+        Seq("vec_id"), "left_anti")
+      .select("vec_id", "cell")
   }
 
   /** Product-quantization encoding (Jégou et al. 2011): split each vector
@@ -254,23 +252,63 @@ object Semantic {
     * and [[Pipelines.dedupLines]] use, and unlike "drop everything near the
     * centroid-closest point" it needs no float centroid (whose summation
     * order no two engines agree on).
+    *
+    * `maxCell` bounds reducer work the way [[Dedup.simHashPairs]]' maxBucket
+    * does, at the price of RECALL inside hot cells: a cell wider than maxCell
+    * — a boilerplate-heavy corpus concentrates its clones in few cells — is
+    * switched from the exact all-pairs self-join (one reducer doing width²
+    * cosines) to sign-LSH-blocked pair generation, where a near-dup pair at
+    * cos ≥ threshold is missed with probability (1-p^r)^b (the
+    * [[Dedup.embeddingPairs]] banding, ≤ 0.1 at the tuned band structure).
+    * The default (1024) is the scale-safe setting; pass
+    * `maxCell >= corpus size` to restore the exact-prune contract an
+    * external oracle reproduces verbatim.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      k: Int, threshold: Double): DataFrame = {
-    import graft.functions.GraftFunctions.cosineSim
+      k: Int, threshold: Double, maxCell: Int = 1024): DataFrame = {
+    require(maxCell > 1, "maxCell must be > 1")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val assigned = assignCells(emb, idCol, vecCol, k).select("vec_id", "cell")
     val vecs = emb.filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v"))
     val cells = assigned.join(vecs, "vec_id")
-    // within-cell pairs only: the self-join key is the cell, so candidate
-    // volume is sum(cell²), never n² — k bounds the widest reducer
-    val drops = cells.as("a")
-      .join(cells.as("b"),
+    assigned.join(withinCellDrops(cells, threshold, maxCell),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Dropped vec_ids under the within-cell keep-first rule over a
+    * (vec_id, cell, v) frame: exact all-pairs per cell for cells up to
+    * `maxCell` wide, sign-LSH-blocked pairs (bounded buckets, documented
+    * recall) for hotter cells. Shared by [[semanticDedup]] and
+    * [[semanticIncremental]]'s within-batch cut.
+    */
+  private def withinCellDrops(cells: DataFrame, threshold: Double,
+      maxCell: Int): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    // hot-cell width count: map-side-combined aggregate over (vec_id, cell)
+    // rows; the hot list holds only skewed cells, hence broadcastable
+    val hot = cells.groupBy("cell").count()
+      .filter(col("count") > maxCell).select("cell")
+    val tagged = cells.join(broadcast(hot).withColumn("__hot", lit(true)),
+      Seq("cell"), "left")
+    val cold = tagged.filter(col("__hot").isNull).select("cell", "vec_id", "v")
+    val coldDrops = cold.as("a")
+      .join(cold.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineSim(col("a.v"), col("b.v")) >= threshold)
       .select(col("b.vec_id").as("vec_id"))
-      .distinct()
-    assigned.join(drops, Seq("vec_id"), "left_anti")
+    // hot cells: LSH-banded candidates, verified exactly, constrained to
+    // same-cell pairs (embeddingPairs blocks corpus-wide; the cell-equality
+    // join restores containment)
+    val hotVecs = tagged.filter(col("__hot").isNotNull)
+      .select("cell", "vec_id", "v")
+    val hotDrops = Dedup.embeddingPairs(
+      hotVecs.select(col("vec_id"), col("v")), "vec_id", "v",
+      threshold, exact = false)
+      .join(hotVecs.select(col("vec_id").as("vec_a"), col("cell").as("ca")), "vec_a")
+      .join(hotVecs.select(col("vec_id").as("vec_b"), col("cell").as("cb")), "vec_b")
+      .filter(col("ca") === col("cb"))
+      .select(col("vec_b").as("vec_id"))
+    coldDrops.unionByName(hotDrops).distinct()
   }
 }

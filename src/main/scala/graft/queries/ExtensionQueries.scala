@@ -89,8 +89,12 @@ object ExtensionQueries {
       val planted = emb.unionByName(
         emb.filter(col("vec_id") < 10)
           .withColumn("vec_id", col("vec_id") + 10000))
+      // maxCell = MaxValue disables the hot-cell LSH fallback so the
+      // exact-prune contract the oracle recomputes holds STRUCTURALLY (the
+      // simHashPairs maxBucket precedent)
       graft.operators.Semantic.semanticDedup(
-        planted, "vec_id", "embedding", k = 16, threshold = 0.9)
+        planted, "vec_id", "embedding", k = 16, threshold = 0.9,
+        maxCell = Int.MaxValue)
     }),
 
     // incremental semantic dedup: vec_id < 250 is the persisted state (its
@@ -108,7 +112,7 @@ object ExtensionQueries {
         batch, "vec_id", "embedding",
         graft.operators.Semantic.semanticState(
           emb.filter(col("vec_id") < 250), "vec_id", "embedding", k = 16),
-        threshold = 0.9)
+        threshold = 0.9, maxCell = Int.MaxValue)
     }),
 
     // product-quantization codes: 64-dim floats -> 8 subspace codes of 16

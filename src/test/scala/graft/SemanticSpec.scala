@@ -42,6 +42,31 @@ class SemanticSpec extends SparkSpec {
       "nothing but the clones may be dropped at threshold 0.9 on this fixture")
   }
 
+  test("semanticDedup hot-cell fallback: tiny maxCell still prunes clone floods") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(40)
+    // 60 clones of vec 0 flood its cell far past maxCell = 8; identical
+    // vectors share every LSH band bucket, so the banded path keeps recall 1
+    // on exact clones and all of them must still drop
+    var planted = emb
+    for (i <- 0 until 3)
+      planted = planted.unionByName(
+        emb.filter(col("vec_id") === 0)
+          .withColumn("vec_id", lit(1000L + i))
+          .unionByName(emb.filter(col("vec_id") === 0)
+            .withColumn("vec_id", lit(2000L + i * 20)))
+          .unionByName(emb.filter(col("vec_id") === 0)
+            .withColumn("vec_id", lit(3000L + i * 7)))
+    )
+    val nClones = planted.count() - emb.count()
+    val kept = Semantic.semanticDedup(planted, "vec_id", "embedding",
+      k = 4, threshold = 0.9, maxCell = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(nClones >= 9)
+    assert(kept.contains(0L), "the original survives")
+    assert(kept.forall(_ < 1000L), "every clone must drop via the hot-cell path")
+    assert(kept.size == emb.count(), "non-clones untouched")
+  }
+
   test("semanticDedup: null-embedding rows are excluded, not crashed on") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings").limit(50)
