@@ -96,6 +96,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize an IVF index as a cell-partitioned parquet table — the
+    * 100 TB deployment shape the in-plan [[ivfTopK]] only simulates: the
+    * coarse assignment runs ONCE (deterministic seed cells via
+    * [[Semantic.assignCells]], so rebuilding appends consistently), and every
+    * later probe is an ordinary partition-pruned scan. Layout:
+    * `dir/cell=<id>/…` with (vec_id, v).
+    */
+  def ivfWrite(emb: DataFrame, idCol: String, vecCol: String,
+      dir: String, nlist: Int = 16): Unit = {
+    val rows = Semantic.assignCells(emb, idCol, vecCol, nlist)
+      .select("vec_id", "cell")
+      .join(emb.filter(col(vecCol).isNotNull)
+        .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v")), "vec_id")
+    rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+    // sidecar codebook (nlist rows): probes must find the seed vectors
+    // WITHOUT scanning the index — a vec_id filter over the partitioned
+    // table would touch every cell directory
+    rows.filter(col("vec_id") === col("cell"))
+      .write.mode("overwrite").parquet(s"$dir.seeds")
+  }
+
+  /** Probe a materialized IVF index: pick the `nprobe` cells whose seed
+    * vectors are nearest the query (seed rows live in the index — their
+    * vec_id equals their cell), then exact-rank ONLY those partitions. The
+    * cell filter is an `isin` on the partition column, so the scan prunes at
+    * the directory level and a probe reads ~nprobe/nlist of the index bytes
+    * regardless of index size — the property [[graft.SimilaritySpec]] pins
+    * via PartitionFilters.
+    */
+  def ivfProbe(spark: SparkSession, dir: String,
+      queryVec: Array[Float], k: Int, nprobe: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val idx = spark.read.parquet(dir)
+    // seed rows are plan-time metadata (nlist rows) read from the sidecar
+    // codebook: their distance to the query picks the probe cells — same
+    // cost class as ivfTopK's centroid pick
+    val q = queryVec.map(_.toDouble)
+    val probeCells = spark.read.parquet(s"$dir.seeds")
+      .select(col("cell"), col("v"))
+      .collect()
+      .map { r =>
+        val s = r.getSeq[Float](1)
+        val d = s.zip(q).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+        (r.getLong(0), d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nprobe).map(_._1)
+    val qLit = array(queryVec.map(x => lit(x)): _*)
+    idx.filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"),
+        round(GraftFunctions.cosineSim(col("v"), qLit), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Approximate top-k: LSH multi-table bucketing, exact re-rank of candidates. */
   def annTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {

@@ -107,6 +107,46 @@ class SemanticSpec extends SparkSpec {
     assert(selfOut >= 2, "within-doc duplicated windows must be flagged")
   }
 
+  test("semanticDedup postconditions hold on random vectors (property check)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // clusters of correlated vectors: base directions plus small jitter so
+    // the fixture has genuine high-cosine pairs without being all-clones
+    val bases = Array.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0L until 150L).map { i =>
+      val b = bases(rnd.nextInt(6))
+      val jitter = rnd.nextDouble() * 0.6
+      (i, b.map(x => (x + jitter * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    val kept = Semantic.semanticDedup(df, "vec_id", "embedding",
+      k = 5, threshold = tau, maxCell = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cellOf = kept.toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val vecOf = rows.toMap
+    // P1: survivors in the same cell are pairwise below the threshold —
+    // if two similar survivors shared a cell, the larger id would have
+    // been dropped by the smaller
+    for {
+      (a, ca) <- kept; (b, cb) <- kept
+      if a < b && ca == cb
+    } assert(cos(vecOf(a), vecOf(b)) < tau,
+      s"survivors $a,$b share cell $ca at cos >= $tau")
+    // P2: non-trivial — the fixture must actually drop something
+    assert(kept.length < rows.length, "fixture produced no drops")
+    // P3: determinism across runs
+    val kept2 = Semantic.semanticDedup(df, "vec_id", "embedding",
+      k = 5, threshold = tau, maxCell = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept.toSet == kept2)
+  }
+
   test("semanticIncremental: history clones fall to the state check, batch clones to keep-first") {
     val emb = Tables(spark, sfDir, "embeddings")
     val state = Semantic.semanticState(

@@ -23,6 +23,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.map(_.getLong(0)).contains(0L), "query vector excluded")
   }
 
+  test("materialized IVF index: probe partition-prunes to nprobe cells; full probe is exact") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString + "/idx"
+    Similarity.ivfWrite(emb, "vec_id", "embedding", dir, nlist = 8)
+
+    val qv = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+    // nprobe = nlist probes every cell → must equal the brute-force ranking
+    // (modulo the query row itself, which the index contains)
+    val full = Similarity.ivfProbe(spark, dir, qv, k = 11, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.head._1 == 0L && full.head._2 == 1.0,
+      "the stored query vector itself must rank first at cos 1")
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full.tail.map(_._1).toSeq == exact,
+      "full-probe IVF must reproduce the exact ranking")
+
+    // narrow probe: the scan must carry a partition filter on the cell —
+    // this is what makes a probe read nprobe/nlist of a 100 TB index
+    val narrow = Similarity.ivfProbe(spark, dir, qv, k = 5, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell") &&
+      !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"probe must partition-prune on cell:\n$plan")
+    assert(narrow.collect().nonEmpty)
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
