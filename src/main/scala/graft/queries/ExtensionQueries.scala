@@ -202,6 +202,17 @@ object ExtensionQueries {
       graft.operators.Profiling.histogram(
         t(s, d, "documents"), "n_chars", lo = 0.0, hi = 2000.0, n = 16)),
 
+    // BPE merge training + vocabulary-table tokenization (rows-only: the
+    // training loop is iterative, no SQL oracle; BpeSpec proves equality
+    // with an independent reference implementation)
+    "q_bpe_merges" -> ((s, d) =>
+      graft.operators.Bpe.trainMerges(t(s, d, "documents"), "doc_id", "text",
+        numMerges = 20)),
+
+    "q_bpe_tokenize" -> ((s, d) =>
+      graft.operators.Bpe.tokenCounts(t(s, d, "documents"), "doc_id", "text",
+        numMerges = 20)),
+
     // TF-IDF keyword extraction, decimal-exact scoring
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
