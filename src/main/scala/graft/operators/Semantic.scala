@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   * (exactly IVF's coarse quantizer, `Similarity.ivfTopK`); the within-cell
   * prune self-joins on the cell key, so reducer width is bounded by the
   * widest cell — k is the knob (pick k ≈ n / targetCellSize; SemDeDup uses
-  * n/cell ≈ 1e4 at web scale). For corpora where a cell could still run hot,
-  * compose with [[Dedup.embeddingPairs]]' LSH blocking inside the cell; the
-  * keep-first rule below stays well-defined because it only needs each
-  * dropped row to have SOME smaller-id near-duplicate, not the full pair set.
+  * n/cell ≈ 1e4 at web scale), and cells that still run hot past `maxCell`
+  * automatically fall back to [[Dedup.embeddingPairs]]' sign-LSH blocking
+  * (bounded buckets, documented recall). The keep-first rule stays
+  * well-defined under the fallback because it only needs each dropped row to
+  * have SOME smaller-id near-duplicate, not the full pair set.
   */
 object Semantic {
 
