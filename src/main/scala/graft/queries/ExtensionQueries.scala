@@ -404,6 +404,12 @@ object ExtensionQueries {
       Multimodal.frameChannelSums(
         Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
 
+    // sample-domain audio proof: integer sums over AudioSystem-DECODED PCM;
+    // the oracle recomputes them from the synthesis formula without decoding
+    "q_multimodal_audio" -> ((s, d) =>
+      Multimodal.audioSampleSums(
+        Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
+
     // resize round-trip proof: resize re-encodes PNGs, decodeMeta re-DECODES
     // them, and the decoded dimensions must equal the scale formula the
     // oracle computes from the source dims (identical IEEE double ops on both
@@ -1134,6 +1140,18 @@ object ExtensionQueries {
         |  sum((val >> 8) & 255)::BIGINT AS sum_g,
         |  sum(val & 255)::BIGINT AS sum_b
         |FROM px GROUP BY 1, 2""".stripMargin),
+
+    // recomputes sample i = ((i*2654435761 + doc_id) & 0xffff) - 32768 and
+    // sums in exact integer arithmetic — the engine gets the same numbers
+    // only by actually parsing the WAV container and PCM stream
+    "q_multimodal_audio" ->
+      ("""WITH a AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n
+        |           FROM documents WHERE doc_id % 3 = 1)
+        |SELECT a.doc_id, a.n::BIGINT AS n_samples,
+        |  (coalesce(sum(((r.i - 1) * 2654435761 + a.doc_id) & 65535), 0)
+        |   - 32768 * a.n)::BIGINT AS sum_samples
+        |FROM a LEFT JOIN range(1, 100000) r(i) ON r.i <= a.n
+        |GROUP BY a.doc_id, a.n""".stripMargin),
 
     // scale-to-fit formula on the synthesis dims, maxSide 20, never upscale;
     // 20.0/greatest and the multiply are the same IEEE ops the engine runs,

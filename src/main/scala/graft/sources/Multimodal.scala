@@ -288,6 +288,47 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Sample-domain audio decode proof, the WAV sibling of
+    * [[frameChannelSums]]: REAL `AudioSystem` parse of each audio payload,
+    * then the sample count and exact integer sum of the signed 16-bit PCM
+    * samples. The synthesized samples are a pure formula of (index, doc_id),
+    * so an external oracle recomputes both numbers WITHOUT decoding — a hash
+    * match proves header parse + PCM extraction + sign handling end-to-end.
+    * Map-only kernel, no shuffle.
+    */
+  def audioSampleSums(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) None
+          else try {
+            // corrupt payloads surface as absent rows, not task failures —
+            // the decodeMeta error convention
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+              else {
+                val data = ais.readAllBytes()
+                var i = 0; var n = 0L; var sum = 0L
+                while (i + 1 < data.length) {
+                  // 16-bit little-endian signed PCM
+                  val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+                  sum += s; n += 1; i += 2
+                }
+                Some((id, n, sum))
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF("doc_id", "n_samples", "sum_samples")
+  }
+
   /** REAL image resize: decode the PNG, scale to fit `maxSide` (never
     * upscale), resample through Graphics2D, re-encode as PNG. Output media
     * round-trips through `decodeMeta` at the new dimensions.

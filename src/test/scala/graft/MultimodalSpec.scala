@@ -179,6 +179,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(bad, 2).count() == 0)
   }
 
+  test("audioSampleSums: decoded PCM sums equal the synthesis formula; corrupt WAV skipped") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef"), (4L, "a longer audio payload text goes here"))
+      .toDF("doc_id", "text") // doc_id % 3 == 1 → audio kind
+    val got = Multimodal.audioSampleSums(Multimodal.asMedia(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for ((id, text) <- Seq((1L, "abcdef"), (4L, "a longer audio payload text goes here"))) {
+      val n = text.getBytes("UTF-8").length
+      val expect = (0 until n).map(i => ((i * 2654435761L + id) & 0xffffL) - 32768L).sum
+      assert(got(id) == ((n.toLong, expect)),
+        s"doc $id: got ${got(id)}, expected ($n, $expect)")
+    }
+    // corrupt payload → absent row, not a task failure
+    val bad = Seq((7L, "not a wav at all".getBytes, "audio"))
+      .toDF("doc_id", "media", "kind")
+    assert(Multimodal.audioSampleSums(bad).count() == 0)
+  }
+
   test("frameChannelSums: decoded per-channel sums equal the synthesis formula exactly") {
     import spark.implicits._
     val docs = Seq((2L, "abcdef"), (5L, "a longer video payload text here"), (8L, ""))
