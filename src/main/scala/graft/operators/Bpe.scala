@@ -45,12 +45,19 @@ object Bpe {
       numMerges: Int): DataFrame = {
     val seg = train(docs, idCol, textCol, numMerges)._2
       .select(col("w"), size(col("syms")).as("n_syms"))
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val counts = docs.select(Keys.id(docs, idCol).as("doc_id"),
       explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         x => length(x) > 0)).as("w"))
       .join(seg, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_syms").as("n_bpe_tokens"))
+    // left join restores null/whitespace-only docs with zero counts — the
+    // output is total over the corpus, like every sibling operator
+    docs.select(Keys.id(docs, idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
   /** Shared trainer: returns (merges, final word-type segmentation frame

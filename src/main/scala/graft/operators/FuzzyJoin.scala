@@ -147,17 +147,9 @@ object FuzzyJoin {
     * Output: (sa, sb, dist), sa < sb, dist <= k, each string pair once.
     */
   private def deletionPairs(reps: DataFrame, k: Int): DataFrame = {
-    val d1 = "transform(sequence(1, length(s)), " +
-      "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))"
-    val neighborhood =
-      if (k == 1) s"array_distinct(concat(array(s), $d1))"
-      else s"array_distinct(concat(array(s), $d1, " +
-        s"flatten(transform($d1, v -> case when length(v) >= 1 then " +
-        "transform(sequence(1, length(v)), " +
-        "j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))) " +
-        "else cast(array() as array<string>) end))))"
-    val variants = reps.select(col("s"), explode(expr(neighborhood)).as("v"))
-      .select(col("s"), xxhash64(col("v")).as("vh"))
+    // the completeness-critical neighborhood expression lives ONLY in
+    // variantHashes — the self-join and cross-join paths must never drift
+    val variants = variantHashes(reps, "s", k)
     // deduplicate candidate pairs BEFORE the levenshtein verify: a pair at
     // distance <= k shares MANY depth-<=k variants (O(len) at k = 2), so
     // verifying per joined row recomputes the same edit distance that many

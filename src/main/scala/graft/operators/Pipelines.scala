@@ -352,7 +352,9 @@ object Pipelines {
     * The draw is the row's md5 32-bit prefix scaled to [0, 1); the keep
     * decision compares it to `rate · weight` in double arithmetic — both
     * engine-portable, so the exact kept-set is reproducible anywhere, unlike
-    * seeded RNG sampling. Null weights drop the row (no weight, no mass).
+    * seeded RNG sampling. Null and NaN weights drop the row (no weight, no
+    * mass — and under Spark's NaN-is-largest ordering an unfiltered NaN
+    * weight would pass EVERY rate, rate 0 included).
     * Narrow filter, zero shuffles; re-weighting re-reads, never re-shuffles.
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
@@ -364,7 +366,7 @@ object Pipelines {
       "as double) / 4294967296.0d")
     docs
       .select(Keys.id(docs, idCol).as("doc_id"), col(weightCol).cast("double").as("w"))
-      .filter(col("w").isNotNull &&
+      .filter(col("w").isNotNull && !isnan(col("w")) &&
         draw < least(lit(1.0), lit(rate) * col("w")))
       .select(col("doc_id"), col("w").as("weight"))
   }

@@ -93,8 +93,11 @@ object Semantic {
     *
     * Scale shape: seeds broadcast (k rows); the history check is an equality
     * join on the cell key — only same-cell (new, history) pairs are scored,
-    * the SemDeDup containment argument applied across batches. One narrow
-    * assignment pass + two cell-keyed joins per batch.
+    * the SemDeDup containment argument applied across batches — and cells
+    * whose STATE side has grown past `maxCell` fall back to bipartite
+    * sign-LSH banding, the same bounded-reducer/documented-recall tradeoff
+    * the within-batch prune makes. One narrow assignment pass + two
+    * cell-keyed joins per batch.
     */
   def semanticIncremental(newEmb: DataFrame, idCol: String, vecCol: String,
       state: DataFrame, threshold: Double, maxCell: Int = 1024): DataFrame = {
@@ -124,10 +127,39 @@ object Semantic {
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("seed_id"))).as("m"), first(col("v")).as("v"))
       .select(col("vec_id"), col("m.seed_id").as("cell"), col("v"))
-    val hits = assigned.as("n")
-      .join(state.select(col("cell"), col("v").as("hv")).as("h"), "cell")
+    // History check, with the SAME hot-cell bound the within-batch prune
+    // has: a cell whose STATE side exceeds maxCell would otherwise put
+    // |batch-in-cell| × width cosines in one reducer. Cold cells join
+    // exactly; hot cells go through the sign-LSH banding bipartitely (batch
+    // ∪ state rows of that cell, keep only cross-side pairs) — bounded
+    // buckets, the documented recall tradeoff, and exact clones still always
+    // collide. Batch ids are assumed disjoint from state ids (re-ingestion
+    // dedupes upstream) — equal ids would self-pair-filter in the hot path.
+    val hotCells = state.groupBy("cell").agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxCell).select("cell")
+      .withColumn("__hot", lit(true))
+    val aTag = assigned.join(broadcast(hotCells), Seq("cell"), "left")
+    val sTag = state.select(col("cell"), col("vec_id"), col("v"))
+      .join(broadcast(hotCells), Seq("cell"), "left")
+    val coldHits = aTag.filter(col("__hot").isNull).as("n")
+      .join(sTag.filter(col("__hot").isNull)
+        .select(col("cell"), col("v").as("hv")).as("h"), "cell")
       .filter(cosineSim(col("n.v"), col("hv")) >= threshold)
-      .select(col("n.vec_id").as("vec_id")).distinct()
+      .select(col("n.vec_id").as("vec_id"))
+    val hotUnion = aTag.filter(col("__hot").isNotNull)
+      .select(col("vec_id"), col("v"), lit(true).as("__new"), col("cell"))
+      .unionByName(sTag.filter(col("__hot").isNotNull)
+        .select(col("vec_id"), col("v"), lit(false).as("__new"), col("cell")))
+    val sideCell = hotUnion.select("vec_id", "__new", "cell")
+    val hotHits = Dedup.embeddingPairs(hotUnion.select("vec_id", "v"),
+      "vec_id", "v", threshold, exact = false)
+      .join(sideCell.select(col("vec_id").as("vec_a"),
+        col("__new").as("na"), col("cell").as("ca")), "vec_a")
+      .join(sideCell.select(col("vec_id").as("vec_b"),
+        col("__new").as("nb"), col("cell").as("cb")), "vec_b")
+      .filter(col("ca") === col("cb") && col("na") =!= col("nb"))
+      .select(when(col("na"), col("vec_a")).otherwise(col("vec_b")).as("vec_id"))
+    val hits = coldHits.unionByName(hotHits).distinct()
     val fresh = assigned.join(hits, Seq("vec_id"), "left_anti")
     fresh
       .join(withinCellDrops(fresh.select("cell", "vec_id", "v"), threshold, maxCell),
@@ -158,13 +190,29 @@ object Semantic {
     * fixed-width rows.
     */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int = 8, ksub: Int = 16): DataFrame = {
+      m: Int = 8, ksub: Int = 16): DataFrame =
+    encodeCodes(pqParts(emb, idCol, vecCol, m, ksub))
+
+  /** Shared PQ scaffolding — quantized vectors, ranked codebook, and the m
+    * per-subspace distance columns. ONE construction serves both pqEncode
+    * and pqTopK: the seed/rank/key arithmetic must stay bit-identical
+    * between them for the external oracle to hold, so it must not exist as
+    * divergent copies.
+    */
+  private case class PqParts(vecs: DataFrame, seeds: DataFrame,
+      distCols: Seq[org.apache.spark.sql.Column], m: Int)
+
+  private def pqParts(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): PqParts = {
     require(m >= 1 && ksub >= 2 && ksub <= 64,
       "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
     val vecs = emb
       .filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
-    val dim = vecs.select(size(col("qv"))).head().getInt(0)
+    val dim = vecs.select(size(col("qv"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no non-null vectors in '$vecCol' — nothing to quantize"))
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
     val seeds = vecs
@@ -180,14 +228,18 @@ object Semantic {
       expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
         s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
     }
-    val keyed = vecs.crossJoin(broadcast(seeds))
-      .select(col("vec_id") +: col("r") +: distCols: _*)
-    val minKeys = (0 until m).map { j =>
+    PqParts(vecs, seeds, distCols, m)
+  }
+
+  private def encodeCodes(p: PqParts): DataFrame = {
+    val keyed = p.vecs.crossJoin(broadcast(p.seeds))
+      .select(col("vec_id") +: col("r") +: p.distCols: _*)
+    val minKeys = (0 until p.m).map { j =>
       min(col(s"d$j") * 64 + col("r")).as(s"k$j")
     }
     keyed.groupBy("vec_id").agg(minKeys.head, minKeys.tail: _*)
       .select(col("vec_id"),
-        concat_ws(",", (0 until m).map(j =>
+        concat_ws(",", (0 until p.m).map(j =>
           (col(s"k$j").cast("long") % 64).cast("string")): _*).as("code"))
   }
 
@@ -209,33 +261,15 @@ object Semantic {
     */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
-    require(m >= 1 && ksub >= 2 && ksub <= 64, "need 1 <= m, 2 <= ksub <= 64")
-    val vecs = emb
-      .filter(col(vecCol).isNotNull)
-      .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
-    val dim = vecs.select(size(col("qv"))).head().getInt(0)
-    require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
-    val seeds = vecs
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      .limit(ksub)
-      .select(col("vec_id").as("seed_id"), col("qv").as("sv"))
-      .withColumn("r",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))) - 1)
-    val distCols = (0 until m).map { j =>
-      val lo = j * dsub + 1
-      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
-        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
-    }
+    val p = pqParts(emb, idCol, vecCol, m, ksub)
     // LUT: the query row against every codebook entry, one row per (j, r)
-    val lut = vecs.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(seeds))
-      .select(col("r") +: distCols: _*)
+    val lut = p.vecs.filter(col("vec_id") === queryId)
+      .crossJoin(broadcast(p.seeds))
+      .select(col("r") +: p.distCols: _*)
       .select(col("r"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
       .select(col("e.j").as("lj"), col("r"), col("e.d").as("d"))
-    pqEncode(emb, idCol, vecCol, m, ksub)
+    encodeCodes(p)
       .filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), posexplode(split(col("code"), ","))
         .as(Seq("j", "cj")))

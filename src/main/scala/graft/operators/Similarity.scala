@@ -109,12 +109,16 @@ object Similarity {
       .select("vec_id", "cell")
       .join(emb.filter(col(vecCol).isNotNull)
         .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v")), "vec_id")
-    rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
-    // sidecar codebook (nlist rows): probes must find the seed vectors
-    // WITHOUT scanning the index — a vec_id filter over the partitioned
-    // table would touch every cell directory
-    rows.filter(col("vec_id") === col("cell"))
-      .write.mode("overwrite").parquet(s"$dir.seeds")
+      .cache() // two writes below — an uncached plan would run the full
+               // assignment (scan + k-distance pass + argmin) twice
+    try {
+      rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+      // sidecar codebook (nlist rows): probes must find the seed vectors
+      // WITHOUT scanning the index — a vec_id filter over the partitioned
+      // table would touch every cell directory
+      rows.filter(col("vec_id") === col("cell"))
+        .write.mode("overwrite").parquet(s"$dir.seeds")
+    } finally rows.unpersist()
   }
 
   /** Probe a materialized IVF index: pick the `nprobe` cells whose seed

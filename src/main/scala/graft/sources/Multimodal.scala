@@ -311,7 +311,13 @@ object Multimodal {
             val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
             try {
               val fmt = ais.getFormat
-              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+              // reject what the little-endian signed reassembly below cannot
+              // faithfully decode (AudioSystem also parses AIFF/big-endian
+              // and unsigned variants) — wrong-format payloads surface as
+              // absent rows, never as silently byte-swapped sums
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
               else {
                 val data = ais.readAllBytes()
                 var i = 0; var n = 0L; var sum = 0L

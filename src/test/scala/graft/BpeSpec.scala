@@ -79,6 +79,19 @@ class BpeSpec extends SparkSpec {
       "per-doc BPE token counts must match the reference segmentation")
   }
 
+  test("tokenCounts is total: null/whitespace-only docs report zero counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(docs, "doc_id", "text", numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L), "every doc_id appears")
+    assert(out(0)._2 == 5L && out(0)._3 > 0L)
+    assert(out(1) == ((2L, 0L, 0L)) && out(2) == ((3L, 0L, 0L)))
+  }
+
   test("training is deterministic and merges are well-formed") {
     val docs = graft.sources.Tables(spark, sfDir, "documents").limit(100)
     val m1 = Bpe.trainMerges(docs, "doc_id", "text", numMerges = 10)

@@ -31,25 +31,33 @@ class ProfilingSpec extends SparkSpec {
     assert(lo.nonEmpty && hi.size > lo.size)
   }
 
-  test("weightedSample: null weights drop; higher weight => kept at least as often") {
+  test("weightedSample: null and NaN weights drop — NaN must not pass every rate") {
     import spark.implicits._
-    val docs = Seq((1L, null.asInstanceOf[java.lang.Double]), (2L, java.lang.Double.valueOf(5.0)))
+    val docs = Seq(
+      (1L, null.asInstanceOf[java.lang.Double]),
+      (2L, java.lang.Double.valueOf(5.0)),
+      (3L, java.lang.Double.valueOf(Double.NaN)))
       .toDF("doc_id", "w")
     val kept = Pipelines.weightedSample(docs, "doc_id", "w", 1.0)
       .collect().map(_.getLong(0)).toSet
     assert(!kept.contains(1L) && kept.contains(2L))
+    assert(!kept.contains(3L), "NaN weight must never be kept")
+    // the bug shape: under NaN-is-largest ordering an unfiltered NaN weight
+    // passes even rate 0
+    assert(Pipelines.weightedSample(docs, "doc_id", "w", 0.0).count() == 0)
   }
 
-  test("histogram: exact edges, clamping, null bucket, counts total") {
+  test("histogram: exact edges, clamping, null and NaN buckets, counts total") {
     import spark.implicits._
     val vals: Seq[java.lang.Double] =
-      Seq(-5.0, 0.0, 9.999, 10.0, 55.0, 99.9, 100.0, 250.0, null)
+      Seq[Any](-5.0, 0.0, 9.999, 10.0, 55.0, 99.9, 100.0, 250.0, null, Double.NaN)
         .map(v => if (v == null) null else java.lang.Double.valueOf(v.asInstanceOf[Double]))
     val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
     val h = Profiling.histogram(df, "x", lo = 0.0, hi = 100.0, n = 10)
       .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
     assert(h.values.sum == vals.size, "histogram accounts for every row")
     assert(h(-1) == 1, "null bucket")
+    assert(h(-2) == 1, "NaN bucket — NaN must not clamp into bucket 0")
     assert(h(0) == 3, "-5 clamps into bucket 0; 0.0 and 9.999 belong there")
     assert(h(1) == 1, "10.0 is the left edge of bucket 1")
     assert(h(5) == 1)

@@ -167,6 +167,27 @@ class SemanticSpec extends SparkSpec {
       "nothing else may drop at threshold 0.9 on this fixture")
   }
 
+  test("semanticIncremental: history-flooded hot cell still catches batch clones at tiny maxCell") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(40)
+    // history floods vec 0's cell with 12 clones — past maxCell = 8 the
+    // history check must go through the bipartite LSH path, where identical
+    // vectors still always collide
+    var hist = emb.filter(col("vec_id") < 30)
+    for (i <- 0 until 12)
+      hist = hist.unionByName(emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(500L + i * 13)))
+    val state = Semantic.semanticState(hist, "vec_id", "embedding", k = 4)
+    val batch = emb.filter(col("vec_id") >= 30)
+      .unionByName(emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(9999L)))
+    val kept = Semantic.semanticIncremental(batch, "vec_id", "embedding",
+      state, threshold = 0.9, maxCell = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(9999L),
+      "the clone of a hot-cell history vector must still be caught")
+    assert(kept == (30L until 40L).toSet, "non-clone batch rows survive")
+  }
+
   test("pqEncode: deterministic, seeds self-code, clones share codes, alphabet bounded") {
     val emb = Tables(spark, sfDir, "embeddings")
     val c1 = Semantic.pqEncode(emb, "vec_id", "embedding", m = 8, ksub = 16)
