@@ -268,6 +268,24 @@ object ExtensionQueries {
         Dedup.minHashState(docs.filter(col("doc_id") < 250), "doc_id", "text"))
     }),
 
+    // composed curation v2 over the round-6 operators, one declarative plan:
+    // duplicated-span removal -> span-level decontamination vs the eval
+    // slice -> quality gate on surviving tokens -> exact dedup of the
+    // cleaned text. Every stage is individually oracled; this row proves
+    // they COMPOSE (schemas, conventions, totality) without drift.
+    "q_pipeline_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val despanned = Pipelines.removeDuplicateSpans(docs, "doc_id", "text",
+        w = 10, minCount = 2)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val decontaminated = Pipelines.removeContaminatedSpans(
+        despanned, docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", w = 10)
+      val gated = decontaminated.filter(col("n_kept") >= 20)
+        .select(col("doc_id"), col("clean_text"))
+      Dedup.exact(gated, "doc_id", "clean_text")
+    }),
+
     // the composed near-dup REMOVAL pipeline: LSH pairs -> CC clusters ->
     // anti-join survivors (smallest doc_id per cluster + all unclustered)
     "q_pipeline_neardedup" -> ((s, d) =>
@@ -641,6 +659,51 @@ object ExtensionQueries {
         |                                       y.embedding::DOUBLE[]) >= 0.9)
         |SELECT vec_id, cell FROM cells
         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
+
+    // the four stages chained as CTE blocks, each block the corresponding
+    // single-stage oracle: despan over the raw corpus, decontamination of
+    // the despanned text against the PRISTINE eval slice's windows, the
+    // n_kept >= 20 gate, then md5-normalized exact dedup
+    "q_pipeline_clean" ->
+      ("""WITH w0 AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                        x -> length(x) > 0) AS ws
+        |             FROM documents),
+        |winsA AS (SELECT doc_id, i AS p, array_to_string(ws[i : i+9], ' ') AS win
+        |          FROM w0, range(1, 100000) r(i) WHERE i <= len(ws) - 9),
+        |cA AS (SELECT win FROM winsA GROUP BY win HAVING count(*) >= 2),
+        |dropA AS (SELECT DISTINCT doc_id, p + j AS idx
+        |          FROM winsA JOIN cA USING (win), range(0, 10) s(j)),
+        |toksA AS (SELECT doc_id, i AS idx, ws[i] AS tok
+        |          FROM w0, range(1, 100000) r(i) WHERE i <= len(ws)),
+        |keptA AS (SELECT t.doc_id, t.idx, t.tok FROM toksA t
+        |          LEFT JOIN dropA d ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |          WHERE d.doc_id IS NULL),
+        |textA AS (SELECT w0.doc_id,
+        |            coalesce((SELECT string_agg(tok, ' ' ORDER BY idx)
+        |                      FROM keptA k WHERE k.doc_id = w0.doc_id), '') AS t1
+        |          FROM w0),
+        |evSet AS (SELECT DISTINCT array_to_string(ws[i : i+9], ' ') AS win
+        |          FROM w0, range(1, 100000) r(i)
+        |          WHERE doc_id % 97 = 0 AND i <= len(ws) - 9),
+        |w1 AS (SELECT doc_id, list_filter(string_split_regex(lower(t1), '\s+'),
+        |                                  x -> length(x) > 0) AS ws
+        |       FROM textA),
+        |winsB AS (SELECT doc_id, i AS p, array_to_string(ws[i : i+9], ' ') AS win
+        |          FROM w1, range(1, 100000) r(i) WHERE i <= len(ws) - 9),
+        |dropB AS (SELECT DISTINCT doc_id, p + j AS idx
+        |          FROM winsB JOIN evSet USING (win), range(0, 10) s(j)),
+        |toksB AS (SELECT doc_id, i AS idx, ws[i] AS tok
+        |          FROM w1, range(1, 100000) r(i) WHERE i <= len(ws)),
+        |keptB AS (SELECT t.doc_id, t.idx, t.tok FROM toksB t
+        |          LEFT JOIN dropB d ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |          WHERE d.doc_id IS NULL),
+        |aggB AS (SELECT w1.doc_id,
+        |           coalesce((SELECT string_agg(tok, ' ' ORDER BY idx)
+        |                     FROM keptB k WHERE k.doc_id = w1.doc_id), '') AS clean_text,
+        |           (SELECT count(*) FROM keptB k WHERE k.doc_id = w1.doc_id) AS n_kept
+        |         FROM w1)
+        |SELECT min(doc_id) AS doc_id FROM aggB WHERE n_kept >= 20
+        |GROUP BY md5(regexp_replace(lower(clean_text), '\s+', ' ', 'g'))""".stripMargin),
 
     // string windows stand in for the engine's xxhash64'd windows (hash
     // equality == string equality, the jaccard-oracle reasoning)

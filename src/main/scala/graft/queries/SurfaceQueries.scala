@@ -101,6 +101,13 @@ object SurfaceQueries {
     "q_count_pushdown" -> catalogSql(
       "SELECT count(*) AS n FROM graft.main.lineitem"),
 
+    // min/max ride the same footer-statistics pushdown (PlanSpec pins the
+    // PushedAggregation line)
+    "q_minmax_pushdown" -> catalogSql(
+      "SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi, " +
+        "min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship " +
+        "FROM graft.main.lineitem"),
+
     // ---- X1: session-property limit applied at scan ----
     "q_session_limit" -> ((s, d) => {
       s.conf.set(graft.plans.SessionProps.LimitKey, "500")
@@ -392,6 +399,11 @@ object SurfaceQueries {
         "ON c.c_nationkey = n.n_nationkey GROUP BY n_name"),
 
     "q_count_pushdown" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_minmax_pushdown" ->
+      ("SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi, " +
+        "min(l_shipdate)::TIMESTAMP AS first_ship, " +
+        "max(l_shipdate)::TIMESTAMP AS last_ship FROM lineitem"),
 
     "q_pivot" ->
       ("SELECT l_returnflag, " +

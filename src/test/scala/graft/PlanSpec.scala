@@ -47,6 +47,19 @@ class PlanSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("min/max collapse to footer-statistics aggregate pushdown (S7)") {
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val df = spark.sql(
+      "SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM graft.main.lineitem")
+    val plan = executedPlan(df)
+    assert(plan.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey)]"),
+      s"min/max not pushed to parquet footer statistics:\n$plan")
+    val row = df.collect().head
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(min("l_orderkey"), max("l_orderkey")).collect().head
+    assert(row.getLong(0) == raw.getLong(0) && row.getLong(1) == raw.getLong(1))
+  }
+
   test("pushdown deny list keeps predicates engine-side (P9)") {
     spark.conf.set("graft.pushdown.deny", "l_quantity")
     try {
