@@ -79,6 +79,16 @@ class BpeSpec extends SparkSpec {
       "per-doc BPE token counts must match the reference segmentation")
   }
 
+  test("empty corpus: zero merges, total zero counts, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.trainMerges(empty, "doc_id", "text", numMerges = 5).count() == 0)
+    val nullOnly = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Bpe.tokenCounts(nullOnly, "doc_id", "text", numMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 0L, 0L)))
+  }
+
   test("tokenCounts is total: null/whitespace-only docs report zero counts") {
     import spark.implicits._
     val docs = Seq(

@@ -88,7 +88,7 @@ class FuzzyJoinSpec extends SparkSpec {
     // bucket and the asymmetric (short probe, long segment) discovery path
     val rows = (0 until 70).map(i =>
       i.toLong -> (0 until (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(4))).mkString)
-    for (k <- Seq(3, 4)) {
+    for (k <- Seq(3, 4, 6)) {
       val got = FuzzyJoin.pairsWithin(rows.toDF("id", "name"), "id", "name", k = k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
       val expect = bruteK(rows, k)

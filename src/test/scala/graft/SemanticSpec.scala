@@ -67,6 +67,33 @@ class SemanticSpec extends SparkSpec {
     assert(kept.size == emb.count(), "non-clones untouched")
   }
 
+  test("dedup state tables round-trip through parquet (the real persistence shape)") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val docs = Tables(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("state_rt").toString
+
+    val semState = Semantic.semanticState(
+      emb.filter(col("vec_id") < 250), "vec_id", "embedding", k = 8)
+    semState.write.parquet(s"$dir/sem")
+    val batch = emb.filter(col("vec_id") >= 250)
+    val direct = Semantic.semanticIncremental(batch, "vec_id", "embedding",
+      semState, threshold = 0.9).collect().map(_.getLong(0)).toSet
+    val viaParquet = Semantic.semanticIncremental(batch, "vec_id", "embedding",
+      spark.read.parquet(s"$dir/sem"), threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(direct == viaParquet, "semantic state must survive a parquet round-trip")
+
+    val lshState = graft.operators.Dedup.minHashState(
+      docs.filter(col("doc_id") < 250), "doc_id", "text")
+    lshState.write.parquet(s"$dir/lsh")
+    val nb = docs.filter(col("doc_id") >= 250)
+    val d2 = graft.operators.Dedup.nearIncremental(nb, "doc_id", "text", lshState)
+      .collect().map(_.getLong(0)).toSet
+    val p2 = graft.operators.Dedup.nearIncremental(nb, "doc_id", "text",
+      spark.read.parquet(s"$dir/lsh")).collect().map(_.getLong(0)).toSet
+    assert(d2 == p2, "LSH state must survive a parquet round-trip")
+  }
+
   test("semanticDedup: null-embedding rows are excluded, not crashed on") {
     import spark.implicits._
     val emb = Tables(spark, sfDir, "embeddings").limit(50)
