@@ -133,8 +133,13 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("w").asc)))
       .filter(col("rnk") <= k)
+      // 4dp by FLOOR of the exact decimal, not round(double, 4): a 6dp
+      // decimal score can land exactly on a .xxxx50 tie, where Spark's
+      // BigDecimal HALF_UP and DuckDB's multiply-based round() disagree
+      // (observed at sf0.1); floor of an exact decimal has no ties and both
+      // engines compute it identically
       .select(col("doc_id"), col("rnk"), col("w").as("term"),
-        round(col("score").cast("double"), 4).as("score"))
+        (floor(col("score") * 10000).cast("double") / 10000.0).as("score"))
   }
 
   /** Rebuild each document's text as `sep`-joined lines of `k` words each —
@@ -222,9 +227,15 @@ object TextAnalysis {
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_tokens"),
         sum(coalesce(col("lp"), col("oov_lp"))).as("__s"))
+      // floor-to-4dp of the exact decimal sum (see tfidfTopTerms — decimal
+      // sums of 6dp terms hit exact .xxxx50 ties where cross-engine
+      // round(double) diverges); avg divides the already-floored sum so both
+      // engines run the identical IEEE division on identical inputs, no
+      // further rounding step to disagree on
       .select(col("doc_id"), col("n_tokens"),
-        round(col("__s").cast("double"), 4).as("sum_log10p"),
-        round(col("__s").cast("double") / col("n_tokens"), 4).as("avg_log10p"))
+        (floor(col("__s") * 10000).cast("double") / 10000.0).as("sum_log10p"),
+        (floor(col("__s") * 10000).cast("double") / 10000.0 / col("n_tokens"))
+          .as("avg_log10p"))
   }
 
   /** Overlapping word-window chunking (RAG / context-window prep): cut each

@@ -894,7 +894,8 @@ object ExtensionQueries {
         |rk AS (SELECT doc_id, w, score,
         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
         |       FROM sc)
-        |SELECT doc_id, rnk::INTEGER AS rnk, w AS term, round(score::DOUBLE, 4) AS score
+        |SELECT doc_id, rnk::INTEGER AS rnk, w AS term,
+        |  floor(score * 10000)::DOUBLE / 10000.0 AS score
         |FROM rk WHERE rnk <= 5""".stripMargin),
 
     // brute-force levenshtein over all pairs — the quadratic oracle the
@@ -1082,8 +1083,8 @@ object ExtensionQueries {
         |      FROM f, tot ORDER BY c DESC, w LIMIT 20),
         |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round((sum(coalesce(lp, oov_lp)))::DOUBLE, 4) AS sum_log10p,
-        |  round((sum(coalesce(lp, oov_lp)))::DOUBLE / count(*), 4) AS avg_log10p
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
         |FROM w LEFT JOIN v USING (w), o GROUP BY doc_id""".stripMargin),
 
     // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],

@@ -189,9 +189,10 @@ class PipelinesSpec extends SparkSpec {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text", topV = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    // log10(0.4) -> -0.397940 (6dp), log10(0.2) -> -0.698970 (6dp)
-    assert(got(1L)._1 == 3L && got(1L)._2 == -1.1938, s"got ${got(1L)}")
-    assert(got(2L)._1 == 2L && got(2L)._2 == -1.0969, s"got ${got(2L)}")
+    // log10(0.4) -> -0.397940 (6dp), log10(0.2) -> -0.698970 (6dp);
+    // 4dp by FLOOR of the exact decimal sum (cross-engine-safe, see operator)
+    assert(got(1L)._1 == 3L && got(1L)._2 == -1.1939, s"got ${got(1L)}")
+    assert(got(2L)._1 == 2L && got(2L)._2 == -1.0970, s"got ${got(2L)}")
     assert(math.abs(got(1L)._3 - (-0.3979)) < 1e-4)
     assert(math.abs(got(2L)._3 - (-0.5485)) < 1e-4)
   }
@@ -236,13 +237,14 @@ class PipelinesSpec extends SparkSpec {
     // idf: a,d -> log10(3)≈0.477121; b,c -> log10(1.5)≈0.176091
     val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getString(2), r.getDouble(3)))).toMap
+    // scores floored (not rounded) to 4dp — cross-engine-safe, see operator
     assert(got((1L, 1)) == (("a", 0.9542)))
-    assert(got((1L, 2)) == (("b", 0.1761)))
+    assert(got((1L, 2)) == (("b", 0.176)))
     // doc 2: b and c tie exactly (decimal equality) -> term asc breaks it
-    assert(got((2L, 1)) == (("b", 0.1761)))
-    assert(got((2L, 2)) == (("c", 0.1761)))
+    assert(got((2L, 1)) == (("b", 0.176)))
+    assert(got((2L, 2)) == (("c", 0.176)))
     assert(got((3L, 1)) == (("d", 0.4771)))
-    assert(got((3L, 2)) == (("c", 0.3522)))
+    assert(got((3L, 2)) == (("c", 0.3521)))
   }
 
   test("scrubPii replaces emails, IPs, and phones with typed placeholders") {
