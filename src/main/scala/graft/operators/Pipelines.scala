@@ -201,7 +201,11 @@ object Pipelines {
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
-          .otherwise(round(col("n_dup_windows") / col("n_windows"), 4))
+          // floor of the EXACT integer ratio scaled to 4dp: long DIV has no
+          // double representation and no HALF_UP tie class, so Spark and any
+          // SQL oracle agree bit-for-bit (see TextAnalysis.tfidfTopTerms —
+          // round(double, 4) diverged cross-engine on .xxxx5 ties at sf0.1)
+          .otherwise(expr("cast(n_dup_windows * 10000 div n_windows as double) / 10000.0"))
           .as("dup_frac"))
   }
 

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object Semantic {
 
-  private def quantized(vecCol: String): org.apache.spark.sql.Column =
+  private[operators] def quantized(vecCol: String): org.apache.spark.sql.Column =
     expr(s"transform($vecCol, x -> floor(cast(x as double) * 1000000.0d + 0.5d))")
 
   /** (vec_id, cell, dist2): every vector assigned to its nearest of `k`
@@ -199,10 +199,10 @@ object Semantic {
     * between them for the external oracle to hold, so it must not exist as
     * divergent copies.
     */
-  private case class PqParts(vecs: DataFrame, seeds: DataFrame,
+  private[operators] case class PqParts(vecs: DataFrame, seeds: DataFrame,
       distCols: Seq[org.apache.spark.sql.Column], m: Int)
 
-  private def pqParts(emb: DataFrame, idCol: String, vecCol: String,
+  private[operators] def pqParts(emb: DataFrame, idCol: String, vecCol: String,
       m: Int, ksub: Int): PqParts = {
     require(m >= 1 && ksub >= 2 && ksub <= 64,
       "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
@@ -231,7 +231,7 @@ object Semantic {
     PqParts(vecs, seeds, distCols, m)
   }
 
-  private def encodeCodes(p: PqParts): DataFrame = {
+  private[operators] def encodeCodes(p: PqParts): DataFrame = {
     val keyed = p.vecs.crossJoin(broadcast(p.seeds))
       .select(col("vec_id") +: col("r") +: p.distCols: _*)
     val minKeys = (0 until p.m).map { j =>
@@ -278,6 +278,49 @@ object Semantic {
       .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(k)
+  }
+
+  /** Batch-query ADC search — [[pqTopK]] generalized from one literal
+    * queryId to a QUERIES DataFrame, the retrieval-pipeline form (millions of
+    * queries score one encoded corpus). Returns (query_id, vec_id, adist):
+    * the `k` nearest corpus codes per query row, self-pairs excluded, exact
+    * integer distances, ties on vec_id — hash-oracle-able exactly like the
+    * single-query form because every LUT entry is the same exact-integer
+    * arithmetic.
+    *
+    * Scale shape: ONE broadcast of all query LUTs (|queries| · m · ksub
+    * narrow rows — queries are the small side by assumption, the corpus the
+    * big one), one explode of corpus codes, one map-side-combined
+    * groupBy(query_id, vec_id), then a per-query top-k window partitioned by
+    * query_id (WindowGroupLimit pushes the rank filter below the sort at
+    * scale). No per-query job loop, no plan growth in |queries|.
+    */
+  def pqTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = pqParts(emb, idCol, vecCol, m, ksub)
+    val qv = queries.filter(col(qVecCol).isNotNull)
+      .select(Keys.id(queries, qIdCol).as("query_id"), quantized(qVecCol).as("qv"))
+    // all query LUTs at once: |queries| × ksub rows, m distances per row,
+    // exploded to (query_id, j, r, d) — the multi-query generalization of
+    // pqTopK's single LUT, built by the SAME distCols so the integer
+    // arithmetic cannot drift between the forms
+    val luts = qv.crossJoin(broadcast(p.seeds))
+      .select(col("query_id") +: col("r") +: p.distCols: _*)
+      .select(col("query_id"), col("r"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
+      .select(col("query_id"), col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    encodeCodes(p)
+      .select(col("vec_id"), posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+      .join(broadcast(luts),
+        col("j") === col("lj") && col("cj").cast("int") === col("r"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id").agg(sum("d").cast("long").as("adist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "adist")
   }
 
   /** Semantic dedup survivors: (vec_id, cell) of every vector NOT pruned by

@@ -156,6 +156,102 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize an IVF+PQ index — the billion-scale ANN layout (Jégou et
+    * al. 2011 §V, the IVFADC system): vectors live in the [[ivfWrite]]
+    * cell-partitioned directory structure but each partition stores PQ CODES
+    * (m small ints, from [[Semantic.pqEncode]]'s exact-integer codebook), not
+    * raw floats — so a probe reads ~nprobe/nlist × m bytes per vector, the
+    * compounding of IVF's partition pruning with PQ's compression. Sidecars:
+    * `dir.cells` holds the nlist quantized coarse seeds (probe cell
+    * selection without scanning the index), `dir.codebook` the ksub ranked
+    * quantized PQ seeds (LUT construction). Both quantizers use the
+    * deterministic md5-seed draw, so rebuild/append is consistent and every
+    * probe is reproducible by an external SQL engine bit-for-bit.
+    */
+  def ivfPqWrite(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      nlist: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
+    val p = Semantic.pqParts(emb, idCol, vecCol, m, ksub)
+    val rows = Semantic.encodeCodes(p)
+      .join(Semantic.assignCells(emb, idCol, vecCol, nlist)
+        .select("vec_id", "cell"), "vec_id")
+      .cache() // the index write and the .cells sidecar both read it; an
+               // uncached plan would run encode + assignment twice
+    try {
+      rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+      // coarse-seed sidecar: nlist quantized vectors, keyed by the cell they
+      // anchor (a vec_id filter over the partitioned index would touch every
+      // cell directory — the ivfWrite.seeds reasoning)
+      p.vecs
+        .join(rows.filter(col("vec_id") === col("cell")).select("vec_id"), "vec_id")
+        .select(col("vec_id").as("cell"), col("qv"))
+        .write.mode("overwrite").parquet(s"$dir.cells")
+      // PQ-codebook sidecar: ksub ranked quantized seeds + the subspace count
+      // (m rides along so a probe needs no out-of-band metadata)
+      p.seeds.select(col("r"), col("sv"), lit(p.m).as("m"))
+        .write.mode("overwrite").parquet(s"$dir.codebook")
+    } finally rows.unpersist()
+  }
+
+  /** Probe a materialized IVF+PQ index: coarse-seed distances (nlist sidecar
+    * rows, driver-side — plan-time metadata) pick the `nprobe` cells, the
+    * ksub-row codebook sidecar builds the query's m × ksub LUT of EXACT
+    * integer subspace distances, and the scan — partition-pruned to the probe
+    * cells, reading only the m-code column — explodes codes, joins the
+    * broadcast LUT, and sums per vector. I/O per probe: nprobe/nlist of the
+    * index's m bytes/vector. With nprobe >= nlist the result equals
+    * [[Semantic.pqTopK]] exactly (full probe ⇒ no IVF recall loss), and with
+    * nprobe < nlist it is STILL deterministic — cell choice is exact integer
+    * argsort, ties on cell id — so even partial probes hash-match an external
+    * SQL oracle, unlike float-kmeans IVF.
+    *
+    * `excludeId` drops one corpus row from the ranking (the self-match when
+    * the query vector came from the indexed corpus, [[Semantic.pqTopK]]'s
+    * `=!= queryId` convention).
+    */
+  def ivfPqProbe(spark: SparkSession, dir: String, queryVec: Array[Float],
+      k: Int, nprobe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    // the probe-side quantization MUST mirror Semantic.quantized:
+    // floor(x·1e6 + 0.5) on the widened double (Spark's floor yields BIGINT,
+    // so the sidecar arrays are long — the driver arithmetic stays in Long,
+    // the same exact integers the in-plan double sums hold)
+    val qq = queryVec.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    val probeCells = spark.read.parquet(s"$dir.cells").collect()
+      .map { r =>
+        val sv = r.getSeq[Long](r.fieldIndex("qv"))
+        var d = 0L; var i = 0
+        while (i < qq.length) { val t = qq(i) - sv(i); d += t * t; i += 1 }
+        (r.getLong(r.fieldIndex("cell")), d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nprobe).map(_._1)
+    val cb = spark.read.parquet(s"$dir.codebook").collect()
+    require(cb.nonEmpty, s"$dir.codebook is empty — not an ivfPqWrite index")
+    val m = cb.head.getAs[Int]("m")
+    require(qq.length % m == 0,
+      s"query dim ${qq.length} does not divide the index's m=$m subspaces")
+    val dsub = qq.length / m
+    val lut = cb.toSeq.flatMap { row =>
+      val r = row.getAs[Int]("r")
+      val sv = row.getSeq[Long](row.fieldIndex("sv"))
+      (0 until m).map { j =>
+        var d = 0L; var i = j * dsub
+        while (i < (j + 1) * dsub) { val t = qq(i) - sv(i); d += t * t; i += 1 }
+        (j, r, d)
+      }
+    }
+    val idx = spark.read.parquet(dir)
+      .filter(col("cell").isin(probeCells.toSeq: _*))
+    val base = excludeId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
+    base
+      .select(col("vec_id"), posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+      .join(broadcast(lut.toDF("lj", "r", "d")),
+        col("j") === col("lj") && col("cj").cast("int") === col("r"))
+      .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Approximate top-k: LSH multi-table bucketing, exact re-rank of candidates. */
   def annTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {

@@ -126,6 +126,47 @@ object ExtensionQueries {
       graft.operators.Semantic.pqTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 20, m = 8, ksub = 16)),
 
+    // batch-query ADC: every vec_id % 100 == 0 row is a query, scored against
+    // the one encoded corpus in a single plan (one LUT broadcast, one explode,
+    // one groupBy, one per-query window) — exact integers, so the multi-query
+    // form stays hash-checkable
+    "q_pq_topk_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Semantic.pqTopKBatch(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, m = 8, ksub = 16)
+    }),
+
+    // IVF+PQ materialized index (the IVFADC layout): write cell-partitioned
+    // PQ codes + sidecars, then probe with nprobe = nlist — a FULL probe has
+    // no IVF recall loss, so the result must hash-match the pure-ADC oracle
+    // verbatim, proving the index round-trip end to end
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfPqProbe(s, dir, q, k = 20, nprobe = 16,
+        excludeId = Some(0L))
+    }),
+
+    // partial probe (nprobe = 4 of 16 cells): cell choice is exact-integer
+    // argsort, so unlike float-kmeans IVF even the PRUNED search is
+    // hash-checkable — the oracle reproduces assignment, cell ranking, and
+    // ADC in the same integer arithmetic
+    "q_ivfpq_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_p"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfPqProbe(s, dir, q, k = 20, nprobe = 4,
+        excludeId = Some(0L))
+    }),
+
     // corpus-duplicated 10-token rolling spans (substring-level dedup signal)
     "q_dup_spans" -> ((s, d) =>
       Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
@@ -521,12 +562,95 @@ object ExtensionQueries {
        |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Batch-query ADC: pqTopKOracle with the single-query `lq` generalized to
+    * one LUT per query row (vec_id % 100 == 0) and a per-query top-10 window.
+    */
+  private val pqTopKBatchOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64" +
+        (if (j > 0) s" AND l$j.query_id = l0.query_id" else "")).mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT vec_id AS query_id, r,
+       |         ${(0 until 8).map(j => s"d$j").mkString(", ")}
+       |       FROM d WHERE vec_id % 100 = 0)
+       |SELECT l0.query_id, k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |WHERE k.vec_id <> l0.query_id
+       |QUALIFY row_number() OVER (PARTITION BY l0.query_id
+       |                           ORDER BY ($adist)::BIGINT, k.vec_id) <= 10""".stripMargin
+  }
+
+  /** Partial IVF+PQ probe: coarse assignment (the kmeans-assign CTEs), the
+    * query's nprobe=4 cell ranking, and ADC restricted to vectors in the
+    * probed cells — every stage exact-integer, so the pruned search
+    * hash-matches. The coarse quantizer and the PQ codebook draw the SAME 16
+    * md5-ordered seeds here (nlist = ksub = 16), exactly as the engine does.
+    */
+  private val ivfPqProbeOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64").mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |cd AS (SELECT q.vec_id, s.seed_id,
+       |         list_sum(list_transform(list_zip(q.qv, s.sv),
+       |                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+       |       FROM q, seeds s),
+       |cells AS (SELECT vec_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd) WHERE rn = 1),
+       |probe AS (SELECT seed_id AS cell FROM cd WHERE vec_id = 0
+       |          ORDER BY dist2, seed_id LIMIT 4),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")}
+       |       FROM d WHERE vec_id = 0)
+       |SELECT k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |JOIN cells c ON c.vec_id = k.vec_id
+       |WHERE k.vec_id <> 0 AND c.cell IN (SELECT cell FROM probe)
+       |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
 
     "q_pq_encode" -> pqOracle,
 
     "q_pq_topk" -> pqTopKOracle,
+
+    "q_pq_topk_batch" -> pqTopKBatchOracle,
+
+    // a FULL probe of the materialized IVF+PQ index is exactly ADC search —
+    // the index round-trip must reproduce the pure-ADC ranking bit-for-bit
+    "q_ivfpq_topk" -> pqTopKOracle,
+
+    "q_ivfpq_probe" -> ivfPqProbeOracle,
 
     // seeds frozen from the history half; both halves assigned against them;
     // history hits by same-cell cosine, then the within-batch keep-first cut
@@ -720,7 +844,7 @@ object ExtensionQueries {
         |SELECT w.doc_id, coalesce(n_windows, 0)::BIGINT AS n_windows,
         |  coalesce(n_dup_windows, 0)::BIGINT AS n_dup_windows,
         |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
-        |       ELSE round(n_dup_windows * 1.0 / n_windows, 4) END AS dup_frac
+        |       ELSE (n_dup_windows * 10000 // n_windows) / 10000.0 END AS dup_frac
         |FROM w LEFT JOIN f USING (doc_id)""".stripMargin),
 
     // 1-based window start p covers tokens [p, p+9]; dropped = union of

@@ -123,6 +123,56 @@ class SimilaritySpec extends SparkSpec {
     assert(recalls.last._2 == 1.0, s"nprobe = nlist must be exact: $recalls")
   }
 
+  test("IVF+PQ index: full probe reproduces pqTopK; partial probe prunes partitions and is consistent") {
+    import graft.operators.Semantic
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString + "/idx"
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+
+    // full probe == pure ADC search: the index round-trip (write, partition
+    // layout, sidecars, LUT rebuild from parquet) must not perturb a single
+    // integer distance
+    val full = Similarity.ivfPqProbe(spark, dir, qv, k = 20, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val adc = Semantic.pqTopK(emb, "vec_id", "embedding", queryId = 0L, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == adc, "full IVF+PQ probe must equal pqTopK exactly")
+
+    // partial probe: partition-pruned scan (the nprobe/nlist × m bytes/vector
+    // I/O claim is this plan fact), and every returned distance agrees with
+    // the full probe's ADC value — pruning may only SHRINK the candidate set
+    val narrow = Similarity.ivfPqProbe(spark, dir, qv, k = 1000, nprobe = 2,
+      excludeId = Some(0L))
+    val plan = narrow.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell") &&
+      !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"IVF+PQ probe must partition-prune on cell:\n$plan")
+    val fullAll = Similarity.ivfPqProbe(spark, dir, qv, k = 1000, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrowSet = narrow.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(narrowSet.nonEmpty && narrowSet.subsetOf(fullAll),
+      "partial-probe results must be a subset of the full ADC ranking")
+  }
+
+  test("pqTopKBatch: every query row's top-k equals the single-query pqTopK") {
+    import graft.operators.Semantic
+    val batch = Semantic.pqTopKBatch(emb, "vec_id", "embedding",
+      emb.filter(col("vec_id").isin(0L, 100L, 250L)), "vec_id", "embedding",
+      k = 10)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getLong(1), r.getLong(2))).toSeq }
+    assert(batch.keySet == Set(0L, 100L, 250L))
+    batch.foreach { case (q, rows) =>
+      val single = Semantic.pqTopK(emb, "vec_id", "embedding", queryId = q, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.sortBy(identity) == single.sortBy(identity),
+        s"batch result for query $q diverged from pqTopK")
+    }
+  }
+
   test("IVF with nprobe = nlist degenerates to exact search") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
