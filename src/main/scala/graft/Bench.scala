@@ -62,6 +62,10 @@ object Bench {
       // best (the steady-state number); median also reported for noise audit
       // — this box swings 2x between identical runs.
       val runs = Seq(once(), once(), once()).filter(_ >= 0).sorted
+      // release operator-internal caches BETWEEN queries, not between reps:
+      // a query's reps share one cached plan (that reuse is the steady state
+      // being measured), but blocks must not accumulate across the suite
+      graft.operators.Caches.release(spark)
       name -> (if (runs.isEmpty) (-1.0, -1.0, runs) else (runs.head, runs(runs.size / 2), runs))
     }
     val qs = results.map { case (k, (b, _, _)) => "\"" + k + "\":" + b }.mkString("{", ",", "}")

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release operator-internal caches (Caches scaladoc contract): a
+      // 145-query session would otherwise accumulate every query's dead
+      // shingle/signature blocks
+      graft.operators.Caches.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -114,6 +114,12 @@ object Dedup {
     * the single shuffle; exact verification touches only candidate pairs via
     * `array_intersect` on the two docs' shingle arrays — the full shingle
     * stream is never exploded into rows and no O(n²) stage exists.
+    *
+    * Cache lifecycle: the returned frame's plan references `.cache()`d
+    * shingle/signature intermediates that this (lazy) operator cannot
+    * unpersist itself — the CALLER owns them; after consuming the result,
+    * call [[Caches.release]] (see its scaladoc for why lazy operators
+    * cannot do better).
     */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,

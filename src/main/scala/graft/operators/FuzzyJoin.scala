@@ -47,6 +47,11 @@ object FuzzyJoin {
 
   /** All pairs within edit distance `k`, exact. Output: (id_a, id_b, dist)
     * with id_a < id_b, each pair once.
+    *
+    * Cache lifecycle: the returned frame references the `.cache()`d distinct
+    * string reps; the CALLER releases them after consuming the result
+    * ([[Caches.release]] — the same contract as [[Dedup.minHashLshPairs]],
+    * and [[pairsBetween]]'s two rep frames).
     */
   def pairsWithin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 8, "pairsWithin supports 1 <= k <= 8")

@@ -112,15 +112,27 @@ object Semantic {
     // an empty codebook would assign NOTHING and silently drop the whole
     // batch — the inverse of dedup's usual over-retention failure and far
     // worse. First-run callers must bootstrap with semanticDedup +
-    // semanticState instead. (isEmpty on <= k rows: plan-time-metadata cost,
-    // same class as the CC convergence probes.)
-    require(!seeds.isEmpty,
-      "state has no seed rows (is_seed) — bootstrap the first batch with " +
-        "semanticDedup and persist semanticState before running incrementally")
+    // semanticState instead. The guard is LAZY: a broadcast seed-count rides
+    // the batch's own job and assert_true fails it with this message, instead
+    // of the eager isEmpty probe that cost one extra Spark job per
+    // micro-batch in the streaming hot loop.
+    // the guard rides the seeds BROADCAST itself: a sentinel row that exists
+    // (and whose projection raises) only when the seed count is zero. A
+    // row-side guard cannot work — crossJoin with an empty build side emits
+    // no rows, so nothing downstream would ever evaluate it — and the old
+    // eager isEmpty probe cost one extra Spark job per streaming micro-batch.
+    val guard = seeds.agg(count(lit(1)).as("__n")).filter(col("__n") === 0)
+      .select(
+        raise_error(lit(
+          "state has no seed rows (is_seed) — bootstrap the first batch " +
+            "with semanticDedup and persist semanticState before running " +
+            "incrementally")).cast("long").as("seed_id"),
+        lit(null).cast(seeds.schema("sv").dataType).as("sv"))
+    val seedsG = seeds.unionByName(guard)
     val vecs = newEmb.filter(col(vecCol).isNotNull)
       .select(Keys.id(newEmb, idCol).as("vec_id"), col(vecCol).as("v"),
         quantized(vecCol).as("qv"))
-    val assigned = vecs.crossJoin(broadcast(seeds))
+    val assigned = vecs.crossJoin(broadcast(seedsG))
       .select(col("vec_id"), col("v"), col("seed_id"),
         aggregate(zip_with(col("qv"), col("sv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x).as("d2"))

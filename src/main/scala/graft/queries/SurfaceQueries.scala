@@ -322,12 +322,16 @@ object SurfaceQueries {
         .select(col("doc_id"), size(col("sketch")).as("n"),
           array_join(col("sketch"), ",").as("sk"))),
 
-    // ---- multimodal mapPartitions feature kernel (stub decode ⇒ rows-only) ----
+    // ---- multimodal mapPartitions feature kernel: REAL decoded-domain cell/
+    // segment means (exact integers), serialized for the hash compare — the
+    // oracle recomputes all 48 values per doc from the synthesis formulas
+    // WITHOUT decoding, so a match proves decode + feature math end to end ----
     "q_multimodal_features" -> ((s, d) =>
       graft.sources.Multimodal.featureExtract(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
         .select(col("doc_id"), size(col("features")).as("dim"),
-          round(element_at(col("features"), 1), 4).as("f0")))
+          array_join(transform(col("features"),
+            x => x.cast("int").cast("string")), ",").as("fv")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -351,6 +355,44 @@ object SurfaceQueries {
     "q_multimodal_frames" ->
       ("SELECT doc_id, ((octet_length(encode(coalesce(text, ''))) % 24 + 1 + 3) // 4) AS n_frames " +
         "FROM documents WHERE doc_id % 3 = 2"),
+
+    // recomputes all 48 feature integers per doc from the synthesis formulas
+    // (image 4x4 cell channel means; audio 48 unsigned-PCM segment means;
+    // video cell means across frames) — the engine reaches the same numbers
+    // only through real PNG/WAV/GV01 decode
+    "q_multimodal_features" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |ipx AS (SELECT doc_id, (y.i*4)//h*4 + (x.i*4)//w AS c,
+        |          ((x.i)*31 + (y.i)*17 + doc_id) & 16777215 AS v
+        |        FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |        WHERE x.i < w AND y.i < h),
+        |icell AS (SELECT doc_id, c, sum((v>>16)&255)//count(*) AS mr,
+        |            sum((v>>8)&255)//count(*) AS mg, sum(v&255)//count(*) AS mb
+        |          FROM ipx GROUP BY 1,2),
+        |ifeat AS (SELECT doc_id, string_agg(mr||','||mg||','||mb, ',' ORDER BY c) AS fv
+        |          FROM icell GROUP BY 1),
+        |aud AS (SELECT doc_id, n FROM d WHERE doc_id%3=1),
+        |asmp AS (SELECT doc_id, (i.i*48)//n AS seg, (i.i*2654435761 + doc_id) & 65535 AS u
+        |         FROM aud, range(0, 100000) i(i) WHERE i.i < n),
+        |aseg AS (SELECT doc_id, seg, sum(u)//count(*) AS m FROM asmp GROUP BY 1,2),
+        |afeat AS (SELECT a.doc_id, string_agg(coalesce(m, 0), ',' ORDER BY s.i) AS fv
+        |          FROM aud a CROSS JOIN range(0,48) s(i)
+        |          LEFT JOIN aseg ON aseg.doc_id = a.doc_id AND aseg.seg = s.i
+        |          GROUP BY 1),
+        |vid AS (SELECT doc_id, n%24+1 AS nf FROM d WHERE doc_id%3=2),
+        |vpx AS (SELECT doc_id, (y.i*4)//12*4 + (x.i*4)//16 AS c,
+        |          ((x.i)*31 + (y.i)*17 + doc_id*131 + f.i) & 16777215 AS v
+        |        FROM vid, range(0,24) f(i), range(0,16) x(i), range(0,12) y(i)
+        |        WHERE f.i < nf),
+        |vcell AS (SELECT doc_id, c, sum((v>>16)&255)//count(*) AS mr,
+        |            sum((v>>8)&255)//count(*) AS mg, sum(v&255)//count(*) AS mb
+        |          FROM vpx GROUP BY 1,2),
+        |vfeat AS (SELECT doc_id, string_agg(mr||','||mg||','||mb, ',' ORDER BY c) AS fv
+        |          FROM vcell GROUP BY 1),
+        |u AS (SELECT doc_id, fv FROM ifeat UNION ALL SELECT doc_id, fv FROM afeat
+        |      UNION ALL SELECT doc_id, fv FROM vfeat)
+        |SELECT doc_id, 48 AS dim, fv FROM u""".stripMargin),
 
     "q_map_funcs" ->
       ("SELECT p_partkey, " +

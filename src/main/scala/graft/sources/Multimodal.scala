@@ -370,26 +370,95 @@ object Multimodal {
   /** Partition-parallel feature extraction over the binary column — the
     * mapPartitions kernel contract a real embedding model plugs into: one
     * iterator pass per partition, per-partition kernel setup, fixed-width
-    * Array[Float] feature output. The FEATURE FUNCTION IS A DETERMINISTIC
-    * STAND-IN (a 16-bin byte histogram, L1-normalized, in place of e.g. a CLIP
-    * embedding); schema, batching, and partitioning are the real contract.
+    * Array[Float] feature output. The features are REAL DECODED-DOMAIN
+    * quantities (no stub): 48 exact-integer means per document, computed from
+    * the `ImageIO` / `AudioSystem` / GV01 decode of the payload —
+    *  - image: per-cell channel means over a 4×4 grid of the decoded raster,
+    *    index (cy·4 + cx)·3 + channel, cell of pixel (x,y) = ((y·4) div h)·4
+    *    + (x·4) div w;
+    *  - audio: 48 segment means of the UNSIGNED PCM samples (s + 32768 keeps
+    *    the integer division portable — engines disagree on negative int
+    *    div), segment of sample i = (i·48) div n, empty segments 0;
+    *  - video: the image grid accumulated across ALL decoded frames.
+    * Every mean is an integer div of exact integer sums, so an external
+    * oracle recomputes the whole vector from the synthesis formulas without
+    * decoding — the [[frameChannelSums]] proof extended to the feature
+    * kernel itself. Undecodable payloads yield no row (the decodeMeta error
+    * convention). Embarrassingly parallel, no shuffle.
     */
-  def featureExtract(media: DataFrame, dim: Int = 16): DataFrame = {
+  def featureExtract(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id"), col("media"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        // per-partition kernel init happens HERE (a real impl loads the model once)
-        rows.map { case (id, bytes) =>
-          val hist = new Array[Float](dim)
-          if (bytes != null && bytes.nonEmpty) {
-            var i = 0
-            while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1f; i += 1 }
-            var j = 0
-            while (j < dim) { hist(j) /= bytes.length.toFloat; j += 1 }
+
+    // 4×4 grid × 3 channels accumulated over one or more rasters
+    def rasterMeans(imgs: Iterator[BufferedImage]): Option[Array[Float]] = {
+      val sums = new Array[Long](48); val cnts = new Array[Long](16)
+      var any = false
+      imgs.foreach { img =>
+        any = true
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          val cy = y * 4 / h
+          var x = 0
+          while (x < w) {
+            val c = cy * 4 + x * 4 / w
+            val v = img.getRGB(x, y)
+            sums(c * 3) += (v >> 16) & 0xff
+            sums(c * 3 + 1) += (v >> 8) & 0xff
+            sums(c * 3 + 2) += v & 0xff
+            cnts(c) += 1
+            x += 1
           }
-          (id, hist)
+          y += 1
+        }
+      }
+      if (!any) None
+      else Some(Array.tabulate(48)(i =>
+        if (cnts(i / 3) == 0) 0f else (sums(i) / cnts(i / 3)).toFloat))
+    }
+
+    media.select(col("doc_id").cast("long"), col("media"), col("kind"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes, kind) =>
+          if (bytes == null || bytes.isEmpty) None
+          else kind match {
+            case "image" =>
+              Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+                .flatMap(img => rasterMeans(Iterator.single(img)))
+                .map((id, _))
+            case "audio" =>
+              try {
+                val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+                try {
+                  val fmt = ais.getFormat
+                  if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                    fmt.isBigEndian ||
+                    fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+                  else {
+                    val data = ais.readAllBytes()
+                    val n = data.length / 2
+                    val sums = new Array[Long](48); val cnts = new Array[Long](48)
+                    var i = 0
+                    while (i < n) {
+                      val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+                      val seg = (i.toLong * 48 / n).toInt
+                      sums(seg) += s + 32768L; cnts(seg) += 1
+                      i += 1
+                    }
+                    Some((id, Array.tabulate(48)(s =>
+                      if (cnts(s) == 0) 0f else (sums(s) / cnts(s)).toFloat)))
+                  }
+                } finally ais.close()
+              } catch { case _: Exception => None }
+            case _ =>
+              gvParse(bytes).flatMap { case (_, frames) =>
+                rasterMeans(frames.iterator.flatMap(png =>
+                  Option(ImageIO.read(new ByteArrayInputStream(png)))))
+              }.map((id, _))
+          }
         }
       }
       .toDF("doc_id", "features")

@@ -89,26 +89,52 @@ class MultimodalSpec extends SparkSpec {
       .count() == 0, "decoded dims must match the deterministic synthesis formula")
   }
 
-  test("featureExtract: fixed-dim, L1-normalized, matches a local reference") {
-    val docs = Tables(spark, sfDir, "documents")
-      .filter(col("doc_id") < 9 && col("doc_id") % 3 === 2)
+  test("featureExtract: decoded-domain cell/segment means match the synthesis formulas") {
+    val docs = Tables(spark, sfDir, "documents").filter(col("doc_id") < 12)
     val media = Multimodal.asMedia(docs, "doc_id", "text")
-    val feats = Multimodal.featureExtract(media, dim = 16).collect()
+    val feats = Multimodal.featureExtract(media).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    // the local reference histogram runs over the same payload bytes the
-    // kernel sees (the GV01 container for these video docs)
-    val payloads = media.select("doc_id", "media").collect()
-      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-    assert(feats.keySet == payloads.keySet && feats.nonEmpty)
-    payloads.foreach { case (id, bytes) =>
-      val ref = new Array[Float](16)
-      bytes.foreach(b => ref((b & 0xff) % 16) += 1f)
-      (0 until 16).foreach(i => ref(i) /= bytes.length.toFloat)
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse("")).toMap
+    assert(feats.keySet == texts.keySet && feats.nonEmpty)
+    // recompute every vector from the synthesis formulas WITHOUT decoding —
+    // agreement proves the kernel really decoded (the frameChannelSums
+    // argument applied to the feature kernel)
+    texts.foreach { case (id, text) =>
+      val n = text.getBytes("UTF-8").length
+      val ref: Array[Long] = (id % 3) match {
+        case 0 =>
+          val (w, h) = (n % 64 + 16, n % 48 + 16)
+          val sums = new Array[Long](48); val cnts = new Array[Long](16)
+          for (y <- 0 until h; x <- 0 until w) {
+            val c = (y * 4 / h) * 4 + x * 4 / w
+            val v = (x * 31 + y * 17 + id) & 0xffffff
+            sums(c * 3) += (v >> 16) & 0xff; sums(c * 3 + 1) += (v >> 8) & 0xff
+            sums(c * 3 + 2) += v & 0xff; cnts(c) += 1
+          }
+          Array.tabulate(48)(i => sums(i) / cnts(i / 3))
+        case 1 =>
+          val sums = new Array[Long](48); val cnts = new Array[Long](48)
+          for (i <- 0 until n) {
+            val seg = (i.toLong * 48 / n).toInt
+            sums(seg) += (i * 2654435761L + id) & 0xffffL; cnts(seg) += 1
+          }
+          Array.tabulate(48)(s => if (cnts(s) == 0) 0L else sums(s) / cnts(s))
+        case _ =>
+          val nf = n % 24 + 1
+          val sums = new Array[Long](48); val cnts = new Array[Long](16)
+          for (f <- 0 until nf; y <- 0 until 12; x <- 0 until 16) {
+            val c = (y * 4 / 12) * 4 + x * 4 / 16
+            val v = (x * 31 + y * 17 + id * 131 + f) & 0xffffff
+            sums(c * 3) += (v >> 16) & 0xff; sums(c * 3 + 1) += (v >> 8) & 0xff
+            sums(c * 3 + 2) += v & 0xff; cnts(c) += 1
+          }
+          Array.tabulate(48)(i => sums(i) / cnts(i / 3))
+      }
       val got = feats(id)
-      assert(got.length == 16)
-      (0 until 16).foreach(i => assert(math.abs(got(i) - ref(i)) < 1e-6f,
-        s"doc $id bin $i: ${got(i)} vs ${ref(i)}"))
-      assert(math.abs(got.sum - 1.0f) < 1e-4f, "features must be L1-normalized")
+      assert(got.length == 48, s"doc $id dim ${got.length}")
+      assert(got.map(_.toLong).toSeq == ref.toSeq,
+        s"doc $id (kind ${id % 3}): ${got.toSeq} vs ${ref.toSeq}")
     }
   }
 

@@ -216,11 +216,17 @@ class StreamingSpec extends SparkSpec {
     val emb = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
     val emptyState = graft.operators.Semantic.semanticState(
       emb.filter(col("vec_id") < 0), "vec_id", "embedding", k = 4)
-    val e = intercept[IllegalArgumentException] {
+    // the guard is lazy (it rides the batch job instead of costing an eager
+    // isEmpty job per micro-batch), so the failure surfaces at action time,
+    // wrapped in Spark's task-failure chain
+    val e = intercept[Exception] {
       graft.operators.Semantic.semanticIncremental(
-        emb, "vec_id", "embedding", emptyState, threshold = 0.9)
+        emb, "vec_id", "embedding", emptyState, threshold = 0.9).collect()
     }
-    assert(e.getMessage.contains("bootstrap"))
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(messages.contains("bootstrap"), s"unexpected failure chain:\n$messages")
   }
 
   test("stream-stream join matches events to orders within the time bound") {
