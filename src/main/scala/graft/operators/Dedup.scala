@@ -433,49 +433,178 @@ object Dedup {
     * high for near-duplicate thresholds (cos ≥ ~0.9 ⇒ P(miss) ≈ (1-p⁴)⁴ with
     * p = 1 - θ/π close to 1) and every emitted pair is exact-verified.
     *
-    * `exact = true` scores all pairs (broadcast nested-loop) — the correctness
-    * oracle / small-data path; do not run it at scale.
+    * The LSH path delegates to [[signLshPairs]] (hot-bucket salt cap,
+    * verify-before-exchange — see there) and distincts the band multiplicity
+    * away, so each pair appears once. `exact = true` scores all pairs
+    * (broadcast nested-loop) — the correctness oracle / small-data path; do
+    * not run it at scale.
+    *
+    * `within` restricts pairs to rows agreeing on those columns, enforced IN
+    * THE BUCKET KEY (LSH path) / join condition (exact path) — containment
+    * blocking for callers like [[Semantic.semanticDedup]]'s per-cell prune,
+    * which would otherwise re-join the quadratic pair stream against the
+    * cell map just to discard cross-cell pairs.
+    *
+    * Cache lifecycle: the non-exact path caches the bucket frame; the caller
+    * releases via [[Caches.release]] — the [[minHashLshPairs]] contract.
     */
   def embeddingPairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, exact: Boolean = false): DataFrame = {
-    import graft.functions.GraftFunctions.cosineSim
-    val a = emb.select(Keys.id(emb, idCol).as("vec_a"), col(vecCol).as("va"))
-    val b = emb.select(Keys.id(emb, idCol).as("vec_b"), col(vecCol).as("vb"))
-    val pairs =
-      if (exact) a.join(b, col("vec_a") < col("vec_b"))
-      else {
-        val spark = emb.sparkSession
-        // Band structure tuned to the threshold: sign-random-projection bits
-        // collide w.p. p = 1 - θ/π, so recall over b bands of r bits is
-        // 1-(1-p^r)^b. Pick the FINEST bands (largest r ⇒ smallest buckets ⇒
-        // fewest candidates) that still reach ≥0.9 theoretical recall at the
-        // threshold within a 64-bit packed signature and ≤16 bands. High
-        // thresholds get long fine bands (0.9 ⇒ 8×7); low ones get shorter,
-        // more numerous bands (0.4 ⇒ 4×14) — recall costs candidates, honestly.
-        val p = 1.0 - math.acos(threshold) / math.Pi
-        val (bandBits, bands) = (16 to 1 by -1).iterator.map { r =>
-          val need = math.log(1 - 0.9) / math.log1p(-math.pow(p, r))
-          (r, math.max(1, math.ceil(need).toInt))
-        }.find { case (r, b) => b <= 16 && r * b <= 64 }.getOrElse((4, 16))
-        val numBits = bandBits * bands; val seed = 11L
-        graft.functions.GraftFunctions.registerRhBits(spark, numBits, seed)
-        def buckets(df: DataFrame, id: String, v: String) = {
-          val sig = graft.functions.GraftFunctions.rhBits(col(v), numBits, seed)
-          val bandCols = (0 until bands).map { k =>
-            struct(lit(k).as("band"),
-              shiftright(sig, k * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))
-          }
-          df.select(col(id), col(v), explode(array(bandCols: _*)).as("b"))
-            .select(col(id), col(v), col("b.band").as("band"), col("b.bh").as("bh"))
-        }
-        buckets(a, "vec_a", "va").join(buckets(b, "vec_b", "vb"), Seq("band", "bh"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select("vec_a", "va", "vec_b", "vb")
-          .distinct()
+      threshold: Double, exact: Boolean = false,
+      maxBucket: Int = 1024, within: Seq[String] = Nil): DataFrame = {
+    if (exact) {
+      val a = emb.select(Keys.id(emb, idCol).as("vec_a") +:
+        col(vecCol).as("va") +: within.map(c => col(c).as(s"__wa_$c")): _*)
+      val b = emb.select(Keys.id(emb, idCol).as("vec_b") +:
+        col(vecCol).as("vb") +: within.map(c => col(c).as(s"__wb_$c")): _*)
+      val cond = within.foldLeft(col("vec_a") < col("vec_b")) { (acc, c) =>
+        acc && col(s"__wa_$c") === col(s"__wb_$c")
       }
-    pairs
+      verifyPairs(a.join(b, cond), threshold)
+    } else
+      signLshPairs(emb, idCol, vecCol, threshold, maxBucket, within).distinct()
+  }
+
+  /** The cosine verify applied to a (vec_a, va, vec_b, vb, ...) candidate
+    * stream: the vectors DIE here — everything downstream carries only the
+    * narrow (vec_a, vec_b, cos) rows. Verifying before any exchange is the
+    * scale-critical ordering: ProfileSkew's 180k-clone cell showed a distinct
+    * over full-width pair rows (two d-dim vectors each) exchanging hundreds
+    * of GB where the narrow rows are ~24 bytes.
+    */
+  private def verifyPairs(cands: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.GraftFunctions.cosineSim
+    cands
       .withColumn("cos", cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Band structure tuned to the threshold: sign-random-projection bits
+    * collide w.p. p = 1 - θ/π, so recall over b bands of r bits is
+    * 1-(1-p^r)^b. Pick the FINEST bands (largest r ⇒ smallest buckets ⇒
+    * fewest candidates) that still reach ≥0.9 theoretical recall at the
+    * threshold within a 64-bit packed signature and ≤16 bands. High
+    * thresholds get long fine bands (0.9 ⇒ 8×7); low ones get shorter,
+    * more numerous bands (0.4 ⇒ 4×14) — recall costs candidates, honestly.
+    */
+  private def bandStructure(threshold: Double): (Int, Int) = {
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    (16 to 1 by -1).iterator.map { r =>
+      val need = math.log(1 - 0.9) / math.log1p(-math.pow(p, r))
+      (r, math.max(1, math.ceil(need).toInt))
+    }.find { case (r, b) => b <= 16 && r * b <= 64 }.getOrElse((4, 16))
+  }
+
+  /** (vec_id, v, within..., band, bh) band-bucket rows for sign-LSH blocking
+    * — one row per (vector, band), bucket key = within ++ (band, bh).
+    */
+  private def lshBuckets(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, within: Seq[String]): DataFrame = {
+    val (bandBits, bands) = bandStructure(threshold)
+    val numBits = bandBits * bands; val seed = 11L
+    graft.functions.GraftFunctions.registerRhBits(df.sparkSession, numBits, seed)
+    val sig = graft.functions.GraftFunctions.rhBits(col("v"), numBits, seed)
+    val bandCols = (0 until bands).map { k =>
+      struct(lit(k).as("band"),
+        shiftright(sig, k * bandBits).bitwiseAND(lit((1 << bandBits) - 1)).as("bh"))
+    }
+    val base = df.select(Keys.id(df, idCol).as("vec_id") +:
+      col(vecCol).as("v") +: within.map(col): _*)
+    base
+      .select(col("vec_id") +: col("v") +: within.map(col) :+
+        explode(array(bandCols: _*)).as("b"): _*)
+      .select(col("vec_id") +: col("v") +: within.map(col) :+
+        col("b.band").as("band") :+ col("b.bh").as("bh"): _*)
+  }
+
+  /** Verified sign-LSH near-dup pairs WITH band multiplicity (a pair sharing
+    * several buckets appears several times) — the internal form
+    * [[embeddingPairs]] distincts and the dedup drop-projections consume
+    * raw: a consumer that only needs `distinct vec_b` must NOT pay a
+    * pair-level exchange first, because in a clone-heavy corpus the pair
+    * stream is quadratic in the clone-cluster width while the drop set is
+    * linear. With the verify fused before any shuffle boundary, the whole
+    * candidate stream (join → cosine → project) runs inside one codegen
+    * stage and only the consumer's (tiny) aggregate exchanges.
+    *
+    * Hot-bucket cap (the [[minHashLshPairs]] salt treatment): a bucket of m
+    * near-identical vectors — they share the WHOLE signature, so every band
+    * bucket holds all m — would generate m² candidate rows in one reducer
+    * (ProfileSkew reproduced the wedge at m = 45k). Buckets wider than
+    * `maxBucket` split into ceil(m/maxBucket) salt groups keyed by
+    * xxhash64(band, vec_id); reducers are bounded by ~maxBucket² regardless
+    * of skew, at the price of RECALL inside hot buckets: a pair sharing k hot
+    * buckets (salts independent across bands — the band is hashed into the
+    * salt) still collides w.p. 1-(1-1/nsplit)^k on top of the banding recall.
+    * Keep-first dedup semantics stay well-defined under the cap — each
+    * dropped row needs SOME smaller-id near-dup, not the full pair set — and
+    * clusters() reconnects components transitively.
+    *
+    * Cache lifecycle: caches the bucket frame (three consumers: width
+    * aggregate + both self-join sides); the caller releases via
+    * [[Caches.release]] — the [[minHashLshPairs]] contract.
+    */
+  private[operators] def signLshPairs(emb: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, maxBucket: Int = 1024,
+      within: Seq[String] = Nil): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val key = within ++ Seq("band", "bh")
+    val buckets = lshBuckets(emb, idCol, vecCol, threshold, within).cache()
+    val hot = buckets.groupBy(key.map(col): _*).count()
+      .filter(col("count") > maxBucket)
+      .select(key.map(col) :+
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"): _*)
+    val salted = buckets.join(broadcast(hot), key, "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("band"), col("vec_id")), col("nsplit")).cast("int")))
+      .select(col("vec_id") +: col("v") +: (key :+ "salt").map(col): _*)
+    verifyPairs(
+      salted.as("x").join(salted.as("y"), key :+ "salt")
+        .filter(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("x.v").as("va"),
+          col("y.vec_id").as("vec_b"), col("y.v").as("vb")),
+      threshold)
+  }
+
+  /** Bipartite [[signLshPairs]]: verified (vec_a, vec_b, cos) near-dup pairs
+    * BETWEEN two frames (vec_a from `left`, vec_b from `right`, band
+    * multiplicity retained, equal ids excluded) — the incremental-dedup
+    * shape, where only batch × history pairs matter and generating the
+    * history × history quadratic inside a hot bucket would be pure waste.
+    * Skew treatment is the standard bipartite salting: RIGHT-side rows of a
+    * hot bucket split into nsplit salt groups, LEFT-side rows replicate
+    * across all nsplit of them — every cross pair still meets exactly once
+    * per shared band (NO recall loss from the cap here, unlike the
+    * self-join's independent-salt treatment), and reducers stay bounded by
+    * maxBucket × the left side's bucket width.
+    *
+    * Cache lifecycle: caches the right bucket frame (width aggregate + join
+    * side); [[Caches.release]], as everywhere.
+    */
+  private[operators] def embeddingPairsBetween(left: DataFrame, right: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      maxBucket: Int = 1024, within: Seq[String] = Nil): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val key = within ++ Seq("band", "bh")
+    val lB = lshBuckets(left, idCol, vecCol, threshold, within)
+    val rB = lshBuckets(right, idCol, vecCol, threshold, within).cache()
+    val hot = rB.groupBy(key.map(col): _*).count()
+      .filter(col("count") > maxBucket)
+      .select(key.map(col) :+
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"): _*)
+    val rS = rB.join(broadcast(hot), key, "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("band"), col("vec_id")), col("nsplit")).cast("int")))
+      .select(col("vec_id") +: col("v") +: (key :+ "salt").map(col): _*)
+    val lS = lB.join(broadcast(hot), key, "left")
+      .withColumn("salt", explode(when(col("nsplit").isNull, array(lit(0)))
+        .otherwise(sequence(lit(0), col("nsplit") - 1))))
+      .select(col("vec_id") +: col("v") +: (key :+ "salt").map(col): _*)
+    verifyPairs(
+      lS.as("x").join(rS.as("y"), key :+ "salt")
+        .filter(col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("vec_a"), col("x.v").as("va"),
+          col("y.vec_id").as("vec_b"), col("y.v").as("vb")),
+      threshold)
   }
 }

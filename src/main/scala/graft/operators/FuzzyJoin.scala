@@ -53,14 +53,24 @@ object FuzzyJoin {
     * ([[Caches.release]] — the same contract as [[Dedup.minHashLshPairs]],
     * and [[pairsBetween]]'s two rep frames).
     */
-  def pairsWithin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame = {
+  def pairsWithin(df: DataFrame, idCol: String, strCol: String, k: Int): DataFrame =
+    pairsWithinScheme(df, idCol, strCol, k, forceSegments = false)
+
+  /** [[pairsWithin]] with the blocking scheme pinned: `forceSegments` runs
+    * PassJoin segment blocking below k = 3 too (both schemes are EXACT at
+    * any k — deletion neighborhoods are merely assumed faster at k <= 2).
+    * Profiling hook (ProfileFuzzy A/B), not part of the public surface.
+    */
+  private[graft] def pairsWithinScheme(df: DataFrame, idCol: String,
+      strCol: String, k: Int, forceSegments: Boolean): DataFrame = {
     require(k >= 1 && k <= 8, "pairsWithin supports 1 <= k <= 8")
     val ids = df.select(Keys.id(df, idCol).as("id"), col(strCol).as("s"))
     // blocking over distinct strings only (see scaladoc); cached because the
     // candidate stage reads it from two join sides plus (k>=3) a short-string
     // bucket, and the distinct is an exchange worth paying once
     val reps = ids.select("s").distinct().cache()
-    val repPairs = if (k <= 2) deletionPairs(reps, k) else segmentPairs(reps, k)
+    val repPairs =
+      if (k <= 2 && !forceSegments) deletionPairs(reps, k) else segmentPairs(reps, k)
     // re-expand distinct-string pairs to id pairs: every id holding sa pairs
     // with every id holding sb (the pair set a dup-oblivious blocking would
     // have produced, at join cost proportional to the OUTPUT, not the blocks)

@@ -38,6 +38,28 @@ object Semantic {
   private[operators] def quantized(vecCol: String): org.apache.spark.sql.Column =
     expr(s"transform($vecCol, x -> floor(cast(x as double) * 1000000.0d + 0.5d))")
 
+  /** Guard for the exact-integer distance contract: squared distances (and
+    * PQ's packed `dist2·64 + rank` keys) are bit-for-bit portable only while
+    * they stay below 2^53, which bounds the quantized component magnitude by
+    * sqrt(2^53 / (packFactor · 4 · width)) — width components per summed
+    * distance, each difference at most twice the max magnitude. Unit-scale
+    * embeddings sit far inside the bound (|x| ≲ 2 even at dsub = 8 packed);
+    * anything outside it must FAIL LOUDLY rather than silently void the
+    * hash-oracle contract with inexact summation. One array_max pass per row,
+    * folded into the quantize projection (no extra job).
+    */
+  private def qvGuard(qv: org.apache.spark.sql.Column,
+      width: org.apache.spark.sql.Column, packFactor: Int,
+      ctx: String): org.apache.spark.sql.Column = {
+    val maxAbs = floor(sqrt(lit(9.0e15 / (4.0 * packFactor)) / width)).cast("long")
+    when(coalesce(array_max(transform(qv, a => abs(a))), lit(0L)) <= maxAbs, qv)
+      .otherwise(raise_error(concat(
+        lit(s"$ctx: quantized component magnitude exceeds the exact-integer " +
+          s"bound ("), maxAbs.cast("string"),
+        lit(") — distances would lose integer exactness (>= 2^53) and the " +
+          "hash-oracle contract would silently break; rescale the embeddings"))))
+  }
+
   /** (vec_id, cell, dist2): every vector assigned to its nearest of `k`
     * deterministic seed vectors (cell = the seed's vec_id), with the exact
     * integer quantized squared-L2 distance. Null-embedding rows are excluded
@@ -48,7 +70,8 @@ object Semantic {
     require(k >= 1, "k must be positive")
     val vecs = emb
       .filter(col(vecCol).isNotNull)
-      .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        qvGuard(quantized(vecCol), size(col(vecCol)), 1, "assignCells").as("qv"))
     val seeds = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)
@@ -145,8 +168,12 @@ object Semantic {
     // exactly; hot cells go through the sign-LSH banding bipartitely (batch
     // ∪ state rows of that cell, keep only cross-side pairs) — bounded
     // buckets, the documented recall tradeoff, and exact clones still always
-    // collide. Batch ids are assumed disjoint from state ids (re-ingestion
-    // dedupes upstream) — equal ids would self-pair-filter in the hot path.
+    // collide. A batch id that ALREADY EXISTS in the state (re-ingestion) is
+    // never scored against its own history copy: the cold path filters equal
+    // ids explicitly, and the bipartite hot path excludes them structurally
+    // (vec_a =!= vec_b) — so re-ingestion degrades predictably (the row
+    // survives or falls on its OTHER neighbors) instead of silently
+    // self-dropping in cold cells only.
     val hotCells = state.groupBy("cell").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxCell).select("cell")
       .withColumn("__hot", lit(true))
@@ -155,22 +182,22 @@ object Semantic {
       .join(broadcast(hotCells), Seq("cell"), "left")
     val coldHits = aTag.filter(col("__hot").isNull).as("n")
       .join(sTag.filter(col("__hot").isNull)
-        .select(col("cell"), col("v").as("hv")).as("h"), "cell")
-      .filter(cosineSim(col("n.v"), col("hv")) >= threshold)
+        .select(col("cell"), col("vec_id").as("hid"), col("v").as("hv")).as("h"),
+        "cell")
+      .filter(col("n.vec_id") =!= col("hid") &&
+        cosineSim(col("n.v"), col("hv")) >= threshold)
       .select(col("n.vec_id").as("vec_id"))
-    val hotUnion = aTag.filter(col("__hot").isNotNull)
-      .select(col("vec_id"), col("v"), lit(true).as("__new"), col("cell"))
-      .unionByName(sTag.filter(col("__hot").isNotNull)
-        .select(col("vec_id"), col("v"), lit(false).as("__new"), col("cell")))
-    val sideCell = hotUnion.select("vec_id", "__new", "cell")
-    val hotHits = Dedup.embeddingPairs(hotUnion.select("vec_id", "v"),
-      "vec_id", "v", threshold, exact = false)
-      .join(sideCell.select(col("vec_id").as("vec_a"),
-        col("__new").as("na"), col("cell").as("ca")), "vec_a")
-      .join(sideCell.select(col("vec_id").as("vec_b"),
-        col("__new").as("nb"), col("cell").as("cb")), "vec_b")
-      .filter(col("ca") === col("cb") && col("na") =!= col("nb"))
-      .select(when(col("na"), col("vec_a")).otherwise(col("vec_b")).as("vec_id"))
+    // hot cells: BIPARTITE sign-LSH banding — batch rows on the left, state
+    // rows on the right, the cell in the bucket key. Only batch × history
+    // candidates ever form (the history × history quadratic inside a 100k-row
+    // hot cell is pure waste here), cross-side-ness and same-cell-ness are
+    // structural rather than post-join filters, and equal ids cannot pair
+    // (the re-ingestion contract). The bipartite salt cap loses NO recall.
+    val hotHits = Dedup.embeddingPairsBetween(
+      aTag.filter(col("__hot").isNotNull).select("vec_id", "v", "cell"),
+      sTag.filter(col("__hot").isNotNull).select("vec_id", "v", "cell"),
+      "vec_id", "v", threshold, within = Seq("cell"))
+      .select(col("vec_a").as("vec_id"))
     val hits = coldHits.unionByName(hotHits).distinct()
     val fresh = assigned.join(hits, Seq("vec_id"), "left_anti")
     fresh
@@ -218,15 +245,19 @@ object Semantic {
       m: Int, ksub: Int): PqParts = {
     require(m >= 1 && ksub >= 2 && ksub <= 64,
       "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
-    val vecs = emb
+    val vecsRaw = emb
       .filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
-    val dim = vecs.select(size(col("qv"))).limit(1).collect().headOption
+    val dim = vecsRaw.select(size(col("qv"))).limit(1).collect().headOption
       .map(_.getInt(0))
       .getOrElse(throw new IllegalArgumentException(
         s"no non-null vectors in '$vecCol' — nothing to quantize"))
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
+    // packed-key exactness bound: dist2·64 + r < 2^53 over dsub-wide subspace
+    // distances (tighter than assignCells' unpacked bound by the ×64 factor)
+    val vecs = vecsRaw.select(col("vec_id"),
+      qvGuard(col("qv"), lit(dsub), 64, "pq").as("qv"))
     val seeds = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(ksub)
@@ -387,17 +418,17 @@ object Semantic {
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineSim(col("a.v"), col("b.v")) >= threshold)
       .select(col("b.vec_id").as("vec_id"))
-    // hot cells: LSH-banded candidates, verified exactly, constrained to
-    // same-cell pairs (embeddingPairs blocks corpus-wide; the cell-equality
-    // join restores containment)
+    // hot cells: LSH-banded candidates with the cell IN the bucket key
+    // (containment blocking — no cross-cell candidates form, no re-join of
+    // the pair stream against the cell map) and the cosine verify fused
+    // before any exchange. signLshPairs keeps band multiplicity; the only
+    // exchange after the bucket join is this projection's distinct, which is
+    // LINEAR in the hot rows while the pair stream is quadratic in the
+    // clone-cluster width — the shape ProfileSkew's 90%-hot-cell run pins.
     val hotVecs = tagged.filter(col("__hot").isNotNull)
       .select("cell", "vec_id", "v")
-    val hotDrops = Dedup.embeddingPairs(
-      hotVecs.select(col("vec_id"), col("v")), "vec_id", "v",
-      threshold, exact = false)
-      .join(hotVecs.select(col("vec_id").as("vec_a"), col("cell").as("ca")), "vec_a")
-      .join(hotVecs.select(col("vec_id").as("vec_b"), col("cell").as("cb")), "vec_b")
-      .filter(col("ca") === col("cb"))
+    val hotDrops = Dedup.signLshPairs(hotVecs, "vec_id", "v",
+      threshold, within = Seq("cell"))
       .select(col("vec_b").as("vec_id"))
     coldDrops.unionByName(hotDrops).distinct()
   }

@@ -64,6 +64,19 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == expect, s"diff: missing ${expect.diff(got).take(5)}, extra ${got.diff(expect).take(5)}")
   }
 
+  test("k=2 via forced PassJoin segments == brute force (the A/B alternative is exact too)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    val rows = (0 until 80).map(i =>
+      i.toLong -> (0 until (3 + rnd.nextInt(4))).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val got = FuzzyJoin.pairsWithinScheme(rows.toDF("id", "name"), "id", "name",
+      k = 2, forceSegments = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute2(rows),
+      s"diff: missing ${brute2(rows).diff(got).take(5)}, extra ${got.diff(brute2(rows)).take(5)}")
+  }
+
   private def brute2(rows: Seq[(Long, String)]): Set[(Long, Long, Int)] = bruteK(rows, 2)
 
   private def bruteK(rows: Seq[(Long, String)], k: Int): Set[(Long, Long, Int)] = {

@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: alternating A/B of fuzzy k=2 verify strategies in one JVM.
+/** Scratch: alternating A/B of the two EXACT k=2 blocking schemes on the
+  * bench's heaviest query (q_fuzzy_join2's input) — FastSS deletion
+  * neighborhoods (~len²/2 variant rows per string) vs PassJoin segments
+  * (k+1 segment rows + O(k²·len-window) probe rows per string).
   * sbt "Test/runMain graft.ProfileFuzzy"
   */
 object ProfileFuzzy {
@@ -24,39 +27,25 @@ object ProfileFuzzy {
 
     val cust = spark.read.parquet(s"$d/customer.parquet")
 
-    // OLD strategy: verify per collision, distinct at the end
-    def verifyPerCollision(k: Int) = {
-      val ids = cust.select(col("c_custkey").cast("long").as("id"), col("c_name").as("s"))
-      val reps = ids.select("s").distinct()
-      val d1 = "transform(sequence(1, length(s)), " +
-        "i -> concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))"
-      val neighborhood = s"array_distinct(concat(array(s), $d1, " +
-        s"flatten(transform($d1, v -> case when length(v) >= 1 then " +
-        "transform(sequence(1, length(v)), " +
-        "j -> concat(substring(v, 1, j - 1), substring(v, j + 1, length(v)))) " +
-        "else cast(array() as array<string>) end))))"
-      val variants = reps.select(col("s"), explode(expr(neighborhood)).as("v"))
-        .select(col("s"), xxhash64(col("v")).as("vh"))
-      val repPairs = variants.as("x").join(variants.as("y"), "vh")
-        .filter(col("x.s") < col("y.s"))
-        .select(col("x.s").as("sa"), col("y.s").as("sb"),
-          levenshtein(col("x.s"), col("y.s")).as("dist"))
-        .filter(col("dist") <= k)
-        .distinct()
-      val byStr = (a: String, i: String) => ids.select(col("id").as(i), col("s").as(a))
-      repPairs.join(byStr("sa", "ia"), "sa").join(byStr("sb", "ib"), "sb")
-        .select(least(col("ia"), col("ib")).as("id_a"),
-          greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-        .unionByName(ids.as("x").join(ids.as("y"), "s")
-          .filter(col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0).as("dist")))
-    }
+    // sanity first: identical pair sets (both schemes are exact)
+    val a = graft.operators.FuzzyJoin.pairsWithinScheme(
+      cust, "c_custkey", "c_name", k = 2, forceSegments = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val b = graft.operators.FuzzyJoin.pairsWithinScheme(
+      cust, "c_custkey", "c_name", k = 2, forceSegments = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    println(s"[prof] pair sets equal: ${a == b} (${a.size} pairs)")
+    graft.operators.Caches.release(spark)
 
-    // NEW strategy is the shipped pairsWithin (distinct-first + len filter)
     for (i <- 1 to 3) {
-      time(s"old verify-per-collision #$i")(noop(verifyPerCollision(2)))
-      time(s"new distinct-first       #$i")(noop(
-        graft.operators.FuzzyJoin.pairsWithin(cust, "c_custkey", "c_name", k = 2)))
+      time(s"fastss deletion-neighborhood #$i")(noop(
+        graft.operators.FuzzyJoin.pairsWithinScheme(
+          cust, "c_custkey", "c_name", k = 2, forceSegments = false)))
+      graft.operators.Caches.release(spark)
+      time(s"passjoin segments           #$i")(noop(
+        graft.operators.FuzzyJoin.pairsWithinScheme(
+          cust, "c_custkey", "c_name", k = 2, forceSegments = true)))
+      graft.operators.Caches.release(spark)
     }
     spark.stop()
   }

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: planted-skew profiles for the round-6 hot paths —
+  *  1. semantic dedup where ONE cell holds ~90% of all vectors (boilerplate
+  *     embedding corpus): the within-cell prune must fall back to bounded
+  *     LSH blocking, not wedge a reducer on width² cosines;
+  *  2. despan where ONE 10-token span is duplicated across ~100k docs: the
+  *     flagged-window stages must scale with duplication found, not corpus.
+  * sbt "Test/runMain graft.ProfileSkew [nVec] [nDoc]"
+  */
+object ProfileSkew {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+
+    val nVec = args.headOption.map(_.toInt).getOrElse(200000)
+    val nDoc = args.lift(1).map(_.toInt).getOrElse(2000000)
+
+    // --- 1. semantic hot cell -------------------------------------------
+    // 90% of vectors = tiny deterministic jitter around one point (all land
+    // in the same coarse cell AND are mutual near-dups — the worst case for
+    // the fallback: identical LSH signatures too); 10% spread uniformly.
+    val dim = 16
+    val hotFrac = lit(0.9)
+    val base = spark.range(nVec).select(col("id").as("vec_id"),
+      (col("id") % 10 =!= 0).as("hot"))
+    val mk = (0 until dim).map { j =>
+      when(col("hot"),
+        lit(1.0f) + (pmod(xxhash64(col("vec_id"), lit(j)), lit(1000)).cast("float") / 1e7f))
+        .otherwise((pmod(xxhash64(col("vec_id"), lit(j + 777)), lit(2000)).cast("float") / 1e3f) - 1f)
+    }.map(_.cast("float"))
+    val emb = base.select(col("vec_id"), array(mk: _*).as("embedding"))
+      .repartition(32).cache()
+    println(s"[prof] vectors: ${emb.count()} (hot ~${(0.9 * nVec).toInt})")
+
+    for (i <- 1 to 2)
+      time(s"semanticDedup hot-cell fallback #$i") {
+        graft.operators.Semantic.semanticDedup(
+          emb, "vec_id", "embedding", k = 16, threshold = 0.9, maxCell = 1024)
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Caches.release(spark)
+      }
+    emb.unpersist()
+
+    // --- 2. despan hot span ---------------------------------------------
+    // every 20th doc carries the same 10-token boilerplate span (nDoc/20
+    // copies of one window hash); every doc also has ~12 unique tokens
+    val span = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    val docs = spark.range(nDoc).select(col("id").as("doc_id"),
+      concat(
+        when(col("id") % 20 === 0, lit(span + " ")).otherwise(lit("")),
+        lit("payload token run number "),
+        col("id").cast("string"), lit(" alpha beta gamma delta epsilon "),
+        (col("id") * 7919).cast("string")).as("text"))
+      .repartition(32).cache()
+    println(s"[prof] docs: ${docs.count()} (hot span copies ~${nDoc / 20})")
+
+    for (i <- 1 to 2)
+      time(s"removeDuplicateSpans hot-span #$i") {
+        graft.operators.Pipelines.removeDuplicateSpans(
+          docs, "doc_id", "text", w = 10, minCount = 2)
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Caches.release(spark)
+      }
+    docs.unpersist()
+    spark.stop()
+  }
+}

@@ -309,4 +309,42 @@ class SemanticSpec extends SparkSpec {
     assert(byId(4L)._2 == "tiny doc" && byId(4L)._3 == 2L && byId(4L)._4 == 0L)
     assert(byId(5L)._2 == "" && byId(5L)._3 == 0L && byId(5L)._4 == 0L)
   }
+
+  test("exact-integer magnitude guard fails loudly on out-of-scale embeddings") {
+    val emb = Tables(spark, sfDir, "embeddings").limit(20)
+    // unit-scale inputs pass the guard untouched (the whole corpus is proof,
+    // but pin it here so the guard can never false-positive on legit data)
+    assert(Semantic.assignCells(emb, "vec_id", "embedding", k = 4).count() == 20)
+    // blown-up inputs (|x| ~ 1e4 → |q| ~ 1e10 > the ~5.9e6 dim-64 bound) must
+    // raise, not silently produce inexact — hence unportable — distances
+    val big = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> x * 10000.0f)").as("embedding"))
+    val e1 = intercept[Exception] {
+      Semantic.assignCells(big, "vec_id", "embedding", k = 4).collect()
+    }
+    assert(e1.getMessage.contains("exact-integer"), s"got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      Semantic.pqEncode(big, "vec_id", "embedding", m = 8, ksub = 4).collect()
+    }
+    assert(e2.getMessage.contains("exact-integer"), s"got: ${e2.getMessage}")
+  }
+
+  test("semanticIncremental: a re-ingested id is not dropped against its own history copy") {
+    import spark.implicits._
+    // four near-orthogonal vectors; no cross pair reaches cos >= 0.9
+    val rows = Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(0f, 1f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f), 3L -> Seq(0f, 0f, 0f, 1f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val state = Semantic.semanticState(emb, "vec_id", "embedding", k = 2)
+    // re-ingest id 1 verbatim: its history copy has cosine exactly 1, but an
+    // equal id must not self-drop (cold path filters n.vec_id =!= hid; the
+    // hot path cannot pair equal ids at all) — the row falls only to OTHER
+    // neighbors, of which there are none here
+    val out = Semantic.semanticIncremental(
+      emb.filter(col("vec_id") === 1L), "vec_id", "embedding",
+      state, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L), s"re-ingested row must survive its own copy: $out")
+  }
 }
