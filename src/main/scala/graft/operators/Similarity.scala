@@ -252,6 +252,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch-query probe of a materialized IVF+PQ index — [[ivfPqProbe]]
+    * generalized from one driver-side query vector to a QUERIES DataFrame,
+    * completing the retrieval-pipeline pair with [[Semantic.pqTopKBatch]]:
+    * millions of query rows against one index, k nearest per query, in ONE
+    * declarative plan with no per-query job loop. Returns
+    * (query_id, vec_id, adist); rows whose vec_id equals the query's id are
+    * excluded (the self-match convention).
+    *
+    * Every stage moves IN-PLAN what the single-query form did on the driver,
+    * in the same exact-integer arithmetic, so the batch form stays
+    * hash-oracle-able even at nprobe < nlist:
+    *  - cell selection: queries × broadcast cells sidecar (nlist rows),
+    *    integer squared-L2, per-query top-nprobe window (ties on cell id);
+    *  - LUTs: queries × broadcast codebook sidecar (ksub rows), the
+    *    [[Semantic.pqParts]] subspace formula verbatim;
+    *  - scan: index ⋈ probe pairs on the cell PARTITION key — Spark's
+    *    dynamic partition pruning keeps unprobed cell directories unread
+    *    (the nprobe/nlist × m bytes/vector I/O claim, now for the UNION of
+    *    the batch's probe cells), then explode codes, join the broadcast
+    *    LUTs on (query, subspace, code), one map-side-combined sum, one
+    *    per-query top-k window (WindowGroupLimit).
+    *
+    * Driver-side reads: one codebook row (m) and one query row (dim) —
+    * plan-time metadata, the [[Semantic.pqParts]] convention.
+    */
+  def ivfPqProbeBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = spark.read.parquet(s"$dir.codebook")
+    val mRow = cb.select("m").limit(1).collect()
+    require(mRow.nonEmpty, s"$dir.codebook is empty — not an ivfPqWrite index")
+    val m = mRow.head.getInt(0)
+    val qv = queries.filter(col(qVecCol).isNotNull)
+      .select(Keys.id(queries, qIdCol).as("query_id"),
+        Semantic.quantized(qVecCol).as("qv"))
+    val dim = qv.select(size(col("qv"))).limit(1).collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException("no non-null query vectors"))
+    require(dim % m == 0,
+      s"query dim $dim does not divide the index's m=$m subspaces")
+    val dsub = dim / m
+    val cells = spark.read.parquet(s"$dir.cells")
+      .select(col("cell"), col("qv").as("cv"))
+    val probe = qv.crossJoin(broadcast(cells))
+      .select(col("query_id"), col("cell"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("cd"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell").asc)))
+      .filter(col("__rn") <= nprobe)
+      .select("query_id", "cell")
+    val distCols = (0 until m).map { j =>
+      val lo = j * dsub + 1
+      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
+        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
+    }
+    val luts = qv.crossJoin(broadcast(cb.select(col("r"), col("sv"))))
+      .select(col("query_id") +: col("r") +: distCols: _*)
+      .select(col("query_id").as("lqid"), col("r"), explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
+      .select(col("lqid"), col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    spark.read.parquet(dir)
+      .join(probe, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+      .join(broadcast(luts), col("query_id") === col("lqid") &&
+        col("j") === col("lj") && col("cj").cast("int") === col("r"))
+      .groupBy("query_id", "vec_id").agg(sum("d").cast("long").as("adist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "adist")
+  }
+
   /** Approximate top-k: LSH multi-table bucketing, exact re-rank of candidates. */
   def annTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {

@@ -167,6 +167,21 @@ object ExtensionQueries {
         excludeId = Some(0L))
     }),
 
+    // batch-query probe of the materialized index: every vec_id % 100 == 0
+    // row ranks its own nprobe = 4 cells, builds its own LUT, and scores only
+    // the probed partitions — one plan, no per-query job loop. Cell ranking,
+    // LUTs, and the partial-probe restriction are all exact-integer, so the
+    // pruned BATCH search hash-matches like the single-query form
+    "q_ivfpq_probe_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_b"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      graft.operators.Similarity.ivfPqProbeBatch(s, dir,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 10, nprobe = 4)
+    }),
+
     // corpus-duplicated 10-token rolling spans (substring-level dedup signal)
     "q_dup_spans" -> ((s, d) =>
       Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
@@ -637,6 +652,53 @@ object ExtensionQueries {
        |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Batch partial probe: ivfPqProbeOracle with per-query probe sets and
+    * LUTs (vec_id % 100 = 0 rows are the queries) and a per-query top-10 —
+    * the multi-query generalization, every stage still exact-integer.
+    */
+  private val ivfPqProbeBatchOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64" +
+        (if (j > 0) s" AND l$j.query_id = l0.query_id" else "")).mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |cd AS (SELECT q.vec_id, s.seed_id,
+       |         list_sum(list_transform(list_zip(q.qv, s.sv),
+       |                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+       |       FROM q, seeds s),
+       |cells AS (SELECT vec_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT vec_id AS query_id, r,
+       |         ${(0 until 8).map(j => s"d$j").mkString(", ")}
+       |       FROM d WHERE vec_id % 100 = 0)
+       |SELECT l0.query_id, k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |JOIN cells c ON c.vec_id = k.vec_id
+       |JOIN probe p ON p.query_id = l0.query_id AND p.cell = c.cell
+       |WHERE k.vec_id <> l0.query_id
+       |QUALIFY row_number() OVER (PARTITION BY l0.query_id
+       |                           ORDER BY ($adist)::BIGINT, k.vec_id) <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
 
@@ -651,6 +713,8 @@ object ExtensionQueries {
     "q_ivfpq_topk" -> pqTopKOracle,
 
     "q_ivfpq_probe" -> ivfPqProbeOracle,
+
+    "q_ivfpq_probe_batch" -> ivfPqProbeBatchOracle,
 
     // seeds frozen from the history half; both halves assigned against them;
     // history hits by same-cell cosine, then the within-batch keep-first cut

@@ -156,6 +156,32 @@ class SimilaritySpec extends SparkSpec {
       "partial-probe results must be a subset of the full ADC ranking")
   }
 
+  test("ivfPqProbeBatch: each query's probe equals the single-query ivfPqProbe, full and partial") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString + "/idx"
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val qids = Seq(0L, 100L, 250L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    for (nprobe <- Seq(8, 2)) {
+      // the in-plan cell ranking, LUT build, and probe restriction must
+      // reproduce the driver-side single-query form query by query — at full
+      // probe (== ADC) AND at partial probe (same pruned candidate set)
+      val batch = Similarity.ivfPqProbeBatch(spark, dir, queries,
+        "vec_id", "embedding", k = 10, nprobe = nprobe)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getLong(2))).toSeq }
+      assert(batch.keySet == qids.toSet)
+      qids.foreach { q =>
+        val qv = emb.filter(col("vec_id") === q).head().getSeq[Float](1).toArray
+        val single = Similarity.ivfPqProbe(spark, dir, qv, k = 10,
+          nprobe = nprobe, excludeId = Some(q))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(batch(q).sortBy(identity) == single.sortBy(identity),
+          s"batch probe (nprobe=$nprobe) diverged from ivfPqProbe for query $q")
+      }
+    }
+  }
+
   test("pqTopKBatch: every query row's top-k equals the single-query pqTopK") {
     import graft.operators.Semantic
     val batch = Semantic.pqTopKBatch(emb, "vec_id", "embedding",
