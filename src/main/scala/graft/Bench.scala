@@ -23,7 +23,8 @@ object Bench {
     "q_fuzzy_join2", "q_multimodal_meta", "q_stratified_sample",
     "q_fuzzy_link", "q_dup_spans", "q_dedup_semantic", "q_kmeans_assign",
     "q_pq_encode", "q_pq_topk", "q_despan", "q_decontaminate_spans",
-    "q_pipeline_clean")
+    "q_pipeline_clean", "q_pq_topk_batch", "q_ivfpq_topk",
+    "q_ivfpq_probe_batch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -241,10 +241,23 @@ object Semantic {
   private[operators] case class PqParts(vecs: DataFrame, seeds: DataFrame,
       distCols: Seq[org.apache.spark.sql.Column], m: Int)
 
-  private[operators] def pqParts(emb: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int): PqParts = {
-    require(m >= 1 && ksub >= 2 && ksub <= 64,
-      "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
+  /** The m per-subspace exact-integer distance columns between a `qv` row
+    * and a joined `sv` seed row — ONE definition feeds pqParts, the frozen
+    * variant, and (via [[Similarity]]) the batch probes: the arithmetic must
+    * never fork.
+    */
+  private[operators] def subspaceDistCols(m: Int, dsub: Int): Seq[org.apache.spark.sql.Column] =
+    (0 until m).map { j =>
+      val lo = j * dsub + 1
+      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
+        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
+    }
+
+  /** Guarded quantized (vec_id, qv) rows + the probed dim, shared by the
+    * fresh and frozen PqParts constructions.
+    */
+  private def quantizedVecs(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int): (DataFrame, Int) = {
     val vecsRaw = emb
       .filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
@@ -253,11 +266,17 @@ object Semantic {
       .getOrElse(throw new IllegalArgumentException(
         s"no non-null vectors in '$vecCol' — nothing to quantize"))
     require(dim % m == 0, s"embedding dim $dim must divide into m=$m subspaces")
-    val dsub = dim / m
     // packed-key exactness bound: dist2·64 + r < 2^53 over dsub-wide subspace
     // distances (tighter than assignCells' unpacked bound by the ×64 factor)
-    val vecs = vecsRaw.select(col("vec_id"),
-      qvGuard(col("qv"), lit(dsub), 64, "pq").as("qv"))
+    (vecsRaw.select(col("vec_id"),
+      qvGuard(col("qv"), lit(dim / m), 64, "pq").as("qv")), dim)
+  }
+
+  private[operators] def pqParts(emb: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): PqParts = {
+    require(m >= 1 && ksub >= 2 && ksub <= 64,
+      "need 1 <= m and 2 <= ksub <= 64 (codes pack as dist2*64 + rank)")
+    val (vecs, dim) = quantizedVecs(emb, idCol, vecCol, m)
     val seeds = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(ksub)
@@ -265,14 +284,34 @@ object Semantic {
       .withColumn("r",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(md5(col("seed_id").cast("string")), col("seed_id"))) - 1)
-    // per (vector, seed): all m subspace distances in one projected row
-    val distCols = (0 until m).map { j =>
-      val lo = j * dsub + 1
-      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
-        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
-    }
-    PqParts(vecs, seeds, distCols, m)
+    PqParts(vecs, seeds, subspaceDistCols(m, dim / m), m)
   }
+
+  /** [[pqParts]] with a FROZEN codebook (r, sv rows — an ivfPqWrite sidecar)
+    * instead of a fresh seed draw: the append/ingest form. New vectors must
+    * encode against the codebook the INDEX was built with, or their codes
+    * would be meaningless to its LUTs — the same frozen-seed convention as
+    * [[semanticState]]/[[semanticIncremental]].
+    */
+  private[operators] def pqPartsFrozen(emb: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame, m: Int): PqParts = {
+    val (vecs, dim) = quantizedVecs(emb, idCol, vecCol, m)
+    PqParts(vecs, codebook.select(col("r"), col("sv")),
+      subspaceDistCols(m, dim / m), m)
+  }
+
+  /** Nearest-cell assignment against GIVEN coarse seeds (cell, cv quantized)
+    * — [[assignCells]]' argmin with a frozen codebook, for index appends and
+    * probes. Returns (vec_id, cell).
+    */
+  private[operators] def assignAgainst(vecs: DataFrame, seeds: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("cell"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cell"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"))
 
   private[operators] def encodeCodes(p: PqParts): DataFrame = {
     val keyed = p.vecs.crossJoin(broadcast(p.seeds))

@@ -252,6 +252,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** Append new vectors to an existing IVF+PQ index — the incremental-ingest
+    * half of index maintenance: encode against the index's FROZEN PQ
+    * codebook and assign against its FROZEN coarse seeds (both read from the
+    * sidecars ivfPqWrite left), then append the (vec_id, code, cell) rows
+    * into the cell-partitioned layout. Freezing is not an optimization but a
+    * correctness requirement — codes are only meaningful to the LUTs of the
+    * codebook they were quantized with, and cells must stay stable or probes
+    * would miss history (the [[Semantic.semanticState]] convention; re-seed
+    * = full [[ivfPqWrite]] rebuild). Appended ids are assumed disjoint from
+    * the index's (re-ingestion dedupes upstream, as everywhere).
+    *
+    * Scale shape: two broadcasts (ksub-row codebook, nlist-row cells), one
+    * narrow encode+assign pass, one partitioned append — ingesting a batch
+    * touches no existing data file. Probes are oblivious to how many appends
+    * built the index, and stay hash-oracle-able: an external engine
+    * reproduces seed draw (over the ORIGINAL corpus), encoding, and ADC for
+    * the union corpus identically.
+    */
+  def ivfPqAppend(spark: SparkSession, newEmb: DataFrame, idCol: String,
+      vecCol: String, dir: String): Unit = {
+    val cb = spark.read.parquet(s"$dir.codebook")
+    val mRow = cb.select("m").limit(1).collect()
+    require(mRow.nonEmpty, s"$dir.codebook is empty — not an ivfPqWrite index")
+    val m = mRow.head.getInt(0)
+    val p = Semantic.pqPartsFrozen(newEmb, idCol, vecCol, cb, m)
+    val assigned = Semantic.assignAgainst(p.vecs,
+      spark.read.parquet(s"$dir.cells").select(col("cell"), col("qv").as("cv")))
+    Semantic.encodeCodes(p)
+      .join(assigned, "vec_id")
+      .write.partitionBy("cell").mode("append").parquet(dir)
+  }
+
   /** Batch-query probe of a materialized IVF+PQ index — [[ivfPqProbe]]
     * generalized from one driver-side query vector to a QUERIES DataFrame,
     * completing the retrieval-pipeline pair with [[Semantic.pqTopKBatch]]:

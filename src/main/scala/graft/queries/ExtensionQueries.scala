@@ -167,6 +167,24 @@ object ExtensionQueries {
         excludeId = Some(0L))
     }),
 
+    // index maintenance: build from the even-id half, APPEND the odd-id half
+    // against the frozen sidecars, then full-probe — the result must rank
+    // vectors from BOTH halves under the even-half codebook, and because
+    // encode/assign/ADC are exact-integer, the grown index hash-matches an
+    // oracle that reproduces the frozen-seed draw over the even ids only
+    "q_ivfpq_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_ap"
+      graft.operators.Similarity.ivfPqWrite(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", dir, nlist = 16, m = 8, ksub = 16)
+      graft.operators.Similarity.ivfPqAppend(s,
+        emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfPqProbe(s, dir, q, k = 20, nprobe = 16,
+        excludeId = Some(0L))
+    }),
+
     // batch-query probe of the materialized index: every vec_id % 100 == 0
     // row ranks its own nprobe = 4 cells, builds its own LUT, and scores only
     // the probed partitions — one plan, no per-query job loop. Cell ranking,
@@ -577,6 +595,37 @@ object ExtensionQueries {
        |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Append proof: pqTopKOracle with the seed draw restricted to the EVEN
+    * vec_ids — the frozen codebook of the initial ivfPqWrite half — while
+    * encoding and ranking the WHOLE corpus against it, exactly what a
+    * correct append must produce at full probe.
+    */
+  private val ivfPqAppendOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64").mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q WHERE vec_id % 2 = 0
+       |                ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")} FROM d WHERE vec_id = 0)
+       |SELECT k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |WHERE k.vec_id <> 0
+       |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
+  }
+
   /** Batch-query ADC: pqTopKOracle with the single-query `lq` generalized to
     * one LUT per query row (vec_id % 100 == 0) and a per-query top-10 window.
     */
@@ -715,6 +764,8 @@ object ExtensionQueries {
     "q_ivfpq_probe" -> ivfPqProbeOracle,
 
     "q_ivfpq_probe_batch" -> ivfPqProbeBatchOracle,
+
+    "q_ivfpq_append" -> ivfPqAppendOracle,
 
     // seeds frozen from the history half; both halves assigned against them;
     // history hits by same-cell cosine, then the within-batch keep-first cut

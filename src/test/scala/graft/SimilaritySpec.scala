@@ -156,6 +156,31 @@ class SimilaritySpec extends SparkSpec {
       "partial-probe results must be a subset of the full ADC ranking")
   }
 
+  test("ivfPqAppend: appended vectors join the index under the frozen codebooks") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_ap").toString + "/idx"
+    val nonNull = emb.filter(col("embedding").isNotNull)
+    Similarity.ivfPqWrite(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    // the appended batch: the odd half plus a planted clone of query 0 — the
+    // clone must encode to the SAME codes under the frozen codebook, making
+    // its ADC distance the provable minimum of the whole index
+    val clone = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", lit(99999L))
+    Similarity.ivfPqAppend(spark,
+      emb.filter(col("vec_id") % 2 === 1).unionByName(clone),
+      "vec_id", "embedding", dir)
+    assert(spark.read.parquet(dir).count() == nonNull.count() + 1,
+      "append must add every new row exactly once, duplicating nothing")
+    val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+    val res = Similarity.ivfPqProbe(spark, dir, qv, k = 5, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val minD = res.map(_._2).min
+    assert(res.exists { case (id, d) => id == 99999L && d == minD },
+      s"the appended clone must rank at the minimal ADC distance: ${res.toSeq}")
+    assert(res.exists(_._1 % 2 == 1), s"odd-half rows must be probable: ${res.toSeq}")
+  }
+
   test("ivfPqProbeBatch: each query's probe equals the single-query ivfPqProbe, full and partial") {
     GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString + "/idx"
