@@ -212,6 +212,57 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == (0L until 30L).toSet, "exactly the clones must drop")
   }
 
+  test("streaming ANN ingest: foreachBatch ivfPqAppend == one-shot append, any batch slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // codes and cells depend ONLY on the codebooks frozen by the first
+    // write, so the index CONTENT must be invariant to how the later rows
+    // are sliced into micro-batches — the streaming form of the frozen-seed
+    // contract
+    val base = graft.sources.Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 60 && col("embedding").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batches = Seq(
+      base.filter(_._1 < 20),
+      base.filter(t => t._1 >= 20 && t._1 < 35),
+      base.filter(_._1 >= 35))
+    val dirStream = java.nio.file.Files.createTempDirectory("ivfpq_st").toString + "/idx"
+    val dirRef = java.nio.file.Files.createTempDirectory("ivfpq_st").toString + "/ref"
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    var booted = false
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!booted) {
+          graft.operators.Similarity.ivfPqWrite(
+            batch, "vec_id", "embedding", dirStream, nlist = 4, m = 8, ksub = 8)
+          booted = true
+        } else graft.operators.Similarity.ivfPqAppend(
+          spark, batch, "vec_id", "embedding", dirStream)
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    graft.operators.Similarity.ivfPqWrite(
+      batches.head.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dirRef, nlist = 4, m = 8, ksub = 8)
+    graft.operators.Similarity.ivfPqAppend(spark,
+      (batches(1) ++ batches(2)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dirRef)
+    def rows(d: String) = spark.read.parquet(d)
+      // the partition column's type is re-inferred from directory names on
+      // read (int here) — normalize for the comparison
+      .select(col("vec_id"), col("code"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows(dirStream) == rows(dirRef),
+      "index content must be invariant to micro-batch slicing")
+    assert(rows(dirStream).map(_._1) == base.map(_._1).toSet)
+  }
+
   test("semanticIncremental refuses an empty (seedless) state instead of dropping the batch") {
     val emb = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
     val emptyState = graft.operators.Semantic.semanticState(
