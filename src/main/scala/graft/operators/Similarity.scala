@@ -284,6 +284,35 @@ object Similarity {
       .write.partitionBy("cell").mode("append").parquet(dir)
   }
 
+  /** Compact an IVF+PQ index in place: every [[ivfPqAppend]] adds files to
+    * the cell directories, and a probe's cost is (files opened) as much as
+    * (bytes read) once appends accumulate — the standard LSM-ish decay of
+    * any append-friendly layout. Compaction rewrites the index with each
+    * cell's rows hash-routed to ONE task (repartition on the cell key +
+    * partitionBy writer ⇒ one file per cell), into a sibling directory that
+    * is atomically swapped in via rename — Spark refuses to overwrite a path
+    * it is reading, and the swap means a crash mid-compact leaves the live
+    * index untouched. Content (vec_id, code, cell) is bit-identical;
+    * sidecars are not touched (codebooks don't change shape under
+    * compaction).
+    */
+  def ivfPqCompact(spark: SparkSession, dir: String): Unit = {
+    val tmp = s"$dir.compacting"
+    spark.read.parquet(dir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(s"$dir.old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(old, p) // roll back — the live index stays valid
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+  }
+
   /** Batch-query probe of a materialized IVF+PQ index — [[ivfPqProbe]]
     * generalized from one driver-side query vector to a QUERIES DataFrame,
     * completing the retrieval-pipeline pair with [[Semantic.pqTopKBatch]]:

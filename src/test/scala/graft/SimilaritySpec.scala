@@ -181,6 +181,37 @@ class SimilaritySpec extends SparkSpec {
     assert(res.exists(_._1 % 2 == 1), s"odd-half rows must be probable: ${res.toSeq}")
   }
 
+  test("ivfPqCompact: one file per cell afterwards, content and probes unchanged") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_c").toString + "/idx"
+    Similarity.ivfPqWrite(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", dir, nlist = 4, m = 8, ksub = 8)
+    Similarity.ivfPqAppend(spark, emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", dir)
+    Similarity.ivfPqAppend(spark, emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", dir)
+    def filesPerCell: Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    def rows = spark.read.parquet(dir)
+      .select(col("vec_id"), col("code"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val before = rows
+    assert(filesPerCell.values.max > 1, "three writes must leave multi-file cells")
+    val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+    val probeBefore = Similarity.ivfPqProbe(spark, dir, qv, k = 10, nprobe = 4,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Similarity.ivfPqCompact(spark, dir)
+    assert(filesPerCell.values.forall(_ == 1), s"one file per cell: $filesPerCell")
+    assert(rows == before, "compaction must not change a single row")
+    val probeAfter = Similarity.ivfPqProbe(spark, dir, qv, k = 10, nprobe = 4,
+      excludeId = Some(0L)).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probeAfter == probeBefore, "probes must be oblivious to compaction")
+  }
+
   test("ivfPqProbeBatch: each query's probe equals the single-query ivfPqProbe, full and partial") {
     GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_b").toString + "/idx"
