@@ -66,12 +66,18 @@ object Semantic {
     * (they have no position in the space). This is the deterministic coarse
     * quantizer SemDeDup and IVF both start from.
     */
-  def assignCells(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    require(k >= 1, "k must be positive")
-    val vecs = emb
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    assignCellsFromQv(emb
       .filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"),
-        qvGuard(quantized(vecCol), size(col(vecCol)), 1, "assignCells").as("qv"))
+        qvGuard(quantized(vecCol), size(col(vecCol)), 1, "assignCells").as("qv")), k)
+
+  /** [[assignCells]] over an already-quantized (vec_id, qv) frame — lets a
+    * caller that quantizes once (e.g. [[Similarity.ivfPqWrite]]'s cached
+    * frame) feed every consumer from it.
+    */
+  private[operators] def assignCellsFromQv(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
     val seeds = vecs
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k)

@@ -170,9 +170,13 @@ object Similarity {
     */
   def ivfPqWrite(emb: DataFrame, idCol: String, vecCol: String, dir: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16): Unit = {
-    val p = Semantic.pqParts(emb, idCol, vecCol, m, ksub)
+    val p0 = Semantic.pqParts(emb, idCol, vecCol, m, ksub)
+    // the quantized vectors feed FOUR subplans (PQ encode, coarse assign via
+    // its own seed draw, the .cells sidecar, and the seed draws themselves);
+    // uncached they would re-scan + re-quantize the source each time
+    val p = p0.copy(vecs = p0.vecs.cache())
     val rows = Semantic.encodeCodes(p)
-      .join(Semantic.assignCells(emb, idCol, vecCol, nlist)
+      .join(Semantic.assignCellsFromQv(p.vecs, nlist)
         .select("vec_id", "cell"), "vec_id")
       .cache() // the index write and the .cells sidecar both read it; an
                // uncached plan would run encode + assignment twice
@@ -189,7 +193,7 @@ object Similarity {
       // (m rides along so a probe needs no out-of-band metadata)
       p.seeds.select(col("r"), col("sv"), lit(p.m).as("m"))
         .write.mode("overwrite").parquet(s"$dir.codebook")
-    } finally rows.unpersist()
+    } finally { rows.unpersist(); p.vecs.unpersist() }
   }
 
   /** Probe a materialized IVF+PQ index: coarse-seed distances (nlist sidecar

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch: time q_fuzzy_join2 (sf0.1) — the bounded-verify A/B driver.
+/** Scratch: time q_ivfpq_topk (sf0.1) — the bounded-verify A/B driver.
   * sbt "Test/runMain graft.ProfileLev"
   */
 object ProfileLev {
@@ -16,9 +16,9 @@ object ProfileLev {
     val d = "/root/testdata/sf0.1"
     for (i <- 1 to 3) {
       val t0 = System.nanoTime()
-      SparkEntry.queries("q_fuzzy_join2")(spark, d)
+      SparkEntry.queries("q_ivfpq_topk")(spark, d)
         .write.format("noop").mode("overwrite").save()
-      println(f"[prof] q_fuzzy_join2 #$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"[prof] q_ivfpq_topk #$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       graft.operators.Caches.release(spark)
     }
     spark.stop()
