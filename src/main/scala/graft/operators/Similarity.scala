@@ -317,6 +317,39 @@ object Similarity {
     fs.delete(old, true)
   }
 
+  /** Two-stage retrieval over a materialized IVF+PQ index — the standard
+    * IVFADC + refinement pipeline (Jégou et al. 2011 §V-C): stage one ranks
+    * the probed cells' codes by ADC and keeps the `topN` candidates
+    * (compressed domain — nprobe/nlist × m bytes/vector I/O); stage two
+    * joins ONLY those topN ids back to the raw corpus and re-ranks them by
+    * the EXACT quantized squared-L2 to the query, returning the top `k`.
+    * The join is the point at scale: full-precision vectors are fetched for
+    * topN rows (an id equality join the candidate side of which is topN
+    * rows, hence broadcast), never for the corpus — ADC absorbs the scan,
+    * refinement fixes ADC's quantization error on the short list. Both
+    * stages are exact-integer ([[Semantic.quantized]] floor-scale, long
+    * sums under the magnitude guard's 2^53 bound), so even partial probes
+    * hash-match an external SQL oracle. Output: (vec_id, adist, edist) —
+    * both stages' scores, ordered by (edist, vec_id).
+    */
+  def ivfPqRerank(spark: SparkSession, dir: String, emb: DataFrame,
+      idCol: String, vecCol: String, queryVec: Array[Float], k: Int,
+      topN: Int, nprobe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    require(k <= topN, s"k=$k must not exceed the candidate budget topN=$topN")
+    val cand = ivfPqProbe(spark, dir, queryVec, topN, nprobe, excludeId)
+    val qLit = array(queryVec.map(x =>
+      lit(math.floor(x.toDouble * 1000000.0 + 0.5).toLong)): _*)
+    emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        Semantic.quantized(vecCol).as("qv"))
+      .join(broadcast(cand), "vec_id")
+      .select(col("vec_id"), col("adist"),
+        aggregate(zip_with(col("qv"), qLit, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("edist"))
+      .orderBy(col("edist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Batch-query probe of a materialized IVF+PQ index — [[ivfPqProbe]]
     * generalized from one driver-side query vector to a QUERIES DataFrame,
     * completing the retrieval-pipeline pair with [[Semantic.pqTopKBatch]]:

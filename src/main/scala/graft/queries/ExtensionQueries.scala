@@ -185,6 +185,21 @@ object ExtensionQueries {
         excludeId = Some(0L))
     }),
 
+    // two-stage retrieval: partial-probe ADC keeps a 50-candidate short
+    // list, then ONLY those ids are joined back to the raw corpus and
+    // re-ranked by exact quantized L2 — the IVFADC + refinement pipeline.
+    // Both stages exact-integer, so the composition stays hash-checkable
+    "q_ivfpq_rerank" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_rr"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfPqRerank(s, dir, emb, "vec_id", "embedding",
+        q, k = 10, topN = 50, nprobe = 4, excludeId = Some(0L))
+    }),
+
     // batch-query probe of the materialized index: every vec_id % 100 == 0
     // row ranks its own nprobe = 4 cells, builds its own LUT, and scores only
     // the probed partitions — one plan, no per-query job loop. Cell ranking,
@@ -701,6 +716,54 @@ object ExtensionQueries {
        |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
   }
 
+  /** Two-stage refinement: ivfPqProbeOracle's partial-probe ADC as a
+    * 50-candidate CTE, then the exact quantized-L2 re-rank of only those
+    * ids — stage scores both carried, ordered by the exact distance.
+    */
+  private val ivfPqRerankOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64").mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |cd AS (SELECT q.vec_id, s.seed_id,
+       |         list_sum(list_transform(list_zip(q.qv, s.sv),
+       |                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+       |       FROM q, seeds s),
+       |cells AS (SELECT vec_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd) WHERE rn = 1),
+       |probe AS (SELECT seed_id AS cell FROM cd WHERE vec_id = 0
+       |          ORDER BY dist2, seed_id LIMIT 4),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")}
+       |       FROM d WHERE vec_id = 0),
+       |cand AS (SELECT k.vec_id, ($adist)::BIGINT AS adist
+       |         FROM k $joins
+       |         JOIN cells c ON c.vec_id = k.vec_id
+       |         WHERE k.vec_id <> 0 AND c.cell IN (SELECT cell FROM probe)
+       |         ORDER BY adist, k.vec_id LIMIT 50)
+       |SELECT cand.vec_id, cand.adist,
+       |  list_sum(list_transform(list_zip(q.qv, qq.qv),
+       |           p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS edist
+       |FROM cand
+       |JOIN q ON q.vec_id = cand.vec_id
+       |CROSS JOIN (SELECT qv FROM q WHERE vec_id = 0) qq
+       |ORDER BY edist, cand.vec_id LIMIT 10""".stripMargin
+  }
+
   /** Batch partial probe: ivfPqProbeOracle with per-query probe sets and
     * LUTs (vec_id % 100 = 0 rows are the queries) and a per-query top-10 —
     * the multi-query generalization, every stage still exact-integer.
@@ -762,6 +825,8 @@ object ExtensionQueries {
     "q_ivfpq_topk" -> pqTopKOracle,
 
     "q_ivfpq_probe" -> ivfPqProbeOracle,
+
+    "q_ivfpq_rerank" -> ivfPqRerankOracle,
 
     "q_ivfpq_probe_batch" -> ivfPqProbeBatchOracle,
 

@@ -156,6 +156,43 @@ class SimilaritySpec extends SparkSpec {
       "partial-probe results must be a subset of the full ADC ranking")
   }
 
+  test("ivfPqRerank: exact refinement of the ADC short list; degenerates to exact search at full budget") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rr").toString + "/idx"
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val qv = emb.filter(col("vec_id") === 0L).head().getSeq[Float](1).toArray
+    val n = emb.filter(col("embedding").isNotNull).count().toInt
+
+    // full probe + corpus-wide candidate budget ⇒ the refinement sees every
+    // vector, so the result must equal the exact quantized-L2 ranking (which
+    // assignCells' distance formula computes independently of PQ)
+    val rr = Similarity.ivfPqRerank(spark, dir, emb, "vec_id", "embedding",
+      qv, k = 10, topN = n, nprobe = 8, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val qq = qv.map(x => math.floor(x.toDouble * 1000000.0 + 0.5).toLong)
+    val exact = emb.filter(col("embedding").isNotNull && col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> floor(cast(x as double) * 1000000.0d + 0.5d))").as("x"))
+      .collect()
+      .map { r =>
+        val x = r.getSeq[Long](1)
+        (r.getLong(0), x.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(rr == exact, "full-budget rerank must equal the exact quantized-L2 top-k")
+
+    // tight budget: the returned ids must come from the ADC short list, and
+    // the exact distances must be ordered (refinement reorders, never invents)
+    val cand = Similarity.ivfPqProbe(spark, dir, qv, k = 15, nprobe = 2,
+      excludeId = Some(0L)).collect().map(_.getLong(0)).toSet
+    val tight = Similarity.ivfPqRerank(spark, dir, emb, "vec_id", "embedding",
+      qv, k = 5, topN = 15, nprobe = 2, excludeId = Some(0L)).collect()
+    assert(tight.map(_.getLong(0)).toSet.subsetOf(cand),
+      "rerank must only ever reorder the ADC candidates")
+    val eds = tight.map(_.getLong(2))
+    assert(eds.sameElements(eds.sorted), "rerank output is ordered by exact distance")
+  }
+
   test("ivfPqAppend: appended vectors join the index under the frozen codebooks") {
     GraftFunctions.register(spark)
     val dir = java.nio.file.Files.createTempDirectory("ivfpq_ap").toString + "/idx"
