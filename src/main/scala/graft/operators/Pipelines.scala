@@ -397,4 +397,49 @@ object Pipelines {
     docs.filter(bucket < threshold)
       .select(Keys.id(docs, idCol).as("doc_id"), col(sourceCol).as("source"))
   }
+
+  /** Deterministic TOKEN-BUDGET sampling: per domain, take documents in
+    * md5(doc_id) order until a cumulative token budget is reached — the
+    * "2B tokens of web, 500M of code" cut a training-mixture spec is actually
+    * written in (token budgets, not document rates — [[hashSample]]'s rate
+    * form needs a priori token statistics to hit a budget; this form hits it
+    * by construction). A document is kept iff the tokens BEFORE it in its
+    * domain's md5 stream are strictly under the budget, so the straddling
+    * document is included (total kept ≥ budget, and any positive budget keeps
+    * at least one document; budget ≤ 0 keeps none). The md5 order makes the
+    * kept-set a deterministic, engine-portable function of (corpus, budgets):
+    * re-running, or raising a budget later, extends the same prefix instead
+    * of reshuffling the sample — a budget bump is an incremental top-up.
+    *
+    * Scale shape: one exchange of (doc_id, domain, n_tokens) triples
+    * hash-partitioned on the domain, then an in-partition sort + running-sum
+    * window. Only the ~24-byte projection shuffles — the text stays in the
+    * scan stage; callers semi-join the kept ids back against the corpus. A
+    * domain's stream is one partition, so domains parallelize independently;
+    * a corpus with few huge domains is the same single-reducer-per-key shape
+    * as any per-domain window and would salt the same way if a domain's
+    * (id, count) pairs outgrew a reducer.
+    */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    val base = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      col(domainCol).as("domain"),
+      nTok.cast("long").as("n_tokens"))
+    // exclusive running sum in md5 order = tokens taken before this doc;
+    // same exclusive-prefix arithmetic as packSequences, so the straddle
+    // convention is shared across the packing/budget pair
+    val w = Window.partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (dom, b)) => when(col("domain") === dom, lit(b)).otherwise(acc)
+    }
+    base
+      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("start_tok") < budget)
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("start_tok"))
+  }
 }

@@ -286,6 +286,13 @@ object ExtensionQueries {
         t(s, d, "documents").withColumn("w8", col("n_chars") / lit(1000.0)),
         "doc_id", "w8", rate = 0.5)),
 
+    // token-budget mixture cut: per source, take docs in md5 order until the
+    // domain's token budget is reached (straddling doc included)
+    "q_token_budget" -> ((s, d) =>
+      Pipelines.tokenBudgetSample(t(s, d, "documents"), "doc_id", "text",
+        "source", budgets = Map("src0" -> 8000L, "src1" -> 2000L),
+        defaultBudget = 4000L)),
+
     // equi-width profile of the n_chars distribution, nulls as bucket -1
     "q_profile_hist" -> ((s, d) =>
       graft.operators.Profiling.histogram(
@@ -1182,6 +1189,20 @@ object ExtensionQueries {
         "SELECT doc_id, source, row_number() OVER (" +
         "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 50"),
+
+    // identical exclusive running sum in md5 order; ::BIGINT because DuckDB's
+    // windowed sum(BIGINT) yields HUGEINT (see q_pack_sequences)
+    "q_token_budget" ->
+      ("WITH b AS (SELECT doc_id, source AS domain, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))::BIGINT AS n_tokens " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, domain, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY domain " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM b) " +
+        "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
+        "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
+        "ELSE 4000 END"),
 
     // identical decimal pipeline: idf rounded to 6dp as DECIMAL(18,6),
     // score = tf * idf in exact decimal arithmetic, ties broken by term

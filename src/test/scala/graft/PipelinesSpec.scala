@@ -69,6 +69,31 @@ class PipelinesSpec extends SparkSpec {
     assert(bySrc.keySet.subsetOf(Set("src0")), "defaultRate 0.0 must drop other sources")
   }
 
+  test("tokenBudgetSample: hits the budget, includes the straddler, top-ups extend the prefix") {
+    import spark.implicits._
+    // 30 docs in one domain, 10 tokens each → 300 tokens of supply
+    val docs = (0L until 30L).map(i => (i, Seq.fill(10)("tok").mkString(" "), "web"))
+      .toDF("doc_id", "text", "source")
+    val kept = Pipelines.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map("web" -> 95L)).collect()
+    // every kept doc started under the budget; the straddler is included,
+    // so total kept tokens reaches (and here exceeds) the budget
+    assert(kept.forall(_.getLong(3) < 95L))
+    val keptTokens = kept.map(_.getLong(2)).sum
+    assert(keptTokens >= 95L, s"kept only $keptTokens of a 95-token budget")
+    assert(kept.length == 10, s"95-token budget over 10-token docs must keep 10 docs")
+    // raising the budget extends the same md5 prefix — a strict superset
+    val more = Pipelines.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map("web" -> 200L)).collect().map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(0)).toSet.subsetOf(more), "budget bump must be a top-up")
+    // zero budget keeps nothing; unlisted domains get the default
+    assert(Pipelines.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map("web" -> 0L)).count() == 0)
+    assert(Pipelines.tokenBudgetSample(docs, "doc_id", "text", "source",
+      budgets = Map.empty, defaultBudget = 1L).count() == 1,
+      "any positive budget keeps at least the first doc")
+  }
+
   test("dedupLines: drop-all vs keep-first semantics on planted duplicate lines") {
     import spark.implicits._
     // line "dup dup" appears in docs 1, 2, 3; every other line is unique
