@@ -238,6 +238,62 @@ object TextAnalysis {
           .as("avg_log10p"))
   }
 
+  /** Bigram language-model quality scoring — [[unigramLogProb]]'s CCNet-style
+    * filter upgraded to first-order context: score every document by its total
+    * and mean log10 CONDITIONAL word probability P(wᵢ | wᵢ₋₁) =
+    * c(wᵢ₋₁ wᵢ) / c(wᵢ₋₁ ·) under a top-`topV` bigram table; bigrams outside
+    * the table get the 1/total-bigrams floor. A bigram model separates fluent
+    * text from bag-of-frequent-words boilerplate that a unigram model scores
+    * identically (same words, scrambled order). Documents with fewer than 2
+    * words have no bigrams and are dropped.
+    *
+    * Scale shape: bigram extraction is a narrow transform+explode (no
+    * self-join of the token stream); the model build is one groupBy(w1, w2)
+    * exchange, a re-aggregation of that (already tiny) count table for the
+    * context totals, and a TakeOrdered top-V cut; scoring is a
+    * BroadcastHashJoin against the capped table plus one groupBy(doc)
+    * exchange — the same two-exchange shape as the unigram filter.
+    *
+    * Cross-engine determinism: identical to [[unigramLogProb]] — per-bigram
+    * log10 probs rounded to 6dp, summed as DECIMAL(18,6) (exact, order-free),
+    * final sum floored to 4dp before the one IEEE division; the top-V cut
+    * totally orders ties by (count desc, w1, w2).
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      topV: Int = 65536): DataFrame = {
+    require(topV >= 1, "topV must be positive")
+    val bigrams = docs
+      .select(Keys.id(docs, idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // context total c(w1 ·) = w1's occurrences in non-final position — a
+    // re-aggregation of the count table, not another corpus pass
+    val ctx = freq.groupBy("w1").agg(sum("c12").as("c1"))
+    val total = freq.agg(sum("c12").as("t"))
+    val vocab = freq.join(ctx, "w1")
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(topV)
+      .select(col("w1"), col("w2"), expr(
+        "cast(round(log10(cast(c12 as double) / cast(c1 as double)), 6) as decimal(18,6))")
+        .as("lp"))
+    val oov = total.select(expr(
+      "cast(round(log10(cast(1 as double) / cast(t as double)), 6) as decimal(18,6))")
+      .as("oov_lp"))
+    bigrams
+      .join(broadcast(vocab), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("lp"), col("oov_lp"))).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("__s") * 10000).cast("double") / 10000.0).as("sum_log10p"),
+        (floor(col("__s") * 10000).cast("double") / 10000.0 / col("n_bigrams"))
+          .as("avg_log10p"))
+  }
+
   /** Overlapping word-window chunking (RAG / context-window prep): cut each
     * document into windows of `width` words advancing by `stride`, emitting
     * (doc_id, chunk_id, n_words, chunk). The last window is the final partial

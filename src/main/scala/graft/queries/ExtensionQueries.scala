@@ -422,6 +422,11 @@ object ExtensionQueries {
     "q_unigram_lm" -> ((s, d) =>
       TextAnalysis.unigramLogProb(t(s, d, "documents"), "doc_id", "text", topV = 20)),
 
+    // bigram-LM quality score: conditional P(w2|w1) under a top-50 bigram
+    // table, OOV floor exercised (50 < fixture bigram count)
+    "q_bigram_lm" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text", topV = 50)),
+
     // overlapping word windows (RAG chunking), 64-word windows, stride 48
     "q_chunk_windows" -> ((s, d) =>
       TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text",
@@ -1411,6 +1416,27 @@ object ExtensionQueries {
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
         |FROM w LEFT JOIN v USING (w), o GROUP BY doc_id""".stripMargin),
+
+    // same decimal pipeline as q_unigram_lm over conditional bigram probs:
+    // lp = log10(c12/c1) rounded to 6dp, DECIMAL sum, floor-to-4dp; top-V
+    // ties totally ordered by (c12 DESC, w1, w2)
+    "q_bigram_lm" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM w, range(1, 100000) r(i)
+        |       WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1),
+        |tot AS (SELECT sum(c12) AS t FROM f),
+        |v AS (SELECT w1, w2, round(log10(c12::DOUBLE / c1::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |      FROM f JOIN cx USING (w1) ORDER BY c12 DESC, w1, w2 LIMIT 50),
+        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
+        |FROM bg LEFT JOIN v USING (w1, w2), o GROUP BY doc_id""".stripMargin),
 
     // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],
     // window count = 1 + ceil((n-64)/48) clamped at >= 1

@@ -222,6 +222,23 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - (-0.5485)) < 1e-4)
   }
 
+  test("bigramLogProb: hand-computed conditional probabilities, OOV floor, short docs dropped") {
+    import spark.implicits._
+    // corpus bigrams: (a,b)=2, (b,a)=2, (a,c)=1; contexts c1(a)=3, c1(b)=2;
+    // total t=5. topV=2 keeps (a,b), (b,a) (tie at c=2 broken by (w1, w2));
+    // (a,c) is OOV -> floor prob 1/5
+    val docs = Seq((1L, "a b a b"), (2L, "b a c"), (3L, "solo")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text", topV = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(!got.contains(3L), "docs with < 2 words have no bigrams")
+    // lp(a,b)=log10(2/3)->-0.176091 (6dp), lp(b,a)=log10(2/2)=0,
+    // oov=log10(1/5)->-0.698970; sums floored to 4dp
+    assert(got(1L)._1 == 3L && got(1L)._2 == -0.3522, s"got ${got(1L)}")
+    assert(got(2L)._1 == 2L && got(2L)._2 == -0.6990, s"got ${got(2L)}")
+    assert(math.abs(got(1L)._3 - (-0.3522 / 3)) < 1e-9)
+    assert(math.abs(got(2L)._3 - (-0.3495)) < 1e-9)
+  }
+
   test("chunkWindows: full coverage with overlap, partial tail, short-doc single chunk") {
     import spark.implicits._
     val docs = Seq(
