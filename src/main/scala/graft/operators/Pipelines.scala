@@ -97,6 +97,44 @@ object Pipelines {
       .join(members, Seq("doc_id"), "left_anti")
   }
 
+  /** Canonical-document selection: [[dedupNear]] upgraded from "smallest
+    * doc_id wins" to "BEST doc wins" — per near-duplicate cluster keep the
+    * document with the highest `scoreCol` (quality score, length, recency —
+    * any numeric column already on the corpus), ties broken by smallest
+    * doc_id. Keeping an arbitrary cluster member discards the one free choice
+    * dedup offers; real curation keeps the cleanest copy. Unclustered
+    * documents pass through as their own singleton cluster (cluster_id =
+    * doc_id). Null scores sort last, so a scored member always beats an
+    * unscored one. Returns (doc_id, cluster_id, score) of the survivors —
+    * every cluster contributes exactly one row.
+    *
+    * Scale shape: the pair/cluster stages are the audited LSH + CC plans; the
+    * argmax window shuffles ONLY the clustered subset (∝ duplication found,
+    * not corpus size) — unclustered docs ride a LEFT ANTI join against the
+    * label table and never repartition by cluster. Both joins leave the
+    * broadcast decision to AQE, which sees the label table's true
+    * post-shuffle size (the CC loop ends in materialized localCheckpoint
+    * leaves) — same rationale as [[dedupNear]].
+    */
+  def selectCanonical(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val labeled = Dedup.clusters(
+      Dedup.minHashLshPairs(docs, idCol, textCol, n, numPerm, bands, threshold))
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      col(scoreCol).cast("double").as("score"))
+    val canon = base.join(labeled, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster_id")
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select("doc_id", "cluster_id", "score")
+    val singletons = base
+      .join(labeled.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"), col("score"))
+    canon.unionByName(singletons)
+  }
+
   /** Corpus-level line deduplication (the C4/CCNet preprocessing step): drop
     * every line whose corpus-wide occurrence count reaches `minCount`
     * (`keepFirst = true` instead keeps the globally-first occurrence, ordered

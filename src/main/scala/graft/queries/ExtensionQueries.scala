@@ -58,6 +58,12 @@ object ExtensionQueries {
       Dedup.clusters(Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.8))),
 
+    // best-copy-per-cluster dedup: highest n_chars wins its near-dup cluster,
+    // unclustered docs are their own singleton cluster
+    "q_dedup_canonical" -> ((s, d) =>
+      Pipelines.selectCanonical(t(s, d, "documents"), "doc_id", "text",
+        scoreCol = "n_chars", n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
+
     "q_dedup_simhash" -> ((s, d) =>
       // portable-md5 fingerprints make the pair set oracle-checkable, and
       // maxBucket = MaxValue disables the hot-bucket salting so the
@@ -923,6 +929,42 @@ object ExtensionQueries {
         |  UNION
         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d)
         |SELECT d AS doc_id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY d""".stripMargin),
+
+    // same CC label set as q_dedup_clusters, then per-cluster argmax on
+    // n_chars (NULLS LAST to match Spark's desc_nulls_last), doc_id tiebreak;
+    // unclustered docs pass through as their own singleton cluster
+    "q_dedup_canonical" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d),
+        |lab AS (SELECT d AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY d),
+        |scored AS (
+        |  SELECT doc_id, coalesce(lab.cluster_id, doc_id)::BIGINT AS cluster_id,
+        |         n_chars::DOUBLE AS score
+        |  FROM documents LEFT JOIN lab USING (doc_id)),
+        |r AS (SELECT doc_id, cluster_id, score, row_number() OVER (
+        |        PARTITION BY cluster_id ORDER BY score DESC NULLS LAST, doc_id) AS rn
+        |      FROM scored)
+        |SELECT doc_id, cluster_id, score FROM r WHERE rn = 1""".stripMargin),
 
     "q_dedup_embedding" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +

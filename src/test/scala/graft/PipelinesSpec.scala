@@ -222,6 +222,24 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - (-0.5485)) < 1e-4)
   }
 
+  test("selectCanonical: best score wins its cluster, ties and nulls resolve, singletons pass") {
+    import spark.implicits._
+    val dupA = "the quick brown fox jumps over the lazy dog again and again today"
+    val dupB = "spark catalyst rewrites logical plans into physical plans with codegen stages"
+    val docs = Seq(
+      (1L, dupA, Some(10.0)), (2L, dupA, Some(30.0)), (3L, dupA, Some(20.0)),
+      (6L, dupB, Some(7.0)), (7L, dupB, Some(7.0)), (8L, dupB, None),
+      (4L, "completely different text about parquet row groups and column footers", Some(5.0)),
+      (5L, "another unrelated document mentioning shuffle partitions and broadcast joins", None)
+    ).toDF("doc_id", "text", "score")
+    val got = Pipelines.selectCanonical(docs, "doc_id", "text", "score")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cluster {1,2,3}: doc 2 wins on score, labeled by min member id 1
+    // cluster {6,7,8}: 6 and 7 tie at 7.0 -> smaller id; null-score 8 loses
+    // 4, 5 are singletons (cluster_id = own id), null score notwithstanding
+    assert(got == Map(2L -> 1L, 6L -> 6L, 4L -> 4L, 5L -> 5L), s"got $got")
+  }
+
   test("bigramLogProb: hand-computed conditional probabilities, OOV floor, short docs dropped") {
     import spark.implicits._
     // corpus bigrams: (a,b)=2, (b,a)=2, (a,c)=1; contexts c1(a)=3, c1(b)=2;
