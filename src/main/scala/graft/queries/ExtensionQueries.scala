@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{AsOfJoin, Dedup, Pipelines, Similarity, TextAnalysis}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
-import graft.sources.{Multimodal, Tables}
+import graft.sources.{Multimodal, Tables, Writers}
 import graft.streaming.EventStreams
 
 /** North-star extension operators (SURVEY.md §2.13, §2.9, §2.12-X4): dedup,
@@ -303,6 +303,14 @@ object ExtensionQueries {
     "q_profile_hist" -> ((s, d) =>
       graft.operators.Profiling.histogram(
         t(s, d, "documents"), "n_chars", lo = 0.0, hi = 2000.0, n = 16)),
+
+    // Morton z-values over (l_partkey, l_suppkey) — the key zorderParquet
+    // lays files out by; min-max scaling + bit interleave are integer-exact
+    "q_zorder" -> ((s, d) =>
+      Writers.zValues(
+        t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), bits = 16)
+        .select("l_orderkey", "l_linenumber", "z")),
 
     // BPE merge training + vocabulary-table tokenization (rows-only: the
     // training loop is iterative, no SQL oracle; BpeSpec proves equality
@@ -1220,6 +1228,21 @@ object ExtensionQueries {
         "WHERE n_chars IS NOT NULL AND " +
         "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 " +
         "< least(1.0, 0.5 * (n_chars / 1000.0))"),
+
+    // identical min-max scaling (IEEE ops on exact integers-in-double) and
+    // bit interleave; list_sum of disjoint powers of two == the OR fold
+    "q_zorder" ->
+      ("""WITH st AS (SELECT min(l_partkey)::DOUBLE AS mn0, max(l_partkey)::DOUBLE AS mx0,
+        |                    min(l_suppkey)::DOUBLE AS mn1, max(l_suppkey)::DOUBLE AS mx1
+        |             FROM lineitem),
+        |s AS (SELECT l_orderkey, l_linenumber,
+        |        least(65535, greatest(0, floor((l_partkey::DOUBLE - mn0) * 65535.0 / (mx0 - mn0))))::BIGINT AS s0,
+        |        least(65535, greatest(0, floor((l_suppkey::DOUBLE - mn1) * 65535.0 / (mx1 - mn1))))::BIGINT AS s1
+        |      FROM lineitem, st)
+        |SELECT l_orderkey, l_linenumber,
+        |  list_sum(list_transform(range(0, 16), i ->
+        |    (((s0 >> i) & 1) << (2 * i)) + (((s1 >> i) & 1) << (2 * i + 1))))::BIGINT AS z
+        |FROM s""".stripMargin),
 
     // same clamped floor((x-lo)*n/(hi-lo)) bucketing, nulls as bucket -1
     "q_profile_hist" ->

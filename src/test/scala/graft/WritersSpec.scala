@@ -47,4 +47,52 @@ class WritersSpec extends SparkSpec {
       assert(keys.sameElements(keys.sorted), s"${f.getName} not internally sorted")
     }
   }
+
+  test("zorderParquet: files prune on BOTH dimensions where a single-column sort cannot") {
+    // 100x100 grid in scrambled row order: every (x, y) cell exactly once
+    val grid = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"),
+      expr("id div 100").as("y"),
+      col("id").as("payload"))
+      .repartition(8) // scramble so layout comes from the writer, not the source
+
+    def fileBoxes(dir: String): Array[(Long, Long, Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("x"), max("x"), min("y"), max("y")).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        }
+
+    val zDir = Files.createTempDirectory("graft_zorder").toString
+    val xDir = Files.createTempDirectory("graft_xsort").toString
+    Writers.zorderParquet(grid, zDir, numFiles = 16, Seq("x", "y"))
+    Writers.sortedParquet(grid, xDir, numFiles = 16, "x")
+
+    val zBoxes = fileBoxes(zDir)
+    val xBoxes = fileBoxes(xDir)
+    assert(zBoxes.length > 8 && xBoxes.length > 8, "fixture must produce many files")
+
+    // a y-only range query: zone maps prune z-ordered files (each covers a
+    // compact rectangle) but NO x-sorted file (each spans all of y)
+    def hitsY(b: (Long, Long, Long, Long)) = b._3 <= 49L && b._4 >= 40L
+    val zHits = zBoxes.count(hitsY)
+    val xHits = xBoxes.count(hitsY)
+    assert(xHits == xBoxes.length,
+      s"x-sorted layout should be unprunable on y, but skipped ${xBoxes.length - xHits}")
+    assert(zHits <= zBoxes.length / 2,
+      s"z-order should prune most files on a 10%-of-y query, hit $zHits of ${zBoxes.length}")
+    // the x dimension still prunes too (z-order trades a little x-tightness,
+    // it must not give it up entirely)
+    def hitsX(b: (Long, Long, Long, Long)) = b._1 <= 19L && b._2 >= 10L
+    assert(zBoxes.count(hitsX) <= zBoxes.length / 2,
+      s"z-order must also prune on x, hit ${zBoxes.count(hitsX)} of ${zBoxes.length}")
+
+    // layout changes must not lose or duplicate rows
+    val readBack = spark.read.parquet(zDir).select("x", "y", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val original = grid.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(readBack.sameElements(original), "z-ordered read-back must equal the input")
+  }
 }
