@@ -436,6 +436,45 @@ object Pipelines {
       .select(Keys.id(docs, idCol).as("doc_id"), col(sourceCol).as("source"))
   }
 
+  /** Deterministic EPOCH UPSAMPLING: repeat each document per its domain's
+    * epoch factor — the other half of mixture building ([[hashSample]] /
+    * [[tokenBudgetSample]] cut domains DOWN; a training mixture also runs
+    * high-quality domains for MORE than one epoch, e.g. "2.5 epochs of
+    * wikipedia"). A factor w emits floor(w) copies of every document plus one
+    * more iff the document's md5-derived uniform draw falls below frac(w), so
+    * each domain's expected token multiple is exactly w and the chosen
+    * fractional-epoch subset is a deterministic, engine-portable function of
+    * (corpus, factors) — the same draw [[weightedSample]] uses, so the
+    * fractional copies are the md5-smallest documents, stable under factor
+    * bumps. Output is (doc_id, domain, copy) with copy in [0, ceil(w));
+    * factors <= 0 drop the domain.
+    *
+    * Scale shape: narrow — one sequence+explode per row, no shuffle; the
+    * blow-up is exactly the configured epoch factor. Downstream shuffling
+    * (the pack/shard stage) sees copies as independent rows, which is what
+    * epoch semantics mean.
+    */
+  def upsampleMixture(docs: DataFrame, idCol: String, domainCol: String,
+      factors: Map[String, Double], defaultFactor: Double = 1.0): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(_ <= 1000.0),
+      "epoch factor > 1000 is almost certainly a unit mistake")
+    val factor = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (dom, w)) => when(col(domainCol) === dom, lit(w)).otherwise(acc)
+    }
+    // 32-bit md5 prefix scaled to [0, 1) — exact power-of-two division,
+    // identical to weightedSample's draw
+    val draw = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+      "as double) / 4294967296.0d")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"), col(domainCol).as("domain"),
+        factor.as("__w"))
+      .withColumn("__n", floor(col("__w")).cast("long") +
+        when(draw < col("__w") - floor(col("__w")), 1L).otherwise(0L))
+      .filter(col("__n") > 0L)
+      .select(col("doc_id"), col("domain"),
+        explode(expr("sequence(0L, __n - 1L)")).as("copy"))
+  }
+
   /** Deterministic TOKEN-BUDGET sampling: per domain, take documents in
     * md5(doc_id) order until a cumulative token budget is reached — the
     * "2B tokens of web, 500M of code" cut a training-mixture spec is actually

@@ -292,6 +292,12 @@ object ExtensionQueries {
         t(s, d, "documents").withColumn("w8", col("n_chars") / lit(1000.0)),
         "doc_id", "w8", rate = 0.5)),
 
+    // epoch upsampling: 2.5 epochs of src0, 0.4 of src1, 1.0 elsewhere —
+    // fractional epochs chosen by the md5 draw, deterministic
+    "q_upsample" -> ((s, d) =>
+      Pipelines.upsampleMixture(t(s, d, "documents"), "doc_id", "source",
+        factors = Map("src0" -> 2.5, "src1" -> 0.4), defaultFactor = 1.0)),
+
     // token-budget mixture cut: per source, take docs in md5 order until the
     // domain's token budget is reached (straddling doc included)
     "q_token_budget" -> ((s, d) =>
@@ -1259,6 +1265,19 @@ object ExtensionQueries {
         "SELECT doc_id, source, row_number() OVER (" +
         "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 50"),
+
+    // identical draw (32-bit md5 prefix / 2^32) and identical floor/frac
+    // arithmetic in double; copies materialized by a bounded range join
+    "q_upsample" ->
+      ("WITH b AS (SELECT doc_id, source AS domain, " +
+        "(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4 ELSE 1.0 END)::DOUBLE AS w, " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0 AS draw " +
+        "FROM documents), " +
+        "c AS (SELECT doc_id, domain, " +
+        "(floor(w)::BIGINT + CASE WHEN draw < w - floor(w) THEN 1 ELSE 0 END)::BIGINT AS n " +
+        "FROM b) " +
+        "SELECT doc_id, domain, i::BIGINT AS copy " +
+        "FROM c, range(0, 1001) r(i) WHERE n > 0 AND i < n"),
 
     // identical exclusive running sum in md5 order; ::BIGINT because DuckDB's
     // windowed sum(BIGINT) yields HUGEINT (see q_pack_sequences)

@@ -69,6 +69,38 @@ class PipelinesSpec extends SparkSpec {
     assert(bySrc.keySet.subsetOf(Set("src0")), "defaultRate 0.0 must drop other sources")
   }
 
+  test("upsampleMixture: integer epochs repeat exactly, fractional epochs are a stable subset") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, if (i < 100) "hi" else "lo"))
+      .toDF("doc_id", "source")
+    val up = Pipelines.upsampleMixture(docs, "doc_id", "source",
+      factors = Map("hi" -> 2.5, "lo" -> 0.0))
+    val byDoc = up.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // factor 0 drops the domain entirely
+    assert(byDoc.keys.forall(_ < 100L), "factor 0.0 must drop every lo doc")
+    // 2.5 epochs: every hi doc appears 2 or 3 times, ~half get the third copy
+    assert(byDoc.size == 100 && byDoc.values.forall(n => n == 2L || n == 3L))
+    val thirds = byDoc.values.count(_ == 3L)
+    assert(thirds > 25 && thirds < 75, s"~half of 100 docs should get the .5 copy, got $thirds")
+    // copies are numbered 0..n-1 (downstream can address epochs individually)
+    val copies = up.filter(col("doc_id") === byDoc.find(_._2 == 3L).get._1)
+      .select("copy").collect().map(_.getLong(0)).sorted
+    assert(copies.sameElements(Array(0L, 1L, 2L)))
+    // determinism + monotonicity: same factors -> same rows; a factor bump
+    // keeps every previously-chosen fractional doc (md5 draw is fixed)
+    val again = Pipelines.upsampleMixture(docs, "doc_id", "source",
+      factors = Map("hi" -> 2.5, "lo" -> 0.0))
+    assert(up.collect().map(_.toString).sorted.sameElements(
+      again.collect().map(_.toString).sorted))
+    val bumped = Pipelines.upsampleMixture(docs, "doc_id", "source",
+      factors = Map("hi" -> 2.8, "lo" -> 0.0))
+      .groupBy("doc_id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.filter(_._2 == 3L).keys.foreach { id =>
+      assert(bumped(id) == 3L, s"doc $id lost its fractional copy on a factor bump")
+    }
+  }
+
   test("tokenBudgetSample: hits the budget, includes the straddler, top-ups extend the prefix") {
     import spark.implicits._
     // 30 docs in one domain, 10 tokens each → 300 tokens of supply
