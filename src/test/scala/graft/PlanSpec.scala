@@ -408,4 +408,60 @@ class PlanSpec extends SparkSpec {
         s"$label must be a narrow pass, found a shuffle:\n$plan")
     }
   }
+
+  test("token-budget sampling: one domain exchange of the id projection, text never shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.tokenBudgetSample(docs, "doc_id", "text",
+      "source", budgets = Map("src0" -> 8000L), defaultBudget = 4000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"budget cut must not join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly the domain exchange, got $shuffles:\n$plan")
+    // the token count is computed BEFORE the exchange so only (doc_id,
+    // domain, n_tokens) shuffles — the text column must not survive into the
+    // exchange's output schema
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).get
+    assert(!exchangeLine.contains("text"),
+      s"text must be projected away before the shuffle:\n$exchangeLine")
+  }
+
+  test("epoch upsampling is narrow: zero shuffles, blow-up in the explode only") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.upsampleMixture(docs, "doc_id", "source",
+      factors = Map("src0" -> 2.5), defaultFactor = 1.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"upsampling must be a narrow pass, found a shuffle:\n$plan")
+    assert(plan.contains("Generate"), s"copies must come from an explode:\n$plan")
+  }
+
+  test("bigram LM scoring: model broadcasts to the corpus, no sort-merge join") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.TextAnalysis.bigramLogProb(docs, "doc_id", "text", topV = 50)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bigram table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"scoring must not sort-merge:\n$plan")
+  }
+
+  test("z-values are computed without a shuffle: 1-row stats broadcast, narrow interleave") {
+    val li = graft.sources.Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val out = graft.sources.Writers.zValues(li, Seq("l_partkey", "l_suppkey"), bits = 16)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"z-value computation must not hash-shuffle the table:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the 1-row min/max stats must ride a broadcast:\n$plan")
+  }
+
+  test("canonical selection: no global sort; cluster labels join back, corpus never range-shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.selectCanonical(docs, "doc_id", "text",
+      scoreCol = "n_chars")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"canonical selection must not globally sort anything:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no all-pairs stage may appear:\n$plan")
+  }
 }
