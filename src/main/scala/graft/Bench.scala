@@ -24,7 +24,9 @@ object Bench {
     "q_fuzzy_link", "q_dup_spans", "q_dedup_semantic", "q_kmeans_assign",
     "q_pq_encode", "q_pq_topk", "q_despan", "q_decontaminate_spans",
     "q_pipeline_clean", "q_pq_topk_batch", "q_ivfpq_topk",
-    "q_ivfpq_probe_batch")
+    "q_ivfpq_probe_batch", "q_ivfpq_rerank",
+    "q_bigram_lm", "q_dedup_canonical", "q_token_budget", "q_upsample",
+    "q_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

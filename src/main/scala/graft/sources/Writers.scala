@@ -61,9 +61,17 @@ object Writers {
           floor((v - mn) * lit(scaleMax.toDouble) / (mx - mn)).cast("long"))))
         .as(s"__s$j")
     }
-    val zExpr = expr(s"aggregate(sequence(0, ${bits - 1}), 0L, (acc, i) -> acc | " +
-      (0 until n).map(j => s"shiftleft(shiftright(__s$j, i) & 1, i * $n + $j)")
-        .mkString(" | ") + ")")
+    // statically unrolled OR fold (bits and dims are plan-build-time
+    // constants): 2·bits·dims codegen'd bitwise ops per row. The
+    // higher-order aggregate(sequence(...)) form computes the same value but
+    // allocates a sequence per row and evaluates the lambda interpreted —
+    // measured ~20× slower on the q_zorder bench entry.
+    val zExpr = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      (0 until n).foldLeft(acc) { (a, j) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(col(s"__s$j"), i).bitwiseAND(lit(1L)), i * n + j))
+      }
+    }
     df.crossJoin(broadcast(stats))
       .select(df.columns.map(col) ++ scaled: _*)
       .withColumn("z", zExpr)
