@@ -425,6 +425,48 @@ object Similarity {
       .select("query_id", "vec_id", "adist")
   }
 
+  /** Batch-query two-stage retrieval — [[ivfPqRerank]] generalized from one
+    * driver-side query vector to a QUERIES DataFrame, completing the
+    * batch-form pair with [[ivfPqProbeBatch]]: stage one keeps each query's
+    * `topN` ADC candidates from its probed cells (compressed domain — the
+    * DPP-pruned scan reads nprobe/nlist × m bytes/vector for the union of
+    * probe cells); stage two joins ONLY those |Q|·topN (query, candidate)
+    * pairs back to the raw corpus by vec_id and re-ranks each query's list by
+    * exact quantized squared-L2, keeping top `k`.
+    *
+    * The refinement join is keyed on vec_id with NO forced broadcast: when
+    * the shortlist is small relative to the corpus AQE broadcasts it and the
+    * full-precision side stays unshuffled; when a huge query batch makes
+    * |Q|·topN itself large, the join degrades to a keyed shuffle of the
+    * (vec_id, vector) projection — never a corpus-wide fetch per query.
+    * Both stages exact-integer under the magnitude guard, so the batch
+    * composition hash-matches a SQL oracle even at partial probes. Output:
+    * (query_id, vec_id, adist, edist), k rows per query, the per-query
+    * ordering pinned by (edist, vec_id).
+    */
+  def ivfPqRerankBatch(spark: SparkSession, dir: String, queries: DataFrame,
+      qIdCol: String, qVecCol: String, emb: DataFrame, idCol: String,
+      vecCol: String, k: Int, topN: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= topN, s"k=$k must not exceed the candidate budget topN=$topN")
+    val cand = ivfPqProbeBatch(spark, dir, queries, qIdCol, qVecCol, topN, nprobe)
+    val qv = queries.filter(col(qVecCol).isNotNull)
+      .select(Keys.id(queries, qIdCol).as("query_id"),
+        Semantic.quantized(qVecCol).as("qqv"))
+    emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        Semantic.quantized(vecCol).as("qv"))
+      .join(cand, "vec_id")
+      .join(qv, "query_id")
+      .select(col("query_id"), col("vec_id"), col("adist"),
+        aggregate(zip_with(col("qv"), col("qqv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).cast("long").as("edist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("edist").asc, col("vec_id").asc)))
+      .filter(col("__rn") <= k)
+      .select("query_id", "vec_id", "adist", "edist")
+  }
+
   /** Approximate top-k: LSH multi-table bucketing, exact re-rank of candidates. */
   def annTopK(spark: SparkSession, emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, tables: Int = 8, bitsPerTable: Int = 8): DataFrame = {

@@ -221,6 +221,20 @@ object ExtensionQueries {
         k = 10, nprobe = 4)
     }),
 
+    // batch-query TWO-STAGE retrieval: each query row keeps its 50-candidate
+    // ADC shortlist from its own probed cells, then one keyed join fetches
+    // full-precision vectors for the shortlist union and re-ranks per query
+    // by exact quantized L2 — ivfPqRerank with no per-query job loop
+    "q_ivfpq_rerank_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_rb"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      graft.operators.Similarity.ivfPqRerankBatch(s, dir,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, topN = 50, nprobe = 4)
+    }),
+
     // corpus-duplicated 10-token rolling spans (substring-level dedup signal)
     "q_dup_spans" -> ((s, d) =>
       Pipelines.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
@@ -843,6 +857,62 @@ object ExtensionQueries {
        |                           ORDER BY ($adist)::BIGINT, k.vec_id) <= 10""".stripMargin
   }
 
+  /** Batch two-stage refinement: ivfPqProbeBatchOracle's per-query partial
+    * probe as a 50-candidate-per-query CTE, then the exact quantized-L2
+    * re-rank of each query's candidates — the multi-query generalization of
+    * ivfPqRerankOracle, per-query top-10 by the exact distance.
+    */
+  private val ivfPqRerankBatchOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64" +
+        (if (j > 0) s" AND l$j.query_id = l0.query_id" else "")).mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |cd AS (SELECT q.vec_id, s.seed_id,
+       |         list_sum(list_transform(list_zip(q.qv, s.sv),
+       |                  p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+       |       FROM q, seeds s),
+       |cells AS (SELECT vec_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd) WHERE rn = 1),
+       |probe AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
+       |            SELECT vec_id, seed_id, row_number() OVER
+       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
+       |            FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT vec_id AS query_id, r,
+       |         ${(0 until 8).map(j => s"d$j").mkString(", ")}
+       |       FROM d WHERE vec_id % 100 = 0),
+       |cand AS (SELECT l0.query_id, k.vec_id, ($adist)::BIGINT AS adist
+       |         FROM k $joins
+       |         JOIN cells c ON c.vec_id = k.vec_id
+       |         JOIN probe p ON p.query_id = l0.query_id AND p.cell = c.cell
+       |         WHERE k.vec_id <> l0.query_id
+       |         QUALIFY row_number() OVER (PARTITION BY l0.query_id
+       |                 ORDER BY ($adist)::BIGINT, k.vec_id) <= 50)
+       |SELECT cand.query_id, cand.vec_id, cand.adist,
+       |  list_sum(list_transform(list_zip(cv.qv, qq.qv),
+       |           p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS edist
+       |FROM cand
+       |JOIN q cv ON cv.vec_id = cand.vec_id
+       |JOIN q qq ON qq.vec_id = cand.query_id
+       |QUALIFY row_number() OVER (PARTITION BY cand.query_id
+       |        ORDER BY edist, cand.vec_id) <= 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_simhash" -> simhashOracle,
 
@@ -861,6 +931,8 @@ object ExtensionQueries {
     "q_ivfpq_rerank" -> ivfPqRerankOracle,
 
     "q_ivfpq_probe_batch" -> ivfPqProbeBatchOracle,
+
+    "q_ivfpq_rerank_batch" -> ivfPqRerankBatchOracle,
 
     "q_ivfpq_append" -> ivfPqAppendOracle,
 

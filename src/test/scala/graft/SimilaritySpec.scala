@@ -275,6 +275,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankBatch: each query's reranked list equals the single-query ivfPqRerank") {
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_rb").toString + "/idx"
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir, nlist = 8, m = 8, ksub = 16)
+    val qids = Seq(0L, 100L, 250L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+    for (nprobe <- Seq(8, 2)) {
+      // both stages — per-query shortlist AND the keyed refinement join —
+      // must reproduce the driver-side two-stage form query by query, at
+      // full probe and at partial probe
+      val batchDf = Similarity.ivfPqRerankBatch(spark, dir, queries,
+        "vec_id", "embedding", emb, "vec_id", "embedding",
+        k = 5, topN = 20, nprobe = nprobe)
+      // the refinement fetch must stay a KEYED join (broadcast or shuffled
+      // hash on vec_id/query_id) — a cartesian here would be a corpus-wide
+      // fetch per query at scale
+      assert(!batchDf.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "batch rerank refinement must not plan a cartesian product")
+      val batch = batchDf
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) =>
+          q -> rs.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq }
+      assert(batch.keySet == qids.toSet)
+      qids.foreach { q =>
+        val qv = emb.filter(col("vec_id") === q).head().getSeq[Float](1).toArray
+        val single = Similarity.ivfPqRerank(spark, dir, emb, "vec_id", "embedding",
+          qv, k = 5, topN = 20, nprobe = nprobe, excludeId = Some(q))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(batch(q).sortBy(identity) == single.sortBy(identity),
+          s"batch rerank (nprobe=$nprobe) diverged from ivfPqRerank for query $q")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqRerankBatch(spark, dir, queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 30, topN = 20)
+    }
+  }
+
   test("pqTopKBatch: every query row's top-k equals the single-query pqTopK") {
     import graft.operators.Semantic
     val batch = Semantic.pqTopKBatch(emb, "vec_id", "embedding",
