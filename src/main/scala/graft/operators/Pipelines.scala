@@ -497,6 +497,41 @@ object Pipelines {
     * as any per-domain window and would salt the same way if a domain's
     * (id, count) pairs outgrew a reducer.
     */
+  /** Per-domain QUANTILE quality gate: keep each domain's top `q` fraction of
+    * documents by score — the form quality thresholds are actually set in
+    * ("keep the best 60% of web, best 90% of books"): an absolute score
+    * cutoff that is right for one domain guts another, so the threshold must
+    * be a within-domain quantile. EXACT rank-based, not approx-percentile:
+    * rank by (score desc, doc_id) within the domain, keep iff
+    * (rank-1)·10000 < q₄·n where q₄ is the quantile at 4dp resolution and n
+    * the domain's doc count — pure integer comparison, so the kept-set is a
+    * deterministic, engine-portable function of (corpus, q) with no IEEE
+    * threshold arithmetic to diverge on, and every nonempty domain keeps at
+    * least one document for q > 0. Null scores are dropped (a doc with no
+    * score cannot be quality-ranked).
+    *
+    * Scale shape: one exchange of (doc_id, domain, score) triples on the
+    * domain, then rank + count in the same window pass — the text never
+    * shuffles; callers semi-join kept ids back. Same per-domain-reducer
+    * shape (and same salting story) as [[tokenBudgetSample]].
+    */
+  def quantileFilter(docs: DataFrame, idCol: String, scoreCol: String,
+      domainCol: String, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val myriad = math.round(q * 10000).toInt // 4dp resolution
+    val w = Window.partitionBy("domain")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wAll = Window.partitionBy("domain")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        col(domainCol).as("domain"), col(scoreCol).cast("double").as("score"))
+      .filter(col("score").isNotNull && !isnan(col("score")))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter((col("__rn") - 1L) * 10000L < lit(myriad.toLong) * col("__n"))
+      .select("doc_id", "domain", "score")
+  }
+
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue): DataFrame = {

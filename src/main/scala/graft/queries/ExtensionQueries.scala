@@ -319,6 +319,12 @@ object ExtensionQueries {
         "source", budgets = Map("src0" -> 8000L, "src1" -> 2000L),
         defaultBudget = 4000L)),
 
+    // per-domain quantile quality gate: keep each source's top 60% by
+    // n_chars — exact rank cut in integer arithmetic, kept-set portable
+    "q_quality_quantile" -> ((s, d) =>
+      Pipelines.quantileFilter(t(s, d, "documents"), "doc_id", "n_chars",
+        "source", q = 0.6)),
+
     // equi-width profile of the n_chars distribution, nulls as bucket -1
     "q_profile_hist" -> ((s, d) =>
       graft.operators.Profiling.histogram(
@@ -1364,6 +1370,17 @@ object ExtensionQueries {
         "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
         "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
         "ELSE 4000 END"),
+
+    // identical exact-rank cut: (rn-1)*10000 < 6000*n in pure integer
+    // arithmetic, desc score with doc_id tiebreak, null scores dropped
+    "q_quality_quantile" ->
+      ("SELECT doc_id, domain, score FROM (" +
+        "SELECT doc_id, source AS domain, n_chars::DOUBLE AS score, " +
+        "row_number() OVER (PARTITION BY source " +
+        "ORDER BY n_chars::DOUBLE DESC, doc_id) AS rn, " +
+        "count(*) OVER (PARTITION BY source) AS n " +
+        "FROM documents WHERE n_chars IS NOT NULL) " +
+        "WHERE (rn - 1) * 10000 < 6000 * n"),
 
     // identical decimal pipeline: idf rounded to 6dp as DECIMAL(18,6),
     // score = tf * idf in exact decimal arithmetic, ties broken by term

@@ -323,6 +323,32 @@ class PipelinesSpec extends SparkSpec {
       "stratified sample must be exactly reproducible")
   }
 
+  test("quantileFilter: exact per-domain rank cut, null scores dropped, edge quantiles") {
+    import spark.implicits._
+    // domain a: scores 10..1 (10 docs) → q=0.6 keeps the top 6 (ids 0..5)
+    // domain b: 3 docs → ceil semantics: (rn-1)*10000 < 6000*3 keeps rn 1,2
+    // domain c: all-null scores → dropped entirely
+    val docs = ((0L until 10L).map(i => (i, "a", Some(10.0 - i))) ++
+      Seq((20L, "b", Some(5.0)), (21L, "b", Some(4.0)), (22L, "b", Some(3.0))) ++
+      Seq((30L, "c", None), (31L, "c", None)))
+      .toDF("doc_id", "src", "sc")
+    val kept = Pipelines.quantileFilter(docs, "doc_id", "sc", "src", q = 0.6)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == ((0L until 6L).map(_ -> "a") ++ Seq(20L -> "b", 21L -> "b")).toSet)
+    // ties resolve by doc_id: equal scores keep the SMALLEST ids
+    val tied = Seq((1L, "t", 7.0), (2L, "t", 7.0), (3L, "t", 7.0), (4L, "t", 7.0))
+      .toDF("doc_id", "src", "sc")
+    val keptTied = Pipelines.quantileFilter(tied, "doc_id", "sc", "src", q = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L, 2L))
+    // q = 0 keeps nothing; q = 1 keeps every non-null-score doc
+    assert(Pipelines.quantileFilter(docs, "doc_id", "sc", "src", q = 0.0).count() == 0)
+    assert(Pipelines.quantileFilter(docs, "doc_id", "sc", "src", q = 1.0).count() == 13)
+    // every nonempty domain keeps at least one doc for any q > 0
+    assert(Pipelines.quantileFilter(docs, "doc_id", "sc", "src", q = 0.0001)
+      .select("domain").distinct().count() == 2)
+  }
+
   test("tfidfTopTerms: hand-computed scores, decimal-exact tie ordering") {
     import spark.implicits._
     val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c d")).toDF("doc_id", "text")
