@@ -497,6 +497,55 @@ object Pipelines {
     * as any per-domain window and would salt the same way if a domain's
     * (id, count) pairs outgrew a reducer.
     */
+  /** Deterministic pre-training SHARD SHUFFLE assignment: every document gets
+    * a (shard, pos) — shard = its 32-bit md5 prefix mod `shards`, pos = its
+    * rank within the shard by (md5, doc_id). Training wants the corpus
+    * globally shuffled and split into N sequential shard files; doing it with
+    * a seeded RNG makes the permutation engine-private and unrepeatable,
+    * while the md5 order is a deterministic, engine-portable permutation of
+    * (corpus, N): re-running reproduces it bit-for-bit, and because md5 is
+    * uniform the shards balance to ±O(√(n/N)) without a planned split.
+    * [[graft.sources.Writers.shuffledShards]] materializes this assignment as
+    * N sorted shard files.
+    *
+    * Scale shape: one exchange of (doc_id) keyed on the shard, then an
+    * in-partition sort — exactly a shuffle write's cost, which is what a
+    * global permutation IS; there is no cheaper shape. N should be >= the
+    * cluster's parallelism so shards, not stragglers, bound the write.
+    */
+  def shardAssign(docs: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1, "need shards >= 1")
+    val h = expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) " +
+      "as bigint)")
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"))
+      .withColumn("shard", (h % shards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))) - 1L)
+  }
+
+  /** Corpus SNAPSHOT DIFF: classify every doc_id across two snapshots as
+    * added / removed / changed / unchanged by (id, content fingerprint) —
+    * the audit an incremental curation pipeline runs between ingests ("what
+    * did this refresh actually do?"), and the input an incremental dedup
+    * pass wants (only `added` + `changed` rows need re-checking). One full
+    * outer join on the id over ~48-byte (id, md5) projections — the text
+    * itself never moves; fingerprints are computed in the scan stage.
+    */
+  def datasetDiff(oldDocs: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(df: DataFrame, side: String) = df
+      .select(Keys.id(df, idCol).as("doc_id"),
+        md5(coalesce(col(textCol), lit(""))).as(s"fp_$side"))
+    fp(oldDocs, "old").join(fp(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Per-domain QUANTILE quality gate: keep each domain's top `q` fraction of
     * documents by score — the form quality thresholds are actually set in
     * ("keep the best 60% of web, best 90% of books"): an absolute score

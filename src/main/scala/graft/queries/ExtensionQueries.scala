@@ -319,6 +319,22 @@ object ExtensionQueries {
         "source", budgets = Map("src0" -> 8000L, "src1" -> 2000L),
         defaultBudget = 4000L)),
 
+    // deterministic shard-shuffle assignment: md5-prefix shard + in-shard
+    // md5 rank — the engine-portable global permutation shuffledShards writes
+    "q_shard_assign" -> ((s, d) =>
+      Pipelines.shardAssign(t(s, d, "documents"), "doc_id", shards = 8)),
+
+    // snapshot diff: old = ids % 11 != 3, new = ids % 13 != 5 with every
+    // 7th doc's text mutated — added/removed/changed/unchanged by (id, md5)
+    "q_dataset_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit("x"))).otherwise(col("text")))
+      Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // per-domain quantile quality gate: keep each source's top 60% by
     // n_chars — exact rank cut in integer arithmetic, kept-set portable
     "q_quality_quantile" -> ((s, d) =>
@@ -1370,6 +1386,28 @@ object ExtensionQueries {
         "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
         "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
         "ELSE 4000 END"),
+
+    // identical 32-bit md5-prefix shard and identical in-shard md5 order
+    "q_shard_assign" ->
+      ("SELECT doc_id, " +
+        "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8)::INTEGER AS shard, " +
+        "row_number() OVER (PARTITION BY " +
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id) - 1 AS pos " +
+        "FROM documents"),
+
+    // identical snapshot construction and identical md5-fingerprint classify
+    "q_dataset_diff" ->
+      ("WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS fo " +
+        "FROM documents WHERE doc_id % 11 <> 3), " +
+        "n AS (SELECT doc_id, md5(coalesce(text, '') || " +
+        "CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS fn " +
+        "FROM documents WHERE doc_id % 13 <> 5) " +
+        "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, " +
+        "CASE WHEN o.doc_id IS NULL THEN 'added' " +
+        "WHEN n.doc_id IS NULL THEN 'removed' " +
+        "WHEN fo <> fn THEN 'changed' ELSE 'unchanged' END AS status " +
+        "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
 
     // identical exact-rank cut: (rn-1)*10000 < 6000*n in pure integer
     // arithmetic, desc score with doc_id tiebreak, null scores dropped

@@ -78,6 +78,29 @@ object Writers {
       .drop((0 until n).map(j => s"__s$j"): _*)
   }
 
+  /** Materialize [[graft.operators.Pipelines.shardAssign]]'s deterministic
+    * global permutation as N training shard directories: each row lands in
+    * parquet dir `shard=<s>` sorted by the shard's (md5, id) order, so a
+    * trainer streaming shard s front-to-back reads the permutation's
+    * positions 0..n_s-1 in order. One exchange keyed on the shard + an
+    * in-partition sort — a shuffle write's cost, which a global permutation
+    * inherently is.
+    */
+  def shuffledShards(df: DataFrame, idCol: String, outDir: String,
+      shards: Int): Unit = {
+    require(shards >= 1, "need shards >= 1")
+    val idStr = col(idCol).cast("string")
+    val h = expr(s"cast(conv(substring(md5(cast(`$idCol` as string)), 1, 8), 16, 10) " +
+      "as bigint)")
+    // shard leads the local sort: FileFormatWriter requires ordering by the
+    // partition column and would otherwise insert its own (non-stable) sort,
+    // destroying the md5 order inside each shard file
+    df.withColumn("shard", (h % shards).cast("int"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), md5(idStr), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
+
   /** Write `df` as parquet laid out along the z-curve of `zCols`: range
     * exchange on the z-value (sampled bounds, no global sort), local sort,
     * z dropped from the output schema. Files come out covering compact

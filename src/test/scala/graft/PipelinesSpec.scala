@@ -323,6 +323,23 @@ class PipelinesSpec extends SparkSpec {
       "stratified sample must be exactly reproducible")
   }
 
+  test("datasetDiff: added/removed/changed/unchanged classification, null text totality") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "now-set"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val diff = Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(diff == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    // null == null fingerprints as unchanged (coalesce to empty both sides)
+    val oldN = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val newN = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Pipelines.datasetDiff(oldN, newN, "doc_id", "text")
+      .head().getString(1) == "unchanged")
+  }
+
   test("quantileFilter: exact per-domain rank cut, null scores dropped, edge quantiles") {
     import spark.implicits._
     // domain a: scores 10..1 (10 docs) → q=0.6 keeps the top 6 (ids 0..5)

@@ -14,6 +14,25 @@ import graft.sources.{Tables, Writers}
   */
 class WritersSpec extends SparkSpec {
 
+  test("shuffledShards: reading shard s front-to-back replays shardAssign's positions in order") {
+    import graft.operators.Pipelines
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text", "source")
+    val out = Files.createTempDirectory("graft_shards").toString
+    Writers.shuffledShards(docs, "doc_id", out, shards = 4)
+    val expect = Pipelines.shardAssign(docs, "doc_id", shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every shard dir exists and holds exactly its assigned ids, in pos order
+    (0 until 4).foreach { s =>
+      val readBack = spark.read.parquet(s"$out/shard=$s")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val assigned = expect.filter(_._2 == s).sortBy(_._3).map(_._1).toSeq
+      assert(readBack == assigned,
+        s"shard $s read order must equal the md5 permutation order")
+    }
+    // the permutation is total: every doc in exactly one shard
+    assert(expect.map(_._1).distinct.length == docs.count())
+  }
+
   test("sortedParquet plans a range exchange and emits globally-ordered files") {
     val li = Tables(spark, sfDir, "lineitem")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
