@@ -335,6 +335,23 @@ object ExtensionQueries {
       Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // composed refresh pipeline: snapshot diff gates incremental dedup in
+    // ONE plan — only added/changed rows of the new snapshot are re-checked
+    // against the old snapshot's fingerprint history (the refresh story the
+    // diff op exists for: re-check the delta, never the corpus)
+    "q_pipeline_refresh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit("x"))).otherwise(col("text")))
+      val delta = Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
+        .filter(col("status").isin("added", "changed"))
+      Dedup.exactIncremental(
+        newSnap.join(delta.select("doc_id"), "doc_id"), "doc_id", "text",
+        TextAnalysis.fingerprint(oldSnap, "doc_id", "text"))
+    }),
+
     // per-domain quantile quality gate: keep each source's top 60% by
     // n_chars — exact rank cut in integer arithmetic, kept-set portable
     "q_quality_quantile" -> ((s, d) =>
@@ -1408,6 +1425,29 @@ object ExtensionQueries {
         "WHEN n.doc_id IS NULL THEN 'removed' " +
         "WHEN fo <> fn THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
+
+    // identical snapshot construction, identical raw-md5 diff gate, then the
+    // q_dedup_incremental fingerprint chain over only the delta rows
+    "q_pipeline_refresh" ->
+      ("""WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |         THEN coalesce(text, '') || 'x' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |diff AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |           CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                WHEN n.doc_id IS NULL THEN 'removed'
+        |                WHEN md5(coalesce(o.text, '')) <> md5(coalesce(n.text, ''))
+        |                  THEN 'changed' ELSE 'unchanged' END AS status
+        |         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |delta AS (SELECT n.doc_id, n.text FROM n
+        |          JOIN diff ON diff.doc_id = n.doc_id
+        |          WHERE diff.status IN ('added', 'changed')),
+        |seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |         FROM o),
+        |nw AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |       FROM delta)
+        |SELECT min(doc_id) AS doc_id FROM nw
+        |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
 
     // identical exact-rank cut: (rn-1)*10000 < 6000*n in pure integer
     // arithmetic, desc score with doc_id tiebreak, null scores dropped
