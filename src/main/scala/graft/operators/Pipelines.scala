@@ -497,6 +497,39 @@ object Pipelines {
     * as any per-domain window and would salt the same way if a domain's
     * (id, count) pairs outgrew a reducer.
     */
+  /** MIXTURE REPORT: the per-domain summary table a training-mixture spec is
+    * reviewed against — doc count, token count, corpus share, and the
+    * effective (post-epoch-factor) tokens and share under `factors` — i.e.
+    * what [[upsampleMixture]] with these factors would actually feed the
+    * trainer. Shares are integer BASIS POINTS (floor of the exact
+    * n·10000/total ratio) and effective tokens floor(n_tokens·w₄/10000) with
+    * w₄ the factor at 4dp — all integer arithmetic, no cross-engine rounding
+    * class to diverge on. One groupBy(domain) exchange over (domain, n_tok)
+    * pairs plus a 1-row total broadcast: a 100 TB corpus reports in one scan.
+    */
+  def mixtureReport(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, factors: Map[String, Double],
+      defaultFactor: Double = 1.0): DataFrame = {
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    val myriad = factors.foldLeft(lit(math.round(defaultFactor * 10000))) {
+      case (acc, (dom, w)) =>
+        when(col("domain") === dom, lit(math.round(w * 10000))).otherwise(acc)
+    }
+    val perDomain = docs
+      .select(col(domainCol).as("domain"), nTok.cast("long").as("__nt"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
+      .withColumn("__w4", myriad.cast("long"))
+      .withColumn("eff_tokens", expr("(n_tokens * __w4) div 10000"))
+    val totals = perDomain.agg(
+      sum("n_tokens").as("__tt"), sum("eff_tokens").as("__te"))
+    perDomain.crossJoin(broadcast(totals))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 10000) div __tt").as("token_bp"),
+        col("eff_tokens"),
+        expr("(eff_tokens * 10000) div __te").as("eff_bp"))
+  }
+
   /** Deterministic pre-training SHARD SHUFFLE assignment: every document gets
     * a (shard, pos) — shard = its 32-bit md5 prefix mod `shards`, pos = its
     * rank within the shard by (md5, doc_id). Training wants the corpus

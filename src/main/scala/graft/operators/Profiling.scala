@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Data-profiling utilities for corpus curation: cheap distribution summaries
   * a pipeline runs before choosing thresholds (quality cutoffs, packing
@@ -23,6 +24,41 @@ object Profiling {
     * reproduces the bucketing bit-for-bit (same reasoning as
     * [[Semantic.assignCells]]'s quantization).
     */
+  /** Per-column SUMMARY profile — the "describe the corpus" table a curation
+    * run opens with: row count, null count, exact distinct count, and (for
+    * numeric columns) min/max as doubles, one output row per requested
+    * column. Exact distincts, not HLL: the point of a profile is catching
+    * "this join key is 40% null" / "source has 3 values, not 30", where an
+    * approximate count hides exactly the anomaly. String min/max are omitted
+    * (null) — engines disagree on collation, which would break the oracle
+    * contract for no curation value.
+    *
+    * Scale shape: ONE scan. The multi-column exact distincts expand the
+    * aggregation input ×k (Spark's Expand for multiple DISTINCT aggregates)
+    * over the PROJECTED k columns only — at 100 TB that is k narrow columns
+    * through a map-side-combined aggregate, not k passes over the table.
+    */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val aggs = cols.flatMap { c =>
+      val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        (if (numeric) min(col(c).cast("double")) else lit(null).cast("double"))
+          .as(s"__min_$c"),
+        (if (numeric) max(col(c).cast("double")) else lit(null).cast("double"))
+          .as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_d"), col(s"__max_$c").as("max_d"))): _*))
+      .as("r"))
+      .select("r.*")
+  }
+
   def histogram(df: DataFrame, valueCol: String,
       lo: Double, hi: Double, n: Int): DataFrame = {
     require(n >= 1 && hi > lo, "need n >= 1 and hi > lo")

@@ -312,6 +312,12 @@ object ExtensionQueries {
       Pipelines.upsampleMixture(t(s, d, "documents"), "doc_id", "source",
         factors = Map("src0" -> 2.5, "src1" -> 0.4), defaultFactor = 1.0)),
 
+    // mixture report: the per-domain table the q_upsample factors would feed
+    // the trainer — shares in integer basis points, effective tokens at 4dp
+    "q_mixture_report" -> ((s, d) =>
+      Pipelines.mixtureReport(t(s, d, "documents"), "doc_id", "text", "source",
+        factors = Map("src0" -> 2.5, "src1" -> 0.4), defaultFactor = 1.0)),
+
     // token-budget mixture cut: per source, take docs in md5 order until the
     // domain's token budget is reached (straddling doc included)
     "q_token_budget" -> ((s, d) =>
@@ -357,6 +363,12 @@ object ExtensionQueries {
     "q_quality_quantile" -> ((s, d) =>
       Pipelines.quantileFilter(t(s, d, "documents"), "doc_id", "n_chars",
         "source", q = 0.6)),
+
+    // per-column summary profile: rows/nulls/exact-distincts + numeric
+    // min/max in ONE scan (multi-distinct via Expand, not k passes)
+    "q_profile_summary" -> ((s, d) =>
+      graft.operators.Profiling.summary(t(s, d, "documents"),
+        Seq("doc_id", "source", "n_chars", "text"))),
 
     // equi-width profile of the n_chars distribution, nulls as bucket -1
     "q_profile_hist" -> ((s, d) =>
@@ -1403,6 +1415,45 @@ object ExtensionQueries {
         "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
         "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
         "ELSE 4000 END"),
+
+    // per-column UNION ALL: identical counts/distincts; numeric min/max as
+    // doubles; string min/max omitted (collation is engine-private)
+    "q_profile_summary" ->
+      ("""SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
+        |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_distinct,
+        |  min(doc_id)::DOUBLE AS min_d, max(doc_id)::DOUBLE AS max_d FROM documents
+        |UNION ALL
+        |SELECT 'source', count(*)::BIGINT,
+        |  sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT source)::BIGINT, NULL::DOUBLE, NULL::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', count(*)::BIGINT,
+        |  sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT n_chars)::BIGINT,
+        |  min(n_chars)::DOUBLE, max(n_chars)::DOUBLE FROM documents
+        |UNION ALL
+        |SELECT 'text', count(*)::BIGINT,
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT text)::BIGINT, NULL::DOUBLE, NULL::DOUBLE FROM documents""".stripMargin),
+
+    // identical whitespace token count, identical integer basis-point and
+    // 4dp-factor arithmetic (// is DuckDB integer division, div Spark's)
+    "q_mixture_report" ->
+      ("""WITH b AS (SELECT source AS domain,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0))::BIGINT AS nt
+        |  FROM documents),
+        |p AS (SELECT domain, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS n_tokens,
+        |  (CASE domain WHEN 'src0' THEN 25000 WHEN 'src1' THEN 4000
+        |   ELSE 10000 END)::BIGINT AS w4
+        |  FROM b GROUP BY domain),
+        |p2 AS (SELECT domain, n_docs, n_tokens,
+        |         ((n_tokens * w4) // 10000)::BIGINT AS eff_tokens FROM p),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tt, sum(eff_tokens)::BIGINT AS te FROM p2)
+        |SELECT domain, n_docs, n_tokens,
+        |  ((n_tokens * 10000) // tt)::BIGINT AS token_bp,
+        |  eff_tokens, ((eff_tokens * 10000) // te)::BIGINT AS eff_bp
+        |FROM p2, t""".stripMargin),
 
     // identical 32-bit md5-prefix shard and identical in-shard md5 order
     "q_shard_assign" ->

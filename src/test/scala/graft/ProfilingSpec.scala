@@ -47,6 +47,24 @@ class ProfilingSpec extends SparkSpec {
     assert(Pipelines.weightedSample(docs, "doc_id", "w", 0.0).count() == 0)
   }
 
+  test("summary: nulls counted, distincts exclude nulls, string min/max omitted, one row per column") {
+    import spark.implicits._
+    val df = Seq((1L, Some(10), Some("a")), (2L, Some(10), Some("b")),
+      (3L, None, Some("b")), (4L, Some(30), None))
+      .toDF("id", "v", "s")
+    val rows = Profiling.summary(df, Seq("id", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    assert(rows.keySet == Set("id", "v", "s"))
+    assert(rows("id") == ((4L, 0L, 4L, Some(1.0), Some(4.0))))
+    // v: one null row; distinct over non-null values {10, 30} = 2
+    assert(rows("v") == ((4L, 1L, 2L, Some(10.0), Some(30.0))))
+    // s: string column — min/max omitted (engine-private collation)
+    assert(rows("s") == ((4L, 1L, 2L, None, None)))
+  }
+
   test("histogram: exact edges, clamping, null and NaN buckets, counts total") {
     import spark.implicits._
     val vals: Seq[java.lang.Double] =
