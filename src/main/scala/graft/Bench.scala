@@ -26,7 +26,9 @@ object Bench {
     "q_pipeline_clean", "q_pq_topk_batch", "q_ivfpq_topk",
     "q_ivfpq_probe_batch", "q_ivfpq_rerank",
     "q_bigram_lm", "q_dedup_canonical", "q_token_budget", "q_upsample",
-    "q_zorder")
+    "q_zorder", "q_ivfpq_rerank_batch", "q_quality_quantile",
+    "q_shard_assign", "q_dataset_diff", "q_pipeline_refresh",
+    "q_mixture_report", "q_profile_summary", "q_bigram_lm_ref")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -260,16 +260,34 @@ object TextAnalysis {
     * totally orders ties by (count desc, w1, w2).
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
-      topV: Int = 65536): DataFrame = {
+      topV: Int = 65536): DataFrame =
+    bigramLogProbAgainst(docs, docs, idCol, textCol, topV)
+
+  /** [[bigramLogProb]] with the model corpus SPLIT from the scored corpus —
+    * the form CCNet actually runs: the LM is trained on a clean REFERENCE
+    * corpus (wikipedia) and every candidate document is scored by how well
+    * the reference model predicts it, so boilerplate that dominates the
+    * candidate pool cannot launder its own probability mass into the model
+    * (self-trained scoring rates pervasive spam as fluent). `refDocs` feeds
+    * the count table and the OOV floor; `docs` is what gets scored. Same
+    * plan shape — the model-side aggregations see the reference corpus, the
+    * scoring join + per-doc groupBy see the target — and the same
+    * decimal-exact arithmetic, so the split form stays hash-oracle-able.
+    * Passing the same DataFrame for both sides IS [[bigramLogProb]].
+    */
+  def bigramLogProbAgainst(refDocs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, topV: Int = 65536): DataFrame = {
     require(topV >= 1, "topV must be positive")
-    val bigrams = docs
-      .select(Keys.id(docs, idCol).as("doc_id"), words(col(textCol)).as("w"))
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .select(Keys.id(df, idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(w) - 1), " +
           "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val freq = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val refBigrams = bigramsOf(refDocs)
+    val bigrams = if (refDocs eq docs) refBigrams else bigramsOf(docs)
+    val freq = refBigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     // context total c(w1 ·) = w1's occurrences in non-final position — a
     // re-aggregation of the count table, not another corpus pass
     val ctx = freq.groupBy("w1").agg(sum("c12").as("c1"))

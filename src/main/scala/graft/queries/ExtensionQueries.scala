@@ -512,6 +512,15 @@ object ExtensionQueries {
     "q_bigram_lm" -> ((s, d) =>
       TextAnalysis.bigramLogProb(t(s, d, "documents"), "doc_id", "text", topV = 50)),
 
+    // CCNet-form split: the LM trains on the src0 REFERENCE slice only and
+    // scores the whole corpus — candidate boilerplate cannot launder its own
+    // probability mass into the model
+    "q_bigram_lm_ref" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.bigramLogProbAgainst(docs.filter(col("source") === "src0"),
+        docs, "doc_id", "text", topV = 50)
+    }),
+
     // overlapping word windows (RAG chunking), 64-word windows, stride 48
     "q_chunk_windows" -> ((s, d) =>
       TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text",
@@ -1730,6 +1739,29 @@ object ExtensionQueries {
         |       FROM w, range(1, 100000) r(i)
         |       WHERE len(ws) >= 2 AND i <= len(ws) - 1),
         |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1),
+        |tot AS (SELECT sum(c12) AS t FROM f),
+        |v AS (SELECT w1, w2, round(log10(c12::DOUBLE / c1::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |      FROM f JOIN cx USING (w1) ORDER BY c12 DESC, w1, w2 LIMIT 50),
+        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
+        |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
+        |FROM bg LEFT JOIN v USING (w1, w2), o GROUP BY doc_id""".stripMargin),
+
+    // identical model chain built over the src0 slice only; scoring and the
+    // OOV floor reference the src0 model, the per-doc groupBy sees all docs
+    "q_bigram_lm_ref" ->
+      ("""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM w, range(1, 100000) r(i)
+        |       WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+        |rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |        FROM w, range(1, 100000) r(i)
+        |        WHERE source = 'src0' AND len(ws) >= 2 AND i <= len(ws) - 1),
+        |f AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY 1, 2),
         |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1),
         |tot AS (SELECT sum(c12) AS t FROM f),
         |v AS (SELECT w1, w2, round(log10(c12::DOUBLE / c1::DOUBLE), 6)::DECIMAL(18,6) AS lp

@@ -289,6 +289,29 @@ class PipelinesSpec extends SparkSpec {
     assert(math.abs(got(2L)._3 - (-0.3495)) < 1e-9)
   }
 
+  test("bigramLogProbAgainst: model trains on the reference slice only; target OOV floors to ref total") {
+    import spark.implicits._
+    // reference bigrams: (a,b)=2, (b,a)=1 → c1(a)=2, c1(b)=1, t=3
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    // target doc 1 = pure reference language; doc 2 = fully OOV under ref
+    val target = Seq((1L, "a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProbAgainst(ref, target, "doc_id", "text", topV = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: lp(a,b)=log10(2/2)=0, lp(b,a)=log10(1/1)=0 → sum 0
+    assert(got(1L) == ((2L, 0.0)), s"got ${got(1L)}")
+    // doc 2: both bigrams OOV → 2 · log10(1/3) = 2 · -0.477121 → floor 4dp
+    assert(got(2L) == ((2L, -0.9543)), s"got ${got(2L)}")
+    // the reference doc itself is NOT scored unless it is in the target
+    assert(!got.contains(100L))
+    // self-split equivalence: Against(docs, docs) == bigramLogProb(docs)
+    val docs = Seq((1L, "a b a b"), (2L, "b a c")).toDF("doc_id", "text")
+    val self = TextAnalysis.bigramLogProbAgainst(docs, docs, "doc_id", "text", topV = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = TextAnalysis.bigramLogProb(docs, "doc_id", "text", topV = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(self == plain)
+  }
+
   test("chunkWindows: full coverage with overlap, partial tail, short-doc single chunk") {
     import spark.implicits._
     val docs = Seq(
