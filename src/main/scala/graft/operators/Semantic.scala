@@ -319,7 +319,14 @@ object Semantic {
       .agg(min(struct(col("d2"), col("cell"))).as("m"))
       .select(col("vec_id"), col("m.cell").as("cell"))
 
-  private[operators] def encodeCodes(p: PqParts): DataFrame = {
+  /** Array form of the PQ encoding — (vec_id, codes array<tinyint>): the
+    * representation the ADC paths and the materialized index actually use.
+    * A code is < 64, so tinyint storage makes the "m bytes/vector" claim
+    * literal in parquet, and probes posexplode the array directly instead of
+    * parsing a CSV string per row. [[encodeCodes]] derives the public string
+    * form from THIS frame so the min-key arithmetic exists exactly once.
+    */
+  private[operators] def encodeCodeArray(p: PqParts): DataFrame = {
     val keyed = p.vecs.crossJoin(broadcast(p.seeds))
       .select(col("vec_id") +: col("r") +: p.distCols: _*)
     val minKeys = (0 until p.m).map { j =>
@@ -327,9 +334,15 @@ object Semantic {
     }
     keyed.groupBy("vec_id").agg(minKeys.head, minKeys.tail: _*)
       .select(col("vec_id"),
-        concat_ws(",", (0 until p.m).map(j =>
-          (col(s"k$j").cast("long") % 64).cast("string")): _*).as("code"))
+        array((0 until p.m).map(j =>
+          (col(s"k$j").cast("long") % 64).cast("tinyint")): _*).as("codes"))
   }
+
+  /** [[pqEncode]]'s public CSV form of [[encodeCodeArray]] (the q_pq_encode
+    * oracle pins this string shape). */
+  private[operators] def encodeCodes(p: PqParts): DataFrame =
+    encodeCodeArray(p).select(col("vec_id"),
+      expr("array_join(transform(codes, c -> cast(c as string)), ',')").as("code"))
 
   /** PQ asymmetric-distance (ADC) top-k: rank the corpus against one query
     * using only the m-code compression from [[pqEncode]] plus an m × ksub
@@ -357,10 +370,9 @@ object Semantic {
       .select(col("r"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
       .select(col("e.j").as("lj"), col("r"), col("e.d").as("d"))
-    encodeCodes(p)
+    encodeCodeArray(p)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), posexplode(split(col("code"), ","))
-        .as(Seq("j", "cj")))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
       .join(broadcast(lut),
         col("j") === col("lj") && col("cj").cast("int") === col("r"))
       .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
@@ -399,8 +411,8 @@ object Semantic {
       .select(col("query_id"), col("r"), explode(array((0 until m).map(j =>
         struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
       .select(col("query_id"), col("e.j").as("lj"), col("r"), col("e.d").as("d"))
-    encodeCodes(p)
-      .select(col("vec_id"), posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+    encodeCodeArray(p)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
       .join(broadcast(luts),
         col("j") === col("lj") && col("cj").cast("int") === col("r"))
       .filter(col("vec_id") =!= col("query_id"))

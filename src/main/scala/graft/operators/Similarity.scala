@@ -175,7 +175,7 @@ object Similarity {
     // its own seed draw, the .cells sidecar, and the seed draws themselves);
     // uncached they would re-scan + re-quantize the source each time
     val p = p0.copy(vecs = p0.vecs.cache())
-    val rows = Semantic.encodeCodes(p)
+    val rows = Semantic.encodeCodeArray(p)
       .join(Semantic.assignCellsFromQv(p.vecs, nlist)
         .select("vec_id", "cell"), "vec_id")
       .cache() // the index write and the .cells sidecar both read it; an
@@ -248,7 +248,7 @@ object Similarity {
       .filter(col("cell").isin(probeCells.toSeq: _*))
     val base = excludeId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
     base
-      .select(col("vec_id"), posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
       .join(broadcast(lut.toDF("lj", "r", "d")),
         col("j") === col("lj") && col("cj").cast("int") === col("r"))
       .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
@@ -283,7 +283,7 @@ object Similarity {
     val p = Semantic.pqPartsFrozen(newEmb, idCol, vecCol, cb, m)
     val assigned = Semantic.assignAgainst(p.vecs,
       spark.read.parquet(s"$dir.cells").select(col("cell"), col("qv").as("cv")))
-    Semantic.encodeCodes(p)
+    Semantic.encodeCodeArray(p)
       .join(assigned, "vec_id")
       .write.partitionBy("cell").mode("append").parquet(dir)
   }
@@ -296,7 +296,7 @@ object Similarity {
     * partitionBy writer ⇒ one file per cell), into a sibling directory that
     * is atomically swapped in via rename — Spark refuses to overwrite a path
     * it is reading, and the swap means a crash mid-compact leaves the live
-    * index untouched. Content (vec_id, code, cell) is bit-identical;
+    * index untouched. Content (vec_id, codes, cell) is bit-identical;
     * sidecars are not touched (codebooks don't change shape under
     * compaction).
     */
@@ -415,7 +415,7 @@ object Similarity {
       .join(probe, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        posexplode(split(col("code"), ",")).as(Seq("j", "cj")))
+        posexplode(col("codes")).as(Seq("j", "cj")))
       .join(broadcast(luts), col("query_id") === col("lqid") &&
         col("j") === col("lj") && col("cj").cast("int") === col("r"))
       .groupBy("query_id", "vec_id").agg(sum("d").cast("long").as("adist"))

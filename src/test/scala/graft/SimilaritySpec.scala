@@ -234,7 +234,7 @@ class SimilaritySpec extends SparkSpec {
         .toMap
     }
     def rows = spark.read.parquet(dir)
-      .select(col("vec_id"), col("code"), col("cell").cast("long"))
+      .select(col("vec_id"), col("codes").cast("string"), col("cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     val before = rows
     assert(filesPerCell.values.max > 1, "three writes must leave multi-file cells")

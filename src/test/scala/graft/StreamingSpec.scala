@@ -256,7 +256,7 @@ class StreamingSpec extends SparkSpec {
     def rows(d: String) = spark.read.parquet(d)
       // the partition column's type is re-inferred from directory names on
       // read (int here) — normalize for the comparison
-      .select(col("vec_id"), col("code"), col("cell").cast("long"))
+      .select(col("vec_id"), col("codes").cast("string"), col("cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(rows(dirStream) == rows(dirRef),
       "index content must be invariant to micro-batch slicing")
