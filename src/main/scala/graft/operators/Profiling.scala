@@ -59,6 +59,28 @@ object Profiling {
       .select("r.*")
   }
 
+  /** KEY-SKEW report: the top-`k` heaviest values of a join/grouping key with
+    * row counts and corpus share in integer basis points — the diagnostic a
+    * scale audit runs BEFORE a 100 TB join ("which keys would wedge a
+    * reducer and need salting"). One map-side-combined groupBy over the
+    * projected key + a TakeOrdered top-k; ties break on the key's string
+    * form so the report is deterministic. Null keys count as a value (they
+    * hash to one reducer like any other — the skew report exists precisely
+    * to surface them).
+    */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val counts = df
+      .select(coalesce(col(keyCol).cast("string"), lit("<null>")).as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").as("__t"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n_rows"),
+        expr("(n_rows * 10000) div __t").as("share_bp"))
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(k)
+  }
+
   def histogram(df: DataFrame, valueCol: String,
       lo: Double, hi: Double, n: Int): DataFrame = {
     require(n >= 1 && hi > lo, "need n >= 1 and hi > lo")

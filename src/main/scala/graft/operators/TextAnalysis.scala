@@ -312,6 +312,37 @@ object TextAnalysis {
           .as("avg_log10p"))
   }
 
+  /** Per-document word-distribution ENTROPY — the gibberish/boilerplate
+    * signal the LM scorers don't give: near-zero entropy flags one-phrase
+    * spam (same words repeated), anomalously high entropy flags
+    * random-token noise; both slip a frequency-based quality gate. Uses the
+    * identity H = log2(n) − (Σ c·log2 c)/n so the per-distinct-word term
+    * needs only its own count — no join against the doc total before the
+    * final fold. Cross-engine determinism by the unigramLogProb recipe:
+    * log2 outputs rounded to 6dp as DECIMAL, c·log2c products and the
+    * log2(n)·n − Σ combination in exact decimal arithmetic, one floor to
+    * 4dp, then the single IEEE division by n. Zero-word docs are dropped.
+    *
+    * Scale shape: one exchange of (doc_id, word) tokens into the
+    * per-(doc, word) count, then a map-side-combined per-doc fold of the
+    * (already small) count rows — the TF-IDF shape without the broadcast.
+    */
+  def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(Keys.id(docs, idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(expr(
+          "c * cast(round(log2(cast(c as double)), 6) as decimal(18,6))")).as("__s"))
+      .select(col("doc_id"), col("n_words"),
+        (floor((expr(
+          "cast(round(log2(cast(n_words as double)), 6) as decimal(18,6))")
+          * col("n_words") - col("__s")) * 10000).cast("double") / 10000.0)
+          .as("ent_sum"))
+      .withColumn("entropy", col("ent_sum") / col("n_words"))
+  }
+
   /** Overlapping word-window chunking (RAG / context-window prep): cut each
     * document into windows of `width` words advancing by `stride`, emitting
     * (doc_id, chunk_id, n_words, chunk). The last window is the final partial

@@ -364,6 +364,16 @@ object ExtensionQueries {
       Pipelines.quantileFilter(t(s, d, "documents"), "doc_id", "n_chars",
         "source", q = 0.6)),
 
+    // key-skew report: the 10 heaviest join keys with basis-point shares —
+    // the pre-join salting diagnostic
+    "q_key_skew" -> ((s, d) =>
+      graft.operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 10)),
+
+    // word-distribution entropy: near-zero = one-phrase spam, anomalously
+    // high = random-token noise; decimal-exact via H = log2 n - (Σ c·log2 c)/n
+    "q_word_entropy" -> ((s, d) =>
+      TextAnalysis.wordEntropy(t(s, d, "documents"), "doc_id", "text")),
+
     // per-column summary profile: rows/nulls/exact-distincts + numeric
     // min/max in ONE scan (multi-distinct via Expand, not k passes)
     "q_profile_summary" -> ((s, d) =>
@@ -1424,6 +1434,33 @@ object ExtensionQueries {
         "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
         "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
         "ELSE 4000 END"),
+
+    // identical count/share arithmetic; ties on the key's string form
+    "q_key_skew" ->
+      ("WITH c AS (SELECT coalesce(l_suppkey::VARCHAR, '<null>') AS key, " +
+        "count(*)::BIGINT AS n_rows FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT sum(n_rows)::BIGINT AS tt FROM c) " +
+        "SELECT key, n_rows, ((n_rows * 10000) // tt)::BIGINT AS share_bp " +
+        "FROM c, t ORDER BY n_rows DESC, key LIMIT 10"),
+
+    // identical token split, identical 6dp decimal log2 terms, identical
+    // H·n = log2(n)·n − Σ c·log2 c decimal combination floored at 4dp
+    "q_word_entropy" ->
+      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |tok AS (SELECT doc_id, ws[i] AS w FROM w, range(1, 100000) r(i)
+        |        WHERE i <= len(ws)),
+        |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+        |d AS (SELECT doc_id, sum(c)::BIGINT AS n,
+        |        sum(c * round(log2(c::DOUBLE), 6)::DECIMAL(18,6)) AS s
+        |      FROM wc GROUP BY 1)
+        |SELECT doc_id, n AS n_words,
+        |  floor((round(log2(n::DOUBLE), 6)::DECIMAL(18,6) * n - s) * 10000)::DOUBLE
+        |    / 10000.0 AS ent_sum,
+        |  floor((round(log2(n::DOUBLE), 6)::DECIMAL(18,6) * n - s) * 10000)::DOUBLE
+        |    / 10000.0 / n AS entropy
+        |FROM d""".stripMargin),
 
     // per-column UNION ALL: identical counts/distincts; numeric min/max as
     // doubles; string min/max omitted (collation is engine-private)

@@ -47,6 +47,34 @@ class ProfilingSpec extends SparkSpec {
     assert(Pipelines.weightedSample(docs, "doc_id", "w", 0.0).count() == 0)
   }
 
+  test("keySkew: heaviest keys first, null keys surfaced, basis points floor") {
+    import spark.implicits._
+    // key a: 6 rows, b: 3, null: 1 → shares 6000/3000/1000 bp of 10 rows
+    val df = (Seq.fill(6)(Some("a")) ++ Seq.fill(3)(Some("b")) ++ Seq(None))
+      .toDF("k")
+    val top = Profiling.keySkew(df, "k", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq(("a", 6L, 6000L), ("b", 3L, 3000L)))
+    val all = Profiling.keySkew(df, "k", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(all.contains(("<null>", 1L, 1000L)), s"null keys must surface: ${all.toSeq}")
+  }
+
+  test("wordEntropy: zero for constant docs, log2(n) for all-distinct docs, zero-word docs dropped") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq((1L, "spam spam spam spam"), (2L, "a b c d"),
+      (3L, "x x y y"), (4L, "   ")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(!got.contains(4L), "whitespace-only docs have no words")
+    assert(got(1L) == ((4L, 0.0)), s"constant doc must score H=0: ${got(1L)}")
+    // 4 distinct words, uniform → H = log2(4) = 2 exactly
+    assert(got(2L) == ((4L, 2.0)), s"uniform all-distinct doc: ${got(2L)}")
+    // two words at p=1/2 each → H = 1
+    assert(got(3L) == ((4L, 1.0)), s"two uniform words: ${got(3L)}")
+  }
+
   test("summary: nulls counted, distincts exclude nulls, string min/max omitted, one row per column") {
     import spark.implicits._
     val df = Seq((1L, Some(10), Some("a")), (2L, Some(10), Some("b")),
