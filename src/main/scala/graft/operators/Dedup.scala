@@ -352,6 +352,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Generic HAMMING near-dup pairs over precomputed 64-bit fingerprints —
+    * (doc_a, doc_b, hamming) for every pair within `maxHamming`, doc_a <
+    * doc_b. Blocking is the pigeonhole bound made structural: the hash
+    * splits into maxHamming+1 bands, and a pair differing in ≤ maxHamming
+    * bits must agree EXACTLY on at least one band — so per-band equality
+    * joins find every qualifying pair with NO recall loss (unlike
+    * probabilistic LSH), and the bit_count(xor) verify makes precision
+    * exact. This is [[simHashPairs]]' 4×16 chunk scheme generalized to any
+    * threshold < 64 and any fingerprint source — SimHash, an image
+    * perceptual hash ([[graft.sources.Multimodal.imageHash]]), an audio
+    * fingerprint.
+    *
+    * Scale shape: maxHamming+1 band rows per doc through one equality-join
+    * exchange; candidates dedup BEFORE the verify (one bit_count per
+    * candidate pair regardless of how many bands collide). Hot band buckets
+    * past `maxBucket` salt-split exactly like simHashPairs — the one place
+    * recall is traded (documented there); narrower bands (higher
+    * maxHamming) make buckets hotter, which is inherent to the bound.
+    */
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    require(maxBucket > 1, "maxBucket must be > 1")
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    val fps = hashes.select(Keys.id(hashes, idCol).as("doc_id"),
+      col(hashCol).cast("long").as("fp"))
+    val chunks = (0 until bands).map { c =>
+      val lo = c * width
+      val w = if (c == bands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ch"))
+    }
+    val blocked = fps
+      .select(col("doc_id"), col("fp"), explode(array(chunks: _*)).as("b"))
+      .select(col("doc_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    val hot = blocked.groupBy("chunk", "ch").count()
+      .filter(col("count") > maxBucket)
+      .select(col("chunk"), col("ch"),
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"))
+    val salted = blocked.join(broadcast(hot), Seq("chunk", "ch"), "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("chunk"), col("ch"), col("doc_id")), col("nsplit"))
+          .cast("int")))
+      .select("doc_id", "fp", "chunk", "ch", "salt")
+    salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over near-dup pairs → (doc_id, cluster_id) with
     * cluster_id = smallest doc_id reachable, so "keep one per near-dup group"
     * is `groupBy(cluster_id).agg(min(doc_id))`.

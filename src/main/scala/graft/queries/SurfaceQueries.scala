@@ -331,7 +331,23 @@ object SurfaceQueries {
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
         .select(col("doc_id"), size(col("features")).as("dim"),
           array_join(transform(col("features"),
-            x => x.cast("int").cast("string")), ",").as("fv")))
+            x => x.cast("int").cast("string")), ",").as("fv"))),
+
+    // ---- 64-bit aHash perceptual fingerprint over the REAL decoded raster:
+    // integer gray / cell-mean / threshold arithmetic, so the oracle's
+    // formula recomputation must match the ImageIO pipeline bit for bit ----
+    "q_image_phash" -> ((s, d) =>
+      graft.sources.Multimodal.imageHash(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
+
+    // ---- exact hamming near-dup pairs over those fingerprints: pigeonhole
+    // banding (9 bands for k=8) + bit_count verify — recall 1 by
+    // construction, so even the PAIR SET hash-matches a brute-force oracle ----
+    "q_image_phash_pairs" -> ((s, d) =>
+      graft.operators.Dedup.hammingPairs(
+        graft.sources.Multimodal.imageHash(
+          graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")),
+        "doc_id", "phash", maxHamming = 8))
   )
 
   val oracles: Map[String, String] = Map(
@@ -393,6 +409,47 @@ object SurfaceQueries {
         |u AS (SELECT doc_id, fv FROM ifeat UNION ALL SELECT doc_id, fv FROM afeat
         |      UNION ALL SELECT doc_id, fv FROM vfeat)
         |SELECT doc_id, 48 AS dim, fv FROM u""".stripMargin),
+
+    // recomputes each image's aHash from the pixel formula: per-pixel integer
+    // gray, 8x8 cell means, mean-of-means threshold, bit c at 1<<c (bit 63
+    // via the min-long literal — DuckDB raises on 1<<63)
+    "q_image_phash" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |px AS (SELECT doc_id, (y.i*8)//h*8 + (x.i*8)//w AS c,
+        |         ((x.i*31 + y.i*17 + doc_id) & 16777215) AS v
+        |       FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |       WHERE x.i < w AND y.i < h),
+        |cell AS (SELECT doc_id, c,
+        |           sum((((v>>16)&255) + ((v>>8)&255) + (v&255))//3)//count(*) AS m
+        |         FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM cell GROUP BY 1)
+        |SELECT cell.doc_id,
+        |  sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |           WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1""".stripMargin),
+
+    // brute-force hamming over the recomputed hashes — the engine's banded
+    // blocking must reproduce the exact pair set (pigeonhole recall 1)
+    "q_image_phash_pairs" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |px AS (SELECT doc_id, (y.i*8)//h*8 + (x.i*8)//w AS c,
+        |         ((x.i*31 + y.i*17 + doc_id) & 16777215) AS v
+        |       FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |       WHERE x.i < w AND y.i < h),
+        |cell AS (SELECT doc_id, c,
+        |           sum((((v>>16)&255) + ((v>>8)&255) + (v&255))//3)//count(*) AS m
+        |         FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM cell GROUP BY 1),
+        |p AS (SELECT cell.doc_id,
+        |        sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |                 WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |      FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin),
 
     "q_map_funcs" ->
       ("SELECT p_partkey, " +

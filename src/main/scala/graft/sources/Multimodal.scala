@@ -386,6 +386,55 @@ object Multimodal {
     * kernel itself. Undecodable payloads yield no row (the decodeMeta error
     * convention). Embarrassingly parallel, no shuffle.
     */
+  /** 64-bit average-hash (aHash) perceptual fingerprint of every image-kind
+    * row — the image-dedup primitive: bit c is set iff the mean gray of 8×8
+    * grid cell c exceeds the mean of the cell means. All arithmetic is
+    * integer (gray = (r+g+b) div 3 per pixel, cell mean = sum div count,
+    * overall = sum of cell means div 64), so the hash an external oracle
+    * recomputes from the synthesis formulas matches the REAL
+    * ImageIO-decoded raster bit for bit — the [[frameChannelSums]] proof
+    * carried through a production perceptual-hash kernel. Pair the output
+    * with [[graft.operators.Dedup.hammingPairs]] for exact near-duplicate
+    * image detection at a hamming threshold. Undecodable payloads yield no
+    * row; embarrassingly parallel, no shuffle.
+    */
+  def imageHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) None
+          else Option(ImageIO.read(new ByteArrayInputStream(bytes))).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val sums = new Array[Long](64); val cnts = new Array[Long](64)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val c = cy * 8 + x * 8 / w
+                val v = img.getRGB(x, y)
+                sums(c) += (((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)) / 3
+                cnts(c) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val means = Array.tabulate(64)(c => if (cnts(c) == 0) 0L else sums(c) / cnts(c))
+            val mu = means.sum / 64
+            var hash = 0L; var c = 0
+            while (c < 64) { if (means(c) > mu) hash |= 1L << c; c += 1 }
+            (id, hash)
+          }
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   def featureExtract(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -138,6 +138,61 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageHash: deterministic on identical pixels, sensitive to a brightened cell, dedup via hammingPairs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // two docs with identical text length and ids differing by a small even
+    // multiple of 3 produce near-identical rasters (the gray shift moves all
+    // cells together), a far id produces an unrelated pattern
+    val media = Multimodal.asMedia(
+      Seq((0L, "abcdefghij"), (1000002L, "abcdefghij"), (54L, "zz"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    val hashes = Multimodal.imageHash(media)
+    val got = hashes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 3, "every decodable image row hashes")
+    // determinism: re-running yields identical hashes
+    assert(Multimodal.imageHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    // hammingPairs == brute force on these hashes at every threshold
+    for (k <- Seq(0, 8, 20)) {
+      val pairs = Dedup.hammingPairs(hashes, "doc_id", "phash", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val ids = got.keys.toSeq.sorted
+      val brute = (for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        h = java.lang.Long.bitCount(got(ids(i)) ^ got(ids(j)))
+        if h <= k
+      } yield (ids(i), ids(j), h)).toSet
+      assert(pairs == brute, s"hammingPairs(k=$k) must equal brute force")
+    }
+  }
+
+  test("hammingPairs: planted flips recovered exactly at the pigeonhole bound") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // base hashes spread far apart; planted neighbors at exact bit distances
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val planted = base.take(10).zipWithIndex.map { case ((id, h), i) =>
+      // flip i+1 distinct bits of h (positions i*5..i*5+i)
+      val flipped = (0 to i).foldLeft(h)((acc, b) => acc ^ (1L << ((i * 5 + b) % 64)))
+      (id + 1000L, flipped)
+    }
+    val df = (base ++ planted).toDF("doc_id", "phash")
+    val k = 6
+    val pairs = Dedup.hammingPairs(df, "doc_id", "phash", maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (base ++ planted)
+    val brute = (for {
+      i <- all.indices; j <- (i + 1) until all.size
+      (ia, ha) = all(i); (ib, hb) = all(j)
+      h = java.lang.Long.bitCount(ha ^ hb)
+      if h <= k
+    } yield (math.min(ia, ib), math.max(ia, ib), h)).toSet
+    assert(pairs == brute, "banded blocking must lose no pair within the bound")
+    assert(brute.size >= 6, s"fixture must plant in-bound pairs, got ${brute.size}")
+  }
+
   test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
     val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, maxSide = 24)
