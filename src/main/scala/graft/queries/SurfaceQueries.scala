@@ -340,6 +340,12 @@ object SurfaceQueries {
       graft.sources.Multimodal.imageHash(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
 
+    // ---- the audio analogue: 64-segment unsigned-PCM energy signature,
+    // reachable only through a real WAV parse; feeds the same hammingPairs ----
+    "q_audio_phash" -> ((s, d) =>
+      graft.sources.Multimodal.audioHash(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))),
+
     // ---- exact hamming near-dup pairs over those fingerprints: pigeonhole
     // banding (9 bands for k=8) + bit_count verify — recall 1 by
     // construction, so even the PAIR SET hash-matches a brute-force oracle ----
@@ -428,6 +434,23 @@ object SurfaceQueries {
         |  sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
         |           WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
         |FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1""".stripMargin),
+
+    // recomputes each audio fingerprint from the PCM synthesis formula:
+    // 64 segment means of unsigned samples, mean-of-means threshold
+    "q_audio_phash" ->
+      ("""WITH d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |aud AS (SELECT doc_id, n FROM d WHERE doc_id%3=1 AND n > 0),
+        |smp AS (SELECT doc_id, (i.i*64)//n AS seg, (i.i*2654435761 + doc_id) & 65535 AS u
+        |        FROM aud, range(0, 100000) i(i) WHERE i.i < n),
+        |seg AS (SELECT doc_id, seg, sum(u)//count(*) AS m FROM smp GROUP BY 1, 2),
+        |segs AS (SELECT a.doc_id, s.i AS c, coalesce(m, 0) AS m
+        |         FROM aud a CROSS JOIN range(0, 64) s(i)
+        |         LEFT JOIN seg ON seg.doc_id = a.doc_id AND seg.seg = s.i),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM segs GROUP BY 1)
+        |SELECT segs.doc_id,
+        |  sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |           WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |FROM segs JOIN tot ON segs.doc_id = tot.doc_id GROUP BY 1""".stripMargin),
 
     // brute-force hamming over the recomputed hashes — the engine's banded
     // blocking must reproduce the exact pair set (pigeonhole recall 1)

@@ -435,6 +435,58 @@ object Multimodal {
       .toDF("doc_id", "phash")
   }
 
+  /** 64-bit energy-signature fingerprint of every audio-kind row — the audio
+    * analogue of [[imageHash]]: bit s is set iff segment s's mean unsigned
+    * PCM level (64 equal time segments, integer div means) exceeds the mean
+    * of the segment means. Same integer-exact contract (the oracle
+    * recomputes from the PCM synthesis formula; the engine gets there only
+    * through a real WAV parse), same [[graft.operators.Dedup.hammingPairs]]
+    * pairing path. Zero-sample or undecodable payloads yield no row.
+    */
+  def audioHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          if (bytes == null || bytes.isEmpty) None
+          else try {
+            val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.isBigEndian ||
+                fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED) None
+              else {
+                val data = ais.readAllBytes()
+                val n = data.length / 2
+                if (n == 0) None
+                else {
+                  val sums = new Array[Long](64); val cnts = new Array[Long](64)
+                  var i = 0
+                  while (i < n) {
+                    val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort
+                    val seg = (i.toLong * 64 / n).toInt
+                    sums(seg) += s + 32768L; cnts(seg) += 1
+                    i += 1
+                  }
+                  val means = Array.tabulate(64)(s =>
+                    if (cnts(s) == 0) 0L else sums(s) / cnts(s))
+                  val mu = means.sum / 64
+                  var hash = 0L; var c = 0
+                  while (c < 64) { if (means(c) > mu) hash |= 1L << c; c += 1 }
+                  Some((id, hash))
+                }
+              }
+            } finally ais.close()
+          } catch { case _: Exception => None }
+        }
+      }
+      .toDF("doc_id", "phash")
+  }
+
   def featureExtract(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
