@@ -377,8 +377,13 @@ object Dedup {
     require(maxBucket > 1, "maxBucket must be > 1")
     val bands = maxHamming + 1
     val width = 64 / bands
+    // cached (Caches contract — caller releases): the hot-bucket aggregate
+    // and both self-join sides all consume the fingerprints, and when the
+    // input is a decode kernel (imageHash/audioHash) recomputing it means
+    // re-decoding the whole corpus per consumer
     val fps = hashes.select(Keys.id(hashes, idCol).as("doc_id"),
       col(hashCol).cast("long").as("fp"))
+      .cache()
     val chunks = (0 until bands).map { c =>
       val lo = c * width
       val w = if (c == bands - 1) 64 - lo else width
