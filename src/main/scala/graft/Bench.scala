@@ -30,7 +30,7 @@ object Bench {
     "q_shard_assign", "q_dataset_diff", "q_pipeline_refresh",
     "q_mixture_report", "q_profile_summary", "q_bigram_lm_ref",
     "q_key_skew", "q_word_entropy", "q_image_phash", "q_image_phash_pairs",
-    "q_audio_phash")
+    "q_audio_phash", "q_image_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

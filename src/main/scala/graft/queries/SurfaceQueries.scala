@@ -353,7 +353,22 @@ object SurfaceQueries {
       graft.operators.Dedup.hammingPairs(
         graft.sources.Multimodal.imageHash(
           graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")),
-        "doc_id", "phash", maxHamming = 8))
+        "doc_id", "phash", maxHamming = 8)),
+
+    // ---- the composed IMAGE DEDUP: decode → aHash → pigeonhole pairs →
+    // connected components → keep each cluster's smallest id + singletons,
+    // in one declarative chain; the recursive-CTE oracle proves the whole
+    // multimodal-to-dedup-grid composition ----
+    "q_image_dedup" -> ((s, d) => {
+      val hashes = graft.sources.Multimodal.imageHash(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+      val labels = graft.operators.Dedup.clusters(
+        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", maxHamming = 8))
+      hashes.join(
+        labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+        .select("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,6 +488,36 @@ object SurfaceQueries {
         |  bit_count(xor(a.phash, b.phash))::INTEGER AS hamming
         |FROM p a JOIN p b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 8""".stripMargin),
+
+    // the full composition: recomputed hashes → brute-force hamming pairs →
+    // recursive-CTE components → min-id survivors + singletons
+    "q_image_dedup" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |px AS (SELECT doc_id, (y.i*8)//h*8 + (x.i*8)//w AS c,
+        |         ((x.i*31 + y.i*17 + doc_id) & 16777215) AS v
+        |       FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |       WHERE x.i < w AND y.i < h),
+        |cell AS (SELECT doc_id, c,
+        |           sum((((v>>16)&255) + ((v>>8)&255) + (v&255))//3)//count(*) AS m
+        |         FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM cell GROUP BY 1),
+        |p AS (SELECT cell.doc_id,
+        |        sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |                 WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |      FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  UNION SELECT doc_b, doc_a FROM pr),
+        |reach(dd, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.dd),
+        |lab AS (SELECT dd AS doc_id, min(lab)::BIGINT AS cid FROM reach GROUP BY dd)
+        |SELECT p.doc_id FROM p LEFT JOIN lab ON p.doc_id = lab.doc_id
+        |WHERE lab.doc_id IS NULL OR lab.cid = p.doc_id""".stripMargin),
 
     "q_map_funcs" ->
       ("SELECT p_partkey, " +

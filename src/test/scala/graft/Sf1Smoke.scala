@@ -44,7 +44,7 @@ object Sf1Smoke {
     "q_dedup_semantic", "q_pipeline_neardedup", "q_multimodal_meta",
     "q_dup_spans", "q_despan", "q_pipeline_clean", "q_fuzzy_join2",
     "q_zorder", "q_bigram_lm_ref", "q_dedup_canonical", "q_shard_assign",
-    "q_ivfpq_rerank_batch")
+    "q_ivfpq_rerank_batch", "q_image_phash_pairs", "q_image_dedup")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
