@@ -364,11 +364,18 @@ object Dedup {
     * perceptual hash ([[graft.sources.Multimodal.imageHash]]), an audio
     * fingerprint.
     *
-    * Scale shape: maxHamming+1 band rows per doc through one equality-join
-    * exchange; candidates dedup BEFORE the verify (one bit_count per
-    * candidate pair regardless of how many bands collide). Hot band buckets
-    * past `maxBucket` salt-split exactly like simHashPairs — the one place
-    * recall is traded (documented there); narrower bands (higher
+    * Scale shape: EXACT-DUPLICATE COLLAPSE first (the fuzzy-join /
+    * embeddingPairs convention): banding runs over DISTINCT fingerprints
+    * only, so a clone flood (a million copies of one image) contributes ONE
+    * band row per band, never a million — identical-hash pairs are emitted
+    * directly from the fp groups at hamming 0 (output-proportional, recall
+    * 1 REGARDLESS of maxBucket), and cross-fingerprint pairs re-expand to
+    * id pairs after the verify. Then maxHamming+1 band rows per distinct
+    * hash through one equality-join exchange; candidates dedup BEFORE the
+    * verify. Hot band buckets past `maxBucket` (now meaning maxBucket
+    * DISTINCT near-miss hashes sharing a band value) salt-split exactly
+    * like simHashPairs — the one place recall is traded, now confined to
+    * near-dup pairs inside pathological buckets; narrower bands (higher
     * maxHamming) make buckets hotter, which is inherent to the bound.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
@@ -377,13 +384,14 @@ object Dedup {
     require(maxBucket > 1, "maxBucket must be > 1")
     val bands = maxHamming + 1
     val width = 64 / bands
-    // cached (Caches contract — caller releases): the hot-bucket aggregate
-    // and both self-join sides all consume the fingerprints, and when the
-    // input is a decode kernel (imageHash/audioHash) recomputing it means
-    // re-decoding the whole corpus per consumer
+    // cached (Caches contract — caller releases): reps build, both cross
+    // re-expansions, and the within-group self-join all consume the
+    // fingerprints, and when the input is a decode kernel
+    // (imageHash/audioHash) recomputing it means re-decoding the corpus
     val fps = hashes.select(Keys.id(hashes, idCol).as("doc_id"),
       col(hashCol).cast("long").as("fp"))
       .cache()
+    val reps = fps.groupBy("fp").agg(min("doc_id").as("rep_id")).cache()
     val chunks = (0 until bands).map { c =>
       val lo = c * width
       val w = if (c == bands - 1) 64 - lo else width
@@ -391,24 +399,38 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ch"))
     }
-    val blocked = fps
-      .select(col("doc_id"), col("fp"), explode(array(chunks: _*)).as("b"))
-      .select(col("doc_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    val blocked = reps
+      .select(col("rep_id"), col("fp"), explode(array(chunks: _*)).as("b"))
+      .select(col("rep_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
     val hot = blocked.groupBy("chunk", "ch").count()
       .filter(col("count") > maxBucket)
       .select(col("chunk"), col("ch"),
         ceil(col("count") / maxBucket).cast("int").as("nsplit"))
     val salted = blocked.join(broadcast(hot), Seq("chunk", "ch"), "left")
       .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
-        pmod(xxhash64(col("chunk"), col("ch"), col("doc_id")), col("nsplit"))
+        pmod(xxhash64(col("chunk"), col("ch"), col("rep_id")), col("nsplit"))
           .cast("int")))
-      .select("doc_id", "fp", "chunk", "ch", "salt")
-    salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select("rep_id", "fp", "chunk", "ch", "salt")
+    // distinct fingerprints never pair at hamming 0, so this carries only
+    // near-miss pairs; one bit_count per DISTINCT-hash pair
+    val repPairs = salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
+      .filter(col("x.rep_id") < col("y.rep_id"))
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+    // re-expand near-miss pairs to id pairs (∝ output, the fuzzy-join
+    // re-expansion argument) and emit identical-hash pairs directly
+    val cross = repPairs
+      .join(fps.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
   }
 
   /** Connected components over near-dup pairs → (doc_id, cluster_id) with

@@ -348,12 +348,15 @@ object SurfaceQueries {
 
     // ---- exact hamming near-dup pairs over those fingerprints: pigeonhole
     // banding (9 bands for k=8) + bit_count verify — recall 1 by
-    // construction, so even the PAIR SET hash-matches a brute-force oracle ----
+    // construction, so even the PAIR SET hash-matches a brute-force oracle.
+    // maxBucket pinned to MaxValue so the structural-recall contract (not
+    // the documented hot-bucket trade) is what the oracle checks — the
+    // simhash-entry convention ----
     "q_image_phash_pairs" -> ((s, d) =>
       graft.operators.Dedup.hammingPairs(
         graft.sources.Multimodal.imageHash(
           graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")),
-        "doc_id", "phash", maxHamming = 8)),
+        "doc_id", "phash", maxHamming = 8, maxBucket = Int.MaxValue)),
 
     // ---- the composed IMAGE DEDUP: decode → aHash → pigeonhole pairs →
     // connected components → keep each cluster's smallest id + singletons,
@@ -363,7 +366,8 @@ object SurfaceQueries {
       val hashes = graft.sources.Multimodal.imageHash(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
       val labels = graft.operators.Dedup.clusters(
-        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash", maxHamming = 8))
+        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash",
+          maxHamming = 8, maxBucket = Int.MaxValue))
       hashes.join(
         labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
         Seq("doc_id"), "left_anti")

@@ -178,19 +178,35 @@ class MultimodalSpec extends SparkSpec {
       val flipped = (0 to i).foldLeft(h)((acc, b) => acc ^ (1L << ((i * 5 + b) % 64)))
       (id + 1000L, flipped)
     }
-    val df = (base ++ planted).toDF("doc_id", "phash")
+    // plus a clone flood: 30 ids sharing ONE hash value — the exact-dup
+    // collapse must emit all C(30,2) pairs even when maxBucket is tiny
+    // (pre-collapse, the salt split would scatter them across salt groups
+    // and silently drop cross-salt pairs)
+    val clones = (0 until 30).map(i => (5000L + i, base.head._2))
+    val df = (base ++ planted ++ clones).toDF("doc_id", "phash")
     val k = 6
-    val pairs = Dedup.hammingPairs(df, "doc_id", "phash", maxHamming = k)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val all = (base ++ planted)
+    val all = base ++ planted ++ clones
     val brute = (for {
       i <- all.indices; j <- (i + 1) until all.size
       (ia, ha) = all(i); (ib, hb) = all(j)
       h = java.lang.Long.bitCount(ha ^ hb)
       if h <= k
     } yield (math.min(ia, ib), math.max(ia, ib), h)).toSet
+    // ample maxBucket: the full pair set, exactly
+    val pairs = Dedup.hammingPairs(df, "doc_id", "phash", maxHamming = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == brute, "banded blocking must lose no pair within the bound")
-    assert(brute.size >= 6, s"fixture must plant in-bound pairs, got ${brute.size}")
+    // tiny maxBucket: near-miss pairs in hot buckets may trade recall
+    // (documented), but identical-hash pairs are IMMUNE — the exact-dup
+    // collapse emits them outside the salted path entirely
+    val tight = Dedup.hammingPairs(df, "doc_id", "phash", maxHamming = k,
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(tight.subsetOf(brute), "no false pairs under salting")
+    val h0 = brute.filter(_._3 == 0)
+    assert(h0.subsetOf(tight),
+      "clone-flood pairs must survive ANY maxBucket (exact-dup collapse)")
+    assert(h0.size >= 465, s"fixture must plant a clone flood, got ${h0.size}")
   }
 
   test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
