@@ -437,18 +437,23 @@ object Dedup {
     * cluster_id = smallest doc_id reachable, so "keep one per near-dup group"
     * is `groupBy(cluster_id).agg(min(doc_id))`.
     *
-    * Each iteration combines min-label propagation over the edge list (one
-    * join + aggregate) with pointer halving (label := label(label), one
-    * self-join): propagation moves a label one hop, halving collapses label
-    * chains geometrically, so convergence takes O(log diameter) rounds — a
-    * path graph of length 2^20 converges within the default maxIter, unlike
-    * plain propagation which moves one hop per round. The label frame is
-    * eagerly `localCheckpoint`ed EVERY iteration: the halving self-join
-    * doubles the logical plan, so an uncheckpointed loop grows the plan ~4×
-    * per round and the driver ends up spending tens of minutes per job just
-    * analyzing and stringifying million-node plans (Spark renders the plan
-    * for the listener bus on every action) — caching bounds executor compute
-    * but does nothing for driver-side plan size. Non-convergence at maxIter
+    * Algorithm: alternating large-star / small-star contraction (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond"). Each round,
+    * large-star connects every strictly-larger neighbor of a node to the
+    * minimum of its closed neighborhood, then small-star re-points each node
+    * and its smaller neighbors at the minimum among them; the edge list
+    * contracts toward one star per component (every node → component min) in
+    * O(log² n) rounds worst-case, a handful in practice. This replaces a
+    * min-label-propagation + pointer-halving loop whose halving step no-ops
+    * once labels reach LOCAL minima (the label's own label is itself), after
+    * which the global min crawls one hop per round — O(diameter) rounds on
+    * graphs whose ids are not monotone along chains, which real fingerprint
+    * graphs are not. Star edges are map-side-combinable groupBy mins plus
+    * equality joins — no neighborhood collect, no driver-side graph. The edge
+    * frame is eagerly `localCheckpoint`ed EVERY round: an uncheckpointed loop
+    * grows the logical plan geometrically and the driver ends up spending
+    * minutes per job just analyzing and stringifying it (Spark renders the
+    * plan for the listener bus on every action). Non-convergence at maxIter
     * throws — silently returning partially merged components is how a dedup
     * pipeline over-retains duplicates without anyone noticing.
     */
@@ -457,51 +462,68 @@ object Dedup {
     // the full upstream plan (e.g. the whole minhash LSH pipeline) inside
     // every iteration's logical plan, where it gets re-canonicalized for
     // cache lookup and re-stringified for the listener bus on every action —
-    // the loop must start from a plan LEAF
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the loop must start from a plan LEAF. `uniq` keeps u==v rows so the
+    // final node cover includes docs that only self-pair.
+    val uniq = pairs.select(
+      greatest(col("doc_a"), col("doc_b")).as("u"),
+      least(col("doc_a"), col("doc_b")).as("v"))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
+    var edges = uniq.filter(col("u") =!= col("v")).localCheckpoint()
+    var nEdges = edges.count()
+    var converged = nEdges == 0
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node: min of own label and neighbors' labels
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min("label").as("nlabel"))
-      // cached: the halving step self-joins this frame, and an uncached plan
-      // would recompute the propagation join twice per iteration
-      val prop = labels.join(viaNeighbors, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      // pointer halving: replace label with its own current label (labels are
-      // node ids, and a node's label is always <= its id, so this only shrinks)
-      val halved = prop.as("a")
-        .join(prop.select(col("doc_id").as("label"), col("label").as("plabel")),
-          Seq("label"), "left")
-        .select(col("doc_id"),
-          coalesce(col("plabel"), col("label")).as("label"))
-      // eager localCheckpoint: materializes next (so prop can be dropped) AND
-      // resets the logical plan to a LogicalRDD leaf — see the scaladoc note
-      val next = halved.localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      prop.unpersist()
-      // old labels' checkpoint blocks are reclaimed by the context cleaner
+      // large-star: over the full (bidirectional) neighborhood of u, connect
+      // each neighbor v > u to m = min of the closed neighborhood. Output
+      // stays child-points-to-smaller-parent oriented.
+      val bidir = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every edge here already points smaller, so u's parent
+      // set is exactly its ≤-neighborhood; re-point u AND each parent at the
+      // minimum parent.
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      val ss = ls.join(mins2, "u")
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // eager localCheckpoint: materializes next AND resets the logical plan
+      // to a LogicalRDD leaf — see the scaladoc note
+      val next = ss.localCheckpoint()
+      // stable edge set = every component is a star on its min = done. The
+      // count compare is near-free on the materialized frame and gates the
+      // except pass: a round that changed the edge count cannot be stable.
+      val nNext = next.count()
+      converged = nNext == nEdges &&
+        next.except(edges).unionByName(edges.except(next)).isEmpty
+      nEdges = nNext
+      // old rounds' checkpoint blocks are reclaimed by the context cleaner
       // once unreferenced; explicit unpersist on a checkpointed frame is a
       // no-op, so we simply drop the reference
-      labels = next
+      edges = next
       i += 1
     }
     if (!converged) throw new IllegalStateException(
       s"Dedup.clusters did not converge within $maxIter iterations — " +
         "component labels would be partially merged; raise maxIter")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    // at convergence every non-min node carries exactly one (node, min) star
+    // edge; component minima and self-pair-only docs label themselves
+    val nodes = uniq
+      .select(explode(array(col("u"), col("v"))).as("doc_id"))
+      .distinct()
+    nodes.join(edges.select(col("u").as("doc_id"), col("v").as("star")),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("star"), col("doc_id")).as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs ≥ threshold, computed in double precision with
