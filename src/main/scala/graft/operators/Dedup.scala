@@ -380,14 +380,37 @@ object Dedup {
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int = 256): DataFrame = {
+    val (fps, _, repPairs) = hammingCore(hashes, idCol, hashCol, maxHamming, maxBucket)
+    // re-expand near-miss pairs to id pairs (∝ output, the fuzzy-join
+    // re-expansion argument) and emit identical-hash pairs directly
+    val cross = repPairs
+      .join(fps.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
+    val within = fps.as("x").join(fps.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(0).as("hamming"))
+    cross.unionByName(within)
+  }
+
+  /** Shared banding core for the hamming family: (fps, reps, repPairs) with
+    * fps = (doc_id, fp) CACHED (Caches contract — caller releases; the reps
+    * build, re-expansions, and within-group joins all consume it, and when
+    * the input is a decode kernel recomputing it means re-decoding the
+    * corpus), reps = one minimum-id representative per distinct fingerprint
+    * (cached, same contract), and repPairs = every DISTINCT-fingerprint pair
+    * within `maxHamming` as (rep_a, fp_a, rep_b, fp_b, hamming), rep_a <
+    * rep_b — distinct fingerprints never pair at hamming 0, so one
+    * bit_count runs per distinct-hash candidate pair.
+    */
+  private def hammingCore(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     require(maxBucket > 1, "maxBucket must be > 1")
     val bands = maxHamming + 1
     val width = 64 / bands
-    // cached (Caches contract — caller releases): reps build, both cross
-    // re-expansions, and the within-group self-join all consume the
-    // fingerprints, and when the input is a decode kernel
-    // (imageHash/audioHash) recomputing it means re-decoding the corpus
     val fps = hashes.select(Keys.id(hashes, idCol).as("doc_id"),
       col(hashCol).cast("long").as("fp"))
       .cache()
@@ -411,26 +434,50 @@ object Dedup {
         pmod(xxhash64(col("chunk"), col("ch"), col("rep_id")), col("nsplit"))
           .cast("int")))
       .select("rep_id", "fp", "chunk", "ch", "salt")
-    // distinct fingerprints never pair at hamming 0, so this carries only
-    // near-miss pairs; one bit_count per DISTINCT-hash pair
     val repPairs = salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
       .filter(col("x.rep_id") < col("y.rep_id"))
-      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
+      .select(col("x.rep_id").as("rep_a"), col("x.fp").as("fp_a"),
+        col("y.rep_id").as("rep_b"), col("y.fp").as("fp_b"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    // re-expand near-miss pairs to id pairs (∝ output, the fuzzy-join
-    // re-expansion argument) and emit identical-hash pairs directly
-    val cross = repPairs
-      .join(fps.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
-      .join(fps.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
-      .select(least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"), col("hamming"))
-    val within = fps.as("x").join(fps.as("y"), Seq("fp"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(0).as("hamming"))
-    cross.unionByName(within)
+    (fps, reps, repPairs)
+  }
+
+  /** Hamming near-dup CLUSTERING without materializing the pair set —
+    * (doc_id, cluster_id) for EVERY input doc, cluster_id = smallest doc_id
+    * within `maxHamming` transitively (null-fingerprint docs label
+    * themselves: an undecodable payload cannot be compared, so it survives
+    * any keep-one-per-cluster prune).
+    *
+    * This is the composition [[clusters]]∘[[hammingPairs]] with the clique
+    * explosion removed: hammingPairs owes its callers every qualifying pair,
+    * so a clone flood of g identical fingerprints costs C(g,2) output rows —
+    * inherent to the PAIR contract but pure waste for connected components,
+    * which only need a spanning structure. Here CC runs over the DISTINCT
+    * fingerprints (one node per fp, near-miss edges only), and members then
+    * join their fingerprint's label through one equality join — a clone
+    * flood costs g star rows, never C(g,2). Component labels are identical
+    * to the pair path's because every fp group's minimum id IS its rep: the
+    * group is a clique containing its rep, so the component minimum over
+    * reps is the component minimum over docs. Unlike [[clusters]], the
+    * output covers singleton docs too (self-labeled), so "keep one per
+    * near-dup group" is just `filter(doc_id === cluster_id)`.
+    */
+  def hammingClusters(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, maxBucket: Int = 256, maxIter: Int = 20): DataFrame = {
+    val (fps, reps, repPairs) = hammingCore(hashes, idCol, hashCol, maxHamming, maxBucket)
+    val repLabels = clusters(
+      repPairs.select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")), maxIter)
+    val labeled = fps.filter(col("fp").isNotNull)
+      .join(reps, "fp")
+      .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster_id")),
+        Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+    val undecodable = fps.filter(col("fp").isNull)
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    labeled.unionByName(undecodable)
   }
 
   /** Connected components over near-dup pairs → (doc_id, cluster_id) with

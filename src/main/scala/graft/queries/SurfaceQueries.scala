@@ -365,9 +365,11 @@ object SurfaceQueries {
     "q_image_dedup" -> ((s, d) => {
       val hashes = graft.sources.Multimodal.imageHash(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
-      val labels = graft.operators.Dedup.clusters(
-        graft.operators.Dedup.hammingPairs(hashes, "doc_id", "phash",
-          maxHamming = 8, maxBucket = Int.MaxValue))
+      // hammingClusters = clusters∘hammingPairs with the clone-flood clique
+      // removed: CC over distinct fingerprints, members join their fp's
+      // label — identical components (see its scaladoc), pair-free plan
+      val labels = graft.operators.Dedup.hammingClusters(hashes, "doc_id",
+        "phash", maxHamming = 8, maxBucket = Int.MaxValue)
       hashes.join(
         labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
         Seq("doc_id"), "left_anti")

@@ -209,6 +209,43 @@ class MultimodalSpec extends SparkSpec {
     assert(h0.size >= 465, s"fixture must plant a clone flood, got ${h0.size}")
   }
 
+  test("hammingClusters ≡ clusters∘hammingPairs labels, plus null/singleton self-labels") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the planted-flip fixture again, plus a clone flood, an isolated hash
+    // (no neighbor within k), and an undecodable (null-fp) doc
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, rnd.nextLong()))
+    val planted = base.take(10).zipWithIndex.map { case ((id, h), i) =>
+      val flipped = (0 to i).foldLeft(h)((acc, b) => acc ^ (1L << ((i * 5 + b) % 64)))
+      (id + 1000L, flipped)
+    }
+    val clones = (0 until 30).map(i => (5000L + i, base.head._2))
+    val all = base ++ planted ++ clones
+    val k = 6
+    val df = all.map { case (id, h) => (id, Some(h)) }
+      .:+((9999L, Option.empty[Long]))
+      .toDF("doc_id", "phash")
+    // expected: union-find over brute-force pairs; untouched docs self-label
+    val parent = scala.collection.mutable.Map(all.map(t => t._1 -> t._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- all.indices; j <- (i + 1) until all.size
+      if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= k
+    } {
+      val (ra, rb) = (find(all(i)._1), find(all(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = all.map(t => t._1 -> find(t._1)).toMap + (9999L -> 9999L)
+    val got = Dedup.hammingClusters(df, "doc_id", "phash", maxHamming = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, "hammingClusters must match union-find over brute pairs")
+    // sanity: the fixture exercises all three shapes
+    assert(expect(5029L) == 0L, "clone flood folds into the base component")
+    assert(expect.values.toSet.size >= 10, "fixture must keep some singletons")
+  }
+
   test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
     val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, maxSide = 24)

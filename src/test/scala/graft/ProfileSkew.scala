@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch: planted-skew profiles for the round-6 hot paths —
+/** Scratch: planted-skew profiles for the round-6/7 hot paths —
   *  1. semantic dedup where ONE cell holds ~90% of all vectors (boilerplate
   *     embedding corpus): the within-cell prune must fall back to bounded
   *     LSH blocking, not wedge a reducer on width² cosines;
   *  2. despan where ONE 10-token span is duplicated across ~100k docs: the
-  *     flagged-window stages must scale with duplication found, not corpus.
+  *     flagged-window stages must scale with duplication found, not corpus;
+  *  3. hamming clone flood — 2M fingerprints over only 1k distinct values
+  *     (2k exact clones each, near-miss-linked in pairs of groups):
+  *     hammingClusters must run CC over the 1k reps and star-expand the 2M
+  *     members, never touch the ~1000·C(2000,2) ≈ 2×10⁹-row pair set the
+  *     pair path owes its callers.
   * sbt "Test/runMain graft.ProfileSkew [nVec] [nDoc]"
   */
 object ProfileSkew {
@@ -74,6 +79,32 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     docs.unpersist()
+
+    // --- 3. hamming clone flood -----------------------------------------
+    // 1000 distinct fingerprints, nDoc/1000 exact clones each; odd groups
+    // sit one bit-flip from the preceding even group, so components = 500
+    // merged group pairs. The pair path would owe 1000·C(2000,2) ≈ 2e9 rows.
+    val nGroups = 1000
+    val fpOfGroup = xxhash64(col("g").cast("string"))
+    val flood = spark.range(nDoc).select(col("id").as("doc_id"),
+      (col("id") % nGroups).as("g"))
+      .select(col("doc_id"),
+        when(col("g") % 2 === 0, fpOfGroup)
+          .otherwise(
+            xxhash64((col("g") - 1).cast("string"))
+              .bitwiseXOR(expr("shiftleft(1L, cast(g % 60 as int))")))
+          .as("fp"))
+      .repartition(32).cache()
+    println(s"[prof] flood docs: ${flood.count()} over $nGroups distinct fps")
+    for (i <- 1 to 2)
+      time(s"hammingClusters clone-flood #$i") {
+        val labels = graft.operators.Dedup.hammingClusters(
+          flood, "doc_id", "fp", maxHamming = 8, maxBucket = Int.MaxValue)
+        val nClusters = labels.select("cluster_id").distinct().count()
+        require(nClusters == nGroups / 2, s"expected ${nGroups / 2} merged components, got $nClusters")
+        graft.operators.Caches.release(spark)
+      }
+    flood.unpersist()
     spark.stop()
   }
 }
