@@ -109,11 +109,16 @@ object Dedup {
     * deterministic, independent, and (unlike an a*h+b congruential scheme)
     * overflow-free under ANSI arithmetic.
     *
-    * Plan shape (the 100 TB story): signatures and band keys are pure narrow
-    * projections over the per-doc shingle arrays; the band-bucket self-join is
-    * the single shuffle; exact verification touches only candidate pairs via
-    * `array_intersect` on the two docs' shingle arrays — the full shingle
-    * stream is never exploded into rows and no O(n²) stage exists.
+    * Plan shape (the 100 TB story): the pipeline runs over ONE representative
+    * per distinct shingle SET (exact-duplicate collapse — identical sets are
+    * jaccard-1 dups, and boilerplate clone floods flow through banding as a
+    * single doc, with identical-set pairs emitted at recall 1 regardless of
+    * maxBucket); signatures and band keys are pure narrow projections over
+    * the per-rep shingle arrays; the band-bucket self-join is the single
+    * data-sized shuffle; exact verification touches only candidate rep pairs
+    * via `array_intersect`, and member re-expansion is proportional to the
+    * emitted pair set — the full shingle stream is never exploded into rows
+    * and no O(n²) stage exists.
     *
     * Cache lifecycle: the returned frame's plan references `.cache()`d
     * shingle/signature intermediates that this (lazy) operator cannot
@@ -128,7 +133,24 @@ object Dedup {
     require(maxBucket > 1, "maxBucket must be > 1")
     val r = numPerm / bands
 
-    val cached = shingleArrays(docs, idCol, textCol, n).cache()
+    // EXACT-DUPLICATE COLLAPSE (the hammingPairs/fuzzy-join convention):
+    // Jaccard depends only on the shingle SET, so docs whose sets are
+    // identical are jaccard-1 duplicates of each other and of everything
+    // their set matches. Key each doc by a hash of its sorted set, run the
+    // whole LSH pipeline over ONE minimum-id representative per distinct
+    // set, and re-expand afterwards: a boilerplate clone flood of g copies
+    // flows through signatures/banding/verify as one doc instead of pushing
+    // ~bands·g·maxBucket candidate pairs through the salted buckets, and
+    // identical-set pairs are emitted at recall 1 REGARDLESS of maxBucket
+    // (the salt split can no longer scatter them).
+    val withFp = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shs"),
+        xxhash64(array_sort(col("shs"))).as("fp"))
+      .cache()
+    val cached = withFp
+      .groupBy("fp")
+      .agg(min("doc_id").as("doc_id"), min_by(col("shs"), col("doc_id")).as("shs"))
+      .cache()
 
     // narrow: numPerm signature mins per doc, straight from the array.
     // Cached because three consumers read it (the hot-bucket width aggregate
@@ -178,7 +200,7 @@ object Dedup {
       .distinct()
 
     // exact verify on candidates only: set algebra on the two shingle arrays
-    cand
+    val repPairs = cand
       .join(cached.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(cached.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
@@ -187,6 +209,23 @@ object Dedup {
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+    // re-expand rep pairs to member pairs (∝ output): distinct sets never
+    // reach jaccard 1, so cross pairs and the identical-set within pairs
+    // (jaccard exactly 1, always ≥ threshold) are disjoint by construction
+    val repFp = cached.select(col("doc_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(withFp.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(withFp.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    val within = withFp.as("x").join(withFp.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Persisted LSH near-dup state for [[nearIncremental]]: one row per
@@ -265,24 +304,27 @@ object Dedup {
       n, numPerm, bands, threshold)
   }
 
-  /** SimHash near-dup: 64-bit fingerprints from token-level xxhash64, candidate
-    * pairs blocked on 16-bit fingerprint chunks (pigeonhole: hamming ≤ 3 ⇒ at least
-    * one of 4 chunks equal), final filter hamming ≤ maxHamming.
+  /** SimHash near-dup: 64-bit fingerprints from token-level xxhash64, then
+    * [[hammingPairs]] over them (pigeonhole banding into maxHamming+1
+    * chunks, exact-duplicate collapse first, bit_count verify).
     * Output: (doc_a, doc_b, hamming).
     *
     * `portableHash = true` derives a 60-bit token hash from md5 hex instead of
     * xxhash64 (same plan, slower hash), so an external SQL engine can
     * recompute the fingerprints — and therefore the pair set — verbatim. The
-    * pigeonhole argument is unaffected (the top chunk just carries 12 live
-    * bits).
+    * pigeonhole argument is unaffected (the top chunk just carries the
+    * remaining live bits).
     *
     * `maxBucket` bounds reducer work at the price of RECALL inside hot
-    * buckets: a chunk bucket wider than maxBucket is salted into nsplit
-    * groups, and a pair whose ONLY shared chunk lands there is missed with
-    * probability ~1-1/nsplit. The default (256) is the scale-safe setting;
-    * pass `maxBucket >= corpus size` to restore the pigeonhole-complete
-    * "blocked pairs == all pairs at hamming <= 3" contract (what an external
-    * oracle recomputing fingerprints will reproduce verbatim).
+    * buckets of DISTINCT near-miss fingerprints (identical-fingerprint
+    * clones collapse before banding and pair at recall 1 regardless — see
+    * [[hammingPairs]]): a chunk bucket wider than maxBucket is salted into
+    * nsplit groups, and a pair whose ONLY shared chunk lands there is missed
+    * with probability ~1-1/nsplit. The default (256) is the scale-safe
+    * setting; pass `maxBucket >= corpus size` to restore the
+    * pigeonhole-complete "blocked pairs == all pairs at hamming <=
+    * maxHamming" contract (what an external oracle recomputing fingerprints
+    * will reproduce verbatim).
     */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, portableHash: Boolean = false,
@@ -306,50 +348,15 @@ object Dedup {
     val fpExpr = (0 until nBits).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-    // cached: three consumers (the hot-bucket width aggregate and both sides
-    // of the salted self-join — exchange reuse covers the join sides but not
-    // the aggregate), and recomputing fps means re-running the token explode
-    // + 64-column fingerprint aggregate, the pipeline's dominant cost. Same
-    // rationale as the sig cache in minHashLshPairs above.
+    // the banding/salting/verify machinery is [[hammingPairs]] verbatim
+    // (maxHamming+1 bands ≡ the historical fixed 4×16 chunks at the default
+    // maxHamming=3), so delegate — which also buys the exact-duplicate
+    // collapse: identical texts produce identical fingerprints, and a clone
+    // flood flows through banding as ONE distinct fp with recall-1 pair
+    // emission regardless of maxBucket
     val fps = tokens.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fpExpr.as("fp"))
-      .cache()
-
-    // block on 16-bit chunks; any chunk equal ⇒ candidate
-    val chunks = (0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL)).as("ch"))
-    }
-    val blocked = fps
-      .select(col("doc_id"), col("fp"), explode(array(chunks: _*)).as("b"))
-      .select(col("doc_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
-
-    // Hot-bucket cap (same pattern as minHashLshPairs above): a 16-bit chunk
-    // value shared by m docs — boilerplate corpora make m huge — would put m²
-    // candidate pairs in ONE reducer. Chunk buckets wider than maxBucket split
-    // into ceil(m/maxBucket) salt groups keyed by xxhash64 of the full bucket
-    // key — (chunk position, chunk value, doc_id) — so salt assignments are
-    // independent across buckets, not just across chunk positions. A near-dup
-    // pair (which shares ≥ 1 chunk by pigeonhole, usually several) still
-    // collides in some chunk with prob 1-(1-1/nsplit)^k — the recall loss
-    // documented in the scaladoc, confined to pathological buckets. The width
-    // count is a map-side-combined aggregate and the hot list holds only
-    // skewed keys, hence broadcastable.
-    val hot = blocked.groupBy("chunk", "ch").count()
-      .filter(col("count") > maxBucket)
-      .select(col("chunk"), col("ch"),
-        ceil(col("count") / maxBucket).cast("int").as("nsplit"))
-    val salted = blocked.join(broadcast(hot), Seq("chunk", "ch"), "left")
-      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
-        pmod(xxhash64(col("chunk"), col("ch"), col("doc_id")), col("nsplit"))
-          .cast("int")))
-      .select("doc_id", "fp", "chunk", "ch", "salt")
-    salted.as("x").join(salted.as("y"), Seq("chunk", "ch", "salt"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    hammingPairs(fps, "doc_id", "fp", maxHamming, maxBucket)
   }
 
   /** Generic HAMMING near-dup pairs over precomputed 64-bit fingerprints —

@@ -90,25 +90,28 @@ class DedupSpec extends SparkSpec {
     assert(sketches.filter(col("doc_id") === 6 && size(col("sketch")) > 0).count() == 1)
   }
 
-  test("hot-bucket cap bounds candidates on a boilerplate corpus, leaves the fixture unchanged") {
+  test("boilerplate clone flood collapses before banding: full within-pair recall under any cap") {
     import spark.implicits._
-    // 1000 identical docs: every band bucket holds all 1000, so the uncapped
-    // join would make bands * C(1000,2) = 4M candidates in single reducers
+    // 1000 identical docs: pre-collapse, every band bucket held all 1000 and
+    // the salt split dropped jaccard-1 pairs probabilistically. Post-collapse
+    // they flow through signatures/banding as ONE rep, and the identical-set
+    // re-expansion owes the ENTIRE C(1000,2) pair set at recall 1 — the pair
+    // contract — even under a tiny maxBucket (which now caps only buckets of
+    // DISTINCT near-miss shingle sets).
     val boiler = (0 until 1000).map(i =>
       (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
       .toDF("doc_id", "text")
     val capped = Dedup.minHashLshPairs(boiler, "doc_id", "text",
-      n = 3, threshold = 0.8, maxBucket = 32)
+      n = 3, threshold = 0.8, maxBucket = 32).cache()
     val nPairs = capped.count()
-    // per band: ~32 salt groups of ~32 docs -> <= 32*C(32,2) candidates;
-    // across 8 bands (union, dedup) the pair count must stay far below C(1000,2)
-    assert(nPairs > 0, "cap must not kill recall entirely")
-    assert(nPairs < 250000, s"cap failed to bound candidates: $nPairs pairs")
-    // transitivity heals the dropped pairs: all 1000 docs end in ONE cluster
+    assert(nPairs == 999L * 1000L / 2, s"expected all clone pairs, got $nPairs")
+    assert(capped.filter(col("jaccard") =!= 1.0).isEmpty,
+      "identical sets must pair at jaccard exactly 1")
+    // and the composed clustering still yields ONE component
     val cl = Dedup.clusters(capped)
     assert(cl.count() == 1000, "every doc must be clustered")
     assert(cl.select("cluster_id").distinct().count() == 1,
-      "identical docs must reconnect into a single component via transitivity")
+      "identical docs must form a single component")
     // fixture has no bucket wider than the default cap: pairs must be identical
     val d = docs
     def pairs(cap: Int) = Dedup.minHashLshPairs(d, "doc_id", "text",
