@@ -129,6 +129,61 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, maxBucket: Int = 256): DataFrame = {
+    val (withFp, reps, repPairs) =
+      minHashCore(docs, idCol, textCol, n, numPerm, bands, threshold, maxBucket)
+    // re-expand rep pairs to member pairs (∝ output): distinct sets never
+    // reach jaccard 1, so cross pairs and the identical-set within pairs
+    // (jaccard exactly 1, always ≥ threshold) are disjoint by construction
+    val repFp = reps.select(col("doc_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(withFp.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(withFp.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
+    val within = withFp.as("x").join(withFp.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** MinHash near-dup CLUSTERING without materializing the pair set —
+    * (doc_id, cluster_id) for EVERY doc with ≥ 1 shingle, cluster_id =
+    * smallest doc_id transitively reachable through jaccard ≥ threshold.
+    * Singletons self-label, so "keep one per near-dup group" is
+    * `filter(doc_id === cluster_id)`.
+    *
+    * The [[hammingClusters]] argument applied to the LSH path: the pair
+    * surface owes C(g,2) rows per g-clone boilerplate group, but connected
+    * components only need a spanning structure, so CC runs over the
+    * DISTINCT shingle sets (near-dup rep edges only) and members join their
+    * set's label through one fp equality join. Labels are identical to
+    * clusters∘minHashLshPairs because each set group is a jaccard-1 clique
+    * containing its own minimum id as rep.
+    */
+  def minHashClusters(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numPerm: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, maxBucket: Int = 256,
+      maxIter: Int = 20): DataFrame = {
+    val (withFp, reps, repPairs) =
+      minHashCore(docs, idCol, textCol, n, numPerm, bands, threshold, maxBucket)
+    expandRepClusters(withFp.select("doc_id", "fp"),
+      reps.select(col("fp"), col("doc_id").as("rep_id")),
+      repPairs.select("doc_a", "doc_b"), maxIter)
+  }
+
+  /** Shared LSH core: (withFp, reps, repPairs) with withFp = (doc_id, shs,
+    * fp) for every doc with ≥ 1 shingle, fp = hash of the SORTED shingle set
+    * (CACHED — Caches contract, caller releases), reps = one minimum-id
+    * representative per distinct set carrying its shingle array (cached,
+    * same contract), and repPairs = (doc_a, doc_b, jaccard) over rep ids,
+    * verified exact, round(jaccard, 4).
+    */
+  private def minHashCore(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numPerm: Int, bands: Int, threshold: Double,
+      maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
     require(numPerm % bands == 0, "numPerm must be divisible by bands")
     require(maxBucket > 1, "maxBucket must be > 1")
     val r = numPerm / bands
@@ -209,23 +264,7 @@ object Dedup {
       .withColumn("jaccard", col("i") / (col("na") + col("nb") - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-
-    // re-expand rep pairs to member pairs (∝ output): distinct sets never
-    // reach jaccard 1, so cross pairs and the identical-set within pairs
-    // (jaccard exactly 1, always ≥ threshold) are disjoint by construction
-    val repFp = cached.select(col("doc_id"), col("fp"))
-    val cross = repPairs
-      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-      .join(withFp.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
-      .join(withFp.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
-      .select(least(col("ida"), col("idb")).as("doc_a"),
-        greatest(col("ida"), col("idb")).as("doc_b"), col("jaccard"))
-    val within = withFp.as("x").join(withFp.as("y"), Seq("fp"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    (withFp, cached, repPairs)
   }
 
   /** Persisted LSH near-dup state for [[nearIncremental]]: one row per
@@ -474,17 +513,29 @@ object Dedup {
   def hammingClusters(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int, maxBucket: Int = 256, maxIter: Int = 20): DataFrame = {
     val (fps, reps, repPairs) = hammingCore(hashes, idCol, hashCol, maxHamming, maxBucket)
-    val repLabels = clusters(
+    expandRepClusters(fps, reps.select(col("fp"), col("rep_id")),
       repPairs.select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b")), maxIter)
-    val labeled = fps.filter(col("fp").isNotNull)
+  }
+
+  /** Shared star-expansion tail for the rep-clustering family
+    * ([[hammingClusters]], [[minHashClusters]]): CC over the rep-id pair
+    * graph, then every member (doc_id, fp) takes its fingerprint's label
+    * through one equality join. Reps without any pair — and null-fingerprint
+    * members, which cannot be compared at all — label themselves, so the
+    * output covers every input doc.
+    */
+  private def expandRepClusters(members: DataFrame, reps: DataFrame,
+      repPairs: DataFrame, maxIter: Int): DataFrame = {
+    val repLabels = clusters(repPairs, maxIter)
+    val labeled = members.filter(col("fp").isNotNull)
       .join(reps, "fp")
       .join(repLabels.select(col("doc_id").as("rep_id"), col("cluster_id")),
         Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
-    val undecodable = fps.filter(col("fp").isNull)
+    val selfLabeled = members.filter(col("fp").isNull)
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    labeled.unionByName(undecodable)
+    labeled.unionByName(selfLabeled)
   }
 
   /** Connected components over near-dup pairs → (doc_id, cluster_id) with

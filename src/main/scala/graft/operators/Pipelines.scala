@@ -89,8 +89,12 @@ object Pipelines {
   def dedupNear(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val members = Dedup.clusters(
-      Dedup.minHashLshPairs(docs, idCol, textCol, n, numPerm, bands, threshold))
+    // minHashClusters, not clusters∘minHashLshPairs: CC over distinct
+    // shingle sets — a g-clone boilerplate group costs g star rows through
+    // the label join, never the C(g,2) pair rows the pair surface owes
+    // (see its scaladoc; labels are provably identical)
+    val members = Dedup.minHashClusters(docs, idCol, textCol, n, numPerm,
+      bands, threshold)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.select(Keys.id(docs, idCol).as("doc_id"))
@@ -119,8 +123,15 @@ object Pipelines {
   def selectCanonical(docs: DataFrame, idCol: String, textCol: String,
       scoreCol: String, n: Int = 3, numPerm: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val labeled = Dedup.clusters(
-      Dedup.minHashLshPairs(docs, idCol, textCol, n, numPerm, bands, threshold))
+    // minHashClusters labels EVERY doc (singletons self-label); restrict to
+    // multi-doc clusters so the argmax window still shuffles only the
+    // clustered subset (∝ duplication found) — the semi-join keys are
+    // narrow cluster ids, themselves ∝ duplication
+    val labels = Dedup.minHashClusters(docs, idCol, textCol, n, numPerm,
+      bands, threshold)
+    val multi = labels.filter(col("doc_id") =!= col("cluster_id"))
+      .select("cluster_id").distinct()
+    val labeled = labels.join(multi, Seq("cluster_id"), "left_semi")
     val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
       col(scoreCol).cast("double").as("score"))
     val canon = base.join(labeled, Seq("doc_id"))

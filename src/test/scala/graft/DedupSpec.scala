@@ -112,12 +112,35 @@ class DedupSpec extends SparkSpec {
     assert(cl.count() == 1000, "every doc must be clustered")
     assert(cl.select("cluster_id").distinct().count() == 1,
       "identical docs must form a single component")
+    // the clique-free clustering path reaches the same single component
+    // WITHOUT materializing the 499,500-pair stream
+    val hc = Dedup.minHashClusters(boiler, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = 32)
+    assert(hc.count() == 1000 && hc.filter(col("cluster_id") =!= 0L).isEmpty,
+      "minHashClusters must fold the flood into cluster 0")
     // fixture has no bucket wider than the default cap: pairs must be identical
     val d = docs
     def pairs(cap: Int) = Dedup.minHashLshPairs(d, "doc_id", "text",
       n = 3, threshold = 0.8, maxBucket = cap)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs(256) == pairs(Int.MaxValue), "cap changed pairs on an unskewed corpus")
+  }
+
+  test("minHashClusters ≡ clusters∘minHashLshPairs labels, plus singleton self-labels") {
+    val d = docs
+    val viaPairs = Dedup.clusters(
+      Dedup.minHashLshPairs(d, "doc_id", "text", n = 3, threshold = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Dedup.minHashClusters(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pair-path labels must agree exactly on the clustered docs...
+    viaPairs.foreach { case (id, label) =>
+      assert(direct.get(id).contains(label), s"label mismatch for $id")
+    }
+    // ...and the direct path additionally self-labels every unpaired doc
+    val unpaired = direct.keySet -- viaPairs.keySet
+    assert(unpaired.nonEmpty, "fixture must contain singleton docs")
+    unpaired.foreach(id => assert(direct(id) == id, s"singleton $id must self-label"))
   }
 
   test("string doc ids flow through dedup operators (no silent long coercion)") {

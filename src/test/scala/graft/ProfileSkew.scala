@@ -105,6 +105,25 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     flood.unpersist()
+
+    // --- 4. minhash boilerplate flood -----------------------------------
+    // nDoc/10 IDENTICAL texts: pre-collapse this was the hot-bucket salting
+    // stress; post-collapse the whole corpus is ONE distinct shingle set, so
+    // dedupNear (via minHashClusters) must cost one rep through LSH + one
+    // star join — and keep exactly one survivor.
+    val nBoiler = nDoc / 10
+    val boiler = spark.range(nBoiler).select(col("id").as("doc_id"),
+      lit("the quick brown fox jumps over the lazy dog again and again and again").as("text"))
+      .repartition(32).cache()
+    println(s"[prof] boilerplate docs: ${boiler.count()} (all identical)")
+    for (i <- 1 to 2)
+      time(s"dedupNear boilerplate flood #$i") {
+        val survivors = graft.operators.Pipelines.dedupNear(
+          boiler, "doc_id", "text").count()
+        require(survivors == 1, s"expected 1 survivor, got $survivors")
+        graft.operators.Caches.release(spark)
+      }
+    boiler.unpersist()
     spark.stop()
   }
 }
