@@ -58,6 +58,13 @@ object ExtensionQueries {
       Dedup.clusters(Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.8))),
 
+    // the clique-free clustering surface directly: CC over distinct shingle
+    // sets + star expansion; labels EVERY doc with >= 1 shingle (singletons
+    // self-label), unlike q_dedup_clusters' pairs-only cover
+    "q_dedup_clusters_all" -> ((s, d) =>
+      Dedup.minHashClusters(t(s, d, "documents"), "doc_id", "text",
+        n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
+
     // best-copy-per-cluster dedup: highest n_chars wins its near-dup cluster,
     // unclustered docs are their own singleton cluster
     "q_dedup_canonical" -> ((s, d) =>
@@ -1085,6 +1092,37 @@ object ExtensionQueries {
         |  UNION
         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d)
         |SELECT d AS doc_id, min(lab)::BIGINT AS cluster_id FROM reach GROUP BY d""".stripMargin),
+
+    // q_dedup_clusters' CC labels extended to a TOTAL cover of every doc
+    // with >= 1 shingle: unpaired docs self-label
+    "q_dedup_clusters_all" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.d),
+        |lab AS (SELECT d AS doc_id, min(lab)::BIGINT AS cluster_id
+        |        FROM reach GROUP BY d)
+        |SELECT s.doc_id, coalesce(l.cluster_id, s.doc_id)::BIGINT AS cluster_id
+        |FROM (SELECT DISTINCT doc_id FROM sh) s
+        |LEFT JOIN lab l USING (doc_id)""".stripMargin),
 
     // same CC label set as q_dedup_clusters, then per-cluster argmax on
     // n_chars (NULLS LAST to match Spark's desc_nulls_last), doc_id tiebreak;
