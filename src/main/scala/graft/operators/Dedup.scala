@@ -455,19 +455,11 @@ object Dedup {
       maxHamming: Int, maxBucket: Int): (DataFrame, DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
     require(maxBucket > 1, "maxBucket must be > 1")
-    val bands = maxHamming + 1
-    val width = 64 / bands
     val fps = hashes.select(Keys.id(hashes, idCol).as("doc_id"),
       col(hashCol).cast("long").as("fp"))
       .cache()
     val reps = fps.groupBy("fp").agg(min("doc_id").as("rep_id")).cache()
-    val chunks = (0 until bands).map { c =>
-      val lo = c * width
-      val w = if (c == bands - 1) 64 - lo else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ch"))
-    }
+    val chunks = chunkStructs(maxHamming)
     val blocked = reps
       .select(col("rep_id"), col("fp"), explode(array(chunks: _*)).as("b"))
       .select(col("rep_id"), col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
@@ -488,6 +480,94 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
     (fps, reps, repPairs)
+  }
+
+  /** The pigeonhole band key structs for a 64-bit fingerprint at `maxHamming`:
+    * maxHamming+1 chunks of 64/(maxHamming+1) bits (the last chunk absorbs
+    * the remainder) — a pair within maxHamming must agree exactly on ≥ 1
+    * chunk, so chunk-equality blocking has recall 1 by construction.
+    */
+  private def chunkStructs(maxHamming: Int): Seq[Column] = {
+    val bands = maxHamming + 1
+    val width = 64 / bands
+    (0 until bands).map { c =>
+      val lo = c * width
+      val w = if (c == bands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(lit(mask)).as("ch"))
+    }
+  }
+
+  /** Persisted hamming near-dup state for [[hammingIncremental]] — the
+    * fingerprint analogue of [[minHashState]]: pigeonhole band rows
+    * (chunk, ch, fp) over the DISTINCT non-null fingerprints of `hashes`.
+    * Membership ("is any seen fingerprint within maxHamming of this one?")
+    * is all the incremental check needs, so unlike minHashState the state
+    * carries no doc ids and no per-doc payload: its size is
+    * (maxHamming+1) × |distinct fingerprints| narrow rows no matter how many
+    * clones the history holds — a million copies of one image contribute
+    * exactly maxHamming+1 rows. Ingestion runs append
+    * `hammingState(newBatch)` after each batch; appends may re-emit an
+    * already-seen fingerprint's rows, which leaves membership unchanged (a
+    * periodic `distinct()` compaction reclaims the space).
+    */
+  def hammingState(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    hashes.select(col(hashCol).cast("long").as("fp"))
+      .filter(col("fp").isNotNull)
+      .distinct()
+      .select(col("fp"), explode(array(chunkStructs(maxHamming): _*)).as("b"))
+      .select(col("b.chunk").as("chunk"), col("b.ch").as("ch"), col("fp"))
+  }
+
+  /** Incremental hamming dedup — the continuously-ingesting form of the
+    * [[hammingClusters]] keep-one prune, completing the incremental column
+    * of the dedup grid for fingerprint modalities (images via
+    * [[graft.sources.Multimodal.imageHash]], audio via `audioHash`, SimHash
+    * text): keep rows of `newHashes` whose fingerprint (1) is not within
+    * `maxHamming` of any fingerprint in `state` (a [[hammingState]] table
+    * persisted from previous runs) and (2) survives the within-batch
+    * keep-smallest-id-per-cluster cut. Returns surviving doc_ids; callers
+    * append `hammingState(newHashes)` afterwards. Null fingerprints
+    * (undecodable payloads) cannot be compared, so they survive both checks
+    * — the [[hammingClusters]] convention.
+    *
+    * Unlike the minhash form, BOTH stages here are structurally exact at
+    * `maxBucket = Int.MaxValue`: the history check is pigeonhole chunk
+    * blocking (recall 1) + a bit_count verify, so the whole incremental
+    * operator hash-matches a brute-force oracle. The [[nearIncremental]]
+    * direct-edge semantics note applies verbatim: history matching is by
+    * direct edge, batch clustering is transitive, and the two agree exactly
+    * on duplicate GROUPS (every pair of copies within range).
+    *
+    * Scale shape: the batch side collapses to DISTINCT fingerprints before
+    * the history join (a clone flood probes once), the state side is
+    * distinct-by-construction, and the join ships only (chunk, ch, fp)
+    * triples — the exactIncremental anti-join story with the pigeonhole
+    * chunk key in place of the md5. Candidate (fp, hfp) pairs dedup on the
+    * two 8-byte values before the single bit_count verify per pair.
+    */
+  def hammingIncremental(newHashes: DataFrame, idCol: String, hashCol: String,
+      state: DataFrame, maxHamming: Int, maxBucket: Int = 256): DataFrame = {
+    require(Seq("chunk", "ch", "fp").forall(state.columns.contains),
+      "state must be a hammingState table: (chunk, ch, fp)")
+    val fps = newHashes.select(Keys.id(newHashes, idCol).as("doc_id"),
+      col(hashCol).cast("long").as("fp"))
+    val repBands = fps.filter(col("fp").isNotNull).select("fp").distinct()
+      .select(col("fp"), explode(array(chunkStructs(maxHamming): _*)).as("b"))
+      .select(col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
+    val hits = repBands
+      .join(state.select(col("chunk"), col("ch"), col("fp").as("hfp")),
+        Seq("chunk", "ch"))
+      .select("fp", "hfp").distinct()
+      .filter(bit_count(col("fp").bitwiseXOR(col("hfp"))) <= maxHamming)
+      .select("fp").distinct()
+    val fresh = fps.join(hits, Seq("fp"), "left_anti")
+    hammingClusters(fresh, "doc_id", "fp", maxHamming, maxBucket)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id")
   }
 
   /** Hamming near-dup CLUSTERING without materializing the pair set —

@@ -374,6 +374,22 @@ object SurfaceQueries {
         labels.filter(col("doc_id") =!= col("cluster_id")).select("doc_id"),
         Seq("doc_id"), "left_anti")
         .select("doc_id")
+    }),
+
+    // ---- incremental IMAGE dedup, completing the (exact, near, semantic,
+    // image) × (batch, incremental) grid: images < 250 are the persisted
+    // hammingState history, images >= 250 are today's batch. Pigeonhole
+    // blocking is recall-1 at maxBucket=MaxValue, so unlike the minhash
+    // incremental form the WHOLE operator hash-matches a brute-force
+    // oracle ----
+    "q_image_dedup_incremental" -> ((s, d) => {
+      val hashes = graft.sources.Multimodal.imageHash(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+      graft.operators.Dedup.hammingIncremental(
+        hashes.filter(col("doc_id") >= 250), "doc_id", "phash",
+        graft.operators.Dedup.hammingState(
+          hashes.filter(col("doc_id") < 250), "doc_id", "phash", maxHamming = 8),
+        maxHamming = 8, maxBucket = Int.MaxValue)
     })
   )
 
@@ -524,6 +540,44 @@ object SurfaceQueries {
         |lab AS (SELECT dd AS doc_id, min(lab)::BIGINT AS cid FROM reach GROUP BY dd)
         |SELECT p.doc_id FROM p LEFT JOIN lab ON p.doc_id = lab.doc_id
         |WHERE lab.doc_id IS NULL OR lab.cid = p.doc_id""".stripMargin),
+
+    // incremental image dedup oracle: recomputed hashes → brute-force
+    // hamming pairs → batch docs with a DIRECT edge to history (< 250) drop,
+    // survivors get the within-batch recursive-CTE CC keep-min cut. History
+    // ids all precede batch ids, so a cross pair is always (doc_a=history,
+    // doc_b=batch) under the doc_a < doc_b convention.
+    "q_image_dedup_incremental" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |px AS (SELECT doc_id, (y.i*8)//h*8 + (x.i*8)//w AS c,
+        |         ((x.i*31 + y.i*17 + doc_id) & 16777215) AS v
+        |       FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |       WHERE x.i < w AND y.i < h),
+        |cell AS (SELECT doc_id, c,
+        |           sum((((v>>16)&255) + ((v>>8)&255) + (v&255))//3)//count(*) AS m
+        |         FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM cell GROUP BY 1),
+        |p AS (SELECT cell.doc_id,
+        |        sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |                 WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |      FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+        |hits AS (SELECT doc_b AS dd FROM pr WHERE doc_a < 250 AND doc_b >= 250),
+        |rem AS (SELECT doc_id FROM p WHERE doc_id >= 250
+        |        AND doc_id NOT IN (SELECT dd FROM hits)),
+        |redges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)
+        |  UNION SELECT doc_b, doc_a FROM pr
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)),
+        |reach(dd, lab) AS (
+        |  SELECT a, a FROM redges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN redges e ON e.a = r.dd),
+        |cc AS (SELECT dd, min(lab) AS cid FROM reach GROUP BY dd)
+        |SELECT doc_id FROM rem
+        |WHERE doc_id NOT IN (SELECT dd FROM cc WHERE dd <> cid)""".stripMargin),
 
     "q_map_funcs" ->
       ("SELECT p_partkey, " +

@@ -246,6 +246,52 @@ class MultimodalSpec extends SparkSpec {
     assert(expect.values.toSet.size >= 10, "fixture must keep some singletons")
   }
 
+  test("hammingIncremental: direct-edge history drop + within-batch keep-min ≡ brute force") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    val k = 4
+    val hist = (0L until 20L).map(i => (i, rnd.nextLong()))
+    // batch: 1-bit flips of a history hash (must drop), a fresh 3-clique
+    // (keep min id), fresh singletons (keep), an undecodable null fp (keep)
+    val histHit = (100L until 103L).map(i => (i, hist.head._2 ^ (1L << (i % 64).toInt)))
+    val freshBase = rnd.nextLong()
+    val clique = Seq((200L, freshBase), (201L, freshBase ^ 3L), (202L, freshBase ^ 1L))
+    val singles = (300L until 303L).map(i => (i, rnd.nextLong()))
+    val batch = histHit ++ clique ++ singles
+    val batchDf = batch.map { case (id, h) => (id, Some(h)) }
+      .:+((999L, Option.empty[Long])).toDF("doc_id", "phash")
+    val state = Dedup.hammingState(hist.toDF("doc_id", "phash"), "doc_id", "phash",
+      maxHamming = k)
+    // expected, brute-forced from the actual values: direct-edge history
+    // drop, then union-find keep-min over the remainder, nulls survive
+    val hitIds = batch.filter { case (_, h) =>
+      hist.exists(t => java.lang.Long.bitCount(t._2 ^ h) <= k) }.map(_._1).toSet
+    val rem = batch.filterNot(t => hitIds(t._1))
+    val parent = scala.collection.mutable.Map(rem.map(t => t._1 -> t._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- rem.indices; j <- (i + 1) until rem.size
+      if java.lang.Long.bitCount(rem(i)._2 ^ rem(j)._2) <= k
+    } {
+      val (ra, rb) = (find(rem(i)._1), find(rem(j)._1))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = rem.map(_._1).filter(id => find(id) == id).toSet + 999L
+    val got = Dedup.hammingIncremental(batchDf, "doc_id", "phash", state,
+      maxHamming = k).collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"got ${got.toSeq.sorted} expect ${expect.toSeq.sorted}")
+    // fixture sanity: all three shapes actually exercised
+    assert(histHit.map(_._1).forall(hitIds), "flips must land within k of history")
+    assert(expect.contains(200L) && !expect.contains(201L) && !expect.contains(202L),
+      "clique must keep exactly its min id")
+    // state is distinct-by-construction: a clone flood of one fingerprint
+    // contributes exactly maxHamming+1 band rows, never per-doc rows
+    val flood = (0 until 100).map(i => (1000L + i, 42L)).toDF("doc_id", "phash")
+    assert(Dedup.hammingState(flood, "doc_id", "phash", k).count() == k + 1L)
+  }
+
   test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
     val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, maxSide = 24)

@@ -152,6 +152,51 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(1L, 2L, 3L, 5L, 8L))
   }
 
+  test("streaming image dedup: foreachBatch vs persisted hamming state == batch hammingClusters") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // fingerprint dup groups are cliques (identical or 1-bit-flip copies of
+    // one image), where direct-edge history matching and batch CC clustering
+    // agree exactly — the hammingIncremental scaladoc equivalence
+    val k = 2
+    val hA = 0x0123456789abcdefL; val hB = 0x76543210fedcba98L
+    val u2 = 0x00ff00ff00ff00ffL; val u5 = 0x0f0f0f0f0f0f0f0fL
+    val u8 = 0x3333cccc3333ccccL
+    val batches = Seq(
+      Seq((1L, hA), (2L, u2), (3L, hB)),
+      Seq((4L, hA ^ 1L), (5L, u5)),                 // 4 is 1 bit off history doc 1
+      Seq((6L, hB), (7L, hA), (8L, u8)))            // 6, 7 dup history docs 3, 1
+
+    val input = MemoryStream[(Long, Long)]
+    var state = graft.operators.Dedup.hammingState(
+      Seq.empty[(Long, Long)].toDF("doc_id", "phash"), "doc_id", "phash", k)
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "phash").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = graft.operators.Dedup.hammingIncremental(
+          batch, "doc_id", "phash", state, k)
+        kept ++= survivors.collect().map(_.getLong(0))
+        state = state.unionByName(
+          graft.operators.Dedup.hammingState(batch, "doc_id", "phash", k))
+          .localCheckpoint() // state table stays a plan LEAF across batches
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batchResult = graft.operators.Dedup.hammingClusters(
+      batches.flatten.toDF("doc_id", "phash"), "doc_id", "phash", k)
+      .filter(col("doc_id") === col("cluster_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == kept.toSet.size, "a doc must be emitted at most once")
+    assert(kept.toSet == batchResult,
+      s"stream ${kept.sorted} != batch ${batchResult.toSeq.sorted}")
+    assert(kept.toSet == Set(1L, 2L, 3L, 5L, 8L))
+  }
+
   test("streaming semantic dedup: foreachBatch vs persisted cell state == batch semanticDedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
