@@ -547,20 +547,68 @@ object Dedup {
     * distinct-by-construction, and the join ships only (chunk, ch, fp)
     * triples — the exactIncremental anti-join story with the pigeonhole
     * chunk key in place of the md5. Candidate (fp, hfp) pairs dedup on the
-    * two 8-byte values before the single bit_count verify per pair.
+    * two 8-byte values before the single bit_count verify per pair. Hot
+    * history buckets (> maxBucket rows on one (chunk, ch) key) are
+    * salt-split with the probe exploded over every salt, so the check stays
+    * exact while no reducer owns a whole hot bucket. The state's band
+    * layout is validated against `maxHamming` up front (one bounded
+    * aggregate) — a mismatched layout would otherwise silently miss
+    * history duplicates.
     */
   def hammingIncremental(newHashes: DataFrame, idCol: String, hashCol: String,
       state: DataFrame, maxHamming: Int, maxBucket: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "need 0 <= maxHamming < 64")
+    require(maxBucket > 1, "maxBucket must be > 1")
     require(Seq("chunk", "ch", "fp").forall(state.columns.contains),
       "state must be a hammingState table: (chunk, ch, fp)")
+    // Band-layout guard: a state built with a DIFFERENT maxHamming has a
+    // different chunk width, so the (chunk, ch) join would silently miss
+    // history duplicates instead of erroring. The state's max chunk id IS its
+    // layout (bands - 1); one column-pruned aggregate over the narrow state
+    // pins it — served from parquet footer stats when the state is a parquet
+    // table with aggregate pushdown on. Empty state (first batch) has no
+    // layout to disagree with.
+    val layoutRow = state.agg(max(col("chunk"))).head()
+    if (!layoutRow.isNullAt(0)) {
+      val stateBands = layoutRow.getInt(0) + 1
+      require(stateBands == maxHamming + 1,
+        s"state band layout mismatch: state has $stateBands chunks (built at " +
+          s"maxHamming=${stateBands - 1}), probe uses maxHamming=$maxHamming — " +
+          "state and probe maxHamming must match")
+    }
+    // cached (caller releases per the Caches contract): fps feeds the probe
+    // bands, the anti-join left side, AND hammingClusters' internal scan — a
+    // decode-kernel input (imageHash) would otherwise re-decode the batch
+    // three times, the exact cost hammingCore's own cache avoids
     val fps = newHashes.select(Keys.id(newHashes, idCol).as("doc_id"),
       col(hashCol).cast("long").as("fp"))
+      .cache()
     val repBands = fps.filter(col("fp").isNotNull).select("fp").distinct()
       .select(col("fp"), explode(array(chunkStructs(maxHamming): _*)).as("b"))
       .select(col("fp"), col("b.chunk").as("chunk"), col("b.ch").as("ch"))
-    val hits = repBands
-      .join(state.select(col("chunk"), col("ch"), col("fp").as("hfp")),
-        Seq("chunk", "ch"))
+    // History-join skew: at maxHamming=8 the chunk key space is only ~1280
+    // distinct values, so a large state concentrates (chunk, ch) buckets into
+    // a few reducers and candidate volume grows with bucket size. Split hot
+    // STATE buckets (> maxBucket rows) across ceil(count/maxBucket) salts and
+    // EXPLODE the probe row over every salt of its bucket — unlike
+    // hammingCore's both-sides salting this loses nothing (every state row
+    // still meets every probe row of its bucket), so the check stays exact at
+    // every maxBucket; the replication cost lands on the small batch side.
+    val stateB = state.select(col("chunk"), col("ch"), col("fp").as("hfp"))
+    val hot = stateB.groupBy("chunk", "ch").count()
+      .filter(col("count") > maxBucket)
+      .select(col("chunk"), col("ch"),
+        ceil(col("count") / maxBucket).cast("int").as("nsplit"))
+    val saltedState = stateB.join(broadcast(hot), Seq("chunk", "ch"), "left")
+      .withColumn("salt", when(col("nsplit").isNull, lit(0)).otherwise(
+        pmod(xxhash64(col("hfp")), col("nsplit")).cast("int")))
+      .select("chunk", "ch", "salt", "hfp")
+    val saltedProbe = repBands.join(broadcast(hot), Seq("chunk", "ch"), "left")
+      .select(col("fp"), col("chunk"), col("ch"),
+        explode(when(col("nsplit").isNull, array(lit(0)))
+          .otherwise(sequence(lit(0), col("nsplit") - 1))).as("salt"))
+    val hits = saltedProbe
+      .join(saltedState, Seq("chunk", "ch", "salt"))
       .select("fp", "hfp").distinct()
       .filter(bit_count(col("fp").bitwiseXOR(col("hfp"))) <= maxHamming)
       .select("fp").distinct()

@@ -625,6 +625,30 @@ object Pipelines {
       .select("doc_id", "domain", "score")
   }
 
+  /** Per-domain TOKEN-BUDGET sampling: keep each domain's md5-ordered prefix of
+    * documents until the domain's token budget is spent (the straddling doc is
+    * kept — same exclusive-prefix convention as [[packSequences]]). `start_tok`
+    * is the exclusive running token sum before the doc in md5 order, so the
+    * kept-set is a deterministic, engine-portable function of (corpus, budgets).
+    *
+    * Scale shape — TWO-LEVEL SALTED PREFIX SUM. A naive
+    * `Window.partitionBy(domain)` routes a whole domain through ONE reducer; a
+    * 100 TB corpus that is 90% one domain straggles there. Instead the prefix
+    * sum is computed in two levels, exploiting that the md5 sort key's own
+    * leading hex pair partitions the order into 256 RANGE-CONTIGUOUS buckets
+    * (sorting by (salt, md5) ≡ sorting by md5, because salt is a prefix of md5):
+    *   1. partial exclusive prefix within (domain, salt) — 256-way parallel per
+    *      domain, each window sees ~1/256 of the domain;
+    *   2. per-(domain, salt) token totals → exclusive prefix over salt buckets
+    *      (a ≤ |domains|·256-row aggregate) broadcast back as bucket offsets.
+    * `start_tok = bucket_offset + partial` is EXACTLY the single-reducer value:
+    * integer sums are order-insensitive within a bucket and the buckets tile the
+    * md5 order. ProfileSkew's 90%-one-domain corpus pins the no-straggler claim.
+    *
+    * The narrow (doc_id, domain, n_tokens) projection is cached (caller releases
+    * per the [[Caches]] contract) because both levels consume it — without the
+    * cache the text tokenization pass would run twice.
+    */
   def tokenBudgetSample(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue): DataFrame = {
@@ -633,17 +657,27 @@ object Pipelines {
       Keys.id(docs, idCol).as("doc_id"),
       col(domainCol).as("domain"),
       nTok.cast("long").as("n_tokens"))
-    // exclusive running sum in md5 order = tokens taken before this doc;
-    // same exclusive-prefix arithmetic as packSequences, so the straddle
-    // convention is shared across the packing/budget pair
-    val w = Window.partitionBy("domain")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", substring(col("__ord"), 1, 2))
+      .cache()
+    // level 1: partial exclusive prefix within the (domain, salt) bucket
+    val wPart = Window.partitionBy("domain", "__salt")
+      .orderBy(col("__ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // level 2: tokens in all md5-earlier buckets of the same domain
+    val offsets = base.groupBy("domain", "__salt")
+      .agg(sum("n_tokens").as("__bucket_tok"))
+      .withColumn("__offset", coalesce(sum("__bucket_tok").over(
+        Window.partitionBy("domain").orderBy("__salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("domain", "__salt", "__offset")
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (dom, b)) => when(col("domain") === dom, lit(b)).otherwise(acc)
     }
     base
-      .withColumn("start_tok", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("__partial", coalesce(sum("n_tokens").over(wPart), lit(0L)))
+      .join(broadcast(offsets), Seq("domain", "__salt"))
+      .withColumn("start_tok", col("__offset") + col("__partial"))
       .filter(col("start_tok") < budget)
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("start_tok"))
   }

@@ -383,8 +383,12 @@ object SurfaceQueries {
     // incremental form the WHOLE operator hash-matches a brute-force
     // oracle ----
     "q_image_dedup_incremental" -> ((s, d) => {
+      // cached (Verify releases after the query): the decode kernel runs ONCE
+      // over the corpus; both the history-state build and the batch probe read
+      // the cached hashes instead of re-decoding every PNG per branch
       val hashes = graft.sources.Multimodal.imageHash(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+        .cache()
       graft.operators.Dedup.hammingIncremental(
         hashes.filter(col("doc_id") >= 250), "doc_id", "phash",
         graft.operators.Dedup.hammingState(

@@ -28,16 +28,33 @@ object Tables {
     } catch { case _: Exception => None }
 
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-      // (PARQUET_TYPE_ILLEGAL). Read the raw int64 nanos and truncate to Spark's
-      // native µs precision (SURVEY.md §7.4). `div` keeps the arithmetic in longs —
-      // a double round-trip would corrupt ~1.7e18-scale values (> 2^53).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") readEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-adaptive events read. Fixture generations have shipped `ts` as either
+    * parquet TIMESTAMP(NANOS) or TIMESTAMP(MICROS); the footer decides the path:
+    *  - NANOS: Spark's reader rejects it (PARQUET_TYPE_ILLEGAL) unless read as raw
+    *    int64 (`nanosAsLong`), then truncated to Spark's native µs precision
+    *    (SURVEY.md §7.4). `div` keeps the arithmetic in longs — a double round-trip
+    *    would corrupt ~1.7e18-scale values (> 2^53).
+    *  - MICROS (not UTC-adjusted): with NTZ inference off, Spark reads the stored
+    *    micros as a TimestampType instant. Sessions here pin
+    *    spark.sql.session.timeZone=UTC, so wall-clock values are identical to what
+    *    the nanos path produced and to DuckDB's naive read of the same file.
+    * Both paths yield the same TimestampType column with the same values.
+    */
+  private def readEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case _                => raw // native µs TimestampType
+    }
+  }
 
   // last (dir, governance epoch) registered per session: registering builds
   // 10 DataFrames (a parquet footer/schema read each), which at ~3.5 s per
@@ -54,14 +71,29 @@ object Tables {
 
   /** Register every fixture table as a temp view so `spark.sql` corpora work.
     * Idempotent per (session, dir, governance epoch).
+    *
+    * Fault-isolated per table: one unreadable fixture (e.g. a schema drift the
+    * adaptive read doesn't yet cover) must degrade to THAT table's queries only,
+    * not take down the whole SQL corpus — in round 7 a single events-schema change
+    * silently knocked out ~30 unrelated corpus queries because registration was
+    * all-or-nothing. Failures are logged and the memo is only written when every
+    * table registered, so a later call retries the broken ones.
     */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     val state = dir + "@" + graft.plans.GovernancePolicies.epoch
     if (lastReg.get(spark) != state) {
-      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
-      // recorded only AFTER every view registered: a mid-loop failure must not
-      // leave the memo claiming registration happened
-      lastReg.put(spark, state)
+      val failed = names.filter { n =>
+        try { apply(spark, dir, n).createOrReplaceTempView(n); false }
+        catch {
+          case e: Exception =>
+            System.err.println(s"[graft] registerAll: table '$n' failed to register " +
+              s"from $dir — its queries will fail, others are unaffected: ${e.getMessage}")
+            true
+        }
+      }
+      // recorded only when EVERY view registered: a partial registration must not
+      // leave the memo claiming full registration happened (next call retries)
+      if (failed.isEmpty) lastReg.put(spark, state)
     }
   }
 

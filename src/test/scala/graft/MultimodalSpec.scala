@@ -292,6 +292,60 @@ class MultimodalSpec extends SparkSpec {
     assert(Dedup.hammingState(flood, "doc_id", "phash", k).count() == k + 1L)
   }
 
+  test("hammingIncremental guards: band-layout mismatch and bad maxHamming error loudly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val hist = Seq((0L, 7L), (1L, 99L)).toDF("doc_id", "phash")
+    val batch = Seq((10L, 7L)).toDF("doc_id", "phash")
+    // a state built at maxHamming=4 has a different chunk layout than a probe
+    // at 8 — pre-guard this silently missed every history duplicate
+    val state4 = Dedup.hammingState(hist, "doc_id", "phash", maxHamming = 4)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingIncremental(batch, "doc_id", "phash", state4, maxHamming = 8)
+    }
+    assert(e.getMessage.contains("band layout mismatch"), e.getMessage)
+    // matching layouts pass the guard
+    assert(Dedup.hammingIncremental(batch, "doc_id", "phash", state4,
+      maxHamming = 4).count() == 0L)
+    // bad maxHamming fails the local require, not a bare div-by-zero deep in
+    // chunkStructs
+    intercept[IllegalArgumentException] {
+      Dedup.hammingIncremental(batch, "doc_id", "phash", state4, maxHamming = -1)
+    }
+    // empty state has no layout to disagree with (first batch)
+    val empty = state4.filter(lit(false))
+    assert(Dedup.hammingIncremental(batch, "doc_id", "phash", empty,
+      maxHamming = 8).count() == 1L)
+  }
+
+  test("hammingIncremental hot-bucket salting stays exact: tiny maxBucket ≡ unbounded") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(23)
+    val k = 4
+    // history concentrated so several (chunk, ch) buckets exceed maxBucket=2:
+    // 40 fps sharing the same low 32 bits (chunks 0..1 identical) + spread fps
+    val hotLow = rnd.nextLong() & 0xFFFFFFFFL
+    val hist = (0L until 40L).map(i => (i, (rnd.nextLong() << 32) | hotLow)) ++
+      (50L until 60L).map(i => (i, rnd.nextLong()))
+    val batch = (100L until 140L).map { i =>
+      // half the batch flips ≤k bits of some history fp, half is fresh
+      if (i % 2 == 0) (i, hist((i % 50).toInt % hist.size)._2 ^ (1L << (i % 60).toInt))
+      else (i, rnd.nextLong())
+    }
+    val histDf = hist.toDF("doc_id", "phash")
+    val batchDf = batch.toDF("doc_id", "phash")
+    val state = Dedup.hammingState(histDf, "doc_id", "phash", maxHamming = k)
+    val unbounded = Dedup.hammingIncremental(batchDf, "doc_id", "phash", state,
+      maxHamming = k, maxBucket = Int.MaxValue).collect().map(_.getLong(0)).toSet
+    val salted = Dedup.hammingIncremental(batchDf, "doc_id", "phash", state,
+      maxHamming = k, maxBucket = 2).collect().map(_.getLong(0)).toSet
+    // probe-exploded state salting loses nothing: identical survivor sets
+    assert(salted == unbounded, s"salted=$salted unbounded=$unbounded")
+    assert(unbounded.nonEmpty && unbounded.size < batch.size,
+      "fixture must both drop and keep some batch rows")
+  }
+
   test("resize REALLY rescales: output PNGs re-decode at the scaled dimensions") {
     val media = Multimodal.asMedia(Tables(spark, sfDir, "documents"), "doc_id", "text")
     val resized = Multimodal.resize(media, maxSide = 24)

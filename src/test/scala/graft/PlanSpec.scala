@@ -409,20 +409,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("token-budget sampling: one domain exchange of the id projection, text never shuffles") {
+  test("token-budget sampling: salted two-level prefix — no per-domain reducer, text never shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.Pipelines.tokenBudgetSample(docs, "doc_id", "text",
       "source", budgets = Map("src0" -> 8000L), defaultBudget = 4000L)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"budget cut must not join:\n$plan")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(shuffles == 1, s"expected exactly the domain exchange, got $shuffles:\n$plan")
-    // the token count is computed BEFORE the exchange so only (doc_id,
-    // domain, n_tokens) shuffles — the text column must not survive into the
-    // exchange's output schema
-    val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).get
-    assert(!exchangeLine.contains("text"),
-      s"text must be projected away before the shuffle:\n$exchangeLine")
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      // the corpus-side window must partition on (domain, salt), never on the
+      // domain alone — a domain-only window is the one-reducer straggler at scale
+      val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windowLines.nonEmpty, s"expected window operators:\n$plan")
+      val corpusWindows = windowLines.filterNot(_.contains("__bucket_tok"))
+      assert(corpusWindows.forall(_.contains("__salt")),
+        s"corpus window must be salted:\n${corpusWindows.mkString("\n")}")
+      // bucket offsets join back as a broadcast — a sort-merge join would
+      // re-shuffle the corpus on (domain, salt) a second time
+      assert(plan.contains("BroadcastHashJoin"),
+        s"bucket offsets must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"offsets must not sort-merge against the corpus:\n$plan")
+      // the token count is computed BEFORE any exchange so only (doc_id,
+      // domain, n_tokens, ord, salt) shuffles — the text column must not
+      // survive into any exchange's output schema
+      val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text")),
+        s"text must be projected away before every shuffle:\n${exchangeLines.mkString("\n")}")
+    } finally graft.operators.Caches.release(spark)
   }
 
   test("epoch upsampling is narrow: zero shuffles, blow-up in the explode only") {

@@ -124,6 +124,30 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     boiler.unpersist()
+
+    // --- 5. token-budget one-domain flood --------------------------------
+    // 90% of docs in ONE domain: the pre-salting prefix sum routed them all
+    // through one reducer (a straggler proportional to the domain, i.e. the
+    // corpus). The salted two-level form spreads the domain over 256
+    // md5-prefix buckets, so wall-clock must stay flat vs the balanced case.
+    val tbDocs = spark.range(nDoc).select(col("id").as("doc_id"),
+      when(col("id") % 10 =!= 0, lit("web")) // 90% one domain
+        .otherwise(concat(lit("src"), (col("id") % 7).cast("string"))).as("source"),
+      concat(lit("token run alpha beta gamma "),
+        col("id").cast("string"), lit(" delta epsilon zeta eta theta iota kappa")).as("text"))
+      .repartition(32).cache()
+    println(s"[prof] token-budget docs: ${tbDocs.count()} (90% domain=web)")
+    for (i <- 1 to 2)
+      time(s"tokenBudgetSample 90%%-one-domain #$i") {
+        val kept = graft.operators.Pipelines.tokenBudgetSample(
+          tbDocs, "doc_id", "text", "source",
+          budgets = Map("web" -> (nDoc.toLong * 2)), defaultBudget = nDoc.toLong)
+        val n = kept.count()
+        require(n > 0, "budget sample kept nothing")
+        println(f"[prof]   kept $n rows")
+        graft.operators.Caches.release(spark)
+      }
+    tbDocs.unpersist()
     spark.stop()
   }
 }
