@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + URL-keyed dedup/blocklist — the other universal
+  * pre-text stage of a web-scale pipeline (alongside
+  * [[TextAnalysis.htmlExtract]]): crawls key documents by URL, and the same
+  * page arrives under scheme/host case variants, default ports, fragments,
+  * tracking parameters, and shuffled query strings. Everything here is pure
+  * `functions._` composition over regex syntax Java and RE2 interpret
+  * identically (anchored groups, no backrefs/lookaround), so an external SQL
+  * engine can restate the exact transform — and every step is codegen'd,
+  * narrow, and linear at 100 TB.
+  */
+object Urls {
+
+  /** Anchored param-name pattern treated as tracking noise: utm_*, click ids,
+    * referral and mail-campaign tags. Shared verbatim with the SQL oracle.
+    */
+  val TrackingParamPattern: String =
+    "^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$"
+
+  /** Canonical form of a URL column:
+    *  1. trim, strip the fragment (`#…`);
+    *  2. lower-case the scheme and the host[:port] (path/query case is
+    *     significant and kept);
+    *  3. drop the scheme's default port (`:80` for http, `:443` for https);
+    *  4. empty path → `/`;
+    *  5. query string: drop empty and tracking params
+    *     ([[TrackingParamPattern]]), sort the rest byte-lexicographically
+    *     (param order is not significant to servers but defeats exact dedup),
+    *     drop the `?` if nothing survives.
+    * Scheme-less strings are canonicalized the same way minus the scheme.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val rawPath = regexp_extract(pathq, "^([^?]*)", 1)
+    val path = when(rawPath === "", "/").otherwise(rawPath)
+    val params = filter(
+      split(regexp_replace(regexp_replace(pathq, "^[^?]*", ""), "^\\?", ""), "&"),
+      p => length(p) > 0 && !p.rlike(TrackingParamPattern))
+    val qs = when(size(params) > 0,
+      concat(lit("?"), array_join(array_sort(params), "&"))).otherwise(lit(""))
+    when(scheme =!= "", concat(scheme, lit("://"), host, path, qs))
+      .otherwise(concat(host, path, qs))
+  }
+
+  /** The canonical host of a URL column (lower-cased, default port dropped) —
+    * the key for host-level blocklists and per-site stats.
+    */
+  def hostOf(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+  }
+
+  /** True iff the URL's canonical host is `domain` or a subdomain of it. */
+  def hostBlocked(url: Column, domains: Seq[String]): Column = {
+    val h = hostOf(url)
+    domains.map(d => h === d.toLowerCase || h.endsWith("." + d.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** (doc_id, url_canon) per input row — the canonicalization surface. */
+  def canonicalize(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
+      canonicalUrl(col(urlCol)).as("url_canon"))
+
+  /** URL-keyed exact dedup: keep the smallest doc_id per CANONICAL URL —
+    * [[Dedup.exact]] with the canonical URL as the fingerprint. Scale shape:
+    * canonicalization happens in the scan stage, then one map-side-combinable
+    * min aggregate hash-partitioned on the canonical URL — only
+    * (url_canon, doc_id) pairs shuffle, never the document payload.
+    */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    canonicalize(docs, idCol, urlCol)
+      .groupBy("url_canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "url_canon")
+}

@@ -16,6 +16,26 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Deterministic (doc_id, url) fixture over documents for the URL queries —
+    * scheme/host case variants, default ports, fragments, tracking params,
+    * shuffled param order. Restated verbatim by the DuckDB oracle CTE.
+    */
+  private def urlFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val url = concat(
+      when(d % 3 === 0, "HTTPS://").when(d % 3 === 1, "https://")
+        .otherwise("http://"),
+      lit("WWW."), col("source"), lit(".Example.COM"),
+      when(d % 3 === 0, ":443").when(d % 3 === 2, ":80").otherwise(""),
+      when(d % 4 === 2, "").otherwise(
+        concat(lit("/articles/"), expr("doc_id div 5"))),
+      when(d % 4 === 0, concat(lit("?utm_source=feed&b=2&a=1#frag"), d))
+        .when(d % 4 === 1, lit("?a=1&b=2"))
+        .when(d % 4 === 2, lit("#top"))
+        .otherwise(lit("?b=2&utm_campaign=x&gclid=abc&a=1")))
+    docs.select(d.as("doc_id"), url.as("url"))
+  }
+
   /** Shared DuckDB CTE: exact word-3-gram Jaccard pairs at threshold 0.8 —
     * oracle for both the exact operator and the MinHash-LSH operator (whose
     * banding at numPerm=32/bands=8 has recall ≈ 1 at the planted J≈0.99).
@@ -291,6 +311,44 @@ object ExtensionQueries {
     // ---- PII scrubbing (regex dialect restricted to Java-regex ∩ RE2) ----
     "q_text_scrub" -> ((s, d) =>
       TextAnalysis.scrubPii(t(s, d, "documents"), "doc_id", "text")),
+
+    // ---- HTML extraction + URL canonicalization (crawl front half) ----
+    // markup-bearing derivation of documents: head noise (title/style/script),
+    // nav + list + footer boilerplate, sentence-per-<p> body, entities that
+    // must decode AFTER tag stripping (&lt;contact&gt; is text, not a tag)
+    "q_html_extract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" index</title><style media=\"all\">body { margin: 0; }</style>" +
+          "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>" +
+          "</head><body><nav>Home About Contact</nav>" +
+          "<h1>Document heading for item "), col("doc_id").cast("string"),
+        lit("</h1><p>"),
+        replace(coalesce(col("text"), lit("")), lit(". "), lit(".</p><p>")),
+        lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Sons " +
+          "&lt;contact&gt; page</div><ul><li>one</li><li>two</li></ul>" +
+          "</body></html>"))
+      TextAnalysis.htmlExtract(
+        docs.select(col("doc_id"), html.as("html")), "doc_id", "html",
+        minWords = 5)
+    }),
+
+    // deterministic URL derivation: scheme/host case variants, default ports,
+    // fragments, shuffled + tracking query params — the noise canonicalization
+    // must collapse
+    "q_url_canon" -> ((s, d) => {
+      val u = urlFixture(t(s, d, "documents"))
+      u.select(col("doc_id"),
+        graft.operators.Urls.canonicalUrl(col("url")).as("url_canon"),
+        graft.operators.Urls.hostOf(col("url")).as("host"),
+        graft.operators.Urls.hostBlocked(col("url"),
+          Seq("src3.example.com")).as("blocked"))
+    }),
+
+    "q_url_dedup" -> ((s, d) =>
+      graft.operators.Urls.urlDedup(urlFixture(t(s, d, "documents")),
+        "doc_id", "url")),
 
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
     "q_pack_sequences" -> ((s, d) =>
@@ -990,7 +1048,82 @@ object ExtensionQueries {
        |        ORDER BY edist, cand.vec_id) <= 10""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain: the urlFixture derivation + the canonicalUrl
+    * rule pipeline (fragment strip, scheme/host lowercase, default-port drop,
+    * empty path → '/', tracking-param drop + param sort). Ends with a `canon`
+    * relation (doc_id, url_canon, host).
+    */
+  private val urlCanonCte: String =
+    """WITH u AS (SELECT doc_id,
+      |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://' ELSE 'http://' END) ||
+      |  'WWW.' || source || '.Example.COM' ||
+      |  (CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 2 THEN ':80' ELSE '' END) ||
+      |  (CASE WHEN doc_id % 4 = 2 THEN '' ELSE '/articles/' || (doc_id // 5) END) ||
+      |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1#frag' || doc_id
+      |                   WHEN 1 THEN '?a=1&b=2'
+      |                   WHEN 2 THEN '#top'
+      |                   ELSE '?b=2&utm_campaign=x&gclid=abc&a=1' END) AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
+      |c2 AS (SELECT doc_id,
+      |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
+      |c3 AS (SELECT doc_id, sch,
+      |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
+      |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
+      |c4 AS (SELECT doc_id, sch,
+      |  CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+      |       WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+      |       ELSE hp END AS host,
+      |  regexp_extract(pathq, '^([^?]*)', 1) AS rawpath, pathq FROM c3),
+      |c5 AS (SELECT doc_id, sch, host,
+      |  CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+      |  list_sort(list_filter(
+      |    string_split(regexp_replace(regexp_replace(pathq, '^[^?]*', ''), '^\?', ''), '&'),
+      |    p -> length(p) > 0 AND
+      |         NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=.*)?$'))) AS ps
+      |  FROM c4),
+      |canon AS (SELECT doc_id,
+      |  (CASE WHEN sch <> '' THEN sch || '://' ELSE '' END) || host || path ||
+      |  (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END) AS url_canon,
+      |  host
+      |  FROM c5)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_html_extract" ->
+      ("""WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id || ' index</title><style media="all">body { margin: 0; }</style>' ||
+        |  '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script></head>' ||
+        |  '<body><nav>Home About Contact</nav><h1>Document heading for item ' || doc_id ||
+        |  '</h1><p>' || replace(coalesce(text, ''), '. ', '.</p><p>') ||
+        |  '</p><div class="footer">&copy; 2026 Example &amp; Sons &lt;contact&gt; page</div>' ||
+        |  '<ul><li>one</li><li>two</li></ul></body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t,
+        |  '(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>',
+        |  chr(10), 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+        |ln AS (SELECT doc_id, list_transform(string_split(t, chr(10)),
+        |  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS ls FROM s5),
+        |k AS (SELECT doc_id, ls, list_filter(ls,
+        |  l -> len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5) AS ks FROM ln)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  len(ks)::INTEGER AS n_kept, len(ls)::INTEGER AS n_total FROM k""".stripMargin),
+
+    "q_url_canon" ->
+      (urlCanonCte + """
+        |SELECT doc_id, url_canon, host,
+        |  (host = 'src3.example.com' OR ends_with(host, '.src3.example.com')) AS blocked
+        |FROM canon""".stripMargin),
+
+    "q_url_dedup" ->
+      (urlCanonCte + """
+        |SELECT min(doc_id) AS doc_id, url_canon FROM canon GROUP BY url_canon""".stripMargin),
+
     "q_dedup_simhash" -> simhashOracle,
 
     "q_pq_encode" -> pqOracle,

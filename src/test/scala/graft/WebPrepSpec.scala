@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextAnalysis, Urls}
+
+/** Crawl-front-half operators: HTML extraction rules and URL canonicalization,
+  * pinned on hand-built cases (the corpus-wide oracle queries cover scale).
+  */
+class WebPrepSpec extends SparkSpec {
+
+  private def extractOne(html: String, minWords: Int = 5): (String, Int, Int) = {
+    import spark.implicits._
+    val r = TextAnalysis.htmlExtract(
+      Seq((1L, html)).toDF("doc_id", "html"), "doc_id", "html", minWords).head()
+    (r.getString(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("htmlExtract: script/style bodies vanish, block closers split lines, density gate holds") {
+    val html = "<html><head><style>p { x: y }</style><script>var a = '<p>not text</p>';" +
+      "</script></head><body><h1>one two three four five</h1>" +
+      "<nav>Home About Contact</nav>" +
+      "<p>alpha beta gamma delta epsilon zeta</p>" +
+      "<ul><li>stub</li><li>another stub line</li></ul></body></html>"
+    val (text, kept, total) = extractOne(html)
+    assert(text == "one two three four five\nalpha beta gamma delta epsilon zeta")
+    assert(kept == 2)
+    // script body's fake </p> must NOT have produced a line: it was removed
+    // with the script element before break insertion
+    assert(!text.contains("not text"))
+    assert(total > kept, "boilerplate lines must exist and be dropped")
+  }
+
+  test("htmlExtract: entities decode AFTER tag strip — text that becomes tag-shaped stays text") {
+    val html = "<p>fish &amp; chips cost &lt;b&gt;five&lt;/b&gt; pounds&nbsp;here</p>"
+    val (text, _, _) = extractOne(html)
+    assert(text == "fish & chips cost <b>five</b> pounds here")
+  }
+
+  test("htmlExtract: <br> creates line structure and the word gate is per line") {
+    val html = "<p>one two three four five six<br>tiny line</p>"
+    val (text, kept, _) = extractOne(html)
+    assert(text == "one two three four five six" && kept == 1)
+  }
+
+  private def canon(url: String): String = {
+    import spark.implicits._
+    Seq(url).toDF("u").select(Urls.canonicalUrl(col("u"))).head().getString(0)
+  }
+
+  test("canonicalUrl: case, default ports, fragments, tracking params, param order") {
+    assert(canon("HTTPS://WWW.Example.COM:443/a/B?utm_source=x&b=2&a=1#frag")
+      == "https://www.example.com/a/B?a=1&b=2")
+    assert(canon("http://host.org:80") == "http://host.org/")
+    // non-default port survives; path case survives
+    assert(canon("http://Host.org:8080/Path") == "http://host.org:8080/Path")
+    // all params tracking -> no '?'
+    assert(canon("https://h.io/p?utm_a=1&gclid=z&fbclid=q&ref=r") == "https://h.io/p")
+    // empty params dropped, remaining sorted bytewise
+    assert(canon("https://h.io/p?z=1&&a=2") == "https://h.io/p?a=2&z=1")
+    // schemeless input canonicalizes minus the scheme (no default-port rule)
+    assert(canon("Host.IO/x#f") == "host.io/x")
+  }
+
+  test("hostBlocked: exact host and subdomains only") {
+    import spark.implicits._
+    val df = Seq(
+      "https://spam.example.org/x",
+      "https://sub.spam.example.org/y",
+      "https://notspam.example.org/z",
+      "https://spam.example.org.evil.com/w").toDF("u")
+    val got = df.select(Urls.hostBlocked(col("u"), Seq("spam.example.org")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got == Seq(true, true, false, false))
+  }
+}
