@@ -350,6 +350,15 @@ object ExtensionQueries {
       graft.operators.Urls.urlDedup(urlFixture(t(s, d, "documents")),
         "doc_id", "url")),
 
+    // ---- trained quality classifier (hashed n-gram logistic regression) ----
+    // label = the lang column's en flag: the model learns to predict it from
+    // hashed word presence — 3 full-batch GD iterations, decimal-exact model
+    "q_quality_clf" -> ((s, d) =>
+      graft.operators.QualityClassifier.trainAndScore(
+        t(s, d, "documents"), "doc_id", "text",
+        (col("lang") === "en").cast("int"),
+        nBuckets = 256, iters = 3, lr = 0.5)),
+
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
     "q_pack_sequences" -> ((s, d) =>
       Pipelines.packSequences(t(s, d, "documents"), "doc_id", "text",
@@ -1123,6 +1132,51 @@ object ExtensionQueries {
     "q_url_dedup" ->
       (urlCanonCte + """
         |SELECT min(doc_id) AS doc_id, url_canon FROM canon GROUP BY url_canon""".stripMargin),
+
+    // the full training loop unrolled: 3 gradient-descent iterations over
+    // hashed word-presence features, every model value DECIMAL(18,6), the
+    // sigmoid/step double excursions rounded back to 6dp exactly as the
+    // engine does them
+    "q_quality_clf" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DECIMAL(18,6) AS y,
+        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |              x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+        |f AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
+        |      FROM (SELECT doc_id, unnest(ws) AS w FROM d) t),
+        |w0 AS (SELECT range AS f, 0::DECIMAL(18,6) AS w FROM range(0, 256)),
+        |b0 AS (SELECT 0::DECIMAL(18,6) AS b),
+        |s1 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w0 USING (f) GROUP BY doc_id),
+        |z1 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b0) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
+        |       FROM d LEFT JOIN s1 s USING (doc_id)),
+        |e1 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z1),
+        |g1 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e1 USING (doc_id) GROUP BY f),
+        |w1 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
+        |       FROM w0 w LEFT JOIN g1 g USING (f) CROSS JOIN nn),
+        |b1 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e1) q, nn))::DECIMAL(18,6) AS b FROM b0 b),
+        |s2 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w1 USING (f) GROUP BY doc_id),
+        |z2 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b1) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
+        |       FROM d LEFT JOIN s2 s USING (doc_id)),
+        |e2 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z2),
+        |g2 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e2 USING (doc_id) GROUP BY f),
+        |w2 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
+        |       FROM w1 w LEFT JOIN g2 g USING (f) CROSS JOIN nn),
+        |b2 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e2) q, nn))::DECIMAL(18,6) AS b FROM b1 b),
+        |s3 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w2 USING (f) GROUP BY doc_id),
+        |z3 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b2) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
+        |       FROM d LEFT JOIN s3 s USING (doc_id)),
+        |e3 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z3),
+        |g3 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e3 USING (doc_id) GROUP BY f),
+        |w3 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
+        |       FROM w2 w LEFT JOIN g3 g USING (f) CROSS JOIN nn),
+        |b3 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e3) q, nn))::DECIMAL(18,6) AS b FROM b2 b),
+        |sF AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w3 USING (f) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  ((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) AS score,
+        |  (((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) > 0) AS pred
+        |FROM d LEFT JOIN sF s USING (doc_id)""".stripMargin),
 
     "q_dedup_simhash" -> simhashOracle,
 
