@@ -62,6 +62,106 @@ object TextAnalysis {
     docs.select(Keys.id(docs, idCol).as("doc_id"),
       langPred(col(textCol)).as("lang_pred"))
 
+  /** Character-trigram language profiles for [[languageIdNgram]] — the top
+    * trigrams of each language in frequency-rank order (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization"), drawn from each language's
+    * function-word inventory. 12 languages × 20 ranks. Spaces mark word
+    * boundaries, the C-T convention. The SQL oracle is GENERATED from this
+    * same constant, so engine and oracle can never drift.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "da" -> Seq("er ", "en ", " de", "det", "og ", " og", "at ", " at", "til",
+      " ti", "den", "nde", "de ", " fo", "for", "or ", "ing", "ng ", "ede", "ler"),
+    "de" -> Seq("er ", "en ", " de", "der", "ie ", "die", " di", "ch ", "ein",
+      " ei", "ich", "nde", "sch", "und", " un", "ung", "ng ", "ten", "cht", "ber"),
+    "en" -> Seq(" th", "the", "he ", "ed ", " an", "and", "nd ", " of", "of ",
+      "ing", "ng ", " in", "in ", "ion", " to", "to ", "er ", " is", "is ", "on "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "as ", "ión",
+      "ón ", "es ", " en", "en ", " co", "ar ", "ue ", " qu", "que", "nte", "do "),
+    "fi" -> Seq("en ", "in ", "an ", "ist", "sta", "ta ", "aan", " on", "on ",
+      "ssa", "sa ", "lla", "la ", "itt", "tä ", "än ", "een", "nen", "ksi", "ja "),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", "et ", " et",
+      "la ", " la", "ion", "on ", "re ", " pa", "ais", "que", " qu", "ue ", "les"),
+    "it" -> Seq(" di", "di ", "to ", "la ", " la", "re ", "che", " ch", "he ",
+      "no ", " co", "ion", "one", "ne ", "lla", " pe", "per", "er ", "del", "ell"),
+    "nl" -> Seq("en ", "de ", " de", "et ", "an ", " he", "het", "van", " va",
+      " en", "een", " ee", "ing", "ng ", "er ", " ge", "aar", "ede", "den", "ver"),
+    "pl" -> Seq("ie ", "nie", " ni", " po", "na ", " na", "ego", "go ", "prz",
+      "rze", "ch ", "ych", " w ", "do ", " do", "owa", "ani", "ać ", "się", "ię "),
+    "pt" -> Seq(" de", "de ", "os ", " co", "ão ", "ção", "ent", "nt ", "da ",
+      " da", "es ", "ado", "do ", " pa", "par", "ara", "ra ", " se", "em ", "que"),
+    "sv" -> Seq("en ", "et ", " de", "det", "att", " at", "tt ", "och", " oc",
+      "ch ", "ar ", "för", " fö", "som", " so", "om ", "til", " ti", "ing", "and"),
+    "tr" -> Seq("ar ", "er ", " bi", "bir", "ir ", "lar", "ler", "an ", "in ",
+      " ka", "da ", "de ", " de", "ını", "nın", "ın ", "lik", "ik ", "eri", " ya"))
+
+  /** Rank-order (Cavnar-Trenkle) language-ID over character trigrams — the
+    * multilingual upgrade of [[languageId]]'s 4-language marker heuristic:
+    *
+    *  1. normalize: lower-case, collapse every non-letter run to one space,
+    *     pad with spaces (so word-boundary trigrams exist);
+    *  2. doc profile: the `topM` most frequent trigrams, rank 1..topM, ties
+    *     broken bytewise by trigram (deterministic on any engine);
+    *  3. out-of-place distance to each language profile: Σ over the doc's
+    *     ranked trigrams of |doc_rank − lang_rank|, with a fixed penalty of
+    *     `ProfileDepth` when the trigram is absent from the profile (C-T's
+    *     "maximum distance");
+    *  4. predicted language = the minimum distance, ties broken by language
+    *     code — a pure argmin over integer sums, so an SQL oracle restates
+    *     it exactly. Docs with no letters → "und" with NULL distance.
+    *
+    * Scale shape: trigram explode + one (doc_id, tri) count exchange + one
+    * per-doc window for the top-M ranks; the 240-row profile table and the
+    * 12-row language list broadcast; the (doc × lang) score frame is
+    * topM × 12 rows per doc, aggregated map-side. Linear in the corpus.
+    */
+  def languageIdNgram(docs: DataFrame, idCol: String, textCol: String,
+      topM: Int = 20): DataFrame = {
+    require(topM >= 1, "need topM >= 1")
+    require(LangProfiles.forall { case (_, ts) =>
+      ts.distinct.size == ts.size && ts.forall(_.length == 3) },
+      "profiles must be distinct trigrams of length 3")
+    val penalty = ProfileDepth
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profileDf = LangProfiles.flatMap { case (l, ts) =>
+      ts.zipWithIndex.map { case (tri, i) => (l, tri, i + 1) }
+    }.toDF("plang", "tri", "lr_")
+    val langsDf = LangProfiles.map(_._1).toDF("plang")
+
+    val ids = docs.select(Keys.id(docs, idCol).as("doc_id"), col(textCol))
+    val norm = concat(lit(" "),
+      trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+        "[^\\p{L}]+", " ")), lit(" "))
+    val tris = ids.select(col("doc_id"), norm.as("s"))
+      .select(col("doc_id"), explode(expr(
+        "case when length(s) >= 3 then " +
+          "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) " +
+          "else cast(array() as array<string>) end")).as("tri"))
+    val top = tris.groupBy("doc_id", "tri").count()
+      .withColumn("dr", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("count").desc, col("tri").asc)))
+      .filter(col("dr") <= topM)
+    val scored = top.crossJoin(broadcast(langsDf))
+      .join(broadcast(profileDf), Seq("plang", "tri"), "left")
+      .groupBy("doc_id", "plang")
+      .agg(sum(coalesce(abs(col("dr") - col("lr_")), lit(penalty)))
+        .cast("long").as("oop"))
+    val pick = scored.groupBy("doc_id")
+      .agg(min(struct(col("oop"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("lang_pred"),
+        col("m.oop").as("oop"))
+    ids.select("doc_id").join(pick, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"), col("oop"))
+  }
+
+  /** Absent-trigram out-of-place penalty = profile depth (each profile's
+    * length), the C-T maximum-distance convention.
+    */
+  val ProfileDepth: Int = 20
+
   /** HTML → text extraction + line-density boilerplate removal — the FIRST
     * stage of every web-scale curation pipeline (CCNet / RefinedWeb start from
     * markup, not clean text). Deterministic rule pipeline, every step a

@@ -350,6 +350,10 @@ object ExtensionQueries {
       graft.operators.Urls.urlDedup(urlFixture(t(s, d, "documents")),
         "doc_id", "url")),
 
+    // ---- multilingual language-ID (Cavnar-Trenkle rank-order profiles) ----
+    "q_text_langid2" -> ((s, d) =>
+      TextAnalysis.languageIdNgram(t(s, d, "documents"), "doc_id", "text")),
+
     // ---- trained quality classifier (hashed n-gram logistic regression) ----
     // label = the lang column's en flag: the model learns to predict it from
     // hashed word presence — 3 full-batch GD iterations, decimal-exact model
@@ -1132,6 +1136,36 @@ object ExtensionQueries {
     "q_url_dedup" ->
       (urlCanonCte + """
         |SELECT min(doc_id) AS doc_id, url_canon FROM canon GROUP BY url_canon""".stripMargin),
+
+    // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
+    // TextAnalysis.LangProfiles constant the engine uses
+    "q_text_langid2" ->
+      ("WITH prof(plang, tri, lr_) AS (VALUES " +
+        TextAnalysis.LangProfiles.flatMap { case (l, ts) =>
+          ts.zipWithIndex.map { case (tri, i) => s"('$l', '$tri', ${i + 1})" }
+        }.mkString(", ") + "),\n" +
+        """langs AS (SELECT DISTINCT plang FROM prof),
+          |d AS (SELECT doc_id,
+          |  ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}]+', ' ', 'g')) || ' ' AS s
+          |  FROM documents),
+          |tr AS (SELECT doc_id, substr(s, i, 3) AS tri
+          |       FROM d, range(1, 100000) r(i)
+          |       WHERE length(s) >= 3 AND i <= length(s) - 2),
+          |c AS (SELECT doc_id, tri, count(*) AS cnt FROM tr GROUP BY 1, 2),
+          |top AS (SELECT doc_id, tri,
+          |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri ASC) AS dr
+          |        FROM c QUALIFY dr <= 20),
+          |sc AS (SELECT t.doc_id, l.plang,
+          |         sum(coalesce(abs(t.dr - p.lr_), 20))::BIGINT AS oop
+          |       FROM top t CROSS JOIN langs l
+          |       LEFT JOIN prof p ON p.plang = l.plang AND p.tri = t.tri
+          |       GROUP BY 1, 2),
+          |pick AS (SELECT doc_id, plang AS lang_pred, oop,
+          |           row_number() OVER (PARTITION BY doc_id ORDER BY oop, plang) AS rn
+          |         FROM sc)
+          |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred, p.oop
+          |FROM d LEFT JOIN (SELECT doc_id, lang_pred, oop FROM pick WHERE rn = 1) p
+          |USING (doc_id)""".stripMargin),
 
     // the full training loop unrolled: 3 gradient-descent iterations over
     // hashed word-presence features, every model value DECIMAL(18,6), the

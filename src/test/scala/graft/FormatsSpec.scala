@@ -56,6 +56,27 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) == canon(nation))
   }
 
+  test("Avro round-trip preserves schema and values (container files via AvroIo)") {
+    // the spark-avro DataSource module is not bundled here, so the format is
+    // proven through AvroIo (public Avro core + mapred libs): the same
+    // standard splittable .avro container files any Avro reader consumes
+    val nation = Tables(spark, sfDir, "nation")
+    val dir = tmp("avro") + "/out"
+    graft.sources.AvroIo.write(nation, dir)
+    val back = graft.sources.AvroIo.read(spark, dir, nation.schema)
+    assert(back.schema == nation.schema, "Avro must preserve the exact schema")
+    assert(canon(back) == canon(nation))
+  }
+
+  test("Avro carries timestamps and nulls (events head) with µs fidelity") {
+    val events = Tables(spark, sfDir, "events")
+      .select("event_id", "ts", "event_type", "value").limit(200)
+    val dir = tmp("avroev") + "/out"
+    graft.sources.AvroIo.write(events, dir)
+    val back = graft.sources.AvroIo.read(spark, dir, events.schema)
+    assert(canon(back) == canon(events))
+  }
+
   test("non-parquet formats run the same query plan surface (filter+agg)") {
     val nation = Tables(spark, sfDir, "nation")
     val dir = tmp("orcq")

@@ -62,6 +62,26 @@ class WebPrepSpec extends SparkSpec {
     assert(canon("Host.IO/x#f") == "host.io/x")
   }
 
+  test("languageIdNgram: rank-order profiles identify real-language snippets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox is one of the animals that jumped over the lazy dog in the morning", "en"),
+      (2L, "der schnelle braune fuchs springt über den faulen hund und die katze ist auch da", "de"),
+      (3L, "le renard brun rapide saute par dessus le chien paresseux et les animaux de la forêt", "fr"),
+      (4L, "el rápido zorro marrón salta sobre el perro perezoso en la mañana de los animales", "es"),
+      (5L, "de snelle bruine vos springt over de luie hond en het weer is een mooie dag vandaag", "nl"),
+      (6L, "den hurtige brune ræv springer over den dovne hund og det er en god dag for alle", "da"),
+      (7L, "szybki brązowy lis przeskakuje nad leniwym psem i nie ma nic do roboty w tym czasie", "pl"),
+      (8L, "1234 %% 42 ...", "und"))
+      .toDF("doc_id", "text", "expect")
+    val got = graft.operators.TextAnalysis
+      .languageIdNgram(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"), col("expect")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3)))
+    for ((id, pred, expect) <- got)
+      assert(pred == expect, s"doc $id: predicted $pred, expected $expect")
+  }
+
   test("hostBlocked: exact host and subdomains only") {
     import spark.implicits._
     val df = Seq(
