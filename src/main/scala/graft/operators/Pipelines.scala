@@ -603,25 +603,57 @@ object Pipelines {
     * least one document for q > 0. Null scores are dropped (a doc with no
     * score cannot be quality-ranked).
     *
-    * Scale shape: one exchange of (doc_id, domain, score) triples on the
-    * domain, then rank + count in the same window pass — the text never
-    * shuffles; callers semi-join kept ids back. Same per-domain-reducer
-    * shape (and same salting story) as [[tokenBudgetSample]].
+    * Scale shape — TWO-LEVEL SALTED RANK (the [[tokenBudgetSample]] prefix-sum
+    * machinery adapted to a score ordering): a naive per-domain window routes
+    * a whole domain through one reducer. Here each domain's score range
+    * [min, max] (one tiny broadcast aggregate) is cut into 256 grid buckets,
+    * monotone DESCENDING along the rank order, so sorting by (bucket,
+    * score desc, doc_id) equals sorting by (score desc, doc_id) — the bucket
+    * is a contiguous prefix of the sort order exactly like the md5 hex pair:
+    *   1. partial rank within (domain, bucket) — 256-way parallel;
+    *   2. per-(domain, bucket) counts → rows in all higher-score buckets,
+    *      broadcast back as offsets; global rank = offset + partial, and the
+    *      domain count n comes from the same tiny aggregate.
+    * EXACTLY the single-reducer result for any score distribution. Degenerate
+    * residual: a domain whose kept boundary falls inside one massive
+    * EQUAL-score tie group still concentrates that group in one bucket (ties
+    * cut by doc_id are inherently one ordered stream); distinct-but-clustered
+    * scores spread fine. The narrow (doc_id, domain, score) projection is
+    * cached (caller releases per [[Caches]]) — both levels consume it.
     */
   def quantileFilter(docs: DataFrame, idCol: String, scoreCol: String,
       domainCol: String, q: Double): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
     val myriad = math.round(q * 10000).toInt // 4dp resolution
-    val w = Window.partitionBy("domain")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val wAll = Window.partitionBy("domain")
-    docs
+    val base = docs
       .select(Keys.id(docs, idCol).as("doc_id"),
         col(domainCol).as("domain"), col(scoreCol).cast("double").as("score"))
       .filter(col("score").isNotNull && !isnan(col("score")))
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(wAll))
-      .filter((col("__rn") - 1L) * 10000L < lit(myriad.toLong) * col("__n"))
+      .cache()
+    // per-domain score range + count: one broadcastable row per domain
+    val rng = base.groupBy("domain").agg(
+      min("score").as("__lo"), max("score").as("__hi"),
+      count(lit(1)).as("__n"))
+    // grid bucket, monotone DESCENDING in score so bucket order = rank order
+    val bucketed = base.join(broadcast(rng), "domain")
+      .withColumn("__b", when(col("__hi") === col("__lo"), lit(0)).otherwise(
+        least(lit(255), floor((col("__hi") - col("score"))
+          / (col("__hi") - col("__lo")) * 256).cast("int"))))
+    // level 2: rows in strictly-higher-score buckets of the same domain
+    val offsets = bucketed.groupBy("domain", "__b")
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        Window.partitionBy("domain").orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("domain", "__b", "__off")
+    // level 1: partial rank within the (domain, bucket) slice
+    val wPart = Window.partitionBy("domain", "__b")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    bucketed
+      .withColumn("__prn", row_number().over(wPart))
+      .join(broadcast(offsets), Seq("domain", "__b"))
+      .filter((col("__off") + col("__prn") - 1L) * 10000L
+        < lit(myriad.toLong) * col("__n"))
       .select("doc_id", "domain", "score")
   }
 

@@ -437,6 +437,30 @@ class PlanSpec extends SparkSpec {
     } finally graft.operators.Caches.release(spark)
   }
 
+  test("quantile gate: salted two-level rank — no domain-only window, offsets broadcast") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .withColumn("sc", length(col("text")).cast("double"))
+    val out = graft.operators.Pipelines.quantileFilter(docs, "doc_id", "sc",
+      "source", q = 0.6)
+    try {
+      val plan = out.queryExecution.executedPlan.toString
+      val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+      assert(windowLines.nonEmpty, s"expected window operators:\n$plan")
+      // the corpus-side rank window must partition on (domain, bucket), never
+      // the domain alone; only the tiny per-bucket offsets window may
+      val corpusWindows = windowLines.filterNot(_.contains("__bn"))
+      assert(corpusWindows.forall(_.contains("__b")),
+        s"corpus rank window must be bucket-salted:\n${corpusWindows.mkString("\n")}")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"range stats and offsets must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"nothing here may sort-merge against the corpus:\n$plan")
+      val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchangeLines.forall(!_.contains("text")),
+        s"text must be projected away before every shuffle:\n${exchangeLines.mkString("\n")}")
+    } finally graft.operators.Caches.release(spark)
+  }
+
   test("epoch upsampling is narrow: zero shuffles, blow-up in the explode only") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.Pipelines.upsampleMixture(docs, "doc_id", "source",

@@ -148,6 +148,26 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     tbDocs.unpersist()
+
+    // --- 6. quantile gate one-domain flood -------------------------------
+    // same 90%-one-domain corpus, distinct per-doc scores: the pre-salting
+    // rank window was one reducer per domain; the grid-bucketed two-level
+    // rank must stay flat
+    val qDocs = spark.range(nDoc).select(col("id").as("doc_id"),
+      when(col("id") % 10 =!= 0, lit("web"))
+        .otherwise(concat(lit("src"), (col("id") % 7).cast("string"))).as("source"),
+      (pmod(xxhash64(col("id")), lit(1000000)).cast("double") / 1000.0).as("sc"))
+      .repartition(32).cache()
+    println(s"[prof] quantile docs: ${qDocs.count()} (90% domain=web)")
+    for (i <- 1 to 2)
+      time(s"quantileFilter 90%%-one-domain #$i") {
+        val kept = graft.operators.Pipelines.quantileFilter(
+          qDocs, "doc_id", "sc", "source", q = 0.6).count()
+        require(kept > 0, "quantile gate kept nothing")
+        println(f"[prof]   kept $kept rows")
+        graft.operators.Caches.release(spark)
+      }
+    qDocs.unpersist()
     spark.stop()
   }
 }
