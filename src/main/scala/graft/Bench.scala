@@ -30,7 +30,9 @@ object Bench {
     "q_shard_assign", "q_dataset_diff", "q_pipeline_refresh",
     "q_mixture_report", "q_profile_summary", "q_bigram_lm_ref",
     "q_key_skew", "q_word_entropy", "q_image_phash", "q_image_phash_pairs",
-    "q_audio_phash", "q_image_dedup")
+    "q_audio_phash", "q_image_dedup",
+    "q_html_extract", "q_url_dedup", "q_quality_clf", "q_text_langid2",
+    "q_pipeline_web")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

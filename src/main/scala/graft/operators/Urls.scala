@@ -88,4 +88,56 @@ object Urls {
     canonicalize(docs, idCol, urlCol)
       .groupBy("url_canon").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "url_canon")
+
+  /** Per-host corpus report: docs per canonical host with basis-point share —
+    * the diagnostic behind host caps and blocklist decisions. One
+    * map-side-combinable count exchange plus a 1-row total broadcast.
+    */
+  def hostReport(docs: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val hosts = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      hostOf(col(urlCol)).as("host"))
+    val counts = hosts.groupBy("host").agg(count(lit(1)).as("n_docs"))
+    counts.crossJoin(broadcast(hosts.agg(count(lit(1)).as("__tot"))))
+      // integer div: floor semantics identical on any engine (a double
+      // division would truncate here but round elsewhere)
+      .select(col("host"), col("n_docs"),
+        expr("n_docs * 10000 div __tot").as("share_bp"))
+  }
+
+  /** Per-host document CAP: keep at most `maxPerHost` docs per canonical
+    * host, chosen deterministically in md5(doc_id) order (the engine-portable
+    * draw every sampler here uses) — the site-level cap that stops one SEO
+    * farm from dominating a crawl corpus.
+    *
+    * Scale shape — the [[graft.operators.Pipelines.tokenBudgetSample]]
+    * two-level salted rank: the md5 order key's leading hex pair gives 256
+    * range-contiguous buckets, so a partial rank per (host, salt) plus
+    * broadcast per-bucket count offsets reconstructs the exact per-host rank
+    * and NO host routes through a single reducer, no matter how hot. The
+    * narrow (doc_id, host, ord) projection is cached (caller releases per the
+    * [[Caches]] contract) because both levels consume it.
+    */
+  def hostCap(docs: DataFrame, idCol: String, urlCol: String,
+      maxPerHost: Int): DataFrame = {
+    require(maxPerHost >= 1, "need maxPerHost >= 1")
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      hostOf(col(urlCol)).as("host"))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", substring(col("__ord"), 1, 2))
+      .cache()
+    val offsets = base.groupBy("host", "__salt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("host")
+          .orderBy("__salt")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("host", "__salt", "__off")
+    val wPart = org.apache.spark.sql.expressions.Window
+      .partitionBy("host", "__salt").orderBy(col("__ord"), col("doc_id"))
+    base
+      .withColumn("__prn", row_number().over(wPart))
+      .join(broadcast(offsets), Seq("host", "__salt"))
+      .filter(col("__off") + col("__prn") <= maxPerHost)
+      .select("doc_id", "host")
+  }
 }

@@ -16,6 +16,26 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Deterministic (doc_id, html) fixture over documents for the HTML queries:
+    * head noise (title/style/script), nav + list + footer boilerplate,
+    * sentence-per-<p> body, entities that must decode AFTER tag stripping.
+    * Restated verbatim by the DuckDB oracle CTE.
+    */
+  private def htmlFixture(docs: DataFrame): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit(" index</title><style media=\"all\">body { margin: 0; }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>" +
+        "</head><body><nav>Home About Contact</nav>" +
+        "<h1>Document heading for item "), col("doc_id").cast("string"),
+      lit("</h1><p>"),
+      replace(coalesce(col("text"), lit("")), lit(". "), lit(".</p><p>")),
+      lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Sons " +
+        "&lt;contact&gt; page</div><ul><li>one</li><li>two</li></ul>" +
+        "</body></html>"))
+    docs.select(col("doc_id"), html.as("html"))
+  }
+
   /** Deterministic (doc_id, url) fixture over documents for the URL queries —
     * scheme/host case variants, default ports, fragments, tracking params,
     * shuffled param order. Restated verbatim by the DuckDB oracle CTE.
@@ -316,23 +336,9 @@ object ExtensionQueries {
     // markup-bearing derivation of documents: head noise (title/style/script),
     // nav + list + footer boilerplate, sentence-per-<p> body, entities that
     // must decode AFTER tag stripping (&lt;contact&gt; is text, not a tag)
-    "q_html_extract" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" index</title><style media=\"all\">body { margin: 0; }</style>" +
-          "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>" +
-          "</head><body><nav>Home About Contact</nav>" +
-          "<h1>Document heading for item "), col("doc_id").cast("string"),
-        lit("</h1><p>"),
-        replace(coalesce(col("text"), lit("")), lit(". "), lit(".</p><p>")),
-        lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Sons " +
-          "&lt;contact&gt; page</div><ul><li>one</li><li>two</li></ul>" +
-          "</body></html>"))
-      TextAnalysis.htmlExtract(
-        docs.select(col("doc_id"), html.as("html")), "doc_id", "html",
-        minWords = 5)
-    }),
+    "q_html_extract" -> ((s, d) =>
+      TextAnalysis.htmlExtract(htmlFixture(t(s, d, "documents")),
+        "doc_id", "html", minWords = 5)),
 
     // deterministic URL derivation: scheme/host case variants, default ports,
     // fragments, shuffled + tracking query params — the noise canonicalization
@@ -349,6 +355,31 @@ object ExtensionQueries {
     "q_url_dedup" -> ((s, d) =>
       graft.operators.Urls.urlDedup(urlFixture(t(s, d, "documents")),
         "doc_id", "url")),
+
+    "q_url_hosts" -> ((s, d) =>
+      graft.operators.Urls.hostReport(urlFixture(t(s, d, "documents")),
+        "doc_id", "url")),
+
+    "q_url_hostcap" -> ((s, d) =>
+      graft.operators.Urls.hostCap(urlFixture(t(s, d, "documents")),
+        "doc_id", "url", maxPerHost = 30)),
+
+    // the composed CRAWL FRONT HALF in one plan: URL-canonical dedup (one
+    // fetch per page identity) -> HTML extraction + boilerplate gate ->
+    // exact dedup on the EXTRACTED text — the chain that takes raw crawl
+    // records to clean unique documents, feeding every pipeline behind it
+    "q_pipeline_web" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keptUrl = graft.operators.Urls
+        .urlDedup(urlFixture(docs), "doc_id", "url").select("doc_id")
+      val extracted = TextAnalysis.htmlExtract(
+        htmlFixture(docs).join(keptUrl, "doc_id"), "doc_id", "html",
+        minWords = 5)
+      val gated = extracted.filter(col("n_kept") >= 2)
+        .select(col("doc_id"), col("text"))
+      gated.join(Dedup.exact(gated, "doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
+    }),
 
     // ---- multilingual language-ID (Cavnar-Trenkle rank-order profiles) ----
     "q_text_langid2" -> ((s, d) =>
@@ -1102,30 +1133,55 @@ object ExtensionQueries {
       |  host
       |  FROM c5)""".stripMargin
 
+  /** The htmlFixture derivation as a SQL select-list fragment (from a
+    * documents-shaped relation aliased in context).
+    */
+  private val htmlDerivSql: String =
+    """'<html><head><title>Doc ' || doc_id || ' index</title><style media="all">body { margin: 0; }</style>' ||
+      |  '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script></head>' ||
+      |  '<body><nav>Home About Contact</nav><h1>Document heading for item ' || doc_id ||
+      |  '</h1><p>' || replace(coalesce(text, ''), '. ', '.</p><p>') ||
+      |  '</p><div class="footer">&copy; 2026 Example &amp; Sons &lt;contact&gt; page</div>' ||
+      |  '<ul><li>one</li><li>two</li></ul></body></html>' AS html""".stripMargin
+
+  /** The htmlExtract rule pipeline as CTEs over a prior `h(doc_id, html)`
+    * relation, ending in `k(doc_id, ls, ks)` — shared by the standalone and
+    * composed-pipeline oracles.
+    */
+  private val htmlRulesCte: String =
+    """s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+      |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
+      |s3 AS (SELECT doc_id, regexp_replace(t,
+      |  '(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>',
+      |  chr(10), 'g') AS t FROM s2),
+      |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+      |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+      |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
+      |ln AS (SELECT doc_id, list_transform(string_split(t, chr(10)),
+      |  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS ls FROM s5),
+      |k AS (SELECT doc_id, ls, list_filter(ls,
+      |  l -> len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5) AS ks FROM ln)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
-      ("""WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || doc_id || ' index</title><style media="all">body { margin: 0; }</style>' ||
-        |  '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script></head>' ||
-        |  '<body><nav>Home About Contact</nav><h1>Document heading for item ' || doc_id ||
-        |  '</h1><p>' || replace(coalesce(text, ''), '. ', '.</p><p>') ||
-        |  '</p><div class="footer">&copy; 2026 Example &amp; Sons &lt;contact&gt; page</div>' ||
-        |  '<ul><li>one</li><li>two</li></ul></body></html>' AS html FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t,
-        |  '(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>',
-        |  chr(10), 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
-        |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-        |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s4),
-        |ln AS (SELECT doc_id, list_transform(string_split(t, chr(10)),
-        |  l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS ls FROM s5),
-        |k AS (SELECT doc_id, ls, list_filter(ls,
-        |  l -> len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5) AS ks FROM ln)
-        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
-        |  len(ks)::INTEGER AS n_kept, len(ls)::INTEGER AS n_total FROM k""".stripMargin),
+      (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
+        htmlRulesCte + "\n" +
+        """SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept, len(ls)::INTEGER AS n_total FROM k""".stripMargin),
+
+    "q_pipeline_web" ->
+      (urlCanonCte + ",\n" +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon),\n" +
+        s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM documents d JOIN keep USING (doc_id)),\n" +
+        htmlRulesCte + ",\n" +
+        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept FROM k),
+          |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
+          |surv AS (SELECT min(doc_id) AS doc_id FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g) q
+          |  GROUP BY fp)
+          |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin),
 
     "q_url_canon" ->
       (urlCanonCte + """
@@ -1136,6 +1192,19 @@ object ExtensionQueries {
     "q_url_dedup" ->
       (urlCanonCte + """
         |SELECT min(doc_id) AS doc_id, url_canon FROM canon GROUP BY url_canon""".stripMargin),
+
+    "q_url_hosts" ->
+      (urlCanonCte + """
+        |SELECT host, count(*)::BIGINT AS n_docs,
+        |  ((count(*) * 10000) // (SELECT count(*) FROM canon))::BIGINT AS share_bp
+        |FROM canon GROUP BY host""".stripMargin),
+
+    "q_url_hostcap" ->
+      (urlCanonCte + """,
+        |r AS (SELECT doc_id, host,
+        |  row_number() OVER (PARTITION BY host ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM canon)
+        |SELECT doc_id, host FROM r WHERE rn <= 30""".stripMargin),
 
     // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
     // TextAnalysis.LangProfiles constant the engine uses

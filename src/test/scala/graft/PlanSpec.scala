@@ -437,6 +437,65 @@ class PlanSpec extends SparkSpec {
     } finally graft.operators.Caches.release(spark)
   }
 
+  test("html extraction and url canonicalization are narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val html = graft.operators.TextAnalysis.htmlExtract(
+      docs.withColumnRenamed("text", "html"), "doc_id", "html")
+    val urls = docs.select(col("doc_id"),
+      graft.operators.Urls.canonicalUrl(col("text")).as("u"),
+      graft.operators.Urls.hostBlocked(col("text"), Seq("x.com")).as("b"))
+    for ((label, df) <- Seq("htmlExtract" -> html, "canonicalUrl" -> urls)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$label must be a narrow pass, found a shuffle:\n$plan")
+    }
+  }
+
+  test("url dedup: one map-side-combinable min aggregate on the canonical key") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Urls.urlDedup(
+      docs.withColumnRenamed("text", "url"), "doc_id", "url")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"url dedup must not join:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly the canonical-key exchange:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"min must partial-aggregate map-side before the exchange:\n$plan")
+  }
+
+  test("multilingual language-ID: profiles broadcast; only doc_id joins may sort-merge") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.TextAnalysis.languageIdNgram(docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 240-row profile table must broadcast:\n$plan")
+    // the per-doc label join back to the corpus is doc_id-keyed (SMJ is the
+    // right 100 TB plan there; AQE demotes it to broadcast when small) — but
+    // the trigram-vs-profile join must NEVER be a corpus-wide sort-merge
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("doc_id")),
+      s"only doc_id-keyed joins may sort-merge:\n${smj.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the language fan-out must be a broadcast nested loop, not cartesian:\n$plan")
+  }
+
+  test("quality classifier scoring: weights broadcast to the corpus") {
+    import spark.implicits._
+    val model = ((0L until 64L).map(f => (f, BigDecimal(0).setScale(6)))
+      :+ (-1L, BigDecimal(0).setScale(6))).toDF("f", "w")
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.QualityClassifier.score(
+      docs, "doc_id", "text", model, nBuckets = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast:\n$plan")
+    // feature-weight joins broadcast; only the doc_id-keyed margin join back
+    // to the doc list may sort-merge (the right corpus-scale plan)
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smj.forall(_.contains("doc_id")),
+      s"only doc_id-keyed joins may sort-merge:\n${smj.mkString("\n")}")
+  }
+
   test("quantile gate: salted two-level rank — no domain-only window, offsets broadcast") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .withColumn("sc", length(col("text")).cast("double"))

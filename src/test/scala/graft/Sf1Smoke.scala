@@ -44,7 +44,12 @@ object Sf1Smoke {
     "q_dedup_semantic", "q_pipeline_neardedup", "q_multimodal_meta",
     "q_dup_spans", "q_despan", "q_pipeline_clean", "q_fuzzy_join2",
     "q_zorder", "q_bigram_lm_ref", "q_dedup_canonical", "q_shard_assign",
-    "q_ivfpq_rerank_batch", "q_image_phash_pairs", "q_image_dedup")
+    "q_ivfpq_rerank_batch", "q_image_phash_pairs", "q_image_dedup",
+    // round-8 web front half + trained models: the composed crawl chain (url
+    // dedup is a min-agg, extraction narrow), the 3-iteration GD classifier
+    // (per-iteration corpus passes over cached features), and the trigram
+    // profile ranker (per-doc window + broadcast profiles)
+    "q_pipeline_web", "q_quality_clf", "q_text_langid2")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -82,6 +82,26 @@ class WebPrepSpec extends SparkSpec {
       assert(pred == expect, s"doc $id: predicted $pred, expected $expect")
   }
 
+  test("hostCap: salted two-level rank ≡ naive per-host window, cap honored") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = ((0L until 500L).map(i => (i, s"https://Big.Example.COM/p/$i")) ++
+      (1000L until 1010L).map(i => (i, s"https://small.org/p/$i")))
+      .toDF("doc_id", "url")
+    val got = Urls.hostCap(docs, "doc_id", "url", maxPerHost = 25)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val byHost = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byHost("big.example.com") == 25 && byHost("small.org") == 10)
+    // the salted two-level rank must select EXACTLY the naive window's docs
+    val naive = docs.select(col("doc_id"), Urls.hostOf(col("url")).as("host"))
+      .withColumn("rn", row_number().over(Window.partitionBy("host")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= 25).select("doc_id", "host")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == naive)
+    graft.operators.Caches.release(spark)
+  }
+
   test("hostBlocked: exact host and subdomains only") {
     import spark.implicits._
     val df = Seq(
