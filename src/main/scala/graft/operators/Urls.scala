@@ -89,6 +89,38 @@ object Urls {
       .groupBy("url_canon").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "url_canon")
 
+  /** Persisted URL-dedup state: the DISTINCT canonical URLs of `docs` — the
+    * crawl-frontier "have we fetched this page identity?" set. Append this
+    * after each ingested batch; re-appends of an already-seen canonical URL
+    * leave membership unchanged (periodic `distinct()` compaction reclaims
+    * space). Size is one ~100-byte row per distinct page identity no matter
+    * how many times it was crawled.
+    */
+  def urlState(docs: DataFrame, idCol: String, urlCol: String): DataFrame =
+    canonicalize(docs, idCol, urlCol).select("url_canon").distinct()
+
+  /** Incremental URL-keyed dedup — the continuously-crawling form of
+    * [[urlDedup]], completing the (batch, incremental) grid for the URL
+    * modality exactly as [[Dedup.exactIncremental]] does for text: keep rows
+    * of `newDocs` whose canonical URL (1) is not in `state` (a [[urlState]]
+    * table persisted from previous crawls) and (2) is the batch's first
+    * occurrence (smallest doc_id). Returns (doc_id, url_canon).
+    *
+    * Scale shape: the anti-join is hash-partitioned on the canonical URL and
+    * ships only (url_canon, doc_id) pairs of the batch plus the state's
+    * single column — never page payloads; then the usual min-per-key exchange
+    * within the batch. AQE broadcasts a small state instead.
+    */
+  def urlDedupIncremental(newDocs: DataFrame, idCol: String, urlCol: String,
+      state: DataFrame): DataFrame = {
+    require(state.columns.contains("url_canon"),
+      "state must be a urlState table carrying 'url_canon'")
+    canonicalize(newDocs, idCol, urlCol)
+      .join(state.select("url_canon"), Seq("url_canon"), "left_anti")
+      .groupBy("url_canon").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "url_canon")
+  }
+
   /** Per-host corpus report: docs per canonical host with basis-point share —
     * the diagnostic behind host caps and blocklist decisions. One
     * map-side-combinable count exchange plus a 1-row total broadcast.

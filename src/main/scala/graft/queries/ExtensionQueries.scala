@@ -364,6 +364,17 @@ object ExtensionQueries {
       graft.operators.Urls.hostCap(urlFixture(t(s, d, "documents")),
         "doc_id", "url", maxPerHost = 30)),
 
+    // incremental crawl dedup: history = docs < 250 (persisted urlState),
+    // batch = the rest; a batch URL already fetched under ANY canonical
+    // variant is dropped, within-batch variants keep the smallest doc_id
+    "q_url_dedup_incremental" -> ((s, d) => {
+      val urls = urlFixture(t(s, d, "documents"))
+      graft.operators.Urls.urlDedupIncremental(
+        urls.filter(col("doc_id") >= 250), "doc_id", "url",
+        graft.operators.Urls.urlState(
+          urls.filter(col("doc_id") < 250), "doc_id", "url"))
+    }),
+
     // the composed CRAWL FRONT HALF in one plan: URL-canonical dedup (one
     // fetch per page identity) -> HTML extraction + boilerplate gate ->
     // exact dedup on the EXTRACTED text — the chain that takes raw crawl
@@ -393,6 +404,20 @@ object ExtensionQueries {
         t(s, d, "documents"), "doc_id", "text",
         (col("lang") === "en").cast("int"),
         nBuckets = 256, iters = 3, lr = 0.5)),
+
+    // train/serve split — the shape production scoring actually runs: the
+    // model is fit on a held REFERENCE half (doc_id < 250) and applied to the
+    // WHOLE corpus, so scored docs cannot launder their own words into the
+    // weights (the bigramLogProbAgainst discipline)
+    "q_quality_clf_ref" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        (col("lang") === "en").cast("int"),
+        nBuckets = 256, iters = 3, lr = 0.5)
+      graft.operators.QualityClassifier.score(docs, "doc_id", "text", model,
+        nBuckets = 256)
+    }),
 
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
     "q_pack_sequences" -> ((s, d) =>
@@ -1163,6 +1188,45 @@ object ExtensionQueries {
       |k AS (SELECT doc_id, ls, list_filter(ls,
       |  l -> len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5) AS ks FROM ln)""".stripMargin
 
+  /** The quality-classifier training loop unrolled as DuckDB CTEs — 3
+    * gradient-descent iterations over hashed word-presence features, every
+    * model value DECIMAL(18,6), the sigmoid/step double excursions rounded
+    * back to 6dp exactly as the engine does them. `trainWhere` restricts the
+    * TRAINING half (labels, features, gradient); scoring always covers the
+    * whole corpus with features over all docs — the engine's score() shape.
+    */
+  private def clfOracleSql(trainWhere: String): String = {
+    val iters = (1 to 3).map { k =>
+      s"""s$k AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w${k - 1} USING (f) GROUP BY doc_id),
+         |z$k AS (SELECT d.doc_id, d.y, ((SELECT b FROM b${k - 1}) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
+         |       FROM d LEFT JOIN s$k s USING (doc_id)),
+         |e$k AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z$k),
+         |g$k AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e$k USING (doc_id) GROUP BY f),
+         |w$k AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
+         |       FROM w${k - 1} w LEFT JOIN g$k g USING (f) CROSS JOIN nn),
+         |b$k AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e$k) q, nn))::DECIMAL(18,6) AS b FROM b${k - 1} b),""".stripMargin
+    }.mkString("\n")
+    s"""WITH base AS (SELECT doc_id, lang,
+       |  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+       |              x -> length(x) > 0) AS ws
+       |  FROM documents),
+       |fall AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
+       |      FROM (SELECT doc_id, unnest(ws) AS w FROM base) t),
+       |d AS (SELECT doc_id,
+       |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DECIMAL(18,6) AS y
+       |  FROM base $trainWhere),
+       |f AS (SELECT fall.doc_id, fall.f FROM fall JOIN d USING (doc_id)),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM d),
+       |w0 AS (SELECT range AS f, 0::DECIMAL(18,6) AS w FROM range(0, 256)),
+       |b0 AS (SELECT 0::DECIMAL(18,6) AS b),
+       |$iters
+       |sF AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM fall JOIN w3 USING (f) GROUP BY doc_id)
+       |SELECT base.doc_id,
+       |  ((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) AS score,
+       |  (((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) > 0) AS pred
+       |FROM base LEFT JOIN sF s USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -1206,6 +1270,14 @@ object ExtensionQueries {
         |  FROM canon)
         |SELECT doc_id, host FROM r WHERE rn <= 30""".stripMargin),
 
+    "q_url_dedup_incremental" ->
+      (urlCanonCte + """,
+        |seen AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id < 250)
+        |SELECT min(doc_id) AS doc_id, url_canon FROM canon
+        |WHERE doc_id >= 250
+        |  AND url_canon NOT IN (SELECT url_canon FROM seen)
+        |GROUP BY url_canon""".stripMargin),
+
     // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
     // TextAnalysis.LangProfiles constant the engine uses
     "q_text_langid2" ->
@@ -1240,46 +1312,11 @@ object ExtensionQueries {
     // hashed word-presence features, every model value DECIMAL(18,6), the
     // sigmoid/step double excursions rounded back to 6dp exactly as the
     // engine does them
-    "q_quality_clf" ->
-      ("""WITH d AS (SELECT doc_id,
-        |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DECIMAL(18,6) AS y,
-        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
-        |              x -> length(x) > 0) AS ws
-        |  FROM documents),
-        |nn AS (SELECT count(*)::DOUBLE AS n FROM d),
-        |f AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
-        |      FROM (SELECT doc_id, unnest(ws) AS w FROM d) t),
-        |w0 AS (SELECT range AS f, 0::DECIMAL(18,6) AS w FROM range(0, 256)),
-        |b0 AS (SELECT 0::DECIMAL(18,6) AS b),
-        |s1 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w0 USING (f) GROUP BY doc_id),
-        |z1 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b0) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
-        |       FROM d LEFT JOIN s1 s USING (doc_id)),
-        |e1 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z1),
-        |g1 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e1 USING (doc_id) GROUP BY f),
-        |w1 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
-        |       FROM w0 w LEFT JOIN g1 g USING (f) CROSS JOIN nn),
-        |b1 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e1) q, nn))::DECIMAL(18,6) AS b FROM b0 b),
-        |s2 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w1 USING (f) GROUP BY doc_id),
-        |z2 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b1) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
-        |       FROM d LEFT JOIN s2 s USING (doc_id)),
-        |e2 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z2),
-        |g2 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e2 USING (doc_id) GROUP BY f),
-        |w2 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
-        |       FROM w1 w LEFT JOIN g2 g USING (f) CROSS JOIN nn),
-        |b2 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e2) q, nn))::DECIMAL(18,6) AS b FROM b1 b),
-        |s3 AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w2 USING (f) GROUP BY doc_id),
-        |z3 AS (SELECT d.doc_id, d.y, ((SELECT b FROM b2) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
-        |       FROM d LEFT JOIN s3 s USING (doc_id)),
-        |e3 AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z3),
-        |g3 AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e3 USING (doc_id) GROUP BY f),
-        |w3 AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
-        |       FROM w2 w LEFT JOIN g3 g USING (f) CROSS JOIN nn),
-        |b3 AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e3) q, nn))::DECIMAL(18,6) AS b FROM b2 b),
-        |sF AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w3 USING (f) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  ((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) AS score,
-        |  (((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) > 0) AS pred
-        |FROM d LEFT JOIN sF s USING (doc_id)""".stripMargin),
+    "q_quality_clf" -> clfOracleSql(trainWhere = ""),
+
+    // same unrolled training loop fit ONLY on the doc_id < 250 reference
+    // half, scored over the whole corpus — the train/serve split
+    "q_quality_clf_ref" -> clfOracleSql(trainWhere = "WHERE doc_id < 250"),
 
     "q_dedup_simhash" -> simhashOracle,
 

@@ -82,6 +82,23 @@ class WebPrepSpec extends SparkSpec {
       assert(pred == expect, s"doc $id: predicted $pred, expected $expect")
   }
 
+  test("urlDedupIncremental: history variants drop, fresh batch URLs keep first") {
+    import spark.implicits._
+    val hist = Seq(
+      (1L, "https://a.com/x?utm_source=z"),
+      (2L, "http://B.com:80/y")).toDF("doc_id", "url")
+    val batch = Seq(
+      (10L, "HTTPS://A.com:443/x"),      // canonical dup of history 1 -> drop
+      (11L, "http://b.com/y#frag"),       // canonical dup of history 2 -> drop
+      (12L, "https://c.org/new?b=2&a=1"), // fresh, first variant -> keep
+      (13L, "https://C.ORG/new?a=1&b=2"), // same canonical as 12 -> drop
+      (14L, "https://d.net/p")).toDF("doc_id", "url")
+    val kept = Urls.urlDedupIncremental(batch, "doc_id", "url",
+      Urls.urlState(hist, "doc_id", "url"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L, 14L), s"got $kept")
+  }
+
   test("hostCap: salted two-level rank ≡ naive per-host window, cap honored") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
