@@ -168,6 +168,27 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     qDocs.unpersist()
+
+    // --- 7. host-cap one-host flood --------------------------------------
+    // 90% of docs on ONE host (the SEO-farm shape hostCap exists for): the
+    // salted two-level rank must cap the flood without a per-host reducer
+    val hDocs = spark.range(nDoc).select(col("id").as("doc_id"),
+      when(col("id") % 10 =!= 0, lit("https://farm.example.com/p/"))
+        .otherwise(concat(lit("https://site"), (col("id") % 1000).cast("string"),
+          lit(".org/p/")))
+        .as("pre"))
+      .select(col("doc_id"), concat(col("pre"), col("doc_id")).as("url"))
+      .repartition(32).cache()
+    println(s"[prof] host-cap docs: ${hDocs.count()} (90% one host)")
+    for (i <- 1 to 2)
+      time(s"hostCap 90%%-one-host #$i") {
+        val kept = graft.operators.Urls.hostCap(
+          hDocs, "doc_id", "url", maxPerHost = 100000).count()
+        require(kept > 0, "host cap kept nothing")
+        println(f"[prof]   kept $kept rows")
+        graft.operators.Caches.release(spark)
+      }
+    hDocs.unpersist()
     spark.stop()
   }
 }
