@@ -117,28 +117,66 @@ object TextAnalysis {
     */
   def languageIdNgram(docs: DataFrame, idCol: String, textCol: String,
       topM: Int = 20): DataFrame = {
-    require(topM >= 1, "need topM >= 1")
     require(LangProfiles.forall { case (_, ts) =>
       ts.distinct.size == ts.size && ts.forall(_.length == 3) },
       "profiles must be distinct trigrams of length 3")
-    val penalty = ProfileDepth
     val spark = docs.sparkSession
     import spark.implicits._
     val profileDf = LangProfiles.flatMap { case (l, ts) =>
       ts.zipWithIndex.map { case (tri, i) => (l, tri, i + 1) }
     }.toDF("plang", "tri", "lr_")
-    val langsDf = LangProfiles.map(_._1).toDF("plang")
+    languageIdWith(docs, idCol, textCol, profileDf, topM, ProfileDepth)
+  }
 
-    val ids = docs.select(Keys.id(docs, idCol).as("doc_id"), col(textCol))
+  /** Normalized character trigrams per doc, one row per OCCURRENCE — shared
+    * by classification and profile training.
+    */
+  private def normTrigrams(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val norm = concat(lit(" "),
       trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
         "[^\\p{L}]+", " ")), lit(" "))
-    val tris = ids.select(col("doc_id"), norm.as("s"))
+    docs.select(Keys.id(docs, idCol).as("doc_id"), norm.as("s"))
       .select(col("doc_id"), explode(expr(
         "case when length(s) >= 3 then " +
           "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) " +
           "else cast(array() as array<string>) end")).as("tri"))
-    val top = tris.groupBy("doc_id", "tri").count()
+  }
+
+  /** TRAIN Cavnar-Trenkle rank profiles from a LABELED corpus: the `depth`
+    * most frequent normalized trigrams per language, rank 1..depth, ties
+    * bytewise by trigram — the learned counterpart of the [[LangProfiles]]
+    * constant, for classifying with [[languageIdWith]] (train on a labeled
+    * reference half, serve on everything — the scoring corpus never feeds
+    * its own profiles). Scale shape: one vocabulary-bounded (lang, tri)
+    * count exchange + a per-lang top-depth window over that tiny table.
+    */
+  def trainLangProfiles(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, depth: Int = 20): DataFrame = {
+    require(depth >= 1, "need depth >= 1")
+    normTrigrams(docs, idCol, textCol)
+      .join(docs.select(Keys.id(docs, idCol).as("doc_id"),
+        col(langCol).as("plang")), "doc_id")
+      .groupBy("plang", "tri").count()
+      .withColumn("lr_", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("plang")
+          .orderBy(col("count").desc, col("tri").asc)))
+      .filter(col("lr_") <= depth)
+      .select("plang", "tri", "lr_")
+  }
+
+  /** Rank-order classification against an explicit (plang, tri, lr_) profile
+    * table — the shared engine behind [[languageIdNgram]] (static profiles)
+    * and [[trainLangProfiles]] (learned profiles). See languageIdNgram's
+    * scaladoc for the algorithm and scale shape.
+    */
+  def languageIdWith(docs: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, topM: Int = 20, penalty: Int = 20): DataFrame = {
+    require(topM >= 1 && penalty >= 1, "need topM >= 1 and penalty >= 1")
+    val profileDf = profiles.select("plang", "tri", "lr_")
+    val langsDf = profileDf.select("plang").distinct()
+    val ids = docs.select(Keys.id(docs, idCol).as("doc_id"))
+    val top = normTrigrams(docs, idCol, textCol).groupBy("doc_id", "tri").count()
       .withColumn("dr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
           .orderBy(col("count").desc, col("tri").asc)))
@@ -152,7 +190,7 @@ object TextAnalysis {
       .agg(min(struct(col("oop"), col("plang"))).as("m"))
       .select(col("doc_id"), col("m.plang").as("lang_pred"),
         col("m.oop").as("oop"))
-    ids.select("doc_id").join(pick, Seq("doc_id"), "left")
+    ids.join(pick, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"), col("oop"))
   }

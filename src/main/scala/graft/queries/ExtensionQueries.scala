@@ -396,6 +396,17 @@ object ExtensionQueries {
     "q_text_langid2" -> ((s, d) =>
       TextAnalysis.languageIdNgram(t(s, d, "documents"), "doc_id", "text")),
 
+    // TRAINED variant: profiles learned from the labeled doc_id < 250
+    // reference half (per-language top-20 trigram ranks), applied to the
+    // whole corpus — the train/serve split for language-ID
+    "q_text_langid3" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prof = TextAnalysis.trainLangProfiles(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", "lang", depth = 20)
+      TextAnalysis.languageIdWith(docs, "doc_id", "text", prof,
+        topM = 20, penalty = 20)
+    }),
+
     // ---- trained quality classifier (hashed n-gram logistic regression) ----
     // label = the lang column's en flag: the model learns to predict it from
     // hashed word presence — 3 full-batch GD iterations, decimal-exact model
@@ -1307,6 +1318,37 @@ object ExtensionQueries {
           |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred, p.oop
           |FROM d LEFT JOIN (SELECT doc_id, lang_pred, oop FROM pick WHERE rn = 1) p
           |USING (doc_id)""".stripMargin),
+
+    // trained profiles: per-language top-20 trigram ranks from the labeled
+    // reference half, then the identical out-of-place scoring chain
+    "q_text_langid3" ->
+      ("""WITH tr AS (SELECT doc_id, lang,
+        |  ' ' || trim(regexp_replace(lower(coalesce(text, '')), '[^\p{L}]+', ' ', 'g')) || ' ' AS s
+        |  FROM documents),
+        |tg AS (SELECT doc_id, substr(s, i, 3) AS tri
+        |       FROM tr, range(1, 100000) r(i)
+        |       WHERE length(s) >= 3 AND i <= length(s) - 2),
+        |prof AS (SELECT plang, tri, lr_ FROM (
+        |  SELECT t.lang AS plang, g.tri,
+        |    row_number() OVER (PARTITION BY t.lang ORDER BY count(*) DESC, g.tri ASC) AS lr_
+        |  FROM tg g JOIN tr t USING (doc_id) WHERE t.doc_id < 250
+        |  GROUP BY t.lang, g.tri) q WHERE lr_ <= 20),
+        |langs AS (SELECT DISTINCT plang FROM prof),
+        |c AS (SELECT doc_id, tri, count(*) AS cnt FROM tg GROUP BY 1, 2),
+        |top AS (SELECT doc_id, tri,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tri ASC) AS dr
+        |        FROM c QUALIFY dr <= 20),
+        |sc AS (SELECT t.doc_id, l.plang,
+        |         sum(coalesce(abs(t.dr - p.lr_), 20))::BIGINT AS oop
+        |       FROM top t CROSS JOIN langs l
+        |       LEFT JOIN prof p ON p.plang = l.plang AND p.tri = t.tri
+        |       GROUP BY 1, 2),
+        |pick AS (SELECT doc_id, plang AS lang_pred, oop,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY oop, plang) AS rn
+        |         FROM sc)
+        |SELECT tr.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred, p.oop
+        |FROM tr LEFT JOIN (SELECT doc_id, lang_pred, oop FROM pick WHERE rn = 1) p
+        |USING (doc_id)""".stripMargin),
 
     // the full training loop unrolled: 3 gradient-descent iterations over
     // hashed word-presence features, every model value DECIMAL(18,6), the

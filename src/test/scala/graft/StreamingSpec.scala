@@ -197,6 +197,49 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(1L, 2L, 3L, 5L, 8L))
   }
 
+  test("streaming crawl dedup: foreachBatch vs persisted url state == batch urlDedup") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // URL identity groups are exact keys, so direct history matching and
+    // batch min-per-key agree for ANY batch slicing — the exactIncremental
+    // equivalence, on the canonical URL
+    val batches = Seq(
+      Seq((1L, "https://a.com/x?utm_source=f"), (2L, "http://b.org:80/y")),
+      Seq((3L, "HTTPS://A.COM:443/x"),          // dup of 1 under canonicalization
+        (4L, "https://c.net/z?b=2&a=1")),
+      Seq((5L, "https://c.net/z?a=1&b=2"),      // dup of 4
+        (6L, "http://b.org/y#top"),             // dup of 2
+        (7L, "https://d.io/w")))
+
+    val input = MemoryStream[(Long, String)]
+    var state = graft.operators.Urls.urlState(
+      Seq.empty[(Long, String)].toDF("doc_id", "url"), "doc_id", "url")
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "url").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val survivors = graft.operators.Urls.urlDedupIncremental(
+          batch, "doc_id", "url", state)
+        kept ++= survivors.collect().map(_.getLong(0))
+        state = state.unionByName(
+          graft.operators.Urls.urlState(batch, "doc_id", "url"))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batchResult = graft.operators.Urls.urlDedup(
+      batches.flatten.toDF("doc_id", "url"), "doc_id", "url")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == kept.toSet.size, "a url must be emitted at most once")
+    assert(kept.toSet == batchResult,
+      s"stream ${kept.sorted} != batch ${batchResult.toSeq.sorted}")
+    assert(kept.toSet == Set(1L, 2L, 4L, 7L))
+  }
+
   test("streaming semantic dedup: foreachBatch vs persisted cell state == batch semanticDedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
