@@ -437,6 +437,22 @@ class PlanSpec extends SparkSpec {
     } finally graft.operators.Caches.release(spark)
   }
 
+  test("composed crawl pipeline: map-side-combined dedup aggs, no cartesian, html never in the url exchange") {
+    val out = graft.queries.ExtensionQueries.defs("q_pipeline_web")(spark, sfDir)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+    // both dedup stages (canonical url, extracted-text fingerprint) must
+    // partial-aggregate before their exchange
+    assert(plan.contains("partial_min"),
+      s"dedup min aggs must combine map-side:\n$plan")
+    // the url-dedup exchange ships (url_canon, doc_id) only — the html
+    // payload must not ride the canonical-key shuffle
+    val urlExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") && l.contains("url_canon")).toSeq
+    assert(urlExchanges.nonEmpty && urlExchanges.forall(!_.contains("html")),
+      s"html must be projected away before the url exchange:\n${urlExchanges.mkString("\n")}")
+  }
+
   test("html extraction and url canonicalization are narrow: zero shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val html = graft.operators.TextAnalysis.htmlExtract(
