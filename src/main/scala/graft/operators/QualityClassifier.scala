@@ -38,16 +38,29 @@ object QualityClassifier {
 
   private val Dec = DecimalType(18, 6)
 
-  /** DISTINCT (doc_id, f) presence features over whitespace words. */
+  /** DISTINCT (doc_id, f) presence features over whitespace words; with
+    * `wordBigrams` the adjacent-word bigrams ("w1 w2") hash into the SAME
+    * bucket space — fastText's n-gram trick, which lets the linear model see
+    * local word order at zero architectural cost.
+    */
   def features(docs: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame =
+      nBuckets: Int, wordBigrams: Boolean = false): DataFrame = {
+    val grams =
+      if (wordBigrams)
+        expr("concat(ws, case when size(ws) >= 2 then " +
+          "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "else cast(array() as array<string>) end)")
+      else col("ws")
     docs.select(Keys.id(docs, idCol).as("doc_id"),
-      explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-        w => length(w) > 0)).as("w"))
+      filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => length(w) > 0).as("ws"))
+      .select(col("doc_id"), explode(grams).as("w"))
       .select(col("doc_id"),
         expr(s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $nBuckets")
           .as("f"))
       .distinct()
+  }
 
   /** Train and return the model as (f, w): one row per feature bucket plus
     * the bias at f = -1, w DECIMAL(18,6). `label` must be a 0/1 integer
@@ -56,14 +69,15 @@ object QualityClassifier {
     * model smooths and generalizes).
     */
   def train(docs: DataFrame, idCol: String, textCol: String, label: Column,
-      nBuckets: Int = 256, iters: Int = 3, lr: Double = 0.5): DataFrame = {
+      nBuckets: Int = 256, iters: Int = 3, lr: Double = 0.5,
+      wordBigrams: Boolean = false): DataFrame = {
     require(nBuckets > 0 && iters >= 1 && lr > 0, "bad hyperparameters")
     val spark = docs.sparkSession
     import spark.implicits._
 
     val labels = docs.select(Keys.id(docs, idCol).as("doc_id"),
       label.cast(Dec).as("y")).cache()
-    val feats = features(docs, idCol, textCol, nBuckets).cache()
+    val feats = features(docs, idCol, textCol, nBuckets, wordBigrams).cache()
     val n = labels.count()
     require(n > 0, "empty training corpus")
 
@@ -116,9 +130,9 @@ object QualityClassifier {
     * join + one map-side-combinable sum per doc.
     */
   def score(docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
-      nBuckets: Int = 256): DataFrame = {
+      nBuckets: Int = 256, wordBigrams: Boolean = false): DataFrame = {
     val bias = model.filter(col("f") === -1L).select(col("w").cast(Dec))
-    val feats = features(docs, idCol, textCol, nBuckets)
+    val feats = features(docs, idCol, textCol, nBuckets, wordBigrams)
     docs.select(Keys.id(docs, idCol).as("doc_id"))
       .join(feats.join(broadcast(model.filter(col("f") >= 0)), "f")
         .groupBy("doc_id").agg(sum("w").cast(Dec).as("s")),
@@ -134,7 +148,8 @@ object QualityClassifier {
     */
   def trainAndScore(docs: DataFrame, idCol: String, textCol: String,
       label: Column, nBuckets: Int = 256, iters: Int = 3,
-      lr: Double = 0.5): DataFrame =
+      lr: Double = 0.5, wordBigrams: Boolean = false): DataFrame =
     score(docs, idCol, textCol,
-      train(docs, idCol, textCol, label, nBuckets, iters, lr), nBuckets)
+      train(docs, idCol, textCol, label, nBuckets, iters, lr, wordBigrams),
+      nBuckets, wordBigrams)
 }

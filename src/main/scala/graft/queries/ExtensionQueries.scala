@@ -416,6 +416,15 @@ object ExtensionQueries {
         (col("lang") === "en").cast("int"),
         nBuckets = 256, iters = 3, lr = 0.5)),
 
+    // bigram-feature variant: adjacent-word bigrams hash into the same
+    // bucket space (fastText's n-gram trick) so the linear model sees local
+    // word order; same unrolled-training oracle with the bigram feature CTE
+    "q_quality_clf2" -> ((s, d) =>
+      graft.operators.QualityClassifier.trainAndScore(
+        t(s, d, "documents"), "doc_id", "text",
+        (col("lang") === "en").cast("int"),
+        nBuckets = 256, iters = 3, lr = 0.5, wordBigrams = true)),
+
     // train/serve split — the shape production scoring actually runs: the
     // model is fit on a held REFERENCE half (doc_id < 250) and applied to the
     // WHOLE corpus, so scored docs cannot launder their own words into the
@@ -1206,7 +1215,8 @@ object ExtensionQueries {
     * TRAINING half (labels, features, gradient); scoring always covers the
     * whole corpus with features over all docs — the engine's score() shape.
     */
-  private def clfOracleSql(trainWhere: String): String = {
+  private def clfOracleSql(trainWhere: String,
+      bigrams: Boolean = false): String = {
     val iters = (1 to 3).map { k =>
       s"""s$k AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w${k - 1} USING (f) GROUP BY doc_id),
          |z$k AS (SELECT d.doc_id, d.y, ((SELECT b FROM b${k - 1}) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
@@ -1217,12 +1227,19 @@ object ExtensionQueries {
          |       FROM w${k - 1} w LEFT JOIN g$k g USING (f) CROSS JOIN nn),
          |b$k AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e$k) q, nn))::DECIMAL(18,6) AS b FROM b${k - 1} b),""".stripMargin
     }.mkString("\n")
+    val gramSrc =
+      if (bigrams)
+        """SELECT doc_id, unnest(ws) AS w FROM base
+          |       UNION ALL
+          |       SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS w
+          |       FROM base, range(1, 100000) r(i) WHERE i <= len(ws) - 1""".stripMargin
+      else "SELECT doc_id, unnest(ws) AS w FROM base"
     s"""WITH base AS (SELECT doc_id, lang,
        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
        |              x -> length(x) > 0) AS ws
        |  FROM documents),
        |fall AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
-       |      FROM (SELECT doc_id, unnest(ws) AS w FROM base) t),
+       |      FROM ($gramSrc) t),
        |d AS (SELECT doc_id,
        |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DECIMAL(18,6) AS y
        |  FROM base $trainWhere),
@@ -1355,6 +1372,8 @@ object ExtensionQueries {
     // sigmoid/step double excursions rounded back to 6dp exactly as the
     // engine does them
     "q_quality_clf" -> clfOracleSql(trainWhere = ""),
+
+    "q_quality_clf2" -> clfOracleSql(trainWhere = "", bigrams = true),
 
     // same unrolled training loop fit ONLY on the doc_id < 250 reference
     // half, scored over the whole corpus — the train/serve split

@@ -94,6 +94,31 @@ class QualityClassifierSpec extends SparkSpec {
     graft.operators.Caches.release(spark)
   }
 
+  test("word-bigram features separate order-dependent labels unigrams cannot") {
+    import spark.implicits._
+    // both classes have IDENTICAL word multisets — only adjacency differs —
+    // so unigram presence features give every doc the same score, while
+    // bigram features ("good not" vs "bad not") separate them
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "the meal was good not bad overall we think", 1)
+      else (i, "the meal was bad not good overall we think", 0)
+    }.toDF("doc_id", "text", "y")
+    def accuracy(bigrams: Boolean): Double = {
+      val scored = QualityClassifier.trainAndScore(docs, "doc_id", "text",
+        col("y"), nBuckets = nBuckets, iters = iters, lr = lr,
+        wordBigrams = bigrams)
+        .join(docs.select(col("doc_id"), col("y")), "doc_id")
+        .select(col("y"), col("pred").cast("int").as("p"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      graft.operators.Caches.release(spark)
+      scored.count { case (y, p) => y == p }.toDouble / scored.length
+    }
+    assert(accuracy(bigrams = false) <= 0.6,
+      "unigram features must NOT separate an order-only signal")
+    assert(accuracy(bigrams = true) >= 0.9,
+      "bigram features must separate the order signal")
+  }
+
   test("empty-text docs score the bias alone and survive") {
     import spark.implicits._
     val docs = (corpus :+ ((99L, "", 1))).toDF("doc_id", "text", "y")
