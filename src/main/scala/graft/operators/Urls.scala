@@ -37,7 +37,10 @@ object Urls {
     val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    // authority = hostport with any userinfo (user[:pass]@) dropped — it is
+    // not part of the page identity
+    val hostport = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", ""))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)
@@ -60,7 +63,8 @@ object Urls {
     val noFrag = regexp_replace(trim(url), "(?s)#.*", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val hostport = lower(regexp_replace(
+      regexp_extract(rest, "^([^/?]*)", 1), "^[^@]*@", ""))
     when(scheme === "http", regexp_replace(hostport, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
       .otherwise(hostport)

@@ -1158,7 +1158,7 @@ object ExtensionQueries {
       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
       |c3 AS (SELECT doc_id, sch,
-      |  lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hp,
+      |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS hp,
       |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
       |c4 AS (SELECT doc_id, sch,
       |  CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
