@@ -33,6 +33,87 @@ object TextAnalysis {
       round(upper.cast("double") / chars, 4).as("upper_ratio"))
   }
 
+  /** The GOPHER quality rules (Rae et al. 2021, A1.1) as a deterministic
+    * gate: every ratio threshold is evaluated as an INTEGER cross-multiplied
+    * comparison (the quantileFilter myriad discipline), so the verdict is an
+    * engine-portable function of the text with no IEEE thresholds:
+    *   1. word count in [minWords, maxWords];
+    *   2. mean word length in [3, 10]           (3n ≤ Σ|w| ≤ 10n);
+    *   3. symbol-to-word ratio ≤ 0.1            (10·(#'#' + #'...') ≤ n);
+    *   4. ≤ 90% of lines start with a bullet    (10·bullets ≤ 9·lines);
+    *   5. ≤ 30% of lines end with an ellipsis   (10·ellipsis ≤ 3·lines);
+    *   6. ≥ 80% of words contain a letter       (10·alpha ≥ 8·n);
+    *   7. ≥ 2 distinct Gopher stop words present.
+    * Output: per-rule booleans + the conjunction. One narrow codegen'd pass.
+    */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val ws = words(t)
+    val n = size(ws).cast("long")
+    val totalLen = aggregate(transform(ws, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val hashes = (length(t) - length(replace(t, lit("#"), lit("")))).cast("long")
+    val dots = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("long")
+    val lines = filter(transform(split(t, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val nl = size(lines).cast("long")
+    val bullets = size(filter(lines,
+      l => substring(l, 1, 1).isin("•", "‣", "-", "*"))).cast("long")
+    val ellipsis = size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val alpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stops = array(GopherStopWords.map(lit): _*)
+    val nStops = size(array_intersect(array_distinct(ws), stops))
+    docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      n.as("n_words"),
+      n.between(minWords, maxWords).as("ok_word_count"),
+      (lit(3L) * n <= totalLen && totalLen <= lit(10L) * n)
+        .as("ok_mean_word_len"),
+      (lit(10L) * (hashes + dots) <= n).as("ok_symbol_ratio"),
+      (lit(10L) * bullets <= lit(9L) * nl).as("ok_bullet_lines"),
+      (lit(10L) * ellipsis <= lit(3L) * nl).as("ok_ellipsis_lines"),
+      (lit(10L) * alpha >= lit(8L) * n).as("ok_alpha_words"),
+      (nStops >= 2).as("ok_stop_words"))
+      .withColumn("passed",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
+          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
+          col("ok_stop_words"))
+  }
+
+  /** Gopher's stop-word presence list (Rae 2021 A1.1). */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2) as a deterministic
+    * line-level gate:
+    *   - keep only lines that end in terminal punctuation (. ! ? ")
+    *     AND have ≥ `minLineWords` words AND do not contain "javascript";
+    *   - drop the DOC if the cleaned text has < 3 sentence terminators,
+    *     or the raw text contains "lorem ipsum" or "{".
+    * Output: (doc_id, text = kept lines re-joined, n_kept, kept). One narrow
+    * codegen'd pass, no shuffle — composes with [[htmlExtract]] upstream.
+    */
+  def c4Gate(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val lines = transform(split(t, "\n"),
+      l => trim(regexp_replace(l, "\\s+", " ")))
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") || l.endsWith("\"")) &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
+      cleaned.as("text"),
+      size(kept).as("n_kept"),
+      (size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= 3 &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{")).as("kept"))
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "les", "et", "est"),

@@ -392,6 +392,41 @@ object ExtensionQueries {
         .select("doc_id", "text")
     }),
 
+    // ---- published quality-rule sets: Gopher (Rae 2021), C4 (Raffel 2020) ----
+    // the corpus is flat word soup, so line structure (bullets, ellipsis
+    // lines) is planted deterministically to give every rule signal
+    "q_gopher_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val withLines = concat(
+        replace(coalesce(col("text"), lit("")), lit(". "), lit(".\n")),
+        when(col("doc_id") % 5 === 0,
+          lit("\n- bullet item one\n- bullet item two")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\ntrailing thought...")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("\n### #### ##")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nthis text was written with care and attention to the details of that domain."))
+          .otherwise(lit("")))
+      TextAnalysis.gopherGate(
+        docs.select(col("doc_id"), withLines.as("text")), "doc_id", "text",
+        minWords = 20)
+    }),
+
+    "q_c4_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sentences = concat(
+        lit("We observe that "), substring(coalesce(col("text"), lit("")), 1, 40),
+        lit(" holds.\nIt follows that "),
+        substring(coalesce(col("text"), lit("")), 41, 40),
+        lit(" matters!\nFinally "),
+        substring(coalesce(col("text"), lit("")), 81, 40), lit(" ends.\n"),
+        lit("no terminal punctuation on this line\n"),
+        lit("this line mentions javascript libraries in detail today."),
+        when(col("doc_id") % 13 === 0, lit("\ncurly { brace }")).otherwise(lit("")))
+      TextAnalysis.c4Gate(
+        docs.select(col("doc_id"), sentences.as("text")), "doc_id", "text",
+        minLineWords = 5)
+    }),
+
     // ---- multilingual language-ID (Cavnar-Trenkle rank-order profiles) ----
     "q_text_langid2" -> ((s, d) =>
       TextAnalysis.languageIdNgram(t(s, d, "documents"), "doc_id", "text")),
@@ -1335,6 +1370,70 @@ object ExtensionQueries {
           |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred, p.oop
           |FROM d LEFT JOIN (SELECT doc_id, lang_pred, oop FROM pick WHERE rn = 1) p
           |USING (doc_id)""".stripMargin),
+
+    "q_gopher_gate" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  replace(coalesce(text, ''), '. ', '.' || chr(10)) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN chr(10) || '- bullet item one' || chr(10) || '- bullet item two' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'trailing thought...' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '### #### ##' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this text was written with care and attention to the details of that domain.' ELSE '' END) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, t,
+        |  list_filter(string_split_regex(lower(t), '\s+'), x -> length(x) > 0) AS ws FROM d),
+        |m AS (SELECT doc_id,
+        |  len(ws)::BIGINT AS n,
+        |  coalesce(list_aggregate(list_transform(ws, x -> length(x)::BIGINT), 'sum'), 0)::BIGINT AS total,
+        |  (length(t) - length(replace(t, '#', '')))::BIGINT AS hashes,
+        |  ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS dots,
+        |  list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |              l -> length(l) > 0) AS lines,
+        |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha,
+        |  len(list_intersect(list_distinct(ws),
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS nstops
+        |  FROM w),
+        |r AS (SELECT doc_id, n,
+        |  (n BETWEEN 20 AND 100000) AS ok_word_count,
+        |  (3 * n <= total AND total <= 10 * n) AS ok_mean_word_len,
+        |  (10 * (hashes + dots) <= n) AS ok_symbol_ratio,
+        |  (10 * len(list_filter(lines, l -> substr(l, 1, 1) IN ('•', '‣', '-', '*')))::BIGINT
+        |     <= 9 * len(lines)::BIGINT) AS ok_bullet_lines,
+        |  (10 * len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))::BIGINT
+        |     <= 3 * len(lines)::BIGINT) AS ok_ellipsis_lines,
+        |  (10 * alpha >= 8 * n) AS ok_alpha_words,
+        |  (nstops >= 2) AS ok_stop_words
+        |  FROM m)
+        |SELECT doc_id, n AS n_words, ok_word_count, ok_mean_word_len,
+        |  ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
+        |  ok_stop_words,
+        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
+        |   ok_bullet_lines AND ok_ellipsis_lines AND ok_alpha_words AND
+        |   ok_stop_words) AS passed
+        |FROM r""".stripMargin),
+
+    "q_c4_gate" ->
+      ("""WITH d AS (SELECT doc_id,
+        |  'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
+        |  ' holds.' || chr(10) || 'It follows that ' || substr(coalesce(text, ''), 41, 40) ||
+        |  ' matters!' || chr(10) || 'Finally ' || substr(coalesce(text, ''), 81, 40) ||
+        |  ' ends.' || chr(10) ||
+        |  'no terminal punctuation on this line' || chr(10) ||
+        |  'this line mentions javascript libraries in detail today.' ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'curly { brace }' ELSE '' END) AS t
+        |  FROM documents),
+        |k AS (SELECT doc_id, t,
+        |  list_filter(list_transform(string_split(t, chr(10)),
+        |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+        |    l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+        |      AND len(list_filter(string_split(l, ' '), x -> length(x) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS ks
+        |  FROM d)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  len(ks)::INTEGER AS n_kept,
+        |  (len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]')) >= 3
+        |   AND NOT contains(lower(t), 'lorem ipsum')
+        |   AND NOT contains(t, '{')) AS kept
+        |FROM k""".stripMargin),
 
     // trained profiles: per-language top-20 trigram ranks from the labeled
     // reference half, then the identical out-of-place scoring chain
