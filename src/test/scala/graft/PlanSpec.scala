@@ -460,7 +460,10 @@ class PlanSpec extends SparkSpec {
     val urls = docs.select(col("doc_id"),
       graft.operators.Urls.canonicalUrl(col("text")).as("u"),
       graft.operators.Urls.hostBlocked(col("text"), Seq("x.com")).as("b"))
-    for ((label, df) <- Seq("htmlExtract" -> html, "canonicalUrl" -> urls)) {
+    val gopher = graft.operators.TextAnalysis.gopherGate(docs, "doc_id", "text")
+    val c4 = graft.operators.TextAnalysis.c4Gate(docs, "doc_id", "text")
+    for ((label, df) <- Seq("htmlExtract" -> html, "canonicalUrl" -> urls,
+      "gopherGate" -> gopher, "c4Gate" -> c4)) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"$label must be a narrow pass, found a shuffle:\n$plan")
