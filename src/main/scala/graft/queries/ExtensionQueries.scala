@@ -16,6 +16,24 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
 
+  /** Deterministic sentence-structured (doc_id, text) fixture for the C4 and
+    * composed-pipeline queries: three well-formed sentences built from the
+    * word-soup text plus planted junk lines. Restated verbatim by the DuckDB
+    * oracle CTE.
+    */
+  private def sentenceFixture(docs: DataFrame): DataFrame = {
+    val sentences = concat(
+      lit("We observe that "), substring(coalesce(col("text"), lit("")), 1, 40),
+      lit(" holds.\nIt follows that "),
+      substring(coalesce(col("text"), lit("")), 41, 40),
+      lit(" matters!\nFinally "),
+      substring(coalesce(col("text"), lit("")), 81, 40), lit(" ends.\n"),
+      lit("no terminal punctuation on this line\n"),
+      lit("this line mentions javascript libraries in detail today."),
+      when(col("doc_id") % 13 === 0, lit("\ncurly { brace }")).otherwise(lit("")))
+    docs.select(col("doc_id"), sentences.as("text"))
+  }
+
   /** Deterministic (doc_id, html) fixture over documents for the HTML queries:
     * head noise (title/style/script), nav + list + footer boilerplate,
     * sentence-per-<p> body, entities that must decode AFTER tag stripping.
@@ -411,20 +429,30 @@ object ExtensionQueries {
         minWords = 20)
     }),
 
-    "q_c4_gate" -> ((s, d) => {
+    "q_c4_gate" -> ((s, d) =>
+      TextAnalysis.c4Gate(sentenceFixture(t(s, d, "documents")),
+        "doc_id", "text", minLineWords = 5)),
+
+    // the full RefinedWeb-shaped chain in ONE plan: fetch once per page
+    // identity (url dedup) -> strip markup + boilerplate (html extract) ->
+    // C4 line+doc rules -> exact dedup on the cleaned text
+    "q_pipeline_refined" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sentences = concat(
-        lit("We observe that "), substring(coalesce(col("text"), lit("")), 1, 40),
-        lit(" holds.\nIt follows that "),
-        substring(coalesce(col("text"), lit("")), 41, 40),
-        lit(" matters!\nFinally "),
-        substring(coalesce(col("text"), lit("")), 81, 40), lit(" ends.\n"),
-        lit("no terminal punctuation on this line\n"),
-        lit("this line mentions javascript libraries in detail today."),
-        when(col("doc_id") % 13 === 0, lit("\ncurly { brace }")).otherwise(lit("")))
-      TextAnalysis.c4Gate(
-        docs.select(col("doc_id"), sentences.as("text")), "doc_id", "text",
+      val html = sentenceFixture(docs).select(col("doc_id"), concat(
+        lit("<html><head><style>x { y: z }</style></head><body>" +
+          "<nav>Home About Contact</nav><p>"),
+        replace(col("text"), lit("\n"), lit("</p><p>")),
+        lit("</p><ul><li>one</li><li>two</li></ul></body></html>")).as("html"))
+      val keptUrl = graft.operators.Urls
+        .urlDedup(urlFixture(docs), "doc_id", "url").select("doc_id")
+      val extracted = TextAnalysis.htmlExtract(
+        html.join(keptUrl, "doc_id"), "doc_id", "html", minWords = 5)
+      val gated = TextAnalysis.c4Gate(
+        extracted.select(col("doc_id"), col("text")), "doc_id", "text",
         minLineWords = 5)
+        .filter(col("kept")).select(col("doc_id"), col("text"))
+      gated.join(Dedup.exact(gated, "doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
     }),
 
     // ---- multilingual language-ID (Cavnar-Trenkle rank-order profiles) ----
@@ -1290,6 +1318,16 @@ object ExtensionQueries {
        |FROM base LEFT JOIN sF s USING (doc_id)""".stripMargin
   }
 
+  /** The sentenceFixture derivation as a SQL fragment (over documents). */
+  private val sentenceDerivSql: String =
+    """'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
+      |  ' holds.' || chr(10) || 'It follows that ' || substr(coalesce(text, ''), 41, 40) ||
+      |  ' matters!' || chr(10) || 'Finally ' || substr(coalesce(text, ''), 81, 40) ||
+      |  ' ends.' || chr(10) ||
+      |  'no terminal punctuation on this line' || chr(10) ||
+      |  'this line mentions javascript libraries in detail today.' ||
+      |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'curly { brace }' ELSE '' END)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -1412,16 +1450,8 @@ object ExtensionQueries {
         |FROM r""".stripMargin),
 
     "q_c4_gate" ->
-      ("""WITH d AS (SELECT doc_id,
-        |  'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
-        |  ' holds.' || chr(10) || 'It follows that ' || substr(coalesce(text, ''), 41, 40) ||
-        |  ' matters!' || chr(10) || 'Finally ' || substr(coalesce(text, ''), 81, 40) ||
-        |  ' ends.' || chr(10) ||
-        |  'no terminal punctuation on this line' || chr(10) ||
-        |  'this line mentions javascript libraries in detail today.' ||
-        |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'curly { brace }' ELSE '' END) AS t
-        |  FROM documents),
-        |k AS (SELECT doc_id, t,
+      (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +
+        """k AS (SELECT doc_id, t,
         |  list_filter(list_transform(string_split(t, chr(10)),
         |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
         |    l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
@@ -1434,6 +1464,33 @@ object ExtensionQueries {
         |   AND NOT contains(lower(t), 'lorem ipsum')
         |   AND NOT contains(t, '{')) AS kept
         |FROM k""".stripMargin),
+
+    "q_pipeline_refined" ->
+      (urlCanonCte + ",\n" +
+        "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon),\n" +
+        s"sent AS (SELECT d.doc_id,\n  $sentenceDerivSql AS st FROM documents d JOIN keep USING (doc_id)),\n" +
+        """h AS (SELECT doc_id,
+          |  '<html><head><style>x { y: z }</style></head><body><nav>Home About Contact</nav><p>' ||
+          |  replace(st, chr(10), '</p><p>') ||
+          |  '</p><ul><li>one</li><li>two</li></ul></body></html>' AS html FROM sent),
+          |""".stripMargin +
+        htmlRulesCte + ",\n" +
+        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text FROM k),
+          |ck AS (SELECT doc_id, text AS t,
+          |  list_filter(list_transform(string_split(text, chr(10)),
+          |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+          |    l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+          |      AND len(list_filter(string_split(l, ' '), x -> length(x) > 0)) >= 5
+          |      AND NOT contains(lower(l), 'javascript')) AS ks2
+          |  FROM ex),
+          |g AS (SELECT doc_id, array_to_string(ks2, chr(10)) AS text FROM ck
+          |      WHERE len(regexp_extract_all(array_to_string(ks2, chr(10)), '[.!?]')) >= 3
+          |        AND NOT contains(lower(t), 'lorem ipsum')
+          |        AND NOT contains(t, '{')),
+          |surv AS (SELECT min(doc_id) AS doc_id FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g) q
+          |  GROUP BY fp)
+          |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin),
 
     // trained profiles: per-language top-20 trigram ranks from the labeled
     // reference half, then the identical out-of-place scoring chain
