@@ -257,6 +257,10 @@ object TextAnalysis {
     val profileDf = profiles.select("plang", "tri", "lr_")
     val langsDf = profileDf.select("plang").distinct()
     val ids = docs.select(Keys.id(docs, idCol).as("doc_id"))
+    // per-doc window for the top-M ranks: A/B'd (BASELINE.md round 8) against
+    // a collect_list + in-memory array_sort aggregate — the window form is
+    // ~10% faster here (the agg pays struct allocation per trigram), and
+    // doc_id is a high-cardinality partition key, so no reducer skew
     val top = normTrigrams(docs, idCol, textCol).groupBy("doc_id", "tri").count()
       .withColumn("dr", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
