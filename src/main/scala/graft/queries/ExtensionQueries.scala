@@ -410,6 +410,16 @@ object ExtensionQueries {
         .select("doc_id", "text")
     }),
 
+    // paragraph-granularity corpus dedup (the Dolma convention — C4/CCNet
+    // drop duplicated LINES, Dolma drops duplicated PARAGRAPHS): dedupLines
+    // with the blank-line separator over paragraph-structured text
+    "q_dedup_paragraphs" -> ((s, d) =>
+      Pipelines.dedupLines(
+        sentenceFixture(t(s, d, "documents"))
+          .select(col("doc_id"),
+            replace(col("text"), lit("\n"), lit("\n\n")).as("text")),
+        "doc_id", "text", minCount = 2, keepFirst = false, sep = "\n\n")),
+
     // ---- published quality-rule sets: Gopher (Rae 2021), C4 (Raffel 2020) ----
     // the corpus is flat word soup, so line structure (bullets, ellipsis
     // lines) is planted deterministically to give every rule signal
@@ -1408,6 +1418,19 @@ object ExtensionQueries {
           |SELECT d.doc_id, coalesce(p.lang_pred, 'und') AS lang_pred, p.oop
           |FROM d LEFT JOIN (SELECT doc_id, lang_pred, oop FROM pick WHERE rn = 1) p
           |USING (doc_id)""".stripMargin),
+
+    "q_dedup_paragraphs" ->
+      (s"WITH d AS (SELECT doc_id,\n  replace($sentenceDerivSql, chr(10), chr(10) || chr(10)) AS t FROM documents),\n" +
+        """sp AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ls FROM d),
+          |ch AS (SELECT doc_id, ls[i] AS line, i AS pos
+          |       FROM sp, range(1, 100000) r(i) WHERE i <= len(ls)),
+          |c AS (SELECT line, count(*) AS cnt FROM ch GROUP BY 1),
+          |j AS (SELECT ch.doc_id, ch.line, ch.pos, c.cnt FROM ch JOIN c USING (line))
+          |SELECT doc_id,
+          |  coalesce(string_agg(line, chr(10) || chr(10) ORDER BY pos) FILTER (WHERE cnt < 2), '') AS clean_text,
+          |  count(*) FILTER (WHERE cnt < 2) AS n_kept,
+          |  count(*) FILTER (WHERE cnt >= 2) AS n_dropped
+          |FROM j GROUP BY 1""".stripMargin),
 
     "q_gopher_gate" ->
       ("""WITH d AS (SELECT doc_id,

@@ -67,6 +67,37 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("partitionedParquet: a partition-column filter prunes to that directory only") {
+    val docs = Tables(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft_part").toString + "/bylang"
+    Writers.partitionedParquet(docs, out, partCols = Seq("lang"),
+      sortCols = Seq("doc_id"))
+    // the layout is one directory per language
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(dirs.length >= 2, s"expected hive-style lang dirs, got ${dirs.toSeq}")
+    val back = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"the lang filter must become a PartitionFilter:\n$plan")
+    // behavioral pruning proof: corrupt every OTHER partition's files — a
+    // pruned read never opens them, an unpruned read dies on the garbage.
+    // Schema passed explicitly (the metadata-driven path a catalog provides)
+    // so inference doesn't read footers across partitions.
+    val schema = back.schema
+    for (d <- dirs if d != "lang=en";
+         f <- new java.io.File(s"$out/$d").listFiles()
+           if f.getName.endsWith(".parquet"))
+      java.nio.file.Files.write(f.toPath, "garbage".getBytes)
+    val want = docs.filter(col("lang") === "en").count()
+    assert(spark.read.schema(schema).parquet(out)
+      .filter(col("lang") === "en").count() == want,
+      "the en read must succeed — pruning means the corrupt dirs were never opened")
+    intercept[Exception] {
+      spark.read.schema(schema).parquet(out).filter(col("lang") === "zh").count()
+    }
+  }
+
   test("zorderParquet: files prune on BOTH dimensions where a single-column sort cannot") {
     // 100x100 grid in scrambled row order: every (x, y) cell exactly once
     val grid = spark.range(0, 10000).select(
