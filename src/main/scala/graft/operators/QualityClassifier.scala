@@ -5,26 +5,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 /** Trained quality classifier — fastText-shaped: hashed word-unigram features
-  * + logistic regression (Joulin 2016's bag-of-hashed-ngrams linear model),
-  * trained by full-batch gradient descent for a FIXED number of iterations.
+  * + a linear model with a sigmoid-shaped link (Joulin 2016's
+  * bag-of-hashed-ngrams linear model), trained by full-batch gradient descent
+  * for a FIXED number of iterations.
   *
-  * Everything is engine-portable-deterministic, the bigram-LM discipline:
+  * Everything is engine-portable-deterministic — and, unlike the r8 version,
+  * contains NO transcendental anywhere (round 8 proved that `round(exp(z), 6)`
+  * inherits the ORACLE ENGINE's libm: one ulp difference in `exp()` near a
+  * rounding boundary flips a 6th decimal, and one flipped sigmoid propagates
+  * through the remaining GD iterations — green under one DuckDB build, red
+  * under another). The whole training loop now runs in fixed-point 1e-6
+  * integer arithmetic:
   *  - features are md5-hashed buckets (`conv(substr(md5(word),1,8),16,10) %
   *    nBuckets`) — the same md5 idiom every sampler here uses, restatable in
   *    any SQL engine; feature value is PRESENCE (0/1), so all dot products
-  *    are exact decimal sums with no float-summation order sensitivity;
-  *  - model state (weights, bias, margins, errors) lives as DECIMAL(18,6);
-  *    the only double excursions are the sigmoid and the gradient step, each
-  *    immediately `round(_, 6)`-ed back — IEEE multiply/divide are identical
-  *    everywhere, and the 6dp rounding absorbs libm exp() ulp differences
-  *    (the proven tf-idf/bigram-LM pattern);
+  *    are exact integer sums with no float-summation order sensitivity;
+  *  - the logistic link is replaced by the algebraic sigmoid
+  *    sig(z) = 0.5 + z / (2 * (1 + |z|)) — same range (0,1), same symmetry
+  *    around (0, 0.5), same monotone S shape, so GD trains the same
+  *    separator — evaluated as `500000 + sign(z6) * ((|z6| * 1000000) div
+  *    (2000000 + 2*|z6|))` over 1e-6-unit integers. Integer division with
+  *    NON-NEGATIVE operands is truncation = floor in every engine (Spark
+  *    `div`, DuckDB `//`, Java `/`), so the quantization is bit-identical
+  *    everywhere — the `dup_frac` discipline ([[Pipelines.duplicateSpans]]);
+  *  - the gradient step lr * g / n is likewise `(|g6| * lr6) div (n *
+  *    1000000)` with the sign applied outside the division;
   *  - full-batch GD from all-zero weights: no sampling, no shuffle-order
   *    dependence, so (corpus, label rule, hyperparams) fully determine the
   *    model and a SQL oracle can unroll the training loop as one CTE chain
   *    per iteration.
   *
   * Scale shape: the corpus is read ONCE into a cached (doc_id, f) feature
-  * frame plus a (doc_id, y) label frame (caller releases per the [[Caches]]
+  * frame plus a (doc_id, y6) label frame (caller releases per the [[Caches]]
   * contract). Each iteration is: broadcast the (nBuckets+1)-row weight table
   * to the features (a broadcast hash join — the corpus never re-shuffles on
   * anything but the map-side-combinable doc_id/f aggregates), one
@@ -32,11 +44,33 @@ import org.apache.spark.sql.types.DecimalType
   * driver collect of EXACTLY nBuckets+1 rows (bounded plan-time metadata,
   * the IVF-codebook pattern — never a corpus collect). Iterations are a
   * handful of sequential tiny-output jobs; at 100 TB each is one scan-free
-  * pass over the cached narrow features.
+  * pass over the cached narrow features. Training corpora are bounded (see
+  * [[train]]'s `n` guard): quality classifiers train on a curated REFERENCE
+  * set (the fastText/CCNet practice), and the fitted model then scores the
+  * full 100 TB corpus via [[score]]'s single broadcast join.
   */
 object QualityClassifier {
 
   private val Dec = DecimalType(18, 6)
+
+  /** 1e-6 fixed-point unit: every model value w is carried as w6 = w * 1e6. */
+  private val Scale = 1000000L
+
+  /** Algebraic sigmoid minus label, in 1e-6 units, as a portable SQL
+    * fragment over columns `z6` and `y6`: no libm, div on non-negative
+    * operands only. sig6(0) = 500000 regardless of the CASE branch (the
+    * quotient is 0), so the sign convention at z6 = 0 is immaterial.
+    */
+  private val errExprSql: String =
+    "(500000L + (CASE WHEN z6 < 0 THEN -1L ELSE 1L END) * " +
+      "((abs(z6) * 1000000L) div (2000000L + 2L * abs(z6)))) - y6"
+
+  /** Gradient step in 1e-6 units over column `g6`: sign(g6) * ((|g6| * lr6)
+    * div (n * 1e6)) — truncation toward zero, identical cross-engine.
+    */
+  private def stepExprSql(lr6: Long, n: Long): String =
+    s"(CASE WHEN g6 < 0 THEN -1L ELSE 1L END) * " +
+      s"((abs(g6) * ${lr6}L) div (${n}L * 1000000L))"
 
   /** DISTINCT (doc_id, f) presence features over whitespace words; with
     * `wordBigrams` the adjacent-word bigrams ("w1 w2") hash into the SAME
@@ -66,80 +100,86 @@ object QualityClassifier {
     * the bias at f = -1, w DECIMAL(18,6). `label` must be a 0/1 integer
     * expression over `docs`' columns (the training signal — e.g. an
     * editorial-source flag, a language gate, a heuristic quality rule the
-    * model smooths and generalizes).
+    * model smooths and generalizes). `lr` is interpreted at 6dp precision
+    * (it becomes the fixed-point lr6 = lr * 1e6).
     */
   def train(docs: DataFrame, idCol: String, textCol: String, label: Column,
       nBuckets: Int = 256, iters: Int = 3, lr: Double = 0.5,
       wordBigrams: Boolean = false): DataFrame = {
     require(nBuckets > 0 && iters >= 1 && lr > 0, "bad hyperparameters")
+    val lr6 = math.rint(lr * Scale).toLong
+    require(lr6 > 0 && math.abs(lr6 / Scale.toDouble - lr) < 1e-12,
+      s"lr must be expressible at 6dp precision, got $lr")
     val spark = docs.sparkSession
     import spark.implicits._
 
     val labels = docs.select(Keys.id(docs, idCol).as("doc_id"),
-      label.cast(Dec).as("y")).cache()
+      (label.cast("bigint") * lit(Scale)).as("y6")).cache()
     val feats = features(docs, idCol, textCol, nBuckets, wordBigrams).cache()
     val n = labels.count()
     require(n > 0, "empty training corpus")
+    // |g6| <= n * 1e6, so |g6| * lr6 must stay inside a signed 64-bit long:
+    // full-batch GD is for bounded REFERENCE corpora (subsample upstream
+    // with hashSample for anything bigger — the fastText/CCNet practice)
+    require(n <= Long.MaxValue / (Scale * math.max(lr6, Scale)),
+      s"training corpus too large for exact fixed-point GD (n=$n); " +
+        "subsample the reference set upstream")
 
-    // weights live on the driver between iterations: nBuckets+1 decimals —
-    // bounded model state, not data
-    var bias = BigDecimal(0).setScale(6)
-    var w: Map[Long, BigDecimal] =
-      (0L until nBuckets.toLong).map(_ -> BigDecimal(0).setScale(6)).toMap
+    // weights live on the driver between iterations: nBuckets+1 longs in
+    // 1e-6 units — bounded model state, not data
+    var bias6 = 0L
+    var w6: Map[Long, Long] = (0L until nBuckets.toLong).map(_ -> 0L).toMap
 
     for (_ <- 1 to iters) {
-      val wDf = w.toSeq.toDF("f", "w_raw")
-        .select(col("f"), col("w_raw").cast(Dec).as("w"))
-      // margin per doc: z = b + Σ_{f ∈ doc} w_f — exact decimal sum
+      val wDf = w6.toSeq.toDF("f", "w6")
+      // margin per doc: z6 = b6 + Σ_{f ∈ doc} w6_f — exact integer sum
       val zs = labels.join(
         feats.join(broadcast(wDf), "f")
-          .groupBy("doc_id").agg(sum("w").cast(Dec).as("s")),
+          .groupBy("doc_id").agg(sum("w6").as("s6")),
         Seq("doc_id"), "left")
-        .select(col("doc_id"), col("y"),
-          (lit(bias).cast(Dec) + coalesce(col("s"), lit(0).cast(Dec)))
-            .cast(Dec).as("z"))
-      // sigmoid excursion to double, rounded straight back to 6dp
-      val errs = zs.select(col("doc_id"),
-        (round(lit(1.0) / (lit(1.0) + exp(-col("z").cast("double"))), 6)
-          .cast(Dec) - col("y")).cast(Dec).as("err"))
-        .cache()
-      // gradient: presence features ⇒ g_f = Σ_{docs ∋ f} err — exact decimal
+        .select(col("doc_id"), col("y6"),
+          (lit(bias6) + coalesce(col("s6"), lit(0L))).as("z6"))
+      // algebraic sigmoid, all-integer — no libm anywhere
+      val errs = zs.select(col("doc_id"), expr(errExprSql).as("err6")).cache()
+      // gradient: presence features ⇒ g6_f = Σ_{docs ∋ f} err6 — exact
       val grads = feats.join(errs, "doc_id")
-        .groupBy("f").agg(sum("err").cast(Dec).as("g"))
-        // the update arithmetic runs as a Spark expression so round()
-        // semantics are byte-identical to every other decimal query here
-        .select(col("f"),
-          round(lit(0.0) + col("g").cast("double") * lit(lr) / lit(n.toDouble), 6)
-            .cast(Dec).as("step"))
-        .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
-      val biasStepRow = errs.agg(
-        round(sum("err").cast("double") * lit(lr) / lit(n.toDouble), 6)
-          .cast(Dec)).head()
+        .groupBy("f").agg(sum("err6").as("g6"))
+        .select(col("f"), expr(stepExprSql(lr6, n)).as("step6"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val biasStep = errs.agg(sum("err6").as("g6"))
+        .select(expr(stepExprSql(lr6, n))).head().getLong(0)
       errs.unpersist()
-      w = w.map { case (f, wf) =>
-        (f, (wf - grads.getOrElse(f, BigDecimal(0))).setScale(6))
-      }
-      bias = (bias - BigDecimal(biasStepRow.getDecimal(0))).setScale(6)
+      w6 = w6.map { case (f, wf) => (f, wf - grads.getOrElse(f, 0L)) }
+      bias6 -= biasStep
     }
-    (w.toSeq :+ (-1L -> bias)).toDF("f", "w_raw")
+    (w6.toSeq :+ (-1L -> bias6))
+      .map { case (f, v) => (f, BigDecimal(java.math.BigDecimal.valueOf(v, 6))) }
+      .toDF("f", "w_raw")
       .select(col("f"), col("w_raw").cast(Dec).as("w"))
   }
 
   /** Score docs under a trained (f, w) model: (doc_id, score, pred) with
     * score = b + Σ w_f (DECIMAL(18,6)) and pred = score > 0. One broadcast
-    * join + one map-side-combinable sum per doc.
+    * join + one map-side-combinable sum per doc. The bias row (f = -1) is
+    * read driver-side (1 row) and inlined as a literal — a model frame
+    * without exactly one bias row is a caller error, not a silent empty
+    * result.
     */
   def score(docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
       nBuckets: Int = 256, wordBigrams: Boolean = false): DataFrame = {
-    val bias = model.filter(col("f") === -1L).select(col("w").cast(Dec))
+    val biasRows = model.filter(col("f") === -1L)
+      .select(col("w").cast(Dec)).collect()
+    require(biasRows.length == 1,
+      s"model must contain exactly one bias row (f = -1), found ${biasRows.length}")
+    val bias = biasRows(0).getDecimal(0)
     val feats = features(docs, idCol, textCol, nBuckets, wordBigrams)
     docs.select(Keys.id(docs, idCol).as("doc_id"))
       .join(feats.join(broadcast(model.filter(col("f") >= 0)), "f")
         .groupBy("doc_id").agg(sum("w").cast(Dec).as("s")),
         Seq("doc_id"), "left")
-      .crossJoin(broadcast(bias.select(col("w").as("b"))))
       .select(col("doc_id"),
-        (col("b") + coalesce(col("s"), lit(0).cast(Dec))).cast(Dec).as("score"))
+        (lit(bias).cast(Dec) + coalesce(col("s"), lit(0).cast(Dec)))
+          .cast(Dec).as("score"))
       .withColumn("pred", col("score") > 0)
   }
 

@@ -1282,23 +1282,31 @@ object ExtensionQueries {
       |  l -> len(list_filter(string_split(l, ' '), w -> length(w) > 0)) >= 5) AS ks FROM ln)""".stripMargin
 
   /** The quality-classifier training loop unrolled as DuckDB CTEs — 3
-    * gradient-descent iterations over hashed word-presence features, every
-    * model value DECIMAL(18,6), the sigmoid/step double excursions rounded
-    * back to 6dp exactly as the engine does them. `trainWhere` restricts the
+    * gradient-descent iterations over hashed word-presence features, the
+    * whole loop in 1e-6 fixed-point BIGINT arithmetic with the algebraic
+    * sigmoid 0.5 + z/(2(1+|z|)) — NO transcendental, so the oracle result
+    * cannot depend on the oracle engine's libm build (the round-8 red:
+    * round(exp(z), 6) flipped a 6th decimal between DuckDB builds). Integer
+    * `//` runs on non-negative operands only (truncation = floor there),
+    * mirroring the engine's `div` bit-for-bit. `trainWhere` restricts the
     * TRAINING half (labels, features, gradient); scoring always covers the
     * whole corpus with features over all docs — the engine's score() shape.
     */
   private def clfOracleSql(trainWhere: String,
       bigrams: Boolean = false): String = {
     val iters = (1 to 3).map { k =>
-      s"""s$k AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM f JOIN w${k - 1} USING (f) GROUP BY doc_id),
-         |z$k AS (SELECT d.doc_id, d.y, ((SELECT b FROM b${k - 1}) + coalesce(s.s, 0))::DECIMAL(18,6) AS z
+      s"""s$k AS (SELECT doc_id, sum(w6)::BIGINT AS s6 FROM f JOIN w${k - 1} USING (f) GROUP BY doc_id),
+         |z$k AS (SELECT d.doc_id, d.y6, ((SELECT b6 FROM b${k - 1}) + coalesce(s.s6, 0))::BIGINT AS z6
          |       FROM d LEFT JOIN s$k s USING (doc_id)),
-         |e$k AS (SELECT doc_id, (round(1.0 / (1.0 + exp(-(z::DOUBLE))), 6)::DECIMAL(18,6) - y)::DECIMAL(18,6) AS err FROM z$k),
-         |g$k AS (SELECT f, sum(err)::DECIMAL(18,6) AS g FROM f JOIN e$k USING (doc_id) GROUP BY f),
-         |w$k AS (SELECT w.f, (w.w - round(0.0 + coalesce(g.g::DOUBLE, 0.0) * 0.5 / nn.n, 6)::DECIMAL(18,6))::DECIMAL(18,6) AS w
+         |e$k AS (SELECT doc_id, ((500000 + (CASE WHEN z6 < 0 THEN -1 ELSE 1 END) *
+         |        ((abs(z6) * 1000000) // (2000000 + 2 * abs(z6)))) - y6)::BIGINT AS err6 FROM z$k),
+         |g$k AS (SELECT f, sum(err6)::BIGINT AS g6 FROM f JOIN e$k USING (doc_id) GROUP BY f),
+         |w$k AS (SELECT w.f, (w.w6 - (CASE WHEN coalesce(g.g6, 0) < 0 THEN -1 ELSE 1 END) *
+         |        ((abs(coalesce(g.g6, 0)) * 500000) // (nn.n * 1000000)))::BIGINT AS w6
          |       FROM w${k - 1} w LEFT JOIN g$k g USING (f) CROSS JOIN nn),
-         |b$k AS (SELECT (b.b - (SELECT round(0.0 + q.se * 0.5 / nn.n, 6)::DECIMAL(18,6) FROM (SELECT sum(err)::DOUBLE AS se FROM e$k) q, nn))::DECIMAL(18,6) AS b FROM b${k - 1} b),""".stripMargin
+         |b$k AS (SELECT (b.b6 - (SELECT (CASE WHEN q.se < 0 THEN -1 ELSE 1 END) *
+         |        ((abs(q.se) * 500000) // (nn.n * 1000000))
+         |        FROM (SELECT sum(err6)::BIGINT AS se FROM e$k) q, nn))::BIGINT AS b6 FROM b${k - 1} b),""".stripMargin
     }.mkString("\n")
     val gramSrc =
       if (bigrams)
@@ -1314,18 +1322,21 @@ object ExtensionQueries {
        |fall AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
        |      FROM ($gramSrc) t),
        |d AS (SELECT doc_id,
-       |  (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DECIMAL(18,6) AS y
+       |  (CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END)::BIGINT AS y6
        |  FROM base $trainWhere),
        |f AS (SELECT fall.doc_id, fall.f FROM fall JOIN d USING (doc_id)),
-       |nn AS (SELECT count(*)::DOUBLE AS n FROM d),
-       |w0 AS (SELECT range AS f, 0::DECIMAL(18,6) AS w FROM range(0, 256)),
-       |b0 AS (SELECT 0::DECIMAL(18,6) AS b),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM d),
+       |w0 AS (SELECT range AS f, 0::BIGINT AS w6 FROM range(0, 256)),
+       |b0 AS (SELECT 0::BIGINT AS b6),
        |$iters
-       |sF AS (SELECT doc_id, sum(w)::DECIMAL(18,6) AS s FROM fall JOIN w3 USING (f) GROUP BY doc_id)
-       |SELECT base.doc_id,
-       |  ((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) AS score,
-       |  (((SELECT b FROM b3) + coalesce(s.s, 0))::DECIMAL(18,6) > 0) AS pred
-       |FROM base LEFT JOIN sF s USING (doc_id)""".stripMargin
+       |sF AS (SELECT doc_id, sum(w6)::BIGINT AS s6 FROM fall JOIN w3 USING (f) GROUP BY doc_id),
+       |t AS (SELECT base.doc_id,
+       |  ((SELECT b6 FROM b3) + coalesce(s.s6, 0))::BIGINT AS t6
+       |  FROM base LEFT JOIN sF s USING (doc_id))
+       |SELECT doc_id,
+       |  (t6::DECIMAL(24,0) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS score,
+       |  (t6 > 0) AS pred
+       |FROM t""".stripMargin
   }
 
   /** The sentenceFixture derivation as a SQL fragment (over documents). */

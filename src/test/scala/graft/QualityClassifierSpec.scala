@@ -1,6 +1,6 @@
 package graft
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.math.{BigDecimal => JBigDecimal}
 
 import org.apache.spark.sql.functions._
 
@@ -25,8 +25,12 @@ class QualityClassifierSpec extends SparkSpec {
       (i, s"click here buy now spam spam item$i shared filler words", 0)
   }
 
-  /** Independent reference: scala.collection implementation, java.math
-    * decimals, Math.exp — no Spark.
+  /** Independent reference: plain-Scala 1e-6 fixed-point Long arithmetic
+    * with the algebraic sigmoid 0.5 + z/(2(1+|z|)) — the libm-free spec the
+    * engine must match bit-for-bit (round 8 proved round(exp()) inherits the
+    * comparison engine's libm, so the contract is now transcendental-free).
+    * Long `/` truncates toward zero, applied to non-negative operands only —
+    * the same floor semantics as Spark `div` and DuckDB `//`.
     */
   private def reference(): (Map[Long, JBigDecimal], JBigDecimal) = {
     def bucket(w: String): Long = {
@@ -37,33 +41,30 @@ class QualityClassifierSpec extends SparkSpec {
     val feats: Map[Long, Set[Long]] = corpus.map { case (id, text, _) =>
       id -> text.toLowerCase.split("\\s+").filter(_.nonEmpty).map(bucket).toSet
     }.toMap
-    val ys: Map[Long, Int] = corpus.map(t => t._1 -> t._3).toMap
-    val n = corpus.size.toDouble
-    // shortest-decimal-repr rounding — the documented semantics Spark's
-    // round() applies to doubles (BigDecimal.valueOf)
-    def r6(x: Double): JBigDecimal =
-      JBigDecimal.valueOf(x).setScale(6, RoundingMode.HALF_UP)
-    var w = (0L until nBuckets.toLong)
-      .map(_ -> JBigDecimal.ZERO.setScale(6)).toMap
-    var b = JBigDecimal.ZERO.setScale(6)
+    val ys: Map[Long, Long] = corpus.map(t => t._1 -> t._3.toLong * 1000000L).toMap
+    val n = corpus.size.toLong
+    val lr6 = math.rint(lr * 1e6).toLong
+    def sig6(z6: Long): Long =
+      500000L + (if (z6 < 0) -1L else 1L) *
+        ((math.abs(z6) * 1000000L) / (2000000L + 2L * math.abs(z6)))
+    def step6(g6: Long): Long =
+      (if (g6 < 0) -1L else 1L) * ((math.abs(g6) * lr6) / (n * 1000000L))
+    var w = (0L until nBuckets.toLong).map(_ -> 0L).toMap
+    var b = 0L
     for (_ <- 1 to iters) {
-      val errs: Map[Long, JBigDecimal] = corpus.map { case (id, _, _) =>
-        val z = feats(id).foldLeft(b)((acc, f) => acc.add(w(f)))
-        val p = r6(1.0 / (1.0 + math.exp(-z.doubleValue)))
-        id -> p.subtract(new JBigDecimal(ys(id)).setScale(6))
+      val errs: Map[Long, Long] = corpus.map { case (id, _, _) =>
+        val z6 = feats(id).foldLeft(b)((acc, f) => acc + w(f))
+        id -> (sig6(z6) - ys(id))
       }.toMap
-      val grad: Map[Long, JBigDecimal] = errs.toSeq
+      val grad: Map[Long, Long] = errs.toSeq
         .flatMap { case (id, e) => feats(id).map(_ -> e) }
         .groupBy(_._1)
-        .view.mapValues(_.map(_._2).reduce(_ add _)).toMap
-      w = w.map { case (f, wf) =>
-        val g = grad.getOrElse(f, JBigDecimal.ZERO)
-        f -> wf.subtract(r6(g.doubleValue * lr / n))
-      }
-      val ge = errs.values.reduce(_ add _)
-      b = b.subtract(r6(ge.doubleValue * lr / n))
+        .view.mapValues(_.map(_._2).sum).toMap
+      w = w.map { case (f, wf) => f -> (wf - step6(grad.getOrElse(f, 0L))) }
+      b -= step6(errs.values.sum)
     }
-    (w, b)
+    (w.view.mapValues(JBigDecimal.valueOf(_, 6)).toMap,
+      JBigDecimal.valueOf(b, 6))
   }
 
   test("train matches the independent reference weight for weight") {
