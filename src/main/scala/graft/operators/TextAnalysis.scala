@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.PortableLog
+
 /** Text-analysis operators over a document corpus (north-star extension,
   * SURVEY.md §2.13). Everything here is pure `functions._` composition — codegen'd,
   * no UDFs, trivially distributed: one narrow map stage over the corpus, so at
@@ -386,9 +388,11 @@ object TextAnalysis {
     * top-k — the corpus text itself moves through exactly two shuffles of
     * (doc, term, count) triples.
     *
-    * Determinism: idf = round(log10(nDocs/df), 6) held as DECIMAL(18,6);
-    * score = tf × idf in exact decimal arithmetic, so ranking ties and the
-    * final doubles are identical on any engine and any partitioning.
+    * Determinism: idf = floor-to-6dp of the [[PortableLog]] log10(nDocs/df)
+    * (a fixed IEEE basic-op sequence — no libm, so the quantized input is
+    * bit-identical on any engine) held as DECIMAL(18,6); score = tf × idf in
+    * exact decimal arithmetic, so ranking ties and the final doubles are
+    * identical on any engine and any partitioning.
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
@@ -399,7 +403,8 @@ object TextAnalysis {
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct(Keys.id(docs, idCol)).as("nd"))
     val idf = dfreq.crossJoin(broadcast(nDocs)).select(col("w"), expr(
-      "cast(round(log10(cast(nd as double) / cast(df as double)), 6) as decimal(18,6))")
+      PortableLog.floorDec6Sql(
+        PortableLog.log10RatioSql("nd", "df", spark = true), spark = true))
       .as("idf"))
     tf.join(broadcast(idf), "w")
       .withColumn("score", col("tf") * col("idf"))
@@ -474,11 +479,14 @@ object TextAnalysis {
     * groupBy(doc) exchange. No driver-side collect — the corpus total rides
     * in as a broadcast 1-row cross join.
     *
-    * Cross-engine determinism: each word's log10 prob is rounded to 6dp and
-    * summed as DECIMAL(18,6) — decimal addition is exact and order-free, so
-    * the per-doc sum is bit-identical no matter how Spark or the oracle
-    * engine orders the aggregation (a raw double sum would drift by ulps with
-    * partitioning). Only the final division back to double rounds.
+    * Cross-engine determinism: each word's log10 prob is a [[PortableLog]]
+    * fixed-IEEE-op evaluation (no libm — a libm log10 would inherit the
+    * oracle engine's build at the 6th decimal, the round-8 classifier bug
+    * class) floor-quantized to 6dp and summed as DECIMAL(18,6) — decimal
+    * addition is exact and order-free, so the per-doc sum is bit-identical
+    * no matter how Spark or the oracle engine orders the aggregation (a raw
+    * double sum would drift by ulps with partitioning). Only the final
+    * division back to double rounds.
     */
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 65536): DataFrame = {
@@ -490,10 +498,13 @@ object TextAnalysis {
     val vocab = freq.crossJoin(broadcast(total))
       .orderBy(col("c").desc, col("w").asc).limit(topV)
       .select(col("w"), expr(
-        "cast(round(log10(cast(c as double) / cast(t as double)), 6) as decimal(18,6))")
+        PortableLog.floorDec6Sql(
+          PortableLog.log10RatioSql("c", "t", spark = true), spark = true))
         .as("lp"))
     val oov = total.select(expr(
-      "cast(round(log10(cast(1 as double) / cast(t as double)), 6) as decimal(18,6))")
+      PortableLog.floorDec6Sql(
+        PortableLog.log10RatioSql("cast(1 as bigint)", "t", spark = true),
+        spark = true))
       .as("oov_lp"))
     tokens
       .join(broadcast(vocab), Seq("w"), "left")
@@ -529,9 +540,10 @@ object TextAnalysis {
     * exchange — the same two-exchange shape as the unigram filter.
     *
     * Cross-engine determinism: identical to [[unigramLogProb]] — per-bigram
-    * log10 probs rounded to 6dp, summed as DECIMAL(18,6) (exact, order-free),
-    * final sum floored to 4dp before the one IEEE division; the top-V cut
-    * totally orders ties by (count desc, w1, w2).
+    * [[PortableLog]] log10 probs (libm-free) floor-quantized to 6dp, summed
+    * as DECIMAL(18,6) (exact, order-free), final sum floored to 4dp before
+    * the one IEEE division; the top-V cut totally orders ties by
+    * (count desc, w1, w2).
     */
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 65536): DataFrame =
@@ -569,10 +581,13 @@ object TextAnalysis {
     val vocab = freq.join(ctx, "w1")
       .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(topV)
       .select(col("w1"), col("w2"), expr(
-        "cast(round(log10(cast(c12 as double) / cast(c1 as double)), 6) as decimal(18,6))")
+        PortableLog.floorDec6Sql(
+          PortableLog.log10RatioSql("c12", "c1", spark = true), spark = true))
         .as("lp"))
     val oov = total.select(expr(
-      "cast(round(log10(cast(1 as double) / cast(t as double)), 6) as decimal(18,6))")
+      PortableLog.floorDec6Sql(
+        PortableLog.log10RatioSql("cast(1 as bigint)", "t", spark = true),
+        spark = true))
       .as("oov_lp"))
     bigrams
       .join(broadcast(vocab), Seq("w1", "w2"), "left")
@@ -593,9 +608,10 @@ object TextAnalysis {
     * identity H = log2(n) − (Σ c·log2 c)/n so the per-distinct-word term
     * needs only its own count — no join against the doc total before the
     * final fold. Cross-engine determinism by the unigramLogProb recipe:
-    * log2 outputs rounded to 6dp as DECIMAL, c·log2c products and the
-    * log2(n)·n − Σ combination in exact decimal arithmetic, one floor to
-    * 4dp, then the single IEEE division by n. Zero-word docs are dropped.
+    * [[PortableLog]] log2 outputs (libm-free) floor-quantized to 6dp as
+    * DECIMAL, c·log2c products and the log2(n)·n − Σ combination in exact
+    * decimal arithmetic, one floor to 4dp, then the single IEEE division by
+    * n. Zero-word docs are dropped.
     *
     * Scale shape: one exchange of (doc_id, word) tokens into the
     * per-(doc, word) count, then a map-side-combined per-doc fold of the
@@ -607,11 +623,11 @@ object TextAnalysis {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     wc.groupBy("doc_id")
       .agg(sum("c").as("n_words"),
-        sum(expr(
-          "c * cast(round(log2(cast(c as double)), 6) as decimal(18,6))")).as("__s"))
+        sum(expr("c * " + PortableLog.floorDec6Sql(
+          PortableLog.log2Sql("c", spark = true), spark = true))).as("__s"))
       .select(col("doc_id"), col("n_words"),
-        (floor((expr(
-          "cast(round(log2(cast(n_words as double)), 6) as decimal(18,6))")
+        (floor((expr(PortableLog.floorDec6Sql(
+          PortableLog.log2Sql("n_words", spark = true), spark = true))
           * col("n_words") - col("__s")) * 10000).cast("double") / 10000.0)
           .as("ent_sum"))
       .withColumn("entropy", col("ent_sum") / col("n_words"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.PortableLog
 import graft.operators.{AsOfJoin, Dedup, Pipelines, Similarity, TextAnalysis}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables, Writers}
@@ -2059,22 +2060,23 @@ object ExtensionQueries {
         "SELECT key, n_rows, ((n_rows * 10000) // tt)::BIGINT AS share_bp " +
         "FROM c, t ORDER BY n_rows DESC, key LIMIT 10"),
 
-    // identical token split, identical 6dp decimal log2 terms, identical
-    // H·n = log2(n)·n − Σ c·log2 c decimal combination floored at 4dp
+    // identical token split, identical PortableLog libm-free 6dp decimal
+    // log2 terms, identical H·n = log2(n)·n − Σ c·log2 c decimal combination
+    // floored at 4dp
     "q_word_entropy" ->
-      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      (s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
         |                                       x -> length(x) > 0) AS ws
         |            FROM documents),
         |tok AS (SELECT doc_id, ws[i] AS w FROM w, range(1, 100000) r(i)
         |        WHERE i <= len(ws)),
         |wc AS (SELECT doc_id, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
         |d AS (SELECT doc_id, sum(c)::BIGINT AS n,
-        |        sum(c * round(log2(c::DOUBLE), 6)::DECIMAL(18,6)) AS s
+        |        sum(c * ${PortableLog.floorDec6Sql(PortableLog.log2Sql("c", spark = false), spark = false)}) AS s
         |      FROM wc GROUP BY 1)
         |SELECT doc_id, n AS n_words,
-        |  floor((round(log2(n::DOUBLE), 6)::DECIMAL(18,6) * n - s) * 10000)::DOUBLE
+        |  floor((${PortableLog.floorDec6Sql(PortableLog.log2Sql("n", spark = false), spark = false)} * n - s) * 10000)::DOUBLE
         |    / 10000.0 AS ent_sum,
-        |  floor((round(log2(n::DOUBLE), 6)::DECIMAL(18,6) * n - s) * 10000)::DOUBLE
+        |  floor((${PortableLog.floorDec6Sql(PortableLog.log2Sql("n", spark = false), spark = false)} * n - s) * 10000)::DOUBLE
         |    / 10000.0 / n AS entropy
         |FROM d""".stripMargin),
 
@@ -2173,16 +2175,17 @@ object ExtensionQueries {
         "FROM documents WHERE n_chars IS NOT NULL) " +
         "WHERE (rn - 1) * 10000 < 6000 * n"),
 
-    // identical decimal pipeline: idf rounded to 6dp as DECIMAL(18,6),
-    // score = tf * idf in exact decimal arithmetic, ties broken by term
+    // identical decimal pipeline: idf = PortableLog libm-free log10 floored
+    // to 6dp as DECIMAL(18,6), score = tf * idf in exact decimal arithmetic,
+    // ties broken by term
     "q_tfidf" ->
-      ("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      (s"""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
         |                                                x -> length(x) > 0)) AS w
         |              FROM documents),
         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
         |dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
-        |idf AS (SELECT w, round(log10(nd::DOUBLE / df::DOUBLE), 6)::DECIMAL(18,6) AS idf
+        |nd AS (SELECT count(DISTINCT doc_id)::BIGINT AS nd FROM documents),
+        |idf AS (SELECT w, ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("nd", "df", spark = false), spark = false)} AS idf
         |        FROM dfreq, nd),
         |sc AS (SELECT tf.doc_id, tf.w, tf.tf * idf.idf AS score FROM tf JOIN idf USING (w)),
         |rk AS (SELECT doc_id, w, score,
@@ -2363,40 +2366,40 @@ object ExtensionQueries {
         |SELECT sh.doc_id, count(*) AS n_hits FROM sh JOIN ev USING (s)
         |GROUP BY 1 HAVING count(*) >= 5""".stripMargin),
 
-    // decimal-sum determinism: per-word log10 probs rounded to 6dp and summed
-    // as DECIMAL — exact, order-free addition — so both engines agree no
-    // matter how they order the per-doc aggregation; only the final division
-    // returns to double
+    // decimal-sum determinism: per-word PortableLog libm-free log10 probs
+    // floored to 6dp and summed as DECIMAL — exact, order-free addition — so
+    // both engines agree no matter how they order the per-doc aggregation;
+    // only the final division returns to double
     "q_unigram_lm" ->
-      ("""WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      (s"""WITH w AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
         |                                              x -> length(x) > 0)) AS w
         |            FROM documents),
-        |f AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
-        |tot AS (SELECT sum(c) AS t FROM f),
-        |v AS (SELECT w, round(log10(c::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |f AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY 1),
+        |tot AS (SELECT sum(c)::BIGINT AS t FROM f),
+        |v AS (SELECT w, ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("c", "t", spark = false), spark = false)} AS lp
         |      FROM f, tot ORDER BY c DESC, w LIMIT 20),
-        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |o AS (SELECT ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("1::BIGINT", "t", spark = false), spark = false)} AS oov_lp FROM tot)
         |SELECT doc_id, count(*) AS n_tokens,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
         |FROM w LEFT JOIN v USING (w), o GROUP BY doc_id""".stripMargin),
 
     // same decimal pipeline as q_unigram_lm over conditional bigram probs:
-    // lp = log10(c12/c1) rounded to 6dp, DECIMAL sum, floor-to-4dp; top-V
-    // ties totally ordered by (c12 DESC, w1, w2)
+    // lp = PortableLog log10(c12/c1) floored to 6dp, DECIMAL sum,
+    // floor-to-4dp; top-V ties totally ordered by (c12 DESC, w1, w2)
     "q_bigram_lm" ->
-      ("""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      (s"""WITH w AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
         |                                       x -> length(x) > 0) AS ws
         |            FROM documents),
         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
         |       FROM w, range(1, 100000) r(i)
         |       WHERE len(ws) >= 2 AND i <= len(ws) - 1),
-        |f AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1),
-        |tot AS (SELECT sum(c12) AS t FROM f),
-        |v AS (SELECT w1, w2, round(log10(c12::DOUBLE / c1::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |f AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM f GROUP BY 1),
+        |tot AS (SELECT sum(c12)::BIGINT AS t FROM f),
+        |v AS (SELECT w1, w2, ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("c12", "c1", spark = false), spark = false)} AS lp
         |      FROM f JOIN cx USING (w1) ORDER BY c12 DESC, w1, w2 LIMIT 50),
-        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |o AS (SELECT ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("1::BIGINT", "t", spark = false), spark = false)} AS oov_lp FROM tot)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
@@ -2405,7 +2408,7 @@ object ExtensionQueries {
     // identical model chain built over the src0 slice only; scoring and the
     // OOV floor reference the src0 model, the per-doc groupBy sees all docs
     "q_bigram_lm_ref" ->
-      ("""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'),
+      (s"""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
         |                                       x -> length(x) > 0) AS ws
         |            FROM documents),
         |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
@@ -2414,12 +2417,12 @@ object ExtensionQueries {
         |rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
         |        FROM w, range(1, 100000) r(i)
         |        WHERE source = 'src0' AND len(ws) >= 2 AND i <= len(ws) - 1),
-        |f AS (SELECT w1, w2, count(*) AS c12 FROM rbg GROUP BY 1, 2),
-        |cx AS (SELECT w1, sum(c12) AS c1 FROM f GROUP BY 1),
-        |tot AS (SELECT sum(c12) AS t FROM f),
-        |v AS (SELECT w1, w2, round(log10(c12::DOUBLE / c1::DOUBLE), 6)::DECIMAL(18,6) AS lp
+        |f AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM rbg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM f GROUP BY 1),
+        |tot AS (SELECT sum(c12)::BIGINT AS t FROM f),
+        |v AS (SELECT w1, w2, ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("c12", "c1", spark = false), spark = false)} AS lp
         |      FROM f JOIN cx USING (w1) ORDER BY c12 DESC, w1, w2 LIMIT 50),
-        |o AS (SELECT round(log10(1::DOUBLE / t::DOUBLE), 6)::DECIMAL(18,6) AS oov_lp FROM tot)
+        |o AS (SELECT ${PortableLog.floorDec6Sql(PortableLog.log10RatioSql("1::BIGINT", "t", spark = false), spark = false)} AS oov_lp FROM tot)
         |SELECT doc_id, count(*) AS n_bigrams,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 AS sum_log10p,
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
