@@ -629,29 +629,35 @@ object Pipelines {
       .select(Keys.id(docs, idCol).as("doc_id"),
         col(domainCol).as("domain"), col(scoreCol).cast("double").as("score"))
       .filter(col("score").isNotNull && !isnan(col("score")))
+      // null-safe working key: the equi-joins below drop null keys
+      // (null != null), silently losing null-domain rows that the
+      // Window.partitionBy semantics keep as one group — (__dk, __dn) is an
+      // exact, collision-free null-safe two-column key
+      .withColumn("__dk", coalesce(col("domain").cast("string"), lit("")))
+      .withColumn("__dn", col("domain").isNull)
       .cache()
     // per-domain score range + count: one broadcastable row per domain
-    val rng = base.groupBy("domain").agg(
+    val rng = base.groupBy("__dk", "__dn").agg(
       min("score").as("__lo"), max("score").as("__hi"),
       count(lit(1)).as("__n"))
     // grid bucket, monotone DESCENDING in score so bucket order = rank order
-    val bucketed = base.join(broadcast(rng), "domain")
+    val bucketed = base.join(broadcast(rng), Seq("__dk", "__dn"))
       .withColumn("__b", when(col("__hi") === col("__lo"), lit(0)).otherwise(
         least(lit(255), floor((col("__hi") - col("score"))
           / (col("__hi") - col("__lo")) * 256).cast("int"))))
     // level 2: rows in strictly-higher-score buckets of the same domain
-    val offsets = bucketed.groupBy("domain", "__b")
+    val offsets = bucketed.groupBy("__dk", "__dn", "__b")
       .agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum("__bn").over(
-        Window.partitionBy("domain").orderBy("__b")
+        Window.partitionBy("__dk", "__dn").orderBy("__b")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("domain", "__b", "__off")
+      .select("__dk", "__dn", "__b", "__off")
     // level 1: partial rank within the (domain, bucket) slice
-    val wPart = Window.partitionBy("domain", "__b")
+    val wPart = Window.partitionBy("__dk", "__dn", "__b")
       .orderBy(col("score").desc, col("doc_id").asc)
     bucketed
       .withColumn("__prn", row_number().over(wPart))
-      .join(broadcast(offsets), Seq("domain", "__b"))
+      .join(broadcast(offsets), Seq("__dk", "__dn", "__b"))
       .filter((col("__off") + col("__prn") - 1L) * 10000L
         < lit(myriad.toLong) * col("__n"))
       .select("doc_id", "domain", "score")
@@ -691,24 +697,30 @@ object Pipelines {
       nTok.cast("long").as("n_tokens"))
       .withColumn("__ord", md5(col("doc_id").cast("string")))
       .withColumn("__salt", substring(col("__ord"), 1, 2))
+      // null-safe working key (see quantileFilter): the offsets equi-join
+      // would silently drop null-domain rows
+      .withColumn("__dk", coalesce(col("domain").cast("string"), lit("")))
+      .withColumn("__dn", col("domain").isNull)
       .cache()
     // level 1: partial exclusive prefix within the (domain, salt) bucket
-    val wPart = Window.partitionBy("domain", "__salt")
+    val wPart = Window.partitionBy("__dk", "__dn", "__salt")
       .orderBy(col("__ord"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     // level 2: tokens in all md5-earlier buckets of the same domain
-    val offsets = base.groupBy("domain", "__salt")
+    val offsets = base.groupBy("__dk", "__dn", "__salt")
       .agg(sum("n_tokens").as("__bucket_tok"))
       .withColumn("__offset", coalesce(sum("__bucket_tok").over(
-        Window.partitionBy("domain").orderBy("__salt")
+        Window.partitionBy("__dk", "__dn").orderBy("__salt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("domain", "__salt", "__offset")
+      .select("__dk", "__dn", "__salt", "__offset")
+    // a null domain never equals a configured name, so it draws the default
+    // budget — the pre-split Window semantics
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (dom, b)) => when(col("domain") === dom, lit(b)).otherwise(acc)
     }
     base
       .withColumn("__partial", coalesce(sum("n_tokens").over(wPart), lit(0L)))
-      .join(broadcast(offsets), Seq("domain", "__salt"))
+      .join(broadcast(offsets), Seq("__dk", "__dn", "__salt"))
       .withColumn("start_tok", col("__offset") + col("__partial"))
       .filter(col("start_tok") < budget)
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("start_tok"))

@@ -64,7 +64,10 @@ object TextAnalysis {
       l => substring(l, 1, 1).isin("•", "‣", "-", "*"))).cast("long")
     val ellipsis = size(filter(lines,
       l => l.endsWith("...") || l.endsWith("…"))).cast("long")
-    val alpha = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    // \p{L}: Gopher's rule is "contains at least one ALPHABETIC character" —
+    // [a-z] would fail every non-Latin-script word (Cyrillic, Greek, CJK);
+    // \p{L} is interpreted identically by Java regex and RE2
+    val alpha = size(filter(ws, w => w.rlike("\\p{L}"))).cast("long")
     val stops = array(GopherStopWords.map(lit): _*)
     val nStops = size(array_intersect(array_distinct(ws), stops))
     docs.select(

@@ -70,9 +70,15 @@ object Urls {
       .otherwise(hostport)
   }
 
-  /** True iff the URL's canonical host is `domain` or a subdomain of it. */
+  /** True iff the URL's canonical host is `domain` or a subdomain of it.
+    * ANY port is stripped before the comparison (not just the scheme
+    * default): a blocklist names a site, and `spam.example.com:8080` is the
+    * same site as `spam.example.com`. [[hostOf]] itself keeps non-default
+    * ports — a port is part of the host identity for stats/caps, but not for
+    * block decisions.
+    */
   def hostBlocked(url: Column, domains: Seq[String]): Column = {
-    val h = hostOf(url)
+    val h = regexp_replace(hostOf(url), ":[0-9]+$", "")
     domains.map(d => h === d.toLowerCase || h.endsWith("." + d.toLowerCase))
       .reduceOption(_ || _).getOrElse(lit(false))
   }
@@ -160,19 +166,25 @@ object Urls {
       hostOf(col(urlCol)).as("host"))
       .withColumn("__ord", md5(col("doc_id").cast("string")))
       .withColumn("__salt", substring(col("__ord"), 1, 2))
+      // null-safe working key (see Pipelines.quantileFilter): a null url
+      // yields a null host, and the offsets equi-join would silently drop
+      // those rows where the Window semantics cap them as one group
+      .withColumn("__hk", coalesce(col("host"), lit("")))
+      .withColumn("__hn", col("host").isNull)
       .cache()
-    val offsets = base.groupBy("host", "__salt").agg(count(lit(1)).as("__bn"))
+    val offsets = base.groupBy("__hk", "__hn", "__salt")
+      .agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum("__bn").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("host")
+        org.apache.spark.sql.expressions.Window.partitionBy("__hk", "__hn")
           .orderBy("__salt")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select("host", "__salt", "__off")
+      .select("__hk", "__hn", "__salt", "__off")
     val wPart = org.apache.spark.sql.expressions.Window
-      .partitionBy("host", "__salt").orderBy(col("__ord"), col("doc_id"))
+      .partitionBy("__hk", "__hn", "__salt").orderBy(col("__ord"), col("doc_id"))
     base
       .withColumn("__prn", row_number().over(wPart))
-      .join(broadcast(offsets), Seq("host", "__salt"))
+      .join(broadcast(offsets), Seq("__hk", "__hn", "__salt"))
       .filter(col("__off") + col("__prn") <= maxPerHost)
       .select("doc_id", "host")
   }

@@ -1373,7 +1373,8 @@ object ExtensionQueries {
     "q_url_canon" ->
       (urlCanonCte + """
         |SELECT doc_id, url_canon, host,
-        |  (host = 'src3.example.com' OR ends_with(host, '.src3.example.com')) AS blocked
+        |  (regexp_replace(host, ':[0-9]+$', '') = 'src3.example.com'
+        |   OR ends_with(regexp_replace(host, ':[0-9]+$', ''), '.src3.example.com')) AS blocked
         |FROM canon""".stripMargin),
 
     "q_url_dedup" ->
@@ -1461,7 +1462,7 @@ object ExtensionQueries {
         |  ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS dots,
         |  list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
         |              l -> length(l) > 0) AS lines,
-        |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha,
+        |  len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))::BIGINT AS alpha,
         |  len(list_intersect(list_distinct(ws),
         |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS nstops
         |  FROM w),

@@ -124,6 +124,16 @@ class PipelinesSpec extends SparkSpec {
     assert(Pipelines.tokenBudgetSample(docs, "doc_id", "text", "source",
       budgets = Map.empty, defaultBudget = 1L).count() == 1,
       "any positive budget keeps at least the first doc")
+    // NULL-domain rows draw the default budget as one group — not a silent
+    // drop through the internal offsets equi-join
+    val nullDom = (100L until 110L).map(i =>
+      (i, Seq.fill(10)("tok").mkString(" "), null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "source")
+    val keptNull = Pipelines.tokenBudgetSample(docs.union(nullDom), "doc_id",
+      "text", "source", budgets = Map("web" -> 0L), defaultBudget = 35L)
+      .collect()
+    assert(keptNull.length == 4 && keptNull.forall(_.isNullAt(1)),
+      s"null domain must spend the default budget as one group")
   }
 
   test("dedupLines: drop-all vs keep-first semantics on planted duplicate lines") {
@@ -387,6 +397,16 @@ class PipelinesSpec extends SparkSpec {
     // every nonempty domain keeps at least one doc for any q > 0
     assert(Pipelines.quantileFilter(docs, "doc_id", "sc", "src", q = 0.0001)
       .select("domain").distinct().count() == 2)
+    // NULL-domain rows form one group (Window semantics), not a silent drop
+    // through the internal equi-joins (null != null)
+    val withNull = docs.union(Seq(
+      (40L, null.asInstanceOf[String], Some(9.0)),
+      (41L, null.asInstanceOf[String], Some(8.0)),
+      (42L, null.asInstanceOf[String], Some(7.0)),
+      (43L, null.asInstanceOf[String], Some(6.0))).toDF("doc_id", "src", "sc"))
+    val keptNull = Pipelines.quantileFilter(withNull, "doc_id", "sc", "src", q = 0.5)
+      .filter(col("domain").isNull).collect().map(_.getLong(0)).toSet
+    assert(keptNull == Set(40L, 41L), s"null domain must rank as one group, got $keptNull")
   }
 
   test("tfidfTopTerms: hand-computed scores, decimal-exact tie ordering") {

@@ -42,6 +42,10 @@ class QualityGatesSpec extends SparkSpec {
     assert(!gopherRow(ell).getBoolean(6))
     // < 80% alphabetic words
     assert(!gopherRow(goodProse + " " + (1 to 60).map(_.toString).mkString(" ")).getBoolean(7))
+    // non-Latin scripts ARE alphabetic (Gopher: "contains at least one
+    // alphabetic character" — \p{L}, not [a-z])
+    assert(gopherRow(goodProse + " " +
+      Seq.fill(30)("слово λέξη 言葉").mkString(" ")).getBoolean(7))
     // < 2 stop words
     assert(!gopherRow(Seq.fill(25)("zebra quokka").mkString(" ")).getBoolean(8))
   }

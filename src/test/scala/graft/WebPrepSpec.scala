@@ -120,6 +120,14 @@ class WebPrepSpec extends SparkSpec {
       .filter(col("rn") <= 25).select("doc_id", "host")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == naive)
+    // NULL urls (null host) cap as ONE group — not a silent drop through the
+    // internal offsets equi-join
+    val withNull = docs.union(Seq((2000L, null.asInstanceOf[String]),
+      (2001L, null.asInstanceOf[String]), (2002L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url"))
+    val cappedNull = Urls.hostCap(withNull, "doc_id", "url", maxPerHost = 2)
+      .filter(col("host").isNull).count()
+    assert(cappedNull == 2L, s"null host must cap as one group, got $cappedNull")
     graft.operators.Caches.release(spark)
   }
 
@@ -129,9 +137,12 @@ class WebPrepSpec extends SparkSpec {
       "https://spam.example.org/x",
       "https://sub.spam.example.org/y",
       "https://notspam.example.org/z",
-      "https://spam.example.org.evil.com/w").toDF("u")
+      "https://spam.example.org.evil.com/w",
+      "http://spam.example.org:8080/p",
+      "https://sub.spam.example.org:444/q").toDF("u")
     val got = df.select(Urls.hostBlocked(col("u"), Seq("spam.example.org")))
       .collect().map(_.getBoolean(0)).toSeq
-    assert(got == Seq(true, true, false, false))
+    // a non-default port does NOT dodge the blocklist — same site
+    assert(got == Seq(true, true, false, false, true, true))
   }
 }
