@@ -232,20 +232,26 @@ object Pipelines {
     * one map-side-combined groupBy on the hash — a window duplicated m times
     * crosses the wire as one (h, m) row — and one broadcast-or-shuffled join
     * back plus the per-doc groupBy. No self-join, no sort, ~3 exchanges of
-    * narrow keyed rows regardless of corpus size.
+    * narrow keyed rows regardless of corpus size. EXACT-DUPLICATE STREAM
+    * COLLAPSE first (see [[collapseStreams]]): the window explode runs once
+    * per DISTINCT token stream with multiplicity-weighted counts, so a crawl
+    * corpus that is 60-90% verbatim-duplicate text pays for its distinct
+    * content, not its copy count.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val words = tokenArrays(docs, idCol, textCol)
-    val wins = words.select(col("doc_id"), explode(windowHashExpr(w)).as("h"))
-    val counts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
-    val flagged = wins.join(counts, "h")
-      .groupBy("doc_id").agg(
+    val (docMap, reps, mult) = collapseStreams(docs, idCol, textCol)
+    val wins = reps.select(col("sh"), explode(windowHashExpr(w)).as("h"))
+    // corpus occurrence count of window h = Σ over distinct streams of
+    // (occurrences within the stream × the stream's copy count)
+    val counts = wins.join(mult, "sh").groupBy("h").agg(sum("m").as("cnt"))
+    val perStream = wins.join(counts, "h")
+      .groupBy("sh").agg(
         count(lit(1)).as("n_windows"),
         sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("n_dup_windows"))
-    // left join restores zero-window docs (shorter than w tokens)
-    words.select("doc_id").join(flagged, Seq("doc_id"), "left")
+    // left join restores zero-window streams (shorter than w tokens)
+    docMap.join(perStream, Seq("sh"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
@@ -270,17 +276,26 @@ object Pipelines {
     * removal adds one explode of DUPLICATED windows only into their covered
     * token indices (w rows per flagged window — proportional to the
     * duplication actually found, not the corpus), an anti-join on
-    * (doc_id, token index), and the per-doc reassembly groupBy. Everything
-    * keys on (doc_id, idx) or an 8-byte hash; no self-join, no window sort.
+    * (stream, token index), and the per-stream reassembly groupBy.
+    * Everything keys on an 8-byte hash; no self-join, no window sort. The
+    * EXACT-DUPLICATE STREAM COLLAPSE ([[collapseStreams]]) makes the whole
+    * explode + anti-join + reassembly run once per DISTINCT token stream —
+    * previously a flagged window duplicated across 200k verbatim copies paid
+    * its w-token explode 200k times; now once, with survivors re-expanded to
+    * doc ids by one narrow join.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val words = tokenArrays(docs, idCol, textCol)
-    val wins = words.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
-    val dupCounts = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val (docMap, reps, mult) = collapseStreams(docs, idCol, textCol)
+    val repWords = reps.withColumnRenamed("sh", "doc_id")
+    val wins = repWords.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
+    val dupCounts = wins.join(mult.withColumnRenamed("sh", "doc_id"), "doc_id")
+      .groupBy("h").agg(sum("m").as("cnt"))
       .filter(col("cnt") >= minCount)
-    dropCoveredTokens(words, wins.join(dupCounts, "h"), w)
+    val perStream = dropCoveredTokens(repWords, wins.join(dupCounts, "h"), w)
+    docMap.join(perStream.withColumnRenamed("doc_id", "sh"), "sh")
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
   }
 
   /** Per-doc lower-cased whitespace tokens as an array column (null-safe:
@@ -291,6 +306,27 @@ object Pipelines {
       Keys.id(df, idCol).as("doc_id"),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         x => length(x) > 0).as("ws"))
+
+  /** Exact-duplicate TOKEN-STREAM collapse shared by the span ops — the
+    * [[Dedup.hammingPairs]] discipline applied to whole token streams: a
+    * crawl corpus that is 60-90% verbatim-duplicate text must pay the
+    * window explode once per DISTINCT stream, never per copy. Returns
+    * (docMap = (doc_id, sh), reps = one (sh, ws) per distinct stream,
+    * mult = (sh, m) copy counts); `sh` is the xxhash64 of the joined token
+    * stream, hash equality standing in for stream equality exactly as in
+    * [[windowHashExpr]]. The tokenized projection is cached because all
+    * three branches consume it (caller releases per the [[Caches]]
+    * contract).
+    */
+  private def collapseStreams(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val words = tokenArrays(docs, idCol, textCol)
+      .withColumn("sh", xxhash64(concat_ws(" ", col("ws"))))
+      .cache()
+    (words.select("doc_id", "sh"),
+      words.select("sh", "ws").dropDuplicates("sh"),
+      words.groupBy("sh").agg(count(lit(1)).as("m")))
+  }
 
   /** xxhash64'd w-token rolling windows over the `ws` token array; empty for
     * docs shorter than w tokens (the sequence() descending gotcha).
@@ -340,16 +376,21 @@ object Pipelines {
     * broadcast semi-join keeps only CONTAMINATED windows, and the removal is
     * [[removeDuplicateSpans]]' explode + anti-join + reassembly, its volume
     * proportional to contamination found. One pass over the corpus, no
-    * corpus-side distinct, no self-join.
+    * corpus-side distinct, no self-join — and the same EXACT-DUPLICATE
+    * STREAM COLLAPSE ([[collapseStreams]]): a contaminated boilerplate page
+    * crawled 200k times is scrubbed once and re-expanded, not 200k times.
     */
   def removeContaminatedSpans(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, w: Int = 10): DataFrame = {
     require(w >= 1, "w must be >= 1")
     val evalSet = tokenArrays(evalDocs, idCol, textCol)
       .select(explode(windowHashExpr(w)).as("h")).distinct()
-    val words = tokenArrays(docs, idCol, textCol)
-    val wins = words.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
-    dropCoveredTokens(words, wins.join(broadcast(evalSet), "h"), w)
+    val (docMap, reps, _) = collapseStreams(docs, idCol, textCol)
+    val repWords = reps.withColumnRenamed("sh", "doc_id")
+    val wins = repWords.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
+    val perStream = dropCoveredTokens(repWords, wins.join(broadcast(evalSet), "h"), w)
+    docMap.join(perStream.withColumnRenamed("doc_id", "sh"), "sh")
+      .select("doc_id", "clean_text", "n_kept", "n_dropped")
   }
 
   /** Test-set decontamination: count, per document, how many of its distinct

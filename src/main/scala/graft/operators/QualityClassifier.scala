@@ -192,4 +192,88 @@ object QualityClassifier {
     score(docs, idCol, textCol,
       train(docs, idCol, textCol, label, nBuckets, iters, lr, wordBigrams),
       nBuckets, wordBigrams)
+
+  /** Classifier EVALUATION over a labeled holdout — the table you actually
+    * read before trusting a quality gate at 100 TB: for each candidate
+    * decision threshold, the exact confusion counts (pred = score >
+    * threshold) and precision / recall / F1. Counts are plain integer sums;
+    * the three ratios are floor-quantized to 4dp via integer `div` (the
+    * `dup_frac` discipline — no double division, no rounding tie class), so
+    * the whole table is an engine-portable function of (scored, labels,
+    * thresholds). Empty denominators (a threshold above every score, a
+    * label-free holdout) yield 0.0, keeping the grid total.
+    *
+    * `scored` carries [[score]]'s DECIMAL(18,6) score column plus the label;
+    * thresholds are interpreted at 6dp precision like every model constant
+    * here. Scale shape: one explode of |thresholds| small rows per doc and
+    * ONE map-side-combinable groupBy — |thresholds| output rows, no window,
+    * no second pass.
+    */
+  def evaluate(scored: DataFrame, scoreCol: String, label: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val t6s = thresholds.map { t =>
+      val t6 = math.rint(t * Scale).toLong
+      require(math.abs(t6 / Scale.toDouble - t) < 1e-12,
+        s"threshold must be expressible at 6dp precision, got $t")
+      t6
+    }
+    require(t6s.distinct.size == t6s.size, "duplicate thresholds")
+    scored
+      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+        label.cast("int").as("y"))
+      .select(col("z6"), col("y"),
+        explode(array(t6s.map(lit(_)): _*)).as("threshold_e6"))
+      .groupBy("threshold_e6").agg(
+        sum(when(col("z6") > col("threshold_e6") && col("y") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("z6") > col("threshold_e6") && col("y") === 0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("z6") <= col("threshold_e6") && col("y") === 1, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("z6") <= col("threshold_e6") && col("y") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("threshold_e6"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("case when tp + fp = 0 then 0.0 else " +
+          "cast((tp * 10000) div (tp + fp) as double) / 10000.0 end")
+          .as("precision"),
+        expr("case when tp + fn = 0 then 0.0 else " +
+          "cast((tp * 10000) div (tp + fn) as double) / 10000.0 end")
+          .as("recall"),
+        // F1 = 2tp / (2tp + fp + fn): the harmonic mean computed from raw
+        // counts, so no intermediate-quantization error compounds
+        expr("case when 2 * tp + fp + fn = 0 then 0.0 else " +
+          "cast((2 * tp * 10000) div (2 * tp + fp + fn) as double) / 10000.0 end")
+          .as("f1"))
+  }
+
+  /** CALIBRATION buckets over a labeled holdout: map each score through the
+    * model's own algebraic sigmoid to a probability p ∈ (0,1) (the same
+    * 1e-6 fixed-point link [[train]] optimizes — no libm), cut [0,1) into
+    * `nBins` equal bins, and per bin report the doc count, positive count,
+    * floor-mean predicted probability (1e-6 units), and the observed
+    * positive fraction at 4dp. A well-calibrated gate has mean_p6/1e6 ≈
+    * frac_pos per bin; a miscalibrated one tells you which score region not
+    * to trust. All integer arithmetic — engine-portable like [[evaluate]].
+    * One narrow projection + one map-side-combinable groupBy.
+    */
+  def calibration(scored: DataFrame, scoreCol: String, label: Column,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, "need at least 2 calibration bins")
+    scored
+      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+        label.cast("bigint").as("y"))
+      // the algebraic sigmoid in 1e-6 units: p6 ∈ (0, 1e6) exclusive, so
+      // the bin index lands in [0, nBins-1] with no boundary clamp needed
+      .withColumn("p6", expr("500000L + (case when z6 < 0 then -1L else 1L end)" +
+        " * ((abs(z6) * 1000000L) div (2000000L + 2L * abs(z6)))"))
+      .withColumn("bin", expr(s"cast((p6 * ${nBins}L) div 1000000L as int)"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum("y").as("n_pos"),
+        sum("p6").as("__sp6"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sp6 div n").as("mean_p6"),
+        expr("cast((n_pos * 10000) div n as double) / 10000.0").as("frac_pos"))
+  }
 }

@@ -513,6 +513,39 @@ object ExtensionQueries {
         nBuckets = 256)
     }),
 
+    // the evaluation table you read BEFORE trusting the gate: train on the
+    // doc_id < 250 reference half, score the whole corpus, grade against the
+    // held label over a threshold grid — exact integer confusion counts,
+    // floor-quantized P/R/F1 (no double division anywhere)
+    "q_clf_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        (col("lang") === "en").cast("int"), nBuckets = 256, iters = 3, lr = 0.5)
+      val scored = graft.operators.QualityClassifier.score(
+        docs, "doc_id", "text", model, nBuckets = 256)
+      graft.operators.QualityClassifier.evaluate(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id"),
+        "score", col("y"), thresholds = Seq(-0.5, -0.25, 0.0, 0.25, 0.5))
+    }),
+
+    // calibration buckets over the same train/serve split: per sigmoid-
+    // probability bin, predicted mean vs observed positive rate — the
+    // reliability diagram as an exact-integer table
+    "q_clf_calibration" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        (col("lang") === "en").cast("int"), nBuckets = 256, iters = 3, lr = 0.5)
+      val scored = graft.operators.QualityClassifier.score(
+        docs, "doc_id", "text", model, nBuckets = 256)
+      graft.operators.QualityClassifier.calibration(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id"),
+        "score", col("y"), nBins = 10)
+    }),
+
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
     "q_pack_sequences" -> ((s, d) =>
       Pipelines.packSequences(t(s, d, "documents"), "doc_id", "text",
@@ -1293,7 +1326,7 @@ object ExtensionQueries {
     * TRAINING half (labels, features, gradient); scoring always covers the
     * whole corpus with features over all docs — the engine's score() shape.
     */
-  private def clfOracleSql(trainWhere: String,
+  private def clfCoreCte(trainWhere: String,
       bigrams: Boolean = false): String = {
     val iters = (1 to 3).map { k =>
       s"""s$k AS (SELECT doc_id, sum(w6)::BIGINT AS s6 FROM f JOIN w${k - 1} USING (f) GROUP BY doc_id),
@@ -1333,12 +1366,58 @@ object ExtensionQueries {
        |sF AS (SELECT doc_id, sum(w6)::BIGINT AS s6 FROM fall JOIN w3 USING (f) GROUP BY doc_id),
        |t AS (SELECT base.doc_id,
        |  ((SELECT b6 FROM b3) + coalesce(s.s6, 0))::BIGINT AS t6
-       |  FROM base LEFT JOIN sF s USING (doc_id))
-       |SELECT doc_id,
-       |  (t6::DECIMAL(24,0) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS score,
-       |  (t6 > 0) AS pred
-       |FROM t""".stripMargin
+       |  FROM base LEFT JOIN sF s USING (doc_id))""".stripMargin
   }
+
+  private def clfOracleSql(trainWhere: String,
+      bigrams: Boolean = false): String =
+    clfCoreCte(trainWhere, bigrams) + "\n" +
+      """SELECT doc_id,
+        |  (t6::DECIMAL(24,0) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS score,
+        |  (t6 > 0) AS pred
+        |FROM t""".stripMargin
+
+  /** Confusion grid + floor-quantized precision/recall/F1 over the scored
+    * corpus vs the lang='en' label — the [[clfCoreCte]] margins through the
+    * engine's exact integer metric arithmetic (all `//` on non-negative
+    * operands).
+    */
+  private def clfEvalOracleSql(thr6s: Seq[Long]): String =
+    clfCoreCte("WHERE doc_id < 250") + ",\n" +
+      s"""lbl AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS y FROM base),
+         |th(thr6) AS (VALUES ${thr6s.map(t => s"($t)").mkString(", ")}),
+         |cm AS (SELECT thr6,
+         |  sum(CASE WHEN t6 > thr6 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |  sum(CASE WHEN t6 > thr6 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |  sum(CASE WHEN t6 <= thr6 AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |  sum(CASE WHEN t6 <= thr6 AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS tn
+         |  FROM t JOIN lbl USING (doc_id) CROSS JOIN th GROUP BY thr6)
+         |SELECT thr6::BIGINT AS threshold_e6, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0.0
+         |       ELSE ((tp * 10000) // (tp + fp)) / 10000.0 END AS precision,
+         |  CASE WHEN tp + fn = 0 THEN 0.0
+         |       ELSE ((tp * 10000) // (tp + fn)) / 10000.0 END AS recall,
+         |  CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+         |       ELSE ((2 * tp * 10000) // (2 * tp + fp + fn)) / 10000.0 END AS f1
+         |FROM cm""".stripMargin
+
+  /** Calibration buckets: the algebraic-sigmoid probability of each margin
+    * (1e-6 fixed point, no libm) cut into equal bins, with per-bin count,
+    * positive count, floor-mean probability and observed positive fraction.
+    */
+  private def clfCalibrationOracleSql(nBins: Int): String =
+    clfCoreCte("WHERE doc_id < 250") + ",\n" +
+      s"""lbl AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM base),
+         |pb AS (SELECT t.doc_id, y,
+         |  (500000 + (CASE WHEN t6 < 0 THEN -1 ELSE 1 END) *
+         |   ((abs(t6) * 1000000) // (2000000 + 2 * abs(t6))))::BIGINT AS p6
+         |  FROM t JOIN lbl USING (doc_id)),
+         |cb AS (SELECT ((p6 * $nBins) // 1000000)::INTEGER AS bin,
+         |  count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos, sum(p6)::BIGINT AS sp6
+         |  FROM pb GROUP BY 1)
+         |SELECT bin, n, n_pos, (sp6 // n)::BIGINT AS mean_p6,
+         |  ((n_pos * 10000) // n) / 10000.0 AS frac_pos
+         |FROM cb""".stripMargin
 
   /** The sentenceFixture derivation as a SQL fragment (over documents). */
   private val sentenceDerivSql: String =
@@ -1570,6 +1649,11 @@ object ExtensionQueries {
     // same unrolled training loop fit ONLY on the doc_id < 250 reference
     // half, scored over the whole corpus — the train/serve split
     "q_quality_clf_ref" -> clfOracleSql(trainWhere = "WHERE doc_id < 250"),
+
+    "q_clf_eval" -> clfEvalOracleSql(
+      Seq(-500000L, -250000L, 0L, 250000L, 500000L)),
+
+    "q_clf_calibration" -> clfCalibrationOracleSql(nBins = 10),
 
     "q_dedup_simhash" -> simhashOracle,
 

@@ -189,6 +189,31 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     hDocs.unpersist()
+
+    // --- 8. despan exact-copy clone flood --------------------------------
+    // 90% of the corpus is ONE verbatim ~40-token page (the SEO-mirror /
+    // boilerplate shape): pre-collapse, every copy paid its own window
+    // explode + anti-join + reassembly (w× the duplicated token volume —
+    // the r8 verdict's 100×-scale caveat); post-collapse the flood is ONE
+    // distinct token stream through the span machinery plus a narrow
+    // re-expansion join, so wall-clock must track the 10% distinct tail.
+    val boilerPage = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val sDocs = spark.range(nDoc).select(col("id").as("doc_id"),
+      when(col("id") % 10 =!= 0, lit(boilerPage))
+        .otherwise(concat(lit("unique payload run "),
+          col("id").cast("string"), lit(" alpha beta gamma delta epsilon "),
+          (col("id") * 7919).cast("string"))).as("text"))
+      .repartition(32).cache()
+    println(s"[prof] despan clone-flood docs: ${sDocs.count()} (90% one page)")
+    for (i <- 1 to 2)
+      time(s"removeDuplicateSpans 90%%-clone flood #$i") {
+        val out = graft.operators.Pipelines.removeDuplicateSpans(
+          sDocs, "doc_id", "text", w = 10, minCount = 2)
+        val n = out.count()
+        require(n == nDoc, s"despan must stay total: $n of $nDoc")
+        graft.operators.Caches.release(spark)
+      }
+    sDocs.unpersist()
     spark.stop()
   }
 }

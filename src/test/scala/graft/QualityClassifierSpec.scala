@@ -120,6 +120,49 @@ class QualityClassifierSpec extends SparkSpec {
       "bigram features must separate the order signal")
   }
 
+  test("evaluate: exact confusion counts and floor-quantized metrics on a planted grid") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, BigDecimal("0.400000"), 1), (2L, BigDecimal("0.100000"), 1),
+      (3L, BigDecimal("-0.200000"), 1), (4L, BigDecimal("0.300000"), 0),
+      (5L, BigDecimal("-0.100000"), 0), (6L, BigDecimal("-0.400000"), 0))
+      .toDF("doc_id", "score", "y")
+    val out = QualityClassifier.evaluate(scored, "score", col("y"),
+      thresholds = Seq(0.0, 0.25))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 250000L))
+    // t=0: pred+ = {0.4, 0.1, 0.3} → tp=2 fp=1 fn=1 tn=2; P=R=F1=2/3→0.6666
+    val t0 = out(0L)
+    assert((t0.getLong(1), t0.getLong(2), t0.getLong(3), t0.getLong(4))
+      == ((2L, 1L, 1L, 2L)))
+    assert(t0.getDouble(5) == 0.6666 && t0.getDouble(6) == 0.6666
+      && t0.getDouble(7) == 0.6666)
+    // t=0.25: pred+ = {0.4, 0.3} → tp=1 fp=1 fn=2 tn=2;
+    // P=0.5, R=1/3→0.3333, F1=2/(2+1+2)=0.4
+    val t1 = out(250000L)
+    assert((t1.getLong(1), t1.getLong(2), t1.getLong(3), t1.getLong(4))
+      == ((1L, 1L, 2L, 2L)))
+    assert(t1.getDouble(5) == 0.5 && t1.getDouble(6) == 0.3333
+      && t1.getDouble(7) == 0.4)
+  }
+
+  test("calibration: sigmoid bins, counts, and floor means match hand arithmetic") {
+    import spark.implicits._
+    // z6=0 → p6=500000 (bin 5); z6=±1e6 → p6 = 500000 ± (1e12 div 4e6) =
+    // 750000 / 250000 (bins 7 / 2) — the algebraic sigmoid by hand
+    val scored = Seq(
+      (1L, BigDecimal("0.000000"), 1), (2L, BigDecimal("1.000000"), 1),
+      (3L, BigDecimal("-1.000000"), 0), (4L, BigDecimal("1.000000"), 0))
+      .toDF("doc_id", "score", "y")
+    val out = QualityClassifier.calibration(scored, "score", col("y"), nBins = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out.keySet == Set(2, 5, 7))
+    assert(out(5) == ((1L, 1L, 500000L, 1.0)))
+    assert(out(7) == ((2L, 1L, 750000L, 0.5)))
+    assert(out(2) == ((1L, 0L, 250000L, 0.0)))
+  }
+
   test("empty-text docs score the bias alone and survive") {
     import spark.implicits._
     val docs = (corpus :+ ((99L, "", 1))).toDF("doc_id", "text", "y")

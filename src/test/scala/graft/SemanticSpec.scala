@@ -310,6 +310,41 @@ class SemanticSpec extends SparkSpec {
     assert(byId(5L)._2 == "" && byId(5L)._3 == 0L && byId(5L)._4 == 0L)
   }
 
+  test("span ops: exact-copy collapse preserves per-copy semantics (multiplicity counts)") {
+    import spark.implicits._
+    // 3 verbatim copies of one >= w-token page: every window occurs 3 times
+    // corpus-wide, so ALL copies must be fully scrubbed — the collapse must
+    // weight window counts by stream multiplicity, not count the rep once
+    val page = (1 to 12).map(i => s"pg$i").mkString(" ")
+    val docs = Seq(
+      (1L, page), (2L, page), (3L, page),
+      (4L, "independent text with no shared ten token run anywhere in it today"))
+      .toDF("doc_id", "text")
+    val out = Pipelines.removeDuplicateSpans(docs, "doc_id", "text", w = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), "output is total")
+    val byId = out.map(r => r._1 -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(byId(id)._2 == "" && byId(id)._4 == 12L,
+        s"copy $id must be fully scrubbed, got '${byId(id)._2}'")
+    }
+    assert(byId(4L)._4 == 0L, "unique doc must survive verbatim")
+    // same corpus through the signal op: copies report dup_frac 1.0 and
+    // identical rows — and a SINGLE occurrence below minCount stays clean
+    val sig = Pipelines.duplicateSpans(docs, "doc_id", "text", w = 10, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val sigById = sig.map(r => r._1 -> r).toMap
+    for (id <- Seq(1L, 2L, 3L))
+      assert(sigById(id)._3 == 3L && sigById(id)._4 == 1.0)
+    assert(sigById(4L)._3 == 0L && sigById(4L)._4 == 0.0)
+    // minCount above the copy count: 3 copies < minCount 4 → nothing flagged
+    val strict = Pipelines.duplicateSpans(docs, "doc_id", "text", w = 10, minCount = 4)
+      .collect().map(r => r.getLong(2)).sum
+    assert(strict == 0L, "3 copies must not reach minCount 4")
+  }
+
   test("exact-integer magnitude guard fails loudly on out-of-scale embeddings") {
     val emb = Tables(spark, sfDir, "embeddings").limit(20)
     // unit-scale inputs pass the guard untouched (the whole corpus is proof,
