@@ -320,16 +320,9 @@ object TextAnalysis {
   def htmlExtract(docs: DataFrame, idCol: String, htmlCol: String,
       minWords: Int = 5): DataFrame = {
     require(minWords >= 1, "need minWords >= 1")
-    val noScript = regexp_replace(coalesce(col(htmlCol), lit("")),
-      "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val withBreaks = regexp_replace(noStyle,
-      "(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>",
-      "\n")
+    val withBreaks = htmlWithBreaks(col(htmlCol))
     val noTags = regexp_replace(withBreaks, "(?s)<[^>]*>", " ")
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val decoded = decodeEntities(noTags)
     val lines = transform(split(decoded, "\n"),
       l => trim(regexp_replace(l, "\\s+", " ")))
     val kept = filter(lines,
@@ -339,6 +332,77 @@ object TextAnalysis {
       array_join(kept, "\n").as("text"),
       size(kept).as("n_kept"),
       size(lines).as("n_total"))
+  }
+
+  /** script/style bodies dropped, block boundaries turned into newlines —
+    * the shared front of both HTML extractors (steps 1-2 of [[htmlExtract]]).
+    */
+  private def htmlWithBreaks(html: org.apache.spark.sql.Column) = {
+    val noScript = regexp_replace(coalesce(html, lit("")),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    regexp_replace(noStyle,
+      "(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>",
+      "\n")
+  }
+
+  /** The common HTML entities, `&amp;` LAST (so `&amp;lt;` decodes to the
+    * literal text `&lt;`, and text that looked like a tag only after decoding
+    * is NOT stripped — the classic ordering bug, done right).
+    */
+  private def decodeEntities(c: org.apache.spark.sql.Column) =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+
+  /** [[htmlExtract]] upgraded with the PER-BLOCK LINK-DENSITY rule of
+    * jusText / RefinedWeb: a line whose words are mostly ANCHOR TEXT is
+    * navigation/footer boilerplate no matter how wordy it is — nav menus and
+    * "related articles" link farms sail through a pure word-count gate, and
+    * this is the standard rule that kills them. Per line (lines cut BEFORE
+    * tags vanish, so the `<a>…</a>` spans are still visible):
+    *
+    *  - `n_words`: whitespace words of the line's visible text (tags
+    *    stripped, entities decoded, whitespace collapsed — [[htmlExtract]]'s
+    *    exact text path);
+    *  - `n_anchor`: whitespace words of the concatenated `<a …>…</a>` inner
+    *    texts of the line, through the same strip/decode path (nested inline
+    *    tags inside an anchor count as part of its text; an anchor split by
+    *    a block boundary contributes its per-line fragments);
+    *  - keep iff `n_words >= minWords` AND `n_anchor * 10000 <=
+    *    maxAnchorBp * n_words` — the anchor-ratio threshold in basis points
+    *    as an integer cross-multiplication (the gopherGate discipline: no
+    *    double division, no rounding tie class, restatable in any engine).
+    *
+    * Default 2000 bp = the jusText max_link_density 0.2 convention. Output
+    * schema and scale shape are [[htmlExtract]]'s: one narrow codegen'd
+    * pass, no shuffle, linear at 100 TB.
+    */
+  def htmlExtractDense(docs: DataFrame, idCol: String, htmlCol: String,
+      minWords: Int = 5, maxAnchorBp: Int = 2000): DataFrame = {
+    require(minWords >= 1, "need minWords >= 1")
+    require(maxAnchorBp >= 0 && maxAnchorBp <= 10000,
+      "maxAnchorBp is a basis-point ratio in [0, 10000]")
+    def visible(l: org.apache.spark.sql.Column) =
+      trim(regexp_replace(
+        decodeEntities(regexp_replace(l, "(?s)<[^>]*>", " ")), "\\s+", " "))
+    def nWords(v: org.apache.spark.sql.Column) =
+      size(filter(split(v, " "), w => length(w) > 0))
+    val rawLines = split(htmlWithBreaks(col(htmlCol)), "\n")
+    val lines = transform(rawLines, l => {
+      val v = visible(l)
+      val anchor = visible(array_join(
+        regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+      struct(v.as("v"), nWords(v).as("nw"), nWords(anchor).as("na"))
+    })
+    val kept = filter(lines, s =>
+      s.getField("nw") >= minWords &&
+        s.getField("na") * lit(10000) <= lit(maxAnchorBp) * s.getField("nw"))
+    docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      array_join(transform(kept, _.getField("v")), "\n").as("text"),
+      size(kept).as("n_kept"),
+      size(rawLines).as("n_total"))
   }
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text. */

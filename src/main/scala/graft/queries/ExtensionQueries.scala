@@ -55,6 +55,18 @@ object ExtensionQueries {
     docs.select(col("doc_id"), html.as("html"))
   }
 
+  /** Link-farm + inline-link HTML block appended (before `</body></html>`)
+    * for the link-density fixture: a wordy all-anchor "related articles"
+    * farm and a prose sentence with one low-ratio inline link. No single
+    * quotes, so it embeds verbatim in the DuckDB oracle literal.
+    */
+  private val linkFarmHtml: String =
+    (1 to 5).map(i =>
+      s"""<a href="/r/$i">useful related article link $i</a>""")
+      .mkString("<div>", " ", "</div>") +
+      """<p>This sentence has a single <a href="/ref">reference link</a> """ +
+      "among twelve ordinary words today.</p>"
+
   /** Deterministic (doc_id, url) fixture over documents for the URL queries —
     * scheme/host case variants, default ports, fragments, tracking params,
     * shuffled param order. Restated verbatim by the DuckDB oracle CTE.
@@ -358,6 +370,17 @@ object ExtensionQueries {
     "q_html_extract" -> ((s, d) =>
       TextAnalysis.htmlExtract(htmlFixture(t(s, d, "documents")),
         "doc_id", "html", minWords = 5)),
+
+    // per-block LINK-DENSITY variant (jusText/RefinedWeb rule): the fixture
+    // grows a wordy all-anchor link farm (must drop on anchor ratio — a pure
+    // word-count gate keeps it) and a prose line with one inline link (low
+    // ratio — must survive)
+    "q_html_extract2" -> ((s, d) =>
+      TextAnalysis.htmlExtractDense(
+        htmlFixture(t(s, d, "documents")).select(col("doc_id"),
+          replace(col("html"), lit("</body></html>"),
+            lit(linkFarmHtml + "</body></html>")).as("html")),
+        "doc_id", "html", minWords = 5, maxAnchorBp = 2000)),
 
     // deterministic URL derivation: scheme/host case variants, default ports,
     // fragments, shuffled + tracking query params — the noise canonicalization
@@ -1435,6 +1458,41 @@ object ExtensionQueries {
         htmlRulesCte + "\n" +
         """SELECT doc_id, array_to_string(ks, chr(10)) AS text,
           |  len(ks)::INTEGER AS n_kept, len(ls)::INTEGER AS n_total FROM k""".stripMargin),
+
+    // the link-density extractor restated: lines cut BEFORE tag strip, per
+    // line the visible and anchor-text word counts, keep on the integer
+    // cross-multiplied anchor-ratio rule
+    "q_html_extract2" ->
+      (s"WITH h0 AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
+        s"h AS (SELECT doc_id, replace(html, '</body></html>',\n" +
+        s"  '$linkFarmHtml</body></html>') AS html FROM h0),\n" +
+        """b1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM h),
+          |b2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM b1),
+          |b3 AS (SELECT doc_id, regexp_replace(t,
+          |  '(?i)<(br|hr)[^>]*>|</(p|div|li|h1|h2|h3|h4|h5|h6|tr|table|ul|ol|blockquote|section|article|header|footer|nav|title)[^>]*>',
+          |  chr(10), 'g') AS t FROM b2),
+          |rl AS (SELECT doc_id, string_split(t, chr(10)) AS raw FROM b3),
+          |ln AS (SELECT doc_id, raw,
+          |  list_transform(raw, l -> trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(l, '(?s)<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |    '\s+', ' ', 'g'))) AS vs,
+          |  list_transform(raw, l -> trim(regexp_replace(
+          |    replace(replace(replace(replace(replace(replace(
+          |      regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '(?s)<[^>]*>', ' ', 'g'),
+          |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          |    '\s+', ' ', 'g'))) AS avs
+          |  FROM rl),
+          |cnt AS (SELECT doc_id, raw, vs,
+          |  list_transform(vs, v -> len(list_filter(string_split(v, ' '), w -> length(w) > 0))) AS nws,
+          |  list_transform(avs, a -> len(list_filter(string_split(a, ' '), w -> length(w) > 0))) AS nas
+          |  FROM ln),
+          |k AS (SELECT doc_id, raw,
+          |  list_filter(vs, (v, i) -> nws[i] >= 5 AND nas[i] * 10000 <= 2000 * nws[i]) AS ks
+          |  FROM cnt)
+          |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept, len(raw)::INTEGER AS n_total FROM k""".stripMargin),
 
     "q_pipeline_web" ->
       (urlCanonCte + ",\n" +

@@ -48,6 +48,39 @@ class WebPrepSpec extends SparkSpec {
     Seq(url).toDF("u").select(Urls.canonicalUrl(col("u"))).head().getString(0)
   }
 
+  test("htmlExtractDense: link farms drop on anchor ratio, prose with inline links survives") {
+    import spark.implicits._
+    val farm = (1 to 5).map(i =>
+      s"""<a href="/r/$i">useful related article link $i</a>""").mkString(" ")
+    val html = "<html><body>" +
+      s"<div>$farm</div>" + // 15 words, all anchor → ratio 10000 bp
+      "<p>This sentence has a single <a href=\"/ref\">reference link</a> " +
+      "among twelve ordinary words today.</p>" + // 12 words, 2 anchor → 1666 bp
+      "<p>Pure prose line with no links at all keeps flowing on.</p>" +
+      "</body></html>"
+    val docs = Seq((1L, html)).toDF("doc_id", "html")
+    val dense = TextAnalysis.htmlExtractDense(docs, "doc_id", "html",
+      minWords = 5, maxAnchorBp = 2000).head()
+    val text = dense.getString(1)
+    assert(!text.contains("useful related article"),
+      s"link farm must drop on anchor density:\n$text")
+    assert(text.contains("single reference link among twelve"),
+      "prose with one inline link must survive")
+    assert(text.contains("Pure prose line"))
+    assert(dense.getInt(2) == 2, s"kept=${dense.getInt(2)}")
+    // contrast: the pure word-count gate KEEPS the wordy farm — the density
+    // rule is doing work a count cannot
+    val plain = TextAnalysis.htmlExtract(docs, "doc_id", "html", minWords = 5).head()
+    assert(plain.getString(1).contains("useful related article"))
+    // nested inline markup inside an anchor counts as anchor text
+    val nested = Seq((2L,
+      "<p><a href=\"/x\">one <b>two</b> three four five six</a> tail</p>"))
+      .toDF("doc_id", "html")
+    val nOut = TextAnalysis.htmlExtractDense(nested, "doc_id", "html",
+      minWords = 5, maxAnchorBp = 2000).head()
+    assert(nOut.getInt(2) == 0, "6-of-7 anchor words must drop the line")
+  }
+
   test("canonicalUrl: case, default ports, fragments, tracking params, param order") {
     assert(canon("HTTPS://WWW.Example.COM:443/a/B?utm_source=x&b=2&a=1#frag")
       == "https://www.example.com/a/B?a=1&b=2")
