@@ -766,4 +766,170 @@ object Pipelines {
       .filter(col("start_tok") < budget)
       .select(col("doc_id"), col("domain"), col("n_tokens"), col("start_tok"))
   }
+
+  /** Persisted TOKEN-BUDGET state: tokens already shipped per domain — one
+    * row per domain seen so far, the [[graft.operators.Urls.urlState]]
+    * pattern for the mixture gates. Append-merge across crawl snapshots by
+    * summing (integer sums are order- and slicing-insensitive, so the state
+    * after N batches is identical however the stream was cut). Callers pass
+    * the KEPT rows of each batch (what actually shipped to training), i.e.
+    * [[tokenBudgetIncremental]]'s output.
+    */
+  def tokenBudgetState(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    docs.select(col(domainCol).as("domain"), nTok.cast("long").as("n_tokens"))
+      .groupBy("domain").agg(sum("n_tokens").as("spent_tok"))
+  }
+
+  /** Incremental [[tokenBudgetSample]] — the rolling-crawl form: each new
+    * snapshot keeps its per-domain md5-ordered prefix only until the
+    * REMAINING budget (budget minus the persisted [[tokenBudgetState]]
+    * spend) is exhausted, straddling doc kept, already-exhausted domains
+    * contribute nothing. `start_tok` reported is the GLOBAL running total
+    * (state spend + within-batch exclusive prefix), so consecutive batches
+    * chain exactly: feeding batches one at a time with the state rolled
+    * forward keeps the same doc set as one concatenated batch would, except
+    * each straddling doc resets per batch boundary — the exact semantics of
+    * shipping data as it arrives.
+    *
+    * Scale shape: [[tokenBudgetSample]]'s two-level salted prefix sum
+    * verbatim, plus one broadcast join of the ≤|domains|-row state — no new
+    * exchange, no per-domain reducer.
+    */
+  def tokenBudgetIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, domainCol: String, state: DataFrame,
+      budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    require(state.columns.contains("domain") && state.columns.contains("spent_tok"),
+      "state must be a tokenBudgetState table carrying (domain, spent_tok)")
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    val base = newDocs.select(
+      Keys.id(newDocs, idCol).as("doc_id"),
+      col(domainCol).as("domain"),
+      nTok.cast("long").as("n_tokens"))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", substring(col("__ord"), 1, 2))
+      .withColumn("__dk", coalesce(col("domain").cast("string"), lit("")))
+      .withColumn("__dn", col("domain").isNull)
+      .cache()
+    val wPart = Window.partitionBy("__dk", "__dn", "__salt")
+      .orderBy(col("__ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy("__dk", "__dn", "__salt")
+      .agg(sum("n_tokens").as("__bucket_tok"))
+      .withColumn("__offset", coalesce(sum("__bucket_tok").over(
+        Window.partitionBy("__dk", "__dn").orderBy("__salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__dk", "__dn", "__salt", "__offset")
+    // the ≤|domains|-row spend state, null-safe-keyed like everything here
+    val spent = state.select(
+      coalesce(col("domain").cast("string"), lit("")).as("__dk"),
+      col("domain").isNull.as("__dn"),
+      col("spent_tok").cast("long").as("__spent"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (dom, b)) => when(col("domain") === dom, lit(b)).otherwise(acc)
+    }
+    base
+      .withColumn("__partial", coalesce(sum("n_tokens").over(wPart), lit(0L)))
+      .join(broadcast(offsets), Seq("__dk", "__dn", "__salt"))
+      .join(broadcast(spent), Seq("__dk", "__dn"), "left")
+      .withColumn("start_tok",
+        coalesce(col("__spent"), lit(0L)) + col("__offset") + col("__partial"))
+      .filter(col("start_tok") < budget)
+      .select(col("doc_id"), col("domain"), col("n_tokens"), col("start_tok"))
+  }
+
+  /** Persisted per-domain SCORE-HISTOGRAM state for the rolling quantile
+    * gate: counts over a FROZEN 6dp-decimal score grid [lo, hi] cut into
+    * `bins` equal cells (scores clamp to the grid edges; all bucket
+    * arithmetic is integer on non-negative operands, so the cell of a score
+    * is engine-portable). A rolling crawl cannot keep every historical score
+    * to re-rank exactly; the fixed grid is the bounded summary that makes
+    * the threshold deterministic — the frozen-seed discipline
+    * ([[graft.operators.Semantic]]) applied to the score axis. State is
+    * additive: histograms from any batch slicing sum to the same table
+    * (merge by summing `n` per (domain, bucket)).
+    */
+  def quantileState(docs: DataFrame, idCol: String, scoreCol: String,
+      domainCol: String, lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    val (lo6, hi6) = (dec6(lo), dec6(hi))
+    require(hi6 > lo6, s"need lo < hi at 6dp, got [$lo, $hi]")
+    require(bins >= 2 && bins <= 65536, "bins must be in [2, 65536]")
+    docs
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .select(col(domainCol).as("domain"),
+        (col(scoreCol).cast("decimal(18,6)") * lit(1000000L)).cast("long").as("__s6"))
+      .withColumn("__c6", greatest(lit(lo6), least(lit(hi6), col("__s6"))))
+      .withColumn("bucket", expr(
+        s"cast(least(${bins - 1}L, ((__c6 - (${lo6}L)) * ${bins}L) div ${hi6 - lo6}L) as int)"))
+      .groupBy("domain", "bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Incremental [[quantileFilter]] — the rolling-crawl quantile gate: keep
+    * each domain's batch rows whose grid cell lies above the quantile
+    * cutoff of the MERGED score distribution (persisted [[quantileState]]
+    * histogram + this batch), at grid resolution: a cell is kept iff the
+    * rows in strictly-higher cells are still under the q-quota
+    * (above·10⁴ < q₄·n — the boundary cell is kept whole, an over-keep of
+    * at most one grid cell per domain; the exact-rank batch op is the
+    * within-snapshot tool, this is the cross-snapshot one). Deterministic
+    * integer arithmetic end to end, so the kept-set is an engine-portable
+    * function of (state, batch, q, grid).
+    *
+    * Scale shape: the batch histogram is one map-side-combinable groupBy;
+    * the merged histogram, cutoffs and totals live on ≤ |domains|·bins rows
+    * (tiny — windowed and broadcast back); batch rows join the kept-cell
+    * set by (domain, bucket). No per-domain reducer touches corpus rows.
+    */
+  def quantileIncremental(newDocs: DataFrame, idCol: String, scoreCol: String,
+      domainCol: String, state: DataFrame, q: Double,
+      lo: Double, hi: Double, bins: Int = 64): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    require(state.columns.contains("domain") && state.columns.contains("bucket"),
+      "state must be a quantileState table carrying (domain, bucket, n)")
+    val myriad = math.round(q * 10000)
+    val (lo6, hi6) = (dec6(lo), dec6(hi))
+    require(hi6 > lo6, s"need lo < hi at 6dp, got [$lo, $hi]")
+    val batch = newDocs
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol).cast("double")))
+      .select(Keys.id(newDocs, idCol).as("doc_id"),
+        col(domainCol).as("domain"),
+        col(scoreCol).cast("double").as("score"),
+        (col(scoreCol).cast("decimal(18,6)") * lit(1000000L)).cast("long").as("__s6"))
+      .withColumn("__c6", greatest(lit(lo6), least(lit(hi6), col("__s6"))))
+      .withColumn("bucket", expr(
+        s"cast(least(${bins - 1}L, ((__c6 - (${lo6}L)) * ${bins}L) div ${hi6 - lo6}L) as int)"))
+      .withColumn("__dk", coalesce(col("domain").cast("string"), lit("")))
+      .withColumn("__dn", col("domain").isNull)
+    val batchHist = batch.groupBy("__dk", "__dn", "bucket")
+      .agg(count(lit(1)).as("n"))
+    val stateHist = state.select(
+      coalesce(col("domain").cast("string"), lit("")).as("__dk"),
+      col("domain").isNull.as("__dn"),
+      col("bucket").cast("int").as("bucket"),
+      col("n").cast("long").as("n"))
+    val hist = stateHist.unionByName(batchHist)
+      .groupBy("__dk", "__dn", "bucket").agg(sum("n").as("n"))
+    val tots = hist.groupBy("__dk", "__dn").agg(sum("n").as("__tot"))
+    val keptCells = hist
+      .withColumn("__above", coalesce(sum("n").over(
+        Window.partitionBy("__dk", "__dn").orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(tots, Seq("__dk", "__dn"))
+      .filter(col("__above") * 10000L < lit(myriad) * col("__tot"))
+      .select("__dk", "__dn", "bucket")
+    batch.join(broadcast(keptCells), Seq("__dk", "__dn", "bucket"))
+      .select("doc_id", "domain", "score")
+  }
+
+  /** 6dp fixed-point interpretation of a grid/threshold constant (the
+    * [[graft.operators.QualityClassifier]] convention).
+    */
+  private def dec6(v: Double): Long = {
+    val v6 = math.rint(v * 1000000L).toLong
+    require(math.abs(v6 / 1e6 - v) < 1e-12,
+      s"grid bound must be expressible at 6dp precision, got $v")
+    v6
+  }
 }

@@ -648,6 +648,37 @@ object ExtensionQueries {
       Pipelines.quantileFilter(t(s, d, "documents"), "doc_id", "n_chars",
         "source", q = 0.6)),
 
+    // ROLLING-CRAWL quantile gate: per-domain score histogram over a frozen
+    // 6dp grid persisted from the doc_id < 250 history, the doc_id >= 250
+    // batch gated against the MERGED distribution at grid resolution —
+    // integer cell arithmetic end to end
+    "q_quality_quantile_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Pipelines.quantileIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "n_chars", "source",
+        Pipelines.quantileState(
+          docs.filter(col("doc_id") < 250), "doc_id", "n_chars", "source",
+          lo = 0.0, hi = 2000.0, bins = 64),
+        q = 0.6, lo = 0.0, hi = 2000.0, bins = 64)
+    }),
+
+    // ROLLING-CRAWL token budget: the doc_id < 250 snapshot's KEPT rows are
+    // re-tokenized into a per-domain spend state, and the doc_id >= 250
+    // batch keeps its md5-ordered prefix only up to the REMAINING budget
+    "q_token_budget_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val budgets = Map("src0" -> 8000L, "src1" -> 2000L)
+      val first = Pipelines.tokenBudgetSample(
+        docs.filter(col("doc_id") < 250), "doc_id", "text", "source",
+        budgets, defaultBudget = 4000L)
+      val state = Pipelines.tokenBudgetState(
+        docs.filter(col("doc_id") < 250).join(first.select("doc_id"), "doc_id"),
+        "doc_id", "text", "source")
+      Pipelines.tokenBudgetIncremental(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", "source", state,
+        budgets, defaultBudget = 4000L)
+    }),
+
     // key-skew report: the 10 heaviest join keys with basis-point shares —
     // the pre-join salting diagnostic
     "q_key_skew" -> ((s, d) =>
@@ -2317,6 +2348,56 @@ object ExtensionQueries {
         "count(*) OVER (PARTITION BY source) AS n " +
         "FROM documents WHERE n_chars IS NOT NULL) " +
         "WHERE (rn - 1) * 10000 < 6000 * n"),
+
+    // the frozen-grid histogram merge restated: grid [0, 2000] at 6dp
+    // (lo6=0, hi6=2e9) in 64 cells, kept cell iff rows strictly above stay
+    // under the 60% quota of the merged total — all `//` on non-negatives
+    "q_quality_quantile_incremental" ->
+      """WITH h AS (SELECT source AS domain,
+        |    least(2000000000, greatest(0, n_chars::BIGINT * 1000000)) AS c6
+        |  FROM documents WHERE doc_id < 250 AND n_chars IS NOT NULL),
+        |hb AS (SELECT domain, least(63, (c6 * 64) // 2000000000)::INTEGER AS bucket,
+        |    count(*)::BIGINT AS n FROM h GROUP BY 1, 2),
+        |b AS (SELECT doc_id, source AS domain, n_chars::DOUBLE AS score,
+        |    least(63, (least(2000000000, greatest(0, n_chars::BIGINT * 1000000)) * 64)
+        |      // 2000000000)::INTEGER AS bucket
+        |  FROM documents WHERE doc_id >= 250 AND n_chars IS NOT NULL),
+        |bb AS (SELECT domain, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+        |m AS (SELECT domain, bucket, sum(n)::BIGINT AS n FROM
+        |    (SELECT * FROM hb UNION ALL SELECT * FROM bb) GROUP BY 1, 2),
+        |cum AS (SELECT domain, bucket,
+        |    coalesce(sum(n) OVER (PARTITION BY domain ORDER BY bucket DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS above,
+        |    sum(n) OVER (PARTITION BY domain)::BIGINT AS tot
+        |  FROM m),
+        |k AS (SELECT domain, bucket FROM cum WHERE above * 10000 < 6000 * tot)
+        |SELECT b.doc_id, b.domain, b.score FROM b JOIN k USING (domain, bucket)""".stripMargin,
+
+    // batch-1 gate → per-domain spend → batch-2 prefix against the REMAINING
+    // budget, the md5 order and straddler convention of q_token_budget
+    "q_token_budget_incremental" ->
+      ("WITH b1 AS (SELECT doc_id, source AS domain, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))::BIGINT AS n_tokens " +
+        "FROM documents WHERE doc_id < 250), " +
+        "c1 AS (SELECT doc_id, domain, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY domain " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM b1), " +
+        "st AS (SELECT domain, sum(n_tokens)::BIGINT AS spent FROM c1 " +
+        "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 ELSE 4000 END " +
+        "GROUP BY 1), " +
+        "b2 AS (SELECT doc_id, source AS domain, " +
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0))::BIGINT AS n_tokens " +
+        "FROM documents WHERE doc_id >= 250), " +
+        "c2 AS (SELECT doc_id, domain, n_tokens, " +
+        "coalesce(sum(n_tokens) OVER (PARTITION BY domain " +
+        "ORDER BY md5(doc_id::VARCHAR), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok FROM b2) " +
+        "SELECT c2.doc_id, c2.domain, c2.n_tokens, " +
+        "(coalesce(st.spent, 0) + c2.start_tok)::BIGINT AS start_tok " +
+        "FROM c2 LEFT JOIN st USING (domain) " +
+        "WHERE coalesce(st.spent, 0) + c2.start_tok < " +
+        "CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 ELSE 4000 END"),
 
     // identical decimal pipeline: idf = PortableLog libm-free log10 floored
     // to 6dp as DECIMAL(18,6), score = tf * idf in exact decimal arithmetic,

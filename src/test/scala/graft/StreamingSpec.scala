@@ -351,6 +351,103 @@ class StreamingSpec extends SparkSpec {
     assert(rows(dirStream).map(_._1) == base.map(_._1).toSet)
   }
 
+  test("streaming mixture gates: foreachBatch vs persisted histogram/spend state == sequential batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pipelines
+
+    def mk(i: Long) = (i, if (i % 3 == 0) "web" else "books",
+      (i * 37 % 100).toDouble)
+    val batches = Seq(0L until 40L, 40L until 80L, 80L until 120L)
+      .map(_.map(mk))
+    def emptyState = Pipelines.quantileState(
+      Seq.empty[(Long, String, Double)].toDF("doc_id", "domain", "sc"),
+      "doc_id", "sc", "domain", lo = 0.0, hi = 100.0, bins = 16)
+
+    // --- rolling quantile gate through a real stream ---
+    val input = MemoryStream[(Long, String, Double)]
+    var qState = emptyState
+    val streamKept = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = input.toDF().toDF("doc_id", "domain", "sc").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = Pipelines.quantileIncremental(batch, "doc_id", "sc",
+          "domain", qState, q = 0.5, lo = 0.0, hi = 100.0, bins = 16)
+        streamKept += kept.collect().map(_.getLong(0)).toSeq.sorted
+        qState = qState.unionByName(
+          Pipelines.quantileState(batch, "doc_id", "sc", "domain", 0.0, 100.0, 16))
+          .groupBy("domain", "bucket").agg(sum("n").as("n"))
+          .localCheckpoint() // state table stays a plan LEAF across batches
+        ()
+      }.start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    // sequential replay of the same slices must match slice for slice
+    var refState = emptyState
+    val refKept = batches.map { b =>
+      val df = b.toDF("doc_id", "domain", "sc")
+      val kept = Pipelines.quantileIncremental(df, "doc_id", "sc", "domain",
+        refState, q = 0.5, lo = 0.0, hi = 100.0, bins = 16)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      refState = refState.unionByName(
+        Pipelines.quantileState(df, "doc_id", "sc", "domain", 0.0, 100.0, 16))
+        .groupBy("domain", "bucket").agg(sum("n").as("n"))
+      kept
+    }
+    assert(streamKept.toSeq == refKept, "stream slices must equal batch replay")
+    assert(streamKept.flatten.nonEmpty && streamKept.flatten.size < 120,
+      "the gate must keep some and drop some")
+    // STATE ADDITIVITY: the rolled-forward histogram == the one-shot one
+    val oneShot = Pipelines.quantileState(
+      batches.flatten.toDF("doc_id", "domain", "sc"),
+      "doc_id", "sc", "domain", 0.0, 100.0, 16)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val rolled = refState
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rolled == oneShot, "histogram state must be slicing-invariant")
+
+    // --- rolling token budget over the same slicing ---
+    def mkDoc(i: Long) = (i, if (i % 3 == 0) "web" else "books",
+      (0 to (i % 5).toInt).map(j => s"t${i}x$j").mkString(" "))
+    val docBatches = Seq(0L until 40L, 40L until 80L, 80L until 120L)
+      .map(_.map(mkDoc))
+    val budgets = Map("web" -> 30L, "books" -> 45L)
+    var spent = Seq.empty[(String, Long)].toDF("domain", "spent_tok")
+    val tbKept = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    docBatches.foreach { b =>
+      val df = b.toDF("doc_id", "domain", "text")
+      val kept = Pipelines.tokenBudgetIncremental(df, "doc_id", "text",
+        "domain", spent, budgets, defaultBudget = 10L)
+      tbKept += kept.collect().map(_.getLong(0)).toSeq.sorted
+      spent = spent.unionByName(
+        Pipelines.tokenBudgetState(
+          df.join(kept.select("doc_id"), "doc_id"), "doc_id", "text", "domain"))
+        .groupBy("domain").agg(sum("spent_tok").as("spent_tok"))
+        .localCheckpoint()
+    }
+    val allKeptIds = tbKept.flatten.toSet
+    assert(allKeptIds.nonEmpty && allKeptIds.size < 120,
+      "the budget must bite across batches")
+    // final spend state == one-shot re-tokenization of every kept doc
+    val allDocs = docBatches.flatten.toDF("doc_id", "domain", "text")
+    val oneShotSpend = Pipelines.tokenBudgetState(
+      allDocs.filter(col("doc_id").isin(allKeptIds.toSeq: _*)),
+      "doc_id", "text", "domain")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rolledSpend = spent
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rolledSpend == oneShotSpend, "spend state must be slicing-invariant")
+    // once a domain's budget is exhausted, later batches add nothing to it
+    for ((dom, b) <- budgets) {
+      val spentDom = rolledSpend.find(_._1 == dom).map(_._2).getOrElse(0L)
+      assert(spentDom >= b,
+        s"fixture must exhaust $dom (spent $spentDom < budget $b)")
+    }
+    assert(tbKept.last.isEmpty || tbKept.last.size < docBatches.last.size,
+      "an exhausted budget must reject most of the last batch")
+  }
+
   test("semanticIncremental refuses an empty (seedless) state instead of dropping the batch") {
     val emb = graft.sources.Tables(spark, sfDir, "embeddings").limit(20)
     val emptyState = graft.operators.Semantic.semanticState(
