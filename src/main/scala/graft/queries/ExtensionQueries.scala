@@ -55,6 +55,23 @@ object ExtensionQueries {
     docs.select(col("doc_id"), html.as("html"))
   }
 
+  /** Deterministic WARC-record fixture over documents: the urlFixture URL, a
+    * fetch timestamp marching one second per doc, and the htmlFixture
+    * payload — optionally with every doc_id % 10 == 7 payload NULL (the
+    * missing-payload record form). Restated verbatim by the DuckDB oracle.
+    */
+  private def warcFixture(docs: DataFrame, withNulls: Boolean): DataFrame = {
+    val html =
+      if (withNulls)
+        when(col("doc_id") % 10 === 7, lit(null: String)).otherwise(col("html"))
+      else col("html")
+    urlFixture(docs).join(htmlFixture(docs), "doc_id")
+      .select(col("doc_id").as("record_id"), col("url"),
+        expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")
+          .as("fetch_ts"),
+        html.as("html"))
+  }
+
   /** Link-farm + inline-link HTML block appended (before `</body></html>`)
     * for the link-density fixture: a wordy all-anchor "related articles"
     * farm and a prose sentence with one low-ratio inline link. No single
@@ -428,6 +445,36 @@ object ExtensionQueries {
       val extracted = TextAnalysis.htmlExtract(
         htmlFixture(docs).join(keptUrl, "doc_id"), "doc_id", "html",
         minWords = 5)
+      val gated = extracted.filter(col("n_kept") >= 2)
+        .select(col("doc_id"), col("text"))
+      gated.join(Dedup.exact(gated, "doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
+    }),
+
+    // WARC-shaped raw-crawl ingestion: fixture records → GWARC container
+    // bytes on disk → validated streaming record walk back; the oracle
+    // restates the records straight off documents, so a hash match proves
+    // the byte round-trip (incl. µs timestamps and null payloads) end to end
+    "q_warc_read" -> ((s, d) => {
+      val dir = s"target/gwarc_${new java.io.File(d).getName}"
+      graft.sources.Warc.write(
+        warcFixture(t(s, d, "documents"), withNulls = true), dir)
+      graft.sources.Warc.read(s, dir)
+    }),
+
+    // the crawl front half FROM BYTES: container walk → drop payload-less
+    // records → one fetch per canonical URL → HTML extraction + boilerplate
+    // gate → exact dedup on extracted text — q_pipeline_web's semantics
+    // starting from the wire format, proven by the same chained-CTE oracle
+    "q_pipeline_crawl" -> ((s, d) => {
+      val dir = s"target/gwarc_${new java.io.File(d).getName}_p"
+      graft.sources.Warc.write(
+        warcFixture(t(s, d, "documents"), withNulls = false), dir)
+      val recs = graft.sources.Warc.read(s, dir).filter(col("html").isNotNull)
+      val kept = graft.operators.Urls.urlDedup(recs, "record_id", "url")
+        .select(col("doc_id").as("record_id"))
+      val extracted = TextAnalysis.htmlExtract(
+        recs.join(kept, "record_id"), "record_id", "html", minWords = 5)
       val gated = extracted.filter(col("n_kept") >= 2)
         .select(col("doc_id"), col("text"))
       gated.join(Dedup.exact(gated, "doc_id", "text"), "doc_id")
@@ -1303,18 +1350,23 @@ object ExtensionQueries {
     * empty path → '/', tracking-param drop + param sort). Ends with a `canon`
     * relation (doc_id, url_canon, host).
     */
-  private val urlCanonCte: String =
-    """WITH u AS (SELECT doc_id,
-      |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://' ELSE 'http://' END) ||
+  /** The urlFixture derivation as a SQL expression (over documents columns
+    * doc_id, source) — shared by the canonicalization CTE and the WARC
+    * record fixture.
+    */
+  private val urlDerivSql: String =
+    """(CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://' ELSE 'http://' END) ||
       |  'WWW.' || source || '.Example.COM' ||
       |  (CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 2 THEN ':80' ELSE '' END) ||
       |  (CASE WHEN doc_id % 4 = 2 THEN '' ELSE '/articles/' || (doc_id // 5) END) ||
       |  (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed&b=2&a=1#frag' || doc_id
       |                   WHEN 1 THEN '?a=1&b=2'
       |                   WHEN 2 THEN '#top'
-      |                   ELSE '?b=2&utm_campaign=x&gclid=abc&a=1' END) AS url
-      |  FROM documents),
-      |c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
+      |                   ELSE '?b=2&utm_campaign=x&gclid=abc&a=1' END)""".stripMargin
+
+  private val urlCanonCte: String =
+    s"WITH u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM documents),\n" +
+    """c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
       |c2 AS (SELECT doc_id,
       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
       |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
@@ -1473,6 +1525,23 @@ object ExtensionQueries {
          |  ((n_pos * 10000) // n) / 10000.0 AS frac_pos
          |FROM cb""".stripMargin
 
+  /** url-dedup → html-extract → line gate → exact dedup, the crawl front
+    * half — shared verbatim by q_pipeline_web (from the documents table) and
+    * q_pipeline_crawl (the same records round-tripped through GWARC bytes).
+    */
+  private lazy val pipelineWebOracle: String =
+    urlCanonCte + ",\n" +
+      "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon),\n" +
+      s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM documents d JOIN keep USING (doc_id)),\n" +
+      htmlRulesCte + ",\n" +
+      """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  len(ks)::INTEGER AS n_kept FROM k),
+        |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
+        |surv AS (SELECT min(doc_id) AS doc_id FROM
+        |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g) q
+        |  GROUP BY fp)
+        |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin
+
   /** The sentenceFixture derivation as a SQL fragment (over documents). */
   private val sentenceDerivSql: String =
     """'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
@@ -1525,18 +1594,18 @@ object ExtensionQueries {
           |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
           |  len(ks)::INTEGER AS n_kept, len(raw)::INTEGER AS n_total FROM k""".stripMargin),
 
-    "q_pipeline_web" ->
-      (urlCanonCte + ",\n" +
-        "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon),\n" +
-        s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM documents d JOIN keep USING (doc_id)),\n" +
-        htmlRulesCte + ",\n" +
-        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
-          |  len(ks)::INTEGER AS n_kept FROM k),
-          |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
-          |surv AS (SELECT min(doc_id) AS doc_id FROM
-          |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g) q
-          |  GROUP BY fp)
-          |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin),
+    "q_pipeline_web" -> pipelineWebOracle,
+
+    // byte-identical records round-trip through the GWARC container, so the
+    // downstream chain is EXACTLY q_pipeline_web — one oracle, two entry
+    // points (clean table vs wire format)
+    "q_pipeline_crawl" -> pipelineWebOracle,
+
+    "q_warc_read" ->
+      (s"WITH h AS (SELECT doc_id, source, $htmlDerivSql FROM documents)\n" +
+        s"SELECT doc_id AS record_id,\n  $urlDerivSql AS url,\n" +
+        "  TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS fetch_ts,\n" +
+        "  CASE WHEN doc_id % 10 = 7 THEN NULL ELSE html END AS html\nFROM h"),
 
     "q_url_canon" ->
       (urlCanonCte + """
