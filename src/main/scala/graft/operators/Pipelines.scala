@@ -241,11 +241,12 @@ object Pipelines {
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val (docMap, reps, mult) = collapseStreams(docs, idCol, textCol)
-    val wins = reps.select(col("sh"), explode(windowHashExpr(w)).as("h"))
+    val (docMap, streams) = collapseStreams(docs, idCol, textCol)
+    val wins = streams.select(col("sh"), explode(windowHashExpr(w)).as("h"))
     // corpus occurrence count of window h = Σ over distinct streams of
     // (occurrences within the stream × the stream's copy count)
-    val counts = wins.join(mult, "sh").groupBy("h").agg(sum("m").as("cnt"))
+    val counts = wins.join(streams.select("sh", "m"), "sh")
+      .groupBy("h").agg(sum("m").as("cnt"))
     val perStream = wins.join(counts, "h")
       .groupBy("sh").agg(
         count(lit(1)).as("n_windows"),
@@ -287,14 +288,13 @@ object Pipelines {
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int = 10, minCount: Int = 2): DataFrame = {
     require(w >= 1 && minCount >= 2, "w must be >= 1 and minCount >= 2")
-    val (docMap, reps, mult) = collapseStreams(docs, idCol, textCol)
-    val repWords = reps.withColumnRenamed("sh", "doc_id")
-    val wins = repWords.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
-    val dupCounts = wins.join(mult.withColumnRenamed("sh", "doc_id"), "doc_id")
+    val (docMap, streams) = collapseStreams(docs, idCol, textCol)
+    val wins = streams.select(col("sh"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
+    val dupCounts = wins.join(streams.select("sh", "m"), "sh")
       .groupBy("h").agg(sum("m").as("cnt"))
       .filter(col("cnt") >= minCount)
-    val perStream = dropCoveredTokens(repWords, wins.join(dupCounts, "h"), w)
-    docMap.join(perStream.withColumnRenamed("doc_id", "sh"), "sh")
+    val perStream = dropCoveredTokens(streams, wins.join(dupCounts, "h"), w)
+    docMap.join(perStream, "sh")
       .select("doc_id", "clean_text", "n_kept", "n_dropped")
   }
 
@@ -310,22 +310,42 @@ object Pipelines {
   /** Exact-duplicate TOKEN-STREAM collapse shared by the span ops — the
     * [[Dedup.hammingPairs]] discipline applied to whole token streams: a
     * crawl corpus that is 60-90% verbatim-duplicate text must pay the
-    * window explode once per DISTINCT stream, never per copy. Returns
-    * (docMap = (doc_id, sh), reps = one (sh, ws) per distinct stream,
-    * mult = (sh, m) copy counts); `sh` is the xxhash64 of the joined token
-    * stream, hash equality standing in for stream equality exactly as in
-    * [[windowHashExpr]]. The tokenized projection is cached because all
-    * three branches consume it (caller releases per the [[Caches]]
-    * contract).
+    * window/token machinery once per DISTINCT stream, never per copy. `sh`
+    * is the xxhash64 of the joined token stream, hash equality standing in
+    * for stream equality exactly as in [[windowHashExpr]].
+    *
+    * Shuffle discipline: NO token-array payload ever exchanges. The
+    * per-stream representatives are materialized as NARROW exploded rows
+    * ((sh, p, h) windows / (sh, idx, tok) tokens) deduplicated on their
+    * (sh, position) key — a hash aggregate whose map-side partial collapses
+    * a clone flood inside each input partition BEFORE the exchange, so a
+    * 90%-one-page corpus ships its distinct content plus one surviving row
+    * per (clone, partition), not per copy. The tokenized `words` projection
+    * is re-derived per branch (a narrow codegen'd compute — cheaper than
+    * caching millions of token arrays).
+    */
+  private def streamWords(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenArrays(docs, idCol, textCol)
+      .withColumn("sh", xxhash64(concat_ws(" ", col("ws"))))
+
+  /** (doc_id, sh) stream membership (narrow, separate scan) + ONE
+    * aggregation collapsing the corpus to its DISTINCT streams:
+    * (sh, ws = a representative's tokens, m = copy count). The agg is a
+    * single exchange whose map-side partial collapses a clone flood inside
+    * each input partition before any bytes move; every downstream explode
+    * (windows, tokens, sizes) runs on the collapsed frame, i.e. AFTER the
+    * collapse. The collapsed frame is cached (caller releases per the
+    * [[Caches]] contract) because three consumers read it — on a crawl-shaped
+    * corpus it is a fraction of the input, and caching pre-collapse rows
+    * instead measured strictly worse on both corpus shapes (round-9 A/B).
     */
   private def collapseStreams(docs: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame, DataFrame) = {
-    val words = tokenArrays(docs, idCol, textCol)
-      .withColumn("sh", xxhash64(concat_ws(" ", col("ws"))))
-      .cache()
+      : (DataFrame, DataFrame) = {
+    val words = streamWords(docs, idCol, textCol)
     (words.select("doc_id", "sh"),
-      words.select("sh", "ws").dropDuplicates("sh"),
-      words.groupBy("sh").agg(count(lit(1)).as("m")))
+      words.groupBy("sh")
+        .agg(first("ws").as("ws"), count(lit(1)).as("m"))
+        .cache())
   }
 
   /** xxhash64'd w-token rolling windows over the `ws` token array; empty for
@@ -337,28 +357,29 @@ object Pipelines {
       s"i -> xxhash64(concat_ws(' ', slice(ws, i, $w)))) " +
       "else cast(array() as array<bigint>) end")
 
-  /** Drop every token covered by a flagged window ((doc_id, p, ...) rows, p
-    * 0-based) and reassemble each doc's remaining tokens in order; total over
-    * `words` — zero-window and fully-scrubbed docs come back with empty text.
+  /** Drop every token covered by a flagged window ((sh, p, ...) rows, p
+    * 0-based) and reassemble each DISTINCT stream's remaining tokens in
+    * order; total over `reps` — zero-window and fully-scrubbed streams
+    * come back with empty text. Returns (sh, clean_text, n_kept, n_dropped).
     */
-  private def dropCoveredTokens(words: DataFrame, flagged: DataFrame,
+  private def dropCoveredTokens(reps: DataFrame, flagged: DataFrame,
       w: Int): DataFrame = {
+    val repToks = reps.select(col("sh"), posexplode(col("ws")).as(Seq("idx", "tok")))
+    val totals = reps.select(col("sh"), size(col("ws")).cast("long").as("n_total"))
     // covered token indices of flagged windows only (0-based token idx)
     val dropped = flagged
-      .select(col("doc_id"), explode(expr(s"sequence(p, p + ${w - 1})")).as("idx"))
+      .select(col("sh"), explode(expr(s"sequence(p, p + ${w - 1})")).as("idx"))
       .distinct()
-    val toks = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("idx", "tok")))
-    val kept = toks.join(dropped, Seq("doc_id", "idx"), "left_anti")
-    // left join keeps zero-token docs (short, empty, or fully-dropped)
-    words.select("doc_id").join(
-      kept.groupBy("doc_id").agg(
+    val kept = repToks.join(dropped, Seq("sh", "idx"), "left_anti")
+    // left join keeps zero-token streams (short, empty, or fully-dropped)
+    totals.join(
+      kept.groupBy("sh").agg(
         array_join(transform(
           array_sort(collect_list(struct(col("idx"), col("tok")))),
           s => s.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept")),
-      Seq("doc_id"), "left")
-      .join(words.select(col("doc_id"), size(col("ws")).cast("long").as("n_total")), "doc_id")
-      .select(col("doc_id"),
+      Seq("sh"), "left")
+      .select(col("sh"),
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
@@ -385,11 +406,10 @@ object Pipelines {
     require(w >= 1, "w must be >= 1")
     val evalSet = tokenArrays(evalDocs, idCol, textCol)
       .select(explode(windowHashExpr(w)).as("h")).distinct()
-    val (docMap, reps, _) = collapseStreams(docs, idCol, textCol)
-    val repWords = reps.withColumnRenamed("sh", "doc_id")
-    val wins = repWords.select(col("doc_id"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
-    val perStream = dropCoveredTokens(repWords, wins.join(broadcast(evalSet), "h"), w)
-    docMap.join(perStream.withColumnRenamed("doc_id", "sh"), "sh")
+    val (docMap, streams) = collapseStreams(docs, idCol, textCol)
+    val wins = streams.select(col("sh"), posexplode(windowHashExpr(w)).as(Seq("p", "h")))
+    val perStream = dropCoveredTokens(streams, wins.join(broadcast(evalSet), "h"), w)
+    docMap.join(perStream, "sh")
       .select("doc_id", "clean_text", "n_kept", "n_dropped")
   }
 

@@ -365,6 +365,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
   }
 
+  test("link-density extraction is narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").as("html"))
+    val out = graft.operators.TextAnalysis.htmlExtractDense(
+      docs, "doc_id", "html", minWords = 5, maxAnchorBp = 2000)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"extraction must be map-only:\n$plan")
+  }
+
+  test("incremental quantile gate: batch rows meet kept cells by broadcast, never a sort-merge") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val state = graft.operators.Pipelines.quantileState(
+      docs.filter(col("doc_id") < 250), "doc_id", "n_chars", "source",
+      lo = 0.0, hi = 2000.0, bins = 64)
+    val out = graft.operators.Pipelines.quantileIncremental(
+      docs.filter(col("doc_id") >= 250), "doc_id", "n_chars", "source",
+      state, q = 0.6, lo = 0.0, hi = 2000.0, bins = 64)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"kept-cell set must broadcast to the batch:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-side sort-merge join:\n$plan")
+  }
+
   test("fuzzy join blocks on variant hashes: equality join, never a cartesian product") {
     val cust = graft.sources.Tables(spark, sfDir, "customer")
     val out = graft.operators.FuzzyJoin.pairsWithin1(cust, "c_custkey", "c_name")
