@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web link-graph extraction + host-level PageRank — the crawl-curation
+  * signal the rest of the pipeline family (HTML extraction `TextAnalysis`,
+  * URL canon/dedup `Urls`) feeds but did not yet produce: which SITES does
+  * the crawl consider reputable? Common Crawl-style pipelines rank hosts by
+  * link endorsement and use the rank as a quality prior (alongside the
+  * trained classifier) and as a frontier-priority signal.
+  *
+  * Reference scope note: the reference connector has no link/ranking code
+  * (it delegates scans — `trino/RecordServiceSplitManagerImpl.java:140-145`);
+  * this is north-star extension territory like the rest of `operators/`.
+  *
+  * Everything here follows the file-wide portability discipline:
+  *  - link extraction is pure `functions._` regex/array composition in the
+  *    Java∩RE2 dialect (restatable by the DuckDB oracle verbatim);
+  *  - PageRank runs ENTIRELY in fixed-point BIGINT arithmetic (scale 1e12)
+  *    with truncating division on non-negative operands only, so Spark's
+  *    `div` and the oracle's `//` agree bit-for-bit and the result cannot
+  *    depend on any engine's floating-point or libm build (the round-8
+  *    classifier lesson, BASELINE.md "oracle-engine portability").
+  *
+  * Scale shape (100 TB story): extraction is one narrow codegen'd pass plus
+  * one explode proportional to the LINK count (not the HTML byte count);
+  * the host graph aggregates that stream down to |hosts|² worst-case but
+  * realistically |edges| ≪ |links| rows; PageRank then iterates over the
+  * HOST graph — millions of rows at web scale, not billions — with one
+  * hash-partitioned join + aggregate per iteration and a `localCheckpoint`
+  * per round to keep lineage flat (the `Dedup.connectedComponents`
+  * discipline, Dedup.scala:693).
+  */
+object Links {
+
+  /** href values that are not navigable page links: pure fragments, script
+    * pseudo-links, mail/tel/data schemes. Shared verbatim with the oracle.
+    */
+  val NonLinkPattern: String = "(?i)^(#.*|javascript:.*|mailto:.*|tel:.*|data:.*)$"
+
+  /** Outgoing links of each document: every `<a … href="…">` / `href='…'`
+    * target, entity-decoded (`&amp;` appears heavily in real hrefs) and
+    * resolved against the document's own URL:
+    *
+    *  - absolute `scheme://…` → kept as-is;
+    *  - protocol-relative `//host/path` → the document's scheme;
+    *  - root-relative `/path` → the document's `scheme://host`;
+    *  - fragments / javascript: / mailto: / tel: / data: / empty → dropped;
+    *  - directory-relative (`page.html`, `../x`) → dropped. (Resolving them
+    *    needs the RFC 3986 dot-segment algorithm; root-relative + absolute
+    *    covers the overwhelming share of real anchors, and a dropped link
+    *    only thins the endorsement graph — documented simplification.)
+    *
+    * Output: one row per (document, kept href occurrence) —
+    * (doc_id, src_host, dst_url, dst_host), hosts via [[Urls.hostOf]]
+    * (lower-cased, userinfo gone, default port dropped). Duplicate hrefs in
+    * one page are KEPT (they weight [[hostEdges]]); self-links are kept too
+    * and left to the graph stage to drop.
+    *
+    * Scale shape: narrow codegen'd extraction, one explode sized by the
+    * link stream; no shuffle.
+    */
+  def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val hrefs = regexp_extract_all(coalesce(col(htmlCol), lit("")),
+      lit("(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+    val srcScheme = lower(regexp_extract(trim(col(urlCol)),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val srcHost = Urls.hostOf(col(urlCol))
+    val resolved = transform(hrefs, h => {
+      // decode the one entity legal in attribute values that matters for
+      // URLs (&amp;); then resolve
+      val t = trim(replace(h, lit("&amp;"), lit("&")))
+      when(t.rlike(NonLinkPattern) || t === "", lit(null: String))
+        .when(t.rlike("(?i)^[a-z][a-z0-9+.-]*://"), t)
+        .when(t.startsWith("//"), concat(srcScheme, lit(":"), t))
+        .when(t.startsWith("/"), concat(srcScheme, lit("://"), srcHost, t))
+        .otherwise(lit(null: String))
+    })
+    docs
+      .select(Keys.id(docs, idCol).as("doc_id"), srcHost.as("src_host"),
+        resolved.as("ls"))
+      .select(col("doc_id"), col("src_host"),
+        explode(filter(col("ls"), l => l.isNotNull)).as("dst_url"))
+      .withColumn("dst_host", Urls.hostOf(col("dst_url")))
+  }
+
+  /** The host endorsement graph: (src_host, dst_host, n_links) with
+    * self-loops dropped (a site linking to itself is navigation, not
+    * endorsement — and self-edges make PageRank self-reinforcing).
+    * `n_links` counts href occurrences — the edge weight surface; the
+    * [[pageRank]] below uses the UNWEIGHTED distinct edge set (classic
+    * host-graph PageRank), `n_links` feeds reporting and spam heuristics.
+    */
+  def hostEdges(links: DataFrame): DataFrame =
+    links
+      .filter(col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"))
+
+  /** Fixed-point PageRank over a (src_host, dst_host) edge set.
+    *
+    * Rank is a BIGINT in units of 1e-12 (`Scale`); with damping `dampBp`
+    * in basis points (8500 = the classic 0.85):
+    *
+    *   r0(v)   = Scale div N
+    *   r_k+1(v) = (10000-dampBp)*Scale div N div 10000
+    *            + dampBp * Σ_{u→v} (r_k(u) div outdeg(u)) div 10000
+    *
+    * Every operand is non-negative, so truncating integer division is floor
+    * in both Spark (`div`) and the oracle engine (`//`) — the whole
+    * computation is exact integer arithmetic, bit-identical across engines.
+    * Dangling hosts (no out-edges) keep receiving the teleport term; their
+    * mass is NOT redistributed (the "dropped dangling mass" PageRank
+    * variant — total mass shrinks, relative ranking is what the pipeline
+    * consumes). Overflow headroom: dampBp·Σcontrib ≤ 1e4·1e12 = 1e16 ≪ 2^63.
+    *
+    * Output: (host, rank) for every host that appears as src or dst.
+    * Scale shape: the node/degree frames are one aggregate each; each
+    * iteration is one equi-join on `src` + one hash aggregate on `dst` —
+    * all shuffles keyed by host, AQE-coalesced, with `localCheckpoint`
+    * per round so the plan does not deepen with the iteration count.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, dampBp: Int = 8500,
+      srcCol: String = "src_host", dstCol: String = "dst_host"): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
+    val Scale = 1000000000000L
+    // lazy localCheckpoint: the edge set is re-read every iteration — pin it
+    // once instead of recomputing the distinct per round
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (10000L - dampBp) * Scale / n / 10000L
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, ranks("host") === deg("src"))
+        // `div`, not `/`: Spark's `/` is double division (and 8500·contrib
+        // brushes 2^53) — `div` keeps the whole recurrence in exact BIGINT
+        .select(col("src"), expr("rank div deg").as("c"))
+        .join(e, "src")
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contrib, nodes("host") === contrib("dst"), "left")
+        .select(col("host"),
+          expr(s"${base}L + (${dampBp}L * coalesce(contrib, 0L)) div 10000L")
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** [[extractLinks]] → [[hostEdges]] → [[pageRank]] composed, joined back
+    * to per-host link totals — the host-reputation report a crawl pipeline
+    * keys its quality prior on: (host, rank, n_in_links, n_out_links).
+    */
+  def hostRank(docs: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String, iters: Int = 3, dampBp: Int = 8500): DataFrame = {
+    val edges = hostEdges(extractLinks(docs, idCol, urlCol, htmlCol))
+    val in = edges.groupBy(col("dst_host").as("host"))
+      .agg(sum("n_links").as("n_in_links"))
+    val out = edges.groupBy(col("src_host").as("host"))
+      .agg(sum("n_links").as("n_out_links"))
+    pageRank(edges)
+      .join(in, Seq("host"), "left")
+      .join(out, Seq("host"), "left")
+      .select(col("host"), col("rank"),
+        coalesce(col("n_in_links"), lit(0L)).as("n_in_links"),
+        coalesce(col("n_out_links"), lit(0L)).as("n_out_links"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableLog
-import graft.operators.{AsOfJoin, Dedup, Pipelines, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, TextAnalysis}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables, Writers}
 import graft.streaming.EventStreams
@@ -83,6 +83,42 @@ object ExtensionQueries {
       .mkString("<div>", " ", "</div>") +
       """<p>This sentence has a single <a href="/ref">reference link</a> """ +
       "among twelve ordinary words today.</p>"
+
+  /** [[htmlFixture]] with a deterministic cross-host link block injected
+    * before `</body></html>` for the link-graph queries: two absolute links
+    * into the src0-4 host cluster (one with an `&amp;`-entity query), a
+    * protocol-relative hub link, a root-relative self link, and four
+    * non-links (fragment, mailto, javascript, directory-relative) the
+    * extractor must drop. No single quotes, so the DERIVED ground truth (not
+    * the HTML) is restated by the DuckDB oracle — a hash match proves the
+    * regex extraction + resolution against an independent derivation.
+    */
+  private def linkHtmlFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val block = concat(
+      lit("<div id=\"links\"><a href=\"https://www.src"),
+      ((d + 1) % 5).cast("string"),
+      lit(".example.com/a/"), (d % 7).cast("string"),
+      lit("\">next source article</a> <a href=\"https://www.src"),
+      ((d + 2) % 5).cast("string"),
+      lit(".example.com/b?x=1&amp;y=2\">second source</a> " +
+        "<a href=\"//www.hub.example.com/h/"), (d % 3).cast("string"),
+      lit("\">hub mirror</a> <a href=\"/local/"), (d % 4).cast("string"),
+      lit("\">local page</a> <a href=\"#frag\">anchor</a>" +
+        "<a href=\"mailto:team@example.com\">mail</a>" +
+        "<a href=\"javascript:void(0)\">js</a>" +
+        "<a href=\"relative/page.html\">rel</a></div>"))
+    htmlFixture(docs).select(col("doc_id"),
+      replace(col("html"), lit("</body></html>"),
+        concat(block, lit("</body></html>"))).as("html"))
+  }
+
+  /** The [[linkHtmlFixture]] link-extraction queries' shared input:
+    * (doc_id, url, html) — the urlFixture URL joined to the link-bearing
+    * HTML payload.
+    */
+  private def linkPages(docs: DataFrame): DataFrame =
+    urlFixture(docs).join(linkHtmlFixture(docs), "doc_id")
 
   /** Deterministic (doc_id, url) fixture over documents for the URL queries —
     * scheme/host case variants, default ports, fragments, tracking params,
@@ -422,6 +458,27 @@ object ExtensionQueries {
     "q_url_hostcap" -> ((s, d) =>
       graft.operators.Urls.hostCap(urlFixture(t(s, d, "documents")),
         "doc_id", "url", maxPerHost = 30)),
+
+    // ---- link graph + host reputation (Links.scala) ----
+    // per-page outgoing links: absolute kept, protocol-/root-relative
+    // resolved, fragment/mailto/javascript/directory-relative dropped,
+    // &amp; decoded — checked against an independent per-doc derivation
+    "q_link_extract" -> ((s, d) =>
+      Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")),
+
+    // the host endorsement graph: distinct (src,dst) hosts with self-loops
+    // dropped and href-occurrence weights
+    "q_link_hosts" -> ((s, d) =>
+      Links.hostEdges(Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html"))),
+
+    // 3-iteration damped PageRank over the host graph, the whole recurrence
+    // in 1e-12 fixed-point BIGINT (no floating point anywhere → the oracle
+    // engine's build cannot move the result), joined to in/out link totals
+    "q_pagerank" -> ((s, d) =>
+      Links.hostRank(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html", iters = 3, dampBp = 8500)),
 
     // incremental crawl dedup: history = docs < 250 (persisted urlState),
     // batch = the rest; a batch URL already fetched under ANY canonical
@@ -1552,6 +1609,75 @@ object ExtensionQueries {
       |  'this line mentions javascript libraries in detail today.' ||
       |  (CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'curly { brace }' ELSE '' END)""".stripMargin
 
+  /** Ground-truth derivation of [[linkHtmlFixture]]'s kept links — computed
+    * straight from doc_id/source, NOT by re-running the regex pipeline, so a
+    * hash match proves extraction+resolution against an independent
+    * restatement. Kept per doc: two absolute src-cluster links (the second
+    * with its `&amp;` decoded), the protocol-relative hub link resolved with
+    * the page's own scheme, the root-relative `/local/…` link resolved to
+    * the page's own host; the fragment/mailto/javascript/relative anchors
+    * produce no rows.
+    */
+  private val linkDerivCte: String =
+    """lk AS (SELECT doc_id,
+      |  'www.' || lower(source) || '.example.com' AS src_host,
+      |  (CASE WHEN doc_id % 3 = 2 THEN 'http' ELSE 'https' END) AS sch
+      |  FROM documents),
+      |links AS (
+      |  SELECT doc_id, src_host,
+      |    'https://www.src' || ((doc_id + 1) % 5) || '.example.com/a/' || (doc_id % 7) AS dst_url,
+      |    'www.src' || ((doc_id + 1) % 5) || '.example.com' AS dst_host FROM lk
+      |  UNION ALL
+      |  SELECT doc_id, src_host,
+      |    'https://www.src' || ((doc_id + 2) % 5) || '.example.com/b?x=1&y=2',
+      |    'www.src' || ((doc_id + 2) % 5) || '.example.com' FROM lk
+      |  UNION ALL
+      |  SELECT doc_id, src_host,
+      |    sch || '://www.hub.example.com/h/' || (doc_id % 3),
+      |    'www.hub.example.com' FROM lk
+      |  UNION ALL
+      |  SELECT doc_id, src_host,
+      |    sch || '://' || src_host || '/local/' || (doc_id % 4),
+      |    src_host FROM lk)""".stripMargin
+
+  /** Links.pageRank restated: 3 unrolled iterations of the 1e-12 fixed-point
+    * recurrence, every step BIGINT `//` on non-negative operands (truncation
+    * = floor there) — bit-identical to the engine's `div` by construction,
+    * zero libm surface (BASELINE.md "oracle-engine portability").
+    */
+  private val pageRankOracleSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.dst, sum(r${k - 1}.rank // deg.dg) AS contrib
+         |  FROM r${k - 1}
+         |  JOIN deg ON deg.src = r${k - 1}.host
+         |  JOIN e ON e.src = r${k - 1}.host
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.host,
+         |  CAST(1500 * 1000000000000 // (SELECT n FROM nn) // 10000
+         |   + 8500 * coalesce(c$k.contrib, 0) // 10000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k ON c$k.dst = n.host)""".stripMargin
+    s"WITH $linkDerivCte,\n" +
+      """e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links
+        |  WHERE src_host <> dst_host),
+        |w AS (SELECT src_host, dst_host, count(*) AS nl FROM links
+        |  WHERE src_host <> dst_host GROUP BY 1, 2),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |r0 AS (SELECT host,
+        |  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+        |  FROM nodes),""".stripMargin + "\n" +
+      (1 to 3).map(iter).mkString(",\n") + ",\n" +
+      """inw AS (SELECT dst_host AS host, sum(nl) AS s FROM w GROUP BY 1),
+        |outw AS (SELECT src_host AS host, sum(nl) AS s FROM w GROUP BY 1)
+        |SELECT r3.host, r3.rank,
+        |  CAST(coalesce(inw.s, 0) AS BIGINT) AS n_in_links,
+        |  CAST(coalesce(outw.s, 0) AS BIGINT) AS n_out_links
+        |FROM r3
+        |LEFT JOIN inw ON inw.host = r3.host
+        |LEFT JOIN outw ON outw.host = r3.host""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -1638,6 +1764,16 @@ object ExtensionQueries {
         |WHERE doc_id >= 250
         |  AND url_canon NOT IN (SELECT url_canon FROM seen)
         |GROUP BY url_canon""".stripMargin),
+
+    "q_link_extract" ->
+      s"WITH $linkDerivCte\nSELECT doc_id, src_host, dst_url, dst_host FROM links",
+
+    "q_link_hosts" ->
+      (s"WITH $linkDerivCte\n" +
+        """SELECT src_host, dst_host, count(*) AS n_links FROM links
+          |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin),
+
+    "q_pagerank" -> pageRankOracleSql,
 
     // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
     // TextAnalysis.LangProfiles constant the engine uses

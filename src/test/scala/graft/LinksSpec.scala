@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Links
+
+/** Link-graph extraction + fixed-point PageRank pinned on hand-built pages
+  * and a hand-computed 3-node graph (every rank below is pencil-and-paper
+  * integer arithmetic, so a failure localizes to the recurrence, not to a
+  * tolerance).
+  */
+class LinksSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val page =
+    """<html><body>
+      |<a href="https://other.example.com/x">abs</a>
+      |<a href='https://Quoted.Example.com:443/q'>single-quoted abs</a>
+      |<a class="m" href="//mirror.example.com/m">protocol-relative</a>
+      |<a href="/local/1">root-relative</a>
+      |<a href="?x=1&amp;y=2">query-only is directory-relative: dropped</a>
+      |<a href="https://amp.example.com/s?a=1&amp;b=2">entity in query</a>
+      |<a href="#frag">frag</a><a href="mailto:x@y.z">mail</a>
+      |<a href="javascript:void(0)">js</a><a href="rel/page.html">rel</a>
+      |<a href="">empty</a>
+      |<a href="https://other.example.com/x">duplicate kept</a>
+      |</body></html>""".stripMargin
+
+  private def extracted = Links.extractLinks(
+    Seq((1L, "HTTPS://WWW.Src.Example.COM:443/p", page)).toDF("doc_id", "url", "html"),
+    "doc_id", "url", "html")
+
+  test("extractLinks: resolution, entity decode, junk dropped, duplicates kept") {
+    val rows = extracted.collect().map(r =>
+      (r.getAs[String]("dst_url"), r.getAs[String]("dst_host"))).toSeq
+    assert(rows.count(_._1 == "https://other.example.com/x") == 2)
+    assert(rows.contains(("https://Quoted.Example.com:443/q", "quoted.example.com")))
+    assert(rows.contains(("https://mirror.example.com/m", "mirror.example.com")))
+    assert(rows.contains(
+      ("https://www.src.example.com/local/1", "www.src.example.com")))
+    assert(rows.contains(("https://amp.example.com/s?a=1&b=2", "amp.example.com")))
+    assert(rows.size == 5 + 1, s"junk survived: $rows")
+    assert(extracted.select("src_host").distinct().as[String].collect()
+      .toSeq == Seq("www.src.example.com"))
+  }
+
+  test("extractLinks: null html yields no rows; http scheme resolves //") {
+    assert(Links.extractLinks(
+      Seq((1L, "http://a.example.com/", null: String)).toDF("doc_id", "url", "html"),
+      "doc_id", "url", "html").count() == 0)
+    val r = Links.extractLinks(
+      Seq((1L, "http://a.example.com/", """<a href="//b.example.com/x">b</a>"""))
+        .toDF("doc_id", "url", "html"), "doc_id", "url", "html").head()
+    assert(r.getAs[String]("dst_url") == "http://b.example.com/x")
+  }
+
+  test("hostEdges: self-loops dropped, occurrences counted") {
+    val links = Seq(
+      (1L, "a.com", "u1", "b.com"), (1L, "a.com", "u2", "b.com"),
+      (2L, "a.com", "u3", "a.com"), (2L, "b.com", "u4", "a.com"))
+      .toDF("doc_id", "src_host", "dst_url", "dst_host")
+    val e = Links.hostEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(e == Set(("a.com", "b.com", 2L), ("b.com", "a.com", 1L)))
+  }
+
+  test("pageRank: hand-computed fixed-point ranks on a 3-node graph") {
+    // a→b, a→c, b→c, c→a; N=3, deg(a)=2, deg(b)=deg(c)=1
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"))
+      .toDF("src_host", "dst_host")
+    val r0 = 1000000000000L / 3                      // 333333333333
+    val base = 1500L * 1000000000000L / 3 / 10000    // 50000000000
+    def damp(c: Long) = 8500L * c / 10000
+    val want = Map(
+      "a" -> (base + damp(r0)),                      // from c
+      "b" -> (base + damp(r0 / 2)),                  // from a
+      "c" -> (base + damp(r0 / 2 + r0)))             // from a and b
+    val got = Links.pageRank(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"got $got want $want")
+    // mass never exceeds the initial total, teleport keeps every node > 0
+    val r3 = Links.pageRank(edges, iters = 3).collect()
+      .map(r => r.getLong(1))
+    assert(r3.sum <= 1000000000000L && r3.forall(_ > 0))
+  }
+
+  test("pageRank: null/self edges ignored; empty graph is empty; iters=0 is init") {
+    val edges = Seq(("a", "a"), ("a", null), (null, "b"), ("a", "b"))
+      .toDF("src_host", "dst_host")
+    val got = Links.pageRank(edges, iters = 0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 500000000000L, "b" -> 500000000000L))
+    assert(Links.pageRank(Seq.empty[(String, String)]
+      .toDF("src_host", "dst_host")).count() == 0)
+  }
+
+  test("hostRank: sink hosts rank above their endorsers; link totals line up") {
+    val docs = Seq(
+      (1L, "https://a.example.com/1",
+        """<a href="https://hub.example.com/h">h</a><a href="https://b.example.com/">b</a>"""),
+      (2L, "https://b.example.com/2",
+        """<a href="https://hub.example.com/h">h</a>"""),
+      (3L, "https://hub.example.com/3",
+        """<a href="https://a.example.com/">a</a>"""))
+      .toDF("doc_id", "url", "html")
+    val hr = Links.hostRank(docs, "doc_id", "url", "html", iters = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(hr.keySet == Set("a.example.com", "b.example.com", "hub.example.com"))
+    // hub has two in-links, everyone else one; rank must agree
+    assert(hr("hub.example.com")._2 == 2L)
+    assert(hr("hub.example.com")._1 > hr("b.example.com")._1)
+    assert(hr("a.example.com")._3 == 2L)
+  }
+}
