@@ -276,4 +276,52 @@ object QualityClassifier {
         expr("__sp6 div n").as("mean_p6"),
         expr("cast((n_pos * 10000) div n as double) / 10000.0").as("frac_pos"))
   }
+
+  /** Exact ROC-AUC over a labeled holdout — the threshold-free ranking
+    * grade next to [[evaluate]]'s fixed grid: the tie-aware Mann-Whitney
+    * statistic, AUC = [Σ_s np_s·(nbelow_s + nn_s/2)] / (P·N), carried in 2×
+    * integer units (u2 = Σ np_s·(2·nbelow_s + nn_s), AUC = u2 / 2PN) so
+    * ties contribute exactly ½ with no fractional arithmetic.
+    *
+    * AUC is computed on the model's 1e-6 fixed-point sigmoid probability
+    * scale (the [[calibration]] link). The sigmoid is monotone, so this is
+    * the score ranking — and its codomain is the INTEGERS (0, 1e6), which
+    * caps the distinct-score table at <1e6 rows REGARDLESS of corpus size.
+    * That bound is what justifies the one global cumulative-sum window
+    * below: it runs over the per-score aggregate (a bounded sidecar, the
+    * `Similarity` nlist/m·ksub discipline), never over the corpus; the only
+    * data-sized operation is the map-side-combinable groupBy("p6").
+    * Pair counts overflow BIGINT at web scale (P·N > 9e18 once P,N > 3e9),
+    * so u2 and the final ratio run in DECIMAL(38,0) — Spark's IntegralDivide
+    * on decimals mirrors the oracle's HUGEINT `//` on non-negative operands.
+    *
+    * Output: ONE row (n_pos, n_neg, u2, auc) with auc floor-quantized to
+    * 6dp (0.0 when a class is empty — [[evaluate]]'s empty-denominator
+    * convention).
+    */
+  def auc(scored: DataFrame, scoreCol: String, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = scored
+      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+        label.cast("bigint").as("y"))
+      .withColumn("p6", expr("500000L + (case when z6 < 0 then -1L else 1L end)" +
+        " * ((abs(z6) * 1000000L) div (2000000L + 2L * abs(z6)))"))
+      .groupBy("p6").agg(
+        sum(col("y")).as("np"),
+        sum(lit(1L) - col("y")).as("nn"))
+    val w = Window.orderBy("p6").rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("nbelow", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum("np").cast(DecimalType(38, 0)).as("__p"),
+        sum("nn").cast(DecimalType(38, 0)).as("__n"),
+        sum(expr("cast(np as decimal(38,0)) * " +
+          "(2 * cast(nbelow as decimal(38,0)) + nn)"))
+          .cast(DecimalType(38, 0)).as("u2"))
+      .select(col("__p").cast("long").as("n_pos"),
+        col("__n").cast("long").as("n_neg"), col("u2"),
+        expr("case when __p = 0 or __n = 0 then 0.0 else " +
+          "cast((u2 * 1000000) div (2 * __p * __n) as double) / 1000000.0 end")
+          .as("auc"))
+  }
 }

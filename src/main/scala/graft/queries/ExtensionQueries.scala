@@ -673,6 +673,22 @@ object ExtensionQueries {
         "score", col("y"), nBins = 10)
     }),
 
+    // threshold-free ranking grade over the same train/serve split: exact
+    // tie-aware Mann-Whitney AUC on the sigmoid-probability scale, pair
+    // counts in DECIMAL(38,0) — one row, engine-portable like the grid
+    "q_clf_auc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.QualityClassifier.train(
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        (col("lang") === "en").cast("int"), nBuckets = 256, iters = 3, lr = 0.5)
+      val scored = graft.operators.QualityClassifier.score(
+        docs, "doc_id", "text", model, nBuckets = 256)
+      graft.operators.QualityClassifier.auc(
+        scored.join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y")), "doc_id"),
+        "score", col("y"))
+    }),
+
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
     "q_pack_sequences" -> ((s, d) =>
       Pipelines.packSequences(t(s, d, "documents"), "doc_id", "text",
@@ -1582,6 +1598,30 @@ object ExtensionQueries {
          |  ((n_pos * 10000) // n) / 10000.0 AS frac_pos
          |FROM cb""".stripMargin
 
+  /** Tie-aware Mann-Whitney AUC restated: per-distinct-sigmoid-probability
+    * class counts, a cumulative negatives-below window, and the 2×-unit
+    * statistic in HUGEINT — `//` on non-negative operands mirroring the
+    * engine's decimal IntegralDivide.
+    */
+  private def clfAucOracleSql: String =
+    clfCoreCte("WHERE doc_id < 250") + ",\n" +
+      """lbl AS (SELECT doc_id, (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS y FROM base),
+        |pb AS (SELECT (500000 + (CASE WHEN t6 < 0 THEN -1 ELSE 1 END) *
+        |  ((abs(t6) * 1000000) // (2000000 + 2 * abs(t6))))::BIGINT AS p6, y
+        |  FROM t JOIN lbl USING (doc_id)),
+        |ps AS (SELECT p6, sum(y)::BIGINT AS np, sum(1 - y)::BIGINT AS nn
+        |  FROM pb GROUP BY 1),
+        |cs AS (SELECT p6, np, nn, coalesce(sum(nn) OVER
+        |  (ORDER BY p6 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  0)::BIGINT AS nbelow FROM ps),
+        |ag AS (SELECT sum(np)::HUGEINT AS p, sum(nn)::HUGEINT AS n,
+        |  sum(np::HUGEINT * (2 * nbelow::HUGEINT + nn))::HUGEINT AS u2 FROM cs)
+        |SELECT p::BIGINT AS n_pos, n::BIGINT AS n_neg,
+        |  u2::DECIMAL(38,0) AS u2,
+        |  CASE WHEN p = 0 OR n = 0 THEN 0.0
+        |       ELSE ((u2 * 1000000) // (2 * p * n)) / 1000000.0 END AS auc
+        |FROM ag""".stripMargin
+
   /** url-dedup → html-extract → line gate → exact dedup, the crawl front
     * half — shared verbatim by q_pipeline_web (from the documents table) and
     * q_pipeline_crawl (the same records round-tripped through GWARC bytes).
@@ -1948,6 +1988,8 @@ object ExtensionQueries {
       Seq(-500000L, -250000L, 0L, 250000L, 500000L)),
 
     "q_clf_calibration" -> clfCalibrationOracleSql(nBins = 10),
+
+    "q_clf_auc" -> clfAucOracleSql,
 
     "q_dedup_simhash" -> simhashOracle,
 

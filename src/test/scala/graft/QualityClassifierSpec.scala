@@ -163,6 +163,39 @@ class QualityClassifierSpec extends SparkSpec {
     assert(out(2) == ((1L, 0L, 250000L, 0.0)))
   }
 
+  test("auc: tie-aware Mann-Whitney by hand; empty-class convention") {
+    import spark.implicits._
+    // P=2, N=2; pos pairs won: .8 beats both negs (2), .5 beats .2 (1) and
+    // ties .5 (½) → U = 3.5, u2 = 7, AUC = floor(7e6/8)/1e6 = 0.875
+    val scored = Seq(
+      (BigDecimal("0.500000"), 1), (BigDecimal("0.500000"), 0),
+      (BigDecimal("0.200000"), 0), (BigDecimal("0.800000"), 1))
+      .toDF("score", "y")
+    val r = QualityClassifier.auc(scored, "score", col("y")).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDecimal(2).longValueExact() == 7L)
+    assert(r.getDouble(3) == 0.875)
+    // perfect separation → AUC exactly 1; one-class holdout → 0.0
+    val sep = Seq((BigDecimal("2.000000"), 1), (BigDecimal("-2.000000"), 0))
+      .toDF("score", "y")
+    assert(QualityClassifier.auc(sep, "score", col("y")).head().getDouble(3) == 1.0)
+    val onecls = Seq((BigDecimal("2.000000"), 1)).toDF("score", "y")
+    val r1 = QualityClassifier.auc(onecls, "score", col("y")).head()
+    assert(r1.getLong(1) == 0L && r1.getDouble(3) == 0.0)
+  }
+
+  test("auc: the trained split model actually ranks (planted signal)") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text", "y")
+    val scored = QualityClassifier.trainAndScore(docs, "doc_id", "text",
+      col("y"), nBuckets = nBuckets, iters = iters, lr = lr)
+    val a = QualityClassifier.auc(
+      scored.join(docs.select(col("doc_id"), col("y")), "doc_id"),
+      "score", col("y")).head().getDouble(3)
+    assert(a > 0.95, s"planted-signal AUC only $a")
+    graft.operators.Caches.release(spark)
+  }
+
   test("empty-text docs score the bias alone and survive") {
     import spark.implicits._
     val docs = (corpus :+ ((99L, "", 1))).toDF("doc_id", "text", "y")
