@@ -89,6 +89,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact pairwise shingle CONTAINMENT pairs: C(A→B) = |A∩B| / |A| over
+    * distinct word n-gram shingles, emitted when C ≥ threshold (checked as
+    * the exact integer cross-multiplication i·10⁴ ≥ t4·|A| — no double
+    * division decides membership; the surfaced score is display-rounded).
+    *
+    * Jaccard rewards SYMMETRIC overlap, so a 100-word document quoted
+    * verbatim inside a 10,000-word page scores J ≈ 0.01 and sails through
+    * [[jaccardPairs]]/[[minHashLshPairs]] — but its containment is ≈ 1.
+    * This operator catches that doc-in-doc duplicate class (quotations,
+    * syndicated articles inside portals, boilerplate-wrapped reposts).
+    * Output: (doc_a, doc_b, containment) meaning doc_a is contained in
+    * doc_b; mutual near-identical pairs yield both directions.
+    *
+    * Scale shape — the PPJoin prefix-filter principle (Xiao 2008), not an
+    * all-pairs join: order each document's shingles by ascending global
+    * document frequency (rarest first, ties by hash); if |A∩B| ≥ ⌈t·|A|⌉
+    * then B misses at most |A| − ⌈t·|A|⌉ of A's shingles, so among A's
+    * first |A| − ⌈t·|A|⌉ + 1 prefix shingles at least one is in B —
+    * joining only PREFIXES against the full shingle index has recall 1 by
+    * pigeonhole, and the df-ascending order makes the join fan-out the
+    * smallest any correct prefix choice can (rare shingles have few
+    * postings). Verification then touches candidate pairs only, via one
+    * `array_intersect` over per-doc sorted shingle arrays. The df
+    * aggregate, the per-doc rank window (PARTITIONED by doc — no global
+    * window), the prefix-index join, and the candidate verify join are all
+    * hash-partitioned on shingle/doc keys; nothing is quadratic in the
+    * corpus, only in true near-containment cliques (the emitted output).
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t4 = math.rint(threshold * 10000).toLong
+    require(t4 > 0 && t4 <= 10000 && math.abs(t4 / 10000.0 - threshold) < 1e-12,
+      s"threshold must be in (0, 1] at 4dp precision, got $threshold")
+    require(minShingles >= 1, "need minShingles >= 1")
+    val sh = shingles(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .withColumn("na", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked
+      .filter(col("rk") <= col("na") - expr(s"(na * ${t4}L + 9999L) div 10000L") + 1)
+      .select(col("sh"), col("doc_id").as("doc_a"))
+    val index = sh.select(col("sh"), col("doc_id").as("doc_b"))
+    val cands = prefix.join(index, "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val arrs = sh.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    cands
+      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        size(col("sa")).cast("long").as("na"))
+      .filter(col("na") >= minShingles &&
+        col("i") * lit(10000L) >= lit(t4) * col("na"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i") / col("na"), 4).as("containment"))
+  }
+
   /** Per-document DISTINCT shingle-hash array, computed in one narrow pass —
     * no explode, no shuffle. The array form is the scale-friendly layout: at
     * 100 TB the shingle stream never materializes as rows, so the only shuffle

@@ -84,6 +84,24 @@ object ExtensionQueries {
       """<p>This sentence has a single <a href="/ref">reference link</a> """ +
       "among twelve ordinary words today.</p>"
 
+  /** Documents plus planted doc-in-doc duplicates for the containment
+    * queries: every doc_id % 5 == 0 doc contributes a "quote" doc
+    * (doc_id + 100000) whose text is its first max(7, ⌊words/3⌋) lower-cased
+    * words — a strict word-prefix, so the quote's shingle set is a subset of
+    * its source's (containment exactly 1) while Jaccard stays far below any
+    * near-dup threshold. Restated verbatim by the DuckDB oracle CTE.
+    */
+  private def quoteFixture(docs: DataFrame): DataFrame = {
+    val quotes = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"),
+        filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+          x => length(x) > 0).as("ws"))
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        expr("concat_ws(' ', slice(ws, 1, greatest(7, size(ws) div 3)))")
+          .as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(quotes)
+  }
+
   /** [[htmlFixture]] with a deterministic cross-host link block injected
     * before `</body></html>` for the link-graph queries: two absolute links
     * into the src0-4 host cluster (one with an `&amp;`-entity query), a
@@ -175,6 +193,13 @@ object ExtensionQueries {
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
         n = 3, numPerm = 32, bands = 8, threshold = 0.8)),
+
+    // doc-in-doc duplicates Jaccard cannot see: prefix-filtered (PPJoin)
+    // shingle containment over the corpus + planted verbatim quotes —
+    // every quote must surface as contained in its source at exactly 1.0
+    "q_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(quoteFixture(t(s, d, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.9, minShingles = 5)),
 
     // near-dup clusters: connected components over the LSH pair stream;
     // cluster_id = min reachable doc_id
@@ -2065,6 +2090,28 @@ object ExtensionQueries {
     "q_dedup_jaccard" -> jaccardOracle,
 
     "q_dedup_minhash" -> jaccardOracle,
+
+    // all-pairs shared-shingle counts over corpus + planted quotes — the
+    // brute-force restatement of the prefix-filtered engine plan; the keep
+    // decision is the same integer cross-multiplication (i·10⁴ ≥ 9000·|A|)
+    "q_dedup_containment" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qd AS (SELECT doc_id + 100000 AS doc_id,
+        |  ws[1:greatest(7, len(ws) // 3)] AS ws FROM w0 WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM w0 UNION ALL SELECT * FROM qd),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM u, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(i * 1.0 / sa.n, 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = da
+        |WHERE sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
 
     // connected components over the exact-jaccard pair set (identical to the
     // LSH pair set at this threshold) via a recursive label-propagation CTE

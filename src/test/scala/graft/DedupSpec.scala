@@ -70,6 +70,53 @@ class DedupSpec extends SparkSpec {
     exactDups.foreach(p => assert(ids.contains(p), s"simhash missed exact dup $p"))
   }
 
+  test("containmentPairs: quoted doc found at C=1, direction-sensitive, boundary inclusive") {
+    import spark.implicits._
+    // A (5 shingles) ⊂ B; C = A with one shingle swapped → C(C→A) = 4/5
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x a b c d e f g y z"),
+      (3L, "a b c d e f q"))
+      .toDF("doc_id", "text")
+    val at90 = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, minShingles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(at90 == Set((1L, 2L, 1.0)), s"got $at90")
+    // 4/5 = 0.8: the integer boundary i*10^4 >= t4*na must be INCLUSIVE
+    val at80 = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.8, minShingles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(at80.contains((1L, 3L, 0.8)) && at80.contains((3L, 1L, 0.8)))
+    assert(at80.contains((1L, 2L, 1.0)) && !at80.contains((2L, 1L, 0.8)))
+    // minShingles gates the CONTAINED side
+    assert(Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, minShingles = 6).count() == 0)
+  }
+
+  test("containmentPairs prefix filter ≡ brute force on a generated corpus") {
+    import spark.implicits._
+    // word soup over a tiny vocabulary → dense shingle collisions, so the
+    // candidate prefixes are genuinely stressed (many shared rare shingles)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val docs = base.toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.7, minShingles = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+      if a != b && sa.size >= 3
+      i = (sa & sb).size
+      if i * 10000 >= 7000 * sa.size
+    } yield (a, b, math.rint(i.toDouble / sa.size * 10000) / 10000)).toSet
+    assert(got == want, s"prefix filter diverged: missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("shingle-based ops survive docs shorter than the n-gram window") {
     import spark.implicits._
     // sequence(1, 0) is descending [1, 0] in Spark — an unguarded transform would
