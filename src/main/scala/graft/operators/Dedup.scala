@@ -119,29 +119,43 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    containmentCore(sh, sh, threshold, minShingles, earlierOnly = false)
+  }
+
+  /** The prefix-filter + verify core shared by [[containmentPairs]] and
+    * [[containmentIncremental]]: `shA` supplies the CONTAINED candidates
+    * (prefixes + |A| sizes), `shAll` the container index (df + arrays);
+    * `earlierOnly` restricts to doc_b < doc_a — the arrival-order rule the
+    * incremental form needs for slicing invariance.
+    */
+  private def containmentCore(shA: DataFrame, shAll: DataFrame,
+      threshold: Double, minShingles: Int, earlierOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t4 = math.rint(threshold * 10000).toLong
     require(t4 > 0 && t4 <= 10000 && math.abs(t4 / 10000.0 - threshold) < 1e-12,
       s"threshold must be in (0, 1] at 4dp precision, got $threshold")
     require(minShingles >= 1, "need minShingles >= 1")
-    val sh = shingles(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val ranked = sh.join(dfreq, "sh")
+    val dfreq = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+    val ranked = shA.join(dfreq, "sh")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
       .withColumn("na", count(lit(1)).over(Window.partitionBy("doc_id")))
     val prefix = ranked
       .filter(col("rk") <= col("na") - expr(s"(na * ${t4}L + 9999L) div 10000L") + 1)
       .select(col("sh"), col("doc_id").as("doc_a"))
-    val index = sh.select(col("sh"), col("doc_id").as("doc_b"))
-    val cands = prefix.join(index, "sh")
-      .filter(col("doc_a") =!= col("doc_b"))
+    val index = shAll.select(col("sh"), col("doc_id").as("doc_b"))
+    val keep = if (earlierOnly) col("doc_b") < col("doc_a")
+      else col("doc_a") =!= col("doc_b")
+    val cands = prefix.join(index, "sh").filter(keep)
       .select("doc_a", "doc_b").distinct()
-    val arrs = sh.groupBy("doc_id")
+    val aArr = shA.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    val bArr = shAll.groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("shs"))
     cands
-      .join(arrs.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
-      .join(arrs.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .join(aArr.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(bArr.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
         size(col("sa")).cast("long").as("na"))
@@ -149,6 +163,46 @@ object Dedup {
         col("i") * lit(10000L) >= lit(t4) * col("na"))
       .select(col("doc_a"), col("doc_b"),
         round(col("i") / col("na"), 4).as("containment"))
+  }
+
+  /** Persistable containment state: the DISTINCT (doc_id, sh) shingle
+    * postings of the corpus so far — exactly what [[containmentIncremental]]
+    * needs to index new batches against (sizes and per-doc arrays are
+    * re-derivable group-bys over it). Append each batch's postings to roll
+    * the state forward.
+    */
+  def containmentState(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    shingles(docs, idCol, textCol, n)
+
+  /** Incremental doc-in-doc detection — the continuously-ingesting form of
+    * [[containmentPairs]]: emit (doc_a, doc_b, containment) where doc_a is
+    * a NEW-batch doc contained (C ≥ threshold) in an EARLIER doc — any
+    * state doc, or a batch doc with a smaller id.
+    *
+    * The earlier-only rule is what makes slicing invariant: ids must be
+    * monotone with arrival (the suite-wide incremental contract), and then
+    * feeding the corpus through in any batch slicing yields exactly
+    * `containmentPairs(corpus).filter(doc_b < doc_a)` — a later superset
+    * can never retroactively flag an already-accepted doc, which is also
+    * the operational semantics a rolling crawl wants (quotes of EXISTING
+    * corpus are redundant; the first occurrence stays).
+    *
+    * Recall note: the prefix size |A|−⌈t·|A|⌉+1 guarantees recall 1 under
+    * ANY fixed shingle order (pigeonhole), so ordering prefixes by the
+    * df of state∪batch — which differs from the full-corpus df — cannot
+    * lose pairs; df ordering is purely a join-fanout optimization.
+    * Scale shape: identical to the batch core, with the state entering
+    * only as (doc_id, sh) postings hash-partitioned on the shingle key.
+    */
+  def containmentIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, state: DataFrame, n: Int = 3,
+      threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
+    require(state.columns.toSet == Set("doc_id", "sh"),
+      s"state must be (doc_id, sh) postings, got ${state.columns.mkString(",")}")
+    val shNew = shingles(newDocs, idCol, textCol, n)
+    val shAll = state.select("doc_id", "sh").unionByName(shNew)
+    containmentCore(shNew, shAll, threshold, minShingles, earlierOnly = true)
   }
 
   /** Per-document DISTINCT shingle-hash array, computed in one narrow pass —

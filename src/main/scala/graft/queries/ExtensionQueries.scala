@@ -201,6 +201,18 @@ object ExtensionQueries {
       Dedup.containmentPairs(quoteFixture(t(s, d, "documents")),
         "doc_id", "text", n = 3, threshold = 0.9, minShingles = 5)),
 
+    // the rolling-crawl form: originals (doc_id < 100000) are the persisted
+    // shingle-posting state, the quote batch arrives later — each quote is
+    // flagged against the EARLIER corpus only (slicing-invariant rule)
+    "q_dedup_containment_incremental" -> ((s, d) => {
+      val all = quoteFixture(t(s, d, "documents"))
+      val state = Dedup.containmentState(
+        all.filter(col("doc_id") < 100000L), "doc_id", "text", n = 3)
+      Dedup.containmentIncremental(
+        all.filter(col("doc_id") >= 100000L), "doc_id", "text", state,
+        n = 3, threshold = 0.9, minShingles = 5)
+    }),
+
     // near-dup clusters: connected components over the LSH pair stream;
     // cluster_id = min reachable doc_id
     "q_dedup_clusters" -> ((s, d) =>
@@ -2112,6 +2124,27 @@ object ExtensionQueries {
         |  round(i * 1.0 / sa.n, 4) AS containment
         |FROM inter JOIN sz sa ON sa.doc_id = da
         |WHERE sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
+
+    // incremental = the same all-pairs truth restricted to batch docs
+    // (quotes, id >= 100000) contained in strictly-earlier ids
+    "q_dedup_containment_incremental" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qd AS (SELECT doc_id + 100000 AS doc_id,
+        |  ws[1:greatest(7, len(ws) // 3)] AS ws FROM w0 WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM w0 UNION ALL SELECT * FROM qd),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM u, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  round(i * 1.0 / sa.n, 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = da
+        |WHERE da >= 100000 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
 
     // connected components over the exact-jaccard pair set (identical to the
     // LSH pair set at this threshold) via a recursive label-propagation CTE

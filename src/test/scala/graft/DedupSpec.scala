@@ -93,6 +93,35 @@ class DedupSpec extends SparkSpec {
       n = 3, threshold = 0.9, minShingles = 6).count() == 0)
   }
 
+  test("containmentIncremental: any slicing ≡ batch pairs restricted to earlier docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (0L until 30L).map(i =>
+      (i, Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val docs = corpus.toDF("doc_id", "text")
+    val want = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.7, minShingles = 3)
+      .filter(col("doc_b") < col("doc_a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // three different slicings, including degenerate ones
+    for (cuts <- Seq(Seq(10L, 20L), Seq(1L), Seq(15L, 16L, 17L))) {
+      val bounds = (0L +: cuts) :+ 1000L
+      var state = Dedup.containmentState(
+        Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      val got = scala.collection.mutable.Set[(Long, Long, Double)]()
+      bounds.sliding(2).foreach { case Seq(lo, hi) =>
+        val batch = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        got ++= Dedup.containmentIncremental(batch, "doc_id", "text", state,
+          n = 3, threshold = 0.7, minShingles = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        state = state.unionByName(
+          Dedup.containmentState(batch, "doc_id", "text")).localCheckpoint()
+      }
+      assert(got.toSet == want, s"slicing $cuts diverged")
+    }
+  }
+
   test("containmentPairs prefix filter ≡ brute force on a generated corpus") {
     import spark.implicits._
     // word soup over a tiny vocabulary → dense shingle collisions, so the
