@@ -602,6 +602,60 @@ object Pipelines {
         expr("(eff_tokens * 10000) div __te").as("eff_bp"))
   }
 
+  /** Target-SHARE mixture cut — the form a training-mixture spec is written
+    * in when it says "50% web, 30% books, 20% code": given per-domain
+    * shares in basis points (must sum to exactly 10000), keep the LARGEST
+    * corpus subset whose domain proportions hit the shares. The limiting
+    * domain determines the total: total = min_d ⌊n_d·10⁴/bp_d⌋, then each
+    * domain keeps its first ⌊bp_d·total/10⁴⌋ documents in md5(doc_id)
+    * order — deterministic, engine-portable, and monotone (adding corpus
+    * never evicts a previously kept doc of a non-limiting domain's prefix).
+    * Domains absent from `shares` are dropped (share 0); a share-listed
+    * domain with NO corpus rows makes the whole cut empty (the spec is
+    * unsatisfiable — surfacing that loudly beats silently re-normalizing).
+    * All arithmetic is integer floor division.
+    *
+    * Scale shape: one count aggregate collected as ≤|shares| rows (bounded
+    * by the ARGUMENT, not the corpus — the IVF-codebook discipline), then
+    * the [[tokenBudgetSample]]/hostCap salted two-level rank: 256
+    * md5-prefix buckets rank in parallel per (domain, salt), a broadcast
+    * per-bucket offset table turns bucket ranks into exact global ranks —
+    * no per-domain single reducer, flood-flat like ProfileSkew §5-§7.
+    */
+  def mixtureApply(docs: DataFrame, idCol: String, domainCol: String,
+      shares: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive basis points")
+    require(shares.values.sum == 10000,
+      s"shares must sum to 10000 bp, got ${shares.values.sum}")
+    val base = docs
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        col(domainCol).cast("string").as("domain"))
+      .filter(col("domain").isin(shares.keys.toSeq: _*))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", substring(col("__ord"), 1, 2))
+      .cache()
+    val counts = base.groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = shares.map { case (d, bp) =>
+      counts.getOrElse(d, 0L) * 10000L / bp }.min
+    val targets = shares.map { case (d, bp) => d -> bp.toLong * total / 10000L }
+    val cap = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col("domain") === d, lit(t)).otherwise(acc) }
+    val offsets = base.groupBy("domain", "__salt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        Window.partitionBy("domain").orderBy("__salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("domain", "__salt", "__off")
+    base
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy("domain", "__salt").orderBy(col("__ord"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("domain", "__salt"))
+      .filter(col("__off") + col("__prn") <= cap)
+      .select("doc_id", "domain")
+  }
+
   /** Deterministic pre-training SHARD SHUFFLE assignment: every document gets
     * a (shard, pos) — shard = its 32-bit md5 prefix mod `shards`, pos = its
     * rank within the shard by (md5, doc_id). Training wants the corpus

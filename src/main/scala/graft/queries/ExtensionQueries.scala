@@ -740,6 +740,13 @@ object ExtensionQueries {
     "q_stratified_sample" -> ((s, d) =>
       Pipelines.stratifiedSample(t(s, d, "documents"), "doc_id", "source", k = 50)),
 
+    // target-SHARE mixture solver: "50/30/20" in basis points → the largest
+    // subset hitting those proportions, limiting domain computed from the
+    // corpus counts, per-domain md5-prefix cut via the salted two-level rank
+    "q_mixture_apply" -> ((s, d) =>
+      Pipelines.mixtureApply(t(s, d, "documents"), "doc_id", "source",
+        shares = Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))),
+
     // quality-weighted sampling: longer docs kept proportionally more often,
     // kept-set engine-portable (md5 draw vs rate*weight)
     "q_weighted_sample" -> ((s, d) =>
@@ -2525,6 +2532,20 @@ object ExtensionQueries {
         "SELECT doc_id, source, row_number() OVER (" +
         "PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn " +
         "FROM documents) WHERE rn <= 50"),
+
+    // the share solver restated: limiting-domain total, per-domain integer
+    // targets, md5-order row_number cut — all floor division
+    "q_mixture_apply" ->
+      """WITH s(dom, bp) AS (VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000)),
+        |c AS (SELECT dom, bp, count(doc_id) AS n FROM s
+        |  LEFT JOIN documents ON source = dom GROUP BY dom, bp),
+        |tot AS (SELECT min(n * 10000 // bp) AS total FROM c),
+        |tg AS (SELECT dom, bp * (SELECT total FROM tot) // 10000 AS t FROM c),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |  PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+        |SELECT doc_id, source AS domain FROM r
+        |JOIN tg ON tg.dom = r.source WHERE rn <= t""".stripMargin,
 
     // identical draw (32-bit md5 prefix / 2^32) and identical floor/frac
     // arithmetic in double; copies materialized by a bounded range join

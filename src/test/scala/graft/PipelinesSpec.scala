@@ -356,6 +356,32 @@ class PipelinesSpec extends SparkSpec {
       "stratified sample must be exactly reproducible")
   }
 
+  test("mixtureApply: limiting domain sets the total, proportions exact, spec violations loud") {
+    import spark.implicits._
+    // a:4 b:2 c:6 docs at 50/25/25 bp → totals 8/8/24 → total 8 → keep 4/2/2
+    val docs = ((0L until 4L).map((_, "a")) ++ (4L until 6L).map((_, "b")) ++
+      (6L until 12L).map((_, "c")) :+ (99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val shares = Map("a" -> 5000, "b" -> 2500, "c" -> 2500)
+    val got = Pipelines.mixtureApply(docs, "doc_id", "source", shares)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 8)
+    val byDom = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom == Map("a" -> 4, "b" -> 2, "c" -> 2), s"got $byDom")
+    // deterministic md5-prefix choice: re-run identical
+    val again = Pipelines.mixtureApply(docs, "doc_id", "source", shares)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSet == again.toSet)
+    // a share-listed domain with no corpus rows → unsatisfiable → empty
+    assert(Pipelines.mixtureApply(docs, "doc_id", "source",
+      Map("a" -> 5000, "zz" -> 5000)).count() == 0)
+    // shares must sum to 10000
+    intercept[IllegalArgumentException] {
+      Pipelines.mixtureApply(docs, "doc_id", "source", Map("a" -> 9999))
+    }
+    graft.operators.Caches.release(spark)
+  }
+
   test("datasetDiff: added/removed/changed/unchanged classification, null text totality") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
