@@ -656,6 +656,38 @@ object Pipelines {
       .select("doc_id", "domain")
   }
 
+  /** [[mixtureApply]] in the denomination mixture specs are actually
+    * written in — TOKENS ("2B of web, 1B of code" as 6667/3333 bp): solve
+    * the limiting-domain token total total = min_d ⌊tok_d·10⁴/bp_d⌋ from a
+    * per-domain token-count sidecar (bounded by |shares|), turn shares into
+    * absolute budgets ⌊bp_d·total/10⁴⌋, and delegate the cut to
+    * [[tokenBudgetSample]]'s salted two-level prefix sum. Proportions are
+    * exact up to the straddling document per domain (the budget form's
+    * documented inclusion rule). Domains absent from `shares` are dropped;
+    * a share-listed domain with no tokens makes the cut empty (loud
+    * unsatisfiability, like [[mixtureApply]]).
+    */
+  def tokenShareApply(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, shares: Map[String, Int]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive basis points")
+    require(shares.values.sum == 10000,
+      s"shares must sum to 10000 bp, got ${shares.values.sum}")
+    val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
+    val inShares = docs.filter(
+      col(domainCol).cast("string").isin(shares.keys.toSeq: _*))
+    val toks = inShares
+      .select(col(domainCol).cast("string").as("domain"),
+        nTok.cast("long").as("__nt"))
+      .groupBy("domain").agg(sum("__nt").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = shares.map { case (d, bp) =>
+      toks.getOrElse(d, 0L) * 10000L / bp }.min
+    val budgets = shares.map { case (d, bp) => d -> bp.toLong * total / 10000L }
+    tokenBudgetSample(inShares, idCol, textCol, domainCol, budgets,
+      defaultBudget = 0L)
+  }
+
   /** Deterministic pre-training SHARD SHUFFLE assignment: every document gets
     * a (shard, pos) — shard = its 32-bit md5 prefix mod `shards`, pos = its
     * rank within the shard by (md5, doc_id). Training wants the corpus

@@ -747,6 +747,12 @@ object ExtensionQueries {
       Pipelines.mixtureApply(t(s, d, "documents"), "doc_id", "source",
         shares = Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))),
 
+    // the same solver denominated in TOKENS (how mixture specs are written):
+    // limiting-domain token total → absolute budgets → tokenBudgetSample
+    "q_token_share" -> ((s, d) =>
+      Pipelines.tokenShareApply(t(s, d, "documents"), "doc_id", "text",
+        "source", shares = Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))),
+
     // quality-weighted sampling: longer docs kept proportionally more often,
     // kept-set engine-portable (md5 draw vs rate*weight)
     "q_weighted_sample" -> ((s, d) =>
@@ -2573,6 +2579,25 @@ object ExtensionQueries {
         "SELECT doc_id, domain, n_tokens, start_tok FROM c " +
         "WHERE start_tok < CASE domain WHEN 'src0' THEN 8000 WHEN 'src1' THEN 2000 " +
         "ELSE 4000 END"),
+
+    // token-share solver: per-domain token totals, limiting-domain minimum,
+    // solved budgets, then the q_token_budget prefix-cut — all floor division
+    "q_token_share" ->
+      """WITH s(dom, bp) AS (VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000)),
+        |b AS (SELECT doc_id, source AS domain,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0))::BIGINT AS n_tokens
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |dt AS (SELECT dom, bp, coalesce(sum(n_tokens), 0) AS t FROM s
+        |  LEFT JOIN b ON domain = dom GROUP BY dom, bp),
+        |tot AS (SELECT min(t * 10000 // bp) AS total FROM dt),
+        |bu AS (SELECT dom, bp * (SELECT total FROM tot) // 10000 AS budget FROM dt),
+        |c AS (SELECT doc_id, domain, n_tokens,
+        |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+        |  FROM b)
+        |SELECT doc_id, domain, n_tokens, start_tok FROM c
+        |JOIN bu ON bu.dom = c.domain WHERE start_tok < budget""".stripMargin,
 
     // identical count/share arithmetic; ties on the key's string form
     "q_key_skew" ->

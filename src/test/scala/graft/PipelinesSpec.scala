@@ -382,6 +382,34 @@ class PipelinesSpec extends SparkSpec {
     graft.operators.Caches.release(spark)
   }
 
+  test("tokenShareApply: limiting-domain token total, straddling doc kept, loud unsatisfiability") {
+    import spark.implicits._
+    // tokens: a = 10 docs x 4 tok = 40, b = 4 x 5 = 20 at 50/50 bp →
+    // totals 80/40 → total 40 → budgets 20/20: a keeps 5 docs (20 tok
+    // exactly), b keeps 4 (its whole 20)
+    val docs = ((0L until 10L).map(i => (i, "w x y z", "a")) ++
+      (10L until 14L).map(i => (i, "v w x y z", "b")))
+      .toDF("doc_id", "text", "source")
+    val got = Pipelines.tokenShareApply(docs, "doc_id", "text", "source",
+      Map("a" -> 5000, "b" -> 5000))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val byDom = got.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byDom == Map("a" -> 20L, "b" -> 20L), s"got $byDom")
+    // straddling: 3-token docs against a non-multiple budget keep >= budget
+    val odd = (0L until 10L).map(i => (i, "x y z", "a")) :+ (99L, "q r s t u", "b")
+    val got2 = Pipelines.tokenShareApply(odd.toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", Map("a" -> 7500, "b" -> 2500))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    // totals: a 30·10⁴/7500 = 40, b 5·10⁴/2500 = 20 → total 20 → budgets 15/5
+    val aTok = got2.filter(_._1 == "a").map(_._2).sum
+    assert(aTok >= 15L && aTok < 18L, s"straddled a kept $aTok tokens")
+    assert(got2.filter(_._1 == "b").map(_._2).sum == 5L)
+    // empty share-listed domain → empty cut
+    assert(Pipelines.tokenShareApply(docs, "doc_id", "text", "source",
+      Map("a" -> 5000, "zz" -> 5000)).count() == 0)
+    graft.operators.Caches.release(spark)
+  }
+
   test("datasetDiff: added/removed/changed/unchanged classification, null text totality") {
     import spark.implicits._
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]), (4L, "d"))
