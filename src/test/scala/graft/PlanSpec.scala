@@ -602,4 +602,62 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"no all-pairs stage may appear:\n$plan")
   }
+
+  test("link extraction is narrow; host graph is one map-side-combined aggregate") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example.com/p")).as("url"),
+        col("text").as("html"))
+    val links = graft.operators.Links.extractLinks(docs, "doc_id", "url", "html")
+    assert(!links.queryExecution.executedPlan.toString.contains("Exchange"),
+      "href extraction + resolution must be map-only")
+    val edges = graft.operators.Links.hostEdges(links)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"edge weights must combine map-side before the exchange:\n$plan")
+  }
+
+  test("pageRank iteration: equi-joins + hash aggregate only, never cartesian or a global window") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+      .toDF("src_host", "dst_host")
+    val out = graft.operators.Links.pageRank(edges, iters = 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"rank propagation must ride equi-joins:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"no window anywhere in the recurrence:\n$plan")
+  }
+
+  test("containment: doc-partitioned rank window only, no cartesian, arrays never in the prefix exchange") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"candidates must come from shingle equi-joins:\n$plan")
+    // every window must be keyed by doc_id (high cardinality) — a
+    // partition-less rank would single-thread the corpus
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("doc_id")),
+      s"every containment window must be doc-partitioned:\n$winSpecs")
+    graft.operators.Caches.release(spark)
+  }
+
+  test("mixtureApply: salted two-level rank — offsets broadcast, no domain-only window") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val out = graft.operators.Pipelines.mixtureApply(docs, "doc_id", "source",
+      Map("src0" -> 5000, "src1" -> 3000, "src2" -> 2000))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must ride a broadcast:\n$plan")
+    // every window partition key set must include the salt — a domain-only
+    // window would be the per-domain reducer the two-level design removes
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("__salt")),
+      s"every rank window must be salted:\n$winSpecs")
+    graft.operators.Caches.release(spark)
+  }
 }
