@@ -119,6 +119,32 @@ object TextAnalysis {
         !t.contains("{")).as("kept"))
   }
 
+  /** Word-list gate — the C4 blocklist rule (Raffel et al. 2020 §2.2 drop
+    * any page containing a word from a configured "bad words" list). Tokens
+    * are the usual lower-cased whitespace words with leading/trailing
+    * non-alphanumerics stripped, so boundary punctuation cannot hide a hit
+    * ("word!" matches "word") while substrings never match ("class" never
+    * matches "ass" — the over-dropping a naive contains() filter is famous
+    * for). Output: (doc_id, n_hits = matching token OCCURRENCES,
+    * kept = n_hits <= maxHits).
+    *
+    * Scale shape: one narrow codegen'd pass, zero shuffles at any corpus
+    * size; the list rides the plan as a literal array (real lists are a few
+    * hundred entries — bytes of plan, no broadcast, no join).
+    */
+  def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], maxHits: Int = 0): DataFrame = {
+    require(blocklist.nonEmpty, "need a non-empty blocklist")
+    val block = array(blocklist.map(b => lit(b.toLowerCase)): _*)
+    val stripped = transform(words(coalesce(col(textCol), lit(""))), w =>
+      regexp_replace(regexp_replace(w, "^[^\\p{L}\\p{N}]+", ""),
+        "[^\\p{L}\\p{N}]+$", ""))
+    val hits = size(filter(stripped, w => array_contains(block, w)))
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
+      hits.as("n_hits"),
+      (hits <= maxHits).as("kept"))
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "les", "et", "est"),

@@ -188,4 +188,99 @@ object Urls {
       .filter(col("__off") + col("__prn") <= maxPerHost)
       .select("doc_id", "host")
   }
+
+  /** Parse per-host robots.txt content into the rule set that applies to
+    * `agent` — the politeness gate every crawl pipeline runs before a URL is
+    * fetched (RFC 9309). Supported subset (documented):
+    *
+    *  - lines are trimmed after stripping `#` comments; `field: value` lines
+    *    with field `user-agent` / `allow` / `disallow` (case-insensitive)
+    *    are kept, every other field (crawl-delay, sitemap, …) is ignored;
+    *  - a run of CONSECUTIVE user-agent lines opens one group; the
+    *    allow/disallow lines after it (until the next user-agent run) belong
+    *    to every agent named in the run (RFC 9309 §2.2.1);
+    *  - group selection: the groups naming `agent` exactly
+    *    (case-insensitive product token) if any exist for that host, else
+    *    the `*` groups — the RFC's most-specific-match collapsed to
+    *    exact-or-wildcard (no prefix product-token matching);
+    *  - an empty rule value (`Disallow:` = allow everything) is a no-op and
+    *    dropped; path patterns are PREFIX literals — the `*`/`$` wildcard
+    *    extension is out of scope and such patterns simply match as
+    *    literals.
+    *
+    * Output: (host, allow, prefix), one row per applicable rule; hosts whose
+    * file names only other agents (and no `*`) contribute no rows — i.e.
+    * everything is allowed, the RFC default.
+    *
+    * Scale shape: a robots.txt is KiBs, so the per-host windows (line order,
+    * group id) run over tiny partitions keyed by millions of distinct
+    * hosts — embarrassingly parallel; no corpus-sized exchange anywhere.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
+      agent: String): DataFrame = {
+    require(agent.nonEmpty && agent != "*", "agent must be a concrete product token")
+    import org.apache.spark.sql.expressions.Window
+    val lineW = Window.partitionBy("host").orderBy("pos")
+    val parsed = robots
+      .select(lower(col(hostCol)).as("host"),
+        posexplode(split(coalesce(col(contentCol), lit("")), "\n")).as(Seq("pos", "raw")))
+      .select(col("host"), col("pos"),
+        trim(regexp_replace(col("raw"), "#.*", "")).as("l"))
+      .select(col("host"), col("pos"),
+        lower(regexp_extract(col("l"), "^([A-Za-z][A-Za-z0-9-]*)\\s*:", 1)).as("field"),
+        trim(regexp_replace(col("l"), "^[A-Za-z][A-Za-z0-9-]*\\s*:", "")).as("value"))
+      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .withColumn("isua", col("field") === "user-agent")
+      .withColumn("newg",
+        col("isua") && !coalesce(lag("isua", 1).over(lineW), lit(false)))
+      .withColumn("gid",
+        sum(when(col("newg"), 1L).otherwise(0L)).over(lineW))
+    val agents = parsed.filter(col("isua"))
+      .select(col("host"), col("gid"), lower(col("value")).as("ag"))
+    val rules = parsed.filter(!col("isua") && col("value") =!= "")
+      .select(col("host"), col("gid"),
+        (col("field") === "allow").as("allow"), col("value").as("prefix"))
+    val exactHosts = agents.filter(col("ag") === agent.toLowerCase)
+      .select("host").distinct().withColumn("__exact", lit(true))
+    val chosen = agents.join(exactHosts, Seq("host"), "left")
+      .filter(when(col("__exact").isNotNull, col("ag") === agent.toLowerCase)
+        .otherwise(col("ag") === "*"))
+      .select("host", "gid").distinct()
+    rules.join(chosen, Seq("host", "gid")).select("host", "allow", "prefix")
+  }
+
+  /** Apply a [[robotsRules]] table to a URL stream: (doc_id, host, allowed)
+    * with RFC 9309 precedence — among the rules whose prefix matches the
+    * request target (raw path + query, fragment stripped, empty path = `/`),
+    * the LONGEST wins and allow beats disallow on a length tie; no matching
+    * rule (or no robots.txt for the host) means allowed. The tie-break is
+    * one integer argmax (`2·|prefix| + allow`), so the verdict is exact
+    * integer arithmetic any engine reproduces.
+    *
+    * The join key is the CANONICAL host ([[hostOf]] — lower-cased, default
+    * port dropped) while the matched target is the RAW path+query as a
+    * fetcher would send it: robots checks happen before canonicalization.
+    *
+    * Scale shape: one hash join keyed by host (rules per host are bounded by
+    * robots.txt size) + one map-side-combinable per-doc max — no
+    * corpus-sized exchange carries the URL payload past the join.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(trim(col(urlCol)), "(?s)#.*", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val pathq = regexp_replace(rest, "^[^/?]*", "")
+    val target = when(pathq.startsWith("/"), pathq)
+      .otherwise(concat(lit("/"), pathq))
+    val base = urls.select(Keys.id(urls, idCol).as("doc_id"),
+      hostOf(col(urlCol)).as("host"), target.as("__target"))
+    base.join(rules, Seq("host"), "left")
+      .groupBy("doc_id", "host")
+      .agg(max(when(col("prefix").isNotNull &&
+          col("__target").startsWith(col("prefix")),
+        length(col("prefix")) * 2 + when(col("allow"), 1).otherwise(0)))
+        .as("__best"))
+      .select(col("doc_id"), col("host"),
+        (col("__best").isNull || col("__best") % 2 === 1).as("allowed"))
+  }
 }

@@ -158,6 +158,32 @@ object ExtensionQueries {
     docs.select(d.as("doc_id"), url.as("url"))
   }
 
+  /** Deterministic per-host robots.txt fixture over [[urlFixture]]'s hosts
+    * (`www.srcN.example.com`). Every parser feature gets signal: comment
+    * and blank lines, an inline comment, an ignored crawl-delay field, a
+    * mixed-case exact-agent group (odd N only — even hosts exercise the `*`
+    * fallback), TWO consecutive user-agent lines sharing one group, an
+    * empty `Disallow:` no-op, overlapping prefixes (longest-match) and an
+    * equal-length allow/disallow pair (tie → allow). Hosts with N % 5 == 0
+    * publish no robots.txt at all — the allowed-by-default path.
+    */
+  private def robotsFixture(docs: DataFrame): DataFrame = {
+    val n = expr("cast(substring(source, 4, 10) as int)")
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val uaBlock = when(n % 2 === 1,
+      lit("User-agent: GraftBot\nDisallow: /articles/1\nAllow: /articles/12\n\n"))
+      .otherwise(lit(""))
+    val content = concat(
+      lit("# robots for "), host, lit("\n"), uaBlock,
+      lit("User-agent: OtherBot\nUser-agent: *\nCrawl-delay: 7\n" +
+        "Disallow: /articles/\nAllow: /articles/2\n" +
+        "Allow: /articles/3   # inline comment\nDisallow: /articles/3\n" +
+        "Disallow:"))
+    docs.select(col("source")).distinct()
+      .filter(n % 5 =!= 0)
+      .select(host.as("host"), content.as("content"))
+  }
+
   /** Shared DuckDB CTE: exact word-3-gram Jaccard pairs at threshold 0.8 —
     * oracle for both the exact operator and the MinHash-LSH operator (whose
     * banding at numPerm=32/bands=8 has recall ≈ 1 at the planted J≈0.99).
@@ -496,6 +522,25 @@ object ExtensionQueries {
       graft.operators.Urls.hostCap(urlFixture(t(s, d, "documents")),
         "doc_id", "url", maxPerHost = 30)),
 
+    // robots.txt politeness gate: parse the per-host fixture files into the
+    // rule set that binds agent "graftbot" (exact group where one exists,
+    // `*` fallback elsewhere; comments/blank/crawl-delay lines ignored;
+    // consecutive user-agent lines share one group; empty Disallow dropped)
+    "q_robots_rules" -> ((s, d) =>
+      graft.operators.Urls.robotsRules(
+        robotsFixture(t(s, d, "documents")), "host", "content",
+        agent = "graftbot")),
+
+    // ...and apply them to the URL fixture: canonical-host join, raw
+    // path+query prefix match, longest rule wins, allow beats disallow on a
+    // tie, hosts without robots.txt default to allowed
+    "q_robots_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Urls.robotsFilter(urlFixture(docs), "doc_id", "url",
+        graft.operators.Urls.robotsRules(robotsFixture(docs),
+          "host", "content", agent = "graftbot"))
+    }),
+
     // ---- link graph + host reputation (Links.scala) ----
     // per-page outgoing links: absolute kept, protocol-/root-relative
     // resolved, fragment/mailto/javascript/directory-relative dropped,
@@ -516,6 +561,21 @@ object ExtensionQueries {
     "q_pagerank" -> ((s, d) =>
       Links.hostRank(linkPages(t(s, d, "documents")),
         "doc_id", "url", "html", iters = 3, dampBp = 8500)),
+
+    // crawl-frontier expansion: the links DISCOVERED by the current wave
+    // cut against the already-discovered set (urlState over the seed wave's
+    // links, docs < 20) — the next-wave fetch list, one row per NEW
+    // canonical URL with its smallest discovering doc. Frontier dedup IS
+    // incremental URL dedup with the discovered set as state, so the
+    // composition reuses urlDedupIncremental verbatim.
+    "q_link_frontier" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      graft.operators.Urls.urlDedupIncremental(
+        links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
+        graft.operators.Urls.urlState(
+          links.filter(col("doc_id") < 20), "doc_id", "dst_url"))
+    }),
 
     // incremental crawl dedup: history = docs < 250 (persisted urlState),
     // batch = the rest; a batch URL already fetched under ANY canonical
@@ -607,6 +667,16 @@ object ExtensionQueries {
     "q_c4_gate" -> ((s, d) =>
       TextAnalysis.c4Gate(sentenceFixture(t(s, d, "documents")),
         "doc_id", "text", minLineWords = 5)),
+
+    // C4's OTHER famous rule — the word blocklist: token-boundary matches
+    // only (punctuation stripped per token, substrings never match), doc
+    // kept while hits stay under the budget. The sentence fixture adds
+    // punctuation-glued occurrences ("slow." etc.) the boundary strip must
+    // still catch.
+    "q_badwords_gate" -> ((s, d) =>
+      TextAnalysis.wordlistGate(sentenceFixture(t(s, d, "documents")),
+        "doc_id", "text", blocklist = Seq("dup", "slow", "lorem"),
+        maxHits = 2)),
 
     // the full RefinedWeb-shaped chain in ONE plan: fetch once per page
     // identity (url dedup) -> strip markup + boilerplate (html extract) ->
@@ -1865,6 +1935,66 @@ object ExtensionQueries {
 
     "q_pagerank" -> pageRankOracleSql,
 
+    // frontier = wave-2 links minus the wave-1 discovered set. The fixture's
+    // links are CONSTRUCTED in canonical form (lower-case, no default port,
+    // params already sorted — see linkDerivCte), so canonical(dst_url) =
+    // dst_url and the oracle can anti-join the raw strings.
+    "q_link_frontier" ->
+      (s"WITH $linkDerivCte,\n" +
+        """seen AS (SELECT DISTINCT dst_url FROM links WHERE doc_id < 20)
+          |SELECT min(doc_id) AS doc_id, dst_url AS url_canon
+          |FROM links WHERE doc_id >= 20
+          |  AND dst_url NOT IN (SELECT dst_url FROM seen)
+          |GROUP BY dst_url""".stripMargin),
+
+    // ground truth DERIVED from the fixture recipe (per-host rule sets as a
+    // function of the source suffix), NOT by re-running the parser — a hash
+    // match proves comment stripping, group runs, agent selection, and the
+    // empty-Disallow no-op against an independent restatement
+    "q_robots_rules" ->
+      ("""WITH s AS (SELECT DISTINCT source,
+        |  CAST(substr(source, 4) AS INT) AS n FROM documents),
+        |h AS (SELECT 'www.' || source || '.example.com' AS host, n
+        |      FROM s WHERE n % 5 <> 0)
+        |SELECT host, false AS allow, '/articles/1' AS prefix FROM h WHERE n % 2 = 1
+        |UNION ALL SELECT host, true, '/articles/12' FROM h WHERE n % 2 = 1
+        |UNION ALL SELECT host, false, '/articles/' FROM h WHERE n % 2 = 0
+        |UNION ALL SELECT host, true, '/articles/2' FROM h WHERE n % 2 = 0
+        |UNION ALL SELECT host, true, '/articles/3' FROM h WHERE n % 2 = 0
+        |UNION ALL SELECT host, false, '/articles/3' FROM h WHERE n % 2 = 0""".stripMargin),
+
+    "q_robots_filter" ->
+      (s"WITH u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM documents),\n" +
+        """c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
+          |c2 AS (SELECT doc_id,
+          |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+          |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
+          |c3 AS (SELECT doc_id, sch,
+          |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS hp,
+          |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
+          |tg AS (SELECT doc_id,
+          |  CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
+          |       WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
+          |       ELSE hp END AS host,
+          |  CASE WHEN starts_with(pathq, '/') THEN pathq ELSE '/' || pathq END AS target
+          |  FROM c3),
+          |s AS (SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS n FROM documents),
+          |hh AS (SELECT 'www.' || source || '.example.com' AS host, n
+          |       FROM s WHERE n % 5 <> 0),
+          |gr AS (
+          |  SELECT host, false AS allow, '/articles/1' AS prefix FROM hh WHERE n % 2 = 1
+          |  UNION ALL SELECT host, true, '/articles/12' FROM hh WHERE n % 2 = 1
+          |  UNION ALL SELECT host, false, '/articles/' FROM hh WHERE n % 2 = 0
+          |  UNION ALL SELECT host, true, '/articles/2' FROM hh WHERE n % 2 = 0
+          |  UNION ALL SELECT host, true, '/articles/3' FROM hh WHERE n % 2 = 0
+          |  UNION ALL SELECT host, false, '/articles/3' FROM hh WHERE n % 2 = 0),
+          |m AS (SELECT tg.doc_id, tg.host,
+          |  max(CASE WHEN g.prefix IS NOT NULL AND starts_with(tg.target, g.prefix)
+          |      THEN length(g.prefix) * 2 + (CASE WHEN g.allow THEN 1 ELSE 0 END) END) AS best
+          |  FROM tg LEFT JOIN gr g ON g.host = tg.host
+          |  GROUP BY 1, 2)
+          |SELECT doc_id, host, (best IS NULL OR best % 2 = 1) AS allowed FROM m""".stripMargin),
+
     // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
     // TextAnalysis.LangProfiles constant the engine uses
     "q_text_langid2" ->
@@ -1963,6 +2093,20 @@ object ExtensionQueries {
         |   AND NOT contains(lower(t), 'lorem ipsum')
         |   AND NOT contains(t, '{')) AS kept
         |FROM k""".stripMargin),
+
+    "q_badwords_gate" ->
+      (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +
+        """w AS (SELECT doc_id,
+          |  list_transform(
+          |    list_filter(string_split_regex(lower(coalesce(t, '')), '\s+'),
+          |                x -> length(x) > 0),
+          |    x -> regexp_replace(regexp_replace(x, '^[^\p{L}\p{N}]+', ''),
+          |                        '[^\p{L}\p{N}]+$', '')) AS ws
+          |  FROM d),
+          |h AS (SELECT doc_id,
+          |  len(list_filter(ws, x -> list_contains(['dup', 'slow', 'lorem'], x))) AS nh
+          |  FROM w)
+          |SELECT doc_id, nh::INTEGER AS n_hits, (nh <= 2) AS kept FROM h""".stripMargin),
 
     "q_pipeline_refined" ->
       (urlCanonCte + ",\n" +

@@ -178,4 +178,92 @@ class WebPrepSpec extends SparkSpec {
     // a non-default port does NOT dodge the blocklist — same site
     assert(got == Seq(true, true, false, false, true, true))
   }
+
+  // -------------------------------------------------------------------------
+  // robots.txt (RFC 9309 subset)
+
+  private def rulesOf(content: String, agent: String = "graftbot"): Set[(Boolean, String)] = {
+    import spark.implicits._
+    Urls.robotsRules(Seq(("h.example.com", content)).toDF("host", "content"),
+      "host", "content", agent)
+      .collect().map(r => (r.getBoolean(1), r.getString(2))).toSet
+  }
+
+  test("robotsRules: comments, blank lines, unknown fields, empty Disallow all ignored") {
+    val c = "# header comment\n\nUser-agent: *\nCrawl-delay: 9\nSitemap: /s.xml\n" +
+      "Disallow: /a   # trailing comment\n\nDisallow:\nAllow: /b"
+    assert(rulesOf(c) == Set((false, "/a"), (true, "/b")))
+  }
+
+  test("robotsRules: consecutive user-agent lines share one group; later UA run opens a new one") {
+    val c = "User-agent: GraftBot\nUser-agent: OtherBot\nDisallow: /g\n" +
+      "User-agent: *\nDisallow: /star"
+    // graftbot named in group 1 → ONLY group 1 binds (wildcard group ignored)
+    assert(rulesOf(c) == Set((false, "/g")))
+    // an agent named nowhere falls to the wildcard group
+    assert(rulesOf(c, agent = "elsebot") == Set((false, "/star")))
+  }
+
+  test("robotsRules: exact groups MERGE across the file; agent match is case-insensitive") {
+    val c = "User-agent: graftBOT\nDisallow: /one\n" +
+      "User-agent: *\nDisallow: /w\n" +
+      "User-agent: GRAFTbot\nAllow: /two"
+    assert(rulesOf(c, agent = "GraftBot") == Set((false, "/one"), (true, "/two")))
+  }
+
+  test("robotsFilter: longest prefix wins, allow beats disallow on a tie, no-rule and no-robots default allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.example.com", false, "/a/"),
+      ("h.example.com", true, "/a/pub"),
+      ("h.example.com", true, "/tie"),
+      ("h.example.com", false, "/tie")).toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "https://h.example.com/a/private/x"),   // /a/ disallow
+      (2L, "https://h.example.com/a/pub/x"),       // longer allow wins
+      (3L, "https://h.example.com/tie/x"),         // equal length → allow
+      (4L, "https://h.example.com/elsewhere"),     // no matching rule
+      (5L, "https://H.EXAMPLE.com:443/a/y"),       // canonical-host join still matches
+      (6L, "https://unlisted.example.com/a/z"))    // host with no robots at all
+      .toDF("doc_id", "url")
+    val got = Urls.robotsFilter(urls, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> false, 6L -> true))
+  }
+
+  test("robotsFilter: the match target is raw path+query with fragment stripped, empty path = /") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.example.com", false, "/p?x="),
+      ("h.example.com", false, "/q")).toDF("host", "allow", "prefix")
+    val urls = Seq(
+      (1L, "https://h.example.com/p?x=1"),    // query participates in the match
+      (2L, "https://h.example.com/p?y=1"),    // same path, different query → no match
+      (3L, "https://h.example.com/q#frag"),   // fragment stripped before match
+      (4L, "https://h.example.com"))          // empty path → '/' (no rule hits)
+      .toDF("doc_id", "url")
+    val got = Urls.robotsFilter(urls, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+  }
+
+  // -------------------------------------------------------------------------
+  // word blocklist gate
+
+  test("wordlistGate: token-boundary matches only — punctuation stripped, substrings never hit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a Slow day"),                  // case-folded hit
+      (2L, "slow, slow! (slow)"),          // punctuation-glued occurrences all hit
+      (3L, "slowly classy"),               // substrings must NOT match
+      (4L, "clean text entirely"),
+      (5L, null.asInstanceOf[String]))     // null text → 0 hits, kept
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordlistGate(docs, "doc_id", "text",
+      blocklist = Seq("slow", "ass"), maxHits = 0)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(got == Map(1L -> ((1, false)), 2L -> ((3, false)),
+      3L -> ((0, true)), 4L -> ((0, true)), 5L -> ((0, true))))
+  }
 }
