@@ -61,6 +61,20 @@ object Links {
     * Scale shape: narrow codegen'd extraction, one explode sized by the
     * link stream; no shuffle.
     */
+  /** Shared href resolution (see [[extractLinks]]'s rules): absolute kept,
+    * protocol-/root-relative resolved against the page's scheme/host,
+    * everything else null. `&amp;` — the one entity legal in attribute
+    * values that matters for URLs — is decoded first.
+    */
+  private def resolveHref(h: Column, srcScheme: Column, srcHost: Column): Column = {
+    val t = trim(replace(h, lit("&amp;"), lit("&")))
+    when(t.rlike(NonLinkPattern) || t === "", lit(null: String))
+      .when(t.rlike("(?i)^[a-z][a-z0-9+.-]*://"), t)
+      .when(t.startsWith("//"), concat(srcScheme, lit(":"), t))
+      .when(t.startsWith("/"), concat(srcScheme, lit("://"), srcHost, t))
+      .otherwise(lit(null: String))
+  }
+
   def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(coalesce(col(htmlCol), lit("")),
@@ -68,22 +82,52 @@ object Links {
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val srcHost = Urls.hostOf(col(urlCol))
-    val resolved = transform(hrefs, h => {
-      // decode the one entity legal in attribute values that matters for
-      // URLs (&amp;); then resolve
-      val t = trim(replace(h, lit("&amp;"), lit("&")))
-      when(t.rlike(NonLinkPattern) || t === "", lit(null: String))
-        .when(t.rlike("(?i)^[a-z][a-z0-9+.-]*://"), t)
-        .when(t.startsWith("//"), concat(srcScheme, lit(":"), t))
-        .when(t.startsWith("/"), concat(srcScheme, lit("://"), srcHost, t))
-        .otherwise(lit(null: String))
-    })
+    val resolved = transform(hrefs, h => resolveHref(h, srcScheme, srcHost))
     docs
       .select(Keys.id(docs, idCol).as("doc_id"), srcHost.as("src_host"),
         resolved.as("ls"))
       .select(col("doc_id"), col("src_host"),
         explode(filter(col("ls"), l => l.isNotNull)).as("dst_url"))
       .withColumn("dst_host", Urls.hostOf(col("dst_url")))
+  }
+
+  /** [[extractLinks]] plus the ANCHOR TEXT of each kept link — the
+    * (dst_url, anchor_text) stream behind anchor-text corpora (retrieval
+    * training pairs, link-context quality signals: what the web CALLS a
+    * page, which is often cleaner than the page's own title). Inner markup
+    * is stripped, whitespace collapsed, the four attribute-legal entities
+    * decoded; anchors whose href resolves to null (fragments, mailto:,
+    * directory-relative, …) are dropped exactly as in [[extractLinks]].
+    * Output: (doc_id, src_host, dst_url, dst_host, anchor_text) — one row
+    * per kept href occurrence; empty anchor bodies surface as ''.
+    *
+    * Scale shape: identical to [[extractLinks]] — one narrow codegen'd
+    * pass, one explode sized by the anchor stream, no shuffle.
+    */
+  def anchorTexts(docs: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
+      lit("(?is)<a[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"), lit(0))
+    val srcScheme = lower(regexp_extract(trim(col(urlCol)),
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val base = docs
+      .select(Keys.id(docs, idCol).as("doc_id"), srcScheme.as("__sch"),
+        Urls.hostOf(col(urlCol)).as("src_host"), explode(elems).as("__elem"))
+    val href = regexp_extract(col("__elem"),
+      "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val rawText = regexp_extract(col("__elem"), "(?is)>(.*)</a>$", 1)
+    val cleaned = trim(regexp_replace(
+      replace(replace(replace(replace(
+        regexp_replace(rawText, "(?s)<[^>]*>", " "),
+        lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")),
+        lit("&gt;"), lit(">")), lit("&amp;"), lit("&")),
+      "\\s+", " "))
+    base
+      .withColumn("dst_url", resolveHref(href, col("__sch"), col("src_host")))
+      .filter(col("dst_url").isNotNull)
+      .select(col("doc_id"), col("src_host"), col("dst_url"),
+        Urls.hostOf(col("dst_url")).as("dst_host"),
+        cleaned.as("anchor_text"))
   }
 
   /** The host endorsement graph: (src_host, dst_host, n_links) with

@@ -541,6 +541,34 @@ object ExtensionQueries {
           "host", "content", agent = "graftbot"))
     }),
 
+    // the POLITENESS-COMPLETE crawl chain in ONE plan: robots gate (never
+    // fetch what the host forbids) -> one fetch per canonical URL -> HTML
+    // extraction + density gate -> word-blocklist gate -> exact dedup on
+    // the extracted text — q_pipeline_web with the two new gates composed
+    // in, proven by the same chained-CTE oracle style
+    "q_pipeline_crawl2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val urls = urlFixture(docs)
+      val allowed = graft.operators.Urls.robotsFilter(urls, "doc_id", "url",
+        graft.operators.Urls.robotsRules(robotsFixture(docs),
+          "host", "content", agent = "graftbot"))
+        .filter(col("allowed")).select("doc_id")
+      val keptUrl = graft.operators.Urls
+        .urlDedup(urls.join(allowed, "doc_id"), "doc_id", "url")
+        .select("doc_id")
+      val extracted = TextAnalysis.htmlExtract(
+        htmlFixture(docs).join(keptUrl, "doc_id"), "doc_id", "html",
+        minWords = 5)
+      val gated = extracted.filter(col("n_kept") >= 2)
+        .select(col("doc_id"), col("text"))
+      val clean = gated.join(
+        TextAnalysis.wordlistGate(gated, "doc_id", "text",
+          blocklist = Seq("slow", "dup"), maxHits = 5)
+          .filter(col("kept")).select("doc_id"), "doc_id")
+      clean.join(Dedup.exact(clean, "doc_id", "text"), "doc_id")
+        .select("doc_id", "text")
+    }),
+
     // ---- link graph + host reputation (Links.scala) ----
     // per-page outgoing links: absolute kept, protocol-/root-relative
     // resolved, fragment/mailto/javascript/directory-relative dropped,
@@ -554,6 +582,13 @@ object ExtensionQueries {
     "q_link_hosts" -> ((s, d) =>
       Links.hostEdges(Links.extractLinks(linkPages(t(s, d, "documents")),
         "doc_id", "url", "html"))),
+
+    // anchor-text stream: each kept link plus the markup-stripped,
+    // entity-decoded text of its <a> element — the corpus behind
+    // anchor-text retrieval pairs and link-context quality signals
+    "q_link_anchors" -> ((s, d) =>
+      Links.anchorTexts(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")),
 
     // 3-iteration damped PageRank over the host graph, the whole recurrence
     // in 1e-12 fixed-point BIGINT (no floating point anywhere → the oracle
@@ -1584,6 +1619,39 @@ object ExtensionQueries {
       |  host
       |  FROM c5)""".stripMargin
 
+  /** Ground-truth robots rule sets per host for agent "graftbot", DERIVED
+    * from the [[robotsFixture]] recipe (a function of the source suffix),
+    * not by re-running the parser. Defines CTEs rs/rh/gr.
+    */
+  private val robotsGroundCte: String =
+    """rs AS (SELECT DISTINCT source,
+      |  CAST(substr(source, 4) AS INT) AS n FROM documents),
+      |rh AS (SELECT 'www.' || source || '.example.com' AS host, n
+      |       FROM rs WHERE n % 5 <> 0),
+      |gr AS (
+      |  SELECT host, false AS allow, '/articles/1' AS prefix FROM rh WHERE n % 2 = 1
+      |  UNION ALL SELECT host, true, '/articles/12' FROM rh WHERE n % 2 = 1
+      |  UNION ALL SELECT host, false, '/articles/' FROM rh WHERE n % 2 = 0
+      |  UNION ALL SELECT host, true, '/articles/2' FROM rh WHERE n % 2 = 0
+      |  UNION ALL SELECT host, true, '/articles/3' FROM rh WHERE n % 2 = 0
+      |  UNION ALL SELECT host, false, '/articles/3' FROM rh WHERE n % 2 = 0)""".stripMargin
+
+  /** Per-doc robots verdict riding [[urlCanonCte]]'s parse (c4 carries the
+    * canonical host + raw path?query) and [[robotsGroundCte]]'s rules:
+    * longest matching prefix wins, allow beats disallow on a tie, encoded
+    * as one integer argmax. Defines CTEs tg/rm; the verdict is
+    * `best IS NULL OR best % 2 = 1` over rm.
+    */
+  private val robotsVerdictCte: String =
+    """tg AS (SELECT doc_id, host,
+      |  CASE WHEN starts_with(pathq, '/') THEN pathq ELSE '/' || pathq END AS target
+      |  FROM c4),
+      |rm AS (SELECT tg.doc_id, tg.host,
+      |  max(CASE WHEN g.prefix IS NOT NULL AND starts_with(tg.target, g.prefix)
+      |      THEN length(g.prefix) * 2 + (CASE WHEN g.allow THEN 1 ELSE 0 END) END) AS best
+      |  FROM tg LEFT JOIN gr g ON g.host = tg.host
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** The htmlFixture derivation as a SQL select-list fragment (from a
     * documents-shaped relation aliased in context).
     */
@@ -1933,6 +2001,17 @@ object ExtensionQueries {
         """SELECT src_host, dst_host, count(*) AS n_links FROM links
           |WHERE src_host <> dst_host GROUP BY 1, 2""".stripMargin),
 
+    // anchor texts attached to the independent link derivation by dst
+    // pattern (each fixture anchor has a constant body per link family)
+    "q_link_anchors" ->
+      (s"WITH $linkDerivCte\n" +
+        """SELECT doc_id, src_host, dst_url, dst_host,
+          |  CASE WHEN contains(dst_url, '/a/') THEN 'next source article'
+          |       WHEN contains(dst_url, '/b?') THEN 'second source'
+          |       WHEN contains(dst_url, '/h/') THEN 'hub mirror'
+          |       ELSE 'local page' END AS anchor_text
+          |FROM links""".stripMargin),
+
     "q_pagerank" -> pageRankOracleSql,
 
     // frontier = wave-2 links minus the wave-1 discovered set. The fixture's
@@ -1952,48 +2031,35 @@ object ExtensionQueries {
     // match proves comment stripping, group runs, agent selection, and the
     // empty-Disallow no-op against an independent restatement
     "q_robots_rules" ->
-      ("""WITH s AS (SELECT DISTINCT source,
-        |  CAST(substr(source, 4) AS INT) AS n FROM documents),
-        |h AS (SELECT 'www.' || source || '.example.com' AS host, n
-        |      FROM s WHERE n % 5 <> 0)
-        |SELECT host, false AS allow, '/articles/1' AS prefix FROM h WHERE n % 2 = 1
-        |UNION ALL SELECT host, true, '/articles/12' FROM h WHERE n % 2 = 1
-        |UNION ALL SELECT host, false, '/articles/' FROM h WHERE n % 2 = 0
-        |UNION ALL SELECT host, true, '/articles/2' FROM h WHERE n % 2 = 0
-        |UNION ALL SELECT host, true, '/articles/3' FROM h WHERE n % 2 = 0
-        |UNION ALL SELECT host, false, '/articles/3' FROM h WHERE n % 2 = 0""".stripMargin),
+      (s"WITH $robotsGroundCte\nSELECT host, allow, prefix FROM gr"),
 
     "q_robots_filter" ->
-      (s"WITH u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM documents),\n" +
-        """c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
-          |c2 AS (SELECT doc_id,
-          |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-          |  regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM c1),
-          |c3 AS (SELECT doc_id, sch,
-          |  lower(regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^[^@]*@', '')) AS hp,
-          |  regexp_replace(rest, '^[^/?]*', '') AS pathq FROM c2),
-          |tg AS (SELECT doc_id,
-          |  CASE WHEN sch = 'http' THEN regexp_replace(hp, ':80$', '')
-          |       WHEN sch = 'https' THEN regexp_replace(hp, ':443$', '')
-          |       ELSE hp END AS host,
-          |  CASE WHEN starts_with(pathq, '/') THEN pathq ELSE '/' || pathq END AS target
-          |  FROM c3),
-          |s AS (SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS n FROM documents),
-          |hh AS (SELECT 'www.' || source || '.example.com' AS host, n
-          |       FROM s WHERE n % 5 <> 0),
-          |gr AS (
-          |  SELECT host, false AS allow, '/articles/1' AS prefix FROM hh WHERE n % 2 = 1
-          |  UNION ALL SELECT host, true, '/articles/12' FROM hh WHERE n % 2 = 1
-          |  UNION ALL SELECT host, false, '/articles/' FROM hh WHERE n % 2 = 0
-          |  UNION ALL SELECT host, true, '/articles/2' FROM hh WHERE n % 2 = 0
-          |  UNION ALL SELECT host, true, '/articles/3' FROM hh WHERE n % 2 = 0
-          |  UNION ALL SELECT host, false, '/articles/3' FROM hh WHERE n % 2 = 0),
-          |m AS (SELECT tg.doc_id, tg.host,
-          |  max(CASE WHEN g.prefix IS NOT NULL AND starts_with(tg.target, g.prefix)
-          |      THEN length(g.prefix) * 2 + (CASE WHEN g.allow THEN 1 ELSE 0 END) END) AS best
-          |  FROM tg LEFT JOIN gr g ON g.host = tg.host
-          |  GROUP BY 1, 2)
-          |SELECT doc_id, host, (best IS NULL OR best % 2 = 1) AS allowed FROM m""".stripMargin),
+      (urlCanonCte + ",\n" + robotsGroundCte + ",\n" + robotsVerdictCte + "\n" +
+        "SELECT doc_id, host, (best IS NULL OR best % 2 = 1) AS allowed FROM rm"),
+
+    "q_pipeline_crawl2" ->
+      (urlCanonCte + ",\n" + robotsGroundCte + ",\n" + robotsVerdictCte + ",\n" +
+        """allowed AS (SELECT doc_id FROM rm WHERE best IS NULL OR best % 2 = 1),
+          |keep AS (SELECT min(c.doc_id) AS doc_id FROM canon c
+          |         JOIN allowed a ON a.doc_id = c.doc_id GROUP BY c.url_canon),
+          |""".stripMargin +
+        s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM documents d JOIN keep USING (doc_id)),\n" +
+        htmlRulesCte + ",\n" +
+        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept FROM k),
+          |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
+          |bwc AS (SELECT doc_id,
+          |  len(list_filter(list_transform(
+          |    list_filter(string_split_regex(lower(text), '\s+'), x -> length(x) > 0),
+          |    x -> regexp_replace(regexp_replace(x, '^[^\p{L}\p{N}]+', ''),
+          |                        '[^\p{L}\p{N}]+$', '')),
+          |    x -> list_contains(['slow', 'dup'], x))) AS nh FROM g),
+          |g2 AS (SELECT g.doc_id, g.text FROM g JOIN bwc USING (doc_id)
+          |       WHERE bwc.nh <= 5),
+          |surv AS (SELECT min(doc_id) AS doc_id FROM
+          |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g2) q
+          |  GROUP BY fp)
+          |SELECT g2.doc_id, g2.text FROM g2 JOIN surv USING (doc_id)""".stripMargin),
 
     // Cavnar-Trenkle restated: the profile VALUES are GENERATED from the same
     // TextAnalysis.LangProfiles constant the engine uses

@@ -113,4 +113,26 @@ class LinksSpec extends SparkSpec {
     assert(hr("hub.example.com")._1 > hr("b.example.com")._1)
     assert(hr("a.example.com")._3 == 2L)
   }
+
+  test("anchorTexts: markup stripped, entities decoded last, junk anchors dropped, empty body kept") {
+    import spark.implicits._
+    val html =
+      """<a href="/a">plain text</a>""" +
+        """<a href="/b">has <b>bold</b> and
+          |   spread   whitespace</a>""".stripMargin +
+        """<a href="/c">fish &amp; chips &lt;still&gt; text&nbsp;here</a>""" +
+        """<a href="/d">&amp;lt;</a>""" +          // &amp; decodes LAST: stays a literal &lt;
+        """<a href="/e"></a>""" +                  // empty body survives as ''
+        """<a href="#x">frag</a><a href="mailto:a@b">m</a>""" +
+        """<a href="rel/x.html">rel</a>"""         // dropped with their texts
+    val docs = Seq((1L, "https://h.example.com/p", html)).toDF("doc_id", "url", "html")
+    val got = Links.anchorTexts(docs, "doc_id", "url", "html")
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(got == Map(
+      "https://h.example.com/a" -> "plain text",
+      "https://h.example.com/b" -> "has bold and spread whitespace",
+      "https://h.example.com/c" -> "fish & chips <still> text here",
+      "https://h.example.com/d" -> "&lt;",
+      "https://h.example.com/e" -> ""))
+  }
 }
