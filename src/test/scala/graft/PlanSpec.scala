@@ -660,4 +660,38 @@ class PlanSpec extends SparkSpec {
       s"every rank window must be salted:\n$winSpecs")
     graft.operators.Caches.release(spark)
   }
+
+  test("wordlist gate and anchor extraction are narrow: zero shuffles") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val gate = graft.operators.TextAnalysis.wordlistGate(
+      docs, "doc_id", "text", Seq("slow", "dup"))
+    val anchors = graft.operators.Links.anchorTexts(
+      docs.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example.com/p")).as("url"),
+        col("text").as("html")), "doc_id", "url", "html")
+    for ((label, df) <- Seq("wordlistGate" -> gate, "anchorTexts" -> anchors)) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$label must be a narrow pass, found a shuffle:\n$plan")
+    }
+  }
+
+  test("robots filter: host-keyed equi-join + map-side-combined verdict max, never cartesian") {
+    import spark.implicits._
+    val rules = Seq(("h0.example.com", false, "/a/"),
+      ("h0.example.com", true, "/a/pub")).toDF("host", "allow", "prefix")
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example.com/a/x")).as("url"))
+    val out = graft.operators.Urls.robotsFilter(docs, "doc_id", "url", rules)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"the rules join must be host-keyed:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"the verdict argmax must combine map-side before any exchange:\n$plan")
+    // the per-host rule parse runs over KiB partitions; the URL-side verdict
+    // must never route through a partition-less window
+    assert(!plan.contains("WindowExec"),
+      s"the verdict is an aggregate, not a window:\n$plan")
+  }
 }
