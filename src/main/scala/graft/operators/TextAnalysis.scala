@@ -48,9 +48,13 @@ object TextAnalysis {
     *   7. ≥ 2 distinct Gopher stop words present.
     * Output: per-rule booleans + the conjunction. One narrow codegen'd pass.
     */
-  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+  /** The Gopher rule columns over a (coalesced) text column: n_words plus
+    * the seven ok_ flags, in declaration order — shared by [[gopherGate]]
+    * (which surfaces each flag) and [[tagDocs]] (which surfaces the
+    * conjunction).
+    */
+  private def gopherRuleCols(t: Column, minWords: Int,
+      maxWords: Int): Seq[(String, Column)] = {
     val ws = words(t)
     val n = size(ws).cast("long")
     val totalLen = aggregate(transform(ws, w => length(w).cast("long")),
@@ -70,22 +74,26 @@ object TextAnalysis {
     val alpha = size(filter(ws, w => w.rlike("\\p{L}"))).cast("long")
     val stops = array(GopherStopWords.map(lit): _*)
     val nStops = size(array_intersect(array_distinct(ws), stops))
-    docs.select(
-      Keys.id(docs, idCol).as("doc_id"),
-      n.as("n_words"),
-      n.between(minWords, maxWords).as("ok_word_count"),
-      (lit(3L) * n <= totalLen && totalLen <= lit(10L) * n)
-        .as("ok_mean_word_len"),
-      (lit(10L) * (hashes + dots) <= n).as("ok_symbol_ratio"),
-      (lit(10L) * bullets <= lit(9L) * nl).as("ok_bullet_lines"),
-      (lit(10L) * ellipsis <= lit(3L) * nl).as("ok_ellipsis_lines"),
-      (lit(10L) * alpha >= lit(8L) * n).as("ok_alpha_words"),
-      (nStops >= 2).as("ok_stop_words"))
+    Seq(
+      "n_words" -> n,
+      "ok_word_count" -> n.between(minWords, maxWords),
+      "ok_mean_word_len" ->
+        (lit(3L) * n <= totalLen && totalLen <= lit(10L) * n),
+      "ok_symbol_ratio" -> (lit(10L) * (hashes + dots) <= n),
+      "ok_bullet_lines" -> (lit(10L) * bullets <= lit(9L) * nl),
+      "ok_ellipsis_lines" -> (lit(10L) * ellipsis <= lit(3L) * nl),
+      "ok_alpha_words" -> (lit(10L) * alpha >= lit(8L) * n),
+      "ok_stop_words" -> (nStops >= 2))
+  }
+
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val cols = gopherRuleCols(t, minWords, maxWords)
+    docs.select(Keys.id(docs, idCol).as("doc_id") +:
+      cols.map { case (name, c) => c.as(name) }: _*)
       .withColumn("passed",
-        col("ok_word_count") && col("ok_mean_word_len") &&
-          col("ok_symbol_ratio") && col("ok_bullet_lines") &&
-          col("ok_ellipsis_lines") && col("ok_alpha_words") &&
-          col("ok_stop_words"))
+        cols.drop(1).map { case (name, _) => col(name) }.reduce(_ && _))
   }
 
   /** Gopher's stop-word presence list (Rae 2021 A1.1). */
@@ -101,9 +109,11 @@ object TextAnalysis {
     * Output: (doc_id, text = kept lines re-joined, n_kept, kept). One narrow
     * codegen'd pass, no shuffle — composes with [[htmlExtract]] upstream.
     */
-  def c4Gate(docs: DataFrame, idCol: String, textCol: String,
-      minLineWords: Int = 5): DataFrame = {
-    val t = coalesce(col(textCol), lit(""))
+  /** The C4 rule columns over a (coalesced) text column:
+    * (cleaned text, kept-line count, doc verdict) — shared by [[c4Gate]]
+    * and [[tagDocs]].
+    */
+  private def c4Cols(t: Column, minLineWords: Int): (Column, Column, Column) = {
     val lines = transform(split(t, "\n"),
       l => trim(regexp_replace(l, "\\s+", " ")))
     val kept = filter(lines, l =>
@@ -111,12 +121,18 @@ object TextAnalysis {
         size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords &&
         !lower(l).contains("javascript"))
     val cleaned = array_join(kept, "\n")
+    val verdict = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= 3 &&
+      !lower(t).contains("lorem ipsum") &&
+      !t.contains("{")
+    (cleaned, size(kept), verdict)
+  }
+
+  def c4Gate(docs: DataFrame, idCol: String, textCol: String,
+      minLineWords: Int = 5): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val (cleaned, nKept, verdict) = c4Cols(t, minLineWords)
     docs.select(Keys.id(docs, idCol).as("doc_id"),
-      cleaned.as("text"),
-      size(kept).as("n_kept"),
-      (size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0))) >= 3 &&
-        !lower(t).contains("lorem ipsum") &&
-        !t.contains("{")).as("kept"))
+      cleaned.as("text"), nKept.as("n_kept"), verdict.as("kept"))
   }
 
   /** Word-list gate — the C4 blocklist rule (Raffel et al. 2020 §2.2 drop
@@ -132,17 +148,59 @@ object TextAnalysis {
     * size; the list rides the plan as a literal array (real lists are a few
     * hundred entries — bytes of plan, no broadcast, no join).
     */
+  /** Blocklist hit count over a (coalesced) text column — shared by
+    * [[wordlistGate]] and [[tagDocs]].
+    */
+  private def wordlistHitCount(t: Column, blocklist: Seq[String]): Column = {
+    val block = array(blocklist.map(b => lit(b.toLowerCase)): _*)
+    val stripped = transform(words(t), w =>
+      regexp_replace(regexp_replace(w, "^[^\\p{L}\\p{N}]+", ""),
+        "[^\\p{L}\\p{N}]+$", ""))
+    size(filter(stripped, w => array_contains(block, w)))
+  }
+
   def wordlistGate(docs: DataFrame, idCol: String, textCol: String,
       blocklist: Seq[String], maxHits: Int = 0): DataFrame = {
     require(blocklist.nonEmpty, "need a non-empty blocklist")
-    val block = array(blocklist.map(b => lit(b.toLowerCase)): _*)
-    val stripped = transform(words(coalesce(col(textCol), lit(""))), w =>
-      regexp_replace(regexp_replace(w, "^[^\\p{L}\\p{N}]+", ""),
-        "[^\\p{L}\\p{N}]+$", ""))
-    val hits = size(filter(stripped, w => array_contains(block, w)))
+    val hits = wordlistHitCount(coalesce(col(textCol), lit("")), blocklist)
     docs.select(Keys.id(docs, idCol).as("doc_id"),
       hits.as("n_hits"),
       (hits <= maxHits).as("kept"))
+  }
+
+  /** Per-document ATTRIBUTE TAGGING — the Dolma "taggers" shape: compute
+    * every cheap quality attribute in ONE narrow pass and persist the
+    * attribute table, so changing a FILTER threshold later re-reads the
+    * ~40-byte attribute rows instead of re-scanning 100 TB of text. The
+    * decoupling (tag once, filter many times) is how production curation
+    * pipelines actually iterate.
+    *
+    * Attributes: n_chars, n_words, lang (marker-word heuristic —
+    * [[langPred]]), gopher_passed (the full rule conjunction), c4_kept (the
+    * doc-level C4 verdict), badword_hits ([[wordlistGate]]'s count). Every
+    * column is the SAME expression the standalone gate computes, so tags
+    * and gates can never disagree (QualityGatesSpec pins tagDocs ≡ the
+    * component operators row-for-row).
+    *
+    * Scale shape: one narrow codegen'd pass, zero shuffles — all six
+    * attributes fuse into the scan band; the output is doc_id + fixed-width
+    * columns, partitionable however the filter stage wants.
+    */
+  def tagDocs(docs: DataFrame, idCol: String, textCol: String,
+      blocklist: Seq[String], minWords: Int = 50,
+      maxWords: Int = 100000, minLineWords: Int = 5): DataFrame = {
+    require(blocklist.nonEmpty, "need a non-empty blocklist")
+    val t = coalesce(col(textCol), lit(""))
+    val gopher = gopherRuleCols(t, minWords, maxWords)
+    val (_, _, c4Verdict) = c4Cols(t, minLineWords)
+    docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      length(t).as("n_chars"),
+      gopher.head._2.as("n_words"),
+      langPred(t).as("lang"),
+      gopher.drop(1).map(_._2).reduce(_ && _).as("gopher_passed"),
+      c4Verdict.as("c4_kept"),
+      wordlistHitCount(t, blocklist).as("badword_hits"))
   }
 
   private val langMarkers = Seq(

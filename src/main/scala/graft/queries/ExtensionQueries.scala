@@ -713,6 +713,14 @@ object ExtensionQueries {
         "doc_id", "text", blocklist = Seq("dup", "slow", "lorem"),
         maxHits = 2)),
 
+    // the Dolma "taggers" shape: every cheap quality attribute (stats,
+    // lang, Gopher verdict, C4 verdict, blocklist hits) in ONE narrow
+    // pass — tag once, re-filter many times without re-scanning the text
+    "q_tag_docs" -> ((s, d) =>
+      TextAnalysis.tagDocs(sentenceFixture(t(s, d, "documents")),
+        "doc_id", "text", blocklist = Seq("dup", "slow", "lorem"),
+        minWords = 20)),
+
     // the full RefinedWeb-shaped chain in ONE plan: fetch once per page
     // identity (url dedup) -> strip markup + boilerplate (html extract) ->
     // C4 line+doc rules -> exact dedup on the cleaned text
@@ -1827,6 +1835,50 @@ object ExtensionQueries {
         |  GROUP BY fp)
         |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin
 
+  /** The Gopher rule chain as CTEs over a relation d(doc_id, t): defines
+    * w/m/r, where r carries n + the seven ok_ flags — shared by the gate
+    * oracle and the tagger oracle. MINW is substituted (placeholder instead
+    * of s-interpolation so the regex backslashes stay literal).
+    */
+  private def gopherRulesSqlCte(minWords: Int): String =
+    """w AS (SELECT doc_id, t,
+      |  list_filter(string_split_regex(lower(t), '\s+'), x -> length(x) > 0) AS ws FROM d),
+      |m AS (SELECT doc_id,
+      |  len(ws)::BIGINT AS n,
+      |  coalesce(list_aggregate(list_transform(ws, x -> length(x)::BIGINT), 'sum'), 0)::BIGINT AS total,
+      |  (length(t) - length(replace(t, '#', '')))::BIGINT AS hashes,
+      |  ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS dots,
+      |  list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+      |              l -> length(l) > 0) AS lines,
+      |  len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))::BIGINT AS alpha,
+      |  len(list_intersect(list_distinct(ws),
+      |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS nstops
+      |  FROM w),
+      |r AS (SELECT doc_id, n,
+      |  (n BETWEEN MINW AND 100000) AS ok_word_count,
+      |  (3 * n <= total AND total <= 10 * n) AS ok_mean_word_len,
+      |  (10 * (hashes + dots) <= n) AS ok_symbol_ratio,
+      |  (10 * len(list_filter(lines, l -> substr(l, 1, 1) IN ('•', '‣', '-', '*')))::BIGINT
+      |     <= 9 * len(lines)::BIGINT) AS ok_bullet_lines,
+      |  (10 * len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))::BIGINT
+      |     <= 3 * len(lines)::BIGINT) AS ok_ellipsis_lines,
+      |  (10 * alpha >= 8 * n) AS ok_alpha_words,
+      |  (nstops >= 2) AS ok_stop_words
+      |  FROM m)""".stripMargin.replace("MINW", minWords.toString)
+
+  /** The C4 line-rule chain as a CTE over d(doc_id, t): defines k with the
+    * kept-line list `ks`; MINLW substituted like MINW above. The doc-level
+    * verdict stays in the consuming SELECT (it reads both `ks` and raw `t`).
+    */
+  private def c4RulesSqlCte(minLineWords: Int): String =
+    """k AS (SELECT doc_id, t,
+      |  list_filter(list_transform(string_split(t, chr(10)),
+      |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
+      |    l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
+      |      AND len(list_filter(string_split(l, ' '), x -> length(x) > 0)) >= MINLW
+      |      AND NOT contains(lower(l), 'javascript')) AS ks
+      |  FROM d)""".stripMargin.replace("MINLW", minLineWords.toString)
+
   /** The sentenceFixture derivation as a SQL fragment (over documents). */
   private val sentenceDerivSql: String =
     """'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
@@ -2112,31 +2164,8 @@ object ExtensionQueries {
         |  (CASE WHEN doc_id % 11 = 0 THEN chr(10) || '### #### ##' ELSE '' END) ||
         |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'this text was written with care and attention to the details of that domain.' ELSE '' END) AS t
         |  FROM documents),
-        |w AS (SELECT doc_id, t,
-        |  list_filter(string_split_regex(lower(t), '\s+'), x -> length(x) > 0) AS ws FROM d),
-        |m AS (SELECT doc_id,
-        |  len(ws)::BIGINT AS n,
-        |  coalesce(list_aggregate(list_transform(ws, x -> length(x)::BIGINT), 'sum'), 0)::BIGINT AS total,
-        |  (length(t) - length(replace(t, '#', '')))::BIGINT AS hashes,
-        |  ((length(t) - length(replace(t, '...', ''))) // 3)::BIGINT AS dots,
-        |  list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
-        |              l -> length(l) > 0) AS lines,
-        |  len(list_filter(ws, x -> regexp_matches(x, '\p{L}')))::BIGINT AS alpha,
-        |  len(list_intersect(list_distinct(ws),
-        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS nstops
-        |  FROM w),
-        |r AS (SELECT doc_id, n,
-        |  (n BETWEEN 20 AND 100000) AS ok_word_count,
-        |  (3 * n <= total AND total <= 10 * n) AS ok_mean_word_len,
-        |  (10 * (hashes + dots) <= n) AS ok_symbol_ratio,
-        |  (10 * len(list_filter(lines, l -> substr(l, 1, 1) IN ('•', '‣', '-', '*')))::BIGINT
-        |     <= 9 * len(lines)::BIGINT) AS ok_bullet_lines,
-        |  (10 * len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…')))::BIGINT
-        |     <= 3 * len(lines)::BIGINT) AS ok_ellipsis_lines,
-        |  (10 * alpha >= 8 * n) AS ok_alpha_words,
-        |  (nstops >= 2) AS ok_stop_words
-        |  FROM m)
-        |SELECT doc_id, n AS n_words, ok_word_count, ok_mean_word_len,
+        |""".stripMargin + gopherRulesSqlCte(20) + "\n" +
+        """SELECT doc_id, n AS n_words, ok_word_count, ok_mean_word_len,
         |  ok_symbol_ratio, ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words,
         |  ok_stop_words,
         |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND
@@ -2146,19 +2175,45 @@ object ExtensionQueries {
 
     "q_c4_gate" ->
       (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +
-        """k AS (SELECT doc_id, t,
-        |  list_filter(list_transform(string_split(t, chr(10)),
-        |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))),
-        |    l -> (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?') OR ends_with(l, '"'))
-        |      AND len(list_filter(string_split(l, ' '), x -> length(x) > 0)) >= 5
-        |      AND NOT contains(lower(l), 'javascript')) AS ks
-        |  FROM d)
-        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        c4RulesSqlCte(5) + "\n" +
+        """SELECT doc_id, array_to_string(ks, chr(10)) AS text,
         |  len(ks)::INTEGER AS n_kept,
         |  (len(regexp_extract_all(array_to_string(ks, chr(10)), '[.!?]')) >= 3
         |   AND NOT contains(lower(t), 'lorem ipsum')
         |   AND NOT contains(t, '{')) AS kept
         |FROM k""".stripMargin),
+
+    // the attribute table restated: every column is the corresponding
+    // gate/stat oracle fragment over the SAME d relation, joined on doc_id
+    "q_tag_docs" ->
+      (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +
+        gopherRulesSqlCte(20) + ",\n" + c4RulesSqlCte(5) + ",\n" +
+        """bw AS (SELECT doc_id,
+          |  len(list_filter(list_transform(
+          |    list_filter(string_split_regex(lower(t), '\s+'), x -> length(x) > 0),
+          |    x -> regexp_replace(regexp_replace(x, '^[^\p{L}\p{N}]+', ''),
+          |                        '[^\p{L}\p{N}]+$', '')),
+          |    x -> list_contains(['dup', 'slow', 'lorem'], x))) AS nh FROM d),
+          |lg AS (SELECT doc_id,
+          |  len(list_filter(ws, x -> list_contains(['the', 'a', 'of', 'and', 'is'], x))) AS en,
+          |  len(list_filter(ws, x -> list_contains(['le', 'la', 'les', 'et', 'est'], x))) AS fr,
+          |  len(list_filter(ws, x -> list_contains(['el', 'los', 'las', 'y', 'es'], x))) AS es,
+          |  len(list_filter(ws, x -> list_contains(['der', 'die', 'das', 'und', 'ist'], x))) AS de
+          |  FROM w)
+          |SELECT d.doc_id, length(d.t)::INTEGER AS n_chars, r.n AS n_words,
+          |  (CASE WHEN en >= greatest(fr, es, de) AND en > 0 THEN 'en'
+          |        WHEN fr >= greatest(es, de) AND fr > 0 THEN 'fr'
+          |        WHEN es >= de AND es > 0 THEN 'es'
+          |        WHEN de > 0 THEN 'de' ELSE 'und' END) AS lang,
+          |  (r.ok_word_count AND r.ok_mean_word_len AND r.ok_symbol_ratio AND
+          |   r.ok_bullet_lines AND r.ok_ellipsis_lines AND r.ok_alpha_words AND
+          |   r.ok_stop_words) AS gopher_passed,
+          |  (len(regexp_extract_all(array_to_string(k.ks, chr(10)), '[.!?]')) >= 3
+          |   AND NOT contains(lower(d.t), 'lorem ipsum')
+          |   AND NOT contains(d.t, '{')) AS c4_kept,
+          |  bw.nh::INTEGER AS badword_hits
+          |FROM d JOIN r USING (doc_id) JOIN k USING (doc_id)
+          |  JOIN bw USING (doc_id) JOIN lg USING (doc_id)""".stripMargin),
 
     "q_badwords_gate" ->
       (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +

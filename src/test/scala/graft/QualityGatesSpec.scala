@@ -70,4 +70,37 @@ class QualityGatesSpec extends SparkSpec {
     // doc 4: lines all pass but the doc-level brace rule kills it
     assert(got(4L)._2 == false && got(4L)._1 == 3)
   }
+
+  test("tagDocs ≡ the component operators row-for-row (tags and gates can never disagree)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, goodProse + ".\nAnd we have that second sentence right here today!\nA third one closes it."),
+      (2L, "la le les et est courte"),          // French markers, too short
+      (3L, "slow dup slow lorem and the { brace"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val block = Seq("slow", "dup", "lorem")
+    val tags = TextAnalysis.tagDocs(docs, "doc_id", "text", block,
+      minWords = 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val gopher = TextAnalysis.gopherGate(docs, "doc_id", "text", minWords = 20)
+      .select(col("doc_id"), col("passed")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val c4 = TextAnalysis.c4Gate(docs, "doc_id", "text")
+      .select(col("doc_id"), col("kept")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val bw = TextAnalysis.wordlistGate(docs, "doc_id", "text", block)
+      .select(col("doc_id"), col("n_hits")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val r = tags(id)
+      assert(r.getBoolean(4) == gopher(id), s"doc $id gopher_passed")
+      assert(r.getBoolean(5) == c4(id), s"doc $id c4_kept")
+      assert(r.getInt(6) == bw(id), s"doc $id badword_hits")
+    }
+    assert(tags(2L).getString(3) == "fr" && tags(4L).getString(3) == "und")
+    assert(tags(3L).getInt(6) == 4)
+    assert(tags(4L).getInt(1) == 0, "null text tags as empty, not crash")
+  }
 }
