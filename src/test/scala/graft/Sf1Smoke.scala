@@ -49,7 +49,14 @@ object Sf1Smoke {
     // dedup is a min-agg, extraction narrow), the 3-iteration GD classifier
     // (per-iteration corpus passes over cached features), and the trigram
     // profile ranker (per-doc window + broadcast profiles)
-    "q_pipeline_web", "q_quality_clf", "q_text_langid2")
+    "q_pipeline_web", "q_quality_clf", "q_text_langid2",
+    // round-9: the graph pair (host-keyed joins/aggregates at 10× edges),
+    // containment (prefix-probe volume at 10× with ten exact clones of every
+    // doc — the pathological containment-clique case), the classifier AUC
+    // (codomain-bounded window at 10× scores), and the crawl chain with the
+    // robots + blocklist gates composed in
+    "q_pagerank", "q_dedup_containment", "q_clf_auc", "q_pipeline_crawl2",
+    "q_tag_docs")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
