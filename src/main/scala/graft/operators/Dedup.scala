@@ -115,12 +115,53 @@ object Dedup {
     * aggregate, the per-doc rank window (PARTITIONED by doc — no global
     * window), the prefix-index join, and the candidate verify join are all
     * hash-partitioned on shingle/doc keys; nothing is quadratic in the
-    * corpus, only in true near-containment cliques (the emitted output).
+    * corpus, only in true near-containment cliques (the emitted output) —
+    * and even those pay core cost only once per DISTINCT shingle set: the
+    * whole pipeline runs over exact-dup-collapsed representatives and
+    * re-expands afterwards, so a clone flood's g² identical-set pairs are
+    * emitted by one cheap fp equality self-join, never g² array verifies.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    containmentCore(sh, sh, threshold, minShingles, earlierOnly = false)
+    // EXACT-DUPLICATE COLLAPSE (the minHashCore convention): containment is
+    // a pure function of the two shingle SETS, so identical-set docs are
+    // mutual containment-1 duplicates of each other and match exactly what
+    // their set matches. Run the prefix-filter core over ONE minimum-id
+    // representative per distinct set and re-expand afterwards — a clone
+    // flood of g copies flows through df/rank/prefix/verify as one doc
+    // instead of paying g× postings and g² candidate verifies; the two
+    // output classes are disjoint by construction (same set → same rep →
+    // never a core pair; different sets → different fps → never a within
+    // pair).
+    val withFp = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shs"),
+        xxhash64(array_sort(col("shs"))).as("fp"))
+      .cache()
+    val reps = withFp.groupBy("fp")
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("shs"), col("doc_id")).as("shs"))
+      .cache()
+    val repSh = reps.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val repPairs =
+      containmentCore(repSh, repSh, threshold, minShingles, earlierOnly = false)
+    val ids = withFp.select(col("fp"), col("doc_id"))
+    val repFp = reps.select(col("doc_id"), col("fp"))
+    val cross = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(ids.select(col("fp").as("fp_a"), col("doc_id").as("ida")), "fp_a")
+      .join(ids.select(col("fp").as("fp_b"), col("doc_id").as("idb")), "fp_b")
+      // direction survives the expansion: every member of A's set is
+      // contained in every member of B's set at the rep pair's value
+      .select(col("ida").as("doc_a"), col("idb").as("doc_b"),
+        col("containment"))
+    val within = withFp.filter(size(col("shs")) >= minShingles)
+      .select(col("fp"), col("doc_id"))
+    val withinPairs = within.as("x").join(within.as("y"), Seq("fp"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit(1.0).as("containment"))
+    cross.unionByName(withinPairs)
   }
 
   /** The prefix-filter + verify core shared by [[containmentPairs]] and

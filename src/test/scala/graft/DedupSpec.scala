@@ -130,7 +130,12 @@ class DedupSpec extends SparkSpec {
     val vocab = Vector("a", "b", "c", "d", "e")
     val base = (0L until 40L).map(i =>
       (i, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
-    val docs = base.toDF("doc_id", "text")
+    // planted exact clones: the collapse path (one rep per distinct set,
+    // fp-join re-expansion) must reproduce brute force on identical-set
+    // groups too, in both directions and against outside matches
+    val clones = (100L until 106L).map(i => (i, base(3)._2)) ++
+      (200L until 203L).map(i => (i, base(7)._2))
+    val docs = (base ++ clones).toDF("doc_id", "text")
     val got = Dedup.containmentPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.7, minShingles = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

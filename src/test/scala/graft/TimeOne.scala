@@ -14,7 +14,7 @@ object TimeOne extends App {
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
-  val sfDir = "/root/testdata/sf0.1"
+  val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
   val name = args(0)
   (1 to 3).foreach { _ =>
     val t0 = System.nanoTime()
