@@ -38,7 +38,8 @@ object Bench {
     "q_pagerank", "q_dedup_containment", "q_clf_auc",
     "q_dedup_containment_incremental",
     "q_robots_filter", "q_badwords_gate", "q_link_frontier",
-    "q_link_anchors", "q_pipeline_crawl2", "q_tag_docs")
+    "q_link_anchors", "q_pipeline_crawl2", "q_tag_docs",
+    "q_containment_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,39 @@ object Dedup {
     cross.unionByName(withinPairs)
   }
 
+  /** The REMOVAL form of [[containmentPairs]]: keep every document that is
+    * NOT ≥`threshold`-contained in a bigger document — the doc-level cut
+    * that drops quotations, syndicated copies, and boilerplate-wrapped
+    * reposts while keeping their sources. A doc is dropped iff some other
+    * doc contains it and that container has MORE distinct shingles (or the
+    * same set with a smaller id — the exact-duplicate tie, resolved
+    * keep-first like [[exact]]). The size ordering makes the cut
+    * deterministic and single-pass: at threshold 1 a dropped doc's
+    * container is itself kept or contained in something still bigger
+    * (subset chains), and at t < 1 the greedy size-ordered rule is the
+    * standard approximation — no iterative re-checking against survivors
+    * only, which would serialize the corpus.
+    *
+    * Output: (doc_id) survivors, TOTAL over the input — docs too short to
+    * shingle never match anything and always survive.
+    * Scale shape: [[containmentPairs]]'s audited plan plus one size join
+    * and a left-anti cut, all keyed on doc ids.
+    */
+  def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, n, threshold, minShingles)
+    val sizes = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), size(col("shs")).as("ns"))
+    val drops = pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
+      .filter(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+    docs.select(Keys.id(docs, idCol).as("doc_id"))
+      .join(drops, Seq("doc_id"), "left_anti")
+  }
+
   /** The prefix-filter + verify core shared by [[containmentPairs]] and
     * [[containmentIncremental]]: `shA` supplies the CONTAINED candidates
     * (prefixes + |A| sizes), `shAll` the container index (df + arrays);

