@@ -123,27 +123,8 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
-    // EXACT-DUPLICATE COLLAPSE (the minHashCore convention): containment is
-    // a pure function of the two shingle SETS, so identical-set docs are
-    // mutual containment-1 duplicates of each other and match exactly what
-    // their set matches. Run the prefix-filter core over ONE minimum-id
-    // representative per distinct set and re-expand afterwards — a clone
-    // flood of g copies flows through df/rank/prefix/verify as one doc
-    // instead of paying g× postings and g² candidate verifies; the two
-    // output classes are disjoint by construction (same set → same rep →
-    // never a core pair; different sets → different fps → never a within
-    // pair).
-    val withFp = shingleArrays(docs, idCol, textCol, n)
-      .select(col("doc_id"), col("shs"),
-        xxhash64(array_sort(col("shs"))).as("fp"))
-      .cache()
-    val reps = withFp.groupBy("fp")
-      .agg(min("doc_id").as("doc_id"),
-        min_by(col("shs"), col("doc_id")).as("shs"))
-      .cache()
-    val repSh = reps.select(col("doc_id"), explode(col("shs")).as("sh"))
-    val repPairs =
-      containmentCore(repSh, repSh, threshold, minShingles, earlierOnly = false)
+    val (withFp, reps, repPairs) =
+      containmentRepCore(docs, idCol, textCol, n, threshold, minShingles)
     val ids = withFp.select(col("fp"), col("doc_id"))
     val repFp = reps.select(col("doc_id"), col("fp"))
     val cross = repPairs
@@ -164,6 +145,36 @@ object Dedup {
     cross.unionByName(withinPairs)
   }
 
+  /** EXACT-DUPLICATE-COLLAPSED containment core (the minHashCore
+    * convention): containment is a pure function of the two shingle SETS,
+    * so identical-set docs are mutual containment-1 duplicates of each
+    * other and match exactly what their set matches. Returns (withFp =
+    * (doc_id, shs, fp) per shingleable doc, cached; reps = one minimum-id
+    * representative per distinct set, cached; repPairs = the prefix-filter
+    * core's verified pairs over rep ids). A clone flood of g copies flows
+    * through df/rank/prefix/verify as ONE doc instead of paying g×
+    * postings and g² candidate verifies. The consumers' two output classes
+    * are disjoint by construction (same set → same rep → never a core
+    * pair; different sets → different fps → never a within pair).
+    * Caches follow the [[Caches]] contract — the caller releases.
+    */
+  private def containmentRepCore(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      minShingles: Int): (DataFrame, DataFrame, DataFrame) = {
+    val withFp = shingleArrays(docs, idCol, textCol, n)
+      .select(col("doc_id"), col("shs"),
+        xxhash64(array_sort(col("shs"))).as("fp"))
+      .cache()
+    val reps = withFp.groupBy("fp")
+      .agg(min("doc_id").as("doc_id"),
+        min_by(col("shs"), col("doc_id")).as("shs"))
+      .cache()
+    val repSh = reps.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val repPairs =
+      containmentCore(repSh, repSh, threshold, minShingles, earlierOnly = false)
+    (withFp, reps, repPairs)
+  }
+
   /** The REMOVAL form of [[containmentPairs]]: keep every document that is
     * NOT ≥`threshold`-contained in a bigger document — the doc-level cut
     * that drops quotations, syndicated copies, and boilerplate-wrapped
@@ -179,20 +190,48 @@ object Dedup {
     *
     * Output: (doc_id) survivors, TOTAL over the input — docs too short to
     * shingle never match anything and always survive.
-    * Scale shape: [[containmentPairs]]'s audited plan plus one size join
-    * and a left-anti cut, all keyed on doc ids.
+    * Scale shape: the collapsed rep core plus SET-level drop joins —
+    * member pairs never materialize, so a clone flood costs one rep
+    * through the verify and a linear fp join, where the pair surface's
+    * output is inherently quadratic per group.
     */
   def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
-    val pairs = containmentPairs(docs, idCol, textCol, n, threshold, minShingles)
-    val sizes = shingleArrays(docs, idCol, textCol, n)
-      .select(col("doc_id"), size(col("shs")).as("ns"))
-    val drops = pairs
-      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
-      .filter(col("nb") > col("na") ||
-        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
-      .select(col("doc_a").as("doc_id")).distinct()
+    // Unlike the pair surface (whose OUTPUT is inherently quadratic per
+    // clone group), removal decides per DOC, so the drop set is computed
+    // entirely at the representative level and member pairs never
+    // materialize: a 2k-clone group contributes one rep through the core
+    // and 2k-1 within-drops through one fp join — linear everywhere.
+    val (withFp, reps, repPairs) =
+      containmentRepCore(docs, idCol, textCol, n, threshold, minShingles)
+    val repMeta = reps.select(col("fp"), col("doc_id").as("min_id"),
+      size(col("shs")).as("ns"))
+    val repFp = reps.select(col("doc_id"), col("fp"))
+    val setPairs = repPairs
+      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(repMeta.select(col("fp").as("fp_a"), col("ns").as("na")), "fp_a")
+      .join(repMeta.select(col("fp").as("fp_b"), col("ns").as("nb"),
+        col("min_id").as("min_b")), "fp_b")
+    // ONE aggregate folds both cross-set rules, so the (expensive) rep core
+    // is evaluated exactly once: a strictly bigger container drops EVERY
+    // member of the contained set; equal-size DISTINCT sets tie-break on
+    // member ids — a member of A drops iff some container member is
+    // smaller, i.e. iff the minimum over the containers' minimum ids is
+    val perSet = setPairs.groupBy("fp_a").agg(
+      max(when(col("nb") > col("na"), 1).otherwise(0)).as("any_bigger"),
+      min(when(col("nb") === col("na"), col("min_b"))).as("mb"))
+    val dropCross = perSet
+      .join(withFp.select(col("fp").as("fp_a"), col("doc_id")), "fp_a")
+      .filter(col("any_bigger") === 1 ||
+        (col("mb").isNotNull && col("mb") < col("doc_id")))
+      .select("doc_id")
+    // identical sets are mutual containment-1 pairs: keep-first = drop
+    // every non-minimum member (subject to the minShingles floor)
+    val dropWithin = withFp.filter(size(col("shs")) >= minShingles)
+      .join(repMeta.select(col("fp"), col("min_id")), "fp")
+      .filter(col("doc_id") =!= col("min_id")).select("doc_id")
+    val drops = dropCross.unionByName(dropWithin).distinct()
     docs.select(Keys.id(docs, idCol).as("doc_id"))
       .join(drops, Seq("doc_id"), "left_anti")
   }

@@ -139,6 +139,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Set(1L, 4L, 5L), s"got $got")
   }
 
+  test("containmentDedup: equal-size DISTINCT sets tie-break on member ids, interleaved") {
+    import spark.implicits._
+    // A and B are distinct 10-shingle sets sharing 9 (containment 0.9 both
+    // ways); A has members {5, 100}, B has {7}. Pair rule: 5 survives
+    // (no container member below it), 7 drops (5 < 7), 100 drops (clone of
+    // 5). The set-level shortcut must reproduce the member-level decision.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 other"
+    val docs = Seq((5L, a), (100L, a), (7L, b)).toDF("doc_id", "text")
+    val got = Dedup.containmentDedup(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, minShingles = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(5L), s"got $got")
+  }
+
   test("containmentPairs prefix filter ≡ brute force on a generated corpus") {
     import spark.implicits._
     // word soup over a tiny vocabulary → dense shingle collisions, so the
