@@ -216,8 +216,12 @@ object Urls {
     * group id) run over tiny partitions keyed by millions of distinct
     * hosts — embarrassingly parallel; no corpus-sized exchange anywhere.
     */
-  def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
-      agent: String): DataFrame = {
+  /** Shared robots.txt parse: (directives in the groups binding `agent`,
+    * as (host, gid, field, value)) — the group machinery behind
+    * [[robotsRules]] and [[robotsCrawlDelays]].
+    */
+  private def robotsDirectives(robots: DataFrame, hostCol: String,
+      contentCol: String, agent: String): DataFrame = {
     require(agent.nonEmpty && agent != "*", "agent must be a concrete product token")
     import org.apache.spark.sql.expressions.Window
     val lineW = Window.partitionBy("host").orderBy("pos")
@@ -229,7 +233,7 @@ object Urls {
       .select(col("host"), col("pos"),
         lower(regexp_extract(col("l"), "^([A-Za-z][A-Za-z0-9-]*)\\s*:", 1)).as("field"),
         trim(regexp_replace(col("l"), "^[A-Za-z][A-Za-z0-9-]*\\s*:", "")).as("value"))
-      .filter(col("field").isin("user-agent", "allow", "disallow"))
+      .filter(col("field").isin("user-agent", "allow", "disallow", "crawl-delay"))
       .withColumn("isua", col("field") === "user-agent")
       .withColumn("newg",
         col("isua") && !coalesce(lag("isua", 1).over(lineW), lit(false)))
@@ -237,17 +241,41 @@ object Urls {
         sum(when(col("newg"), 1L).otherwise(0L)).over(lineW))
     val agents = parsed.filter(col("isua"))
       .select(col("host"), col("gid"), lower(col("value")).as("ag"))
-    val rules = parsed.filter(!col("isua") && col("value") =!= "")
-      .select(col("host"), col("gid"),
-        (col("field") === "allow").as("allow"), col("value").as("prefix"))
     val exactHosts = agents.filter(col("ag") === agent.toLowerCase)
       .select("host").distinct().withColumn("__exact", lit(true))
     val chosen = agents.join(exactHosts, Seq("host"), "left")
       .filter(when(col("__exact").isNotNull, col("ag") === agent.toLowerCase)
         .otherwise(col("ag") === "*"))
       .select("host", "gid").distinct()
-    rules.join(chosen, Seq("host", "gid")).select("host", "allow", "prefix")
+    parsed.filter(!col("isua"))
+      .select(col("host"), col("gid"), col("field"), col("value"))
+      .join(chosen, Seq("host", "gid"))
   }
+
+  def robotsRules(robots: DataFrame, hostCol: String, contentCol: String,
+      agent: String): DataFrame =
+    robotsDirectives(robots, hostCol, contentCol, agent)
+      .filter(col("field").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), (col("field") === "allow").as("allow"),
+        col("value").as("prefix"))
+
+  /** The `Crawl-delay` each host asks of `agent` (the de-facto politeness
+    * field most large sites set, outside RFC 9309 proper but honored by
+    * every major crawler except Google's): (host, crawl_delay) in whole
+    * seconds, MINIMUM across the agent's applicable groups (the
+    * conservative read when groups disagree); hosts whose applicable
+    * groups set no delay — or only malformed values — contribute no row,
+    * meaning "fetch at your own default pace". Group selection is
+    * [[robotsRules]]'s exact-agent-or-`*`. This is the scheduler input that
+    * pairs with [[hostCap]]: cap bounds VOLUME per host, delay bounds RATE.
+    */
+  def robotsCrawlDelays(robots: DataFrame, hostCol: String,
+      contentCol: String, agent: String): DataFrame =
+    robotsDirectives(robots, hostCol, contentCol, agent)
+      .filter(col("field") === "crawl-delay")
+      .withColumn("__d", expr("try_cast(value AS INT)"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .groupBy("host").agg(min("__d").as("crawl_delay"))
 
   /** Apply a [[robotsRules]] table to a URL stream: (doc_id, host, allowed)
     * with RFC 9309 precedence — among the rules whose prefix matches the

@@ -537,6 +537,13 @@ object ExtensionQueries {
         robotsFixture(t(s, d, "documents")), "host", "content",
         agent = "graftbot")),
 
+    // the rate-limit surface: Crawl-delay per host for the agent's groups
+    // (min across groups, malformed dropped, delay-less hosts absent)
+    "q_robots_delays" -> ((s, d) =>
+      graft.operators.Urls.robotsCrawlDelays(
+        robotsFixture(t(s, d, "documents")), "host", "content",
+        agent = "graftbot")),
+
     // ...and apply them to the URL fixture: canonical-host join, raw
     // path+query prefix match, longest rule wins, allow beats disallow on a
     // tie, hosts without robots.txt default to allowed
@@ -2090,6 +2097,15 @@ object ExtensionQueries {
     // empty-Disallow no-op against an independent restatement
     "q_robots_rules" ->
       (s"WITH $robotsGroundCte\nSELECT host, allow, prefix FROM gr"),
+
+    // the Crawl-delay sits in the OtherBot/* group only, so it binds
+    // exactly the even-suffix hosts (odd hosts use their graftbot group,
+    // which sets no delay; n % 5 == 0 hosts publish no robots.txt)
+    "q_robots_delays" ->
+      ("""WITH rs AS (SELECT DISTINCT source,
+        |  CAST(substr(source, 4) AS INT) AS n FROM documents)
+        |SELECT 'www.' || source || '.example.com' AS host, 7 AS crawl_delay
+        |FROM rs WHERE n % 5 <> 0 AND n % 2 = 0""".stripMargin),
 
     "q_robots_filter" ->
       (urlCanonCte + ",\n" + robotsGroundCte + ",\n" + robotsVerdictCte + "\n" +

@@ -248,6 +248,24 @@ class WebPrepSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
   }
 
+  test("robotsCrawlDelays: group-scoped, min across merged groups, malformed dropped, pre-group ignored") {
+    import spark.implicits._
+    val robots = Seq(
+      // delay before any group is ignored; graftbot groups merge → min(5, 3)
+      ("a.example.com", "Crawl-delay: 99\nUser-agent: GraftBot\nCrawl-delay: 5\n" +
+        "User-agent: *\nCrawl-delay: 1\nUser-agent: graftbot\nCrawl-delay: 3"),
+      // no exact group → the * group's delay binds
+      ("b.example.com", "User-agent: OtherBot\nCrawl-delay: 2\nUser-agent: *\nCrawl-delay: 8"),
+      // malformed / negative values contribute nothing
+      ("c.example.com", "User-agent: *\nCrawl-delay: soon\nCrawl-delay: -4"),
+      // applicable group sets no delay at all
+      ("d.example.com", "User-agent: *\nDisallow: /x"))
+      .toDF("host", "content")
+    val got = Urls.robotsCrawlDelays(robots, "host", "content", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a.example.com" -> 3, "b.example.com" -> 8))
+  }
+
   // -------------------------------------------------------------------------
   // word blocklist gate
 
