@@ -625,6 +625,24 @@ object ExtensionQueries {
           links.filter(col("doc_id") < 20), "doc_id", "dst_url"))
     }),
 
+    // the crawl SCHEDULER input: the frontier (new canonical URLs) joined
+    // to host PageRank — fetch-priority by source reputation, rank 0 for
+    // hosts outside the endorsement graph
+    "q_frontier_ranked" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      val frontier = graft.operators.Urls.urlDedupIncremental(
+        links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
+        graft.operators.Urls.urlState(
+          links.filter(col("doc_id") < 20), "doc_id", "dst_url"))
+      val ranks = Links.pageRank(Links.hostEdges(links))
+      frontier
+        .withColumn("host", graft.operators.Urls.hostOf(col("url_canon")))
+        .join(ranks, Seq("host"), "left")
+        .select(col("doc_id"), col("url_canon"), col("host"),
+          coalesce(col("rank"), lit(0L)).as("host_rank"))
+    }),
+
     // incremental crawl dedup: history = docs < 250 (persisted urlState),
     // batch = the rest; a batch URL already fetched under ANY canonical
     // variant is dropped, within-batch variants keep the smallest doc_id
@@ -1938,7 +1956,11 @@ object ExtensionQueries {
     * = floor there) — bit-identical to the engine's `div` by construction,
     * zero libm surface (BASELINE.md "oracle-engine portability").
     */
-  private val pageRankOracleSql: String = {
+  /** The fixed-point PageRank CTE chain over linkDerivCte's `links` — ends
+    * at r3 (host, rank after 3 iterations). Shared by the pagerank oracle
+    * and the ranked-frontier composition.
+    */
+  private val pageRankCtes: String = {
     def iter(k: Int): String =
       s"""c$k AS (SELECT e.dst, sum(r${k - 1}.rank // deg.dg) AS contrib
          |  FROM r${k - 1}
@@ -1949,18 +1971,21 @@ object ExtensionQueries {
          |  CAST(1500 * 1000000000000 // (SELECT n FROM nn) // 10000
          |   + 8500 * coalesce(c$k.contrib, 0) // 10000 AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$k ON c$k.dst = n.host)""".stripMargin
-    s"WITH $linkDerivCte,\n" +
-      """e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links
-        |  WHERE src_host <> dst_host),
-        |w AS (SELECT src_host, dst_host, count(*) AS nl FROM links
-        |  WHERE src_host <> dst_host GROUP BY 1, 2),
-        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
-        |nn AS (SELECT count(*) AS n FROM nodes),
-        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
-        |r0 AS (SELECT host,
-        |  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
-        |  FROM nodes),""".stripMargin + "\n" +
-      (1 to 3).map(iter).mkString(",\n") + ",\n" +
+    """e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links
+      |  WHERE src_host <> dst_host),
+      |w AS (SELECT src_host, dst_host, count(*) AS nl FROM links
+      |  WHERE src_host <> dst_host GROUP BY 1, 2),
+      |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+      |r0 AS (SELECT host,
+      |  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+      |  FROM nodes),""".stripMargin + "\n" +
+      (1 to 3).map(iter).mkString(",\n")
+  }
+
+  private val pageRankOracleSql: String =
+    s"WITH $linkDerivCte,\n" + pageRankCtes + ",\n" +
       """inw AS (SELECT dst_host AS host, sum(nl) AS s FROM w GROUP BY 1),
         |outw AS (SELECT src_host AS host, sum(nl) AS s FROM w GROUP BY 1)
         |SELECT r3.host, r3.rank,
@@ -1969,7 +1994,6 @@ object ExtensionQueries {
         |FROM r3
         |LEFT JOIN inw ON inw.host = r3.host
         |LEFT JOIN outw ON outw.host = r3.host""".stripMargin
-  }
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
@@ -2078,6 +2102,20 @@ object ExtensionQueries {
           |FROM links""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql,
+
+    // frontier × PageRank: dst_host rides the link derivation (functionally
+    // determined by dst_url), rank from the shared fixed-point CTE chain
+    "q_frontier_ranked" ->
+      (s"WITH $linkDerivCte,\n" + pageRankCtes + ",\n" +
+        """seen AS (SELECT DISTINCT dst_url FROM links WHERE doc_id < 20),
+          |fr AS (SELECT min(doc_id) AS doc_id, dst_url AS url_canon,
+          |              dst_host AS host
+          |       FROM links WHERE doc_id >= 20
+          |         AND dst_url NOT IN (SELECT dst_url FROM seen)
+          |       GROUP BY dst_url, dst_host)
+          |SELECT fr.doc_id, fr.url_canon, fr.host,
+          |  coalesce(r3.rank, 0) AS host_rank
+          |FROM fr LEFT JOIN r3 ON r3.host = fr.host""".stripMargin),
 
     // frontier = wave-2 links minus the wave-1 discovered set. The fixture's
     // links are CONSTRUCTED in canonical form (lower-case, no default port,
