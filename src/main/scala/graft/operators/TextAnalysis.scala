@@ -168,6 +168,61 @@ object TextAnalysis {
       (hits <= maxHits).as("kept"))
   }
 
+  /** BM25 ranked-retrieval scores for a term query over the corpus — the
+    * standard lexical relevance function (Robertson/Spärck Jones; the
+    * scorer behind Lucene/Elasticsearch defaults) at k1 = 1.2, b = 0.75,
+    * with the Lucene-style +1 inside the idf log so scores stay positive.
+    * Output: (doc_id, bm25 DECIMAL(18,6)) for every document containing at
+    * least one query term (retrieval semantics — non-matching docs score 0
+    * and are omitted).
+    *
+    * Determinism (the BASELINE.md oracle-portability contract): idf =
+    * ln((2N+2)/(2·df+1)) — a ratio of exact integers — evaluated via
+    * [[PortableLog]] (bit-identical on any engine) and floor-quantized to
+    * 1e-6 units; the tf/length-normalization factor is evaluated wholly in
+    * integer arithmetic as tfq6 = (22·tf·10⁶) div (10·tf + 3 + q) with
+    * q = (9·dl·N) div L — the k1/b constants cleared to integers and the
+    * avgdl ratio floor-quantized (|error| < 1 in a ≥ 10·tf+3 denominator;
+    * documented deviation from real-division BM25, irrelevant to ranking).
+    * Per-(doc, term) contributions are integer micro-units, so the per-doc
+    * sum is exact and order-free. Overflow headroom: safe while dl·N < 1e18
+    * (an exabyte-class corpus) and tf < 4e11.
+    *
+    * Scale shape: two narrow passes over a (doc_id, words) projection (one
+    * corpus-stats aggregate broadcast as one row, one term-filtered explode
+    * — the filter keeps only query-term tokens, so the exploded stream is
+    * the MATCHING token volume, not the corpus), a broadcast join of the
+    * ≤|terms|-row df table, and one map-side-combinable per-doc sum.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      query: String): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      words(coalesce(col(textCol), lit(""))).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("nd"),
+      coalesce(sum("dl"), lit(0L)).as("ltot"))
+    val tok = base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val tf = tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfT = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf6", expr(
+        s"cast(floor((${PortableLog.lnSql("(2*nd + 2)", spark = true)} - " +
+          s"${PortableLog.lnSql("(2*df + 1)", spark = true)}) * 1000000.0D) as bigint)"))
+      .withColumn("tfq6", expr(
+        "(22L * tf * 1000000L) div (10L * tf + 3L + (9L * dl * nd) div ltot)"))
+      .withColumn("c6", expr("(idf6 * tfq6) div 1000000L"))
+      .groupBy("doc_id")
+      .agg(expr("cast(cast(sum(c6) as decimal(18,0)) * " +
+        "cast(0.000001 as decimal(7,6)) as decimal(18,6))").as("bm25"))
+  }
+
   /** Per-document ATTRIBUTE TAGGING — the Dolma "taggers" shape: compute
     * every cheap quality attribute in ONE narrow pass and persist the
     * attribute table, so changing a FILTER threshold later re-reads the

@@ -752,6 +752,13 @@ object ExtensionQueries {
         "doc_id", "text", blocklist = Seq("dup", "slow", "lorem"),
         minWords = 20)),
 
+    // BM25 lexical retrieval at k1=1.2/b=0.75: PortableLog idf, exact
+    // integer tf/length normalization — the ranked-search surface on top
+    // of the tf-idf keyword extractor
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
+        query = "data join slow vector")),
+
     // the full RefinedWeb-shaped chain in ONE plan: fetch once per page
     // identity (url dedup) -> strip markup + boilerplate (html extract) ->
     // C4 line+doc rules -> exact dedup on the cleaned text
@@ -2274,6 +2281,31 @@ object ExtensionQueries {
           |  bw.nh::INTEGER AS badword_hits
           |FROM d JOIN r USING (doc_id) JOIN k USING (doc_id)
           |  JOIN bw USING (doc_id) JOIN lg USING (doc_id)""".stripMargin),
+
+    // BM25 restated: the same integer tf/length factors, the idf via the
+    // identical PortableLog basic-op sequence (spark=false dialect)
+    "q_bm25" ->
+      ("""WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |              x -> length(x) > 0) AS ws FROM documents),
+        |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
+        |tok AS (SELECT doc_id, ws[i] AS term
+        |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
+        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+        |       WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1, 2),
+        |dfp AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+        |        WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1),
+        |dls AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+        |sc AS (SELECT qt.doc_id,
+        |""".stripMargin +
+        s"  CAST(floor((${PortableLog.lnSql("(2*nd + 2)", spark = false)} - " +
+        s"${PortableLog.lnSql("(2*df + 1)", spark = false)}) * 1000000.0::DOUBLE) AS BIGINT) AS idf6,\n" +
+        """|  (22 * qt.tf * 1000000) // (10 * qt.tf + 3 + (9 * dls.dl * st.nd) // st.ltot) AS tfq6
+        |  FROM qt JOIN dfp USING (term) JOIN dls USING (doc_id), st)
+        |SELECT doc_id,
+        |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
+        |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
+        |FROM sc GROUP BY 1""".stripMargin),
 
     "q_badwords_gate" ->
       (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +

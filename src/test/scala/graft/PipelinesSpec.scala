@@ -498,4 +498,45 @@ class PipelinesSpec extends SparkSpec {
     assert(got(4L) == (("clean text with no pii at all", 0, 0, 0)))
     assert(got(5L) == (("two hits: [EMAIL] and [IP]", 1, 1, 0)))
   }
+
+  test("bm25Score == independent plain-Scala reference; tf and rarity order correctly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),       // tf(apple)=3
+      (2L, "apple banana banana date elder fig"),    // tf(apple)=1, longer doc
+      (3L, "banana cherry date elder fig grape"),    // no apple
+      (4L, "kiwi lime mango nectarine orange"),      // no query terms → absent
+      (5L, null.asInstanceOf[String]))               // null text → absent, counts in N
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Score(corpus, "doc_id", "text", "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+
+    // independent reference: same integer formula, idf via PortableLog.lnRef
+    val texts = Map(1L -> "apple banana cherry apple apple",
+      2L -> "apple banana banana date elder fig",
+      3L -> "banana cherry date elder fig grape", 4L -> "kiwi lime mango nectarine orange")
+    val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
+    val nd = 5L
+    val ltot = toks.values.map(_.size.toLong).sum
+    def score(id: Long): BigDecimal = {
+      val ws = toks(id); val dl = ws.size.toLong
+      val c6 = Seq("apple", "cherry").flatMap { t =>
+        val tf = ws.count(_ == t).toLong
+        if (tf == 0) None else {
+          val df = toks.values.count(_.contains(t)).toLong
+          val idf6 = math.floor((graft.functions.PortableLog.lnRef(2 * nd + 2) -
+            graft.functions.PortableLog.lnRef(2 * df + 1)) * 1000000.0).toLong
+          val tfq6 = (22L * tf * 1000000L) / (10L * tf + 3L + (9L * dl * nd) / ltot)
+          Some(idf6 * tfq6 / 1000000L)
+        }
+      }.sum
+      BigDecimal(c6) * BigDecimal("0.000001")
+    }
+    assert(got.keySet == Set(1L, 2L, 3L), s"retrieval set wrong: ${got.keySet}")
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(BigDecimal(got(id)) == score(id), s"doc $id: ${got(id)} vs ${score(id)}")
+    }
+    // more occurrences of the same term in a same-length-class doc → higher
+    assert(got(1L).compareTo(got(2L)) > 0)
+  }
 }
