@@ -759,6 +759,31 @@ object ExtensionQueries {
       TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
         query = "data join slow vector")),
 
+    // HYBRID retrieval: Reciprocal Rank Fusion (Cormack 2009, the standard
+    // lexical+vector combiner) of the BM25 top-20 and the cosine top-20 —
+    // rrf6 = Σ 10⁶ div (60 + rank), pure integer, so the fused ranking is
+    // engine-exact. Rank windows run over the top-k subsets only (bounded
+    // by k, never corpus-sized).
+    "q_rrf_fusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val lex = TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
+        query = "data join slow vector")
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("lex_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "lex_rank")
+      val vec = Similarity.bruteForceTopK(t(s, d, "embeddings"),
+        "vec_id", "embedding", queryId = 0L, k = 20)
+        .withColumn("vec_rank",
+          row_number().over(Window.orderBy(col("cos").desc, col("vec_id"))))
+        .select(col("vec_id").as("doc_id"), col("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+          (coalesce(expr("1000000L div (60 + lex_rank)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + vec_rank)"), lit(0L))).as("rrf6"))
+    }),
+
     // the full RefinedWeb-shaped chain in ONE plan: fetch once per page
     // identity (url dedup) -> strip markup + boilerplate (html extract) ->
     // C4 line+doc rules -> exact dedup on the cleaned text
@@ -1917,6 +1942,36 @@ object ExtensionQueries {
       |      AND NOT contains(lower(l), 'javascript')) AS ks
       |  FROM d)""".stripMargin.replace("MINLW", minLineWords.toString)
 
+  /** BM25 CTE chain over `documents` for the query terms
+    * (data, join, slow, vector) — ends at sc(doc_id, idf6, tfq6); the final
+    * per-doc aggregation lives in [[bm25FinalSelect]]. Shared by the BM25
+    * oracle and the RRF fusion oracle.
+    */
+  private val bm25Ctes: String =
+    """w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+      |              x -> length(x) > 0) AS ws FROM documents),
+      |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
+      |tok AS (SELECT doc_id, ws[i] AS term
+      |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
+      |qt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      |       WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1, 2),
+      |dfp AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+      |        WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1),
+      |dls AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+      |sc AS (SELECT qt.doc_id,
+      |""".stripMargin +
+      s"  CAST(floor((${PortableLog.lnSql("(2*nd + 2)", spark = false)} - " +
+      s"${PortableLog.lnSql("(2*df + 1)", spark = false)}) * 1000000.0::DOUBLE) AS BIGINT) AS idf6,\n" +
+      """|  (22 * qt.tf * 1000000) // (10 * qt.tf + 3 + (9 * dls.dl * st.nd) // st.ltot) AS tfq6
+      |  FROM qt JOIN dfp USING (term) JOIN dls USING (doc_id), st)""".stripMargin
+
+  private val bm25FinalSelect: String =
+    """SELECT doc_id,
+      |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
+      |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
+      |FROM sc GROUP BY 1""".stripMargin
+
   /** The sentenceFixture derivation as a SQL fragment (over documents). */
   private val sentenceDerivSql: String =
     """'We observe that ' || substr(coalesce(text, ''), 1, 40) ||
@@ -2284,28 +2339,25 @@ object ExtensionQueries {
 
     // BM25 restated: the same integer tf/length factors, the idf via the
     // identical PortableLog basic-op sequence (spark=false dialect)
-    "q_bm25" ->
-      ("""WITH w AS (SELECT doc_id,
-        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
-        |              x -> length(x) > 0) AS ws FROM documents),
-        |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
-        |tok AS (SELECT doc_id, ws[i] AS term
-        |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
-        |qt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
-        |       WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1, 2),
-        |dfp AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
-        |        WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1),
-        |dls AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
-        |sc AS (SELECT qt.doc_id,
-        |""".stripMargin +
-        s"  CAST(floor((${PortableLog.lnSql("(2*nd + 2)", spark = false)} - " +
-        s"${PortableLog.lnSql("(2*df + 1)", spark = false)}) * 1000000.0::DOUBLE) AS BIGINT) AS idf6,\n" +
-        """|  (22 * qt.tf * 1000000) // (10 * qt.tf + 3 + (9 * dls.dl * st.nd) // st.ltot) AS tfq6
-        |  FROM qt JOIN dfp USING (term) JOIN dls USING (doc_id), st)
-        |SELECT doc_id,
-        |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
-        |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
-        |FROM sc GROUP BY 1""".stripMargin),
+    "q_bm25" -> (s"WITH $bm25Ctes\n$bm25FinalSelect"),
+
+    // RRF restated: rank both top-20 lists with the same total orders, fuse
+    // with the identical integer formula
+    "q_rrf_fusion" ->
+      (s"WITH $bm25Ctes,\nbmq AS ($bm25FinalSelect),\n" +
+        """lex AS (SELECT doc_id, rn::INTEGER AS lex_rank FROM
+          |  (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+          |   FROM bmq) WHERE rn <= 20),
+          |vq AS (SELECT b.vec_id,
+          |  round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+          |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          |  WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20),
+          |vr AS (SELECT vec_id AS doc_id,
+          |  row_number() OVER (ORDER BY cos DESC, vec_id)::INTEGER AS vec_rank FROM vq)
+          |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+          |  (coalesce(1000000 // (60 + l.lex_rank), 0)
+          |   + coalesce(1000000 // (60 + v.vec_rank), 0))::BIGINT AS rrf6
+          |FROM lex l FULL JOIN vr v ON l.doc_id = v.doc_id""".stripMargin),
 
     "q_badwords_gate" ->
       (s"WITH d AS (SELECT doc_id,\n  $sentenceDerivSql AS t FROM documents),\n" +
