@@ -223,6 +223,60 @@ object TextAnalysis {
         "cast(0.000001 as decimal(7,6)) as decimal(18,6))").as("bm25"))
   }
 
+  /** [[bm25Score]] for a QUERIES DataFrame (query_id, query text) — the
+    * actual search workload shape: every query scored in ONE plan, no
+    * per-query job loop (the pqTopKBatch convention). Output:
+    * (query_id, doc_id, rank, bm25) — the top `k` docs per query in
+    * (bm25 DESC, doc_id) order.
+    *
+    * Scale shape: corpus-sized work happens ONCE for the union of all
+    * query terms (tf per (doc, term), df per term — both
+    * map-side-combinable aggregates over the term-filtered token stream);
+    * the per-query fan-out joins those small tables against the BROADCAST
+    * query-term list, and the per-query top-k is a WindowGroupLimit-pruned
+    * rank over query_id — high query cardinality, no skew. Identical
+    * integer/PortableLog arithmetic to the single-query form.
+    */
+  def bm25ScoreBatch(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(words(coalesce(col(queryTextCol), lit("")))))
+        .as("term")).distinct()
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      words(coalesce(col(textCol), lit(""))).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("nd"),
+      coalesce(sum("dl"), lit(0L)).as("ltot"))
+    val anyTerm = qterms.select("term").distinct()
+    val tok = base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .join(broadcast(anyTerm), "term")
+    val tf = tok.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val dfT = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf6", expr(
+        s"cast(floor((${PortableLog.lnSql("(2*nd + 2)", spark = true)} - " +
+          s"${PortableLog.lnSql("(2*df + 1)", spark = true)}) * 1000000.0D) as bigint)"))
+      .withColumn("tfq6", expr(
+        "(22L * tf * 1000000L) div (10L * tf + 3L + (9L * dl * nd) div ltot)"))
+      .withColumn("c6", expr("(idf6 * tfq6) div 1000000L"))
+      .groupBy("query_id", "doc_id")
+      .agg(expr("cast(cast(sum(c6) as decimal(18,0)) * " +
+        "cast(0.000001 as decimal(7,6)) as decimal(18,6))").as("bm25"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "bm25")
+  }
+
   /** Per-document ATTRIBUTE TAGGING — the Dolma "taggers" shape: compute
     * every cheap quality attribute in ONE narrow pass and persist the
     * attribute table, so changing a FILTER threshold later re-reads the

@@ -759,6 +759,15 @@ object ExtensionQueries {
       TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
         query = "data join slow vector")),
 
+    // the query-TABLE form: three queries scored in one plan, top-10 each
+    "q_bm25_batch" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "data join"), ("q2", "slow vector table"),
+        ("q3", "spark merge window")).toDF("query_id", "qtext")
+      TextAnalysis.bm25ScoreBatch(t(s, d, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 10)
+    }),
+
     // HYBRID retrieval: Reciprocal Rank Fusion (Cormack 2009, the standard
     // lexical+vector combiner) of the BM25 top-20 and the cosine top-20 —
     // rrf6 = Σ 10⁶ div (60 + rank), pure integer, so the fused ranking is
@@ -1942,29 +1951,31 @@ object ExtensionQueries {
       |      AND NOT contains(lower(l), 'javascript')) AS ks
       |  FROM d)""".stripMargin.replace("MINLW", minLineWords.toString)
 
-  /** BM25 CTE chain over `documents` for the query terms
-    * (data, join, slow, vector) — ends at sc(doc_id, idf6, tfq6); the final
-    * per-doc aggregation lives in [[bm25FinalSelect]]. Shared by the BM25
-    * oracle and the RRF fusion oracle.
+  /** BM25 CTE chain over `documents` for a literal term set — ends at
+    * sc(doc_id, term, idf6, tfq6); the final per-doc aggregation lives in
+    * [[bm25FinalSelect]]. Shared by the BM25 oracle, its batch form, and
+    * the RRF fusion oracle.
     */
-  private val bm25Ctes: String =
-    """w AS (SELECT doc_id,
-      |  list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""w AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
       |              x -> length(x) > 0) AS ws FROM documents),
       |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
       |tok AS (SELECT doc_id, ws[i] AS term
       |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
       |qt AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
-      |       WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1, 2),
+      |       WHERE term IN ($inList) GROUP BY 1, 2),
       |dfp AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
-      |        WHERE term IN ('data', 'join', 'slow', 'vector') GROUP BY 1),
+      |        WHERE term IN ($inList) GROUP BY 1),
       |dls AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
-      |sc AS (SELECT qt.doc_id,
+      |sc AS (SELECT qt.doc_id, qt.term,
       |""".stripMargin +
       s"  CAST(floor((${PortableLog.lnSql("(2*nd + 2)", spark = false)} - " +
       s"${PortableLog.lnSql("(2*df + 1)", spark = false)}) * 1000000.0::DOUBLE) AS BIGINT) AS idf6,\n" +
       """|  (22 * qt.tf * 1000000) // (10 * qt.tf + 3 + (9 * dls.dl * st.nd) // st.ltot) AS tfq6
       |  FROM qt JOIN dfp USING (term) JOIN dls USING (doc_id), st)""".stripMargin
+  }
 
   private val bm25FinalSelect: String =
     """SELECT doc_id,
@@ -2339,12 +2350,30 @@ object ExtensionQueries {
 
     // BM25 restated: the same integer tf/length factors, the idf via the
     // identical PortableLog basic-op sequence (spark=false dialect)
-    "q_bm25" -> (s"WITH $bm25Ctes\n$bm25FinalSelect"),
+    "q_bm25" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
+
+    // the batch form: union-term CTE chain + a VALUES query map, per-query
+    // sums and rank windows — same arithmetic as the single form
+    "q_bm25_batch" ->
+      (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector", "table", "spark", "merge", "window"))},\n" +
+        """qmap(query_id, term) AS (VALUES
+          |  ('q1', 'data'), ('q1', 'join'),
+          |  ('q2', 'slow'), ('q2', 'vector'), ('q2', 'table'),
+          |  ('q3', 'spark'), ('q3', 'merge'), ('q3', 'window')),
+          |per AS (SELECT m.query_id, sc.doc_id,
+          |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
+          |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
+          |  FROM sc JOIN qmap m USING (term) GROUP BY 1, 2),
+          |rk AS (SELECT query_id, doc_id, bm25,
+          |  row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY bm25 DESC, doc_id)::INTEGER AS rank
+          |  FROM per)
+          |SELECT query_id, doc_id, rank, bm25 FROM rk WHERE rank <= 10""".stripMargin),
 
     // RRF restated: rank both top-20 lists with the same total orders, fuse
     // with the identical integer formula
     "q_rrf_fusion" ->
-      (s"WITH $bm25Ctes,\nbmq AS ($bm25FinalSelect),\n" +
+      (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))},\nbmq AS ($bm25FinalSelect),\n" +
         """lex AS (SELECT doc_id, rn::INTEGER AS lex_rank FROM
           |  (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
           |   FROM bmq) WHERE rn <= 20),

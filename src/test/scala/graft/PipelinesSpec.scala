@@ -539,4 +539,25 @@ class PipelinesSpec extends SparkSpec {
     // more occurrences of the same term in a same-length-class doc → higher
     assert(got(1L).compareTo(got(2L)) > 0)
   }
+
+  test("bm25ScoreBatch ≡ bm25Score per query — shared df/stats leak nothing across queries") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange")).toDF("doc_id", "text")
+    val queries = Seq(("a", "apple cherry"), ("b", "banana"), ("c", "absent"))
+      .toDF("query_id", "qtext")
+    val batch = TextAnalysis.bm25ScoreBatch(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDecimal(3)).toMap
+    for ((qid, qtext) <- Seq("a" -> "apple cherry", "b" -> "banana")) {
+      val single = TextAnalysis.bm25Score(corpus, "doc_id", "text", qtext)
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      val bq = batch.collect { case ((q, d), s) if q == qid => d -> s }.toMap
+      assert(bq == single, s"query $qid: batch $bq vs single $single")
+    }
+    assert(!batch.keys.exists(_._1 == "c"), "no-hit queries return no rows")
+  }
 }
