@@ -194,6 +194,24 @@ object TextAnalysis {
     * the MATCHING token volume, not the corpus), a broadcast join of the
     * ≤|terms|-row df table, and one map-side-combinable per-doc sum.
     */
+  /** The BM25 integer arithmetic, shared verbatim by the in-plan scorers
+    * and the materialized-index probe: consumes (tf, dl, df, nd, ltot)
+    * columns, yields the per-(doc, term) micro-unit contribution `c6` and
+    * the per-doc aggregation to DECIMAL(18,6).
+    */
+  private def bm25Contribution(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("idf6", expr(
+        s"cast(floor((${PortableLog.lnSql("(2*nd + 2)", spark = true)} - " +
+          s"${PortableLog.lnSql("(2*df + 1)", spark = true)}) * 1000000.0D) as bigint)"))
+      .withColumn("tfq6", expr(
+        "(22L * tf * 1000000L) div (10L * tf + 3L + (9L * dl * nd) div ltot)"))
+      .withColumn("c6", expr("(idf6 * tfq6) div 1000000L"))
+
+  private val bm25SumExpr =
+    expr("cast(cast(sum(c6) as decimal(18,0)) * " +
+      "cast(0.000001 as decimal(7,6)) as decimal(18,6))")
+
   def bm25Score(docs: DataFrame, idCol: String, textCol: String,
       query: String): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
@@ -209,18 +227,67 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val dfT = tok.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    tf
+    bm25Contribution(tf
       .join(broadcast(dfT), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf6", expr(
-        s"cast(floor((${PortableLog.lnSql("(2*nd + 2)", spark = true)} - " +
-          s"${PortableLog.lnSql("(2*df + 1)", spark = true)}) * 1000000.0D) as bigint)"))
-      .withColumn("tfq6", expr(
-        "(22L * tf * 1000000L) div (10L * tf + 3L + (9L * dl * nd) div ltot)"))
-      .withColumn("c6", expr("(idf6 * tfq6) div 1000000L"))
+      .crossJoin(broadcast(stats)))
       .groupBy("doc_id")
-      .agg(expr("cast(cast(sum(c6) as decimal(18,0)) * " +
-        "cast(0.000001 as decimal(7,6)) as decimal(18,6))").as("bm25"))
+      .agg(bm25SumExpr.as("bm25"))
+  }
+
+  /** Materialize a BM25 POSTING-LIST index: postings partitioned by the
+    * term's 2-hex md5 bucket (256 directories), rows
+    * (term, doc_id, tf, dl); sidecar `<dir>.stats` holds the 1-row corpus
+    * statistics (N docs, total tokens). df is deliberately NOT stored: a
+    * probe recomputes it exactly as the posting count per term over the
+    * pruned partitions, so no second per-term sidecar can drift from the
+    * postings. This is the [[graft.operators.Similarity.ivfWrite]] story
+    * for lexical search — at 100 TB a probe reads ONLY the query terms'
+    * bucket directories (~|terms|/256 of the index), never the corpus and
+    * never the full index.
+    */
+  def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      words(coalesce(col(textCol), lit(""))).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .cache() // two writes below share the tokenize pass
+    try {
+      base.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("ltot"))
+        .write.mode("overwrite").parquet(s"$dir.stats")
+      base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .withColumn("bucket", substring(md5(col("term")), 1, 2))
+        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+    } finally base.unpersist()
+  }
+
+  /** Probe a materialized [[bm25IndexWrite]] index: read ONLY the query
+    * terms' bucket partitions (directory-level pruning via the `bucket
+    * isin` filter — PlanSpec pins the PartitionFilters line), recompute df
+    * from the pruned postings, and score with the IDENTICAL integer
+    * arithmetic as [[bm25Score]] — so the probe hash-matches the in-plan
+    * scorer exactly (q_bm25_probe shares q_bm25's oracle).
+    */
+  def bm25Probe(spark: org.apache.spark.sql.SparkSession, dir: String,
+      query: String): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "query must contain at least one term")
+    val buckets = terms.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"${d(0) & 0xff}%02x"
+    }.distinct
+    val stats = spark.read.parquet(s"$dir.stats")
+    val postings = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Contribution(postings
+      .join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats)))
+      .groupBy("doc_id")
+      .agg(bm25SumExpr.as("bm25"))
   }
 
   /** [[bm25Score]] for a QUERIES DataFrame (query_id, query text) — the
@@ -257,19 +324,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val dfT = tok.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf
+    val scored = bm25Contribution(tf
       .join(broadcast(dfT), "term")
       .join(broadcast(qterms), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf6", expr(
-        s"cast(floor((${PortableLog.lnSql("(2*nd + 2)", spark = true)} - " +
-          s"${PortableLog.lnSql("(2*df + 1)", spark = true)}) * 1000000.0D) as bigint)"))
-      .withColumn("tfq6", expr(
-        "(22L * tf * 1000000L) div (10L * tf + 3L + (9L * dl * nd) div ltot)"))
-      .withColumn("c6", expr("(idf6 * tfq6) div 1000000L"))
+      .crossJoin(broadcast(stats)))
       .groupBy("query_id", "doc_id")
-      .agg(expr("cast(cast(sum(c6) as decimal(18,0)) * " +
-        "cast(0.000001 as decimal(7,6)) as decimal(18,6))").as("bm25"))
+      .agg(bm25SumExpr.as("bm25"))
     scored
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("bm25").desc, col("doc_id"))))

@@ -759,6 +759,15 @@ object ExtensionQueries {
       TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
         query = "data join slow vector")),
 
+    // the MATERIALIZED index: postings written bucket-partitioned, probed
+    // with directory-level pruning, df recomputed from the pruned
+    // postings — identical integer arithmetic, so it shares q_bm25's oracle
+    "q_bm25_probe" -> ((s, d) => {
+      val dir = s"target/bm25_${new java.io.File(d).getName}"
+      TextAnalysis.bm25IndexWrite(t(s, d, "documents"), "doc_id", "text", dir)
+      TextAnalysis.bm25Probe(s, dir, "data join slow vector")
+    }),
+
     // the query-TABLE form: three queries scored in one plan, top-10 each
     "q_bm25_batch" -> ((s, d) => {
       import s.implicits._
@@ -2351,6 +2360,10 @@ object ExtensionQueries {
     // BM25 restated: the same integer tf/length factors, the idf via the
     // identical PortableLog basic-op sequence (spark=false dialect)
     "q_bm25" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
+
+    // the index probe must reproduce the in-plan scorer bit-for-bit — the
+    // index round-trip proof, same oracle text
+    "q_bm25_probe" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
 
     // the batch form: union-term CTE chain + a VALUES query map, per-query
     // sums and rank windows — same arithmetic as the single form

@@ -560,4 +560,26 @@ class PipelinesSpec extends SparkSpec {
     }
     assert(!batch.keys.exists(_._1 == "c"), "no-hit queries return no rows")
   }
+
+  test("bm25 index probe ≡ in-plan scorer; the scan prunes to the query terms' buckets") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus, "doc_id", "text", dir)
+    val probe = TextAnalysis.bm25Probe(spark, dir, "apple cherry")
+    val direct = TextAnalysis.bm25Score(corpus, "doc_id", "text", "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(probe.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap == direct)
+    // directory-level pruning: the postings scan must carry a non-empty
+    // partition filter on the bucket column
+    val plan = probe.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket") &&
+      !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"probe must prune on bucket partitions:\n$scanLine")
+  }
 }
