@@ -262,6 +262,50 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** Append NEW documents to a materialized [[bm25IndexWrite]] index — the
+    * rolling-crawl form: postings for the batch land as appended files
+    * under the same bucket directories (touching no existing file), and the
+    * stats sidecar is rewritten as old + delta. df needs no maintenance at
+    * all — probes recompute it from the postings, so an incrementally-grown
+    * index probes IDENTICALLY to one built in a single shot (spec-proven).
+    * Contract (the exactIncremental discipline): batch doc_ids must be new
+    * — re-appending a doc would double its postings; dedupe upstream.
+    */
+  def bm25IndexAppend(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+      words(coalesce(col(textCol), lit(""))).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+      .cache()
+    try {
+      val delta = base.agg(count(lit(1)).as("nd"),
+        coalesce(sum("dl"), lit(0L)).as("ltot")).head()
+      val prev = spark.read.parquet(s"$dir.stats").head()
+      import spark.implicits._
+      // merged sidecar staged beside, postings appended, then the sidecar
+      // rename-swapped (the ivfPqCompact idiom) — a crash leaves either the
+      // old or the new sidecar in place, never a torn or missing one
+      Seq((prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1)))
+        .toDF("nd", "ltot").write.mode("overwrite").parquet(s"$dir.stats.next")
+      base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+        .groupBy("term", "doc_id")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .withColumn("bucket", substring(md5(col("term")), 1, 2))
+        .write.partitionBy("bucket").mode("append").parquet(dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir.stats")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val aside = new org.apache.hadoop.fs.Path(s"$dir.stats.old")
+      if (!fs.rename(p, aside))
+        throw new java.io.IOException(s"append: cannot move $dir.stats aside")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$dir.stats.next"), p)) {
+        fs.rename(aside, p) // roll back — the live sidecar stays valid
+        throw new java.io.IOException(s"append: cannot swap $dir.stats.next in")
+      }
+      fs.delete(aside, true)
+    } finally base.unpersist()
+  }
+
   /** Probe a materialized [[bm25IndexWrite]] index: read ONLY the query
     * terms' bucket partitions (directory-level pruning via the `bucket
     * isin` filter — PlanSpec pins the PartitionFilters line), recompute df

@@ -768,6 +768,19 @@ object ExtensionQueries {
       TextAnalysis.bm25Probe(s, dir, "data join slow vector")
     }),
 
+    // the rolling-crawl index: built from the first half, grown by append
+    // with the second — the probe must hash-match the one-shot oracle,
+    // proving the incremental build changes nothing
+    "q_bm25_append" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = s"target/bm25a_${new java.io.File(d).getName}"
+      TextAnalysis.bm25IndexWrite(docs.filter(col("doc_id") < 250),
+        "doc_id", "text", dir)
+      TextAnalysis.bm25IndexAppend(docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", dir)
+      TextAnalysis.bm25Probe(s, dir, "data join slow vector")
+    }),
+
     // the query-TABLE form: three queries scored in one plan, top-10 each
     "q_bm25_batch" -> ((s, d) => {
       import s.implicits._
@@ -2364,6 +2377,9 @@ object ExtensionQueries {
     // the index probe must reproduce the in-plan scorer bit-for-bit — the
     // index round-trip proof, same oracle text
     "q_bm25_probe" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
+
+    // ...and so must a probe of the incrementally-grown index
+    "q_bm25_append" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
 
     // the batch form: union-term CTE chain + a VALUES query map, per-query
     // sums and rank windows — same arithmetic as the single form

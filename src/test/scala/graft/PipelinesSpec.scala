@@ -581,5 +581,15 @@ class PipelinesSpec extends SparkSpec {
     assert(scanLine.contains("bucket") &&
       !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
       s"probe must prune on bucket partitions:\n$scanLine")
+
+    // incremental build: index(1,2) + append(3,4) must probe EXACTLY like
+    // the one-shot index — df recomputation and the stats-sidecar merge
+    // leave no seam
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_bm25a").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus.filter($"doc_id" <= 2), "doc_id", "text", dir2)
+    TextAnalysis.bm25IndexAppend(corpus.filter($"doc_id" >= 3), "doc_id", "text", dir2)
+    val grown = TextAnalysis.bm25Probe(spark, dir2, "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(grown == direct, s"incrementally-grown probe diverged: $grown vs $direct")
   }
 }
