@@ -351,6 +351,50 @@ class StreamingSpec extends SparkSpec {
     assert(rows(dirStream).map(_._1) == base.map(_._1).toSet)
   }
 
+  test("streaming BM25 index ingest: foreachBatch append == one-shot build, any batch slicing") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // postings are per-doc and df is recomputed at probe time, so the grown
+    // index must probe identically however the corpus was sliced into
+    // micro-batches — the lexical form of the slicing-invariance contract
+    val base = graft.sources.Tables(spark, sfDir, "documents")
+      .filter(col("doc_id") < 60)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val batches = Seq(
+      base.filter(_._1 < 20),
+      base.filter(t => t._1 >= 20 && t._1 < 35),
+      base.filter(_._1 >= 35))
+    val dirStream = java.nio.file.Files.createTempDirectory("bm25_st").toString + "/idx"
+
+    val input = MemoryStream[(Long, String)]
+    var booted = false
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!booted) {
+          graft.operators.TextAnalysis.bm25IndexWrite(
+            batch, "doc_id", "text", dirStream)
+          booted = true
+        } else graft.operators.TextAnalysis.bm25IndexAppend(
+          batch, "doc_id", "text", dirStream)
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val direct = graft.operators.TextAnalysis.bm25Score(
+      base.toDF("doc_id", "text"), "doc_id", "text", "data join slow")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val probed = graft.operators.TextAnalysis.bm25Probe(
+      spark, dirStream, "data join slow")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(probed == direct,
+      "stream-grown index must probe identically to the in-plan scorer")
+  }
+
   test("streaming mixture gates: foreachBatch vs persisted histogram/spend state == sequential batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
