@@ -136,4 +136,33 @@ object Writers {
       .drop("z")
       .write.mode("overwrite").parquet(outDir)
   }
+
+  /** Compact a hive-partitioned parquet table in place: every partition's
+    * rows hash-routed to ONE task (repartition on the partition column +
+    * partitionBy writer ⇒ one file per partition value), written to a
+    * sibling directory and atomically rename-swapped — the
+    * `Similarity.ivfPqCompact` discipline generalized to any partitioned
+    * layout. Appends decay a partitioned table into one file per
+    * (partition, batch); compaction restores one file per partition, and a
+    * crash at ANY point leaves the live table readable (either the old or
+    * the new directory is in place, never a torn one). Content is
+    * bit-identical; sidecars beside the directory are untouched.
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, partCol: String): Unit = {
+    val tmp = s"$dir.compacting"
+    spark.read.parquet(dir)
+      .repartition(col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new org.apache.hadoop.fs.Path(s"$dir.old")
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot move $dir aside")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), p)) {
+      fs.rename(old, p) // roll back — the live table stays valid
+      throw new java.io.IOException(s"compact: cannot swap $tmp into place")
+    }
+    fs.delete(old, true)
+  }
 }

@@ -98,6 +98,34 @@ class WritersSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitioned: append decay healed to one file per partition, probes unchanged") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange")).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_compact").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus.filter($"doc_id" <= 2), "doc_id", "text", dir)
+    TextAnalysis.bm25IndexAppend(corpus.filter($"doc_id" >= 3), "doc_id", "text", dir)
+    def bucketFiles(): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")))
+        .toMap
+    // shared terms land postings from both writes → some bucket holds >1 file
+    assert(bucketFiles().values.exists(_ > 1), "fixture must exhibit append decay")
+    val before = TextAnalysis.bm25Probe(spark, dir, "apple cherry banana")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    Writers.compactPartitioned(spark, dir, "bucket")
+    assert(bucketFiles().values.forall(_ == 1),
+      s"every bucket must compact to one file: ${bucketFiles()}")
+    val after = TextAnalysis.bm25Probe(spark, dir, "apple cherry banana")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(after == before, "compaction must not move a single score")
+  }
+
   test("zorderParquet: files prune on BOTH dimensions where a single-column sort cannot") {
     // 100x100 grid in scrambled row order: every (x, y) cell exactly once
     val grid = spark.range(0, 10000).select(
