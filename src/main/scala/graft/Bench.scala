@@ -40,7 +40,8 @@ object Bench {
     "q_robots_filter", "q_badwords_gate", "q_link_frontier",
     "q_link_anchors", "q_pipeline_crawl2", "q_tag_docs",
     "q_containment_dedup", "q_robots_delays", "q_frontier_ranked",
-    "q_bm25", "q_rrf_fusion", "q_bm25_batch", "q_bm25_probe", "q_bm25_append")
+    "q_bm25", "q_rrf_fusion", "q_bm25_batch", "q_bm25_probe", "q_bm25_append",
+    "q_fetch_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

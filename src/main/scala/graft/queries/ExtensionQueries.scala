@@ -184,6 +184,24 @@ object ExtensionQueries {
       .select(host.as("host"), content.as("content"))
   }
 
+  /** robots.txt fixture whose rules bite on the LINK fixture's paths
+    * (`/a/K`, `/b`, `/local/K`) — feeds the fetch-plan composition, where
+    * [[robotsFixture]]'s `/articles/` rules would never match a frontier
+    * URL. One `*` group per src host (hosts with N % 5 == 0 publish
+    * nothing): /a/ disallowed except /a/3, /local/2 disallowed, and a
+    * per-host Crawl-delay equal to the host's numeric suffix.
+    */
+  private def frontierRobotsFixture(docs: DataFrame): DataFrame = {
+    val n = expr("cast(substring(source, 4, 10) as int)")
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val content = concat(
+      lit("User-agent: *\nDisallow: /a/\nAllow: /a/3\nDisallow: /local/2\n" +
+        "Crawl-delay: "), n.cast("string"))
+    docs.select(col("source")).distinct()
+      .filter(n % 5 =!= 0)
+      .select(host.as("host"), content.as("content"))
+  }
+
   /** Shared DuckDB CTE: exact word-3-gram Jaccard pairs at threshold 0.8 —
     * oracle for both the exact operator and the MinHash-LSH operator (whose
     * banding at numPerm=32/bands=8 has recall ≈ 1 at the planted J≈0.99).
@@ -640,6 +658,34 @@ object ExtensionQueries {
         .withColumn("host", graft.operators.Urls.hostOf(col("url_canon")))
         .join(ranks, Seq("host"), "left")
         .select(col("doc_id"), col("url_canon"), col("host"),
+          coalesce(col("rank"), lit(0L)).as("host_rank"))
+    }),
+
+    // the COMPLETE fetch decision in one plan: frontier (new canonical
+    // URLs) × robots verdict (per URL, keyed by the URL itself so distinct
+    // frontier URLs sharing a discoverer never merge) × per-host
+    // crawl-delay × host PageRank — what to fetch, at what rate, in what
+    // priority order; disallowed URLs never reach the plan
+    "q_fetch_plan" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val links = Links.extractLinks(linkPages(docs), "doc_id", "url", "html")
+      val frontier = graft.operators.Urls.urlDedupIncremental(
+        links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
+        graft.operators.Urls.urlState(
+          links.filter(col("doc_id") < 20), "doc_id", "dst_url"))
+      val robots = frontierRobotsFixture(docs)
+      val verdicts = graft.operators.Urls.robotsFilter(
+        frontier, "url_canon", "url_canon",
+        graft.operators.Urls.robotsRules(robots, "host", "content", "graftbot"))
+        .select(col("doc_id").as("url_canon"), col("host"), col("allowed"))
+      val delays = graft.operators.Urls.robotsCrawlDelays(
+        robots, "host", "content", "graftbot")
+      val ranks = Links.pageRank(Links.hostEdges(links))
+      verdicts.filter(col("allowed"))
+        .join(delays, Seq("host"), "left")
+        .join(ranks, Seq("host"), "left")
+        .select(col("url_canon"), col("host"),
+          coalesce(col("crawl_delay"), lit(0)).as("crawl_delay"),
           coalesce(col("rank"), lit(0L)).as("host_rank"))
     }),
 
@@ -2197,6 +2243,30 @@ object ExtensionQueries {
           |FROM links""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql,
+
+    // fetch plan restated INDEPENDENTLY: verdict and delay derived straight
+    // from the fixture recipe (path pattern + host suffix), never by
+    // re-running the parser/argmax; rank from the shared fixed-point chain
+    "q_fetch_plan" ->
+      (s"WITH $linkDerivCte,\n" + pageRankCtes + ",\n" +
+        """seen AS (SELECT DISTINCT dst_url FROM links WHERE doc_id < 20),
+          |fr AS (SELECT dst_url AS url_canon, dst_host AS host
+          |       FROM links WHERE doc_id >= 20
+          |         AND dst_url NOT IN (SELECT dst_url FROM seen)
+          |       GROUP BY dst_url, dst_host),
+          |hn AS (SELECT url_canon, host,
+          |  try_cast(regexp_extract(host, '^www\.src([0-9]+)\.example\.com$', 1) AS INT) AS n,
+          |  regexp_replace(url_canon, '^[a-z]+://[^/]*', '') AS pth
+          |  FROM fr),
+          |al AS (SELECT url_canon, host,
+          |  NOT (n IS NOT NULL AND n % 5 <> 0 AND
+          |       ((pth LIKE '/a/%' AND pth <> '/a/3') OR pth = '/local/2')) AS allowed,
+          |  CASE WHEN n IS NOT NULL AND n % 5 <> 0 THEN n ELSE 0 END AS crawl_delay
+          |  FROM hn)
+          |SELECT al.url_canon, al.host, al.crawl_delay,
+          |  coalesce(r3.rank, 0) AS host_rank
+          |FROM al LEFT JOIN r3 ON r3.host = al.host
+          |WHERE al.allowed""".stripMargin),
 
     // frontier × PageRank: dst_host rides the link derivation (functionally
     // determined by dst_url), rank from the shared fixed-point CTE chain
