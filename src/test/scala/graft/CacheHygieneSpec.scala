@@ -73,4 +73,20 @@ class CacheHygieneSpec extends SparkSpec {
     }
     assert(leak2.isEmpty, s"cached blocks survived release: $leak2")
   }
+
+  test("containment rep-core caches release under the same contract") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val leak = leakAfterRelease(Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9, minShingles = 3)) { rows =>
+      val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      // identical sets both ways; the strict-prefix quote into both clones
+      assert(pairs == Set((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L)), pairs.toString)
+    }
+    assert(leak.isEmpty, s"containment cached blocks survived release: $leak")
+  }
 }

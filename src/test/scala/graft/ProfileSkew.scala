@@ -214,6 +214,34 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     sDocs.unpersist()
+
+    // --- 9. BM25 hot-term probe -----------------------------------------
+    // every doc contains the universal term "the" (a 2M-row posting list —
+    // the worst query a user can type) plus mostly-distinct filler; the
+    // scorer must stay flat vs a rare-term query because tf/df are
+    // map-side-combined aggregates over the term-filtered stream, never a
+    // per-term reducer of raw tokens.
+    val bDocs = spark.range(nDoc).select(col("id").as("doc_id"),
+      concat(lit("the filler"), (col("id") % 97).cast("string"),
+        lit(" alpha beta word"), (col("id") % 1013).cast("string"),
+        when(col("id") % 100000 === 0, lit(" needle")).otherwise(lit(""))).as("text"))
+      .repartition(32).cache()
+    println(s"[prof] bm25 docs: ${bDocs.count()} (universal term 'the')")
+    for (i <- 1 to 2)
+      time(s"bm25Score hot term ('the alpha') #$i") {
+        val n = graft.operators.TextAnalysis.bm25Score(
+          bDocs, "doc_id", "text", "the alpha").count()
+        require(n == nDoc, s"hot-term query must match all docs: $n")
+        graft.operators.Caches.release(spark)
+      }
+    for (i <- 1 to 2)
+      time(s"bm25Score rare term ('needle') #$i") {
+        val n = graft.operators.TextAnalysis.bm25Score(
+          bDocs, "doc_id", "text", "needle").count()
+        require(n == nDoc / 100000, s"rare-term match count: $n")
+        graft.operators.Caches.release(spark)
+      }
+    bDocs.unpersist()
     spark.stop()
   }
 }
