@@ -747,6 +747,34 @@ object ExtensionQueries {
         .select("doc_id", "text")
     }),
 
+    // BYTES → TRAINING SHARDS, the whole pipeline in ONE declarative plan:
+    // container walk, one fetch per canonical URL, HTML extraction +
+    // density gate, exact dedup, per-HOST token-budget mixture cut, and
+    // concat-and-chunk packing into fixed-length training sequences — every
+    // stage the audited operator, composed end to end and hash-checked by
+    // one chained-CTE oracle
+    "q_pipeline_e2e" -> ((s, d) => {
+      val dir = s"target/gwarc_${new java.io.File(d).getName}_e2e"
+      graft.sources.Warc.write(
+        warcFixture(t(s, d, "documents"), withNulls = false), dir)
+      val recs = graft.sources.Warc.read(s, dir).filter(col("html").isNotNull)
+      val kept = graft.operators.Urls.urlDedup(recs, "record_id", "url")
+        .select(col("doc_id").as("record_id"))
+      val extracted = TextAnalysis.htmlExtract(
+        recs.join(kept, "record_id"), "record_id", "html", minWords = 5)
+      val gated = extracted.filter(col("n_kept") >= 2)
+        .select(col("doc_id"), col("text"))
+      val clean = gated.join(Dedup.exact(gated, "doc_id", "text"), "doc_id")
+      val domained = clean.join(
+        recs.select(col("record_id").as("doc_id"),
+          graft.operators.Urls.hostOf(col("url")).as("domain")), "doc_id")
+      val budgeted = Pipelines.tokenBudgetSample(domained, "doc_id", "text",
+        "domain", budgets = Map.empty, defaultBudget = 3000L)
+      Pipelines.packSequences(
+        domained.join(budgeted.select("doc_id"), "doc_id"),
+        "doc_id", "text", maxTokens = 512, shards = 8)
+    }),
+
     // paragraph-granularity corpus dedup (the Dolma convention — C4/CCNet
     // drop duplicated LINES, Dolma drops duplicated PARAGRAPHS): dedupLines
     // with the blank-line separator over paragraph-structured text
@@ -1962,7 +1990,12 @@ object ExtensionQueries {
     * half — shared verbatim by q_pipeline_web (from the documents table) and
     * q_pipeline_crawl (the same records round-tripped through GWARC bytes).
     */
-  private lazy val pipelineWebOracle: String =
+  /** The crawl-front-half CTE chain (url dedup → extraction → density gate
+    * → exact dedup): ends at g (kept docs with extracted text) and surv
+    * (exact-dedup survivors). Shared by the web/crawl pipeline oracles and
+    * the end-to-end chain.
+    */
+  private lazy val pipelineWebCtes: String =
     urlCanonCte + ",\n" +
       "keep AS (SELECT min(doc_id) AS doc_id FROM canon GROUP BY url_canon),\n" +
       s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM documents d JOIN keep USING (doc_id)),\n" +
@@ -1972,8 +2005,10 @@ object ExtensionQueries {
         |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
         |surv AS (SELECT min(doc_id) AS doc_id FROM
         |  (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g) q
-        |  GROUP BY fp)
-        |SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)""".stripMargin
+        |  GROUP BY fp)""".stripMargin
+
+  private lazy val pipelineWebOracle: String =
+    pipelineWebCtes + "\nSELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)"
 
   /** The Gopher rule chain as CTEs over a relation d(doc_id, t): defines
     * w/m/r, where r carries n + the seven ok_ flags — shared by the gate
@@ -2179,6 +2214,31 @@ object ExtensionQueries {
           |  len(ks)::INTEGER AS n_kept, len(raw)::INTEGER AS n_total FROM k""".stripMargin),
 
     "q_pipeline_web" -> pipelineWebOracle,
+
+    // bytes → shards: the web-front CTEs extended with the host-keyed
+    // token-budget prefix cut and the shard-partitioned packing windows
+    "q_pipeline_e2e" ->
+      (pipelineWebCtes + ",\n" +
+        """clean AS (SELECT g.doc_id, g.text FROM g JOIN surv USING (doc_id)),
+          |dom AS (SELECT c2.doc_id, c2.text, cn.host AS domain
+          |        FROM clean c2 JOIN canon cn USING (doc_id)),
+          |tb AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom),
+          |tc AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          |  FROM tb),
+          |keep2 AS (SELECT doc_id FROM tc WHERE start_tok < 3000),
+          |pb AS (SELECT tb.doc_id, (tb.doc_id % 8)::INTEGER AS shard, tb.n_tokens
+          |       FROM tb JOIN keep2 USING (doc_id)),
+          |pc AS (SELECT doc_id, shard, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM pb)
+          |SELECT doc_id, shard, n_tokens,
+          |  (start_tok // 512)::BIGINT AS pack_id,
+          |  (start_tok % 512)::BIGINT AS pack_offset FROM pc""".stripMargin),
 
     // byte-identical records round-trip through the GWARC container, so the
     // downstream chain is EXACTLY q_pipeline_web — one oracle, two entry
