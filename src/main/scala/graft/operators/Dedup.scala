@@ -236,6 +236,25 @@ object Dedup {
       .join(drops, Seq("doc_id"), "left_anti")
   }
 
+  /** The incremental REMOVAL form, completing the containment grid's
+    * (pairs, removal) × (batch, incremental) square: keep the rows of
+    * `newDocs` NOT ≥`threshold`-contained in any EARLIER doc (state or a
+    * smaller-id batch doc) — the arrival-order policy of
+    * [[containmentIncremental]] applied as a cut: a quote of the existing
+    * corpus is redundant, the first occurrence stays. Total over the batch
+    * (unshingleable docs survive); slicing-invariant for monotone ids like
+    * every incremental form here.
+    */
+  def containmentDedupIncremental(newDocs: DataFrame, idCol: String,
+      textCol: String, state: DataFrame, n: Int = 3,
+      threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
+    val contained = containmentIncremental(newDocs, idCol, textCol, state,
+      n, threshold, minShingles)
+      .select(col("doc_a").as("doc_id")).distinct()
+    newDocs.select(Keys.id(newDocs, idCol).as("doc_id"))
+      .join(contained, Seq("doc_id"), "left_anti")
+  }
+
   /** The prefix-filter + verify core shared by [[containmentPairs]] and
     * [[containmentIncremental]]: `shA` supplies the CONTAINED candidates
     * (prefixes + |A| sizes), `shAll` the container index (df + arrays);

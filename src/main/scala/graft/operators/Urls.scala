@@ -218,7 +218,10 @@ object Urls {
     */
   /** Shared robots.txt parse: (directives in the groups binding `agent`,
     * as (host, gid, field, value)) — the group machinery behind
-    * [[robotsRules]] and [[robotsCrawlDelays]].
+    * [[robotsRules]] and [[robotsCrawlDelays]]. Input contract: ONE row per
+    * host (a crawler stores one robots.txt per host by construction) — two
+    * rows for the same host would interleave their line positions in the
+    * grouping window nondeterministically.
     */
   private def robotsDirectives(robots: DataFrame, hostCol: String,
       contentCol: String, agent: String): DataFrame = {

@@ -263,6 +263,18 @@ object ExtensionQueries {
         n = 3, threshold = 0.9, minShingles = 5)
     }),
 
+    // ...and the incremental removal: the late batch mixes NOVEL docs
+    // (originals 450+, which survive) with quotes of the earlier corpus
+    // (which are cut) — both sides of the policy get signal
+    "q_containment_dedup_incremental" -> ((s, d) => {
+      val all = quoteFixture(t(s, d, "documents"))
+      Dedup.containmentDedupIncremental(
+        all.filter(col("doc_id") >= 450L), "doc_id", "text",
+        Dedup.containmentState(
+          all.filter(col("doc_id") < 450L), "doc_id", "text", n = 3),
+        n = 3, threshold = 0.9, minShingles = 5)
+    }),
+
     // near-dup clusters: connected components over the LSH pair stream;
     // cluster_id = min reachable doc_id
     "q_dedup_clusters" -> ((s, d) =>
@@ -2757,6 +2769,27 @@ object ExtensionQueries {
         |    AND (sb.n > sa.n OR (sb.n = sa.n AND db < da)))
         |SELECT u.doc_id FROM u LEFT JOIN drops ON u.doc_id = drops.da
         |WHERE drops.da IS NULL""".stripMargin,
+
+    // incremental removal truth: batch docs (quotes) minus those contained
+    // in any earlier id at the threshold
+    "q_containment_dedup_incremental" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qd AS (SELECT doc_id + 100000 AS doc_id,
+        |  ws[1:greatest(7, len(ws) // 3)] AS ws FROM w0 WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM w0 UNION ALL SELECT * FROM qd),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM u, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < a.doc_id
+        |  GROUP BY 1, 2),
+        |dropd AS (SELECT DISTINCT da FROM inter JOIN sz sa ON sa.doc_id = da
+        |  WHERE da >= 450 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n)
+        |SELECT u.doc_id FROM u LEFT JOIN dropd ON u.doc_id = dropd.da
+        |WHERE u.doc_id >= 450 AND dropd.da IS NULL""".stripMargin,
 
     // incremental = the same all-pairs truth restricted to batch docs
     // (quotes, id >= 100000) contained in strictly-earlier ids

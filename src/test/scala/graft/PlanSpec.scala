@@ -676,6 +676,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25: stats broadcast, df broadcast, per-doc sum map-side-combined; batch adds one query-partitioned rank") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val single = graft.operators.TextAnalysis.bm25Score(docs, "doc_id", "text", "data join")
+    val sp = single.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin") || sp.contains("BroadcastNestedLoop"),
+      s"stats/df must broadcast, never shuffle the corpus side:\n$sp")
+    assert(sp.contains("partial_sum"),
+      s"the per-doc score sum must combine map-side:\n$sp")
+    val qs = Seq(("q1", "data join"), ("q2", "slow table")).toDF("query_id", "qtext")
+    val batch = graft.operators.TextAnalysis.bm25ScoreBatch(docs, "doc_id", "text",
+      qs, "query_id", "qtext", k = 5)
+    val bp = batch.queryExecution.executedPlan.toString
+    // per-query top-k must ride the rank-pruning optimization, and every
+    // window must be query-partitioned — never a global rank
+    assert(bp.contains("WindowGroupLimit"),
+      s"batch top-k must prune via WindowGroupLimit:\n$bp")
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(bp).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty && winSpecs.forall(_.contains("query_id")),
+      s"every batch window must partition by query_id:\n$winSpecs")
+  }
+
   test("robots filter: host-keyed equi-join + map-side-combined verdict max, never cartesian") {
     import spark.implicits._
     val rules = Seq(("h0.example.com", false, "/a/"),
