@@ -170,8 +170,10 @@ object Dedup {
         min_by(col("shs"), col("doc_id")).as("shs"))
       .cache()
     val repSh = reps.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val repArr = reps.select(col("doc_id"), col("shs"))
     val repPairs =
-      containmentCore(repSh, repSh, threshold, minShingles, earlierOnly = false)
+      containmentCore(repSh, repSh, threshold, minShingles, earlierOnly = false,
+        aArrOpt = Some(repArr), bArrOpt = Some(repArr))
     (withFp, reps, repPairs)
   }
 
@@ -204,23 +206,23 @@ object Dedup {
     // and 2k-1 within-drops through one fp join — linear everywhere.
     val (withFp, reps, repPairs) =
       containmentRepCore(docs, idCol, textCol, n, threshold, minShingles)
-    val repMeta = reps.select(col("fp"), col("doc_id").as("min_id"),
+    // one projection serves both pair sides: the rep's id IS the set's
+    // minimum member id, so no separate min_id column or second join hop
+    val repMeta = reps.select(col("doc_id"), col("fp"),
       size(col("shs")).as("ns"))
-    val repFp = reps.select(col("doc_id"), col("fp"))
     val setPairs = repPairs
-      .join(repFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(repFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
-      .join(repMeta.select(col("fp").as("fp_a"), col("ns").as("na")), "fp_a")
-      .join(repMeta.select(col("fp").as("fp_b"), col("ns").as("nb"),
-        col("min_id").as("min_b")), "fp_b")
+      .join(repMeta.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("ns").as("na")), "doc_a")
+      .join(repMeta.select(col("doc_id").as("doc_b"), col("ns").as("nb")), "doc_b")
     // ONE aggregate folds both cross-set rules, so the (expensive) rep core
     // is evaluated exactly once: a strictly bigger container drops EVERY
     // member of the contained set; equal-size DISTINCT sets tie-break on
     // member ids — a member of A drops iff some container member is
-    // smaller, i.e. iff the minimum over the containers' minimum ids is
+    // smaller, i.e. iff the minimum over the containers' minimum ids
+    // (= the container REP ids, doc_b) is smaller
     val perSet = setPairs.groupBy("fp_a").agg(
       max(when(col("nb") > col("na"), 1).otherwise(0)).as("any_bigger"),
-      min(when(col("nb") === col("na"), col("min_b"))).as("mb"))
+      min(when(col("nb") === col("na"), col("doc_b"))).as("mb"))
     val dropCross = perSet
       .join(withFp.select(col("fp").as("fp_a"), col("doc_id")), "fp_a")
       .filter(col("any_bigger") === 1 ||
@@ -229,7 +231,7 @@ object Dedup {
     // identical sets are mutual containment-1 pairs: keep-first = drop
     // every non-minimum member (subject to the minShingles floor)
     val dropWithin = withFp.filter(size(col("shs")) >= minShingles)
-      .join(repMeta.select(col("fp"), col("min_id")), "fp")
+      .join(repMeta.select(col("fp"), col("doc_id").as("min_id")), "fp")
       .filter(col("doc_id") =!= col("min_id")).select("doc_id")
     val drops = dropCross.unionByName(dropWithin).distinct()
     docs.select(Keys.id(docs, idCol).as("doc_id"))
@@ -262,7 +264,9 @@ object Dedup {
     * incremental form needs for slicing invariance.
     */
   private def containmentCore(shA: DataFrame, shAll: DataFrame,
-      threshold: Double, minShingles: Int, earlierOnly: Boolean): DataFrame = {
+      threshold: Double, minShingles: Int, earlierOnly: Boolean,
+      aArrOpt: Option[DataFrame] = None,
+      bArrOpt: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t4 = math.rint(threshold * 10000).toLong
     require(t4 > 0 && t4 <= 10000 && math.abs(t4 / 10000.0 - threshold) < 1e-12,
@@ -281,10 +285,14 @@ object Dedup {
       else col("doc_a") =!= col("doc_b")
     val cands = prefix.join(index, "sh").filter(keep)
       .select("doc_a", "doc_b").distinct()
-    val aArr = shA.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("sh"))).as("shs"))
-    val bArr = shAll.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("sh"))).as("shs"))
+    // verify arrays: callers holding per-doc shingle arrays already (the
+    // collapsed rep path) pass them in instead of paying two collect_set
+    // re-aggregations of the exploded postings; array_intersect/size are
+    // order-insensitive so unsorted distinct arrays are equivalent
+    val aArr = aArrOpt.getOrElse(shA.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("shs")))
+    val bArr = bArrOpt.getOrElse(shAll.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("sh"))).as("shs")))
     cands
       .join(aArr.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(bArr.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")

@@ -75,10 +75,17 @@ object Links {
       .otherwise(lit(null: String))
   }
 
+  /** Opening-tag prefix that tolerates '>' INSIDE quoted attribute values
+    * (`<a title="a>b" href=…>`): any run of non-delimiter chars or complete
+    * quoted strings. Pure alternation — same semantics in Java regex and
+    * RE2 (no backrefs/lookaround).
+    */
+  private val ATagBody = "(?:[^>\"']|\"[^\"]*\"|'[^']*')"
+
   def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
     val hrefs = regexp_extract_all(coalesce(col(htmlCol), lit("")),
-      lit("(?is)<a[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+      lit(s"(?is)<a$ATagBody*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val srcHost = Urls.hostOf(col(urlCol))
@@ -106,16 +113,23 @@ object Links {
     */
   def anchorTexts(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
+    // match EVERY anchor element (quoted '>' in attributes tolerated);
+    // href-less ones fall out via resolveHref's null path below
     val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
-      lit("(?is)<a[^>]*href\\s*=\\s*[\"'][^\"']*[\"'][^>]*>.*?</a>"), lit(0))
+      lit(s"(?is)<a$ATagBody*>.*?</a>"), lit(0))
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val base = docs
       .select(Keys.id(docs, idCol).as("doc_id"), srcScheme.as("__sch"),
         Urls.hostOf(col(urlCol)).as("src_host"), explode(elems).as("__elem"))
-    val href = regexp_extract(col("__elem"),
+    // href is read from the OPENING TAG only — an href-shaped string in the
+    // anchor BODY must never be mistaken for the attribute
+    val openTag = regexp_extract(col("__elem"),
+      s"(?is)^(<a$ATagBody*>)", 1)
+    val href = regexp_extract(openTag,
       "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-    val rawText = regexp_extract(col("__elem"), "(?is)>(.*)</a>$", 1)
+    val rawText = regexp_replace(regexp_replace(col("__elem"),
+      s"(?is)^<a$ATagBody*>", ""), "(?is)</a>$", "")
     val cleaned = trim(regexp_replace(
       replace(replace(replace(replace(
         regexp_replace(rawText, "(?s)<[^>]*>", " "),

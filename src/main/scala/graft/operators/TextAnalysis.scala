@@ -152,7 +152,13 @@ object TextAnalysis {
     * [[wordlistGate]] and [[tagDocs]].
     */
   private def wordlistHitCount(t: Column, blocklist: Seq[String]): Column = {
-    val block = array(blocklist.map(b => lit(b.toLowerCase)): _*)
+    // entries get the SAME boundary strip the tokens get — a list scraped
+    // from a real blocklist file can carry punctuation that would otherwise
+    // make the entry unmatchable forever
+    val entries = blocklist.map(_.toLowerCase
+      .replaceAll("^[^\\p{L}\\p{N}]+|[^\\p{L}\\p{N}]+$", "")).filter(_.nonEmpty)
+    require(entries.nonEmpty, "blocklist is empty after boundary stripping")
+    val block = array(entries.map(lit): _*)
     val stripped = transform(words(t), w =>
       regexp_replace(regexp_replace(w, "^[^\\p{L}\\p{N}]+", ""),
         "[^\\p{L}\\p{N}]+$", ""))
@@ -257,7 +263,7 @@ object TextAnalysis {
       base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .withColumn("bucket", substring(md5(col("term")), 1, 2))
+        .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
         .write.partitionBy("bucket").mode("overwrite").parquet(dir)
     } finally base.unpersist()
   }
@@ -270,10 +276,26 @@ object TextAnalysis {
     * index probes IDENTICALLY to one built in a single shot (spec-proven).
     * Contract (the exactIncremental discipline): batch doc_ids must be new
     * — re-appending a doc would double its postings; dedupe upstream.
+    *
+    * Crash semantics, stated exactly: the SIDECAR swap itself can never
+    * tear (either the old or the new 1-row file is in place), but postings
+    * commit before the swap, so a crash in between leaves the batch's
+    * postings live against the pre-batch stats — probes then score with a
+    * slightly stale idf/avgdl until recovery. The staged `.stats.next`
+    * directory is the recovery marker: its presence means a previous append
+    * did not complete, and this function REFUSES to run (a blind retry
+    * would double-append the batch); the operator completes the swap by
+    * renaming `.stats.next` over `.stats` (or rebuilds the index).
     */
   def bm25IndexAppend(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
+    val pNext = new org.apache.hadoop.fs.Path(s"$dir.stats.next")
+    val fs0 = pNext.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs0.exists(pNext),
+      s"$dir.stats.next exists: a previous append did not complete — " +
+        "finish its sidecar swap (rename .stats.next over .stats) or " +
+        "rebuild before appending again")
     val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
       words(coalesce(col(textCol), lit(""))).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
@@ -291,7 +313,7 @@ object TextAnalysis {
       base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .withColumn("bucket", substring(md5(col("term")), 1, 2))
+        .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
         .write.partitionBy("bucket").mode("append").parquet(dir)
       val p = new org.apache.hadoop.fs.Path(s"$dir.stats")
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -320,7 +342,7 @@ object TextAnalysis {
     val buckets = terms.map { t =>
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      f"${d(0) & 0xff}%02x"
+      f"b${d(0) & 0xff}%02x"
     }.distinct
     val stats = spark.read.parquet(s"$dir.stats")
     val postings = spark.read.parquet(dir)

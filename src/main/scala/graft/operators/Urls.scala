@@ -227,7 +227,11 @@ object Urls {
       contentCol: String, agent: String): DataFrame = {
     require(agent.nonEmpty && agent != "*", "agent must be a concrete product token")
     import org.apache.spark.sql.expressions.Window
-    val lineW = Window.partitionBy("host").orderBy("pos")
+    // secondary keys make the order total even if a caller violates the
+    // one-row-per-host contract: the interleave is then still semantically
+    // arbitrary, but stable run-to-run instead of silently nondeterministic
+    val lineW = Window.partitionBy("host")
+      .orderBy(col("pos"), col("field"), col("value"))
     val parsed = robots
       .select(lower(col(hostCol)).as("host"),
         posexplode(split(coalesce(col(contentCol), lit("")), "\n")).as(Seq("pos", "raw")))

@@ -140,17 +140,28 @@ object Writers {
   /** Compact a hive-partitioned parquet table in place: every partition's
     * rows hash-routed to ONE task (repartition on the partition column +
     * partitionBy writer ⇒ one file per partition value), written to a
-    * sibling directory and atomically rename-swapped — the
-    * `Similarity.ivfPqCompact` discipline generalized to any partitioned
-    * layout. Appends decay a partitioned table into one file per
-    * (partition, batch); compaction restores one file per partition, and a
-    * crash at ANY point leaves the live table readable (either the old or
-    * the new directory is in place, never a torn one). Content is
-    * bit-identical; sidecars beside the directory are untouched.
+    * sibling directory and rename-swapped — the `Similarity.ivfPqCompact`
+    * discipline generalized to any partitioned layout. Appends decay a
+    * partitioned table into one file per (partition, batch); compaction
+    * restores one file per partition with bit-identical content; sidecars
+    * beside the directory are untouched.
+    *
+    * Crash semantics, stated exactly: a torn table can never appear (every
+    * directory at `dir` is complete), but the two renames are not one
+    * atomic step — a crash BETWEEN them leaves `dir` momentarily absent
+    * with the old table intact at `dir.old`. Recovery is one rename back;
+    * this function detects the leftovers of a crashed run (`.old` /
+    * `.compacting`) and refuses to proceed so that recovery stays a
+    * deliberate operator action, never a silent overwrite.
     */
   def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
       dir: String, partCol: String): Unit = {
     val tmp = s"$dir.compacting"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs0 = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    require(!fs0.exists(new org.apache.hadoop.fs.Path(s"$dir.old")) &&
+      !fs0.exists(new org.apache.hadoop.fs.Path(tmp)),
+      s"leftover $dir.old or $tmp from a crashed compact — reconcile first")
     spark.read.parquet(dir)
       .repartition(col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(tmp)

@@ -135,4 +135,23 @@ class LinksSpec extends SparkSpec {
       "https://h.example.com/d" -> "&lt;",
       "https://h.example.com/e" -> ""))
   }
+
+  test("'>' inside quoted attributes breaks neither href extraction nor anchor text") {
+    import spark.implicits._
+    val html =
+      """<a title="a>b" href="/q1">quoted gt</a>""" +
+        """<a href="/q2" data-x='1>2'>second</a>""" +
+        // an href-shaped string in the BODY must not be read as the attribute
+        """<a title="t">see href="/fake" inside</a>"""
+    val docs = Seq((1L, "https://h.example.com/p", html)).toDF("doc_id", "url", "html")
+    val links = Links.extractLinks(docs, "doc_id", "url", "html")
+      .collect().map(_.getString(2)).toSet
+    assert(links == Set("https://h.example.com/q1", "https://h.example.com/q2"),
+      s"got $links")
+    val anchors = Links.anchorTexts(docs, "doc_id", "url", "html")
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(anchors == Map(
+      "https://h.example.com/q1" -> "quoted gt",
+      "https://h.example.com/q2" -> "second"), s"got $anchors")
+  }
 }
