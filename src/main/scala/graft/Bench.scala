@@ -41,7 +41,8 @@ object Bench {
     "q_link_anchors", "q_pipeline_crawl2", "q_tag_docs",
     "q_containment_dedup", "q_robots_delays", "q_frontier_ranked",
     "q_bm25", "q_rrf_fusion", "q_bm25_batch", "q_bm25_probe", "q_bm25_append",
-    "q_fetch_plan", "q_pipeline_e2e", "q_containment_dedup_incremental")
+    "q_fetch_plan", "q_pipeline_e2e", "q_containment_dedup_incremental",
+    "q_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -97,4 +97,54 @@ object Profiling {
         round(min(col("x")), 4).as("x_min"),
         round(max(col("x")), 4).as("x_max"))
   }
+
+  /** The DATASET CARD: the one-row summary a corpus release ships with —
+    * doc/token/char totals, exact-duplicate rate (normalized-text md5, the
+    * [[Dedup.exact]] fingerprint), domain/language cardinalities, and the
+    * dominant domain/language with basis-point shares. All exact integers
+    * and strings (shares via `div`-floor myriads; top-1 ties break on the
+    * value's string form), so the card is engine-portable.
+    *
+    * Scale shape: one aggregate over a narrow projection (counts, token
+    * sums, distinct fingerprints/domains/langs ride Spark's Expand in a
+    * single scan) plus two map-side-combinable top-1 aggregations over
+    * (domain) and (lang) — three passes over ~40-byte rows, never the text
+    * after the scan stage.
+    */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, domainCol: String): DataFrame = {
+    import graft.operators.Keys
+    val base = docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      md5(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " ")).as("fp"),
+      size(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => length(w) > 0)).cast("long").as("n_tok"),
+      length(coalesce(col(textCol), lit(""))).cast("long").as("n_chars"),
+      coalesce(col(langCol).cast("string"), lit("<null>")).as("lang"),
+      coalesce(col(domainCol).cast("string"), lit("<null>")).as("domain"))
+    val totals = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("n_tokens"),
+      sum("n_chars").as("n_chars"),
+      countDistinct("fp").as("__dfp"),
+      countDistinct("domain").as("n_domains"),
+      countDistinct("lang").as("n_langs"))
+    def top1(c: String, outName: String, outBp: String) =
+      base.groupBy(c).agg(count(lit(1)).as("__cnt"))
+        .orderBy(col("__cnt").desc, col(c))
+        .limit(1)
+        .select(col(c).as(outName), col("__cnt").as(s"__c_$outName"))
+    totals
+      .crossJoin(broadcast(top1("domain", "top_domain", "top_domain_bp")))
+      .crossJoin(broadcast(top1("lang", "top_lang", "top_lang_bp")))
+      .select(
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        (col("n_docs") - col("__dfp")).as("n_dup_docs"),
+        expr("(n_docs - __dfp) * 10000 div n_docs").as("dup_bp"),
+        col("n_domains"), col("n_langs"),
+        col("top_domain"),
+        expr("__c_top_domain * 10000 div n_docs").as("top_domain_bp"),
+        col("top_lang"),
+        expr("__c_top_lang * 10000 div n_docs").as("top_lang_bp"))
+  }
 }

@@ -1154,6 +1154,12 @@ object ExtensionQueries {
 
     // per-column summary profile: rows/nulls/exact-distincts + numeric
     // min/max in ONE scan (multi-distinct via Expand, not k passes)
+    // the one-row release card: totals, exact-dup rate, dominant
+    // domain/language with basis-point shares — all exact integers
+    "q_dataset_card" -> ((s, d) =>
+      graft.operators.Profiling.datasetCard(t(s, d, "documents"), "doc_id", "text",
+        "lang", "source")),
+
     "q_profile_summary" -> ((s, d) =>
       graft.operators.Profiling.summary(t(s, d, "documents"),
         Seq("doc_id", "source", "n_chars", "text"))),
@@ -3282,6 +3288,31 @@ object ExtensionQueries {
 
     // per-column UNION ALL: identical counts/distincts; numeric min/max as
     // doubles; string min/max omitted (collation is engine-private)
+    "q_dataset_card" ->
+      ("""WITH b AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp,
+        |  len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      x -> length(x) > 0))::BIGINT AS n_tok,
+        |  length(coalesce(text, ''))::BIGINT AS nc,
+        |  coalesce(lang, '<null>') AS lang,
+        |  coalesce(source, '<null>') AS domain
+        |  FROM documents),
+        |t AS (SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  sum(nc)::BIGINT AS n_chars, count(DISTINCT fp)::BIGINT AS dfp,
+        |  count(DISTINCT domain)::BIGINT AS n_domains,
+        |  count(DISTINCT lang)::BIGINT AS n_langs FROM b),
+        |td AS (SELECT domain, count(*)::BIGINT AS c FROM b GROUP BY 1
+        |       ORDER BY c DESC, domain LIMIT 1),
+        |tl AS (SELECT lang, count(*)::BIGINT AS c FROM b GROUP BY 1
+        |       ORDER BY c DESC, lang LIMIT 1)
+        |SELECT n_docs, n_tokens, n_chars,
+        |  (n_docs - dfp)::BIGINT AS n_dup_docs,
+        |  ((n_docs - dfp) * 10000 // n_docs)::BIGINT AS dup_bp,
+        |  n_domains, n_langs,
+        |  td.domain AS top_domain, (td.c * 10000 // n_docs)::BIGINT AS top_domain_bp,
+        |  tl.lang AS top_lang, (tl.c * 10000 // n_docs)::BIGINT AS top_lang_bp
+        |FROM t, td, tl""".stripMargin),
+
     "q_profile_summary" ->
       ("""SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_rows,
         |  sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
