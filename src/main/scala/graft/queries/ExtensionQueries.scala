@@ -673,6 +673,31 @@ object ExtensionQueries {
           coalesce(col("rank"), lit(0L)).as("host_rank"))
     }),
 
+    // the fetch SCHEDULE: within each host, allowed URLs take md5-ordered
+    // slots and fetch_offset_s = slot * crawl_delay — the politeness
+    // arithmetic made concrete (a host asking delay d sees one request per
+    // d seconds; delay-0 hosts all fetch at offset 0). The slot window
+    // partitions by host — bounded by the frontier's per-host width.
+    "q_fetch_schedule" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val plan = ExtensionQueries.defs("q_fetch_plan")(s, d)
+      plan.withColumn("slot",
+        (row_number().over(Window.partitionBy("host")
+          .orderBy(md5(col("url_canon")), col("url_canon"))) - 1).cast("int"))
+        .select(col("url_canon"), col("host"), col("slot"),
+          (col("slot") * col("crawl_delay")).as("fetch_offset_s"))
+    }),
+
+    // the anchor-text CORPUS: what the web calls each page — per
+    // (target URL, anchor text) occurrence counts, the aggregation
+    // retrieval-training pair mining starts from
+    "q_anchor_corpus" -> ((s, d) =>
+      Links.anchorTexts(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+        .groupBy("dst_url", "anchor_text")
+        .agg(count(lit(1)).as("n_mentions"),
+          countDistinct("src_host").as("n_src_hosts"))),
+
     // the COMPLETE fetch decision in one plan: frontier (new canonical
     // URLs) × robots verdict (per URL, keyed by the URL itself so distinct
     // frontier URLs sharing a discoverer never merge) × per-host
@@ -2345,6 +2370,45 @@ object ExtensionQueries {
           |  coalesce(r3.rank, 0) AS host_rank
           |FROM al LEFT JOIN r3 ON r3.host = al.host
           |WHERE al.allowed""".stripMargin),
+
+    // schedule restated: the same allow/delay derivation, slots from the
+    // identical md5-ordered per-host window
+    "q_fetch_schedule" ->
+      (s"WITH $linkDerivCte,\n" +
+        """seen AS (SELECT DISTINCT dst_url FROM links WHERE doc_id < 20),
+          |fr AS (SELECT dst_url AS url_canon, dst_host AS host
+          |       FROM links WHERE doc_id >= 20
+          |         AND dst_url NOT IN (SELECT dst_url FROM seen)
+          |       GROUP BY dst_url, dst_host),
+          |hn AS (SELECT url_canon, host,
+          |  try_cast(regexp_extract(host, '^www\.src([0-9]+)\.example\.com$', 1) AS INT) AS n,
+          |  regexp_replace(url_canon, '^[a-z]+://[^/]*', '') AS pth
+          |  FROM fr),
+          |al AS (SELECT url_canon, host,
+          |  NOT (n IS NOT NULL AND n % 5 <> 0 AND
+          |       ((pth LIKE '/a/%' AND pth <> '/a/3') OR pth = '/local/2')) AS allowed,
+          |  CASE WHEN n IS NOT NULL AND n % 5 <> 0 THEN n ELSE 0 END AS crawl_delay
+          |  FROM hn),
+          |fp AS (SELECT url_canon, host, crawl_delay FROM al WHERE allowed),
+          |sl AS (SELECT url_canon, host, crawl_delay,
+          |  (row_number() OVER (PARTITION BY host
+          |     ORDER BY md5(url_canon), url_canon) - 1)::INTEGER AS slot FROM fp)
+          |SELECT url_canon, host, slot,
+          |  (slot * crawl_delay)::INTEGER AS fetch_offset_s FROM sl""".stripMargin),
+
+    // anchor corpus: per-(target, text) mention counts over the independent
+    // link derivation
+    "q_anchor_corpus" ->
+      (s"WITH $linkDerivCte,\n" +
+        """an AS (SELECT doc_id, src_host, dst_url,
+          |  CASE WHEN contains(dst_url, '/a/') THEN 'next source article'
+          |       WHEN contains(dst_url, '/b?') THEN 'second source'
+          |       WHEN contains(dst_url, '/h/') THEN 'hub mirror'
+          |       ELSE 'local page' END AS anchor_text
+          |  FROM links)
+          |SELECT dst_url, anchor_text, count(*)::BIGINT AS n_mentions,
+          |  count(DISTINCT src_host)::BIGINT AS n_src_hosts
+          |FROM an GROUP BY 1, 2""".stripMargin),
 
     // frontier × PageRank: dst_host rides the link derivation (functionally
     // determined by dst_url), rank from the shared fixed-point CTE chain
