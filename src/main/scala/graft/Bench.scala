@@ -42,7 +42,8 @@ object Bench {
     "q_containment_dedup", "q_robots_delays", "q_frontier_ranked",
     "q_bm25", "q_rrf_fusion", "q_bm25_batch", "q_bm25_probe", "q_bm25_append",
     "q_fetch_plan", "q_pipeline_e2e", "q_containment_dedup_incremental",
-    "q_dataset_card", "q_fetch_schedule", "q_anchor_corpus")
+    "q_dataset_card", "q_fetch_schedule", "q_anchor_corpus",
+    "q_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

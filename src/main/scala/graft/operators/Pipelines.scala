@@ -656,6 +656,62 @@ object Pipelines {
       .select("doc_id", "domain")
   }
 
+  /** Temperature-flattened mixture sampling — the multilingual α-sampling
+    * standard (mBERT/XLM-R practice: sample domain d with probability
+    * ∝ n_d^α, α < 1 up-weighting tail domains). Supported α are 1/2 and
+    * 1/4 (`alphaQuarters` = 2 or 1), whose powers evaluate as one or two
+    * IEEE sqrt's: sqrt is a CORRECTLY ROUNDED basic operation (unlike
+    * exp/log/pow — the BASELINE.md portability contract), so any engine
+    * holds the bit-identical weight double, and it is floor-quantized to
+    * 1e-6 units before any further arithmetic — shares and caps are then
+    * exact integer: s_bp(d) = w6_d·10⁴ div Σw6, cap(d) = s_bp·T div 10⁴.
+    * Keeps each domain's first cap(d) documents in md5(doc_id) order;
+    * `totalDocs` T is the sample-size knob (Σ kept ≤ T by floor).
+    *
+    * Scale shape: one count aggregate collected as |domains| rows (a
+    * mixture domain is a config-scale label — source/language, not a host;
+    * the guard rejects unbounded key spaces) and the [[mixtureApply]]
+    * salted two-level rank for the cut — no per-domain reducer.
+    */
+  def temperatureMixture(docs: DataFrame, idCol: String, domainCol: String,
+      totalDocs: Long, alphaQuarters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalDocs >= 1, "need totalDocs >= 1")
+    require(alphaQuarters == 1 || alphaQuarters == 2,
+      "supported temperatures: alphaQuarters = 2 (α = 1/2) or 1 (α = 1/4)")
+    val base = docs
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        coalesce(col(domainCol).cast("string"), lit("<null>")).as("domain"))
+      .withColumn("__ord", md5(col("doc_id").cast("string")))
+      .withColumn("__salt", substring(col("__ord"), 1, 2))
+      .cache()
+    val counts = base.groupBy("domain").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= 65536,
+      s"${counts.size} mixture domains — this operator is for config-scale " +
+        "domain labels; cap hosts with Urls.hostCap instead")
+    def w6(n: Long): Long = {
+      val a = math.sqrt(n.toDouble)
+      math.floor((if (alphaQuarters == 1) math.sqrt(a) else a) * 1000000.0).toLong
+    }
+    val sw = counts.values.map(w6).sum
+    val caps = counts.map { case (d, n) =>
+      d -> (w6(n) * 10000L / sw) * totalDocs / 10000L }
+    val cap = caps.foldLeft(lit(0L)) { case (acc, (d, t)) =>
+      when(col("domain") === d, lit(t)).otherwise(acc) }
+    val offsets = base.groupBy("domain", "__salt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(
+        Window.partitionBy("domain").orderBy("__salt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("domain", "__salt", "__off")
+    base
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy("domain", "__salt").orderBy(col("__ord"), col("doc_id"))))
+      .join(broadcast(offsets), Seq("domain", "__salt"))
+      .filter(col("__off") + col("__prn") <= cap)
+      .select("doc_id", "domain")
+  }
+
   /** [[mixtureApply]] in the denomination mixture specs are actually
     * written in — TOKENS ("2B of web, 1B of code" as 6667/3333 bp): solve
     * the limiting-domain token total total = min_d ⌊tok_d·10⁴/bp_d⌋ from a

@@ -1179,6 +1179,13 @@ object ExtensionQueries {
 
     // per-column summary profile: rows/nulls/exact-distincts + numeric
     // min/max in ONE scan (multi-distinct via Expand, not k passes)
+    // temperature-flattened mixture at α = 1/2 over the skewed lang
+    // distribution: caps ∝ √n_lang — tail languages up-weighted, the
+    // whole share computation exact (correctly-rounded sqrt + floor)
+    "q_temperature_mix" -> ((s, d) =>
+      Pipelines.temperatureMixture(t(s, d, "documents"), "doc_id", "lang",
+        totalDocs = 200L, alphaQuarters = 2)),
+
     // the one-row release card: totals, exact-dup rate, dominant
     // domain/language with basis-point shares — all exact integers
     "q_dataset_card" -> ((s, d) =>
@@ -3352,6 +3359,19 @@ object ExtensionQueries {
 
     // per-column UNION ALL: identical counts/distincts; numeric min/max as
     // doubles; string min/max omitted (collation is engine-private)
+    // sqrt is correctly rounded in every IEEE engine, so floor(sqrt·1e6)
+    // matches the engine bit-for-bit; everything after is integer
+    "q_temperature_mix" ->
+      ("""WITH c AS (SELECT coalesce(lang, '<null>') AS domain,
+        |  count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |w AS (SELECT domain, floor(sqrt(n::DOUBLE) * 1000000.0::DOUBLE)::BIGINT AS w6 FROM c),
+        |tw AS (SELECT sum(w6)::BIGINT AS sw FROM w),
+        |caps AS (SELECT domain, ((w6 * 10000 // sw) * 200 // 10000)::BIGINT AS cap FROM w, tw),
+        |r AS (SELECT doc_id, coalesce(lang, '<null>') AS domain,
+        |  row_number() OVER (PARTITION BY coalesce(lang, '<null>')
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn FROM documents)
+        |SELECT doc_id, domain FROM r JOIN caps USING (domain) WHERE rn <= cap""".stripMargin),
+
     "q_dataset_card" ->
       ("""WITH b AS (SELECT doc_id,
         |  md5(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS fp,

@@ -561,6 +561,51 @@ class PipelinesSpec extends SparkSpec {
     assert(!batch.keys.exists(_._1 == "c"), "no-hit queries return no rows")
   }
 
+  test("temperatureMixture: caps ∝ n^α exactly; α=1/4 flattens harder than α=1/2; md5 order kept") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i =>
+      (i, if (i < 320) "big" else if (i < 380) "mid" else "small"))
+      .toDF("doc_id", "lang")
+    def capsOf(aq: Int): Map[String, Long] = {
+      val got = Pipelines.temperatureMixture(docs, "doc_id", "lang",
+        totalDocs = 100L, alphaQuarters = aq)
+        .collect().map(r => r.getString(1)).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+      graft.operators.Caches.release(spark)
+      got
+    }
+    def expected(aq: Int): Map[String, Long] = {
+      val ns = Map("big" -> 320L, "mid" -> 60L, "small" -> 20L)
+      def w6(n: Long) = {
+        val a = math.sqrt(n.toDouble)
+        math.floor((if (aq == 1) math.sqrt(a) else a) * 1e6).toLong
+      }
+      val sw = ns.values.map(w6).sum
+      // a flattened cap can exceed a tail domain's actual size — the
+      // operator then keeps everything available (no upsampling)
+      ns.map { case (d, n) =>
+        d -> math.min(n, (w6(n) * 10000L / sw) * 100L / 10000L) }
+    }
+    val half = capsOf(2)
+    val quarter = capsOf(1)
+    assert(half == expected(2).filter(_._2 > 0), s"α=1/2: $half vs ${expected(2)}")
+    assert(quarter == expected(1).filter(_._2 > 0), s"α=1/4: $quarter vs ${expected(1)}")
+    // flattening: the big/small kept ratio shrinks as α drops (16:1 raw)
+    assert(half("big").toDouble / half("small") >
+      quarter("big").toDouble / quarter("small"))
+    // the kept subset per domain is the md5-order prefix (monotone contract)
+    val keptHalf = Pipelines.temperatureMixture(docs, "doc_id", "lang", 100L, 2)
+      .collect().map(_.getLong(0)).toSet
+    val byOrder = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).toSeq.flatMap { case (d, rows) =>
+        rows.map(_._1).sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes).map("%02x".format(_)).mkString, id))
+          .take(half.getOrElse(d, 0L).toInt).toSeq
+      }.toSet
+    assert(keptHalf == byOrder, "kept set must be the per-domain md5 prefix")
+    graft.operators.Caches.release(spark)
+  }
+
   test("bm25 index probe ≡ in-plan scorer; the scan prunes to the query terms' buckets") {
     import spark.implicits._
     val corpus = Seq(
