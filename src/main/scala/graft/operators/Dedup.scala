@@ -288,10 +288,20 @@ object Dedup {
     // verify arrays: callers holding per-doc shingle arrays already (the
     // collapsed rep path) pass them in instead of paying two collect_set
     // re-aggregations of the exploded postings; array_intersect/size are
-    // order-insensitive so unsorted distinct arrays are equivalent
-    val aArr = aArrOpt.getOrElse(shA.groupBy("doc_id")
+    // order-insensitive so unsorted distinct arrays are equivalent. When
+    // aggregating here, restrict to CANDIDATE docs first — the incremental
+    // form's state side is the whole history, and rebuilding every state
+    // doc's array per batch would contradict "verification touches
+    // candidate pairs only"
+    val aArr = aArrOpt.getOrElse(shA
+      .join(cands.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("shs")))
-    val bArr = bArrOpt.getOrElse(shAll.groupBy("doc_id")
+    val bArr = bArrOpt.getOrElse(shAll
+      .join(cands.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
       .agg(sort_array(collect_set(col("sh"))).as("shs")))
     cands
       .join(aArr.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")

@@ -84,8 +84,11 @@ object Links {
 
   def extractLinks(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
+    // `<a\s`: the tag name must END after 'a' (<article data-href=…> is not
+    // an anchor); `[\s"']href`: the attribute name must START at href
+    // (data-href/ng-href emit no edge)
     val hrefs = regexp_extract_all(coalesce(col(htmlCol), lit("")),
-      lit(s"(?is)<a$ATagBody*?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
+      lit(s"(?is)<a\\s(?:$ATagBody*?[\\s\"'])?href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val srcHost = Urls.hostOf(col(urlCol))
@@ -113,23 +116,26 @@ object Links {
     */
   def anchorTexts(docs: DataFrame, idCol: String, urlCol: String,
       htmlCol: String): DataFrame = {
-    // match EVERY anchor element (quoted '>' in attributes tolerated);
-    // href-less ones fall out via resolveHref's null path below
+    // match EVERY anchor element — and only anchors: the tag name must end
+    // after 'a' (whitespace or an immediate '>'), so <aside>/<abbr> never
+    // match; quoted '>' in attributes tolerated; href-less anchors fall out
+    // via resolveHref's null path below
     val elems = regexp_extract_all(coalesce(col(htmlCol), lit("")),
-      lit(s"(?is)<a$ATagBody*>.*?</a>"), lit(0))
+      lit(s"(?is)<a(?:\\s$ATagBody*)?>.*?</a>"), lit(0))
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val base = docs
       .select(Keys.id(docs, idCol).as("doc_id"), srcScheme.as("__sch"),
         Urls.hostOf(col(urlCol)).as("src_host"), explode(elems).as("__elem"))
     // href is read from the OPENING TAG only — an href-shaped string in the
-    // anchor BODY must never be mistaken for the attribute
+    // anchor BODY must never be mistaken for the attribute — and the
+    // attribute name must START at href (data-href is not a link)
     val openTag = regexp_extract(col("__elem"),
-      s"(?is)^(<a$ATagBody*>)", 1)
+      s"(?is)^(<a(?:\\s$ATagBody*)?>)", 1)
     val href = regexp_extract(openTag,
-      "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      "(?is)[\\s\"']href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
     val rawText = regexp_replace(regexp_replace(col("__elem"),
-      s"(?is)^<a$ATagBody*>", ""), "(?is)</a>$", "")
+      s"(?is)^<a(?:\\s$ATagBody*)?>", ""), "(?is)</a>$", "")
     val cleaned = trim(regexp_replace(
       replace(replace(replace(replace(
         regexp_replace(rawText, "(?s)<[^>]*>", " "),
@@ -230,7 +236,7 @@ object Links {
       .agg(sum("n_links").as("n_in_links"))
     val out = edges.groupBy(col("src_host").as("host"))
       .agg(sum("n_links").as("n_out_links"))
-    pageRank(edges)
+    pageRank(edges, iters, dampBp)
       .join(in, Seq("host"), "left")
       .join(out, Seq("host"), "left")
       .select(col("host"), col("rank"),

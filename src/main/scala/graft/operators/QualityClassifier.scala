@@ -221,7 +221,7 @@ object QualityClassifier {
     require(t6s.distinct.size == t6s.size, "duplicate thresholds")
     scored
       .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
-        label.cast("int").as("y"))
+        coalesce(label.cast("int"), lit(0)).as("y"))
       .select(col("z6"), col("y"),
         explode(array(t6s.map(lit(_)): _*)).as("threshold_e6"))
       .groupBy("threshold_e6").agg(
@@ -262,7 +262,7 @@ object QualityClassifier {
     require(nBins >= 2, "need at least 2 calibration bins")
     scored
       .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
-        label.cast("bigint").as("y"))
+        coalesce(label.cast("bigint"), lit(0L)).as("y"))
       // the algebraic sigmoid in 1e-6 units: p6 ∈ (0, 1e6) exclusive, so
       // the bin index lands in [0, nBins-1] with no boundary clamp needed
       .withColumn("p6", expr("500000L + (case when z6 < 0 then -1L else 1L end)" +
@@ -284,8 +284,13 @@ object QualityClassifier {
     * ties contribute exactly ½ with no fractional arithmetic.
     *
     * AUC is computed on the model's 1e-6 fixed-point sigmoid probability
-    * scale (the [[calibration]] link). The sigmoid is monotone, so this is
-    * the score ranking — and its codomain is the INTEGERS (0, 1e6), which
+    * scale (the [[calibration]] link). The quantized sigmoid is NON-DECREASING
+    * in the score — equal-p6 scores tie — and it SATURATES: past |z| of a
+    * few hundred its ~1/(2(1+|z|)²) resolution collapses well-separated
+    * scores into the same p6, so this AUC is exact for the QUANTIZED
+    * ranking and a (tie-credited) lower bound on the raw-score AUC. The
+    * saturation is also the scale enabler: the codomain is the INTEGERS
+    * (0, 1e6), which
     * caps the distinct-score table at <1e6 rows REGARDLESS of corpus size.
     * That bound is what justifies the one global cumulative-sum window
     * below: it runs over the per-score aggregate (a bounded sidecar, the
@@ -303,7 +308,7 @@ object QualityClassifier {
     import org.apache.spark.sql.expressions.Window
     val perScore = scored
       .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
-        label.cast("bigint").as("y"))
+        coalesce(label.cast("bigint"), lit(0L)).as("y"))
       .withColumn("p6", expr("500000L + (case when z6 < 0 then -1L else 1L end)" +
         " * ((abs(z6) * 1000000L) div (2000000L + 2L * abs(z6)))"))
       .groupBy("p6").agg(

@@ -710,13 +710,19 @@ object TextAnalysis {
     val rawLines = split(htmlWithBreaks(col(htmlCol)), "\n")
     val lines = transform(rawLines, l => {
       val v = visible(l)
+      // `<a(?:\s[^>]*)?>` — the tag NAME must end after 'a' (whitespace or
+      // an immediate '>'), so <aside>/<abbr>/<address> prose never counts
+      // as anchor text
       val anchor = visible(array_join(
-        regexp_extract_all(l, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)), " "))
+        regexp_extract_all(l, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), " "))
       struct(v.as("v"), nWords(v).as("nw"), nWords(anchor).as("na"))
     })
+    // long counts: a single machine-generated line can hold >214k anchor
+    // words, where 32-bit na*10000 would wrap negative and KEEP the farm
     val kept = filter(lines, s =>
       s.getField("nw") >= minWords &&
-        s.getField("na") * lit(10000) <= lit(maxAnchorBp) * s.getField("nw"))
+        s.getField("na").cast("long") * lit(10000L) <=
+          lit(maxAnchorBp.toLong) * s.getField("nw").cast("long"))
     docs.select(
       Keys.id(docs, idCol).as("doc_id"),
       array_join(transform(kept, _.getField("v")), "\n").as("text"),

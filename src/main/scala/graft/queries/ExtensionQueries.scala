@@ -2249,7 +2249,7 @@ object ExtensionQueries {
           |    '\s+', ' ', 'g'))) AS vs,
           |  list_transform(raw, l -> trim(regexp_replace(
           |    replace(replace(replace(replace(replace(replace(
-          |      regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''), '(?s)<[^>]*>', ' ', 'g'),
+          |      regexp_replace(coalesce(array_to_string(regexp_extract_all(l, '(?is)<a(?:\s[^>]*)?>(.*?)</a>', 1), ' '), ''), '(?s)<[^>]*>', ' ', 'g'),
           |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
           |    '\s+', ' ', 'g'))) AS avs
           |  FROM rl),

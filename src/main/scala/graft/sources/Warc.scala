@@ -64,6 +64,14 @@ object Warc {
     * under `path`, one file per non-empty partition.
     */
   def write(df: DataFrame, path: String): Unit = {
+    // clear the target first: the writer emits one file per NON-EMPTY
+    // partition, so without this a re-write with fewer partitions would
+    // leave stale part files from the previous run to be read back as
+    // phantom records
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val dirFs = dirPath.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
     val rows = df.select(col("record_id").cast("long"), col("url").cast("string"),
       col("fetch_ts").cast("timestamp"), col("html").cast("string"))
     // count action triggers the write; returns #records (bounded driver data)

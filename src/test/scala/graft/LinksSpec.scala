@@ -136,6 +136,41 @@ class LinksSpec extends SparkSpec {
       "https://h.example.com/e" -> ""))
   }
 
+  test("tag and attribute NAME boundaries: <aside>/<abbr> are not anchors, data-href is not a link") {
+    import spark.implicits._
+    val html =
+      """<aside data-href="https://tracker.example.com/x">forty words of editorial prose</aside>""" +
+        """<abbr title="x">HTML</abbr>""" +
+        """<a ng-href="https://ng.example.com/y" href="/real">real link</a>""" +
+        """<article href="https://notanchor.example.com/z">not an anchor</article>"""
+    val docs = Seq((1L, "https://h.example.com/p", html)).toDF("doc_id", "url", "html")
+    val links = Links.extractLinks(docs, "doc_id", "url", "html")
+      .collect().map(_.getString(2)).toSet
+    assert(links == Set("https://h.example.com/real"), s"got $links")
+    val anchors = Links.anchorTexts(docs, "doc_id", "url", "html")
+      .collect().map(r => r.getString(2) -> r.getString(4)).toMap
+    assert(anchors == Map("https://h.example.com/real" -> "real link"), s"got $anchors")
+  }
+
+  test("hostRank forwards its iteration and damping parameters to pageRank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://a.example.com/1",
+        """<a href="https://hub.example.com/h">h</a><a href="https://b.example.com/">b</a>"""),
+      (2L, "https://b.example.com/2", """<a href="https://hub.example.com/h">h</a>"""),
+      (3L, "https://hub.example.com/3", """<a href="https://a.example.com/">a</a>"""))
+      .toDF("doc_id", "url", "html")
+    // iters = 0 returns the uniform init (Scale div N) for every host — a
+    // value damped iterations can never preserve on this ASYMMETRIC graph
+    // (hub has in-degree 2, b in-degree 1 at out-degree 2)
+    val r0 = Links.hostRank(docs, "doc_id", "url", "html", iters = 0)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(r0 == Set(333333333333L), s"iters=0 must yield the uniform init: $r0")
+    val r3 = Links.hostRank(docs, "doc_id", "url", "html", iters = 3)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(r3 != r0, "iters must actually change the recurrence depth")
+  }
+
   test("'>' inside quoted attributes breaks neither href extraction nor anchor text") {
     import spark.implicits._
     val html =
