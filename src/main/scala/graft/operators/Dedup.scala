@@ -283,8 +283,13 @@ object Dedup {
     val index = shAll.select(col("sh"), col("doc_id").as("doc_b"))
     val keep = if (earlierOnly) col("doc_b") < col("doc_a")
       else col("doc_a") =!= col("doc_b")
+    // cached: three consumers (the verify join + the two array-restriction
+    // semi-joins) would otherwise re-run the prefix-index join each;
+    // candidate volume is the operator's own output scale (Caches contract —
+    // the caller releases)
     val cands = prefix.join(index, "sh").filter(keep)
       .select("doc_a", "doc_b").distinct()
+      .cache()
     // verify arrays: callers holding per-doc shingle arrays already (the
     // collapsed rep path) pass them in instead of paying two collect_set
     // re-aggregations of the exploded postings; array_intersect/size are
