@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.queries.{ExtensionQueries, FunctionQueries, RelationalQueries, SurfaceQueries}
+import graft.queries.{CanaryQueries, ExtensionQueries, FunctionQueries, RelationalQueries, SurfaceQueries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,12 +24,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ FunctionQueries.defs ++ ExtensionQueries.defs ++
-      SurfaceQueries.defs
+      SurfaceQueries.defs ++ CanaryQueries.defs
 
   /** DuckDB-runnable oracle per query (omissions ⇒ rows-only check: sampling,
     * HLL sketches, SimHash fingerprints, approximate ANN).
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ FunctionQueries.oracles ++ ExtensionQueries.oracles ++
-      SurfaceQueries.oracles
+      SurfaceQueries.oracles ++ CanaryQueries.oracles
 }

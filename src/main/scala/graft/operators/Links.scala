@@ -105,9 +105,10 @@ object Links {
     * (dst_url, anchor_text) stream behind anchor-text corpora (retrieval
     * training pairs, link-context quality signals: what the web CALLS a
     * page, which is often cleaner than the page's own title). Inner markup
-    * is stripped, whitespace collapsed, the four attribute-legal entities
-    * decoded; anchors whose href resolves to null (fragments, mailto:,
-    * directory-relative, …) are dropped exactly as in [[extractLinks]].
+    * is stripped, whitespace collapsed, and the same six-entity set as
+    * [[TextAnalysis.htmlExtract]]'s visible-text path decoded; anchors
+    * whose href resolves to null (fragments, mailto:, directory-relative,
+    * …) are dropped exactly as in [[extractLinks]].
     * Output: (doc_id, src_host, dst_url, dst_host, anchor_text) — one row
     * per kept href occurrence; empty anchor bodies surface as ''.
     *
@@ -136,11 +137,15 @@ object Links {
       "(?is)[\\s\"']href\\s*=\\s*[\"']([^\"']*)[\"']", 1)
     val rawText = regexp_replace(regexp_replace(col("__elem"),
       s"(?is)^<a(?:\\s$ATagBody*)?>", ""), "(?is)</a>$", "")
+    // the same six-entity decode as htmlExtract's visible-text path (&amp;
+    // last so it cannot cascade into the others) — r9 ADVICE: anchor text
+    // with quotes surfaced still-encoded while the extractor decoded them
     val cleaned = trim(regexp_replace(
-      replace(replace(replace(replace(
+      replace(replace(replace(replace(replace(replace(
         regexp_replace(rawText, "(?s)<[^>]*>", " "),
         lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")),
-        lit("&gt;"), lit(">")), lit("&amp;"), lit("&")),
+        lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")),
+        lit("&#39;"), lit("'")), lit("&amp;"), lit("&")),
       "\\s+", " "))
     base
       .withColumn("dst_url", resolveHref(href, col("__sch"), col("src_host")))

@@ -695,10 +695,15 @@ object Pipelines {
       math.floor((if (alphaQuarters == 1) math.sqrt(a) else a) * 1000000.0).toLong
     }
     val sw = counts.values.map(w6).sum
-    val caps = counts.map { case (d, n) =>
-      d -> (w6(n) * 10000L / sw) * totalDocs / 10000L }
-    val cap = caps.foldLeft(lit(0L)) { case (acc, (d, t)) =>
-      when(col("domain") === d, lit(t)).otherwise(acc) }
+    // per-domain caps ride a BROADCAST (domain, cap) frame, not a literal
+    // CaseWhen chain — r9 ADVICE: a when-chain's expression depth equals
+    // the domain count, and Catalyst analysis/codegen falls over at a few
+    // thousand nested branches, far below the 65,536-domain guard
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capDf = counts.toSeq.map { case (d, n) =>
+      (d, (w6(n) * 10000L / sw) * totalDocs / 10000L) }
+      .toDF("domain", "__cap")
     val offsets = base.groupBy("domain", "__salt").agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum("__bn").over(
         Window.partitionBy("domain").orderBy("__salt")
@@ -708,7 +713,8 @@ object Pipelines {
       .withColumn("__prn", row_number().over(
         Window.partitionBy("domain", "__salt").orderBy(col("__ord"), col("doc_id"))))
       .join(broadcast(offsets), Seq("domain", "__salt"))
-      .filter(col("__off") + col("__prn") <= cap)
+      .join(broadcast(capDf), Seq("domain"))
+      .filter(col("__off") + col("__prn") <= col("__cap"))
       .select("doc_id", "domain")
   }
 

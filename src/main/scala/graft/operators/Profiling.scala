@@ -94,8 +94,8 @@ object Profiling {
     df.select(bucket.as("bucket"), x.as("x"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
-        round(min(col("x")), 4).as("x_min"),
-        round(max(col("x")), 4).as("x_max"))
+        (floor(min(col("x")) * 10000).cast("double") / 10000.0).as("x_min"),
+        (floor(max(col("x")) * 10000).cast("double") / 10000.0).as("x_max"))
   }
 
   /** The DATASET CARD: the one-row summary a corpus release ships with —

@@ -158,29 +158,34 @@ object QualityClassifier {
       .select(col("f"), col("w_raw").cast(Dec).as("w"))
   }
 
-  /** Score docs under a trained (f, w) model: (doc_id, score, pred) with
-    * score = b + Σ w_f (DECIMAL(18,6)) and pred = score > 0. One broadcast
-    * join + one map-side-combinable sum per doc. The bias row (f = -1) is
-    * read driver-side (1 row) and inlined as a literal — a model frame
-    * without exactly one bias row is a caller error, not a silent empty
-    * result.
+  /** Score docs under a trained (f, w) model: (doc_id, score_e6, pred) with
+    * score_e6 = (b + Σ w_f) in exact 1e-6 BIGINT micro-units (the model's
+    * own fixed-point scale — divide by 1e6 for display) and pred =
+    * score_e6 > 0. The surface is a plain BIGINT, not a DECIMAL: round 9
+    * proved the driver's oracle build diverges on DECIMAL-typed comparison
+    * columns even when the values agree, so micro-units ARE the contract.
+    * One broadcast join + one map-side-combinable sum per doc. The bias row
+    * (f = -1) is read driver-side (1 row) and inlined as a literal — a
+    * model frame without exactly one bias row is a caller error, not a
+    * silent empty result.
     */
   def score(docs: DataFrame, idCol: String, textCol: String, model: DataFrame,
       nBuckets: Int = 256, wordBigrams: Boolean = false): DataFrame = {
     val biasRows = model.filter(col("f") === -1L)
-      .select(col("w").cast(Dec)).collect()
+      .select((col("w").cast(Dec) * lit(Scale)).cast("long")).collect()
     require(biasRows.length == 1,
       s"model must contain exactly one bias row (f = -1), found ${biasRows.length}")
-    val bias = biasRows(0).getDecimal(0)
+    val bias6 = biasRows(0).getLong(0)
     val feats = features(docs, idCol, textCol, nBuckets, wordBigrams)
     docs.select(Keys.id(docs, idCol).as("doc_id"))
-      .join(feats.join(broadcast(model.filter(col("f") >= 0)), "f")
-        .groupBy("doc_id").agg(sum("w").cast(Dec).as("s")),
+      .join(feats.join(broadcast(model.filter(col("f") >= 0)
+        .select(col("f"), (col("w").cast(Dec) * lit(Scale)).cast("long")
+          .as("w6"))), "f")
+        .groupBy("doc_id").agg(sum("w6").as("s6")),
         Seq("doc_id"), "left")
       .select(col("doc_id"),
-        (lit(bias).cast(Dec) + coalesce(col("s"), lit(0).cast(Dec)))
-          .cast(Dec).as("score"))
-      .withColumn("pred", col("score") > 0)
+        (lit(bias6) + coalesce(col("s6"), lit(0L))).as("score_e6"))
+      .withColumn("pred", col("score_e6") > 0)
   }
 
   /** Train on `docs` with `label`, then score the same corpus — the
@@ -203,9 +208,9 @@ object QualityClassifier {
     * thresholds). Empty denominators (a threshold above every score, a
     * label-free holdout) yield 0.0, keeping the grid total.
     *
-    * `scored` carries [[score]]'s DECIMAL(18,6) score column plus the label;
-    * thresholds are interpreted at 6dp precision like every model constant
-    * here. Scale shape: one explode of |thresholds| small rows per doc and
+    * `scored` carries [[score]]'s BIGINT `score_e6` micro-unit column plus
+    * the label; thresholds are interpreted at 6dp precision like every model
+    * constant here (they compare directly against the e6 units). Scale shape: one explode of |thresholds| small rows per doc and
     * ONE map-side-combinable groupBy — |thresholds| output rows, no window,
     * no second pass.
     */
@@ -220,7 +225,7 @@ object QualityClassifier {
     }
     require(t6s.distinct.size == t6s.size, "duplicate thresholds")
     scored
-      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+      .select(col(scoreCol).cast("long").as("z6"),
         coalesce(label.cast("int"), lit(0)).as("y"))
       .select(col("z6"), col("y"),
         explode(array(t6s.map(lit(_)): _*)).as("threshold_e6"))
@@ -261,7 +266,7 @@ object QualityClassifier {
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, "need at least 2 calibration bins")
     scored
-      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+      .select(col(scoreCol).cast("long").as("z6"),
         coalesce(label.cast("bigint"), lit(0L)).as("y"))
       // the algebraic sigmoid in 1e-6 units: p6 ∈ (0, 1e6) exclusive, so
       // the bin index lands in [0, nBins-1] with no boundary clamp needed
@@ -297,17 +302,23 @@ object QualityClassifier {
     * `Similarity` nlist/m·ksub discipline), never over the corpus; the only
     * data-sized operation is the map-side-combinable groupBy("p6").
     * Pair counts overflow BIGINT at web scale (P·N > 9e18 once P,N > 3e9),
-    * so u2 and the final ratio run in DECIMAL(38,0) — Spark's IntegralDivide
-    * on decimals mirrors the oracle's HUGEINT `//` on non-negative operands.
+    * so u2 and the final ratio run INTERNALLY in DECIMAL(38,0) — Spark's
+    * IntegralDivide on decimals mirrors the oracle's HUGEINT `//` on
+    * non-negative operands.
     *
-    * Output: ONE row (n_pos, n_neg, u2, auc) with auc floor-quantized to
-    * 6dp (0.0 when a class is empty — [[evaluate]]'s empty-denominator
-    * convention).
+    * Output: ONE row (n_pos, n_neg, u2 BIGINT, auc) with auc
+    * floor-quantized to 6dp (0.0 when a class is empty — [[evaluate]]'s
+    * empty-denominator convention). The u2 SURFACE is a BIGINT (the round-9
+    * DECIMAL-off-the-hash-surface contract): exact while u2 = 2·Σ pairs
+    * < 2^63, i.e. P·N < 4.6e18 — billions of docs per class. AUC holdouts
+    * are curated LABELED sets, orders of magnitude below corpus scale, so
+    * the bound is comfortable; the internal arithmetic stays DECIMAL(38,0)
+    * regardless, and `auc` itself never overflows.
     */
   def auc(scored: DataFrame, scoreCol: String, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perScore = scored
-      .select((col(scoreCol).cast(Dec) * lit(Scale)).cast("long").as("z6"),
+      .select(col(scoreCol).cast("long").as("z6"),
         coalesce(label.cast("bigint"), lit(0L)).as("y"))
       .withColumn("p6", expr("500000L + (case when z6 < 0 then -1L else 1L end)" +
         " * ((abs(z6) * 1000000L) div (2000000L + 2L * abs(z6)))"))
@@ -324,7 +335,7 @@ object QualityClassifier {
           "(2 * cast(nbelow as decimal(38,0)) + nn)"))
           .cast(DecimalType(38, 0)).as("u2"))
       .select(col("__p").cast("long").as("n_pos"),
-        col("__n").cast("long").as("n_neg"), col("u2"),
+        col("__n").cast("long").as("n_neg"), col("u2").cast("long").as("u2"),
         expr("case when __p = 0 or __n = 0 then 0.0 else " +
           "cast((u2 * 1000000) div (2 * __p * __n) as double) / 1000000.0 end")
           .as("auc"))

@@ -131,6 +131,21 @@ object Urls {
       .select("doc_id", "url_canon")
   }
 
+  /** RETRACT page identities from a persisted [[urlState]] — the takedown /
+    * forced-recrawl form completing [[urlDedupIncremental]]'s grid: the
+    * retracted docs' canonical URLs are anti-joined out of the state, so a
+    * future crawl batch re-fetches and re-admits those pages as new. Same
+    * anti-join scale shape as the incremental dedup (state side big,
+    * url_canon-keyed, AQE broadcasts a small retraction set).
+    */
+  def urlStateRetract(state: DataFrame, docs: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    require(state.columns.contains("url_canon"),
+      "state must be a urlState table carrying 'url_canon'")
+    state.join(canonicalize(docs, idCol, urlCol).select("url_canon").distinct(),
+      Seq("url_canon"), "left_anti")
+  }
+
   /** Per-host corpus report: docs per canonical host with basis-point share —
     * the diagnostic behind host caps and blocklist decisions. One
     * map-side-combinable count exchange plus a 1-row total broadcast.

@@ -220,7 +220,7 @@ object ExtensionQueries {
       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT da AS doc_a, db AS doc_b,
-      |  round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+      |  floor((i * 1.0 / (sa.n + sb.n - i)) * 10000) / 10000 AS jaccard
       |FROM inter
       |JOIN sz sa ON sa.doc_id = da
       |JOIN sz sb ON sb.doc_id = db
@@ -415,6 +415,23 @@ object ExtensionQueries {
         "vec_id", "embedding", dir, nlist = 16, m = 8, ksub = 16)
       graft.operators.Similarity.ivfPqAppend(s,
         emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", dir)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      graft.operators.Similarity.ivfPqProbe(s, dir, q, k = 20, nprobe = 16,
+        excludeId = Some(0L))
+    }),
+
+    // index RETIREMENT: build over the whole corpus, tombstone the
+    // vec_id % 10 == 3 slice, full-probe — the ranking must equal ADC over
+    // the survivors under the FULL-corpus codebook (tombstones anti-joined
+    // before ranking; cells/codebook are frozen geometry, untouched)
+    "q_ivfpq_delete" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivfpq_${new java.io.File(d).getName}_del"
+      graft.operators.Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+        nlist = 16, m = 8, ksub = 16)
+      graft.operators.Similarity.ivfPqDelete(
+        emb.filter(col("vec_id") % 10 === 3).select("vec_id"), "vec_id", dir)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head.getSeq[Float](0).toArray
       graft.operators.Similarity.ivfPqProbe(s, dir, q, k = 20, nprobe = 16,
@@ -737,6 +754,20 @@ object ExtensionQueries {
           urls.filter(col("doc_id") < 250), "doc_id", "url"))
     }),
 
+    // crawl-state RETRACTION: the persisted urlState forgets the retracted
+    // docs' page identities, so the next crawl batch re-fetches them — the
+    // URL analogue of q_dedup_retract, same slices
+    "q_url_retract" -> ((s, d) => {
+      val urls = urlFixture(t(s, d, "documents"))
+      val state = graft.operators.Urls.urlStateRetract(
+        graft.operators.Urls.urlState(
+          urls.filter(col("doc_id") < 250), "doc_id", "url"),
+        urls.filter(col("doc_id") >= 100 && col("doc_id") < 250),
+        "doc_id", "url")
+      graft.operators.Urls.urlDedupIncremental(
+        urls.filter(col("doc_id") >= 100), "doc_id", "url", state)
+    }),
+
     // the composed CRAWL FRONT HALF in one plan: URL-canonical dedup (one
     // fetch per page identity) -> HTML extraction + boilerplate gate ->
     // exact dedup on the EXTRACTED text — the chain that takes raw crawl
@@ -810,6 +841,63 @@ object ExtensionQueries {
       Pipelines.packSequences(
         domained.join(budgeted.select("doc_id"), "doc_id"),
         "doc_id", "text", maxTokens = 512, shards = 8)
+    }),
+
+
+    // the ROLLING crawl round, end to end (VERDICT r9 missing #3): round-0
+    // bytes establish every state (urlState, exact-dedup fingerprints,
+    // containment shingle postings, spent token budgets) through the BATCH
+    // operators, then batch N — new GWARC bytes plus planted quote docs
+    // that duplicate round-0 content under fresh URLs/headings — runs every
+    // stage's INCREMENTAL form against state N-1. The quotes prove each
+    // layer bites: fresh URL (passes url dedup), fresh heading (passes
+    // exact dedup), contained text (DROPPED by containmentIncremental);
+    // the budget chain continues from round-0 spend, not from zero.
+    "q_pipeline_e2e_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quotes = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 250)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          col("text"))
+      val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+      val dir0 = s"target/gwarc_${new java.io.File(d).getName}_inc0"
+      val dir1 = s"target/gwarc_${new java.io.File(d).getName}_inc1"
+      graft.sources.Warc.write(
+        warcFixture(all.filter(col("doc_id") < 250), withNulls = false), dir0)
+      graft.sources.Warc.write(
+        warcFixture(all.filter(col("doc_id") >= 250), withNulls = false), dir1)
+      val recs0 = graft.sources.Warc.read(s, dir0).filter(col("html").isNotNull)
+      val recs1 = graft.sources.Warc.read(s, dir1).filter(col("html").isNotNull)
+      // ---- round 0: batch operators establish the four states ----
+      val urlSt = graft.operators.Urls.urlState(recs0, "record_id", "url")
+      val kept0 = graft.operators.Urls.urlDedup(recs0, "record_id", "url")
+        .select(col("doc_id").as("record_id"))
+      val g0 = TextAnalysis.htmlExtract(recs0.join(kept0, "record_id"),
+          "record_id", "html", minWords = 5)
+        .filter(col("n_kept") >= 2).select(col("doc_id"), col("text"))
+      val fpSt = TextAnalysis.fingerprint(g0, "doc_id", "text")
+      val clean0 = g0.join(Dedup.exact(g0, "doc_id", "text"), "doc_id")
+      val contSt = Dedup.containmentState(clean0, "doc_id", "text", n = 3)
+      val dom0 = clean0.join(recs0.select(col("record_id").as("doc_id"),
+        graft.operators.Urls.hostOf(col("url")).as("domain")), "doc_id")
+      val b0 = Pipelines.tokenBudgetSample(dom0, "doc_id", "text", "domain",
+        budgets = Map.empty, defaultBudget = 3000L)
+      val spentSt = Pipelines.tokenBudgetState(
+        dom0.join(b0.select("doc_id"), "doc_id"), "doc_id", "text", "domain")
+      // ---- batch N: every stage the incremental form vs state N-1 ----
+      val front1 = graft.operators.Urls.urlDedupIncremental(
+        recs1, "record_id", "url", urlSt).select(col("doc_id").as("record_id"))
+      val g1 = TextAnalysis.htmlExtract(recs1.join(front1, "record_id"),
+          "record_id", "html", minWords = 5)
+        .filter(col("n_kept") >= 2).select(col("doc_id"), col("text"))
+      val surv1 = g1.join(
+        Dedup.exactIncremental(g1, "doc_id", "text", fpSt), "doc_id")
+      val kept1 = surv1.join(Dedup.containmentDedupIncremental(surv1,
+        "doc_id", "text", contSt, n = 3, threshold = 0.9, minShingles = 5),
+        "doc_id")
+      val dom1 = kept1.join(recs1.select(col("record_id").as("doc_id"),
+        graft.operators.Urls.hostOf(col("url")).as("domain")), "doc_id")
+      Pipelines.tokenBudgetIncremental(dom1, "doc_id", "text", "domain",
+        spentSt, budgets = Map.empty, defaultBudget = 3000L)
     }),
 
     // paragraph-granularity corpus dedup (the Dolma convention — C4/CCNet
@@ -892,6 +980,19 @@ object ExtensionQueries {
       TextAnalysis.bm25Probe(s, dir, "data join slow vector")
     }),
 
+    // index RETIREMENT: build over the whole corpus, tombstone the second
+    // half, probe — must hash-match a one-shot build over the first half
+    // (df recomputed from surviving postings, stats rebuilt exactly from
+    // the .docs norms sidecar; no posting file rewritten)
+    "q_bm25_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = s"target/bm25d_${new java.io.File(d).getName}"
+      TextAnalysis.bm25IndexWrite(docs, "doc_id", "text", dir)
+      TextAnalysis.bm25IndexDelete(docs.filter(col("doc_id") >= 250)
+        .select("doc_id"), "doc_id", dir)
+      TextAnalysis.bm25Probe(s, dir, "data join slow vector")
+    }),
+
     // the query-TABLE form: three queries scored in one plan, top-10 each
     "q_bm25_batch" -> ((s, d) => {
       import s.implicits._
@@ -911,9 +1012,9 @@ object ExtensionQueries {
       graft.functions.GraftFunctions.register(s)
       val lex = TextAnalysis.bm25Score(t(s, d, "documents"), "doc_id", "text",
         query = "data join slow vector")
-        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .orderBy(col("bm25_e6").desc, col("doc_id")).limit(20)
         .withColumn("lex_rank",
-          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+          row_number().over(Window.orderBy(col("bm25_e6").desc, col("doc_id"))))
         .select("doc_id", "lex_rank")
       val vec = Similarity.bruteForceTopK(t(s, d, "embeddings"),
         "vec_id", "embedding", queryId = 0L, k = 20)
@@ -1009,7 +1110,7 @@ object ExtensionQueries {
       graft.operators.QualityClassifier.evaluate(
         scored.join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("int").as("y")), "doc_id"),
-        "score", col("y"), thresholds = Seq(-0.5, -0.25, 0.0, 0.25, 0.5))
+        "score_e6", col("y"), thresholds = Seq(-0.5, -0.25, 0.0, 0.25, 0.5))
     }),
 
     // calibration buckets over the same train/serve split: per sigmoid-
@@ -1025,7 +1126,7 @@ object ExtensionQueries {
       graft.operators.QualityClassifier.calibration(
         scored.join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("int").as("y")), "doc_id"),
-        "score", col("y"), nBins = 10)
+        "score_e6", col("y"), nBins = 10)
     }),
 
     // threshold-free ranking grade over the same train/serve split: exact
@@ -1041,7 +1142,7 @@ object ExtensionQueries {
       graft.operators.QualityClassifier.auc(
         scored.join(docs.select(col("doc_id"),
           (col("lang") === "en").cast("int").as("y")), "doc_id"),
-        "score", col("y"))
+        "score_e6", col("y"))
     }),
 
     // ---- training-data prep: concat-and-chunk packing + mixture sampling ----
@@ -1265,6 +1366,22 @@ object ExtensionQueries {
         TextAnalysis.fingerprint(docs.filter(col("doc_id") < 250), "doc_id", "text"))
     }),
 
+    // state RETRACTION: the persisted fingerprint state forgets the
+    // retracted docs' content (takedown/forced-recrawl), so the next batch
+    // re-admits exactly that content — batch = docs >= 100, retracted =
+    // the 100..249 slice, so the result is the incremental dedup of the
+    // batch against only the SURVIVING (doc_id < 100) history
+    "q_dedup_retract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val state = Dedup.exactRetract(
+        TextAnalysis.fingerprint(docs.filter(col("doc_id") < 250),
+          "doc_id", "text"),
+        docs.filter(col("doc_id") >= 100 && col("doc_id") < 250),
+        "doc_id", "text")
+      Dedup.exactIncremental(docs.filter(col("doc_id") >= 100),
+        "doc_id", "text", state)
+    }),
+
     // incremental NEAR-dedup: docs >= 250 are "today's batch", the LSH
     // band-bucket state of docs < 250 is the persisted history (the near-dup
     // analogue of q_dedup_incremental)
@@ -1344,6 +1461,17 @@ object ExtensionQueries {
     "q_bigram_lm_ref" -> ((s, d) => {
       val docs = t(s, d, "documents")
       TextAnalysis.bigramLogProbAgainst(docs.filter(col("source") === "src0"),
+        docs, "doc_id", "text", topV = 50)
+    }),
+
+    // SMOOTHED LM: stupid-backoff trigram scoring (α = 2/5 folded into the
+    // integer count ratios), trained on the src0 reference slice, served
+    // corpus-wide; topV = 50 < the fixture's n-gram counts, so all four
+    // backoff levels (tri → bi → uni → OOV) are exercised. Score surfaced
+    // as BIGINT micro-units from day one (the r9 DECIMAL contract)
+    "q_backoff_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.backoffLogProb(docs.filter(col("source") === "src0"),
         docs, "doc_id", "text", topV = 50)
     }),
 
@@ -1539,6 +1667,35 @@ object ExtensionQueries {
        |SELECT k.vec_id, ($adist)::BIGINT AS adist
        |FROM k $joins
        |WHERE k.vec_id <> 0
+       |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
+  }
+
+  /** Delete proof: pqTopKOracle (full-corpus seed draw — deletion does not
+    * re-seed) with the tombstoned vec_id % 10 = 3 slice excluded from the
+    * RANKING only, exactly what the probe's tombstone anti-join produces.
+    */
+  private val ivfPqDeleteOracle: String = {
+    val dists = (0 until 8).map { j =>
+      val lo = j * 8 + 1; val hi = j * 8 + 8
+      s"list_sum(list_transform(list_zip(q.qv[$lo:$hi], s.sv[$lo:$hi]), " +
+        s"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d$j"
+    }.mkString(", ")
+    val keys = (0 until 8).map(j => s"min(d$j * 64 + r) AS k$j").mkString(", ")
+    val joins = (0 until 8).map(j =>
+      s"JOIN lq l$j ON l$j.r = k.k$j::BIGINT % 64").mkString(" ")
+    val adist = (0 until 8).map(j => s"l$j.d$j").mkString(" + ")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+       |                     x -> floor(x * 1000000.0 + 0.5)) AS qv
+       |           FROM embeddings WHERE embedding IS NOT NULL),
+       |seeds AS (SELECT vec_id AS seed_id, qv AS sv,
+       |            row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 AS r
+       |          FROM (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
+       |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
+       |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")} FROM d WHERE vec_id = 0)
+       |SELECT k.vec_id, ($adist)::BIGINT AS adist
+       |FROM k $joins
+       |WHERE k.vec_id <> 0 AND k.vec_id % 10 <> 3
        |ORDER BY adist, k.vec_id LIMIT 20""".stripMargin
   }
 
@@ -1819,7 +1976,14 @@ object ExtensionQueries {
       |                   ELSE '?b=2&utm_campaign=x&gclid=abc&a=1' END)""".stripMargin
 
   private val urlCanonCte: String =
-    s"WITH u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM documents),\n" +
+    "WITH " + urlCanonCtesFrom("documents")
+
+  /** [[urlCanonCte]]'s CTE list (u, c1..c5, canon) WITHOUT the leading WITH
+    * and with the source relation a parameter — the incremental e2e oracle
+    * runs the same canonicalization over documents ∪ planted quotes.
+    */
+  private def urlCanonCtesFrom(rel: String): String =
+    s"u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM $rel),\n" +
     """c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
       |c2 AS (SELECT doc_id,
       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
@@ -1965,9 +2129,7 @@ object ExtensionQueries {
   private def clfOracleSql(trainWhere: String,
       bigrams: Boolean = false): String =
     clfCoreCte(trainWhere, bigrams) + "\n" +
-      """SELECT doc_id,
-        |  (t6::DECIMAL(24,0) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS score,
-        |  (t6 > 0) AS pred
+      """SELECT doc_id, t6::BIGINT AS score_e6, (t6 > 0) AS pred
         |FROM t""".stripMargin
 
   /** Confusion grid + floor-quantized precision/recall/F1 over the scored
@@ -2031,7 +2193,7 @@ object ExtensionQueries {
         |ag AS (SELECT sum(np)::HUGEINT AS p, sum(nn)::HUGEINT AS n,
         |  sum(np::HUGEINT * (2 * nbelow::HUGEINT + nn))::HUGEINT AS u2 FROM cs)
         |SELECT p::BIGINT AS n_pos, n::BIGINT AS n_neg,
-        |  u2::DECIMAL(38,0) AS u2,
+        |  u2::BIGINT AS u2,
         |  CASE WHEN p = 0 OR n = 0 THEN 0.0
         |       ELSE ((u2 * 1000000) // (2 * p * n)) / 1000000.0 END AS auc
         |FROM ag""".stripMargin
@@ -2109,11 +2271,11 @@ object ExtensionQueries {
     * [[bm25FinalSelect]]. Shared by the BM25 oracle, its batch form, and
     * the RRF fusion oracle.
     */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  private def bm25Ctes(terms: Seq[String], where: String = ""): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""w AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-      |              x -> length(x) > 0) AS ws FROM documents),
+      |              x -> length(x) > 0) AS ws FROM documents $where),
       |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
       |tok AS (SELECT doc_id, ws[i] AS term
       |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
@@ -2131,9 +2293,7 @@ object ExtensionQueries {
   }
 
   private val bm25FinalSelect: String =
-    """SELECT doc_id,
-      |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
-      |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
+    """SELECT doc_id, sum((idf6 * tfq6) // 1000000)::BIGINT AS bm25_e6
       |FROM sc GROUP BY 1""".stripMargin
 
   /** The sentenceFixture derivation as a SQL fragment (over documents). */
@@ -2290,6 +2450,77 @@ object ExtensionQueries {
           |  (start_tok // 512)::BIGINT AS pack_id,
           |  (start_tok % 512)::BIGINT AS pack_offset FROM pc""".stripMargin),
 
+
+    // the rolling round restated as ONE chained-CTE derivation: union the
+    // planted quotes, canonicalize, split every stage by doc_id < 250
+    // (round 0) vs >= 250 (batch), anti-join each batch stage against the
+    // round-0-derived state, and chain the budget from round-0 spend
+    "q_pipeline_e2e_incremental" ->
+      ("WITH qd AS (SELECT doc_id + 100000 AS doc_id, source, text\n" +
+        "  FROM documents WHERE doc_id % 20 = 0 AND doc_id < 250),\n" +
+        "ud AS (SELECT doc_id, source, text FROM documents\n" +
+        "  UNION ALL SELECT doc_id, source, text FROM qd),\n" +
+        urlCanonCtesFrom("ud") + ",\n" +
+        """ust AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id < 250),
+          |keep0 AS (SELECT min(doc_id) AS doc_id FROM canon WHERE doc_id < 250
+          |          GROUP BY url_canon),
+          |keep1 AS (SELECT min(doc_id) AS doc_id FROM canon
+          |          WHERE doc_id >= 250
+          |            AND url_canon NOT IN (SELECT url_canon FROM ust)
+          |          GROUP BY url_canon),
+          |ka AS (SELECT doc_id FROM keep0 UNION ALL SELECT doc_id FROM keep1),
+          |""".stripMargin +
+        s"h AS (SELECT d.doc_id,\n  $htmlDerivSql FROM ud d JOIN ka USING (doc_id)),\n" +
+        htmlRulesCte + ",\n" +
+        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept FROM k),
+          |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
+          |fpv AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g),
+          |fpst AS (SELECT DISTINCT fp FROM fpv WHERE doc_id < 250),
+          |clean0 AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id < 250 GROUP BY fp),
+          |surv1 AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id >= 250
+          |          AND fp NOT IN (SELECT fp FROM fpst) GROUP BY fp),
+          |cw AS (SELECT g.doc_id,
+          |  list_filter(string_split_regex(lower(g.text), '\s+'), x -> length(x) > 0) AS ws
+          |  FROM g JOIN (SELECT doc_id FROM clean0 UNION ALL SELECT doc_id FROM surv1) cs
+          |  USING (doc_id)),
+          |sh2 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s3
+          |        FROM cw, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+          |sz AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+          |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          |          FROM sh2 a JOIN sh2 b ON a.s3 = b.s3 AND b.doc_id < a.doc_id
+          |          GROUP BY 1, 2),
+          |dropd AS (SELECT DISTINCT da FROM inter JOIN sz sa ON sa.doc_id = da
+          |          WHERE da >= 250 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n),
+          |kept1 AS (SELECT s.doc_id FROM surv1 s LEFT JOIN dropd ON s.doc_id = dropd.da
+          |          WHERE dropd.da IS NULL),
+          |dom0 AS (SELECT c0.doc_id, g.text, cn.host AS domain
+          |         FROM clean0 c0 JOIN g USING (doc_id) JOIN canon cn USING (doc_id)),
+          |tb0 AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom0),
+          |tc0 AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          |  FROM tb0),
+          |sp AS (SELECT domain, sum(n_tokens)::BIGINT AS spent FROM tc0
+          |       WHERE start_tok < 3000 GROUP BY domain),
+          |dom1 AS (SELECT k1.doc_id, g.text, cn.host AS domain
+          |         FROM kept1 k1 JOIN g USING (doc_id) JOIN canon cn USING (doc_id)),
+          |tb1 AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom1),
+          |tc1 AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bstart
+          |  FROM tb1)
+          |SELECT tc1.doc_id, tc1.domain, tc1.n_tokens,
+          |  (coalesce(sp.spent, 0) + tc1.bstart)::BIGINT AS start_tok
+          |FROM tc1 LEFT JOIN sp USING (domain)
+          |WHERE coalesce(sp.spent, 0) + tc1.bstart < 3000""".stripMargin),
+
     // byte-identical records round-trip through the GWARC container, so the
     // downstream chain is EXACTLY q_pipeline_web — one oracle, two entry
     // points (clean table vs wire format)
@@ -2331,6 +2562,17 @@ object ExtensionQueries {
         |SELECT min(doc_id) AS doc_id, url_canon FROM canon
         |WHERE doc_id >= 250
         |  AND url_canon NOT IN (SELECT url_canon FROM seen)
+        |GROUP BY url_canon""".stripMargin),
+
+    // urlState retraction restated over the same canonicalization chain
+    "q_url_retract" ->
+      (urlCanonCte + """,
+        |st AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id < 250
+        |       AND url_canon NOT IN (SELECT url_canon FROM canon
+        |                             WHERE doc_id >= 100 AND doc_id < 250))
+        |SELECT min(doc_id) AS doc_id, url_canon FROM canon
+        |WHERE doc_id >= 100
+        |  AND url_canon NOT IN (SELECT url_canon FROM st)
         |GROUP BY url_canon""".stripMargin),
 
     "q_link_extract" ->
@@ -2600,6 +2842,11 @@ object ExtensionQueries {
     // ...and so must a probe of the incrementally-grown index
     "q_bm25_append" -> (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))}\n$bm25FinalSelect"),
 
+    // probing the tombstoned index must equal a one-shot build on the
+    // surviving first half — stats, df, and scores all reflect retirement
+    "q_bm25_delete" ->
+      (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"), "WHERE doc_id < 250")}\n$bm25FinalSelect"),
+
     // the batch form: union-term CTE chain + a VALUES query map, per-query
     // sums and rank windows — same arithmetic as the single form
     "q_bm25_batch" ->
@@ -2609,24 +2856,23 @@ object ExtensionQueries {
           |  ('q2', 'slow'), ('q2', 'vector'), ('q2', 'table'),
           |  ('q3', 'spark'), ('q3', 'merge'), ('q3', 'window')),
           |per AS (SELECT m.query_id, sc.doc_id,
-          |  (sum((idf6 * tfq6) // 1000000)::DECIMAL(18,0)
-          |   * 0.000001::DECIMAL(7,6))::DECIMAL(18,6) AS bm25
+          |  sum((idf6 * tfq6) // 1000000)::BIGINT AS bm25_e6
           |  FROM sc JOIN qmap m USING (term) GROUP BY 1, 2),
-          |rk AS (SELECT query_id, doc_id, bm25,
+          |rk AS (SELECT query_id, doc_id, bm25_e6,
           |  row_number() OVER (PARTITION BY query_id
-          |                     ORDER BY bm25 DESC, doc_id)::INTEGER AS rank
+          |                     ORDER BY bm25_e6 DESC, doc_id)::INTEGER AS rank
           |  FROM per)
-          |SELECT query_id, doc_id, rank, bm25 FROM rk WHERE rank <= 10""".stripMargin),
+          |SELECT query_id, doc_id, rank, bm25_e6 FROM rk WHERE rank <= 10""".stripMargin),
 
     // RRF restated: rank both top-20 lists with the same total orders, fuse
     // with the identical integer formula
     "q_rrf_fusion" ->
       (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector"))},\nbmq AS ($bm25FinalSelect),\n" +
         """lex AS (SELECT doc_id, rn::INTEGER AS lex_rank FROM
-          |  (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+          |  (SELECT doc_id, row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS rn
           |   FROM bmq) WHERE rn <= 20),
           |vq AS (SELECT b.vec_id,
-          |  round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
+          |  floor(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 10000) / 10000 AS cos
           |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           |  WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20),
           |vr AS (SELECT vec_id AS doc_id,
@@ -2741,6 +2987,8 @@ object ExtensionQueries {
 
     "q_ivfpq_probe" -> ivfPqProbeOracle,
 
+    "q_ivfpq_delete" -> ivfPqDeleteOracle,
+
     "q_ivfpq_rerank" -> ivfPqRerankOracle,
 
     "q_ivfpq_probe_batch" -> ivfPqProbeBatchOracle,
@@ -2820,7 +3068,7 @@ object ExtensionQueries {
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
         |  GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b,
-        |  round(i * 1.0 / sa.n, 4) AS containment
+        |  floor((i * 1.0 / sa.n) * 10000) / 10000 AS containment
         |FROM inter JOIN sz sa ON sa.doc_id = da
         |WHERE sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
 
@@ -2885,7 +3133,7 @@ object ExtensionQueries {
         |  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < a.doc_id
         |  GROUP BY 1, 2)
         |SELECT da AS doc_a, db AS doc_b,
-        |  round(i * 1.0 / sa.n, 4) AS containment
+        |  floor((i * 1.0 / sa.n) * 10000) / 10000 AS containment
         |FROM inter JOIN sz sa ON sa.doc_id = da
         |WHERE da >= 100000 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
 
@@ -2985,7 +3233,7 @@ object ExtensionQueries {
 
     "q_dedup_embedding" ->
       ("SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, " +
-        "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos " +
+        "floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 10000) / 10000 AS cos " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"),
 
@@ -3147,7 +3395,7 @@ object ExtensionQueries {
 
     "q_sim_topk" ->
       ("SELECT b.vec_id, " +
-        "round(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos " +
+        "floor(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 10000) / 10000 AS cos " +
         "FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20"),
 
@@ -3156,10 +3404,10 @@ object ExtensionQueries {
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ws " +
         "FROM documents) " +
         "SELECT doc_id, length(text)::INTEGER AS n_chars, len(ws)::INTEGER AS n_tokens, " +
-        "round((length(text) - (len(ws) - 1)) * 1.0 / len(ws), 4) AS avg_word_len, " +
-        "round(len(list_filter(ws, x -> x IN ('the','a','an','and','of','to','in'))) * 1.0 / len(ws), 4) AS stopword_ratio, " +
-        "round(length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio, " +
-        "round(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text), 4) AS upper_ratio " +
+        "floor(((length(text) - (len(ws) - 1)) * 1.0 / len(ws)) * 10000) / 10000 AS avg_word_len, " +
+        "floor((len(list_filter(ws, x -> x IN ('the','a','an','and','of','to','in'))) * 1.0 / len(ws)) * 10000) / 10000 AS stopword_ratio, " +
+        "floor((length(regexp_replace(text, '[^.,;:!?''\"()-]', '', 'g')) * 1.0 / length(text)) * 10000) / 10000 AS punct_ratio, " +
+        "floor((length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / length(text)) * 10000) / 10000 AS upper_ratio " +
         "FROM w"),
 
     "q_text_langid" ->
@@ -3259,8 +3507,8 @@ object ExtensionQueries {
         |       ELSE least(15, greatest(0,
         |         floor((n_chars::DOUBLE - 0.0) * 16.0 / 2000.0)::INTEGER)) END AS bucket,
         |  count(*) AS n_rows,
-        |  round(min(n_chars::DOUBLE), 4) AS x_min,
-        |  round(max(n_chars::DOUBLE), 4) AS x_max
+        |  floor(min(n_chars::DOUBLE) * 10000) / 10000 AS x_min,
+        |  floor(max(n_chars::DOUBLE) * 10000) / 10000 AS x_max
         |FROM documents GROUP BY 1""".stripMargin),
 
     "q_stratified_sample" ->
@@ -3599,6 +3847,19 @@ object ExtensionQueries {
         |SELECT min(doc_id) AS doc_id FROM nw
         |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
 
+    // retraction restated: the state is the doc_id < 250 fingerprints MINUS
+    // the 100..249 slice's, and the >= 100 batch dedups against that
+    "q_dedup_retract" ->
+      ("""WITH fps AS (SELECT doc_id,
+        |               md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |             FROM documents),
+        |st AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 250
+        |       AND fp NOT IN (SELECT fp FROM fps
+        |                      WHERE doc_id >= 100 AND doc_id < 250))
+        |SELECT min(doc_id) AS doc_id FROM fps
+        |WHERE doc_id >= 100 AND fp NOT IN (SELECT fp FROM st)
+        |GROUP BY fp""".stripMargin),
+
     // incremental near-dedup oracle: exact-jaccard pairs over ALL docs (the
     // LSH banding has recall ~1 at the planted J≈0.99, same equivalence as
     // q_dedup_minhash); a new doc is a history hit iff it has a DIRECT edge
@@ -3714,9 +3975,9 @@ object ExtensionQueries {
         |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 1 GROUP BY 1)
         |SELECT w.doc_id, len(ws)::INTEGER AS n_words,
         |  len(list_distinct(ws))::INTEGER AS n_distinct_words,
-        |  round(1.0::DOUBLE - len(list_distinct(ws)) * 1.0::DOUBLE / len(ws), 4) AS dup_word_frac,
-        |  round(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x))))
-        |        * 1.0::DOUBLE / len(bg), 4) AS top_bigram_frac
+        |  floor((1.0::DOUBLE - len(list_distinct(ws)) * 1.0::DOUBLE / len(ws)) * 10000) / 10000 AS dup_word_frac,
+        |  floor((list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x))))
+        |        * 1.0::DOUBLE / len(bg)) * 10000) / 10000 AS top_bigram_frac
         |FROM w JOIN bgt ON w.doc_id = bgt.doc_id WHERE len(ws) >= 2""".stripMargin),
 
     // string 3-grams stand in for the engine's xxhash64 shingles: equality of
@@ -3793,6 +4054,39 @@ object ExtensionQueries {
         |  floor(sum(coalesce(lp, oov_lp)) * 10000)::DOUBLE / 10000.0 / count(*) AS avg_log10p
         |FROM bg LEFT JOIN v USING (w1, w2), o GROUP BY doc_id""".stripMargin),
 
+
+    // the stupid-backoff chain restated: trigram table from the src0 slice,
+    // every lower-order table a re-aggregation of it, α = 2/5 as integer
+    // ratio numerator/denominator factors, per-token floor-e6 BIGINT units
+    "q_backoff_lm" ->
+      (s"""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        |       FROM w, range(1, 100000) r(i)
+        |       WHERE len(ws) >= 3 AND i <= len(ws) - 2),
+        |rtg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        |        FROM w, range(1, 100000) r(i)
+        |        WHERE source = 'src0' AND len(ws) >= 3 AND i <= len(ws) - 2),
+        |f3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM rtg GROUP BY 1, 2, 3),
+        |cx12 AS (SELECT w1, w2, sum(c123)::BIGINT AS c12 FROM f3 GROUP BY 1, 2),
+        |f2 AS (SELECT w2, w3, sum(c123)::BIGINT AS c23 FROM f3 GROUP BY 1, 2),
+        |cx2 AS (SELECT w2, sum(c23)::BIGINT AS c2 FROM f2 GROUP BY 1),
+        |f1 AS (SELECT w3, sum(c23)::BIGINT AS c3 FROM f2 GROUP BY 1),
+        |tot AS (SELECT sum(c3)::BIGINT AS t FROM f1),
+        |v3 AS (SELECT w1, w2, w3, floor(${PortableLog.log10RatioSql("c123", "c12", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp3
+        |       FROM f3 JOIN cx12 USING (w1, w2) ORDER BY c123 DESC, w1, w2, w3 LIMIT 50),
+        |v2 AS (SELECT w2, w3, floor(${PortableLog.log10RatioSql("2 * c23", "5 * c2", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp2
+        |       FROM f2 JOIN cx2 USING (w2) ORDER BY c23 DESC, w2, w3 LIMIT 50),
+        |v1 AS (SELECT w3, floor(${PortableLog.log10RatioSql("4 * c3", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp1
+        |       FROM f1, tot ORDER BY c3 DESC, w3 LIMIT 50),
+        |o AS (SELECT floor(${PortableLog.log10RatioSql("4::BIGINT", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp0 FROM tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  sum(coalesce(lp3, lp2, lp1, lp0))::BIGINT AS sum_log10p_e6,
+        |  sum(coalesce(lp3, lp2, lp1, lp0))::DOUBLE / 1000000.0 / count(*) AS avg_log10p
+        |FROM tg LEFT JOIN v3 USING (w1, w2, w3) LEFT JOIN v2 USING (w2, w3)
+        |LEFT JOIN v1 USING (w3), o
+        |GROUP BY doc_id""".stripMargin),
     // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],
     // window count = 1 + ceil((n-64)/48) clamped at >= 1
     "q_chunk_windows" ->
@@ -3810,7 +4104,7 @@ object ExtensionQueries {
     // scale (exact IEEE max/divide), floor(x+0.5) portable rounding
     "q_embed_quantize" ->
       ("""SELECT vec_id,
-        |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 4) AS norm,
+        |  floor(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) * 10000) / 10000 AS norm,
         |  array_to_string(list_transform(embedding, x ->
         |    CAST(floor(x::DOUBLE / greatest(amax, 1e-12) * 127.0::DOUBLE + 0.5) AS INTEGER)::VARCHAR), ',') AS q8
         |FROM (SELECT vec_id, embedding,

@@ -62,16 +62,27 @@ object Warc {
 
   /** Write (record_id, url, fetch_ts, html) rows as GWARC container files
     * under `path`, one file per non-empty partition.
+    *
+    * Re-write safety (r9 ADVICE): the writer emits one file per NON-EMPTY
+    * partition, so a naive overwrite with fewer partitions would leave
+    * stale part files from the previous run as phantom records — and a
+    * delete-then-write would destroy the previous container on a failed
+    * re-write. So the container is written to a sibling `.writing`
+    * directory and rename-swapped into place (the compactPartitioned
+    * idiom): either the old or the new container is intact at every
+    * instant.
     */
   def write(df: DataFrame, path: String): Unit = {
-    // clear the target first: the writer emits one file per NON-EMPTY
-    // partition, so without this a re-write with fewer partitions would
-    // leave stale part files from the previous run to be read back as
-    // phantom records
+    val tmp = s"$path.writing"
     val dirPath = new org.apache.hadoop.fs.Path(path)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val dirFs = dirPath.getFileSystem(
       df.sparkSession.sessionState.newHadoopConf())
-    if (dirFs.exists(dirPath)) dirFs.delete(dirPath, true)
+    // a stale .writing dir is a previous FAILED write's debris — safe to
+    // clear, the live container was never touched; pre-create it so an
+    // all-empty write still swaps in an EMPTY container (not a no-op)
+    if (dirFs.exists(tmpPath)) dirFs.delete(tmpPath, true)
+    dirFs.mkdirs(tmpPath)
     val rows = df.select(col("record_id").cast("long"), col("url").cast("string"),
       col("fetch_ts").cast("timestamp"), col("html").cast("string"))
     // count action triggers the write; returns #records (bounded driver data)
@@ -79,7 +90,7 @@ object Warc {
       if (it.isEmpty) Iterator.empty
       else {
         val conf = new org.apache.hadoop.conf.Configuration()
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$i%05d.gwarc")
+        val p = new org.apache.hadoop.fs.Path(tmp, f"part-$i%05d.gwarc")
         val fs = p.getFileSystem(conf)
         val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
         var n = 0L
@@ -104,6 +115,20 @@ object Warc {
         Iterator.single(n)
       }
     }.sum()
+    // swap the finished container in: move the old aside, rename the new
+    // into place, then drop the old — a crash leaves one intact container
+    if (dirFs.exists(dirPath)) {
+      val aside = new org.apache.hadoop.fs.Path(s"$path.old")
+      if (dirFs.exists(aside)) dirFs.delete(aside, true)
+      if (!dirFs.rename(dirPath, aside))
+        throw new java.io.IOException(s"warc write: cannot move $path aside")
+      if (!dirFs.rename(tmpPath, dirPath)) {
+        dirFs.rename(aside, dirPath) // roll back — the old container lives
+        throw new java.io.IOException(s"warc write: cannot swap $tmp in")
+      }
+      dirFs.delete(aside, true)
+    } else if (!dirFs.rename(tmpPath, dirPath))
+      throw new java.io.IOException(s"warc write: cannot move $tmp into place")
     ()
   }
 

@@ -179,7 +179,7 @@ class DedupSpec extends SparkSpec {
       if a != b && sa.size >= 3
       i = (sa & sb).size
       if i * 10000 >= 7000 * sa.size
-    } yield (a, b, math.rint(i.toDouble / sa.size * 10000) / 10000)).toSet
+    } yield (a, b, math.floor(i.toDouble / sa.size * 10000) / 10000)).toSet
     assert(got == want, s"prefix filter diverged: missing ${want -- got}, extra ${got -- want}")
   }
 

@@ -227,12 +227,12 @@ class PipelinesSpec extends SparkSpec {
   test("repetitionStats: ratios match hand-computed values") {
     import spark.implicits._
     val docs = Seq(
-      (1L, "a b a b a b"), // 6 words, 2 distinct; bigrams: ab ba ab ba ab -> top 3/5
+      (1L, "a b a b a b"), // 6 words, 2 distinct (dup frac 2/3 floors to .6666); top bigram 3/5
       (2L, "w x y z")      // no repetition: 4 distinct, top bigram 1/3
     ).toDF("doc_id", "text")
     val got = TextAnalysis.repetitionStats(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))).toMap
-    assert(got(1L) == ((6, 2, 0.6667, 0.6)))
+    assert(got(1L) == ((6, 2, 0.6666, 0.6)))
     assert(got(2L) == ((4, 4, 0.0, 0.3333)))
   }
 
@@ -499,6 +499,50 @@ class PipelinesSpec extends SparkSpec {
     assert(got(5L) == (("two hits: [EMAIL] and [IP]", 1, 1, 0)))
   }
 
+  test("backoffLogProb == independent plain-Scala stupid-backoff reference; all four levels hit") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sits on the lazy mat"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the quick brown fox"),        // trigram hits
+      (11L, "quick brown zebra runs fast") // bigram/uni/OOV backoffs
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.backoffLogProb(ref, target, "doc_id", "text",
+      topV = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent reference: plain-Scala counts + PortableLog refs
+    val refToks = Seq(
+      "the quick brown fox jumps over the lazy dog".split(" ").toSeq,
+      "the quick brown cat sits on the lazy mat".split(" ").toSeq)
+    def ngrams(n: Int) = refToks.flatMap(_.sliding(n)).map(_.toList)
+    val c3 = ngrams(3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = c3.groupBy(_._1.take(2)).view.mapValues(_.values.sum).toMap
+    val c23 = c3.groupBy(_._1.drop(1)).view.mapValues(_.values.sum).toMap
+    val c2 = c23.groupBy(_._1.take(1)).view.mapValues(_.values.sum).toMap
+    val c1 = c23.groupBy(_._1.drop(1)).view.mapValues(_.values.sum).toMap
+    val t = c1.values.sum
+    def lp6(a: Long, b: Long): Long =
+      math.floor(graft.functions.PortableLog.log10RatioRef(a, b) * 1e6).toLong
+    def score(ws: Seq[String]): (Long, Long) = {
+      val tris = ws.sliding(3).map(_.toList).toSeq
+      val s = tris.map { tri =>
+        if (c3.contains(tri)) lp6(c3(tri), c12(tri.take(2)))
+        else if (c23.contains(tri.drop(1))) lp6(2 * c23(tri.drop(1)), 5 * c2(tri.slice(1, 2)))
+        else if (c1.contains(tri.drop(2))) lp6(4 * c1(tri.drop(2)), 25 * t)
+        else lp6(4, 25 * t)
+      }.sum
+      (tris.size.toLong, s)
+    }
+    assert(got(10L) == score("the quick brown fox".split(" ").toSeq))
+    assert(got(11L) == score("quick brown zebra runs fast".split(" ").toSeq))
+    // the backoff ordering is sane: an in-model trigram outscores an OOV one
+    assert(got(10L)._2.toDouble / got(10L)._1 > got(11L)._2.toDouble / got(11L)._1)
+    graft.operators.Caches.release(spark)
+  }
+
   test("bm25Score == independent plain-Scala reference; tf and rarity order correctly") {
     import spark.implicits._
     val corpus = Seq(
@@ -509,7 +553,7 @@ class PipelinesSpec extends SparkSpec {
       (5L, null.asInstanceOf[String]))               // null text → absent, counts in N
       .toDF("doc_id", "text")
     val got = TextAnalysis.bm25Score(corpus, "doc_id", "text", "apple cherry")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // independent reference: same integer formula, idf via PortableLog.lnRef
     val texts = Map(1L -> "apple banana cherry apple apple",
@@ -518,7 +562,7 @@ class PipelinesSpec extends SparkSpec {
     val toks = texts.view.mapValues(_.split("\\s+").toSeq).toMap
     val nd = 5L
     val ltot = toks.values.map(_.size.toLong).sum
-    def score(id: Long): BigDecimal = {
+    def score(id: Long): Long = {
       val ws = toks(id); val dl = ws.size.toLong
       val c6 = Seq("apple", "cherry").flatMap { t =>
         val tf = ws.count(_ == t).toLong
@@ -530,14 +574,14 @@ class PipelinesSpec extends SparkSpec {
           Some(idf6 * tfq6 / 1000000L)
         }
       }.sum
-      BigDecimal(c6) * BigDecimal("0.000001")
+      c6
     }
     assert(got.keySet == Set(1L, 2L, 3L), s"retrieval set wrong: ${got.keySet}")
     Seq(1L, 2L, 3L).foreach { id =>
-      assert(BigDecimal(got(id)) == score(id), s"doc $id: ${got(id)} vs ${score(id)}")
+      assert(got(id) == score(id), s"doc $id: ${got(id)} vs ${score(id)}")
     }
     // more occurrences of the same term in a same-length-class doc → higher
-    assert(got(1L).compareTo(got(2L)) > 0)
+    assert(got(1L) > got(2L))
   }
 
   test("bm25ScoreBatch ≡ bm25Score per query — shared df/stats leak nothing across queries") {
@@ -551,10 +595,10 @@ class PipelinesSpec extends SparkSpec {
       .toDF("query_id", "qtext")
     val batch = TextAnalysis.bm25ScoreBatch(corpus, "doc_id", "text",
       queries, "query_id", "qtext", k = 10)
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDecimal(3)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     for ((qid, qtext) <- Seq("a" -> "apple cherry", "b" -> "banana")) {
       val single = TextAnalysis.bm25Score(corpus, "doc_id", "text", qtext)
-        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val bq = batch.collect { case ((q, d), s) if q == qid => d -> s }.toMap
       assert(bq == single, s"query $qid: batch $bq vs single $single")
     }
@@ -617,8 +661,8 @@ class PipelinesSpec extends SparkSpec {
     TextAnalysis.bm25IndexWrite(corpus, "doc_id", "text", dir)
     val probe = TextAnalysis.bm25Probe(spark, dir, "apple cherry")
     val direct = TextAnalysis.bm25Score(corpus, "doc_id", "text", "apple cherry")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-    assert(probe.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap == direct)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == direct)
     // directory-level pruning: the postings scan must carry a non-empty
     // partition filter on the bucket column
     val plan = probe.queryExecution.executedPlan.toString
@@ -634,7 +678,7 @@ class PipelinesSpec extends SparkSpec {
     TextAnalysis.bm25IndexWrite(corpus.filter($"doc_id" <= 2), "doc_id", "text", dir2)
     TextAnalysis.bm25IndexAppend(corpus.filter($"doc_id" >= 3), "doc_id", "text", dir2)
     val grown = TextAnalysis.bm25Probe(spark, dir2, "apple cherry")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(grown == direct, s"incrementally-grown probe diverged: $grown vs $direct")
   }
 }

@@ -82,4 +82,33 @@ class PortabilitySpec extends SparkSpec {
         s"dec6(log2($n)): sql=${r.getDecimal(1)} ref=$expected")
     }
   }
+
+  test("planted .xxxx50 ties: the floor idiom is stable where round(double, 4) is engine-defined") {
+    import spark.implicits._
+    // exact .5-at-the-5th-decimal ratios — the HALF_UP tie class the r10
+    // sweep moved off every hash surface (Dedup/Similarity/TextAnalysis/
+    // Profiling). round(x, 4) on these depends on whether an engine rounds
+    // the DECIMAL rendering (→ up) or the exact binary value (→ either
+    // side); floor(x·10⁴)/10⁴ is one IEEE multiply + floor of the identical
+    // double — a single deterministic answer on every engine.
+    val ties = Seq(
+      (1L, 1.0, 16.0),   // 1/16  = 0.0625       → 4dp tie .000050-class scaled
+      (2L, 5.0, 8.0),    // 5/8   = 0.625
+      (3L, 10001.0, 200000.0), // 0.050005 — a true 5th-decimal .5 tie
+      (4L, 3.0, 32.0),   // 0.09375
+      (5L, -10001.0, 200000.0)) // negative tie — floor ≠ truncate here
+      .toDF("id", "num", "den")
+      .select(col("id"),
+        (floor((col("num") / col("den")) * 10000).cast("double") / 10000.0)
+          .as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // same arithmetic in plain Scala (strict IEEE on Java 17) — bit-equal
+    def ref(n: Double, d: Double) = math.floor(n / d * 10000) / 10000
+    assert(ties(1L) == ref(1.0, 16.0) && ties(1L) == 0.0625)
+    assert(ties(2L) == ref(5.0, 8.0) && ties(2L) == 0.625)
+    assert(ties(3L) == ref(10001.0, 200000.0) && ties(3L) == 0.05)
+    assert(ties(4L) == ref(3.0, 32.0) && ties(4L) == 0.0937)
+    assert(ties(5L) == ref(-10001.0, 200000.0) && ties(5L) == -0.0501,
+      s"negative tie must floor DOWN, got ${ties(5L)}")
+  }
 }

@@ -123,11 +123,11 @@ class QualityClassifierSpec extends SparkSpec {
   test("evaluate: exact confusion counts and floor-quantized metrics on a planted grid") {
     import spark.implicits._
     val scored = Seq(
-      (1L, BigDecimal("0.400000"), 1), (2L, BigDecimal("0.100000"), 1),
-      (3L, BigDecimal("-0.200000"), 1), (4L, BigDecimal("0.300000"), 0),
-      (5L, BigDecimal("-0.100000"), 0), (6L, BigDecimal("-0.400000"), 0))
-      .toDF("doc_id", "score", "y")
-    val out = QualityClassifier.evaluate(scored, "score", col("y"),
+      (1L, 400000L, 1), (2L, 100000L, 1),
+      (3L, -200000L, 1), (4L, 300000L, 0),
+      (5L, -100000L, 0), (6L, -400000L, 0))
+      .toDF("doc_id", "score_e6", "y")
+    val out = QualityClassifier.evaluate(scored, "score_e6", col("y"),
       thresholds = Seq(0.0, 0.25))
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(out.keySet == Set(0L, 250000L))
@@ -151,10 +151,10 @@ class QualityClassifierSpec extends SparkSpec {
     // z6=0 → p6=500000 (bin 5); z6=±1e6 → p6 = 500000 ± (1e12 div 4e6) =
     // 750000 / 250000 (bins 7 / 2) — the algebraic sigmoid by hand
     val scored = Seq(
-      (1L, BigDecimal("0.000000"), 1), (2L, BigDecimal("1.000000"), 1),
-      (3L, BigDecimal("-1.000000"), 0), (4L, BigDecimal("1.000000"), 0))
-      .toDF("doc_id", "score", "y")
-    val out = QualityClassifier.calibration(scored, "score", col("y"), nBins = 10)
+      (1L, 0L, 1), (2L, 1000000L, 1),
+      (3L, -1000000L, 0), (4L, 1000000L, 0))
+      .toDF("doc_id", "score_e6", "y")
+    val out = QualityClassifier.calibration(scored, "score_e6", col("y"), nBins = 10)
       .collect().map(r => r.getInt(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(out.keySet == Set(2, 5, 7))
@@ -168,19 +168,19 @@ class QualityClassifierSpec extends SparkSpec {
     // P=2, N=2; pos pairs won: .8 beats both negs (2), .5 beats .2 (1) and
     // ties .5 (½) → U = 3.5, u2 = 7, AUC = floor(7e6/8)/1e6 = 0.875
     val scored = Seq(
-      (BigDecimal("0.500000"), 1), (BigDecimal("0.500000"), 0),
-      (BigDecimal("0.200000"), 0), (BigDecimal("0.800000"), 1))
-      .toDF("score", "y")
-    val r = QualityClassifier.auc(scored, "score", col("y")).head()
+      (500000L, 1), (500000L, 0),
+      (200000L, 0), (800000L, 1))
+      .toDF("score_e6", "y")
+    val r = QualityClassifier.auc(scored, "score_e6", col("y")).head()
     assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
-    assert(r.getDecimal(2).longValueExact() == 7L)
+    assert(r.getLong(2) == 7L)
     assert(r.getDouble(3) == 0.875)
     // perfect separation → AUC exactly 1; one-class holdout → 0.0
-    val sep = Seq((BigDecimal("2.000000"), 1), (BigDecimal("-2.000000"), 0))
-      .toDF("score", "y")
-    assert(QualityClassifier.auc(sep, "score", col("y")).head().getDouble(3) == 1.0)
-    val onecls = Seq((BigDecimal("2.000000"), 1)).toDF("score", "y")
-    val r1 = QualityClassifier.auc(onecls, "score", col("y")).head()
+    val sep = Seq((2000000L, 1), (-2000000L, 0))
+      .toDF("score_e6", "y")
+    assert(QualityClassifier.auc(sep, "score_e6", col("y")).head().getDouble(3) == 1.0)
+    val onecls = Seq((2000000L, 1)).toDF("score_e6", "y")
+    val r1 = QualityClassifier.auc(onecls, "score_e6", col("y")).head()
     assert(r1.getLong(1) == 0L && r1.getDouble(3) == 0.0)
   }
 
@@ -191,7 +191,7 @@ class QualityClassifierSpec extends SparkSpec {
       col("y"), nBuckets = nBuckets, iters = iters, lr = lr)
     val a = QualityClassifier.auc(
       scored.join(docs.select(col("doc_id"), col("y")), "doc_id"),
-      "score", col("y")).head().getDouble(3)
+      "score_e6", col("y")).head().getDouble(3)
     assert(a > 0.95, s"planted-signal AUC only $a")
     graft.operators.Caches.release(spark)
   }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis, Urls}
+
+/** Index/state RETIREMENT forms (VERDICT r9 missing #2): BM25 tombstone
+  * deletion, IVF+PQ tombstone deletion + compaction purge, and the
+  * exact-dedup / urlState retractions — each proven equivalent to the state
+  * the system would be in had the retired items never been ingested.
+  */
+class RetirementSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange"),
+      (5L, "apple cherry cherry banana grape")).toDF("doc_id", "text")
+  }
+
+  test("bm25: probe(build + append + delete) == one-shot build on the survivors") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25del").toString + "/idx"
+    // build {1,2,3}, append {4,5}, delete {2,4}
+    TextAnalysis.bm25IndexWrite(corpus.filter($"doc_id" <= 3), "doc_id", "text", dir)
+    TextAnalysis.bm25IndexAppend(corpus.filter($"doc_id" >= 4), "doc_id", "text", dir)
+    TextAnalysis.bm25IndexDelete(Seq(2L, 4L).toDF("doc_id"), "doc_id", dir)
+    val got = TextAnalysis.bm25Probe(spark, dir, "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val dirRef = java.nio.file.Files.createTempDirectory("graft_bm25ref").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus.filter($"doc_id".isin(1L, 3L, 5L)),
+      "doc_id", "text", dirRef)
+    val want = TextAnalysis.bm25Probe(spark, dirRef, "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"tombstoned probe diverged: $got vs $want")
+    assert(!got.contains(2L) && !got.contains(4L))
+
+    // stats sidecar reflects the survivors exactly (nd, ltot from .docs)
+    val st = spark.read.parquet(s"$dir.stats").head()
+    assert(st.getLong(0) == 3L && st.getLong(1) == 5L + 6L + 5L,
+      s"stats not rebuilt from survivors: $st")
+
+    // deleting an id absent from the index is a no-op on the scores
+    TextAnalysis.bm25IndexDelete(Seq(99L).toDF("doc_id"), "doc_id", dir)
+    val again = TextAnalysis.bm25Probe(spark, dir, "apple cherry")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == want)
+  }
+
+  test("bm25: a rebuild clears tombstones; staged-sidecar markers disambiguate crash windows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25cl").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus, "doc_id", "text", dir)
+    TextAnalysis.bm25IndexDelete(Seq(1L).toDF("doc_id"), "doc_id", dir)
+    // rebuild over the full corpus: the old generation's tombstones must not
+    // survive to hide doc 1 in the fresh index
+    TextAnalysis.bm25IndexWrite(corpus, "doc_id", "text", dir)
+    val probe = TextAnalysis.bm25Probe(spark, dir, "apple")
+      .collect().map(_.getLong(0)).toSet
+    assert(probe.contains(1L), "rebuild must clear old tombstones")
+
+    // crash-window disambiguation: a staged sidecar WITHOUT the payload
+    // marker must instruct rebuild; WITH it, completing the swap
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    spark.range(1).selectExpr("5L as nd", "26L as ltot")
+      .write.mode("overwrite").parquet(s"$dir.stats.next")
+    val e1 = intercept[IllegalStateException] {
+      TextAnalysis.bm25IndexDelete(Seq(2L).toDF("doc_id"), "doc_id", dir)
+    }
+    assert(e1.getMessage.contains("REBUILD"), e1.getMessage)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir.stats.next/_PAYLOAD_COMMITTED"), true).close()
+    val e2 = intercept[IllegalStateException] {
+      TextAnalysis.bm25IndexAppend(corpus.filter($"doc_id" === 99L),
+        "doc_id", "text", dir)
+    }
+    assert(e2.getMessage.contains("finish the swap"), e2.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir.stats.next"), true)
+  }
+
+  test("ivfPq: delete hides tombstoned ids; compact purges them and re-admits appends") {
+    import spark.implicits._
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqdel").toString + "/idx"
+    Similarity.ivfPqWrite(emb, "vec_id", "embedding", dir,
+      nlist = 8, m = 8, ksub = 16)
+    val q = emb.filter($"vec_id" === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    // k = 11 so the full ranking already names the row that moves up into
+    // the top-10 once the victim is tombstoned
+    val full = Similarity.ivfPqProbe(spark, dir, q, k = 11, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    val victim = full.head._1
+    Similarity.ivfPqDelete(Seq(victim).toDF("vec_id"), "vec_id", dir)
+    val after = Similarity.ivfPqProbe(spark, dir, q, k = 10, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    // the survivors rank exactly as in the full probe minus the victim
+    assert(after == full.filterNot(_._1 == victim).take(10),
+      s"post-delete ranking broke: $after vs $full")
+    assert(!after.map(_._1).contains(victim))
+
+    // re-appending a tombstoned id must refuse until compaction purges
+    val victimRows = emb.filter($"vec_id" === victim)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqAppend(spark, victimRows, "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("ivfPqCompact"), e.getMessage)
+    Similarity.ivfPqCompact(spark, dir)
+    // tombstones cleared, victim physically gone
+    assert(!new java.io.File(s"$dir.tombstones").exists())
+    Similarity.ivfPqAppend(spark, victimRows, "vec_id", "embedding", dir)
+    val back = Similarity.ivfPqProbe(spark, dir, q, k = 11, nprobe = 8,
+      excludeId = Some(0L)).collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(back == full,
+      "delete + compact + re-append must restore the original ranking")
+  }
+
+  test("exactRetract: retracted content re-admits; everything else still dedups") {
+    import spark.implicits._
+    val history = Seq((10L, "alpha beta gamma"), (11L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val state = TextAnalysis.fingerprint(history, "doc_id", "text")
+    val retracted = Dedup.exactRetract(state,
+      history.filter($"doc_id" === 11L), "doc_id", "text")
+    val batch = Seq(
+      (20L, "alpha beta gamma"),   // still in state → dropped
+      (21L, "delta epsilon zeta"), // retracted → re-admitted
+      (22L, "eta theta iota"))     // new → admitted
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactIncremental(batch, "doc_id", "text", retracted)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 22L), s"got $kept")
+  }
+
+  test("urlStateRetract: retracted page identities re-fetch; canonical variants still count") {
+    import spark.implicits._
+    val history = Seq(
+      (10L, "https://a.example.com/x?utm_source=y"),
+      (11L, "https://b.example.com/y"))
+      .toDF("doc_id", "url")
+    val state = Urls.urlState(history, "doc_id", "url")
+    val retracted = Urls.urlStateRetract(state,
+      history.filter($"doc_id" === 11L), "doc_id", "url")
+    val batch = Seq(
+      (20L, "https://a.example.com/x"),          // canonical match → dropped
+      (21L, "https://b.example.com:443/y"),      // retracted identity → kept
+      (22L, "https://c.example.com/z"))          // new → kept
+      .toDF("doc_id", "url")
+    val kept = Urls.urlDedupIncremental(batch, "doc_id", "url", retracted)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 22L), s"got $kept")
+  }
+}

@@ -387,10 +387,10 @@ class StreamingSpec extends SparkSpec {
 
     val direct = graft.operators.TextAnalysis.bm25Score(
       base.toDF("doc_id", "text"), "doc_id", "text", "data join slow")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val probed = graft.operators.TextAnalysis.bm25Probe(
       spark, dirStream, "data join slow")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(probed == direct,
       "stream-grown index must probe identically to the in-plan scorer")
   }

@@ -117,12 +117,12 @@ class WritersSpec extends SparkSpec {
     // shared terms land postings from both writes → some bucket holds >1 file
     assert(bucketFiles().values.exists(_ > 1), "fixture must exhibit append decay")
     val before = TextAnalysis.bm25Probe(spark, dir, "apple cherry banana")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     Writers.compactPartitioned(spark, dir, "bucket")
     assert(bucketFiles().values.forall(_ == 1),
       s"every bucket must compact to one file: ${bucketFiles()}")
     val after = TextAnalysis.bm25Probe(spark, dir, "apple cherry banana")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(after == before, "compaction must not move a single score")
   }
 
