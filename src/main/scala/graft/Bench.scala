@@ -43,7 +43,9 @@ object Bench {
     "q_bm25", "q_rrf_fusion", "q_bm25_batch", "q_bm25_probe", "q_bm25_append",
     "q_fetch_plan", "q_pipeline_e2e", "q_containment_dedup_incremental",
     "q_dataset_card", "q_fetch_schedule", "q_anchor_corpus",
-    "q_temperature_mix")
+    "q_temperature_mix",
+    "q_bm25_delete", "q_ivfpq_delete", "q_dedup_retract", "q_url_retract",
+    "q_backoff_lm", "q_pipeline_e2e_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -865,8 +865,14 @@ object ExtensionQueries {
         warcFixture(all.filter(col("doc_id") < 250), withNulls = false), dir0)
       graft.sources.Warc.write(
         warcFixture(all.filter(col("doc_id") >= 250), withNulls = false), dir1)
+      // the container walks and the extracted/gated frames each feed 3-4
+      // downstream states — uncached, every consumer would re-run the GWARC
+      // parse / the extraction chain (measured 15.0 -> see BASELINE r10);
+      // released per the Caches contract (Verify/Bench release per query)
       val recs0 = graft.sources.Warc.read(s, dir0).filter(col("html").isNotNull)
+        .cache()
       val recs1 = graft.sources.Warc.read(s, dir1).filter(col("html").isNotNull)
+        .cache()
       // ---- round 0: batch operators establish the four states ----
       val urlSt = graft.operators.Urls.urlState(recs0, "record_id", "url")
       val kept0 = graft.operators.Urls.urlDedup(recs0, "record_id", "url")
@@ -874,8 +880,9 @@ object ExtensionQueries {
       val g0 = TextAnalysis.htmlExtract(recs0.join(kept0, "record_id"),
           "record_id", "html", minWords = 5)
         .filter(col("n_kept") >= 2).select(col("doc_id"), col("text"))
+        .cache()
       val fpSt = TextAnalysis.fingerprint(g0, "doc_id", "text")
-      val clean0 = g0.join(Dedup.exact(g0, "doc_id", "text"), "doc_id")
+      val clean0 = g0.join(Dedup.exact(g0, "doc_id", "text"), "doc_id").cache()
       val contSt = Dedup.containmentState(clean0, "doc_id", "text", n = 3)
       val dom0 = clean0.join(recs0.select(col("record_id").as("doc_id"),
         graft.operators.Urls.hostOf(col("url")).as("domain")), "doc_id")
@@ -889,6 +896,7 @@ object ExtensionQueries {
       val g1 = TextAnalysis.htmlExtract(recs1.join(front1, "record_id"),
           "record_id", "html", minWords = 5)
         .filter(col("n_kept") >= 2).select(col("doc_id"), col("text"))
+        .cache()
       val surv1 = g1.join(
         Dedup.exactIncremental(g1, "doc_id", "text", fpSt), "doc_id")
       val kept1 = surv1.join(Dedup.containmentDedupIncremental(surv1,

@@ -31,7 +31,10 @@ object ProfileSkew {
 
     val nVec = args.headOption.map(_.toInt).getOrElse(200000)
     val nDoc = args.lift(1).map(_.toInt).getOrElse(2000000)
+    // optional 3rd arg: run ONLY that section (10 = containment design point)
+    val only = args.lift(2).map(_.toInt)
 
+    if (only.isEmpty) {
     // --- 1. semantic hot cell -------------------------------------------
     // 90% of vectors = tiny deterministic jitter around one point (all land
     // in the same coarse cell AND are mutual near-dups — the worst case for
@@ -242,6 +245,72 @@ object ProfileSkew {
         graft.operators.Caches.release(spark)
       }
     bDocs.unpersist()
+    }
+
+    // --- 10. containment incremental at its DESIGN point ----------------
+    // (the r9 verdict ask: the sf0.1 measurements only showed the candidate
+    // -restricted verify-array aggregation's ~1 s OVERHEAD, because at that
+    // scale candidates span most docs; the design point is the opposite —
+    // a LARGE persisted state and a small batch, where restricting the
+    // array rebuild to candidate docs is the difference between O(batch)
+    // and O(state) verify work.) State: nDoc/2 mostly-distinct ~14-word
+    // docs; batch: 2k docs, half QUOTES (word-prefixes of state docs — all
+    // must drop at C >= 0.9... prefixes share all but boundary shingles)
+    // and half fresh. The reference bar is what the UNRESTRICTED path
+    // would pay: collect_set over the ENTIRE state posting list.
+    val nState = nDoc / 2
+    val stDocs = spark.range(nState).select(col("id").as("doc_id"),
+      concat(lit("state document body text"),
+        (col("id") % 100003).cast("string"),
+        lit(" with words alpha"), (col("id") % 997).cast("string"),
+        lit(" beta gamma delta epsilon zeta eta theta iota kappa")).as("text"))
+      .repartition(32).cache()
+    val contState = graft.operators.Dedup.containmentState(
+      stDocs, "doc_id", "text", n = 3).repartition(32).cache()
+    println(s"[prof] containment state: ${stDocs.count()} docs, " +
+      s"${contState.count()} postings")
+    def mkBatch(k: Int) = {
+      val quotes = stDocs.filter(col("doc_id") % (nState / (k / 2)) === 0)
+        .limit(k / 2)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          // strict word-prefix of a state doc: containment ~1 → must drop
+          expr("concat_ws(' ', slice(split(text, ' '), 1, 12))").as("text"))
+      val fresh = spark.range(k / 2).select(
+        (col("id") + 20000000L).as("doc_id"),
+        concat(lit("entirely fresh batch content item "),
+          col("id").cast("string"),
+          lit(" lambda mu nu xi omicron pi rho sigma tau upsilon")).as("text"))
+      quotes.unionByName(fresh).repartition(8).cache()
+    }
+    for (k <- Seq(2000, 20000)) {
+      val batch = mkBatch(k)
+      println(s"[prof] batch: ${batch.count()} (half quotes of state)")
+      for (i <- 1 to 2) {
+        // Caches.release (clearCache) drops the FIXTURE caches too — re-pin
+        // them outside the timer so each rep measures the operator, not a
+        // 1M-doc state rebuild (the r10 first-cut #2 reps paid exactly that)
+        stDocs.cache().count(); contState.cache().count()
+        batch.cache().count()
+        time(s"containmentDedupIncremental state=$nState batch=$k #$i") {
+          val kept = graft.operators.Dedup.containmentDedupIncremental(
+            batch, "doc_id", "text", contState,
+            n = 3, threshold = 0.9, minShingles = 5).count()
+          println(s"[prof]   kept $kept of $k")
+        }
+        graft.operators.Caches.release(spark)
+      }
+      batch.unpersist()
+    }
+    // what the UNRESTRICTED verify path would pay per batch: rebuilding
+    // EVERY state doc's shingle array (the cost the candidate semi-join
+    // restriction removes)
+    contState.cache().count()
+    time(s"reference bar: collect_set over ALL $nState state docs") {
+      contState.groupBy("doc_id")
+        .agg(collect_set(col("sh")).as("shs"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    contState.unpersist(); stDocs.unpersist()
     spark.stop()
   }
 }
