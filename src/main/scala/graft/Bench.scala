@@ -45,7 +45,8 @@ object Bench {
     "q_dataset_card", "q_fetch_schedule", "q_anchor_corpus",
     "q_temperature_mix",
     "q_bm25_delete", "q_ivfpq_delete", "q_dedup_retract", "q_url_retract",
-    "q_backoff_lm", "q_pipeline_e2e_incremental")
+    "q_backoff_lm", "q_pipeline_e2e_incremental",
+    "q_trustrank", "q_ngram_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

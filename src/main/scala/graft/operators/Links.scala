@@ -230,6 +230,73 @@ object Links {
     ranks
   }
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    * with the teleport mass restricted to a hand-curated TRUSTED seed set,
+    * so reputation can only flow OUT of the seeds along links — the
+    * standard spam-demotion complement to [[pageRank]] (a link farm can
+    * inflate its PageRank by mutual endorsement but cannot manufacture
+    * trust it never receives from the seed side of the graph).
+    *
+    * Identical fixed-point discipline and plan shape to [[pageRank]]; the
+    * only change is the teleport vector:
+    *
+    *   t0(v)    = Scale div Ns          if v ∈ seeds, else 0
+    *   t_k+1(v) = [(10000-dampBp)*Scale div Ns div 10000 if v ∈ seeds else 0]
+    *            + dampBp * Σ_{u→v} (t_k(u) div outdeg(u)) div 10000
+    *
+    * Seeds not present in the edge set carry no mass (they are outside the
+    * graph); the seed frame is broadcast (curated trust lists are small by
+    * construction — requiring that keeps the plan honest at 100 TB).
+    *
+    * Output: (host, rank, is_seed) for every host in the graph; hosts
+    * unreachable from any seed end at rank 0 — the spam-detection signal
+    * (low TrustRank × high PageRank = the classic farm indicator).
+    */
+  def trustRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      dampBp: Int = 8500, srcCol: String = "src_host",
+      dstCol: String = "dst_host", seedCol: String = "host"): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
+    val Scale = 1000000000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    // seeds ∩ graph — only in-graph seeds receive teleport mass
+    val sd = broadcast(
+      seeds.select(col(seedCol).as("host")).na.drop().distinct())
+    val seedNodes = nodes.join(sd, "host")
+    val ns = seedNodes.count()
+    require(ns > 0, "trustRank: no seed host appears in the edge set")
+    val marked = nodes
+      .join(sd.withColumn("is_seed", lit(true)), Seq("host"), "left")
+      .select(col("host"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(eager = false)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (10000L - dampBp) * Scale / ns / 10000L
+    var ranks = marked.select(col("host"),
+      when(col("is_seed"), lit(Scale / ns)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, ranks("host") === deg("src"))
+        .select(col("src"), expr("rank div deg").as("c"))
+        .join(e, "src")
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = marked
+        .join(contrib, marked("host") === contrib("dst"), "left")
+        .select(col("host"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr(s"(${dampBp}L * coalesce(contrib, 0L)) div 10000L"))
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    marked.join(ranks, "host")
+      .select(col("host"), col("rank"), col("is_seed"))
+  }
+
   /** [[extractLinks]] → [[hostEdges]] → [[pageRank]] composed, joined back
     * to per-host link totals — the host-reputation report a crawl pipeline
     * keys its quality prior on: (host, rank, n_in_links, n_out_links).

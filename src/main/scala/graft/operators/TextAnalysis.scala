@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.functions.PortableLog
@@ -1279,5 +1279,61 @@ object TextAnalysis {
           s"i -> ${hashOf.format(k)}))), 1, $sketchSize) " +
           s"else cast(array() as $emptyType) end")
         .as("sketch"))
+  }
+
+  /** The corpus word n-gram stream (one row per OCCURRENCE) — shared by
+    * [[ngramHeavyHitters]]'s two passes.
+    */
+  private def ngramStream(docs: DataFrame, textCol: String, n: Int): DataFrame =
+    docs
+      .select(words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("ngram"))
+
+  /** EXACT corpus-scale n-gram heavy hitters — the boilerplate-discovery
+    * primitive ("subscribe to our newsletter" at billions of occurrences is
+    * how template rot is FOUND before anyone writes a removal rule): every
+    * word n-gram occurring at least `minCount` times, with its exact count.
+    *
+    * Two-pass plan (the shape that survives 100 TB, where a full n-gram
+    * groupBy's shuffle — one key per DISTINCT n-gram, near one per
+    * occurrence on clean text — is the scale-killer):
+    *  - pass 1: a bounded-memory [[graft.functions.MisraGries]] summary
+    *    (map-side partial aggregation; every executor holds ≤ k-1
+    *    counters; ONE ≤ (k-1)-entry summary reaches the driver — a bounded
+    *    sidecar read, not a corpus materialization);
+    *  - guarantee check: MG retains every item with true count > total/k,
+    *    so `k·minCount > total` certifies the summary's key set is a
+    *    SUPERSET of the true heavy hitters — violating it throws (raise k)
+    *    rather than silently dropping a hitter;
+    *  - pass 2: exact recount of the ≤ k-1 candidates only (broadcast
+    *    semi-join on the stream, map-side-combinable count) → the sketch
+    *    never touches the OUTPUT, it only bounds the candidate set, so the
+    *    result is exact and merge-order-independent (oracle-hashable).
+    *
+    * Output: (ngram, cnt), cnt ≥ minCount exact.
+    */
+  def ngramHeavyHitters(docs: DataFrame, textCol: String,
+      n: Int = 3, minCount: Long = 100L, k: Int = 8192): DataFrame = {
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    require(minCount >= 1L, "minCount must be positive")
+    require(k >= 2, "need k >= 2 MG counters")
+    val spark = docs.sparkSession
+    val grams = ngramStream(docs, textCol, n)
+    val summary = grams.select(col("ngram").as("value"))
+      .as(Encoders.STRING)
+      .select(new graft.functions.MisraGries(k).toColumn)
+      .head()
+    require(summary.total < k.toLong * minCount,
+      s"ngramHeavyHitters: stream length ${summary.total} >= k*minCount = " +
+        s"${k.toLong * minCount} voids the Misra-Gries superset guarantee " +
+        s"— raise k (or minCount) so k*minCount exceeds the n-gram count")
+    val cand = spark.createDataset(summary.items.keys.toSeq)(Encoders.STRING)
+      .toDF("ngram")
+    grams.join(broadcast(cand), "ngram")
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 }

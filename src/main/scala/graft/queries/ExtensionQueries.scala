@@ -657,6 +657,19 @@ object ExtensionQueries {
       Links.hostRank(linkPages(t(s, d, "documents")),
         "doc_id", "url", "html", iters = 3, dampBp = 8500)),
 
+    // TrustRank over the same host graph: teleport mass restricted to a
+    // two-host curated seed set, same 1e-12 fixed-point recurrence — hosts
+    // no seed can reach end at rank 0 (the spam-demotion signal; low trust
+    // × high PageRank = link farm)
+    "q_trustrank" -> ((s, d) => {
+      import s.implicits._
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      Links.trustRank(Links.hostEdges(links),
+        Seq("www.hub.example.com", "www.src0.example.com").toDF("host"),
+        iters = 3, dampBp = 8500)
+    }),
+
     // crawl-frontier expansion: the links DISCOVERED by the current wave
     // cut against the already-discovered set (urlState over the seed wave's
     // links, docs < 20) — the next-wave fetch list, one row per NEW
@@ -1285,6 +1298,23 @@ object ExtensionQueries {
     // high = random-token noise; decimal-exact via H = log2 n - (Σ c·log2 c)/n
     "q_word_entropy" -> ((s, d) =>
       TextAnalysis.wordEntropy(t(s, d, "documents"), "doc_id", "text")),
+
+    // corpus trigram HEAVY HITTERS (exact, ≥ 100 occurrences) over a
+    // boilerplate-planted fixture: template sentences appended to a third /
+    // a seventh of docs are the trigrams the two-pass Misra-Gries +
+    // exact-recount plan must surface — the output is EXACT counts (the
+    // sketch only bounds pass-2's candidate set), hence oracle-hashable
+    "q_ngram_hitters" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" all rights reserved worldwide")).otherwise(lit("")))
+          .as("text"))
+      TextAnalysis.ngramHeavyHitters(docs, "text",
+        n = 3, minCount = 100L, k = 8192)
+    }),
 
     // per-column summary profile: rows/nulls/exact-distincts + numeric
     // min/max in ONE scan (multi-distinct via Expand, not k passes)
@@ -2378,6 +2408,44 @@ object ExtensionQueries {
       (1 to 3).map(iter).mkString(",\n")
   }
 
+  /** Links.trustRank restated: the pageRank recurrence with the teleport
+    * term gated to the two-host seed set (mass base = Scale div Ns on
+    * seeds, 0 elsewhere) — same all-BIGINT `//` discipline, zero libm.
+    */
+  private val trustRankOracleSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT e.dst, sum(t${k - 1}.rank // deg.dg) AS contrib
+         |  FROM t${k - 1}
+         |  JOIN deg ON deg.src = t${k - 1}.host
+         |  JOIN e ON e.src = t${k - 1}.host
+         |  GROUP BY 1),
+         |t$k AS (SELECT n.host,
+         |  CAST(CASE WHEN s.host IS NOT NULL
+         |    THEN 1500 * 1000000000000 // (SELECT n FROM sn) // 10000
+         |    ELSE 0 END
+         |   + 8500 * coalesce(c$k.contrib, 0) // 10000 AS BIGINT) AS rank
+         |  FROM nodes n
+         |  LEFT JOIN sg s ON s.host = n.host
+         |  LEFT JOIN c$k ON c$k.dst = n.host)""".stripMargin
+    s"WITH $linkDerivCte,\n" +
+      """e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links
+        |  WHERE src_host <> dst_host),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT * FROM (VALUES ('www.hub.example.com'),
+        |  ('www.src0.example.com')) s(host)),
+        |sg AS (SELECT n.host FROM nodes n JOIN seeds USING (host)),
+        |sn AS (SELECT count(*) AS n FROM sg),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |t0 AS (SELECT n.host,
+        |  CAST(CASE WHEN s.host IS NOT NULL
+        |    THEN 1000000000000 // (SELECT n FROM sn) ELSE 0 END AS BIGINT)
+        |    AS rank
+        |  FROM nodes n LEFT JOIN sg s ON s.host = n.host),""".stripMargin +
+      "\n" + (1 to 3).map(iter).mkString(",\n") + "\n" +
+      """SELECT t3.host, t3.rank, (s.host IS NOT NULL) AS is_seed
+        |FROM t3 LEFT JOIN sg s ON s.host = t3.host""".stripMargin
+  }
+
   private val pageRankOracleSql: String =
     s"WITH $linkDerivCte,\n" + pageRankCtes + ",\n" +
       """inw AS (SELECT dst_host AS host, sum(nl) AS s FROM w GROUP BY 1),
@@ -2603,6 +2671,7 @@ object ExtensionQueries {
           |FROM links""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql,
+    "q_trustrank" -> trustRankOracleSql,
 
     // fetch plan restated INDEPENDENTLY: verdict and delay derived straight
     // from the fixture recipe (path pattern + host suffix), never by
@@ -3612,6 +3681,23 @@ object ExtensionQueries {
         |  floor((${PortableLog.floorDec6Sql(PortableLog.log2Sql("n", spark = false), spark = false)} * n - s) * 10000)::DOUBLE
         |    / 10000.0 / n AS entropy
         |FROM d""".stripMargin),
+
+    // the planted-boilerplate fixture restated, then plain exact
+    // GROUP BY + HAVING — the two-pass MG plan must agree because its
+    // output is an exact recount (the sketch never touches the counts)
+    "q_ngram_hitters" ->
+      ("""WITH d AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' subscribe to our newsletter today' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN ' all rights reserved worldwide' ELSE '' END) AS text
+        |  FROM documents),
+        |w AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                         x -> length(x) > 0) AS ws FROM d),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+        |      FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2)
+        |SELECT ngram, count(*) AS cnt FROM g
+        |GROUP BY 1 HAVING count(*) >= 100""".stripMargin),
 
     // per-column UNION ALL: identical counts/distincts; numeric min/max as
     // doubles; string min/max omitted (collation is engine-private)

@@ -95,6 +95,50 @@ class LinksSpec extends SparkSpec {
       .toDF("src_host", "dst_host")).count() == 0)
   }
 
+  test("trustRank: hand-computed seeded ranks; unreachable hosts stay 0") {
+    // a→b, a→c, b→c, c→a plus an isolated 2-farm d⇄e; seed = {a}
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "d")).toDF("src_host", "dst_host")
+    val seeds = Seq("a", "not-in-graph").toDF("host")
+    val t0 = 1000000000000L                          // all mass on the 1 seed
+    val base = 1500L * 1000000000000L / 1 / 10000    // 150000000000, seed only
+    def damp(c: Long) = 8500L * c / 10000
+    val want1 = Map(
+      "a" -> (base + 0L),                            // c had 0 at t0
+      "b" -> damp(t0 / 2), "c" -> damp(t0 / 2),      // each from a
+      "d" -> 0L, "e" -> 0L)                          // no path from the seed
+    val got1 = Links.trustRank(edges, seeds, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got1 == want1, s"got $got1 want $want1")
+    // iteration 2: a receives c's damped mass; the farm still holds 0
+    val got2 = Links.trustRank(edges, seeds, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got2("a") == base + damp(want1("c")))
+    assert(got2("d") == 0L && got2("e") == 0L)
+    // is_seed marks exactly the in-graph seed
+    val flags = Links.trustRank(edges, seeds, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(flags == Map("a" -> true, "b" -> false, "c" -> false,
+      "d" -> false, "e" -> false))
+  }
+
+  test("trustRank: farm inflates pageRank but not trustRank; seedless graph throws") {
+    // seed side: s→x; farm side: f1⇄f2 mutually endorsing (classic farm)
+    val edges = Seq(("s", "x"), ("f1", "f2"), ("f2", "f1"))
+      .toDF("src_host", "dst_host")
+    val pr = Links.pageRank(edges, iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tr = Links.trustRank(edges, Seq("s").toDF("host"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the farm out-PageRanks the honest leaf but carries ZERO trust
+    assert(pr("f1") > pr("x"))
+    assert(tr("f1") == 0L && tr("f2") == 0L && tr("x") > 0L)
+    val ex = intercept[IllegalArgumentException] {
+      Links.trustRank(edges, Seq("nowhere").toDF("host"))
+    }
+    assert(ex.getMessage.contains("seed"))
+  }
+
   test("hostRank: sink hosts rank above their endorsers; link totals line up") {
     val docs = Seq(
       (1L, "https://a.example.com/1",
