@@ -147,4 +147,109 @@ object Profiling {
         col("top_lang"),
         expr("__c_top_lang * 10000 div n_docs").as("top_lang_bp"))
   }
+
+  /** The (domain, fp, cnt) stream behind the coverage family: one row per
+    * (domain, content-fingerprint) with its occurrence count. Documents
+    * with null text are dropped (no content to cover); null domains keyed
+    * `<null>` (the [[datasetCard]] convention).
+    */
+  private def coveragePairs(docs: DataFrame, textCol: String,
+      domainCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        coalesce(col(domainCol).cast("string"), lit("<null>")).as("domain"),
+        md5(col(textCol).cast("string")).as("fp"))
+      .groupBy("domain", "fp").agg(count(lit(1)).as("cnt"))
+
+  /** Per-domain corpus COVERAGE report — the crawl-diversity dashboard:
+    * how many fetches landed per domain, how many were DISTINCT documents
+    * (by content fingerprint), and the duplicate rate in basis points.
+    * A domain whose dup_bp climbs round over round is re-serving content —
+    * the signal that retires it from the frontier (with [[Urls.hostCap]]
+    * bounding volume and robots crawl-delay bounding rate).
+    *
+    * Scale shape: one narrow scan → one (domain, fp) aggregate → one
+    * domain aggregate, both map-side-combinable; no driver materialization.
+    */
+  def coverage(docs: DataFrame, textCol: String,
+      domainCol: String): DataFrame =
+    coverageReport(coveragePairs(docs, textCol, domainCol))
+
+  /** The PERSISTED exact coverage state: (domain, fp, cnt) — the keyed
+    * membership-with-multiplicity table [[coverageIncremental]] merges
+    * batches into. Exact, so state is O(distinct docs): right up to the
+    * scale where [[coverageSketch]] takes over.
+    */
+  def coverageState(docs: DataFrame, textCol: String,
+      domainCol: String): DataFrame =
+    coveragePairs(docs, textCol, domainCol)
+
+  /** Merge a new crawl batch into a [[coverageState]]: pointwise count sum
+    * on the (domain, fp) key — one keyed outer-merge aggregate, the same
+    * exchange class as the incremental dedups it runs beside. The merged
+    * state's [[coverageReport]] equals [[coverage]] of the concatenated
+    * corpus (spec + oracle-pinned), so slicing a crawl into rounds never
+    * changes the dashboard.
+    */
+  def coverageIncremental(newDocs: DataFrame, textCol: String,
+      domainCol: String, state: DataFrame): DataFrame =
+    coveragePairs(newDocs, textCol, domainCol)
+      .unionByName(state.select(col("domain"), col("fp"), col("cnt")))
+      .groupBy("domain", "fp").agg(sum("cnt").as("cnt"))
+
+  /** Collapse a coverage state to the per-domain report. */
+  def coverageReport(state: DataFrame): DataFrame =
+    state.groupBy("domain").agg(
+      sum("cnt").as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      expr("(sum(cnt) - count(1)) * 10000 div sum(cnt)").as("dup_bp"))
+
+  /** The SKETCHED coverage state for the scale where even the distinct
+    * fingerprint set is too large to keep: per domain, the exact fetch
+    * count plus an Apache DataSketches HLL sketch of the fingerprints —
+    * state is O(domains × sketch bytes) however large the crawl. Sketches
+    * merge associatively (`hll_union`), so batch states compose exactly
+    * like [[coverageIncremental]]; estimates carry HLL's documented
+    * ~1.6% (lgK=12) relative error, which a DASHBOARD tolerates and a
+    * dedup decision never would — this feeds the former, the fp states
+    * feed the latter. Merge-of-slices ≡ one-shot sketch is spec-pinned
+    * (union determinism); not oracle-hashable (sketch internals are
+    * engine-private), so its query surfaces rows-only by design.
+    */
+  def coverageSketch(docs: DataFrame, textCol: String,
+      domainCol: String, lgK: Int = 12): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(
+        coalesce(col(domainCol).cast("string"), lit("<null>")).as("domain"),
+        md5(col(textCol).cast("string")).as("fp"))
+      .groupBy("domain").agg(
+        count(lit(1)).as("n_docs"),
+        hll_sketch_agg(col("fp"), lit(lgK)).as("fp_hll"))
+
+  /** Merge a batch's [[coverageSketch]] into a persisted one: count sum +
+    * HLL union on the domain key (full outer — new domains enter, quiet
+    * domains persist).
+    */
+  def coverageSketchMerge(state: DataFrame, batch: DataFrame): DataFrame = {
+    val s = state.select(col("domain"), col("n_docs").as("n1"),
+      col("fp_hll").as("h1"))
+    val b = batch.select(col("domain"), col("n_docs").as("n2"),
+      col("fp_hll").as("h2"))
+    s.join(b, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L)))
+          .as("n_docs"),
+        when(col("h1").isNull, col("h2"))
+          .when(col("h2").isNull, col("h1"))
+          .otherwise(hll_union(col("h1"), col("h2"))).as("fp_hll"))
+  }
+
+  /** The sketched dashboard: per-domain fetches, estimated distincts, and
+    * the estimated duplicate rate.
+    */
+  def coverageSketchReport(state: DataFrame): DataFrame =
+    state.select(col("domain"), col("n_docs"),
+      hll_sketch_estimate(col("fp_hll")).as("n_distinct_est"))
 }

@@ -55,6 +55,18 @@ object ExtensionQueries {
     docs.select(col("doc_id"), html.as("html"))
   }
 
+  /** Re-served-page fixture for the coverage family: every doc_id % 5 == 0
+    * fetch of a domain returns the domain's one cached landing page (exact
+    * duplicates within the domain), the rest keep their own text. Restated
+    * verbatim by the DuckDB oracle.
+    */
+  private def coverageFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("cached landing page for "), col("source")))
+        .otherwise(col("text")).as("text"),
+      col("source"))
+
   /** Deterministic WARC-record fixture over documents: the urlFixture URL, a
     * fetch timestamp marching one second per doc, and the htmlFixture
     * payload — optionally with every doc_id % 10 == 7 payload NULL (the
@@ -1293,6 +1305,40 @@ object ExtensionQueries {
     // the pre-join salting diagnostic
     "q_key_skew" -> ((s, d) =>
       graft.operators.Profiling.keySkew(t(s, d, "lineitem"), "l_suppkey", k = 10)),
+
+    // per-domain crawl COVERAGE dashboard (fetches, distinct docs, dup
+    // basis points) over a re-served-page fixture: every 5th fetch of a
+    // domain lands the same cached landing page — the climbing-dup_bp
+    // signal that retires a domain from the frontier
+    "q_coverage" -> ((s, d) =>
+      graft.operators.Profiling.coverage(
+        coverageFixture(t(s, d, "documents")), "text", "source")),
+
+    // the same dashboard maintained ACROSS ROUNDS: round-0 state merged
+    // with the round-1 batch must equal the one-shot report over the
+    // concatenated corpus (the oracle computes the latter)
+    "q_coverage_incremental" -> ((s, d) => {
+      val all = coverageFixture(t(s, d, "documents"))
+      val st = graft.operators.Profiling.coverageState(
+        all.filter(col("doc_id") < 250), "text", "source")
+      graft.operators.Profiling.coverageReport(
+        graft.operators.Profiling.coverageIncremental(
+          all.filter(col("doc_id") >= 250), "text", "source", st))
+    }),
+
+    // the sketched dashboard (per-domain HLL of content fingerprints —
+    // state O(domains) however large the crawl); sketch internals are
+    // engine-private → rows-only by design, bounds + merge-determinism
+    // are CoverageSpec's job
+    "q_coverage_sketch" -> ((s, d) => {
+      val all = coverageFixture(t(s, d, "documents"))
+      val st = graft.operators.Profiling.coverageSketch(
+        all.filter(col("doc_id") < 250), "text", "source")
+      val batch = graft.operators.Profiling.coverageSketch(
+        all.filter(col("doc_id") >= 250), "text", "source")
+      graft.operators.Profiling.coverageSketchReport(
+        graft.operators.Profiling.coverageSketchMerge(st, batch))
+    }),
 
     // word-distribution entropy: near-zero = one-phrase spam, anomalously
     // high = random-token noise; decimal-exact via H = log2 n - (Σ c·log2 c)/n
@@ -3681,6 +3727,31 @@ object ExtensionQueries {
         |  floor((${PortableLog.floorDec6Sql(PortableLog.log2Sql("n", spark = false), spark = false)} * n - s) * 10000)::DOUBLE
         |    / 10000.0 / n AS entropy
         |FROM d""".stripMargin),
+
+    // the re-served-page fixture restated; distinctness via the text
+    // value itself (the engine's md5 fingerprint is a bijection modulo
+    // collisions neither engine can see at fixture scale)
+    "q_coverage" ->
+      ("""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'cached landing page for ' || source
+        |         ELSE text END AS text, source
+        |  FROM documents)
+        |SELECT source AS domain, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct,
+        |  ((count(*) - count(DISTINCT text)) * 10000) // count(*) AS dup_bp
+        |FROM d WHERE text IS NOT NULL GROUP BY 1""".stripMargin),
+
+    // merged-state report ≡ one-shot report over the concatenated corpus:
+    // the oracle never sees the round split
+    "q_coverage_incremental" ->
+      ("""WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'cached landing page for ' || source
+        |         ELSE text END AS text, source
+        |  FROM documents)
+        |SELECT source AS domain, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct,
+        |  ((count(*) - count(DISTINCT text)) * 10000) // count(*) AS dup_bp
+        |FROM d WHERE text IS NOT NULL GROUP BY 1""".stripMargin),
 
     // the planted-boilerplate fixture restated, then plain exact
     // GROUP BY + HAVING — the two-pass MG plan must agree because its
