@@ -1195,6 +1195,112 @@ object TextAnalysis {
         .as("avg_log10p"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999 §2.7) — the PROPER-smoothing
+    * counterpart of [[backoffLogProb]]: where stupid backoff rescales
+    * lower-order MLE counts, KN subtracts a fixed discount D from every
+    * seen bigram and redistributes that mass over the CONTINUATION
+    * distribution — how many distinct contexts a word follows — the
+    * property that makes "francisco" unlikely outside "san francisco"
+    * however frequent it is:
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) − D)/c(w₁·) + λ(w₁)·Pcont(w₂)
+    *   λ(w₁) = D·N1+(w₁·)/c(w₁·)       Pcont(w₂) = N1+(·w₂)/N1+(··)
+    *
+    * Cross-engine determinism: the fixed discount D = 3/4 FOLDS INTO the
+    * ratio, clearing every branch to ONE [[PortableLog]] log10 of an exact
+    * integer ratio (c₁ = c(w₁·), n1 = N1+(w₁·) distinct continuations of
+    * w₁, nc = N1+(·w₂) distinct contexts of w₂, Nb = N1+(··) distinct
+    * bigrams):
+    *
+    *   seen bigram:       lp6[((4·c₁₂ − 3)·Nb + 3·n1·nc) / (4·c₁·Nb)]
+    *   seen context only: lp6[3·n1 / (4·c₁)] + lp6[max(nc,1) / Nb] — the
+    *                      λ(w₁)·Pcont term, an unseen continuation carrying
+    *                      one pseudo-context (the OOV-floor analog; without
+    *                      it KN assigns exact zero and the log diverges)
+    *   seen continuation: lp6[nc / Nb]                     — pure Pcont
+    *   OOV:               lp6[1 / (4·Nb)]
+    *
+    * where lp6[·] = floor(log10(·)·10⁶) as a BIGINT micro-unit. The
+    * seen-context branch is BY SPEC the sum of its two separately-
+    * quantized factors (≤ 2 µunit difference from single-floor): that
+    * factorization is what makes every branch a PRECOMPUTED lookup —
+    * lp12 per capped bigram, lp_ctx per context word, lp_cont per
+    * continuation word, two scalar constants — so the corpus-sized
+    * scoring stage runs ZERO log evaluations: three broadcast joins, one
+    * conditional add, one map-side-combinable per-doc sum. Per-doc sums
+    * are exact integers (`sum_log10p_e6` — the r9 DECIMAL contract).
+    * Integer headroom: the seen-bigram numerator needs c₁₂·Nb ≲ 2.3e18 —
+    * holds to billion-bigram reference corpora (and reference corpora are
+    * curated, bounded sets by the CCNet discipline).
+    *
+    * Model tables: ONE groupBy(w1, w2) pass over the reference corpus;
+    * context (c1, n1), continuation (nc) and Nb are re-aggregations of it.
+    * The bigram table broadcasts top-`topV` under a total order; the
+    * context/continuation tables broadcast UNCAPPED — they are vocab-sized
+    * (≪ bigram count) and capping them would strand capped bigrams without
+    * their denominators. Docs with fewer than 2 words have no bigrams and
+    * are dropped.
+    */
+  def kneserNeyLogProb(refDocs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, topV: Int = 65536): DataFrame = {
+    require(topV >= 1, "topV must be positive")
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .select(Keys.id(df, idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBg = bigramsOf(refDocs)
+    val target = if (refDocs eq docs) refBg else bigramsOf(docs)
+    // three re-aggregations + the top-V cut read the bigram counts; cache
+    // released via the [[Caches]] caller-owned contract
+    val freq2 = refBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .cache()
+    val ctx = freq2.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1"))
+    val cont = freq2.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val nb = freq2.agg(count(lit(1)).as("nb"))
+    def lp6(num: String, den: String): String =
+      s"cast(floor(${PortableLog.log10RatioSql(num, den, spark = true)} " +
+        "* 1000000.0D) as bigint)"
+    // every branch precomputed on vocab-/topV-sized frames — the scoring
+    // stage evaluates no log series
+    val bgV = freq2.join(ctx, "w1").join(cont, "w2").crossJoin(nb)
+      .orderBy(col("c12").desc, col("w1").asc, col("w2").asc).limit(topV)
+      .select(col("w1"), col("w2"),
+        expr(lp6("(4 * c12 - 3) * nb + 3 * n1 * nc", "4 * c1 * nb"))
+          .as("lp12"))
+    val ctxL = ctx.select(col("w1"),
+      expr(lp6("3 * n1", "4 * c1")).as("lp_ctx"))
+    val contL = cont.crossJoin(nb).select(col("w2"),
+      expr(lp6("nc", "nb")).as("lp_cont"))
+    val consts = nb.select(
+      expr(lp6("cast(1 as bigint)", "nb")).as("lp_cont0"),
+      expr(lp6("cast(1 as bigint)", "4 * nb")).as("lp_oov"))
+    val lpSql =
+      """CASE
+        |  WHEN lp12 IS NOT NULL THEN lp12
+        |  WHEN lp_ctx IS NOT NULL
+        |    THEN lp_ctx + coalesce(lp_cont, lp_cont0)
+        |  WHEN lp_cont IS NOT NULL THEN lp_cont
+        |  ELSE lp_oov
+        |END""".stripMargin
+    target
+      .join(broadcast(bgV), Seq("w1", "w2"), "left")
+      .join(broadcast(ctxL), Seq("w1"), "left")
+      .join(broadcast(contL), Seq("w2"), "left")
+      .crossJoin(broadcast(consts))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(expr(lpSql)).as("sum_log10p_e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_log10p_e6"),
+        (col("sum_log10p_e6").cast("double") / 1000000.0 / col("n_bigrams"))
+          .as("avg_log10p"))
+  }
+
   /** Per-document word-distribution ENTROPY — the gibberish/boilerplate
     * signal the LM scorers don't give: near-zero entropy flags one-phrase
     * spam (same words repeated), anomalously high entropy flags

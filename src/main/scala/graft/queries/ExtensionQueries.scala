@@ -1559,6 +1559,15 @@ object ExtensionQueries {
         docs, "doc_id", "text", topV = 50)
     }),
 
+    // interpolated Kneser-Ney bigram scoring, trained on the src0 slice,
+    // served corpus-wide — the discount-and-redistribute proper smoothing
+    // (continuation counts), every branch one integer-ratio PortableLog
+    "q_kneser_ney" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.kneserNeyLogProb(docs.filter(col("source") === "src0"),
+        docs, "doc_id", "text", topV = 50)
+    }),
+
     // overlapping word windows (RAG chunking), 64-word windows, stride 48
     "q_chunk_windows" -> ((s, d) =>
       TextAnalysis.chunkWindows(t(s, d, "documents"), "doc_id", "text",
@@ -4252,6 +4261,55 @@ object ExtensionQueries {
         |FROM tg LEFT JOIN v3 USING (w1, w2, w3) LEFT JOIN v2 USING (w2, w3)
         |LEFT JOIN v1 USING (w3), o
         |GROUP BY doc_id""".stripMargin),
+    // the KN algebra restated: capped bigram table with its PRECOMPUTED
+    // lp12, uncapped per-word lp_ctx / lp_cont lookups (the seen-context
+    // branch is BY SPEC the sum of its two separately-floored factors),
+    // two scalar constants — the same factorization the engine scores with
+    "q_kneser_ney" ->
+      (s"""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
+        |                                       x -> length(x) > 0) AS ws
+        |            FROM documents),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |       FROM w, range(1, 100000) r(i)
+        |       WHERE len(ws) >= 2 AND i <= len(ws) - 1),
+        |rbg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |        FROM w, range(1, 100000) r(i)
+        |        WHERE source = 'src0' AND len(ws) >= 2 AND i <= len(ws) - 1),
+        |f2 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM rbg GROUP BY 1, 2),
+        |cx AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS n1 FROM f2 GROUP BY 1),
+        |ct AS (SELECT w2, count(*)::BIGINT AS nc FROM f2 GROUP BY 1),
+        |nbt AS (SELECT count(*)::BIGINT AS nb FROM f2),
+        |v2 AS (SELECT w1, w2, floor(${PortableLog.log10RatioSql(
+             "(4 * c12 - 3) * nb + 3 * n1 * nc", "4 * c1 * nb",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp12
+        |       FROM f2 JOIN cx USING (w1) JOIN ct USING (w2), nbt
+        |       ORDER BY c12 DESC, w1, w2 LIMIT 50),
+        |cxl AS (SELECT w1, floor(${PortableLog.log10RatioSql(
+             "3 * n1", "4 * c1",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp_ctx FROM cx),
+        |ctl AS (SELECT w2, floor(${PortableLog.log10RatioSql(
+             "nc", "nb",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp_cont FROM ct, nbt),
+        |ko AS (SELECT floor(${PortableLog.log10RatioSql(
+             "1::BIGINT", "nb",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp_cont0,
+        |              floor(${PortableLog.log10RatioSql(
+             "1::BIGINT", "4 * nb",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp_oov FROM nbt),
+        |lp AS (SELECT doc_id,
+        |  CASE
+        |    WHEN lp12 IS NOT NULL THEN lp12
+        |    WHEN lp_ctx IS NOT NULL THEN lp_ctx + coalesce(lp_cont, lp_cont0)
+        |    WHEN lp_cont IS NOT NULL THEN lp_cont
+        |    ELSE lp_oov
+        |  END AS lp
+        |  FROM bg LEFT JOIN v2 USING (w1, w2) LEFT JOIN cxl USING (w1)
+        |  LEFT JOIN ctl USING (w2), ko)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  sum(lp)::BIGINT AS sum_log10p_e6,
+        |  sum(lp)::DOUBLE / 1000000.0 / count(*) AS avg_log10p
+        |FROM lp GROUP BY doc_id""".stripMargin),
+
     // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],
     // window count = 1 + ceil((n-64)/48) clamped at >= 1
     "q_chunk_windows" ->

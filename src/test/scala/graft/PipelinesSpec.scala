@@ -543,6 +543,64 @@ class PipelinesSpec extends SparkSpec {
     graft.operators.Caches.release(spark)
   }
 
+  test("kneserNeyLogProb == independent plain-Scala KN reference; all four branches hit") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown cat sits on the lazy mat"))
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "the quick dog zebra unicorn"),  // seen bigram, seen ctx + seen
+                                             // cont, OOV, OOV
+      (11L, "quick zebra dog mat")           // pseudo-cont, cont-only ×2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyLogProb(ref, target, "doc_id", "text",
+      topV = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent reference: plain-Scala continuation counts + PortableLog
+    val refToks = Seq(
+      "the quick brown fox jumps over the lazy dog".split(" ").toSeq,
+      "the quick brown cat sits on the lazy mat".split(" ").toSeq)
+    val bgs = refToks.flatMap(_.sliding(2)).map(_.toList).toSeq
+    val c12 = bgs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1m = c12.groupBy(_._1.head).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap // (c1, n1)
+    val ncm = c12.keys.toSeq.groupBy(_.last).view
+      .mapValues(_.size.toLong).toMap                      // N1+(·w2)
+    val nb = c12.size.toLong                               // N1+(··)
+    def lp6(a: Long, b: Long): Long =
+      math.floor(graft.functions.PortableLog.log10RatioRef(a, b) * 1e6).toLong
+    def score(ws: Seq[String]): (Long, Long) = {
+      val pairs = ws.sliding(2).map(_.toList).toSeq
+      val s = pairs.map { bg =>
+        val (w1, w2) = (bg.head, bg.last)
+        if (c12.contains(bg)) {
+          val (c1, n1) = c1m(w1)
+          lp6((4 * c12(bg) - 3) * nb + 3 * n1 * ncm(w2), 4 * c1 * nb)
+        } else if (c1m.contains(w1)) {
+          // branch 2 is BY SPEC the sum of its two separately-floored
+          // factors (the precomputed-lookup factorization)
+          val (c1, n1) = c1m(w1)
+          lp6(3 * n1, 4 * c1) + lp6(ncm.getOrElse(w2, 1L), nb)
+        } else if (ncm.contains(w2)) lp6(ncm(w2), nb)
+        else lp6(1, 4 * nb)
+      }.sum
+      (pairs.size.toLong, s)
+    }
+    assert(got(10L) == score("the quick dog zebra unicorn".split(" ").toSeq))
+    assert(got(11L) == score("quick zebra dog mat".split(" ").toSeq))
+    // proper smoothing is sane: a doc of in-model bigrams outscores one
+    // living off the continuation floor
+    val inModel = TextAnalysis.kneserNeyLogProb(ref,
+      Seq((20L, "the quick brown fox")).toDF("doc_id", "text"),
+      "doc_id", "text", topV = 1000)
+      .collect().head
+    assert(inModel.getLong(2).toDouble / inModel.getLong(1) >
+      got(10L)._2.toDouble / got(10L)._1)
+    graft.operators.Caches.release(spark)
+  }
+
   test("bm25Score == independent plain-Scala reference; tf and rarity order correctly") {
     import spark.implicits._
     val corpus = Seq(
