@@ -513,6 +513,39 @@ object TextAnalysis {
       .select("query_id", "doc_id", "rank", "bm25_e6")
   }
 
+  /** HARD-NEGATIVE mining over batch BM25 — the retrieval-training-pair
+    * generator (the DPR / sentence-transformers recipe, Karpukhin et al.
+    * 2020 §3.2: BM25-top passages that are NOT the positive make the
+    * hardest negatives): for each query, pair the top-ranked document (the
+    * lexical positive) with every lower-ranked candidate whose score sits
+    * at least `marginE6` micro-units below it — near-ties are SKIPPED, the
+    * standard guard against mining an unlabeled positive as a negative.
+    *
+    * Output: (query_id, pos_doc, pos_e6, neg_doc, neg_e6, margin_e6),
+    * margin_e6 = pos_e6 − neg_e6 ≥ marginE6 exact integers.
+    *
+    * Scale shape: everything downstream of [[bm25ScoreBatch]] operates on
+    * its ≤ k-per-query output — the join back to the rank-1 row is
+    * query-keyed over ≤ k rows per query, so mining cost is bounded by
+    * |queries|·k however large the corpus.
+    */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10, marginE6: Long = 0L): DataFrame = {
+    require(marginE6 >= 0L, "marginE6 must be non-negative")
+    val sc = bm25ScoreBatch(docs, idCol, textCol, queries, queryIdCol,
+      queryTextCol, k)
+    val pos = sc.filter(col("rank") === 1)
+      .select(col("query_id"), col("doc_id").as("pos_doc"),
+        col("bm25_e6").as("pos_e6"))
+    sc.filter(col("rank") >= 2)
+      .join(pos, "query_id")
+      .filter(col("pos_e6") - col("bm25_e6") >= marginE6)
+      .select(col("query_id"), col("pos_doc"), col("pos_e6"),
+        col("doc_id").as("neg_doc"), col("bm25_e6").as("neg_e6"),
+        (col("pos_e6") - col("bm25_e6")).as("margin_e6"))
+  }
+
   /** Per-document ATTRIBUTE TAGGING — the Dolma "taggers" shape: compute
     * every cheap quality attribute in ONE narrow pass and persist the
     * attribute table, so changing a FILTER threshold later re-reads the

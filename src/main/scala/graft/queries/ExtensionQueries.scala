@@ -1035,6 +1035,17 @@ object ExtensionQueries {
         qs, "query_id", "qtext", k = 10)
     }),
 
+    // retrieval training pairs: the BM25 rank-1 doc as the lexical
+    // positive, ranks 2..10 as hard negatives when they trail by ≥ 0.05
+    // BM25 units (near-ties skipped — possible unlabeled positives)
+    "q_hard_negatives" -> ((s, d) => {
+      import s.implicits._
+      val qs = Seq(("q1", "data join"), ("q2", "slow vector table"),
+        ("q3", "spark merge window")).toDF("query_id", "qtext")
+      TextAnalysis.hardNegatives(t(s, d, "documents"), "doc_id", "text",
+        qs, "query_id", "qtext", k = 10, marginE6 = 50000L)
+    }),
+
     // HYBRID retrieval: Reciprocal Rank Fusion (Cormack 2009, the standard
     // lexical+vector combiner) of the BM25 top-20 and the cosine top-20 —
     // rrf6 = Σ 10⁶ div (60 + rank), pure integer, so the fused ranking is
@@ -2995,6 +3006,29 @@ object ExtensionQueries {
           |                     ORDER BY bm25_e6 DESC, doc_id)::INTEGER AS rank
           |  FROM per)
           |SELECT query_id, doc_id, rank, bm25_e6 FROM rk WHERE rank <= 10""".stripMargin),
+
+    // the batch CTEs + the positive/negative pairing with the same margin
+    "q_hard_negatives" ->
+      (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector", "table", "spark", "merge", "window"))},\n" +
+        """qmap(query_id, term) AS (VALUES
+          |  ('q1', 'data'), ('q1', 'join'),
+          |  ('q2', 'slow'), ('q2', 'vector'), ('q2', 'table'),
+          |  ('q3', 'spark'), ('q3', 'merge'), ('q3', 'window')),
+          |per AS (SELECT m.query_id, sc.doc_id,
+          |  sum((idf6 * tfq6) // 1000000)::BIGINT AS bm25_e6
+          |  FROM sc JOIN qmap m USING (term) GROUP BY 1, 2),
+          |rk AS (SELECT query_id, doc_id, bm25_e6,
+          |  row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY bm25_e6 DESC, doc_id)::INTEGER AS rank
+          |  FROM per),
+          |p AS (SELECT query_id, doc_id AS pos_doc, bm25_e6 AS pos_e6
+          |      FROM rk WHERE rank = 1)
+          |SELECT rk.query_id, p.pos_doc, p.pos_e6,
+          |  rk.doc_id AS neg_doc, rk.bm25_e6 AS neg_e6,
+          |  (p.pos_e6 - rk.bm25_e6)::BIGINT AS margin_e6
+          |FROM rk JOIN p USING (query_id)
+          |WHERE rk.rank BETWEEN 2 AND 10
+          |  AND p.pos_e6 - rk.bm25_e6 >= 50000""".stripMargin),
 
     // RRF restated: rank both top-20 lists with the same total orders, fuse
     // with the identical integer formula

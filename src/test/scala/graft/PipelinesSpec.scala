@@ -663,6 +663,33 @@ class PipelinesSpec extends SparkSpec {
     assert(!batch.keys.exists(_._1 == "c"), "no-hit queries return no rows")
   }
 
+  test("hardNegatives: rank-1 is the positive, near-ties skipped, margins exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange")).toDF("doc_id", "text")
+    val queries = Seq(("a", "apple cherry")).toDF("query_id", "qtext")
+    val ranked = TextAnalysis.bm25ScoreBatch(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10)
+      .collect().sortBy(_.getInt(2)).map(r => r.getLong(1) -> r.getLong(3))
+    val (posDoc, posE6) = ranked.head
+    // margin 0: every lower rank is a negative with the exact score gap
+    val all = TextAnalysis.hardNegatives(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10, marginE6 = 0L)
+      .collect().map(r => (r.getLong(1), r.getLong(3), r.getLong(5)))
+    assert(all.forall(_._1 == posDoc), "positive is always the rank-1 doc")
+    assert(all.map(_._2).toSet == ranked.tail.map(_._1).toSet)
+    all.foreach { case (_, neg, m) =>
+      assert(m == posE6 - ranked.find(_._1 == neg).get._2) }
+    assert(!all.exists(_._2 == posDoc), "the positive never appears as its own negative")
+    // a margin above the widest gap yields no pairs (all near-ties skipped)
+    val widest = ranked.tail.map(posE6 - _._2).max
+    assert(TextAnalysis.hardNegatives(corpus, "doc_id", "text",
+      queries, "query_id", "qtext", k = 10, marginE6 = widest + 1).count() == 0)
+  }
+
   test("temperatureMixture: caps ∝ n^α exactly; α=1/4 flattens harder than α=1/2; md5 order kept") {
     import spark.implicits._
     val docs = (0L until 400L).map(i =>

@@ -87,6 +87,23 @@ object ProfileGraph {
           .write.format("noop").mode("overwrite").save()
       }
     }
+
+    // --- 3. trustRank under the same floods ------------------------------
+    // same recurrence + one broadcast seed mark; must track pageRank's
+    // times on both graphs (100 seed hosts out of 100k)
+    val seeds = spark.range(100).select(host(col("id") * 1000L).as("host"))
+      .cache()
+    seeds.count()
+    for (i <- 1 to 2) {
+      time(s"trustRank 3 iters uniform 100k hosts     #$i") {
+        graft.operators.Links.trustRank(uniform, seeds, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"trustRank 3 iters 90%-one-dst skew       #$i") {
+        graft.operators.Links.trustRank(skewed, seeds, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
