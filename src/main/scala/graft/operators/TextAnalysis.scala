@@ -1475,4 +1475,37 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** The persisted EXACT n-gram count state behind rolling boilerplate
+    * discovery: (ngram, cnt) over everything crawled so far. Exact, so
+    * state is O(distinct n-grams) — the full-fidelity companion of the
+    * bounded [[graft.functions.MisraGries]] summaries (which merge across
+    * rounds by the same Aggregator `merge`, spec-pinned, when even the
+    * count table is too large to keep).
+    */
+  def ngramCountState(docs: DataFrame, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 8, "need 1 <= n <= 8")
+    ngramStream(docs, textCol, n)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge a crawl batch into an [[ngramCountState]]: pointwise count sum
+    * on the n-gram key — one keyed union-merge aggregate (the
+    * `Profiling.coverageIncremental` exchange class). Report of the merged
+    * state ≡ [[ngramHeavyHitters]] over the concatenated corpus.
+    */
+  def ngramCountIncremental(newDocs: DataFrame, textCol: String, n: Int,
+      state: DataFrame): DataFrame =
+    ngramStream(newDocs, textCol, n)
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .unionByName(state.select(col("ngram"), col("cnt")))
+      .groupBy("ngram").agg(sum("cnt").as("cnt"))
+
+  /** The heavy hitters of a (possibly merged) count state. */
+  def ngramHeavyHittersReport(state: DataFrame, minCount: Long): DataFrame = {
+    require(minCount >= 1L, "minCount must be positive")
+    state.filter(col("cnt") >= minCount)
+      .select(col("ngram"), col("cnt"))
+  }
 }

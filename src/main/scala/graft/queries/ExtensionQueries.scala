@@ -1373,6 +1373,24 @@ object ExtensionQueries {
         n = 3, minCount = 100L, k = 8192)
     }),
 
+    // rolling boilerplate discovery: round-0 count state merged with the
+    // round-1 batch, report ≡ the one-shot heavy hitters (same oracle)
+    "q_ngram_hitters_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit(" subscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" all rights reserved worldwide")).otherwise(lit("")))
+          .as("text"))
+      val st = TextAnalysis.ngramCountState(
+        docs.filter(col("doc_id") < 250), "text", n = 3)
+      TextAnalysis.ngramHeavyHittersReport(
+        TextAnalysis.ngramCountIncremental(
+          docs.filter(col("doc_id") >= 250), "text", 3, st),
+        minCount = 100L)
+    }),
+
     // per-column summary profile: rows/nulls/exact-distincts + numeric
     // min/max in ONE scan (multi-distinct via Expand, not k passes)
     // temperature-flattened mixture at α = 1/2 over the skewed lang
@@ -3800,6 +3818,22 @@ object ExtensionQueries {
     // GROUP BY + HAVING — the two-pass MG plan must agree because its
     // output is an exact recount (the sketch never touches the counts)
     "q_ngram_hitters" ->
+      ("""WITH d AS (SELECT doc_id, text ||
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN ' subscribe to our newsletter today' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0
+        |      THEN ' all rights reserved worldwide' ELSE '' END) AS text
+        |  FROM documents),
+        |w AS (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |                         x -> length(x) > 0) AS ws FROM d),
+        |g AS (SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS ngram
+        |      FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2)
+        |SELECT ngram, count(*) AS cnt FROM g
+        |GROUP BY 1 HAVING count(*) >= 100""".stripMargin),
+
+    // merged-state report ≡ one-shot heavy hitters: the oracle never sees
+    // the round split
+    "q_ngram_hitters_incremental" ->
       ("""WITH d AS (SELECT doc_id, text ||
         |    (CASE WHEN doc_id % 3 = 0
         |      THEN ' subscribe to our newsletter today' ELSE '' END) ||

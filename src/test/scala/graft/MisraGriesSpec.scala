@@ -96,6 +96,26 @@ class MisraGriesSpec extends SparkSpec {
     assert(got("to subscribe now") == 150L)
   }
 
+  test("ngram count state: merged rounds report == one-shot heavy hitters") {
+    val rnd = new Random(23)
+    val docs = (0 until 400).map { i =>
+      val noise = Seq.fill(8)("n" + rnd.nextInt(300)).mkString(" ")
+      val boiler = if (i % 3 == 0) " terms of service apply here" else ""
+      (i.toLong, s"$noise$boiler")
+    }.toDF("doc_id", "text")
+    val oneShot = TextAnalysis.ngramHeavyHitters(docs, "text",
+      n = 3, minCount = 25L, k = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = TextAnalysis.ngramCountState(
+      docs.filter(col("doc_id") < 150), "text", n = 3)
+    val rolled = TextAnalysis.ngramHeavyHittersReport(
+      TextAnalysis.ngramCountIncremental(
+        docs.filter(col("doc_id") >= 150), "text", 3, st), minCount = 25L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled == oneShot)
+    assert(rolled("terms of service") == 134L)
+  }
+
   test("voided superset guarantee throws instead of silently dropping") {
     val docs = (0 until 50).map(i => (i.toLong, s"a b c d e f g$i"))
       .toDF("doc_id", "text")
