@@ -94,6 +94,73 @@ object Semantic {
         col("m.d2").cast("long").as("dist2"))
   }
 
+  /** Lloyd's k-means TRAINING on the quantized integer grid — the trained
+    * form of [[assignCells]]' md5-seeded coarse quantizer (which IVF and
+    * SemDeDup both start from): `iters` rounds of (assign every vector to
+    * its nearest centroid, recompute each centroid as the component-wise
+    * mean of its members), the whole recurrence in exact BIGINT so it is
+    * engine-portable like the PageRank family.
+    *
+    * The mean is floor division written DIVISIBLY: c = (s − pmod(s, n))
+    * div n. Subtracting the nonnegative remainder first makes the dividend
+    * an exact multiple of n, so truncating and flooring division agree —
+    * the oracle engine's integer-division direction on NEGATIVE sums (a
+    * real divergence risk; component sums go negative) drops out of the
+    * contract, and centroids stay on the integer grid so every later
+    * distance stays exact. Argmin ties break on the smaller cell id; an
+    * empty cell keeps its previous centroid (the Lloyd degeneracy rule
+    * that neither invents mass nor drops a cell id).
+    *
+    * Output: one row per centroid component — (cell, pos, c, n_members),
+    * n_members counted from the FINAL assignment against the trained
+    * centroids (0 for a cell that ended empty).
+    *
+    * Scale shape: per iteration one broadcast-centroid assignment pass
+    * (k·d multiply-adds per row inside codegen, no shuffle) plus one
+    * (cell, pos)-keyed aggregate whose map-side partial combine caps the
+    * exchange at k·d rows per task; centroids live as a k-row frame with
+    * a lazy localCheckpoint per round so the plan does not deepen with
+    * `iters`. Data-sized work is exactly iters+1 scans — the textbook
+    * distributed Lloyd shape (Spark MLlib KMeans restated in the
+    * portable-integer discipline).
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int = 2): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
+    val vecs = emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        qvGuard(quantized(vecCol), size(col(vecCol)), 1, "kmeansTrain").as("qv"))
+      .localCheckpoint(eager = false)
+    var cents = vecs
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id").as("cell"), col("qv").as("cv"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      val means = assignAgainst(vecs, cents)
+        .join(vecs, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          expr("(s - pmod(s, n)) div n").as("c"))
+      val upd = means.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          x => x.getField("c")).as("cv2"))
+      cents = cents.as("p").join(upd, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("cv2"), col("p.cv")).as("cv"))
+        .localCheckpoint(eager = false)
+    }
+    val counts = assignAgainst(vecs, cents)
+      .groupBy("cell").agg(count(lit(1)).as("n_members"))
+    cents
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "c")))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), col("pos"), col("c"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"))
+  }
+
   /** Persisted semantic-dedup state for [[semanticIncremental]]: the cell
     * assignment plus each vector, with the codebook rows marked — the
     * by-product every ingestion run appends, mirroring

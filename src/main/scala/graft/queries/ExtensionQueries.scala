@@ -327,6 +327,13 @@ object ExtensionQueries {
       graft.operators.Semantic.assignCells(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 16)),
 
+    // Lloyd training of the 16 coarse centroids: 2 assign/mean rounds, the
+    // whole recurrence in exact BIGINT (divisible floor-div means, argmin
+    // ties on cell id) — the trained upgrade of the md5-seeded quantizer
+    "q_kmeans_train" -> ((s, d) =>
+      graft.operators.Semantic.kmeansTrain(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)),
+
     // the fixture has no high-cosine pairs (max ≈ 0.51), so the drop path is
     // exercised by planting exact clones of vec_id < 10 at vec_id + 10000:
     // a clone shares its original's cell BY CONSTRUCTION (identical quantized
@@ -2541,6 +2548,52 @@ object ExtensionQueries {
         |LEFT JOIN inw ON inw.host = r3.host
         |LEFT JOIN outw ON outw.host = r3.host""".stripMargin
 
+  /** Semantic.kmeansTrain restated: 2 Lloyd rounds unrolled as CTEs. The
+    * per-(cell, pos) mean subtracts the nonnegative remainder before `//`,
+    * making the dividend exactly divisible — both engines' integer-division
+    * directions then agree even on negative component sums.
+    */
+  private val kmeansTrainOracleSql: String = {
+    def iter(i: Int): String =
+      s"""d$i AS (SELECT q.vec_id, c.cell,
+         |        list_sum(list_transform(list_zip(q.qv, c.cv),
+         |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+         |      FROM q, c${i - 1} c),
+         |a$i AS (SELECT vec_id, cell,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+         |      FROM d$i),
+         |x$i AS (SELECT a.cell, generate_subscripts(q.qv, 1) - 1 AS pos,
+         |        unnest(q.qv) AS v
+         |      FROM a$i a JOIN q USING (vec_id) WHERE rn = 1),
+         |u$i AS (SELECT cell, pos,
+         |        CAST((sum(v) - ((sum(v) % count(*)) + count(*)) % count(*))
+         |             // count(*) AS BIGINT) AS c
+         |      FROM x$i GROUP BY 1, 2),
+         |m$i AS (SELECT cell, list(c ORDER BY pos) AS cv FROM u$i GROUP BY 1),
+         |c$i AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+         |      FROM c${i - 1} p LEFT JOIN m$i m USING (cell))""".stripMargin
+    """WITH q AS (SELECT vec_id,
+      |        list_transform(embedding::DOUBLE[],
+      |          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+      |      FROM embeddings WHERE embedding IS NOT NULL),
+      |c0 AS (SELECT vec_id AS cell, qv AS cv FROM q
+      |       ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),""".stripMargin +
+      "\n" + (1 to 2).map(iter).mkString(",\n") + ",\n" +
+      """fd AS (SELECT q.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(q.qv, c.cv),
+        |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        |      FROM q, c2 c),
+        |fa AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |      FROM fd),
+        |fc AS (SELECT cell, count(*) AS n FROM fa WHERE rn = 1 GROUP BY 1),
+        |fx AS (SELECT cell, generate_subscripts(cv, 1) - 1 AS pos,
+        |        unnest(cv) AS c FROM c2)
+        |SELECT fx.cell, CAST(fx.pos AS INTEGER) AS pos, CAST(fx.c AS BIGINT) AS c,
+        |  CAST(coalesce(fc.n, 0) AS BIGINT) AS n_members
+        |FROM fx LEFT JOIN fc USING (cell)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -3438,6 +3491,12 @@ object ExtensionQueries {
         |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
         |      FROM d)
         |SELECT vec_id, seed_id AS cell, dist2::BIGINT AS dist2 FROM a WHERE rn = 1""".stripMargin),
+
+    // Lloyd restated with the iterations unrolled as CTEs (the pageRank
+    // oracle idiom). All-integer qv from the start; the centroid mean is the
+    // DIVISIBLE floor division (s − mod⁺) // n, so DuckDB's integer-division
+    // truncation direction on negative sums cannot diverge from Spark's
+    "q_kmeans_train" -> kmeansTrainOracleSql,
 
     // same assignment over the planted corpus, then the keep-first
     // within-cell prune at cos >= 0.9 — the clones (vec_id >= 10000) are the

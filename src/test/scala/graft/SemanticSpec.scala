@@ -28,6 +28,53 @@ class SemanticSpec extends SparkSpec {
     assert(seedRows.forall(r => r._2 == r._1 && r._3 == 0L))
   }
 
+  test("kmeansTrain matches an independent plain-Scala Lloyd, exactly") {
+    val emb = Tables(spark, sfDir, "embeddings").filter(col("vec_id") < 120)
+    val k = 8
+    val iters = 2
+    val out = Semantic.kmeansTrain(emb, "vec_id", "embedding", k, iters)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+    // independent reference: same spec, plain Scala end to end
+    val rows = emb.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x =>
+          math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cents: Map[Long, Array[Long]] =
+      rows.sortBy { case (id, _) => (md5hex(id.toString), id) }.take(k).toMap
+    def assign(v: Array[Long]): Long =
+      cents.toSeq.map { case (c, cv) =>
+        (cv.iterator.zip(v.iterator).map { case (b, a) =>
+          (a - b) * (a - b) }.sum, c)
+      }.min._2
+    for (_ <- 1 to iters) {
+      val byCell = rows.groupBy { case (_, v) => assign(v) }
+      cents = cents.map { case (c, cv) =>
+        byCell.get(c) match {
+          case Some(ms) => c -> Array.tabulate(cv.length) { i =>
+            Math.floorDiv(ms.map(_._2(i)).sum, ms.length.toLong)
+          }
+          case None => c -> cv
+        }
+      }
+    }
+    val counts = rows.groupBy { case (_, v) => assign(v) }
+      .map { case (c, ms) => c -> ms.length.toLong }
+    val expect = (for ((c, cv) <- cents.toSeq; i <- cv.indices)
+      yield (c, i) -> (cv(i), counts.getOrElse(c, 0L))).toMap
+
+    assert(out.size == k * rows.head._2.length, "k x d centroid components")
+    assert(out == expect, "trained centroids and member counts must match " +
+      "the reference bit-for-bit")
+    assert(counts.values.sum == rows.length.toLong)
+  }
+
   test("semanticDedup: exact clones are pruned, originals survive") {
     val emb = Tables(spark, sfDir, "embeddings")
     val planted = emb.unionByName(
