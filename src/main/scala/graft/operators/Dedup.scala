@@ -93,6 +93,50 @@ object Dedup {
       Seq("fp"), "left_anti")
   }
 
+  /** [[exactIncremental]] accelerated by a [[BloomState]] sidecar — the
+    * result is IDENTICAL (Bloom false positives only route extra rows to
+    * the exact check; they cannot change the answer), but the plan shape
+    * changes from "shuffle the whole history every batch" to "touch the
+    * history only for the maybe-set":
+    *
+    *  1. the broadcast filter splits the batch: rows whose fingerprint the
+    *     filter rejects are DEFINITELY new — no state access at all;
+    *  2. the maybe-set (true duplicates + fpp·batch false positives, batch-
+    *     bounded by construction) broadcast-SEMI-joins against the state,
+    *     so the state side is one narrow column-pruned scan of its fp
+    *     column with ZERO exchange — versus [[exactIncremental]]'s anti-
+    *     join hash-partitioning ~16 B × every history doc per batch;
+    *  3. the surviving maybe rows and the definite-new rows take the usual
+    *     within-batch min-per-fp collapse.
+    *
+    * The membership probe is a Scala UDF over the broadcast sketch — a
+    * driver-held `util.sketch.BloomFilter` has no Catalyst expression form
+    * (same justification as the Multimodal codec kernels), and it runs only
+    * on the batch side, never the corpus.
+    *
+    * Correctness contract: the sidecar must cover EVERY fingerprint in
+    * `seenFps` (write/append it in the same commit step as the state — a
+    * stale filter's false negatives would silently re-admit seen content).
+    */
+  def exactIncrementalBloom(newDocs: DataFrame, idCol: String, textCol: String,
+      seenFps: DataFrame, bloomPath: String): DataFrame = {
+    require(seenFps.columns.contains("fp"),
+      "seenFps must carry the fingerprint column 'fp'")
+    val spark = newDocs.sparkSession
+    val bc = spark.sparkContext.broadcast(BloomState.read(spark, bloomPath))
+    val mightSeen = udf((fp: String) => bc.value.mightContainString(fp))
+    val fps = newDocs
+      .select(Keys.id(newDocs, idCol).as("doc_id"),
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+    val maybe = fps.filter(mightSeen(col("fp")))
+    val hits = seenFps.select("fp")
+      .join(broadcast(maybe.select("fp").distinct()), Seq("fp"), "left_semi")
+    fps.filter(!mightSeen(col("fp")))
+      .unionByName(maybe.join(broadcast(hits), Seq("fp"), "left_anti"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+  }
+
   /** Exact pairwise Jaccard over word n-gram shingle sets, pairs ≥ threshold.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */

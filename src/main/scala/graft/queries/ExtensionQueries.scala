@@ -1486,6 +1486,41 @@ object ExtensionQueries {
         TextAnalysis.fingerprint(docs.filter(col("doc_id") < 250), "doc_id", "text"))
     }),
 
+    // the Bloom-sidecar form: same answer as q_dedup_incremental (false
+    // positives only route extra rows to the exact check), but the history
+    // side is one narrow fp scan + broadcast semi-join instead of a
+    // state-sized anti-join shuffle — the O(batch)-per-batch plan
+    "q_dedup_bloom_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val state = TextAnalysis.fingerprint(
+        docs.filter(col("doc_id") < 250), "doc_id", "text")
+      val path = s"target/bloom_${new java.io.File(d).getName}"
+      graft.operators.BloomState.write(state, "fp", path,
+        expectedItems = 1000L, fpp = 0.001)
+      Dedup.exactIncrementalBloom(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text", state, path)
+    }),
+
+    // the rolling form: sidecar built from the first 150 docs, the
+    // 150..249 slice OR-appended (O(batch) maintenance, state never
+    // re-scanned) — the probe must still match the one-shot oracle,
+    // proving append changes nothing
+    "q_dedup_bloom_roll" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val fp0 = TextAnalysis.fingerprint(
+        docs.filter(col("doc_id") < 150), "doc_id", "text")
+      val fp1 = TextAnalysis.fingerprint(
+        docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text")
+      val path = s"target/bloomroll_${new java.io.File(d).getName}"
+      graft.operators.BloomState.write(fp0, "fp", path,
+        expectedItems = 1000L, fpp = 0.001)
+      graft.operators.BloomState.append(s, path, fp1, "fp")
+      Dedup.exactIncrementalBloom(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        fp0.unionByName(fp1), path)
+    }),
+
     // state RETRACTION: the persisted fingerprint state forgets the
     // retracted docs' content (takedown/forced-recrawl), so the next batch
     // re-admits exactly that content — batch = docs >= 100, retracted =
@@ -4141,6 +4176,25 @@ object ExtensionQueries {
         |FROM dirty d JOIN customer c ON levenshtein(d.d_name, c.c_name) <= 1""".stripMargin),
 
     "q_dedup_incremental" ->
+      ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |              FROM documents WHERE doc_id < 250),
+        |nw AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id FROM nw
+        |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
+
+    // the Bloom-accelerated forms answer EXACTLY the incremental-dedup
+    // question (false positives only add exact-check work), so both share
+    // its oracle — the sidecar is pure plan shape, invisible to the result
+    "q_dedup_bloom_incremental" ->
+      ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |              FROM documents WHERE doc_id < 250),
+        |nw AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id >= 250)
+        |SELECT min(doc_id) AS doc_id FROM nw
+        |WHERE fp NOT IN (SELECT fp FROM seen) GROUP BY fp""".stripMargin),
+
+    "q_dedup_bloom_roll" ->
       ("""WITH seen AS (SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |              FROM documents WHERE doc_id < 250),
         |nw AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp

@@ -247,6 +247,7 @@ object ProfileSkew {
     bDocs.unpersist()
     }
 
+    if (only.isEmpty || only.contains(10)) {
     // --- 10. containment incremental at its DESIGN point ----------------
     // (the r9 verdict ask: the sf0.1 measurements only showed the candidate
     // -restricted verify-array aggregation's ~1 s OVERHEAD, because at that
@@ -311,6 +312,78 @@ object ProfileSkew {
         .write.format("noop").mode("overwrite").save()
     }
     contState.unpersist(); stDocs.unpersist()
+    }
+
+    if (only.isEmpty || only.contains(11)) {
+    // --- 11. Bloom-sidecar incremental dedup at its DESIGN point --------
+    // Large persisted fingerprint state × small mostly-new batch — the
+    // rolling-crawl shape exactIncrementalBloom exists for. The bar is
+    // exactIncremental's state-sized anti-join shuffle; the bloom path
+    // should pay one broadcast + a narrow state scan for the (tiny)
+    // maybe-set semi-join. Sidecar build cost is timed separately: it is
+    // amortized once per state, not per batch (append is O(batch)).
+    val nState = nDoc
+    val stFps = spark.range(nState)
+      .select(md5(concat(lit("state doc "), col("id").cast("string"))).as("fp"))
+      .repartition(32).cache()
+    println(s"[prof] bloom state: ${stFps.count()} fingerprints")
+    val nBatch = 20000
+    // 5% of the batch repeats state content (must drop), 95% is fresh
+    val batch = spark.range(nBatch).select(col("id").as("doc_id"),
+      when(col("id") % 20 === 0,
+        concat(lit("state doc "), (col("id") * 37 % nState).cast("string")))
+        .otherwise(concat(lit("fresh batch doc "), col("id").cast("string")))
+        .as("text"))
+      .repartition(8).cache()
+    println(s"[prof] batch: ${batch.count()} docs (5% seen)")
+    val bloomPath = "target/profile_bloom_state"
+    // shuffle-byte accounting: the structural claim is that the bloom path
+    // removes the state-sized exchange, not that local[32] wall-clock drops
+    // (in-memory, both paths are scan-bound; on a network the exchange is
+    // the recurring per-batch cost)
+    val shuffled = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def shuffledMb[T](f: => T): Unit = {
+      Thread.sleep(500); shuffled.set(0L)
+      f
+      Thread.sleep(500)
+      println(f"[prof]   shuffle written ${shuffled.get / 1e6}%.1f MB")
+    }
+    time(s"BloomState.write over $nState fps (once per state, amortized)") {
+      graft.operators.BloomState.write(stFps, "fp", bloomPath,
+        expectedItems = nState, fpp = 0.001)
+    }
+    for (i <- 1 to 2) {
+      stFps.cache().count(); batch.cache().count()
+      shuffledMb {
+        time(s"exactIncremental (anti-join bar) state=$nState batch=$nBatch #$i") {
+          val kept = graft.operators.Dedup.exactIncremental(
+            batch, "doc_id", "text", stFps).count()
+          println(s"[prof]   kept $kept of $nBatch")
+        }
+      }
+      graft.operators.Caches.release(spark)
+    }
+    for (i <- 1 to 2) {
+      stFps.cache().count(); batch.cache().count()
+      shuffledMb {
+        time(s"exactIncrementalBloom state=$nState batch=$nBatch #$i") {
+          val kept = graft.operators.Dedup.exactIncrementalBloom(
+            batch, "doc_id", "text", stFps, bloomPath).count()
+          println(s"[prof]   kept $kept of $nBatch")
+        }
+      }
+      graft.operators.Caches.release(spark)
+    }
+    batch.unpersist(); stFps.unpersist()
+    }
     spark.stop()
   }
 }
