@@ -230,6 +230,68 @@ object Links {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a host edge set —
+    * the link-analysis complement to [[pageRank]]: a good HUB links to many
+    * good authorities, a good AUTHORITY is linked from many good hubs
+    * (directory/portal pages vs canonical sources). Both scores feed crawl
+    * prioritization and the farm heuristics [[trustRank]] anchors — a link
+    * farm shows high hub × low trust.
+    *
+    * Fixed-point discipline, Scale = 1e9, hub0 = Scale on every node; per
+    * iteration (Kleinberg's order — authorities first from current hubs,
+    * then hubs from the NEW authorities):
+    *
+    *   a'(v) = Σ_{u→v} h(u);  a(v) = a'(v) div greatest(max(a') div Scale, 1)
+    *   h'(u) = Σ_{u→v} a(v);  h(u) = h'(u) div greatest(max(h') div Scale, 1)
+    *
+    * Max-normalization (the standard HITS L∞ choice, here in integers)
+    * bounds every score by < 2·Scale, so the next half-step's sum is
+    * < n·2·Scale — overflow-free in BIGINT for any graph under ~4.6e9
+    * hosts. Every operand is non-negative, so truncating division is floor
+    * in both Spark (`div`) and the oracle engine (`//`); the normalizer is
+    * one max aggregate each engine derives identically (driver-side here —
+    * a 1-row collect, the [[pageRank]] `n` precedent — a scalar subquery in
+    * the oracle). No in-edges → authority 0; no out-edges → hub 0.
+    *
+    * Output: (host, auth, hub) for every host in the graph. Scale shape:
+    * per half-step one equi-join on the edge key + one hash aggregate +
+    * one 1-row max — all shuffles host-keyed, AQE-coalesced, with a lazy
+    * localCheckpoint per half-step so the plan does not deepen with
+    * `iters` (the [[pageRank]] lineage discipline).
+    */
+  def hits(edges: DataFrame, iters: Int = 3, srcCol: String = "src_host",
+      dstCol: String = "dst_host"): DataFrame = {
+    require(iters >= 1 && iters <= 50, "need 1 <= iters <= 50")
+    val Scale = 1000000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+      .localCheckpoint(eager = false)
+    // one half-step: sum the partner scores over the edges, then divide by
+    // the integer normalizer derived from the max
+    def half(scores: DataFrame, joinOn: String, outOn: String): DataFrame = {
+      val raw = e.join(scores, e(joinOn) === scores("host"))
+        .groupBy(e(outOn).as("h")).agg(sum("s").as("raw"))
+      val m = raw.agg(coalesce(max("raw"), lit(0L))).head.getLong(0)
+      val d = math.max(m / Scale, 1L)
+      nodes.join(raw, nodes("host") === raw("h"), "left")
+        .select(col("host"), expr(s"coalesce(raw, 0L) div ${d}L").as("s"))
+        .localCheckpoint(eager = false)
+    }
+    var hub = nodes.withColumn("s", lit(Scale))
+    var auth = nodes.withColumn("s", lit(0L))
+    for (_ <- 1 to iters) {
+      auth = half(hub, "src", "dst")
+      hub = half(auth, "dst", "src")
+    }
+    auth.withColumnRenamed("s", "auth")
+      .join(hub.withColumnRenamed("s", "hub"), "host")
+  }
+
   /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     * with the teleport mass restricted to a hand-curated TRUSTED seed set,
     * so reputation can only flow OUT of the seeds along links — the

@@ -1508,4 +1508,87 @@ object TextAnalysis {
     state.filter(col("cnt") >= minCount)
       .select(col("ngram"), col("cnt"))
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per
+    * document, PageRank over the word co-occurrence graph (undirected
+    * distinct edges between tokens at sequence distance ≤ `window`), top-k
+    * words by rank — the unsupervised keyword tagger a curation pipeline
+    * uses for topical routing and mixture labels.
+    *
+    * The whole recurrence is [[Links.pageRank]]'s 1e-12 fixed-point BIGINT
+    * discipline keyed by (doc_id, word): r0 = Scale div n_d,
+    * r' = (10000−dampBp)·Scale div n_d div 10000 + dampBp·Σ contrib div
+    * 10000 — per-document graphs, but every iteration is ONE corpus-wide
+    * pair of (doc_id, word)-keyed equi-join + hash aggregate, so document
+    * count costs nothing extra and no per-doc loop exists. All operands
+    * non-negative → truncating division is floor in both engines.
+    *
+    * Co-occurrence edges derive NARROWLY: each token joins the tokens at
+    * positions pos+1..pos+window on the (doc_id, position) equality key —
+    * window·tokens rows, never the |tokens|² per-doc self-join. Edge set
+    * and node set are distinct-collapsed; self-pairs (repeated words) drop.
+    *
+    * Output: (doc_id, word, rank, rk) for the `topK` words per document,
+    * rank descending, ties on the word — one WindowGroupLimit pass.
+    */
+  def textRankKeywords(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 2, iters: Int = 3, topK: Int = 10,
+      dampBp: Int = 8500): DataFrame = {
+    require(window >= 1 && window <= 16, "need 1 <= window <= 16")
+    require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
+    require(topK >= 1, "topK must be positive")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
+    val Scale = 1000000000000L
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(Keys.id(docs, idCol).as("doc_id"),
+        posexplode(filter(split(lower(col(textCol)), "\\s+"),
+          w => length(w) > 0)).as(Seq("pos", "w")))
+      .localCheckpoint(eager = false)
+    // renamed right-side keys: both sides are `toks`, and a shared-lineage
+    // join key trips DetectAmbiguousSelfJoin
+    val fwd = toks
+      .select(col("doc_id"), col("w"), explode(
+        sequence(col("pos") + 1, col("pos") + window)).as("pos2"))
+      .join(toks.select(col("doc_id").as("d2"), col("pos").as("p2"),
+        col("w").as("w2")),
+        col("doc_id") === col("d2") && col("pos2") === col("p2"))
+      .filter(col("w") =!= col("w2"))
+      .select("doc_id", "w", "w2")
+    val e = fwd.select(col("doc_id"), col("w").as("src"), col("w2").as("dst"))
+      .unionByName(fwd.select(col("doc_id"), col("w2").as("src"),
+        col("w").as("dst")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = toks.select("doc_id", "w").distinct()
+      .localCheckpoint(eager = false)
+    val nd = nodes.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .select(col("doc_id").as("nd_doc"), col("n"))
+    val deg = e.groupBy("doc_id", "src").agg(count(lit(1)).as("dg"))
+      .select(col("doc_id").as("dg_doc"), col("src").as("dg_src"), col("dg"))
+    var ranks = nodes
+      .join(nd, col("doc_id") === col("nd_doc"))
+      .select(col("doc_id"), col("w"), expr(s"${Scale}L div n").as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(deg, col("doc_id") === col("dg_doc") && col("w") === col("dg_src"))
+        .select(col("doc_id"), col("w").as("src"), expr("rank div dg").as("c"))
+        .join(e, Seq("doc_id", "src"))
+        .groupBy(col("doc_id"), col("dst")).agg(sum(col("c")).as("contrib"))
+        .select(col("doc_id").as("c_doc"), col("dst"), col("contrib"))
+      ranks = nodes
+        .join(nd, col("doc_id") === col("nd_doc"))
+        .join(contrib,
+          col("doc_id") === col("c_doc") && col("w") === col("dst"), "left")
+        .select(col("doc_id"), col("w"),
+          expr(s"(${10000L - dampBp} * ${Scale}L) div n div 10000L" +
+            s" + (${dampBp}L * coalesce(contrib, 0L)) div 10000L").as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    import org.apache.spark.sql.expressions.Window
+    ranks
+      .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("rank").desc, col("w"))))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("w").as("word"), col("rank"), col("rk"))
+  }
 }

@@ -689,6 +689,23 @@ object ExtensionQueries {
         iters = 3, dampBp = 8500)
     }),
 
+    // TextRank keywords: per-doc PageRank over the word co-occurrence
+    // graph (window 2), whole recurrence (doc_id, word)-keyed in the 1e-12
+    // fixed-point discipline — top-10 words per document
+    "q_textrank" -> ((s, d) =>
+      TextAnalysis.textRankKeywords(
+        t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", window = 2, iters = 3, topK = 10)),
+
+    // HITS over the same host graph: authorities from hubs, hubs from the
+    // new authorities, 3 rounds, integer max-normalization per half-step —
+    // the directory-page/canonical-source split PageRank cannot express
+    "q_hits" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      Links.hits(Links.hostEdges(links), iters = 3)
+    }),
+
     // crawl-frontier expansion: the links DISCOVERED by the current wave
     // cut against the already-discovered set (urlState over the seed wave's
     // links, docs < 20) — the next-wave fetch list, one row per NEW
@@ -2572,6 +2589,87 @@ object ExtensionQueries {
         |FROM t3 LEFT JOIN sg s ON s.host = t3.host""".stripMargin
   }
 
+  /** TextAnalysis.textRankKeywords restated: tokens with positions, the
+    * window-2 co-occurrence edge set, and 3 unrolled PageRank rounds keyed
+    * by (doc_id, word) — all-BIGINT `//` on non-negative operands, the
+    * pageRank oracle discipline. Chained CTEs reference their predecessor
+    * exactly once (the q_hits planner lesson); base CTEs re-inline
+    * linearly in the round count.
+    */
+  private val textRankOracleSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT r.doc_id, e.dst, sum(r.rank // d.dg) AS contrib
+         |  FROM r${k - 1} r
+         |  JOIN deg d ON d.doc_id = r.doc_id AND d.src = r.w
+         |  JOIN e ON e.doc_id = r.doc_id AND e.src = r.w
+         |  GROUP BY 1, 2),
+         |r$k AS (SELECT n.doc_id, n.w,
+         |  CAST(1500 * 1000000000000 // nd.n // 10000
+         |    + 8500 * coalesce(c.contrib, 0) // 10000 AS BIGINT) AS rank
+         |  FROM nodes n JOIN nd ON nd.doc_id = n.doc_id
+         |  LEFT JOIN c$k c ON c.doc_id = n.doc_id AND c.dst = n.w)""".stripMargin
+    """WITH tk AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    w -> length(w) > 0) AS ws
+      |  FROM documents WHERE doc_id < 100 AND text IS NOT NULL),
+      |tok AS (SELECT doc_id, generate_subscripts(ws, 1) AS pos,
+      |  unnest(ws) AS w FROM tk),
+      |pr AS (SELECT x.doc_id, x.w AS src, y.w AS dst FROM tok x
+      |  JOIN tok y ON x.doc_id = y.doc_id
+      |    AND y.pos - x.pos BETWEEN 1 AND 2 AND x.w <> y.w),
+      |e AS (SELECT DISTINCT doc_id, src, dst FROM
+      |  (SELECT doc_id, src, dst FROM pr
+      |   UNION ALL SELECT doc_id, dst, src FROM pr)),
+      |nodes AS (SELECT DISTINCT doc_id, w FROM tok),
+      |nd AS (SELECT doc_id, count(*) AS n FROM nodes GROUP BY 1),
+      |deg AS (SELECT doc_id, src, count(*) AS dg FROM e GROUP BY 1, 2),
+      |r0 AS (SELECT n.doc_id, n.w,
+      |  CAST(1000000000000 // nd.n AS BIGINT) AS rank
+      |  FROM nodes n JOIN nd ON nd.doc_id = n.doc_id),""".stripMargin +
+      "\n" + (1 to 3).map(iter).mkString(",\n") + "\n" +
+      """SELECT doc_id, word, rank, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT r3.doc_id, r3.w AS word, r3.rank,
+        |    row_number() OVER (PARTITION BY r3.doc_id
+        |      ORDER BY r3.rank DESC, r3.w) AS rk
+        |  FROM r3)
+        |WHERE rk <= 10""".stripMargin
+  }
+
+  /** Links.hits restated: 3 unrolled iterations, authorities then hubs,
+    * every score BIGINT and non-negative (truncation = floor both engines).
+    * The per-half-step max-normalizer rides a `max() OVER ()` window INSIDE
+    * the normalizing CTE — not a scalar subquery — so every CTE is
+    * referenced exactly once and the oracle engine's CTE inlining stays
+    * linear (the scalar-subquery form doubles each level's references and
+    * its planner blows up exponentially across the unrolled rounds;
+    * observed as a multi-minute hang, not a theory).
+    */
+  private val hitsOracleSql: String = {
+    def iter(k: Int): String =
+      s"""ra$k AS (SELECT e.dst, sum(h.s) AS raw FROM e
+         |  JOIN h${k - 1} h ON h.host = e.src GROUP BY 1),
+         |a$k AS (SELECT n.host,
+         |  CAST(coalesce(r.raw, 0)
+         |    // greatest(max(coalesce(r.raw, 0)) OVER () // 1000000000, 1)
+         |    AS BIGINT) AS s
+         |  FROM nodes n LEFT JOIN ra$k r ON r.dst = n.host),
+         |rh$k AS (SELECT e.src, sum(a.s) AS raw FROM e
+         |  JOIN a$k a ON a.host = e.dst GROUP BY 1),
+         |h$k AS (SELECT n.host,
+         |  CAST(coalesce(r.raw, 0)
+         |    // greatest(max(coalesce(r.raw, 0)) OVER () // 1000000000, 1)
+         |    AS BIGINT) AS s
+         |  FROM nodes n LEFT JOIN rh$k r ON r.src = n.host)""".stripMargin
+    s"WITH $linkDerivCte,\n" +
+      """e AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM links
+        |  WHERE src_host <> dst_host),
+        |nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+        |h0 AS (SELECT host, CAST(1000000000 AS BIGINT) AS s FROM nodes),""".stripMargin +
+      "\n" + (1 to 3).map(iter).mkString(",\n") + "\n" +
+      """SELECT a3.host, a3.s AS auth, h3.s AS hub
+        |FROM a3 JOIN h3 USING (host)""".stripMargin
+  }
+
   private val pageRankOracleSql: String =
     s"WITH $linkDerivCte,\n" + pageRankCtes + ",\n" +
       """inw AS (SELECT dst_host AS host, sum(nl) AS s FROM w GROUP BY 1),
@@ -2844,6 +2942,8 @@ object ExtensionQueries {
 
     "q_pagerank" -> pageRankOracleSql,
     "q_trustrank" -> trustRankOracleSql,
+    "q_hits" -> hitsOracleSql,
+    "q_textrank" -> textRankOracleSql,
 
     // fetch plan restated INDEPENDENTLY: verdict and delay derived straight
     // from the fixture recipe (path pattern + host suffix), never by

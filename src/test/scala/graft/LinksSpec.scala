@@ -95,6 +95,96 @@ class LinksSpec extends SparkSpec {
       .toDF("src_host", "dst_host")).count() == 0)
   }
 
+  test("hits: hand-computed hub/authority split on a directory graph") {
+    // d is a pure hub (links to a, b, c); a, b, c are pure authorities;
+    // c→a adds one non-hub endorsement
+    val edges = Seq(("d", "a"), ("d", "b"), ("d", "c"), ("c", "a"))
+      .toDF("src_host", "dst_host")
+    val S = 1000000000L
+    // iter 1: a'(v)=Σ hub0: a'(a)=2S, a'(b)=a'(c)=S, a'(d)=0; max=2S → d=2
+    //   auth: a=S, b=c=S/2, d=0
+    // hubs: h'(d)=S+S/2+S/2=2S, h'(c)=S, others 0; max=2S → d=2
+    //   hub: d=S, c=S/2, a=b=0
+    val got = Links.hits(edges, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = Map(
+      "a" -> (S, 0L), "b" -> (S / 2, 0L),
+      "c" -> (S / 2, S / 2), "d" -> (0L, S))
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("hits matches an independent plain-Scala implementation; edge rules") {
+    val edgeSeq = Seq("a" -> "b", "a" -> "c", "b" -> "c", "c" -> "a",
+      "d" -> "a", "d" -> "c", "b" -> "d", "e" -> "a")
+    val S = 1000000000L
+    // independent reference, same spec
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var hub = nodes.map(_ -> S).toMap
+    var auth = nodes.map(_ -> 0L).toMap
+    def norm(m: Map[String, Long]): Map[String, Long] = {
+      val d = math.max(m.values.max / S, 1L)
+      m.map { case (k, v) => k -> v / d }
+    }
+    for (_ <- 1 to 3) {
+      auth = norm(nodes.map(v =>
+        v -> edgeSeq.filter(_._2 == v).map(e => hub(e._1)).sum).toMap)
+      hub = norm(nodes.map(u =>
+        u -> edgeSeq.filter(_._1 == u).map(e => auth(e._2)).sum).toMap)
+    }
+    val got = Links.hits(edgeSeq.toDF("src_host", "dst_host"), iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == nodes.map(v => v -> (auth(v), hub(v))).toMap)
+    // self/null edges drop; empty graph is empty
+    val messy = Seq(("a", "a"), ("a", null), (null, "b"), ("a", "b"))
+      .toDF("src_host", "dst_host")
+    val m = Links.hits(messy, iters = 1).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == Map("a" -> (0L, S), "b" -> (S, 0L)))
+    assert(Links.hits(Seq.empty[(String, String)]
+      .toDF("src_host", "dst_host")).count() == 0)
+  }
+
+  test("textRankKeywords matches an independent plain-Scala TextRank") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta  delta alpha"),
+      (2L, "solo"),
+      (3L, null.asInstanceOf[String]),
+      (4L, "x y x y x y z")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .textRankKeywords(docs, "doc_id", "text", window = 2, iters = 3, topK = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+
+    // independent reference: same spec, plain Scala
+    val S = 1000000000000L
+    val expect = Seq(
+      1L -> "alpha beta gamma alpha beta  delta alpha",
+      2L -> "solo",
+      4L -> "x y x y x y z").flatMap { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val fwd = for {
+        i <- ws.indices; j <- (i + 1) to math.min(i + 2, ws.length - 1)
+        if ws(i) != ws(j)
+      } yield (ws(i), ws(j))
+      val e = (fwd ++ fwd.map(_.swap)).distinct
+      val nodes = ws.distinct.sorted
+      val n = nodes.length.toLong
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var rank = nodes.map(_ -> S / n).toMap
+      for (_ <- 1 to 3) {
+        val contrib = nodes.map(v =>
+          v -> e.filter(_._2 == v).map(p => rank(p._1) / deg(p._1)).sum).toMap
+        rank = nodes.map(v =>
+          v -> ((1500L * S) / n / 10000L + 8500L * contrib(v) / 10000L)).toMap
+      }
+      nodes.sortBy(w => (-rank(w), w)).take(3).zipWithIndex
+        .map { case (w, i) => (id, w, rank(w), i + 1) }
+    }.toSet
+    assert(got == expect, s"got $got want $expect")
+  }
+
   test("trustRank: hand-computed seeded ranks; unreachable hosts stay 0") {
     // a→b, a→c, b→c, c→a plus an isolated 2-farm d⇄e; seed = {a}
     val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
