@@ -47,7 +47,9 @@ object Bench {
     "q_bm25_delete", "q_ivfpq_delete", "q_dedup_retract", "q_url_retract",
     "q_backoff_lm", "q_pipeline_e2e_incremental",
     "q_trustrank", "q_ngram_hitters", "q_coverage_incremental",
-    "q_kneser_ney", "q_hard_negatives")
+    "q_kneser_ney", "q_hard_negatives",
+    "q_kmeans_train", "q_dedup_bloom_incremental", "q_hits", "q_textrank",
+    "q_dedup_near_retract", "q_dedup_semantic_retract")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

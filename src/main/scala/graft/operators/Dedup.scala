@@ -137,6 +137,60 @@ object Dedup {
       .select("doc_id")
   }
 
+  /** RETRACT documents from a persisted [[minHashState]] — the takedown/
+    * recrawl form for the NEAR-dup modality, completing its (append,
+    * retract) pair the way [[exactRetract]] completes exact dedup's. The
+    * state is doc-id-keyed (every row carries the contributing doc), so
+    * retraction is EXACT: the result is bit-identical to a state built
+    * from the surviving documents — no shared-content ambiguity, unlike
+    * the fingerprint-keyed states. A future batch then re-admits the
+    * retracted content through [[nearIncremental]] as new.
+    *
+    * Scale shape: one anti-join on the doc-id key; the retraction side is
+    * takedown-sized and AQE broadcasts it.
+    */
+  def minHashRetract(state: DataFrame, docIds: DataFrame): DataFrame = {
+    require(Seq("doc_id", "band", "bh", "shs").forall(state.columns.contains),
+      "state must be a minHashState table: (doc_id, band, bh, shs)")
+    require(docIds.columns.contains("doc_id"),
+      "docIds must carry the retracted ids as 'doc_id'")
+    state.join(docIds.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** RETRACT documents from a persisted [[containmentState]] postings
+    * table — doc-id-keyed like [[minHashRetract]], so retraction is exact:
+    * the surviving postings equal a state built from the surviving docs,
+    * and [[containmentIncremental]] against the result behaves as if the
+    * retracted docs had never been ingested.
+    */
+  def containmentRetract(state: DataFrame, docIds: DataFrame): DataFrame = {
+    require(state.columns.toSet == Set("doc_id", "sh"),
+      "state must be a containmentState postings table: (doc_id, sh)")
+    require(docIds.columns.contains("doc_id"),
+      "docIds must carry the retracted ids as 'doc_id'")
+    state.join(docIds.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** RETRACT fingerprints from a persisted [[hammingState]] — the
+    * fingerprint-modality takedown form. The state is FP-keyed (distinct
+    * fingerprints, no doc ids), so like [[exactRetract]] the semantics are
+    * content-level: recompute the retracted docs' fingerprints and remove
+    * those rows — the state no longer claims that CONTENT, including for
+    * any remaining doc that carried an identical fingerprint (document the
+    * same way; a doc-granular near-dup retraction is [[minHashRetract]]'s
+    * modality). A future batch re-admits the content through
+    * [[hammingIncremental]] as new.
+    */
+  def hammingRetract(state: DataFrame, hashes: DataFrame, idCol: String,
+      hashCol: String): DataFrame = {
+    require(Seq("chunk", "ch", "fp").forall(state.columns.contains),
+      "state must be a hammingState table: (chunk, ch, fp)")
+    state.join(
+      hashes.select(col(hashCol).cast("long").as("fp"))
+        .filter(col("fp").isNotNull).distinct(),
+      Seq("fp"), "left_anti")
+  }
+
   /** Exact pairwise Jaccard over word n-gram shingle sets, pairs ≥ threshold.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */

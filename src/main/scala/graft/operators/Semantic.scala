@@ -180,6 +180,37 @@ object Semantic {
         (col("vec_id") === col("cell")).as("is_seed"))
   }
 
+  /** RETRACT vectors from a persisted [[semanticState]] — the embedding-
+    * modality takedown form, completing its (append, retract) pair.
+    * Doc-id-keyed like [[Dedup.minHashRetract]], so retraction is exact —
+    * EXCEPT for codebook seeds: a seed row defines its cell's geometry for
+    * every past and future assignment, and removing it would re-shape the
+    * space (the frozen-seed contract [[semanticIncremental]] documents).
+    * Retracting a seed therefore FAILS LOUDLY — re-seeding is a full
+    * [[semanticDedup]] rebuild, exactly like re-banding an LSH state.
+    * (A seed's CONTENT thus stays in the index until a rebuild: its row
+    * keeps blocking near-duplicates of it, the conservative direction.)
+    *
+    * Scale shape: the seed guard is one broadcast semi-join + limit-1
+    * existence probe against the k seed rows; the retraction itself one
+    * anti-join on the vector id, takedown side broadcast.
+    */
+  def semanticRetract(state: DataFrame, vecIds: DataFrame): DataFrame = {
+    require(Seq("vec_id", "cell", "v", "is_seed").forall(state.columns.contains),
+      "state must be a semanticState table: (vec_id, cell, v, is_seed)")
+    require(vecIds.columns.contains("vec_id"),
+      "vecIds must carry the retracted ids as 'vec_id'")
+    val ids = vecIds.select("vec_id").distinct()
+    val seedHit = state.filter(col("is_seed"))
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+      .limit(1).collect()
+    require(seedHit.isEmpty,
+      s"cannot retract codebook seed vec_id=${seedHit.headOption.map(_.get(0))}" +
+        " — seeds define the frozen cell geometry; re-seeding requires a " +
+        "full semanticDedup rebuild (the re-banding rule)")
+    state.join(ids, Seq("vec_id"), "left_anti")
+  }
+
   /** Incremental semantic dedup — the continuously-ingesting form of
     * [[semanticDedup]], mirroring [[Dedup.nearIncremental]]: keep rows of
     * `newEmb` that (1) are not within `threshold` cosine of ANY state vector

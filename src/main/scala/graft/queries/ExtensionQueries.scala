@@ -1564,6 +1564,55 @@ object ExtensionQueries {
         Dedup.minHashState(docs.filter(col("doc_id") < 250), "doc_id", "text"))
     }),
 
+    // NEAR-dup state retraction: minHashState is doc-id-keyed, so
+    // retracting [100, 250) leaves a state ≡ one built from docs < 100 —
+    // the batch >= 100 then re-admits exactly the retracted content
+    "q_dedup_near_retract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.nearIncremental(
+        docs.filter(col("doc_id") >= 100), "doc_id", "text",
+        Dedup.minHashRetract(
+          Dedup.minHashState(docs.filter(col("doc_id") < 250), "doc_id", "text"),
+          docs.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+            .select("doc_id")))
+    }),
+
+    // CONTAINMENT state retraction: postings are doc-id-keyed too, so a
+    // quote of a retracted source no longer flags — its (quote, source)
+    // pair vanishes while pairs against surviving docs stay
+    "q_dedup_containment_retract" -> ((s, d) => {
+      val all = quoteFixture(t(s, d, "documents"))
+      Dedup.containmentIncremental(
+        all.filter(col("doc_id") >= 100000L), "doc_id", "text",
+        Dedup.containmentRetract(
+          Dedup.containmentState(
+            all.filter(col("doc_id") < 100000L), "doc_id", "text", n = 3),
+          all.filter(col("doc_id") >= 100 && col("doc_id") < 250)
+            .select("doc_id")),
+        n = 3, threshold = 0.9, minShingles = 5)
+    }),
+
+    // SEMANTIC state retraction: non-seed rows of [100, 250) retracted
+    // (seeds must stay — frozen cell geometry), then the >= 100 batch
+    // re-admits the retracted vectors; batch copies of SEED vectors also
+    // survive — their only blocker is their own state row, which the
+    // re-ingestion rule (vec_a ≠ vec_b) excludes — while the planted
+    // clones of vec_id < 10 stay blocked by the surviving early history
+    "q_dedup_semantic_retract" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val state0 = graft.operators.Semantic.semanticState(
+        emb.filter(col("vec_id") < 250), "vec_id", "embedding", k = 16)
+      val state = graft.operators.Semantic.semanticRetract(state0,
+        state0.filter(!col("is_seed") &&
+          col("vec_id") >= 100 && col("vec_id") < 250).select("vec_id"))
+      val batch = emb.filter(col("vec_id") >= 100)
+        .unionByName(emb.filter(col("vec_id") < 10)
+          .withColumn("vec_id", col("vec_id") + 10000))
+      graft.operators.Semantic.semanticIncremental(
+        batch, "vec_id", "embedding", state,
+        threshold = 0.9, maxCell = Int.MaxValue)
+    }),
+
     // composed curation v2 over the round-6 operators, one declarative plan:
     // duplicated-span removal -> span-level decontamination vs the eval
     // slice -> quality gate on surviving tokens -> exact dedup of the
@@ -4353,6 +4402,113 @@ object ExtensionQueries {
         |cc AS (SELECT d, min(lab) AS cluster_id FROM reach GROUP BY d)
         |SELECT doc_id FROM rem
         |WHERE doc_id NOT IN (SELECT d FROM cc WHERE d <> cluster_id)""".stripMargin),
+
+    // near-retract oracle: doc-id-keyed retraction makes the state ≡ one
+    // built from docs < 100, so this is the incremental oracle with the
+    // history boundary moved — proving minHashRetract is exact
+    "q_dedup_near_retract" ->
+      ("""WITH RECURSIVE w AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT da AS doc_a, db AS doc_b FROM inter
+        |  JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |hits AS (
+        |  SELECT doc_a AS d FROM pairs WHERE doc_a >= 100 AND doc_b < 100
+        |  UNION SELECT doc_b FROM pairs WHERE doc_b >= 100 AND doc_a < 100),
+        |rem AS (SELECT doc_id FROM documents WHERE doc_id >= 100
+        |        AND doc_id NOT IN (SELECT d FROM hits)),
+        |redges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)),
+        |reach(d, lab) AS (
+        |  SELECT a, a FROM redges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN redges e ON e.a = r.d),
+        |cc AS (SELECT d, min(lab) AS cluster_id FROM reach GROUP BY d)
+        |SELECT doc_id FROM rem
+        |WHERE doc_id NOT IN (SELECT d FROM cc WHERE d <> cluster_id)""".stripMargin),
+
+    // containment-retract oracle: the incremental oracle with the
+    // retracted sources excluded from the EARLIER side — a quote of a
+    // retracted doc must no longer flag
+    "q_dedup_containment_retract" ->
+      """WITH w0 AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |                             x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |qd AS (SELECT doc_id + 100000 AS doc_id,
+        |  ws[1:greatest(7, len(ws) // 3)] AS ws FROM w0 WHERE doc_id % 5 = 0),
+        |u AS (SELECT * FROM w0 UNION ALL SELECT * FROM qd),
+        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM u, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND b.doc_id < a.doc_id
+        |    AND NOT (b.doc_id >= 100 AND b.doc_id < 250)
+        |  GROUP BY 1, 2)
+        |SELECT da AS doc_a, db AS doc_b,
+        |  floor((i * 1.0 / sa.n) * 10000) / 10000 AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = da
+        |WHERE da >= 100000 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n""".stripMargin,
+
+    // semantic-retract oracle: retained history = vec_id < 100 plus the
+    // 16 seeds of the ORIGINAL < 250 state (seeds cannot retract); batch
+    // copies of seed vectors stay blocked by their own state row
+    "q_dedup_semantic_retract" ->
+      ("""WITH hist AS (SELECT vec_id, embedding FROM embeddings
+        |              WHERE vec_id < 250 AND embedding IS NOT NULL),
+        |batch AS (SELECT vec_id, embedding FROM embeddings
+        |          WHERE vec_id >= 100 AND embedding IS NOT NULL
+        |          UNION ALL
+        |          SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id < 10),
+        |qh AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[],
+        |               x -> floor(x * 1000000.0 + 0.5)) AS qv FROM hist),
+        |qb AS (SELECT vec_id, embedding, list_transform(embedding::DOUBLE[],
+        |               x -> floor(x * 1000000.0 + 0.5)) AS qv FROM batch),
+        |seeds AS (SELECT vec_id AS seed_id, qv AS sv FROM qh
+        |          ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),
+        |rh AS (SELECT * FROM qh WHERE vec_id < 100
+        |       OR vec_id IN (SELECT seed_id FROM seeds)),
+        |ah AS (SELECT vec_id, cell FROM (
+        |         SELECT q.vec_id, s.seed_id AS cell, row_number() OVER (
+        |           PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                    p -> (p[1]-p[2])*(p[1]-p[2]))), s.seed_id) AS rn
+        |         FROM rh q, seeds s) WHERE rn = 1),
+        |ab AS (SELECT vec_id, cell FROM (
+        |         SELECT q.vec_id, s.seed_id AS cell, row_number() OVER (
+        |           PARTITION BY q.vec_id ORDER BY
+        |           list_sum(list_transform(list_zip(q.qv, s.sv),
+        |                    p -> (p[1]-p[2])*(p[1]-p[2]))), s.seed_id) AS rn
+        |         FROM qb q, seeds s) WHERE rn = 1),
+        |hits AS (SELECT DISTINCT b.vec_id FROM ab b
+        |         JOIN ah h ON b.cell = h.cell AND h.vec_id <> b.vec_id
+        |         JOIN batch be ON be.vec_id = b.vec_id
+        |         JOIN hist he ON he.vec_id = h.vec_id
+        |         WHERE list_cosine_similarity(be.embedding::DOUBLE[],
+        |                                      he.embedding::DOUBLE[]) >= 0.9),
+        |fresh AS (SELECT * FROM ab WHERE vec_id NOT IN (SELECT vec_id FROM hits)),
+        |drops AS (SELECT DISTINCT y.vec_id FROM fresh x
+        |          JOIN fresh y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |          JOIN batch bx ON bx.vec_id = x.vec_id
+        |          JOIN batch by2 ON by2.vec_id = y.vec_id
+        |          WHERE list_cosine_similarity(bx.embedding::DOUBLE[],
+        |                                       by2.embedding::DOUBLE[]) >= 0.9)
+        |SELECT vec_id, cell FROM fresh
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin),
 
     // differential oracle: every document EXCEPT the recursive-CTE cluster
     // members whose label is not their own doc_id (same CC as q_dedup_clusters)

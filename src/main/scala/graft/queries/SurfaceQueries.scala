@@ -394,6 +394,25 @@ object SurfaceQueries {
         graft.operators.Dedup.hammingState(
           hashes.filter(col("doc_id") < 250), "doc_id", "phash", maxHamming = 8),
         maxHamming = 8, maxBucket = Int.MaxValue)
+    }),
+
+    // ---- fingerprint-state RETRACTION: the [100, 250) images' fps are
+    // taken down from the < 250 hammingState (fp-keyed, so the content is
+    // un-claimed — exactRetract semantics), and the >= 100 batch re-admits
+    // exactly that content ----
+    "q_image_dedup_retract" -> ((s, d) => {
+      val hashes = graft.sources.Multimodal.imageHash(
+        graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+        .cache()
+      graft.operators.Dedup.hammingIncremental(
+        hashes.filter(col("doc_id") >= 100), "doc_id", "phash",
+        graft.operators.Dedup.hammingRetract(
+          graft.operators.Dedup.hammingState(
+            hashes.filter(col("doc_id") < 250), "doc_id", "phash",
+            maxHamming = 8),
+          hashes.filter(col("doc_id") >= 100 && col("doc_id") < 250),
+          "doc_id", "phash"),
+        maxHamming = 8, maxBucket = Int.MaxValue)
     })
   )
 
@@ -571,6 +590,46 @@ object SurfaceQueries {
         |hits AS (SELECT doc_b AS dd FROM pr WHERE doc_a < 250 AND doc_b >= 250),
         |rem AS (SELECT doc_id FROM p WHERE doc_id >= 250
         |        AND doc_id NOT IN (SELECT dd FROM hits)),
+        |redges AS (SELECT doc_a AS a, doc_b AS b FROM pr
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)
+        |  UNION SELECT doc_b, doc_a FROM pr
+        |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)),
+        |reach(dd, lab) AS (
+        |  SELECT a, a FROM redges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN redges e ON e.a = r.dd),
+        |cc AS (SELECT dd, min(lab) AS cid FROM reach GROUP BY dd)
+        |SELECT doc_id FROM rem
+        |WHERE doc_id NOT IN (SELECT dd FROM cc WHERE dd <> cid)""".stripMargin),
+
+    // retract oracle: history = fps of docs < 250 MINUS fps of the
+    // retracted [100, 250) slice (fp-keyed un-claiming), batch = docs
+    // >= 100 — the re-admitted content then clusters within-batch
+    "q_image_dedup_retract" ->
+      ("""WITH RECURSIVE d AS (SELECT doc_id, octet_length(encode(coalesce(text,''))) AS n FROM documents),
+        |img AS (SELECT doc_id, n%64+16 AS w, n%48+16 AS h FROM d WHERE doc_id%3=0),
+        |px AS (SELECT doc_id, (y.i*8)//h*8 + (x.i*8)//w AS c,
+        |         ((x.i*31 + y.i*17 + doc_id) & 16777215) AS v
+        |       FROM img, range(0, 100) x(i), range(0, 100) y(i)
+        |       WHERE x.i < w AND y.i < h),
+        |cell AS (SELECT doc_id, c,
+        |           sum((((v>>16)&255) + ((v>>8)&255) + (v&255))//3)//count(*) AS m
+        |         FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(m)//64 AS mu FROM cell GROUP BY 1),
+        |p AS (SELECT cell.doc_id,
+        |        sum(CASE WHEN m > mu AND c = 63 THEN (-9223372036854775807 - 1)
+        |                 WHEN m > mu THEN 1::BIGINT << c ELSE 0 END)::BIGINT AS phash
+        |      FROM cell JOIN tot ON cell.doc_id = tot.doc_id GROUP BY 1),
+        |retfp AS (SELECT DISTINCT phash FROM p WHERE doc_id >= 100 AND doc_id < 250),
+        |hfp AS (SELECT DISTINCT phash FROM p WHERE doc_id < 250
+        |        AND phash NOT IN (SELECT phash FROM retfp)),
+        |hits AS (SELECT DISTINCT b.doc_id AS dd FROM p b, hfp f
+        |         WHERE b.doc_id >= 100 AND bit_count(xor(b.phash, f.phash)) <= 8),
+        |rem AS (SELECT doc_id FROM p WHERE doc_id >= 100
+        |        AND doc_id NOT IN (SELECT dd FROM hits)),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |       WHERE bit_count(xor(a.phash, b.phash)) <= 8),
         |redges AS (SELECT doc_a AS a, doc_b AS b FROM pr
         |  WHERE doc_a IN (SELECT doc_id FROM rem) AND doc_b IN (SELECT doc_id FROM rem)
         |  UNION SELECT doc_b, doc_a FROM pr

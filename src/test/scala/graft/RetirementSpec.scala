@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Similarity, TextAnalysis, Urls}
+import graft.sources.Tables
 
 /** Index/state RETIREMENT forms (VERDICT r9 missing #2): BM25 tombstone
   * deletion, IVF+PQ tombstone deletion + compaction purge, and the
@@ -154,5 +155,75 @@ class RetirementSpec extends SparkSpec {
     val kept = Urls.urlDedupIncremental(batch, "doc_id", "url", retracted)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(21L, 22L), s"got $kept")
+  }
+
+  test("minHashRetract: doc-id-keyed retraction == state built from survivors") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents").filter($"doc_id" < 120)
+    val retracted = Dedup.minHashRetract(
+      Dedup.minHashState(docs, "doc_id", "text"),
+      docs.filter($"doc_id" >= 60).select("doc_id"))
+    val rebuilt = Dedup.minHashState(
+      docs.filter($"doc_id" < 60), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"band", $"bh", array_sort($"shs").as("shs"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(retracted) == rows(rebuilt),
+      "retract-by-id must be bit-identical to a rebuild on the survivors")
+  }
+
+  test("containmentRetract: a quote of a retracted source no longer flags") {
+    import spark.implicits._
+    val src = (1L, "one two three four five six seven eight nine ten")
+    val other = (2L, "cold warm hot cool mild damp dry wet icy calm")
+    val history = Seq(src, other).toDF("doc_id", "text")
+    val state = Dedup.containmentState(history, "doc_id", "text", n = 3)
+    val retracted = Dedup.containmentRetract(state,
+      Seq(1L).toDF("doc_id"))
+    val quote = Seq((20L, "one two three four five six seven"),
+      (21L, "cold warm hot cool mild damp dry")).toDF("doc_id", "text")
+    val before = Dedup.containmentIncremental(quote, "doc_id", "text",
+      state, n = 3, threshold = 0.9, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = Dedup.containmentIncremental(quote, "doc_id", "text",
+      retracted, n = 3, threshold = 0.9, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set((20L, 1L), (21L, 2L)), s"got $before")
+    assert(after == Set((21L, 2L)),
+      s"the retracted source's quote must no longer flag: $after")
+  }
+
+  test("hammingRetract: retracted fingerprints re-admit, shared fps un-claim") {
+    import spark.implicits._
+    val hashes = Seq((1L, 0x00L), (2L, 0xFF00L), (3L, 0x00L))
+      .toDF("doc_id", "phash") // docs 1 and 3 share a fingerprint
+    val state = Dedup.hammingState(hashes, "doc_id", "phash", maxHamming = 2)
+    val retracted = Dedup.hammingRetract(state,
+      hashes.filter($"doc_id" === 3L), "doc_id", "phash")
+    val batch = Seq((20L, 0x01L), (21L, 0xFF01L)).toDF("doc_id", "phash")
+    val kept = Dedup.hammingIncremental(batch, "doc_id", "phash", retracted,
+      maxHamming = 2).collect().map(_.getLong(0)).toSet
+    // 0x01 is within range of the retracted 0x00 ONLY → re-admitted even
+    // though doc 1 also carried it (fp-keyed un-claiming, documented);
+    // 0xFF01 is still blocked by doc 2's surviving 0xFF00
+    assert(kept == Set(20L), s"got $kept")
+  }
+
+  test("semanticRetract: non-seeds retract exactly; seeds refuse loudly") {
+    import spark.implicits._
+    val emb = Tables(spark, sfDir, "embeddings").filter($"vec_id" < 120)
+    val state = graft.operators.Semantic.semanticState(
+      emb, "vec_id", "embedding", k = 4)
+    val nonSeed = state.filter(!$"is_seed").limit(5).select("vec_id")
+    val ids = nonSeed.collect().map(_.getLong(0)).toSet
+    val after = graft.operators.Semantic.semanticRetract(state, nonSeed)
+      .collect().map(_.getLong(0)).toSet
+    val beforeIds = state.collect().map(_.getLong(0)).toSet
+    assert(after == beforeIds -- ids)
+    val seed = state.filter($"is_seed").limit(1).select("vec_id")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Semantic.semanticRetract(state, seed)
+    }
+    assert(e.getMessage.contains("rebuild"))
   }
 }

@@ -106,6 +106,47 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming bloom dedup: foreachBatch vs fp state + bloom sidecar == batch exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the rolling form exactIncrementalBloom exists for: every micro-batch
+    // dedups against the persisted state through the sidecar, then appends
+    // its fingerprints to BOTH (the same-commit-step sidecar contract)
+    val batches = Seq(
+      Seq((1L, "alpha beta"), (2L, "unique two"), (3L, "gamma delta")),
+      Seq((4L, "ALPHA   beta"), (5L, "unique five")),
+      Seq((6L, "gamma delta"), (7L, "unique seven"), (8L, "unique five")))
+    val path = "target/bloomspec_stream"
+    var state = graft.operators.TextAnalysis.fingerprint(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    graft.operators.BloomState.write(state, "fp", path, expectedItems = 100L)
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        kept ++= graft.operators.Dedup.exactIncrementalBloom(
+          batch, "doc_id", "text", state, path).collect().map(_.getLong(0))
+        val fps = graft.operators.TextAnalysis.fingerprint(
+          batch, "doc_id", "text")
+        graft.operators.BloomState.append(spark, path, fps, "fp")
+        state = state.unionByName(fps).localCheckpoint()
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val batchResult = graft.operators.Dedup.exact(
+      batches.flatten.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size == kept.toSet.size, "a doc must be emitted at most once")
+    assert(kept.toSet == batchResult,
+      s"stream ${kept.sorted} != batch ${batchResult.toSeq.sorted}")
+    assert(kept.toSet == Set(1L, 2L, 3L, 5L, 7L))
+  }
+
   test("streaming near-dedup: foreachBatch vs persisted LSH state == batch dedupNear") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
