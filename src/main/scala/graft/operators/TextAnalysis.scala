@@ -1509,6 +1509,42 @@ object TextAnalysis {
       .select(col("ngram"), col("cnt"))
   }
 
+  /** Readability scoring — Flesch reading ease and Flesch–Kincaid grade
+    * (Kincaid et al. 1975), the classic complexity signals a curation
+    * pipeline mixes into quality gates and difficulty-bucketed sampling.
+    * This is the standard HEURISTIC restated engine-portably, not
+    * linguistic truth: sentences = runs of [.!?], syllables = vowel-group
+    * runs [aeiouy]+ in the lower-cased text (the usual approximation).
+    *
+    * Both scores surface as BIGINT 1e-3 units (the micro-unit contract —
+    * nothing on the hash surface is DECIMAL or float):
+    *
+    *   flesch_e3 = 206835 − (1015·W) div S⁺ − (84600·Y) div W⁺
+    *   grade_e3  = (390·W) div S⁺ + (11800·Y) div W⁺ − 15590
+    *
+    * with S⁺/W⁺ = greatest(1, ·) guarding empty docs. Every division has
+    * non-negative operands (truncation = floor in any engine); the final
+    * subtraction may go negative but divides nothing. Overflow headroom:
+    * 84600·Y at Y ≤ 1e8 syllables/doc ≪ 2^63.
+    *
+    * One narrow codegen pass — three regexp counts per row, no shuffle.
+    */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(
+      Keys.id(docs, idCol).as("doc_id"),
+      size(filter(split(lower(t), "\\s+"), w => length(w) > 0))
+        .cast("long").as("n_words"),
+      regexp_count(t, lit("[.!?]+")).cast("long").as("n_sentences"),
+      regexp_count(lower(t), lit("[aeiouy]+")).cast("long").as("n_syllables"))
+      .withColumn("flesch_e3",
+        expr("206835L - (1015L * n_words) div greatest(1L, n_sentences)" +
+          " - (84600L * n_syllables) div greatest(1L, n_words)"))
+      .withColumn("grade_e3",
+        expr("(390L * n_words) div greatest(1L, n_sentences)" +
+          " + (11800L * n_syllables) div greatest(1L, n_words) - 15590L"))
+  }
+
   /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): per
     * document, PageRank over the word co-occurrence graph (undirected
     * distinct edges between tokens at sequence distance ≤ `window`), top-k

@@ -689,6 +689,12 @@ object ExtensionQueries {
         iters = 3, dampBp = 8500)
     }),
 
+    // Flesch / Flesch-Kincaid readability, both scores BIGINT 1e-3 units
+    // (vowel-group syllables, [.!?]-run sentences — the standard heuristic
+    // restated portably)
+    "q_readability" -> ((s, d) =>
+      TextAnalysis.readability(t(s, d, "documents"), "doc_id", "text")),
+
     // TextRank keywords: per-doc PageRank over the word co-occurrence
     // graph (window 2), whole recurrence (doc_id, word)-keyed in the 1e-12
     // fixed-point discipline — top-10 words per document
@@ -2993,6 +2999,22 @@ object ExtensionQueries {
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_textrank" -> textRankOracleSql,
+
+    // readability restated: same counts, same divisible integer formulas —
+    // every `//` on non-negative operands
+    "q_readability" ->
+      ("""WITH c AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |      w -> length(w) > 0))::BIGINT AS n_words,
+        |  len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))::BIGINT AS n_sentences,
+        |  len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))::BIGINT AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CAST(206835 - (1015 * n_words) // greatest(1, n_sentences)
+        |    - (84600 * n_syllables) // greatest(1, n_words) AS BIGINT) AS flesch_e3,
+        |  CAST((390 * n_words) // greatest(1, n_sentences)
+        |    + (11800 * n_syllables) // greatest(1, n_words) - 15590 AS BIGINT) AS grade_e3
+        |FROM c""".stripMargin),
 
     // fetch plan restated INDEPENDENTLY: verdict and delay derived straight
     // from the fixture recipe (path pattern + host suffix), never by

@@ -15,8 +15,10 @@ object PlanDumpR10 {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val all = SparkEntry.queries
-    Seq("q_backoff_lm", "q_bm25_delete", "q_ivfpq_delete", "q_dedup_retract",
-      "q_url_retract", "q_pipeline_e2e_incremental").foreach { name =>
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q_backoff_lm", "q_bm25_delete", "q_ivfpq_delete",
+        "q_dedup_retract", "q_url_retract", "q_pipeline_e2e_incremental")
+    names.foreach { name =>
       println(s"\n######## $name ########")
       println(all(name)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

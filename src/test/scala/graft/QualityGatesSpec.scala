@@ -50,6 +50,28 @@ class QualityGatesSpec extends SparkSpec {
     assert(!gopherRow(Seq.fill(25)("zebra quokka").mkString(" ")).getBoolean(8))
   }
 
+  test("readability: hand-computed Flesch/FK; empty and null docs guarded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran! Did it?"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readability(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // doc 1: W=8, S=3, Y=8 (one vowel group per word)
+    //   flesch_e3 = 206835 - (1015*8) div 3 - (84600*8) div 8
+    //             = 206835 - 2706 - 84600 = 119529  (~119.5, "very easy")
+    //   grade_e3  = (390*8) div 3 + (11800*8) div 8 - 15590
+    //             = 1040 + 11800 - 15590 = -2750    (sub-first-grade)
+    assert(got(1L) == (8L, 3L, 8L, 119529L, -2750L), s"got ${got(1L)}")
+    // empty/null: all counts 0, guards make the score the pure constants
+    val degenerate = (0L, 0L, 0L, 206835L, -15590L)
+    assert(got(2L) == degenerate && got(3L) == degenerate)
+  }
+
   test("c4Gate: line rules and doc rules apply independently") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
