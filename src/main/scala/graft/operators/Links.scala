@@ -210,8 +210,18 @@ object Links {
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0L))
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ranks0 = nodes.withColumn("rank", lit(Scale / n))
+    pageRankLoop(e, nodes, deg, n, ranks0, iters, dampBp)
+  }
+
+  /** The shared damped-recurrence loop — ONE definition feeds [[pageRank]]
+    * and [[pageRankFrom]] so the arithmetic can never fork.
+    */
+  private def pageRankLoop(e: DataFrame, nodes: DataFrame, deg: DataFrame,
+      n: Long, ranks0: DataFrame, iters: Int, dampBp: Int): DataFrame = {
+    val Scale = 1000000000000L
     val base = (10000L - dampBp) * Scale / n / 10000L
-    var ranks = nodes.withColumn("rank", lit(Scale / n))
+    var ranks = ranks0
     for (_ <- 1 to iters) {
       val contrib = ranks
         .join(deg, ranks("host") === deg("src"))
@@ -219,6 +229,96 @@ object Links {
         // brushes 2^53) — `div` keeps the whole recurrence in exact BIGINT
         .select(col("src"), expr("rank div deg").as("c"))
         .join(e, "src")
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contrib, nodes("host") === contrib("dst"), "left")
+        .select(col("host"),
+          expr(s"${base}L + (${dampBp}L * coalesce(contrib, 0L)) div 10000L")
+            .as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks
+  }
+
+  /** [[pageRank]] RESUMED from persisted ranks — the incremental form a
+    * rolling crawl runs: round N's (host, rank) table is the state, round
+    * N+1 continues the recurrence on the (possibly grown) edge set instead
+    * of re-converging from uniform. On an unchanged graph the continuation
+    * is EXACT: resume(ranks after k, j more) ≡ pageRank(k + j) — the
+    * equivalence the oracle pins. A host new to the graph starts at the
+    * uniform Scale div N mass (with N the CURRENT node count — the same
+    * default a cold start gives it); ranks for hosts that left the graph
+    * are dropped. Same plan shape and BIGINT discipline as [[pageRank]];
+    * state-side cost is one host-keyed left join to seed r0.
+    */
+  def pageRankFrom(edges: DataFrame, init: DataFrame, iters: Int = 3,
+      dampBp: Int = 8500, srcCol: String = "src_host",
+      dstCol: String = "dst_host"): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
+    require(Seq("host", "rank").forall(init.columns.contains),
+      "init must be a pageRank output: (host, rank)")
+    val Scale = 1000000000000L
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst").as("host"))).distinct()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val ranks0 = nodes
+      .join(init.select(col("host").as("i_host"), col("rank").as("i_rank")),
+        col("host") === col("i_host"), "left")
+      .select(col("host"),
+        coalesce(col("i_rank"), lit(Scale / n)).as("rank"))
+    pageRankLoop(e, nodes, deg, n, ranks0, iters, dampBp)
+  }
+
+  /** Weight-aware PageRank over (src, dst, weight) edges — mass flows in
+    * proportion to link COUNTS ([[hostEdges]]' `n_links`), the endorsement-
+    * strength variant spam heuristics compare against the unweighted rank
+    * (a farm inflating one edge's multiplicity moves the weighted rank but
+    * not the distinct-edge one).
+    *
+    * Weights are quantized per source to basis points: wq = (w·10⁴) div
+    * Σw, and a contribution is (rank·wq) div 10⁴, div-then-sum. That keeps
+    * every product ≤ Scale·10⁴ = 1e16 — exact BIGINT regardless of raw
+    * weight magnitudes (rank·w directly would overflow at web-scale link
+    * counts). Σwq ≤ 10⁴, so mass leaks by ≤ outdeg/10⁴ per step — same
+    * class as the documented dropped-dangling-mass behavior; relative
+    * ordering is what the pipeline consumes. All operands non-negative →
+    * floor division in both engines. Same plan shape as [[pageRank]].
+    */
+  def pageRankWeighted(edges: DataFrame, iters: Int = 3, dampBp: Int = 8500,
+      srcCol: String = "src_host", dstCol: String = "dst_host",
+      weightCol: String = "n_links"): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
+    val Scale = 1000000000000L
+    val ew0 = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst") && col("w") > 0)
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val sw = ew0.groupBy("src").agg(sum("w").as("sw"))
+      .select(col("src").as("sw_src"), col("sw"))
+    val ew = ew0.join(sw, col("src") === col("sw_src"))
+      .select(col("src"), col("dst"), expr("(w * 10000L) div sw").as("wq"))
+      .localCheckpoint(eager = false)
+    val nodes = ew.select(col("src").as("host"))
+      .union(ew.select(col("dst").as("host"))).distinct()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    val base = (10000L - dampBp) * Scale / n / 10000L
+    var ranks = nodes.withColumn("rank", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = ranks
+        .join(ew, ranks("host") === ew("src"))
+        .select(col("dst"), expr("(rank * wq) div 10000L").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("contrib"))
       ranks = nodes
         .join(contrib, nodes("host") === contrib("dst"), "left")

@@ -641,8 +641,13 @@ object Pipelines {
     val total = shares.map { case (d, bp) =>
       counts.getOrElse(d, 0L) * 10000L / bp }.min
     val targets = shares.map { case (d, bp) => d -> bp.toLong * total / 10000L }
-    val cap = targets.foldLeft(lit(0L)) { case (acc, (d, t)) =>
-      when(col("domain") === d, lit(t)).otherwise(acc) }
+    // per-domain caps ride a BROADCAST (domain, cap) frame, not a literal
+    // CaseWhen chain — the temperatureMixture fix applied here too: a
+    // when-chain's expression depth equals the share count and Catalyst
+    // falls over at a few thousand nested branches
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capDf = targets.toSeq.toDF("domain", "__cap")
     val offsets = base.groupBy("domain", "__salt").agg(count(lit(1)).as("__bn"))
       .withColumn("__off", coalesce(sum("__bn").over(
         Window.partitionBy("domain").orderBy("__salt")
@@ -652,7 +657,8 @@ object Pipelines {
       .withColumn("__prn", row_number().over(
         Window.partitionBy("domain", "__salt").orderBy(col("__ord"), col("doc_id"))))
       .join(broadcast(offsets), Seq("domain", "__salt"))
-      .filter(col("__off") + col("__prn") <= cap)
+      .join(broadcast(capDf), Seq("domain"))
+      .filter(col("__off") + col("__prn") <= col("__cap"))
       .select("doc_id", "domain")
   }
 

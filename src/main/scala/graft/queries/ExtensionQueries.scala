@@ -703,6 +703,23 @@ object ExtensionQueries {
         t(s, d, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", window = 2, iters = 3, topK = 10)),
 
+    // weight-aware PageRank: endorsement strength = href multiplicity,
+    // weights quantized per source to basis points (div-then-sum) — the
+    // farm-detection complement to the distinct-edge rank
+    "q_pagerank_weighted" -> ((s, d) =>
+      Links.pageRankWeighted(Links.hostEdges(Links.extractLinks(
+        linkPages(t(s, d, "documents")), "doc_id", "url", "html")),
+        iters = 3)),
+
+    // PageRank RESUMED from the persisted 3-round rank state for 2 more
+    // rounds — on the unchanged graph this must equal 5 cold rounds, the
+    // warm-start equivalence the rolling-crawl incremental column needs
+    "q_pagerank_resume" -> ((s, d) => {
+      val edges = Links.hostEdges(Links.extractLinks(
+        linkPages(t(s, d, "documents")), "doc_id", "url", "html"))
+      Links.pageRankFrom(edges, Links.pageRank(edges, iters = 3), iters = 2)
+    }),
+
     // HITS over the same host graph: authorities from hubs, hubs from the
     // new authorities, 3 rounds, integer max-normalization per half-step —
     // the directory-page/canonical-source split PageRank cannot express
@@ -2582,7 +2599,41 @@ object ExtensionQueries {
     * at r3 (host, rank after 3 iterations). Shared by the pagerank oracle
     * and the ranked-frontier composition.
     */
-  private val pageRankCtes: String = {
+  private val pageRankCtes: String = pageRankCtesN(3)
+
+  /** Links.pageRankWeighted restated: per-source basis-point weight
+    * quantization, div-then-sum contributions, 3 unrolled rounds — every
+    * `//` on non-negative BIGINTs.
+    */
+  private val pageRankWeightedOracleSql: String = {
+    def iter(k: Int): String =
+      s"""c$k AS (SELECT ew.dst, sum((r${k - 1}.rank * ew.wq) // 10000) AS contrib
+         |  FROM r${k - 1}
+         |  JOIN ew ON ew.src = r${k - 1}.host
+         |  GROUP BY 1),
+         |r$k AS (SELECT n.host,
+         |  CAST(1500 * 1000000000000 // (SELECT n FROM nn) // 10000
+         |   + 8500 * coalesce(c$k.contrib, 0) // 10000 AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k ON c$k.dst = n.host)""".stripMargin
+    s"WITH $linkDerivCte,\n" +
+      """ww AS (SELECT src_host AS src, dst_host AS dst, count(*) AS w
+        |  FROM links WHERE src_host <> dst_host GROUP BY 1, 2),
+        |sw AS (SELECT src, sum(w) AS sw FROM ww GROUP BY 1),
+        |ew AS (SELECT ww.src, ww.dst, (ww.w * 10000) // sw.sw AS wq
+        |  FROM ww JOIN sw ON sw.src = ww.src),
+        |nodes AS (SELECT src AS host FROM ew UNION SELECT dst FROM ew),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT host,
+        |  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+        |  FROM nodes),""".stripMargin +
+      "\n" + (1 to 3).map(iter).mkString(",\n") + "\n" +
+      "SELECT r3.host, r3.rank FROM r3"
+  }
+
+  /** The pageRank CTE chain unrolled to `rounds` iterations — r3 feeds the
+    * batch oracles, r5 pins pageRankFrom's resume ≡ continue equivalence.
+    */
+  private def pageRankCtesN(rounds: Int): String = {
     def iter(k: Int): String =
       s"""c$k AS (SELECT e.dst, sum(r${k - 1}.rank // deg.dg) AS contrib
          |  FROM r${k - 1}
@@ -2603,7 +2654,7 @@ object ExtensionQueries {
       |r0 AS (SELECT host,
       |  CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
       |  FROM nodes),""".stripMargin + "\n" +
-      (1 to 3).map(iter).mkString(",\n")
+      (1 to rounds).map(iter).mkString(",\n")
   }
 
   /** Links.trustRank restated: the pageRank recurrence with the teleport
@@ -2998,6 +3049,10 @@ object ExtensionQueries {
     "q_pagerank" -> pageRankOracleSql,
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
+    "q_pagerank_weighted" -> pageRankWeightedOracleSql,
+    "q_pagerank_resume" ->
+      (s"WITH $linkDerivCte,\n" + pageRankCtesN(5) + "\n" +
+        "SELECT r5.host, r5.rank FROM r5"),
     "q_textrank" -> textRankOracleSql,
 
     // readability restated: same counts, same divisible integer formulas —

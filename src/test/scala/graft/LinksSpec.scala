@@ -95,6 +95,54 @@ class LinksSpec extends SparkSpec {
       .toDF("src_host", "dst_host")).count() == 0)
   }
 
+  test("pageRankFrom: resume(3 rounds, +2) == 5 cold rounds; new hosts seed uniform") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("src_host", "dst_host")
+    def ranks(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val warm = ranks(Links.pageRankFrom(edges,
+      Links.pageRank(edges, iters = 3), iters = 2))
+    val cold = ranks(Links.pageRank(edges, iters = 5))
+    assert(warm == cold, s"warm $warm != cold $cold")
+    // a grown graph: host e appears only in round 2's edges — it seeds at
+    // the uniform Scale div N of the CURRENT graph, everyone else resumes
+    val grown = edges.union(Seq(("e", "a")).toDF("src_host", "dst_host"))
+    val resumed = ranks(Links.pageRankFrom(grown,
+      Links.pageRank(edges, iters = 3), iters = 0))
+    val prev = ranks(Links.pageRank(edges, iters = 3))
+    assert(resumed("e") == 1000000000000L / 5)
+    assert(prev.forall { case (h, r) => resumed(h) == r },
+      "iters=0 resume must preserve the carried ranks")
+  }
+
+  test("pageRankWeighted: multiplicity moves mass; uniform weights == unweighted") {
+    // b endorses c 9× and d 1×: c must receive ~9× d's contribution
+    val wEdges = Seq(("a", "b", 1L), ("b", "c", 9L), ("b", "d", 1L))
+      .toDF("src_host", "dst_host", "n_links")
+    val got = Links.pageRankWeighted(wEdges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val S = 1000000000000L
+    val base = 1500L * S / 4 / 10000L
+    val r0 = S / 4
+    // wq: a→b 10000; b→c 9000; b→d 1000
+    val want = Map(
+      "a" -> base,
+      "b" -> (base + 8500L * (r0 * 10000L / 10000L) / 10000L),
+      "c" -> (base + 8500L * (r0 * 9000L / 10000L) / 10000L),
+      "d" -> (base + 8500L * (r0 * 1000L / 10000L) / 10000L))
+    assert(got == want, s"got $got want $want")
+    // equal multiplicities reduce to the unweighted rank when 10⁴ div deg
+    // is exact (deg ∈ {1, 2, 4, 5, ...} — this graph's degrees are 1 and 2;
+    // deg = 3 would differ by the wq floor, which is the documented quantum)
+    val uni = Seq(("a", "b", 7L), ("a", "c", 7L), ("b", "c", 7L), ("c", "a", 7L))
+      .toDF("src_host", "dst_host", "n_links")
+    val w3 = Links.pageRankWeighted(uni, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val u3 = Links.pageRank(uni, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w3 == u3, s"uniform weights must reduce to pageRank: $w3 vs $u3")
+  }
+
   test("hits: hand-computed hub/authority split on a directory graph") {
     // d is a pure hub (links to a, b, c); a, b, c are pure authorities;
     // c→a adds one non-hub endorsement
