@@ -161,6 +161,54 @@ object Semantic {
         coalesce(col("n_members"), lit(0L)).as("n_members"))
   }
 
+  /** One MINI-BATCH update of a persisted [[kmeansTrain]] state (Sculley
+    * 2010, web-scale k-means) — the incremental column for the trained
+    * quantizer: assign the batch against the stored centroids, then move
+    * each touched centroid to the count-weighted running mean
+    *
+    *   c' = (c·n + Σ qv_batch) divFloor (n + m),   n' = n + m
+    *
+    * on the integer grid, with the same DIVISIBLE floor division as
+    * training. The floored centroid stands in for the true component sum —
+    * drift is under one quantization unit per update, mini-batch k-means'
+    * standard compromise (retraining from scratch is [[kmeansTrain]]).
+    * Untouched cells pass through unchanged; the batch CANNOT create or
+    * drop a cell (frozen-k, like every frozen-codebook form here).
+    *
+    * Input/output schema = [[kmeansTrain]]'s (cell, pos, c, n_members),
+    * so updates chain: state → update(batch₁) → update(batch₂) → …
+    *
+    * Scale shape: one broadcast-centroid assignment pass over the batch +
+    * one (cell, pos) partial-agg exchange of ≤ k·d rows per task — batch-
+    * sized work, the state never rescans its history.
+    */
+  def kmeansUpdate(state: DataFrame, emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    require(state.columns.toSet == Set("cell", "pos", "c", "n_members"),
+      "state must be a kmeansTrain output: (cell, pos, c, n_members)")
+    val cents = state.groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cv"))
+    val vecs = emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        qvGuard(quantized(vecCol), size(col(vecCol)), 1, "kmeansUpdate").as("qv"))
+    val sums = assignAgainst(vecs, cents)
+      .join(vecs, "vec_id")
+      .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("m"))
+      .select(col("cell").as("u_cell"), col("pos").as("u_pos"),
+        col("s"), col("m"))
+    state
+      .join(sums, col("cell") === col("u_cell") && col("pos") === col("u_pos"),
+        "left")
+      .select(col("cell"), col("pos"),
+        expr("CASE WHEN m IS NULL THEN c ELSE " +
+          "(c * n_members + s - pmod(c * n_members + s, n_members + m))" +
+          " div (n_members + m) END").as("c"),
+        expr("n_members + coalesce(m, 0L)").as("n_members"))
+  }
+
   /** Persisted semantic-dedup state for [[semanticIncremental]]: the cell
     * assignment plus each vector, with the codebook rows marked — the
     * by-product every ingestion run appends, mirroring

@@ -581,6 +581,65 @@ object TextAnalysis {
       wordlistHitCount(t, blocklist).as("badword_hits"))
   }
 
+  /** Deterministic RANDOM negatives for contrastive training — the uniform
+    * complement to [[hardNegatives]] (mixing random with hard negatives is
+    * the standard retrieval-training recipe, e.g. DPR, Karpukhin 2020):
+    * for each (query, positive) pair, `k` corpus documents drawn
+    * reproducibly and engine-portably, excluding the positive.
+    *
+    * "Random" = the md5 shuffle: every document gets the exact global rank
+    * 0..D−1 of (md5(doc_id), doc_id) via the salted two-level rank (256
+    * md5-prefix buckets rank in parallel, a broadcast per-bucket offset
+    * table lifts bucket ranks to global — the mixtureApply shape, no
+    * single-reducer sort); a query reads the documents at positions
+    * off, off+1, …, off+k with off = hex(md5(query_id)[0:8]) mod D,
+    * skipping the positive (k+1 candidates guarantee k survivors).
+    * Contiguous positions after the shuffle ARE the uniform draw — the md5
+    * order is the shuffle — and the candidate set probes the rank table by
+    * position equality instead of any per-query corpus scan.
+    *
+    * Output: (query_id, pos_id, neg_id, rk), rk 1..k in draw order.
+    *
+    * Scale shape: the rank table is corpus-sized but bounded-reducer
+    * (256-way salt) and built once per call; the probe ships
+    * |pairs|·(k+1) position keys — batch-sized, never a q×D cross.
+    */
+  def randomNegatives(pairs: DataFrame, docs: DataFrame, queryIdCol: String,
+      posIdCol: String, docIdCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ids = docs.select(Keys.id(docs, docIdCol).as("neg_id")).distinct()
+      .withColumn("__h", md5(col("neg_id").cast("string")))
+      .withColumn("__salt", substring(col("__h"), 1, 2))
+    val offsets = ids.groupBy("__salt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off0", coalesce(sum("__bn").over(
+        Window.orderBy("__salt").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__salt", "__off0")
+    val ranked = ids
+      .withColumn("__prn", row_number().over(
+        Window.partitionBy("__salt").orderBy(col("__h"), col("neg_id"))))
+      .join(broadcast(offsets), Seq("__salt"))
+      .select(col("neg_id"), (col("__off0") + col("__prn") - 1).as("__r"))
+      .localCheckpoint(eager = false)
+    val nD = ranked.count()
+    require(nD > k, s"need more than k=$k distinct documents, got $nD")
+    pairs
+      .select(col(queryIdCol).as("query_id"),
+        Keys.id(pairs, posIdCol).as("pos_id"))
+      .withColumn("__qoff", expr(
+        "cast(conv(substring(md5(cast(query_id as string)), 1, 8), 16, 10)" +
+          s" as bigint) % ${nD}L"))
+      .withColumn("__j", explode(sequence(lit(0), lit(k))))
+      .withColumn("__r", (col("__qoff") + col("__j")) % nD)
+      .join(ranked, "__r")
+      .filter(col("neg_id") =!= col("pos_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id", "pos_id").orderBy("__j")))
+      .filter(col("rk") <= k)
+      .select("query_id", "pos_id", "neg_id", "rk")
+  }
+
   private val langMarkers = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "fr" -> Seq("le", "la", "les", "et", "est"),

@@ -334,6 +334,18 @@ object ExtensionQueries {
       graft.operators.Semantic.kmeansTrain(
         t(s, d, "embeddings"), "vec_id", "embedding", k = 16, iters = 2)),
 
+    // mini-batch update of the persisted < 250 trained state with the
+    // >= 250 batch: count-weighted running means on the integer grid,
+    // untouched cells pass through, frozen k
+    "q_kmeans_update" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Semantic.kmeansUpdate(
+        graft.operators.Semantic.kmeansTrain(
+          emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+          k = 16, iters = 2),
+        emb.filter(col("vec_id") >= 250), "vec_id", "embedding")
+    }),
+
     // the fixture has no high-cosine pairs (max ≈ 0.51), so the drop path is
     // exercised by planting exact clones of vec_id < 10 at vec_id + 10000:
     // a clone shares its original's cell BY CONSTRUCTION (identical quantized
@@ -1091,6 +1103,17 @@ object ExtensionQueries {
         ("q3", "spark merge window")).toDF("query_id", "qtext")
       TextAnalysis.hardNegatives(t(s, d, "documents"), "doc_id", "text",
         qs, "query_id", "qtext", k = 10, marginE6 = 50000L)
+    }),
+
+    // deterministic RANDOM negatives (the DPR-style uniform complement to
+    // the BM25 hard negatives): md5-shuffle global ranks + per-query
+    // offset, positives skipped — reproducible on any engine
+    "q_random_negatives" -> ((s, d) => {
+      import s.implicits._
+      val pairs = Seq(("q1", 5L), ("q2", 123L), ("q3", 250L))
+        .toDF("query_id", "pos_id")
+      TextAnalysis.randomNegatives(pairs, t(s, d, "documents"),
+        "query_id", "pos_id", "doc_id", k = 10)
     }),
 
     // HYBRID retrieval: Reciprocal Rank Fusion (Cormack 2009, the standard
@@ -2792,7 +2815,7 @@ object ExtensionQueries {
     * making the dividend exactly divisible — both engines' integer-division
     * directions then agree even on negative component sums.
     */
-  private val kmeansTrainOracleSql: String = {
+  private def kmeansTrainCtes(extraWhere: String): String = {
     def iter(i: Int): String =
       s"""d$i AS (SELECT q.vec_id, c.cell,
          |        list_sum(list_transform(list_zip(q.qv, c.cv),
@@ -2811,10 +2834,10 @@ object ExtensionQueries {
          |m$i AS (SELECT cell, list(c ORDER BY pos) AS cv FROM u$i GROUP BY 1),
          |c$i AS (SELECT p.cell, coalesce(m.cv, p.cv) AS cv
          |      FROM c${i - 1} p LEFT JOIN m$i m USING (cell))""".stripMargin
-    """WITH q AS (SELECT vec_id,
+    s"""q AS (SELECT vec_id,
       |        list_transform(embedding::DOUBLE[],
       |          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
-      |      FROM embeddings WHERE embedding IS NOT NULL),
+      |      FROM embeddings WHERE embedding IS NOT NULL$extraWhere),
       |c0 AS (SELECT vec_id AS cell, qv AS cv FROM q
       |       ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16),""".stripMargin +
       "\n" + (1 to 2).map(iter).mkString(",\n") + ",\n" +
@@ -2827,11 +2850,47 @@ object ExtensionQueries {
         |      FROM fd),
         |fc AS (SELECT cell, count(*) AS n FROM fa WHERE rn = 1 GROUP BY 1),
         |fx AS (SELECT cell, generate_subscripts(cv, 1) - 1 AS pos,
-        |        unnest(cv) AS c FROM c2)
-        |SELECT fx.cell, CAST(fx.pos AS INTEGER) AS pos, CAST(fx.c AS BIGINT) AS c,
+        |        unnest(cv) AS c FROM c2)""".stripMargin
+  }
+
+  private val kmeansTrainOracleSql: String =
+    "WITH " + kmeansTrainCtes("") + "\n" +
+      """SELECT fx.cell, CAST(fx.pos AS INTEGER) AS pos, CAST(fx.c AS BIGINT) AS c,
         |  CAST(coalesce(fc.n, 0) AS BIGINT) AS n_members
         |FROM fx LEFT JOIN fc USING (cell)""".stripMargin
-  }
+
+  /** Semantic.kmeansUpdate restated: the < 250 train chain is the state,
+    * the >= 250 batch assigns against c2 and moves each touched centroid to
+    * the count-weighted running mean — the same divisible floor division.
+    */
+  private val kmeansUpdateOracleSql: String =
+    "WITH " + kmeansTrainCtes(" AND vec_id < 250") + ",\n" +
+      """bq AS (SELECT vec_id,
+        |        list_transform(embedding::DOUBLE[],
+        |          x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        |      FROM embeddings WHERE embedding IS NOT NULL AND vec_id >= 250),
+        |bd AS (SELECT b.vec_id, c.cell,
+        |        list_sum(list_transform(list_zip(b.qv, c.cv),
+        |                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        |      FROM bq b, c2 c),
+        |ba AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |      FROM bd),
+        |bs AS (SELECT a.cell, generate_subscripts(b.qv, 1) - 1 AS pos,
+        |        unnest(b.qv) AS v
+        |      FROM ba a JOIN bq b USING (vec_id) WHERE rn = 1),
+        |bu AS (SELECT cell, pos, sum(v) AS s, count(*) AS m
+        |      FROM bs GROUP BY 1, 2),
+        |st AS (SELECT fx.cell, fx.pos, fx.c, coalesce(fc.n, 0) AS n
+        |      FROM fx LEFT JOIN fc USING (cell))
+        |SELECT st.cell, CAST(st.pos AS INTEGER) AS pos,
+        |  CAST(CASE WHEN bu.m IS NULL THEN st.c ELSE
+        |    (st.c * st.n + bu.s
+        |     - ((st.c * st.n + bu.s) % (st.n + bu.m) + (st.n + bu.m))
+        |       % (st.n + bu.m))
+        |    // (st.n + bu.m) END AS BIGINT) AS c,
+        |  CAST(st.n + coalesce(bu.m, 0) AS BIGINT) AS n_members
+        |FROM st LEFT JOIN bu USING (cell, pos)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
@@ -3758,6 +3817,32 @@ object ExtensionQueries {
     // DIVISIBLE floor division (s − mod⁺) // n, so DuckDB's integer-division
     // truncation direction on negative sums cannot diverge from Spark's
     "q_kmeans_train" -> kmeansTrainOracleSql,
+    "q_kmeans_update" -> kmeansUpdateOracleSql,
+
+    // the md5 shuffle + modular window restated; hex-cast offset is the
+    // canary-pinned ('0x'||md5)::BIGINT idiom
+    "q_random_negatives" ->
+      ("""WITH ids AS (SELECT DISTINCT doc_id AS neg_id FROM documents),
+        |rk AS (SELECT neg_id,
+        |  row_number() OVER (ORDER BY md5(neg_id::VARCHAR), neg_id) - 1 AS r
+        |  FROM ids),
+        |nn AS (SELECT count(*) AS d FROM rk),
+        |p AS (SELECT * FROM (VALUES ('q1', 5), ('q2', 123), ('q3', 250))
+        |      t(query_id, pos_id)),
+        |off AS (SELECT query_id, CAST(pos_id AS BIGINT) AS pos_id,
+        |  ('0x' || substr(md5(query_id), 1, 8))::BIGINT
+        |    % (SELECT d FROM nn) AS o
+        |  FROM p),
+        |cand AS (SELECT query_id, pos_id, j.i AS j,
+        |  (o + j.i) % (SELECT d FROM nn) AS r
+        |  FROM off, range(0, 11) j(i)),
+        |neg AS (SELECT c.query_id, c.pos_id, rk.neg_id, c.j
+        |  FROM cand c JOIN rk ON rk.r = c.r WHERE rk.neg_id <> c.pos_id),
+        |n2 AS (SELECT query_id, pos_id, neg_id,
+        |  row_number() OVER (PARTITION BY query_id, pos_id ORDER BY j) AS rk
+        |  FROM neg)
+        |SELECT query_id, pos_id, neg_id, CAST(rk AS INTEGER) AS rk
+        |FROM n2 WHERE rk <= 10""".stripMargin),
 
     // same assignment over the planted corpus, then the keep-first
     // within-cell prune at cos >= 0.9 — the clones (vec_id >= 10000) are the

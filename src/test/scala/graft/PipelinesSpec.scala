@@ -690,6 +690,31 @@ class PipelinesSpec extends SparkSpec {
       queries, "query_id", "qtext", k = 10, marginE6 = widest + 1).count() == 0)
   }
 
+  test("randomNegatives: md5-shuffle draws match plain Scala; positive skipped") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq(("qa", 7L), ("qb", 11L)).toDF("query_id", "pos_id")
+    val got = TextAnalysis.randomNegatives(pairs, docs,
+      "query_id", "pos_id", "doc_id", k = 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // independent reference
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val order = (0L until 40L).sortBy(i => (md5hex(i.toString), i))
+    val expect = Seq("qa" -> 7L, "qb" -> 11L).flatMap { case (q, pos) =>
+      val off = java.lang.Long.parseLong(md5hex(q).substring(0, 8), 16) % 40
+      (0 to 5).map(j => order(((off + j) % 40).toInt))
+        .filter(_ != pos).take(5).zipWithIndex
+        .map { case (neg, i) => (q, pos, neg, i + 1) }
+    }.toSet
+    assert(got == expect, s"got $got want $expect")
+    assert(got.forall(_._3 != 7L) || got.exists(t => t._1 == "qb" && t._3 == 7L),
+      "a positive is only excluded for ITS OWN query")
+  }
+
   test("temperatureMixture: caps ∝ n^α exactly; α=1/4 flattens harder than α=1/2; md5 order kept") {
     import spark.implicits._
     val docs = (0L until 400L).map(i =>

@@ -75,6 +75,50 @@ class SemanticSpec extends SparkSpec {
     assert(counts.values.sum == rows.length.toLong)
   }
 
+  test("kmeansUpdate: running means match plain Scala; empty batch is identity") {
+    val emb = Tables(spark, sfDir, "embeddings")
+    val state = Semantic.kmeansTrain(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding", k = 4, iters = 1)
+    val stateRows = state.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+
+    // empty batch: every row passes through untouched
+    val idRows = Semantic.kmeansUpdate(state,
+      emb.filter(col("vec_id") < 0), "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(idRows == stateRows)
+
+    // plain-Scala reference for one mini-batch
+    val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+    val out = Semantic.kmeansUpdate(state, batch, "vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val cents = stateRows.groupBy(_._1._1).map { case (cell, rows) =>
+      cell -> rows.toSeq.sortBy(_._1._2).map(_._2._1).toArray
+    }
+    val bvecs = batch.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1000000.0 + 0.5).toLong).toArray)
+    def nearest(v: Array[Long]): Long = cents.toSeq.map { case (c, cv) =>
+      (cv.iterator.zip(v.iterator).map { case (b, a) => (a - b) * (a - b) }.sum, c)
+    }.min._2
+    val byCell = bvecs.groupBy { case (_, v) => nearest(v) }
+    val expect = stateRows.map { case ((cell, pos), (c, n)) =>
+      byCell.get(cell) match {
+        case Some(ms) =>
+          val m = ms.length.toLong
+          val t = c * n + ms.map(_._2(pos)).sum
+          (cell, pos) -> (Math.floorDiv(t, n + m), n + m)
+        case None => (cell, pos) -> (c, n)
+      }
+    }
+    assert(out == expect)
+    assert(out.filter(_._1._2 == 0).values.map(_._2).sum ==
+      stateRows.filter(_._1._2 == 0).values.map(_._2).sum + bvecs.length)
+  }
+
   test("semanticDedup: exact clones are pruned, originals survive") {
     val emb = Tables(spark, sfDir, "embeddings")
     val planted = emb.unionByName(
