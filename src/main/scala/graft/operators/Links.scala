@@ -459,6 +459,55 @@ object Links {
       .select(col("host"), col("rank"), col("is_seed"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the undirected host graph: every host starts labeled
+    * with itself; each round it adopts the most frequent label among its
+    * neighbors. Communities (mirror networks, site families, link farms)
+    * converge to one shared label — the grouping crawl policies and
+    * dedup-by-site heuristics key on, and a different signal from
+    * connected components (CC merges everything reachable; LPA splits a
+    * connected graph along its dense cores).
+    *
+    * Determinism: SYNCHRONOUS updates for a FIXED iteration count, ties
+    * broken by (max count, then lexicographically smallest label) — the
+    * whole round is exact counting, no randomized update order (the
+    * paper's asynchronous shuffle), so an external engine unrolls the
+    * rounds as CTEs and hash-matches. Oscillation on bipartite structures
+    * is therefore possible and benign — both engines oscillate
+    * identically, and a fixed small `iters` is how the synchronous variant
+    * is deployed.
+    *
+    * Scale shape per round: one equi-join of labels onto the symmetrized
+    * edge set + three map-side-combinable keyed aggregates (neighbor-label
+    * counts → per-host max → min winning label); `localCheckpoint` pins
+    * the recurrence (the CC/pageRank lineage discipline). No windows over
+    * corpus-sized partitions, no driver materialization.
+    */
+  def labelPropagate(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src_host", dstCol: String = "dst_host"): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("a").as("host")).distinct()
+      .localCheckpoint(eager = false)
+    var labels = nodes.withColumn("label", col("host"))
+    for (_ <- 1 to iters) {
+      val neigh = labels.join(e, labels("host") === e("a"))
+        .select(col("b").as("host"), col("label"))
+        .groupBy("host", "label").agg(count(lit(1)).as("cnt"))
+      val mc = neigh.groupBy("host").agg(max("cnt").as("mc"))
+      val winners = neigh.join(mc, "host")
+        .filter(col("cnt") === col("mc"))
+        .groupBy("host").agg(min("label").as("nl"))
+      labels = labels.join(winners, Seq("host"), "left")
+        .select(col("host"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(eager = false)
+    }
+    labels
+  }
+
   /** [[extractLinks]] → [[hostEdges]] → [[pageRank]] composed, joined back
     * to per-host link totals — the host-reputation report a crawl pipeline
     * keys its quality prior on: (host, rank, n_in_links, n_out_links).

@@ -159,6 +159,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Radius (range) search over a materialized [[ivfWrite]] index: return
+    * EVERY vector in the probed cells whose floor-quantized cosine to the
+    * query reaches `minCos` — the "all near-duplicates of this item" query
+    * shape (dedup candidate pull, recall audits), where top-k's fixed k
+    * either truncates a dense neighborhood or pads a sparse one. The query
+    * vector itself (if indexed) comes back at cos 1.0 — callers filter.
+    *
+    * Probe-cell choice runs in the SAME quantized-integer space the index
+    * was built in ([[Semantic.assignCells]]'s floor(x·1e6 + 0.5) grid), so
+    * the pick is exact-integer (order-free sums, ties by (dist, cell)) and
+    * an external engine reproduces it bit-for-bit — unlike [[ivfProbe]]'s
+    * double-distance pick, which predates the exact-integer discipline and
+    * stays for the top-k path. Candidate scoring reuses the codegen'd
+    * cosine + floor-4dp surface q_sim_topk proved hash-portable. Scale:
+    * a probe reads ~nprobe/nlist of the index via directory pruning; the
+    * output is whatever clears the radius — no global sort, no limit.
+    */
+  def ivfRange(spark: SparkSession, dir: String, queryVec: Array[Float],
+      minCos: Double, nprobe: Int = 4): DataFrame = {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val idx = spark.read.parquet(dir)
+    def q6(x: Float): Long = math.floor(x.toDouble * 1000000.0 + 0.5).toLong
+    val probeCells = spark.read.parquet(s"$dir.seeds")
+      .select(col("cell"), col("v"))
+      .collect()
+      .map { r =>
+        val s = r.getSeq[Float](1)
+        val d = s.zip(queryVec).map { case (x, y) =>
+          val dx = q6(x) - q6(y); dx * dx
+        }.sum
+        (r.getLong(0), d)
+      }
+      .sortBy { case (cell, d) => (d, cell) }
+      .take(nprobe).map(_._1)
+    val qLit = array(queryVec.map(x => lit(x)): _*)
+    idx.filter(col("cell").isin(probeCells: _*))
+      .select(col("vec_id"),
+        (floor(GraftFunctions.cosineSim(col("v"), qLit) * 10000)
+          .cast("double") / 10000.0).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** Materialize an IVF+PQ index — the billion-scale ANN layout (Jégou et
     * al. 2011 §V, the IVFADC system): vectors live in the [[ivfWrite]]
     * cell-partitioned directory structure but each partition stores PQ CODES

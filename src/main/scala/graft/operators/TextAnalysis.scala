@@ -1393,6 +1393,124 @@ object TextAnalysis {
           .as("avg_log10p"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling" — the hashed-n-gram recipe behind
+    * "pick the web slice that looks like the target corpus"): fit two
+    * bag-of-hashed-unigram multinomials — p over a curated TARGET corpus,
+    * q over the RAW pool — and score every raw document by its
+    * log-importance Σ_tokens [log p(b(w)) − log q(b(w))]. High scores mark
+    * raw documents whose token mix resembles the target distribution.
+    *
+    * Determinism contract (the r9/r10 DECIMAL discipline): both per-bucket
+    * probabilities are add-one-smoothed exact integer ratios
+    * (c_b + 1)/(T + B), so each bucket weight is the DIFFERENCE OF TWO
+    * separately-floor-quantized [[PortableLog]] log10 terms — the
+    * kneserNeyLogProb factorization spec (≤ 2 µunit from single-floor,
+    * and it keeps every log operand an exact BIGINT product far from
+    * overflow: a fused (ct+1)·(Traw+B) numerator would overflow int64 at
+    * ~1e9-count buckets over a ~1e12-token pool, exactly the 100 TB
+    * regime). Weights and per-doc sums are BIGINT micro-units
+    * (`dsir_e6`); no libm, no DECIMAL on the hash surface.
+    *
+    * Scale shape: the target pass is bounded (curated reference sets are
+    * small by the CCNet/fastText practice); the raw pass is one token
+    * explode into a map-side-combinable groupBy(f) of ≤ `nBuckets` rows;
+    * the weight table (≤ `nBuckets` rows) broadcasts to the scoring join,
+    * so the corpus-sized stage is one broadcast join + one per-doc
+    * aggregate — the unigramLogProb shape. Bucket the hash via the
+    * classifier's md5 idiom so the oracle restates it verbatim.
+    *
+    * Reference behavior context: cerebro-data/okera-trino exposes no data
+    * selection — this extends the engine along SURVEY §2.13.
+    */
+  def dsirScore(targetDocs: DataFrame, rawDocs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def toks(df: DataFrame): DataFrame = df
+      .select(Keys.id(df, idCol).as("doc_id"),
+        explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+          w => length(w) > 0)).as("w"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $nBuckets")
+          .as("f"))
+    val tgt = toks(targetDocs)
+    val raw = toks(rawDocs)
+    // bag counts (token INSTANCES, not distinct presence — DSIR is a
+    // multinomial importance ratio, unlike the classifier's presence bits)
+    val ct = tgt.groupBy("f").agg(count(lit(1)).as("ct"))
+    val cr = raw.groupBy("f").agg(count(lit(1)).as("cr"))
+    val tots = ct.agg(sum("ct").as("tt")).crossJoin(cr.agg(sum("cr").as("tr")))
+    def lp6(num: String, den: String): String =
+      s"cast(floor(${PortableLog.log10RatioSql(num, den, spark = true)} " +
+        "* 1000000.0D) as bigint)"
+    // weights only for buckets PRESENT in the raw pool (only those can be
+    // joined by a raw token); absent-in-target buckets smooth to ct = 0
+    val weights = cr.join(ct, Seq("f"), "left").crossJoin(tots)
+      .select(col("f"),
+        (expr(lp6("coalesce(ct, cast(0 as bigint)) + 1", s"tt + $nBuckets")) -
+          expr(lp6("cr + 1", s"tr + $nBuckets"))).as("w6"))
+    raw.join(broadcast(weights), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w6").as("dsir_e6"))
+  }
+
+  /** Deterministic top-`n` selection over [[dsirScore]] output — the
+    * resampling step run as exact rank selection (score desc, doc_id asc
+    * tiebreak) rather than Gumbel draws: sampled selection would put a
+    * transcendental of a uniform on the hash surface, and at corpus scale
+    * the top-weight slice is what DSIR's sampled selection concentrates on
+    * anyway. `TakeOrderedAndProject` — no global sort materializes.
+    */
+  def dsirSelect(scored: DataFrame, n: Int): DataFrame = {
+    require(n >= 1, "n must be positive")
+    scored.orderBy(col("dsir_e6").desc, col("doc_id").asc).limit(n)
+  }
+
+  /** CCNet-style perplexity terciles (Wenzek et al. 2020 §3.3 — "head /
+    * middle / tail"): partition each language's documents into thirds by
+    * language-model score, the bucketing CCNet publishes as its quality
+    * strata (head = best-scoring third, the slice usually kept or
+    * up-weighted). Generic over any of this file's LM scorers: input is a
+    * scored frame carrying a BIGINT micro-unit log-prob SUM column and its
+    * n-gram COUNT column; the per-document normalized score is the exact
+    * divisible floor division avg_e6 = (s − pmod(s, n)) div n (the
+    * kmeansTrain idiom — subtracting the nonnegative remainder first makes
+    * the dividend divisible, so the oracle engine's truncation direction on
+    * negative sums drops out).
+    *
+    * Tercile rule (deterministic, tie-stable): per group order the DISTINCT
+    * avg_e6 values descending (higher log-prob = lower perplexity = head);
+    * with cb = number of docs scoring strictly better and n_g the group
+    * size, bucket = (3·cb) div n_g ∈ {0, 1, 2} → head/middle/tail. All
+    * docs sharing a score land in one bucket by construction.
+    *
+    * Scale shape: the cumulative window runs over the avg_e6 CODOMAIN per
+    * group (per-token log10-probs in micro-units span ~[−8e6, 0] — the
+    * q_clf_auc discipline: bounded regardless of corpus size), never over
+    * doc rows; the docs join back on (group, avg_e6) keys. At 100 TB:
+    * one groupBy exchange of codomain-sized rows, one window over them,
+    * one keyed join — no global sort of the corpus ever materializes.
+    */
+  def perplexityBuckets(scored: DataFrame, idCol: String, groupCol: String,
+      sumCol: String, nCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = scored.select(Keys.id(scored, idCol).as("doc_id"),
+      col(groupCol).as("grp"),
+      expr(s"($sumCol - pmod($sumCol, $nCol)) div $nCol").as("avg_e6"))
+    val cnt = a.groupBy("grp", "avg_e6").agg(count(lit(1)).as("c"))
+    val desc6 = Window.partitionBy("grp").orderBy(col("avg_e6").desc)
+    val buckets = cnt.select(col("grp"), col("avg_e6"),
+      coalesce(sum("c").over(
+        desc6.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("cb"),
+      sum("c").over(Window.partitionBy("grp")).as("ng"))
+      .select(col("grp"), col("avg_e6"), expr(
+        "case (3 * cb) div ng when 0 then 'head' when 1 then 'middle' " +
+          "else 'tail' end").as("bucket"))
+    a.join(buckets, Seq("grp", "avg_e6"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("avg_e6"),
+        col("bucket"))
+  }
+
   /** Per-document word-distribution ENTROPY — the gibberish/boilerplate
     * signal the LM scorers don't give: near-zero entropy flags one-phrase
     * spam (same words repeated), anomalously high entropy flags
@@ -1482,6 +1600,38 @@ object TextAnalysis {
   /** The corpus word n-gram stream (one row per OCCURRENCE) — shared by
     * [[ngramHeavyHitters]]'s two passes.
     */
+  /** Per-document n-gram NOVELTY against a reference corpus — the
+    * contamination/overlap REPORT complementing span-level removal
+    * ([[Pipelines.decontaminate]] DROPS overlapping spans; this MEASURES
+    * per-doc overlap, the audit a release runs against its benchmark suite
+    * before and after decontamination, and the novelty signal
+    * dataset-mixing recipes weight by): novelty_bp = basis points of the
+    * document's DISTINCT word n-gram shingles absent from the reference
+    * set. Integer cross-multiplied ratio (the gopherGate discipline) — no
+    * float on the hash surface.
+    *
+    * Engine shingles ride [[Dedup.shingles]]' xxhash64 keys (16-byte join
+    * keys at 100 TB instead of n-word strings); the oracle counts raw
+    * n-gram strings — counts agree (the jaccardOracle convention: a
+    * counting xxhash64 collision is ~2⁻⁶⁴ per pair and would only shift a
+    * count by 1). Scale: two narrow shingle explodes, one distinct, one
+    * (AQE-broadcastable) left join on the hash key, one map-side-combined
+    * per-doc aggregate. Docs with < n words have no shingles and drop out.
+    */
+  def ngramNovelty(refDocs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 5): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val refSh = Dedup.shingles(refDocs, idCol, textCol, n)
+      .select(col("sh")).distinct().withColumn("__seen", lit(1))
+    Dedup.shingles(docs, idCol, textCol, n)
+      .join(refSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        expr("(n_novel * 10000) div n_ngrams").as("novelty_bp"))
+  }
+
   private def ngramStream(docs: DataFrame, textCol: String, n: Int): DataFrame =
     docs
       .select(words(col(textCol)).as("w"))

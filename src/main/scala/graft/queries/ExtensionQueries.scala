@@ -539,6 +539,19 @@ object ExtensionQueries {
         queryId = 0L, k = 20)
     }),
 
+    // radius search over the materialized float-IVF index: probe-cell pick
+    // in the exact-integer quantized grid (assignCells geometry), candidate
+    // scoring on the q_sim_topk-proven floor-4dp cosine surface — every
+    // indexed vector in the 4 probed cells clearing cos >= 0.1
+    "q_sim_range" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = s"target/ivf_${new java.io.File(d).getName}_rg"
+      Similarity.ivfWrite(emb, "vec_id", "embedding", dir, nlist = 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.ivfRange(s, dir, q, minCos = 0.1, nprobe = 4)
+    }),
+
     "q_sim_ann" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       // LSH-bucketed ANN: approximate by construction ⇒ rows-only check
@@ -699,6 +712,16 @@ object ExtensionQueries {
       Links.trustRank(Links.hostEdges(links),
         Seq("www.hub.example.com", "www.src0.example.com").toDF("host"),
         iters = 3, dampBp = 8500)
+    }),
+
+    // community detection: synchronous label propagation over the
+    // undirected host graph, 3 rounds, ties (max count, min label) —
+    // splits the connected graph along its dense cores where CC would
+    // merge it whole
+    "q_lpa" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      Links.labelPropagate(Links.hostEdges(links), iters = 3)
     }),
 
     // Flesch / Flesch-Kincaid readability, both scores BIGINT 1e-3 units
@@ -1742,6 +1765,28 @@ object ExtensionQueries {
         docs, "doc_id", "text", topV = 50)
     }),
 
+    // contamination/overlap audit: basis points of each doc's distinct
+    // 5-gram shingles absent from the src0 reference set (src0 docs
+    // themselves score 0 novelty — the self-check)
+    "q_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramNovelty(docs.filter(col("source") === "src0"), docs,
+        "doc_id", "text", n = 5)
+    }),
+
+    // CCNet head/middle/tail quality strata: per-language terciles over
+    // the backoff-LM score (divisible floor-div per-doc average, codomain
+    // cumulative window — never a corpus sort)
+    "q_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.backoffLogProb(
+        docs.filter(col("source") === "src0"), docs, "doc_id", "text",
+        topV = 50)
+      TextAnalysis.perplexityBuckets(
+        scored.join(docs.select(col("doc_id"), col("lang")), "doc_id"),
+        "doc_id", "lang", "sum_log10p_e6", "n_trigrams")
+    }),
+
     // interpolated Kneser-Ney bigram scoring, trained on the src0 slice,
     // served corpus-wide — the discount-and-redistribute proper smoothing
     // (continuation counts), every branch one integer-ratio PortableLog
@@ -1749,6 +1794,27 @@ object ExtensionQueries {
       val docs = t(s, d, "documents")
       TextAnalysis.kneserNeyLogProb(docs.filter(col("source") === "src0"),
         docs, "doc_id", "text", topV = 50)
+    }),
+
+    // DSIR importance weights (Xie et al. 2023): target distribution = the
+    // 'en' slice, raw pool = the whole corpus; hashed-unigram multinomial
+    // log-ratio per bucket (two separately-floored PortableLog terms),
+    // per-doc sums as BIGINT micro-units — high dsir_e6 = "looks like the
+    // target". The classifier's md5 % 256 bucket idiom, restated verbatim
+    // in the oracle.
+    "q_dsir" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.dsirScore(docs.filter(col("lang") === "en"), docs,
+        "doc_id", "text", nBuckets = 256)
+    }),
+
+    // the resampling step as deterministic rank selection: top-100 raw docs
+    // by importance weight (score desc, doc_id tiebreak)
+    "q_dsir_select" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.dsirSelect(
+        TextAnalysis.dsirScore(docs.filter(col("lang") === "en"), docs,
+          "doc_id", "text", nBuckets = 256), n = 100)
     }),
 
     // overlapping word windows (RAG chunking), 64-word windows, stride 48
@@ -2622,6 +2688,34 @@ object ExtensionQueries {
     * at r3 (host, rank after 3 iterations). Shared by the pagerank oracle
     * and the ranked-frontier composition.
     */
+  /** Links.labelPropagate restated: symmetrized distinct edge set, label =
+    * self, then `rounds` synchronous adopt-the-majority-label steps with
+    * the (max count, min label) tie rule — exact counting only, so the
+    * unrolled CTEs hash-match the engine's loop.
+    */
+  private def lpaOracleFor(rounds: Int): String = {
+    val steps = (1 to rounds).map { k =>
+      s"""c$k AS (SELECT e.b AS host, l.label, count(*)::BIGINT AS cnt
+         |  FROM l${k - 1} l JOIN e ON l.host = e.a GROUP BY 1, 2),
+         |m$k AS (SELECT host, max(cnt) AS mc FROM c$k GROUP BY 1),
+         |l$k AS (SELECT n.host, coalesce(w.nl, p.label) AS label
+         |  FROM n JOIN l${k - 1} p USING (host)
+         |  LEFT JOIN (SELECT c.host, min(c.label) AS nl
+         |             FROM c$k c JOIN m$k m ON c.host = m.host AND c.cnt = m.mc
+         |             GROUP BY 1) w USING (host))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkDerivCte,
+       |e0 AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM links
+       |       WHERE src_host <> dst_host),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |n AS (SELECT DISTINCT a AS host FROM e),
+       |l0 AS (SELECT host, host AS label FROM n),
+       |$steps
+       |SELECT host, label FROM l$rounds""".stripMargin
+  }
+
+  private val lpaOracleSql: String = lpaOracleFor(3)
+
   private val pageRankCtes: String = pageRankCtesN(3)
 
   /** Links.pageRankWeighted restated: per-source basis-point weight
@@ -2892,6 +2986,39 @@ object ExtensionQueries {
         |  CAST(st.n + coalesce(bu.m, 0) AS BIGINT) AS n_members
         |FROM st LEFT JOIN bu USING (cell, pos)""".stripMargin
 
+  /** The stupid-backoff LM oracle chain — shared verbatim by
+    * q_backoff_lm and (as a nested CTE) q_ccnet_buckets.
+    */
+  private val backoffLmOracle: String =
+        s"""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
+          |                                       x -> length(x) > 0) AS ws
+          |            FROM documents),
+          |tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+          |       FROM w, range(1, 100000) r(i)
+          |       WHERE len(ws) >= 3 AND i <= len(ws) - 2),
+          |rtg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+          |        FROM w, range(1, 100000) r(i)
+          |        WHERE source = 'src0' AND len(ws) >= 3 AND i <= len(ws) - 2),
+          |f3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM rtg GROUP BY 1, 2, 3),
+          |cx12 AS (SELECT w1, w2, sum(c123)::BIGINT AS c12 FROM f3 GROUP BY 1, 2),
+          |f2 AS (SELECT w2, w3, sum(c123)::BIGINT AS c23 FROM f3 GROUP BY 1, 2),
+          |cx2 AS (SELECT w2, sum(c23)::BIGINT AS c2 FROM f2 GROUP BY 1),
+          |f1 AS (SELECT w3, sum(c23)::BIGINT AS c3 FROM f2 GROUP BY 1),
+          |tot AS (SELECT sum(c3)::BIGINT AS t FROM f1),
+          |v3 AS (SELECT w1, w2, w3, floor(${PortableLog.log10RatioSql("c123", "c12", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp3
+          |       FROM f3 JOIN cx12 USING (w1, w2) ORDER BY c123 DESC, w1, w2, w3 LIMIT 50),
+          |v2 AS (SELECT w2, w3, floor(${PortableLog.log10RatioSql("2 * c23", "5 * c2", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp2
+          |       FROM f2 JOIN cx2 USING (w2) ORDER BY c23 DESC, w2, w3 LIMIT 50),
+          |v1 AS (SELECT w3, floor(${PortableLog.log10RatioSql("4 * c3", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp1
+          |       FROM f1, tot ORDER BY c3 DESC, w3 LIMIT 50),
+          |o AS (SELECT floor(${PortableLog.log10RatioSql("4::BIGINT", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp0 FROM tot)
+          |SELECT doc_id, count(*) AS n_trigrams,
+          |  sum(coalesce(lp3, lp2, lp1, lp0))::BIGINT AS sum_log10p_e6,
+          |  sum(coalesce(lp3, lp2, lp1, lp0))::DOUBLE / 1000000.0 / count(*) AS avg_log10p
+          |FROM tg LEFT JOIN v3 USING (w1, w2, w3) LEFT JOIN v2 USING (w2, w3)
+          |LEFT JOIN v1 USING (w3), o
+          |GROUP BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -3106,6 +3233,7 @@ object ExtensionQueries {
           |FROM links""".stripMargin),
 
     "q_pagerank" -> pageRankOracleSql,
+    "q_lpa" -> lpaOracleSql,
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_pagerank_weighted" -> pageRankWeightedOracleSql,
@@ -3988,6 +4116,34 @@ object ExtensionQueries {
         "FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20"),
 
+    // the IVF range search restated: md5-ordered seed draw, quantized-L2
+    // cell assignment, the query's 4 nearest cells in the SAME integer
+    // grid, then the q_sim_topk cosine surface over the probed cells with
+    // the radius filter
+    "q_sim_range" ->
+      ("""WITH q AS (SELECT vec_id, embedding,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |seeds AS (SELECT vec_id AS cell, qv AS sv FROM
+        |    (SELECT * FROM q ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16)),
+        |cd AS (SELECT q.vec_id, s.cell,
+        |    list_sum(list_transform(list_zip(q.qv, s.sv),
+        |             p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist2
+        |  FROM q, seeds s),
+        |cells AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+        |    FROM cd) WHERE rn = 1),
+        |probe AS (SELECT cell FROM cd WHERE vec_id = 0 ORDER BY dist2, cell LIMIT 4)
+        |SELECT * FROM (
+        |  SELECT b.vec_id,
+        |    floor(list_cosine_similarity(b.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 10000) / 10000 AS cos
+        |  FROM embeddings b
+        |  JOIN cells c ON b.vec_id = c.vec_id
+        |  JOIN probe p ON c.cell = p.cell,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) qe)
+        |WHERE cos >= 0.1""".stripMargin),
+
     "q_text_stats" ->
       ("WITH w AS (SELECT doc_id, text, " +
         "list_filter(string_split_regex(lower(text), '\\s+'), x -> length(x) > 0) AS ws " +
@@ -4831,35 +4987,52 @@ object ExtensionQueries {
     // the stupid-backoff chain restated: trigram table from the src0 slice,
     // every lower-order table a re-aggregation of it, α = 2/5 as integer
     // ratio numerator/denominator factors, per-token floor-e6 BIGINT units
-    "q_backoff_lm" ->
-      (s"""WITH w AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\\s+'),
-        |                                       x -> length(x) > 0) AS ws
-        |            FROM documents),
-        |tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
-        |       FROM w, range(1, 100000) r(i)
-        |       WHERE len(ws) >= 3 AND i <= len(ws) - 2),
-        |rtg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
-        |        FROM w, range(1, 100000) r(i)
-        |        WHERE source = 'src0' AND len(ws) >= 3 AND i <= len(ws) - 2),
-        |f3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c123 FROM rtg GROUP BY 1, 2, 3),
-        |cx12 AS (SELECT w1, w2, sum(c123)::BIGINT AS c12 FROM f3 GROUP BY 1, 2),
-        |f2 AS (SELECT w2, w3, sum(c123)::BIGINT AS c23 FROM f3 GROUP BY 1, 2),
-        |cx2 AS (SELECT w2, sum(c23)::BIGINT AS c2 FROM f2 GROUP BY 1),
-        |f1 AS (SELECT w3, sum(c23)::BIGINT AS c3 FROM f2 GROUP BY 1),
-        |tot AS (SELECT sum(c3)::BIGINT AS t FROM f1),
-        |v3 AS (SELECT w1, w2, w3, floor(${PortableLog.log10RatioSql("c123", "c12", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp3
-        |       FROM f3 JOIN cx12 USING (w1, w2) ORDER BY c123 DESC, w1, w2, w3 LIMIT 50),
-        |v2 AS (SELECT w2, w3, floor(${PortableLog.log10RatioSql("2 * c23", "5 * c2", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp2
-        |       FROM f2 JOIN cx2 USING (w2) ORDER BY c23 DESC, w2, w3 LIMIT 50),
-        |v1 AS (SELECT w3, floor(${PortableLog.log10RatioSql("4 * c3", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp1
-        |       FROM f1, tot ORDER BY c3 DESC, w3 LIMIT 50),
-        |o AS (SELECT floor(${PortableLog.log10RatioSql("4::BIGINT", "25 * t", spark = false)} * 1000000.0::DOUBLE)::BIGINT AS lp0 FROM tot)
-        |SELECT doc_id, count(*) AS n_trigrams,
-        |  sum(coalesce(lp3, lp2, lp1, lp0))::BIGINT AS sum_log10p_e6,
-        |  sum(coalesce(lp3, lp2, lp1, lp0))::DOUBLE / 1000000.0 / count(*) AS avg_log10p
-        |FROM tg LEFT JOIN v3 USING (w1, w2, w3) LEFT JOIN v2 USING (w2, w3)
-        |LEFT JOIN v1 USING (w3), o
-        |GROUP BY doc_id""".stripMargin),
+    // raw 5-gram strings where the engine joins on their xxhash64 keys —
+    // counts agree (the jaccardOracle convention); integer basis points
+    "q_ngram_novelty" ->
+      ("""WITH w AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 4),
+        |rsh AS (SELECT DISTINCT
+        |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+        |  FROM w, range(1, 100000) r(i)
+        |  WHERE source = 'src0' AND i <= len(ws) - 4)
+        |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+        |  sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |  ((sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END)::BIGINT * 10000)
+        |    // count(*))::BIGINT AS novelty_bp
+        |FROM dsh LEFT JOIN rsh r USING (s) GROUP BY doc_id""".stripMargin),
+
+    "q_backoff_lm" -> backoffLmOracle,
+
+    // CCNet head/middle/tail terciles over the backoff-LM score, per lang:
+    // the backoff chain reused verbatim as a nested CTE, then the divisible
+    // floor-div per-doc average, strictly-better cumulative count over the
+    // DESCENDING distinct-score codomain, bucket = (3·cb) // n_g
+    "q_ccnet_buckets" ->
+      (s"""WITH s AS ($backoffLmOracle),
+        |j AS (SELECT s.doc_id, d.lang, s.sum_log10p_e6 AS s6,
+        |             s.n_trigrams AS n
+        |      FROM s JOIN documents d USING (doc_id)),
+        |a AS (SELECT doc_id, lang,
+        |             (s6 - (((s6 % n) + n) % n)) // n AS avg_e6 FROM j),
+        |c AS (SELECT lang, avg_e6, count(*)::BIGINT AS c FROM a GROUP BY 1, 2),
+        |w AS (SELECT lang, avg_e6,
+        |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY avg_e6 DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb,
+        |        sum(c) OVER (PARTITION BY lang)::BIGINT AS ng
+        |      FROM c),
+        |b AS (SELECT lang, avg_e6,
+        |        CASE (3 * cb) // ng WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |          ELSE 'tail' END AS bucket
+        |      FROM w)
+        |SELECT a.doc_id, a.lang, a.avg_e6, b.bucket
+        |FROM a JOIN b USING (lang, avg_e6)""".stripMargin),
+
     // the KN algebra restated: capped bigram table with its PRECOMPUTED
     // lp12, uncapped per-word lp_ctx / lp_cont lookups (the seen-context
     // branch is BY SPEC the sum of its two separately-floored factors),
@@ -4908,6 +5081,52 @@ object ExtensionQueries {
         |  sum(lp)::BIGINT AS sum_log10p_e6,
         |  sum(lp)::DOUBLE / 1000000.0 / count(*) AS avg_log10p
         |FROM lp GROUP BY doc_id""".stripMargin),
+
+    // the DSIR algebra restated: md5 % 256 bucket counts over target ('en')
+    // and raw (all) token bags, per-bucket weight = difference of the two
+    // separately-floored add-one-smoothed PortableLog terms, per-doc sums
+    "q_dsir" ->
+      (s"""WITH w AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS w FROM w) t),
+        |ct AS (SELECT f, count(*)::BIGINT AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
+        |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
+        |wt AS (SELECT cr.f,
+        |    (floor(${PortableLog.log10RatioSql(
+             "coalesce(ct, 0::BIGINT) + 1", "tt + 256",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT
+        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 256",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
+        |  FROM cr LEFT JOIN ct USING (f), tots)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS dsir_e6
+        |FROM tok JOIN wt USING (f) GROUP BY doc_id""".stripMargin),
+
+    "q_dsir_select" ->
+      (s"""WITH w AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS f
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS w FROM w) t),
+        |ct AS (SELECT f, count(*)::BIGINT AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
+        |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
+        |wt AS (SELECT cr.f,
+        |    (floor(${PortableLog.log10RatioSql(
+             "coalesce(ct, 0::BIGINT) + 1", "tt + 256",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT
+        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 256",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
+        |  FROM cr LEFT JOIN ct USING (f), tots)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS dsir_e6
+        |FROM tok JOIN wt USING (f) GROUP BY doc_id
+        |ORDER BY dsir_e6 DESC, doc_id LIMIT 100""".stripMargin),
 
     // same window arithmetic: chunk i covers words [(i-1)*48+1, (i-1)*48+64],
     // window count = 1 + ceil((n-64)/48) clamped at >= 1

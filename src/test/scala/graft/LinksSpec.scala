@@ -371,4 +371,35 @@ class LinksSpec extends SparkSpec {
       "https://h.example.com/q1" -> "quoted gt",
       "https://h.example.com/q2" -> "second"), s"got $anchors")
   }
+
+  test("labelPropagate == independent plain-Scala synchronous LPA; disjoint cliques get distinct labels") {
+    val bridged = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+    val got = Links.labelPropagate(bridged.toDF("src_host", "dst_host"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    // independent reference: plain-Scala synchronous rounds, same tie rule
+    def lpa(edges: Seq[(String, String)], iters: Int): Map[String, String] = {
+      val sym = (edges ++ edges.map(e => (e._2, e._1))).distinct
+      val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lab = adj.keys.map(h => h -> h).toMap
+      for (_ <- 1 to iters) {
+        lab = adj.map { case (h, ns) =>
+          val cnt = ns.groupBy(lab).view.mapValues(_.size).toMap
+          val mc = cnt.values.max
+          h -> cnt.filter(_._2 == mc).keys.min
+        }
+      }
+      lab
+    }
+    assert(got == lpa(bridged, 3), s"got $got vs ${lpa(bridged, 3)}")
+
+    // two DISJOINT triangles converge to one label each, distinct labels
+    val twoCliques = bridged.dropRight(1)
+    val got2 = Links.labelPropagate(twoCliques.toDF("src_host", "dst_host"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set(got2("a1"), got2("a2"), got2("a3")).size == 1)
+    assert(Set(got2("b1"), got2("b2"), got2("b3")).size == 1)
+    assert(got2("a1") != got2("b1"))
+  }
 }

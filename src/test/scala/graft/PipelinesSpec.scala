@@ -601,6 +601,96 @@ class PipelinesSpec extends SparkSpec {
     graft.operators.Caches.release(spark)
   }
 
+  test("dsirScore == independent plain-Scala importance weights; target-like docs rank first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta beta", "en"),
+      (3L, "delta epsilon zeta", "xx"),
+      (4L, "alpha beta gamma gamma", "xx"), // raw doc that LOOKS like target
+      (5L, "", "xx")                        // zero tokens → dropped
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirScore(docs.filter($"lang" === "en"), docs,
+      "doc_id", "text", nBuckets = 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent reference: plain-Scala bucket counts + PortableLog refs
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 256
+    }
+    val rawDocs = Map(1L -> "alpha beta gamma", 2L -> "alpha beta beta",
+      3L -> "delta epsilon zeta", 4L -> "alpha beta gamma gamma", 5L -> "")
+    def toksOf(t: String) = t.split("\\s+").toSeq.filter(_.nonEmpty)
+    val tgtToks = Seq(1L, 2L).flatMap(id => toksOf(rawDocs(id)))
+    val rawToks = rawDocs.values.toSeq.flatMap(toksOf)
+    val ct = tgtToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val cr = rawToks.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (tgtToks.size.toLong, rawToks.size.toLong)
+    def lp6(a: Long, b: Long): Long =
+      math.floor(graft.functions.PortableLog.log10RatioRef(a, b) * 1e6).toLong
+    def w6(f: Long): Long =
+      lp6(ct.getOrElse(f, 0L) + 1, tt + 256) - lp6(cr(f) + 1, tr + 256)
+    def score(text: String): (Long, Long) = {
+      val ts = toksOf(text)
+      (ts.size.toLong, ts.map(w => w6(bucket(w))).sum)
+    }
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(got(id) == score(rawDocs(id)), s"doc $id: ${got(id)} vs ${score(rawDocs(id))}")
+    }
+    // per-token importance separates target-like from off-target raw docs
+    def avg(id: Long) = got(id)._2.toDouble / got(id)._1
+    assert(avg(4L) > avg(3L))
+
+    // dsirSelect = exact rank selection (score desc, doc_id asc)
+    val sel = TextAnalysis.dsirSelect(
+      TextAnalysis.dsirScore(docs.filter($"lang" === "en"), docs,
+        "doc_id", "text", nBuckets = 256), 2)
+      .collect().map(_.getLong(0)).toSeq
+    val expTop = Seq(1L, 2L, 3L, 4L).sortBy(id => (-got(id)._2, id)).take(2)
+    assert(sel == expTop)
+  }
+
+  test("ngramNovelty: reference docs score zero; short docs drop; basis points exact") {
+    import spark.implicits._
+    val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c d e f"), // both 5-gram shingles in ref → 0 bp
+      (2L, "a b c d e x"), // "a b c d e" seen, "b c d e x" novel → 5000 bp
+      (3L, "z y x w v u"), // both novel → 10000 bp
+      (4L, "a b c")        // < 5 words → no shingles → dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(ref, docs, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(1L -> ((2L, 0L, 0L)), 2L -> ((2L, 1L, 5000L)),
+      3L -> ((2L, 2L, 10000L))), s"got $got")
+  }
+
+  test("perplexityBuckets assigns per-group terciles; ties share a bucket; floor-div exact on negatives") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "g1", -10L, 2L), (2L, "g1", -20L, 2L), (3L, "g1", -30L, 2L),
+      (4L, "g1", -40L, 2L), (5L, "g1", -50L, 2L), (6L, "g1", -60L, 2L),
+      (10L, "g2", -10L, 1L), (11L, "g2", -10L, 1L), (12L, "g2", -90L, 1L),
+      (13L, "g2", -9L, 2L) // odd negative: floor(-4.5) = -5, not trunc -4
+    ).toDF("doc_id", "grp", "s6", "n")
+    val got = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "s6", "n")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    // g1 descending avgs -5,-10,-15,-20,-25,-30 → cb 0..5 → (3cb) div 6
+    assert(got(1L) == ((-5L, "head")) && got(2L) == ((-10L, "head")))
+    assert(got(3L) == ((-15L, "middle")) && got(4L) == ((-20L, "middle")))
+    assert(got(5L) == ((-25L, "tail")) && got(6L) == ((-30L, "tail")))
+    // g2 (n_g = 4): -5 best (head); tie at -10 shares cb = 1 → bucket 0 →
+    // head for BOTH; -90 cb = 3 → (9) div 4 = 2 → tail
+    assert(got(13L) == ((-5L, "head")))
+    assert(got(10L) == ((-10L, "head")) && got(11L) == ((-10L, "head")))
+    assert(got(12L) == ((-90L, "tail")))
+  }
+
   test("bm25Score == independent plain-Scala reference; tf and rarity order correctly") {
     import spark.implicits._
     val corpus = Seq(

@@ -53,6 +53,36 @@ class SimilaritySpec extends SparkSpec {
     assert(narrow.collect().nonEmpty)
   }
 
+  test("ivfRange: full probe equals the brute-force radius set; narrow probe is a subset and prunes") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rg").toString + "/idx"
+    Similarity.ivfWrite(emb, "vec_id", "embedding", dir, nlist = 8)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .head().getSeq[Float](1).toArray
+
+    // nprobe = nlist → every cell probed → exactly the brute-force radius set
+    val full = Similarity.ivfRange(spark, dir, qv, minCos = 0.1, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L,
+      k = emb.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._2 >= 0.1).toMap
+    assert(full.get(0L).contains(1.0), "the stored query vector itself is in range at cos 1")
+    assert((full - 0L) == exact, s"full-probe range must equal brute force: ${(full - 0L)} vs $exact")
+
+    // narrow probe: subset of the full radius set, partition-pruned scan
+    val narrow = Similarity.ivfRange(spark, dir, qv, minCos = 0.1, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("cell") &&
+      !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"range probe must partition-prune on cell:\n$plan")
+    val narrowSet = narrow.collect().map(_.getLong(0)).toSet
+    assert(narrowSet.subsetOf(full.keySet))
+    assert(narrowSet.contains(0L), "the query's own cell is always probed")
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
