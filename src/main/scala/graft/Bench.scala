@@ -52,7 +52,8 @@ object Bench {
     "q_dedup_near_retract", "q_dedup_semantic_retract", "q_readability",
     "q_pagerank_resume", "q_pagerank_weighted", "q_kmeans_update",
     "q_random_negatives",
-    "q_dsir", "q_ccnet_buckets", "q_sim_range", "q_ngram_novelty", "q_lpa")
+    "q_dsir", "q_ccnet_buckets", "q_sim_range", "q_ngram_novelty", "q_lpa",
+    "q_sq8_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

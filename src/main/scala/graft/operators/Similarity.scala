@@ -159,6 +159,75 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-dimension (min, max) of the quantized-integer grid — the SQ8
+    * codec's d-row training sidecar (the IVF-codebook cost class: a
+    * bounded collect of plan-time metadata, never corpus data). Returns
+    * the SQL literal-array texts for the min and range-per-dim tables.
+    */
+  private def sq8Bounds(qvecs: DataFrame): (String, String) = {
+    val mm = qvecs.select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect() // d rows — bounded codebook sidecar
+    require(mm.nonEmpty, "sq8: no non-null vectors to train bounds on")
+    val mnSql = mm.map(r => s"${r.getAs[Long]("mn")}L")
+      .mkString("array(", ", ", ")")
+    val rgSql = mm.map(r => s"${r.getAs[Long]("mx") - r.getAs[Long]("mn")}L")
+      .mkString("array(", ", ", ")")
+    (mnSql, rgSql)
+  }
+
+  private def sq8Qvecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"), Semantic.quantized(vecCol).as("qv"))
+
+  /** Scalar quantization (SQ8) — the third codec next to PQ and the raw
+    * float index (FAISS's SQ8 / Lucene's int8 HNSW storage): each
+    * dimension maps affinely onto one byte, code = ((v − min_d)·255) div
+    * (max_d − min_d), a 4× compression that (unlike PQ) needs no trained
+    * codebook beyond d (min, range) pairs and decodes with two integer
+    * ops. All arithmetic on [[Semantic.quantized]]'s exact-integer grid
+    * with floor `div` on non-negative operands — engine-portable by the
+    * established contract. Codes serialize comma-joined (the
+    * [[normalizeQuantize]] hash-surface idiom). One narrow pass after the
+    * d-row bounds aggregate: encoding 100 TB is a map-only job.
+    */
+  def sq8Encode(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val qvecs = sq8Qvecs(emb, idCol, vecCol)
+    val (mnSql, rgSql) = sq8Bounds(qvecs)
+    qvecs.select(col("vec_id"), expr(
+      s"array_join(transform(qv, (x, i) -> cast(((x - element_at($mnSql, i + 1)) * 255) " +
+        s"div greatest(1L, element_at($rgSql, i + 1)) as int)), ',')").as("sq8"))
+  }
+
+  /** Approximate top-k by SQ8 asymmetric inner product: candidates are
+    * scored on their DECODED codes (dec = min_d + (code·range_d) div 255)
+    * against the query's decoded codes — exact-integer throughout, so the
+    * approximate ranking itself is hash-checkable (the pqTopK property,
+    * at SQ8's higher fidelity / lower compression point). `adot` is in
+    * 1e-12 units (two 1e-6 factors). One broadcast of the 1-row query,
+    * one narrow scoring pass, TakeOrdered top-k — the bruteForceTopK
+    * shape; at scale SQ8 reads a quarter of the float bytes and the
+    * decode stays inside whole-stage codegen.
+    */
+  def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val qvecs = sq8Qvecs(emb, idCol, vecCol)
+    val (mnSql, rgSql) = sq8Bounds(qvecs)
+    val codes = qvecs.select(col("vec_id"), expr(
+      s"transform(qv, (x, i) -> ((x - element_at($mnSql, i + 1)) * 255) " +
+        s"div greatest(1L, element_at($rgSql, i + 1)))").as("c"))
+    val q = codes.filter(col("vec_id") === queryId).select(col("c").as("qc"))
+    def dec(arr: String) =
+      s"element_at($mnSql, i) + (element_at($arr, i) * element_at($rgSql, i)) div 255"
+    codes.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr(
+        s"aggregate(sequence(1, size(c)), 0L, (acc, i) -> " +
+          s"acc + (${dec("c")}) * (${dec("qc")}))").as("adot"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Radius (range) search over a materialized [[ivfWrite]] index: return
     * EVERY vector in the probed cells whose floor-quantized cosine to the
     * query reaches `minCos` — the "all near-duplicates of this item" query

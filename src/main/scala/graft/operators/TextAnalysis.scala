@@ -1494,9 +1494,13 @@ object TextAnalysis {
   def perplexityBuckets(scored: DataFrame, idCol: String, groupCol: String,
       sumCol: String, nCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // cached: the scored frame (often a full LM scoring pass) feeds BOTH
+    // the codomain count and the final join — uncached it would run twice.
+    // Caller-owned lifecycle, the [[Caches]] contract.
     val a = scored.select(Keys.id(scored, idCol).as("doc_id"),
       col(groupCol).as("grp"),
       expr(s"($sumCol - pmod($sumCol, $nCol)) div $nCol").as("avg_e6"))
+      .cache()
     val cnt = a.groupBy("grp", "avg_e6").agg(count(lit(1)).as("c"))
     val desc6 = Window.partitionBy("grp").orderBy(col("avg_e6").desc)
     val buckets = cnt.select(col("grp"), col("avg_e6"),

@@ -552,6 +552,17 @@ object ExtensionQueries {
       Similarity.ivfRange(s, dir, q, minCos = 0.1, nprobe = 4)
     }),
 
+    // SQ8 scalar quantization: per-dim affine byte codes (the codebook-free
+    // codec next to PQ), comma-joined on the hash surface
+    "q_sq8_encode" -> ((s, d) =>
+      Similarity.sq8Encode(t(s, d, "embeddings"), "vec_id", "embedding")),
+
+    // asymmetric decoded-code inner-product top-k — approximate ranking,
+    // exact-integer arithmetic, so the approximation itself hash-matches
+    "q_sq8_topk" -> ((s, d) =>
+      Similarity.sq8TopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 20)),
+
     "q_sim_ann" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
       // LSH-bucketed ANN: approximate by construction ⇒ rows-only check
@@ -4115,6 +4126,37 @@ object ExtensionQueries {
         "floor(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 10000) / 10000 AS cos " +
         "FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q " +
         "WHERE b.vec_id <> 0 ORDER BY cos DESC, b.vec_id LIMIT 20"),
+
+    // the SQ8 codec restated: per-dim min/range on the quantized grid,
+    // affine byte code with floor `//` on non-negative operands
+    "q_sq8_encode" ->
+      ("""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)::BIGINT) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |mm AS (SELECT i AS pos, min(qv[i])::BIGINT AS mn, max(qv[i])::BIGINT AS mx
+        |       FROM q, range(1, 1000) r(i) WHERE i <= len(qv) GROUP BY 1),
+        |c AS (SELECT q.vec_id, m.pos,
+        |        (((qv[m.pos] - m.mn) * 255) // greatest(1, m.mx - m.mn))::INTEGER AS code
+        |      FROM q JOIN mm m ON m.pos <= len(q.qv))
+        |SELECT vec_id, string_agg(code::VARCHAR, ',' ORDER BY pos) AS sq8
+        |FROM c GROUP BY vec_id""".stripMargin),
+
+    // decoded-code inner product: dec = mn + (code·range) // 255, summed
+    // exact-integer per pair against the vec_id-0 query
+    "q_sq8_topk" ->
+      ("""WITH q AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[], x -> floor(x * 1000000.0 + 0.5)::BIGINT) AS qv
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |mm AS (SELECT i AS pos, min(qv[i])::BIGINT AS mn, max(qv[i])::BIGINT AS mx
+        |       FROM q, range(1, 1000) r(i) WHERE i <= len(qv) GROUP BY 1),
+        |dv AS (SELECT q.vec_id, m.pos,
+        |        (m.mn + ((((qv[m.pos] - m.mn) * 255) // greatest(1, m.mx - m.mn))
+        |                 * (m.mx - m.mn)) // 255)::BIGINT AS dec
+        |       FROM q JOIN mm m ON m.pos <= len(q.qv))
+        |SELECT a.vec_id, sum(a.dec * b.dec)::BIGINT AS adot
+        |FROM dv a JOIN dv b ON a.pos = b.pos AND b.vec_id = 0
+        |WHERE a.vec_id <> 0 GROUP BY 1
+        |ORDER BY adot DESC, a.vec_id LIMIT 20""".stripMargin),
 
     // the IVF range search restated: md5-ordered seed draw, quantized-L2
     // cell assignment, the query's 4 nearest cells in the SAME integer

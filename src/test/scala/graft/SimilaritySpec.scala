@@ -83,6 +83,41 @@ class SimilaritySpec extends SparkSpec {
     assert(narrowSet.contains(0L), "the query's own cell is always probed")
   }
 
+  test("sq8: byte-range codes, one-step reconstruction error, top-k tracks the exact-dot ranking") {
+    import org.apache.spark.sql.functions.col
+    GraftFunctions.register(spark)
+    val vecs = emb.filter(col("embedding").isNotNull).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    val d = vecs.values.head.length
+    val mn = (0 until d).map(i => vecs.values.map(_(i)).min).toArray
+    val rg = (0 until d).map(i => vecs.values.map(_(i)).max - mn(i)).toArray
+
+    val enc = Similarity.sq8Encode(emb, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toInt)).toMap
+    assert(enc.keySet == vecs.keySet)
+    enc.foreach { case (id, cs) =>
+      assert(cs.length == d && cs.forall(c => c >= 0 && c <= 255))
+      // reconstruction: dec = mn + (code·rg) div 255 within one step of v6
+      (0 until d).foreach { i =>
+        val dec = mn(i) + cs(i).toLong * rg(i) / 255L
+        val step = math.max(1L, rg(i) / 255L)
+        assert(math.abs(dec - vecs(id)(i)) <= step + 1,
+          s"vec $id dim $i: dec $dec vs ${vecs(id)(i)} (step $step)")
+      }
+    }
+
+    val topk = Similarity.sq8TopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val q = vecs(0L)
+    val exact = (vecs - 0L).map { case (id, v) =>
+      id -> v.zip(q).map { case (a, b) => a * b }.sum
+    }.toSeq.sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    val recall = topk.intersect(exact).size
+    assert(recall >= 7, s"sq8 top-10 recall vs exact dot too low: $recall")
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
