@@ -1423,18 +1423,30 @@ object TextAnalysis {
     * Reference behavior context: cerebro-data/okera-trino exposes no data
     * selection — this extends the engine along SURVEY §2.13.
     */
-  def dsirScore(targetDocs: DataFrame, rawDocs: DataFrame, idCol: String,
+  private def dsirToks(df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = df
+    .select(Keys.id(df, idCol).as("doc_id"),
+      explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
+        w => length(w) > 0)).as("w"))
+    .select(col("doc_id"),
+      expr(s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $nBuckets")
+        .as("f"))
+
+  /** The trained DSIR selector: per-bucket importance weight table
+    * (f, w6), one row per bucket PRESENT in the raw sample plus the OOV
+    * row at f = -1 (the classifier's bias-row convention) carrying the
+    * both-counts-zero smoothed weight — what a token hashing into a
+    * bucket the raw sample never produced scores under [[dsirScoreWith]].
+    * This is the persistable model state of the train/serve split: fit
+    * once on (curated target, raw SAMPLE), then score every rolling batch
+    * against the frozen table — the fastText/CCNet serving discipline,
+    * and the reason scoring a 100 TB stream needs no model pass.
+    */
+  def dsirWeights(targetDocs: DataFrame, rawDocs: DataFrame, idCol: String,
       textCol: String, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    def toks(df: DataFrame): DataFrame = df
-      .select(Keys.id(df, idCol).as("doc_id"),
-        explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
-          w => length(w) > 0)).as("w"))
-      .select(col("doc_id"),
-        expr(s"cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint) % $nBuckets")
-          .as("f"))
-    val tgt = toks(targetDocs)
-    val raw = toks(rawDocs)
+    val tgt = dsirToks(targetDocs, idCol, textCol, nBuckets)
+    val raw = dsirToks(rawDocs, idCol, textCol, nBuckets)
     // bag counts (token INSTANCES, not distinct presence — DSIR is a
     // multinomial importance ratio, unlike the classifier's presence bits)
     val ct = tgt.groupBy("f").agg(count(lit(1)).as("ct"))
@@ -1443,16 +1455,42 @@ object TextAnalysis {
     def lp6(num: String, den: String): String =
       s"cast(floor(${PortableLog.log10RatioSql(num, den, spark = true)} " +
         "* 1000000.0D) as bigint)"
-    // weights only for buckets PRESENT in the raw pool (only those can be
-    // joined by a raw token); absent-in-target buckets smooth to ct = 0
     val weights = cr.join(ct, Seq("f"), "left").crossJoin(tots)
       .select(col("f"),
         (expr(lp6("coalesce(ct, cast(0 as bigint)) + 1", s"tt + $nBuckets")) -
           expr(lp6("cr + 1", s"tr + $nBuckets"))).as("w6"))
-    raw.join(broadcast(weights), Seq("f"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("w6").as("dsir_e6"))
+    val oov = tots.select(lit(-1L).as("f"),
+      (expr(lp6("cast(1 as bigint)", s"tt + $nBuckets")) -
+        expr(lp6("cast(1 as bigint)", s"tr + $nBuckets"))).as("w6"))
+    weights.unionByName(oov)
   }
+
+  /** Score any document batch against a FROZEN [[dsirWeights]] table —
+    * the serve half of the split (and the incremental form: batch N
+    * scores against the table round 0 trained; no model recomputation,
+    * no batch can launder its own tokens into the weights). Tokens in
+    * buckets outside the table take the f = -1 OOV weight. One broadcast
+    * join + one per-doc aggregate — the corpus-sized stage of
+    * [[dsirScore]], alone.
+    */
+  def dsirScoreWith(weights: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame = {
+    val oov = weights.filter(col("f") === -1L).select(col("w6").as("w0"))
+    dsirToks(docs, idCol, textCol, nBuckets)
+      .join(broadcast(weights.filter(col("f") =!= -1L)), Seq("f"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w6"), col("w0"))).as("dsir_e6"))
+  }
+
+  def dsirScore(targetDocs: DataFrame, rawDocs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int = 1024): DataFrame =
+    // in-sample scoring: every raw bucket is in the table, so the serve
+    // path's OOV coalesce never fires — ONE scoring definition, the
+    // pageRankLoop can't-fork discipline
+    dsirScoreWith(dsirWeights(targetDocs, rawDocs, idCol, textCol, nBuckets),
+      rawDocs, idCol, textCol, nBuckets)
 
   /** Deterministic top-`n` selection over [[dsirScore]] output — the
     * resampling step run as exact rank selection (score desc, doc_id asc

@@ -1819,6 +1819,17 @@ object ExtensionQueries {
         "doc_id", "text", nBuckets = 256)
     }),
 
+    // the SERVE half / incremental form: weights frozen from (en target,
+    // doc_id < 50 raw sample), then the WHOLE corpus scored against the
+    // table — tokens hashing outside the sample's buckets take the f = -1
+    // OOV weight (the sample is small enough that the branch is exercised)
+    "q_dsir_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val w = TextAnalysis.dsirWeights(docs.filter(col("lang") === "en"),
+        docs.filter(col("doc_id") < 50), "doc_id", "text", nBuckets = 1024)
+      TextAnalysis.dsirScoreWith(w, docs, "doc_id", "text", nBuckets = 1024)
+    }),
+
     // the resampling step as deterministic rank selection: top-100 raw docs
     // by importance weight (score desc, doc_id tiebreak)
     "q_dsir_select" -> ((s, d) => {
@@ -5147,6 +5158,37 @@ object ExtensionQueries {
         |  FROM cr LEFT JOIN ct USING (f), tots)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS dsir_e6
         |FROM tok JOIN wt USING (f) GROUP BY doc_id""".stripMargin),
+
+    // frozen-table serving restated: target counts from the en slice, raw
+    // counts from the doc_id < 50 sample, OOV = both-counts-zero smoothed
+    // weight; the whole corpus left-joins the table and coalesces to OOV
+    "q_dsir_serve" ->
+      (s"""WITH w AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, lang, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS f
+        |        FROM (SELECT doc_id, lang, unnest(ws) AS w FROM w) t),
+        |ct AS (SELECT f, count(*)::BIGINT AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok WHERE doc_id < 50 GROUP BY 1),
+        |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
+        |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
+        |wt AS (SELECT cr.f,
+        |    (floor(${PortableLog.log10RatioSql(
+             "coalesce(ct, 0::BIGINT) + 1", "tt + 1024",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT
+        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 1024",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
+        |  FROM cr LEFT JOIN ct USING (f), tots),
+        |ov AS (SELECT
+        |    (floor(${PortableLog.log10RatioSql("1::BIGINT", "tt + 1024",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT
+        |     - floor(${PortableLog.log10RatioSql("1::BIGINT", "tr + 1024",
+             spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w0
+        |  FROM tots)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(coalesce(w6, w0))::BIGINT AS dsir_e6
+        |FROM tok LEFT JOIN wt USING (f), ov GROUP BY doc_id""".stripMargin),
 
     "q_dsir_select" ->
       (s"""WITH w AS (SELECT doc_id, lang,

@@ -653,6 +653,38 @@ class PipelinesSpec extends SparkSpec {
     assert(sel == expTop)
   }
 
+  test("dsirScoreWith: frozen weights serve a new batch; unseen buckets take the OOV weight") {
+    import spark.implicits._
+    val target = Seq((1L, "alpha beta beta")).toDF("doc_id", "text")
+    val rawSample = Seq((2L, "alpha gamma")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha zzz-unseen")).toDF("doc_id", "text")
+    val w = TextAnalysis.dsirWeights(target, rawSample, "doc_id", "text",
+      nBuckets = 256)
+    val got = TextAnalysis.dsirScoreWith(w, batch, "doc_id", "text", 256)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    def bucket(word: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(word.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16) % 256
+    }
+    def lp6(a: Long, b: Long): Long =
+      math.floor(graft.functions.PortableLog.log10RatioRef(a, b) * 1e6).toLong
+    val ct = Seq("alpha", "beta", "beta").groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val cr = Seq("alpha", "gamma").groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (tt, tr) = (3L, 2L)
+    val w0 = lp6(1, tt + 256) - lp6(1, tr + 256)
+    assert(w0 != 0L, "test needs distinct totals so the OOV weight is visible")
+    def wOf(word: String): Long = {
+      val f = bucket(word)
+      if (cr.contains(f))
+        lp6(ct.getOrElse(f, 0L) + 1, tt + 256) - lp6(cr(f) + 1, tr + 256)
+      else w0
+    }
+    assert(!cr.contains(bucket("zzz-unseen")), "fixture must exercise the OOV branch")
+    assert(got(10L) == ((2L, wOf("alpha") + wOf("zzz-unseen"))), s"got $got")
+  }
+
   test("ngramNovelty: reference docs score zero; short docs drop; basis points exact") {
     import spark.implicits._
     val ref = Seq((1L, "a b c d e f")).toDF("doc_id", "text")

@@ -104,6 +104,21 @@ object ProfileGraph {
           .write.format("noop").mode("overwrite").save()
       }
     }
+    // --- 4. labelPropagate under the same floods -------------------------
+    // per round: labels⋈edges join + count/max/min keyed aggregates, all
+    // map-side combinable — the hot host's (host, label) count rows are
+    // bounded by its distinct NEIGHBOR LABELS, not its edge count, so the
+    // 90%-one-dst flood must track the uniform graph
+    for (i <- 1 to 2) {
+      time(s"labelPropagate 3 iters uniform 100k hosts#$i") {
+        graft.operators.Links.labelPropagate(uniform, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"labelPropagate 3 iters 90%-one-dst skew  #$i") {
+        graft.operators.Links.labelPropagate(skewed, iters = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     spark.stop()
   }
 }
