@@ -228,6 +228,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** The [[graft.functions.CosineSimilarity]] loop replicated exactly
+    * (same sequential accumulation order, same zero-norm rule, strict
+    * Java-17 doubles) then floor-quantized to 4dp integer units — the
+    * driver-side MMR step must score candidate pairs bit-identically to
+    * the in-plan expression.
+    */
+  private def cos4Ref(a: Array[Float], b: Array[Float]): Long = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+    while (i < n) {
+      val xi = a(i).toDouble; val yi = b(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+    }
+    val c = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    math.floor(c * 10000.0).toLong
+  }
+
+  /** MMR diversified top-k (Carbonell & Goldstein 1998): greedily pick
+    * the candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected — the retrieval that returns ten DIFFERENT relevant
+    * results instead of ten near-copies of the best one (exactly the
+    * failure mode a near-dup-heavy web corpus gives plain top-k; RAG and
+    * hard-negative mining both want this surface).
+    *
+    * Scale split: the corpus-sized stage is the candidate pull — exact
+    * top-`poolSize` on the floor-4dp integer cosine surface (TakeOrdered,
+    * any retriever could stand in) — and the greedy phase then runs on
+    * the COLLECTED pool (`poolSize` rows with vectors: bounded plan-time
+    * data, the IVF-codebook collect class; the selection is inherently
+    * sequential in k and touches k·poolSize pairs). All scoring exact
+    * integer: mmr = lambdaBp·rel4 − (10000−lambdaBp)·maxSim4, ties to the
+    * smaller vec_id — an external engine reproduces the whole selection
+    * by unrolling k steps.
+    */
+  def mmrTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, poolSize: Int = 50, lambdaBp: Int = 7000): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, "lambdaBp is basis points")
+    import graft.functions.GraftFunctions
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val q = emb.filter(Keys.id(emb, idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    val pool = emb.filter(Keys.id(emb, idCol) =!= queryId)
+      .filter(col(vecCol).isNotNull)
+      .crossJoin(broadcast(q))
+      .select(Keys.id(emb, idCol).as("vec_id"),
+        floor(GraftFunctions.cosineSim(col(vecCol), col("qv")) * 10000)
+          .cast("long").as("rel4"),
+        col(vecCol).as("v"))
+      .orderBy(col("rel4").desc, col("vec_id").asc)
+      .limit(poolSize)
+      .collect() // poolSize rows incl. vectors — bounded sidecar
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2).toArray))
+    val lam = lambdaBp.toLong; val mu = 10000L - lambdaBp
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    var remaining = pool
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val scored = remaining.map { case (id, rel4, v) =>
+        val maxSim = if (chosen.isEmpty) 0L
+          else chosen.map { case (_, sv) => cos4Ref(v, sv) }.max
+        (lam * rel4 - mu * maxSim, id, rel4, v)
+      }
+      val best = scored.minBy { case (s, id, _, _) => (-s, id) }
+      selected += ((rank, best._2, best._3, best._1))
+      chosen += ((best._2, best._4))
+      remaining = remaining.filterNot(_._1 == best._2)
+      rank += 1
+    }
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "rel4", "mmr")
+  }
+
   /** Radius (range) search over a materialized [[ivfWrite]] index: return
     * EVERY vector in the probed cells whose floor-quantized cosine to the
     * query reaches `minCos` — the "all near-duplicates of this item" query

@@ -552,6 +552,13 @@ object ExtensionQueries {
       Similarity.ivfRange(s, dir, q, minCos = 0.1, nprobe = 4)
     }),
 
+    // MMR diversified retrieval: greedy λ·rel − (1−λ)·maxSim selection over
+    // the top-20 candidate pool, k = 5, all scoring exact-integer on the
+    // floor-4dp cosine surface — the anti-near-dup top-k
+    "q_mmr_topk" -> ((s, d) =>
+      Similarity.mmrTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 5, poolSize = 20, lambdaBp = 7000)),
+
     // SQ8 scalar quantization: per-dim affine byte codes (the codebook-free
     // codec next to PQ), comma-joined on the hash surface
     "q_sq8_encode" -> ((s, d) =>
@@ -2710,6 +2717,43 @@ object ExtensionQueries {
     * at r3 (host, rank after 3 iterations). Shared by the pagerank oracle
     * and the ranked-frontier composition.
     */
+  /** Similarity.mmrTopK restated: the top-20 pool by floor-4dp cosine, then
+    * k greedy steps unrolled — step 1 is pure λ·rel; each later step's mmr
+    * subtracts μ·max-sim-to-the-selected-set via a correlated subquery over
+    * the (bounded) sel chain; ties ORDER BY (mmr DESC, vec_id).
+    */
+  private val mmrOracleSql: String = {
+    val k = 5; val lam = 7000L; val mu = 3000L
+    val sim =
+      "floor(list_cosine_similarity(p.embedding::DOUBLE[], s.embedding::DOUBLE[]) * 10000)::BIGINT"
+    val steps = new StringBuilder
+    steps ++=
+      s"""s1 AS (SELECT vec_id, rel4, embedding, $lam * rel4 AS mmr, 1 AS rank
+         |  FROM p ORDER BY $lam * rel4 DESC, vec_id LIMIT 1),
+         |sel1 AS (SELECT vec_id, embedding FROM s1)"""
+    for (i <- 2 to k) {
+      steps ++=
+        s""",
+           |c$i AS (SELECT p.vec_id, p.rel4, p.embedding,
+           |  $lam * p.rel4 - $mu * (SELECT max($sim) FROM sel${i - 1} s) AS mmr
+           |  FROM p WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})),
+           |s$i AS (SELECT vec_id, rel4, embedding, mmr, $i AS rank FROM c$i
+           |  ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$i AS (SELECT vec_id, embedding FROM sel${i - 1}
+           |  UNION ALL SELECT vec_id, embedding FROM s$i)"""
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT rank, vec_id, rel4, mmr FROM s$i")
+      .mkString("\n|", "\n|UNION ALL\n|", "")
+    (s"""WITH p AS (SELECT b.vec_id,
+        |    floor(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 10000)::BIGINT AS rel4,
+        |    b.embedding
+        |  FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  WHERE b.vec_id <> 0 AND b.embedding IS NOT NULL
+        |  ORDER BY rel4 DESC, b.vec_id LIMIT 20),
+        |""" + steps.toString + unions).stripMargin
+  }
+
   /** Links.labelPropagate restated: symmetrized distinct edge set, label =
     * self, then `rounds` synchronous adopt-the-majority-label steps with
     * the (max count, min label) tie rule — exact counting only, so the
@@ -3256,6 +3300,7 @@ object ExtensionQueries {
 
     "q_pagerank" -> pageRankOracleSql,
     "q_lpa" -> lpaOracleSql,
+    "q_mmr_topk" -> mmrOracleSql,
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_pagerank_weighted" -> pageRankWeightedOracleSql,

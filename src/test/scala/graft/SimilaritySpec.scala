@@ -118,6 +118,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 7, s"sq8 top-10 recall vs exact dot too low: $recall")
   }
 
+  test("mmrTopK: picks the different medium hit over the near-duplicate plain top-k keeps") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),  // best hit
+      (2L, Array(0.98f, 0.11f, 0.0f, 0.0f)), // near-duplicate of 1
+      (3L, Array(0.7f, 0.0f, 0.7f, 0.0f))    // different direction, medium rel
+    ).toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", 0L, 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L), s"plain top-k fixture broken: $plain")
+    val mmr = Similarity.mmrTopK(vecs, "vec_id", "embedding", 0L,
+      k = 2, poolSize = 3, lambdaBp = 5000)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(mmr == Seq((1, 1L), (2, 3L)), s"mmr must diversify: $mmr")
+    // k = poolSize returns the whole pool, every rank once
+    val all = Similarity.mmrTopK(vecs, "vec_id", "embedding", 0L,
+      k = 3, poolSize = 3, lambdaBp = 5000)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(all.map(_._1).toSeq == Seq(1, 2, 3) && all.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
