@@ -1536,8 +1536,7 @@ object TextAnalysis {
     // the codomain count and the final join — uncached it would run twice.
     // Caller-owned lifecycle, the [[Caches]] contract.
     val a = scored.select(Keys.id(scored, idCol).as("doc_id"),
-      col(groupCol).as("grp"),
-      expr(s"($sumCol - pmod($sumCol, $nCol)) div $nCol").as("avg_e6"))
+      col(groupCol).as("grp"), avgE6Expr(sumCol, nCol).as("avg_e6"))
       .cache()
     val cnt = a.groupBy("grp", "avg_e6").agg(count(lit(1)).as("c"))
     val desc6 = Window.partitionBy("grp").orderBy(col("avg_e6").desc)
@@ -1551,6 +1550,43 @@ object TextAnalysis {
     a.join(buckets, Seq("grp", "avg_e6"))
       .select(col("doc_id"), col("grp").as(groupCol), col("avg_e6"),
         col("bucket"))
+  }
+
+  private def avgE6Expr(sumCol: String, nCol: String) =
+    expr(s"($sumCol - pmod($sumCol, $nCol)) div $nCol")
+
+  /** The persistable stratum state of [[perplexityBuckets]]: per group the
+    * minimum avg_e6 that still lands in head and in middle — two BIGINT
+    * cut points per group. A rolling pipeline computes these ONCE on a
+    * reference round and then serves every later batch against the frozen
+    * cuts ([[perplexityBucketsWith]]) — recomputing terciles per batch
+    * would let each batch's own quality mix move the goalposts (the same
+    * laundering argument as the LM train/serve split), and at 100 TB the
+    * serve path is a broadcast join instead of a distribution pass.
+    */
+  def perplexityCuts(scored: DataFrame, idCol: String, groupCol: String,
+      sumCol: String, nCol: String): DataFrame =
+    perplexityBuckets(scored, idCol, groupCol, sumCol, nCol)
+      .groupBy(groupCol)
+      .agg(min(when(col("bucket") === "head", col("avg_e6"))).as("head_min"),
+        min(when(col("bucket") === "middle", col("avg_e6"))).as("mid_min"))
+
+  /** Bucket a scored batch against FROZEN [[perplexityCuts]]: head if
+    * avg_e6 ≥ head_min, middle if ≥ mid_min, else tail. A group absent
+    * from the cuts table (a language the reference round never saw)
+    * defaults to TAIL — conservative: unvetted strata don't get promoted.
+    * One broadcast join (cuts = 2 longs per group) + the narrow avg
+    * projection; no window, no distribution pass.
+    */
+  def perplexityBucketsWith(cuts: DataFrame, scored: DataFrame, idCol: String,
+      groupCol: String, sumCol: String, nCol: String): DataFrame = {
+    val a = scored.select(Keys.id(scored, idCol).as("doc_id"),
+      col(groupCol).as("grp"), avgE6Expr(sumCol, nCol).as("avg_e6"))
+    a.join(broadcast(cuts.withColumnRenamed(groupCol, "grp")), Seq("grp"), "left")
+      .select(col("doc_id"), col("grp").as(groupCol), col("avg_e6"),
+        when(col("head_min").isNotNull && col("avg_e6") >= col("head_min"), "head")
+          .when(col("mid_min").isNotNull && col("avg_e6") >= col("mid_min"), "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /** Per-document word-distribution ENTROPY — the gibberish/boilerplate

@@ -1805,6 +1805,23 @@ object ExtensionQueries {
         "doc_id", "lang", "sum_log10p_e6", "n_trigrams")
     }),
 
+    // the frozen-strata serve form: cuts computed on the doc_id < 250
+    // reference round (same frozen src0 LM), then the WHOLE corpus
+    // bucketed against them — no per-batch distribution pass
+    "q_ccnet_serve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val scored = TextAnalysis.backoffLogProb(
+        docs.filter(col("source") === "src0"), docs, "doc_id", "text",
+        topV = 50)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .cache() // feeds the cuts pass and the serve pass
+      val cuts = TextAnalysis.perplexityCuts(
+        scored.filter(col("doc_id") < 250), "doc_id", "lang",
+        "sum_log10p_e6", "n_trigrams")
+      TextAnalysis.perplexityBucketsWith(cuts, scored, "doc_id", "lang",
+        "sum_log10p_e6", "n_trigrams")
+    }),
+
     // interpolated Kneser-Ney bigram scoring, trained on the src0 slice,
     // served corpus-wide — the discount-and-redistribute proper smoothing
     // (continuation counts), every branch one integer-ratio PortableLog
@@ -5130,6 +5147,37 @@ object ExtensionQueries {
         |      FROM w)
         |SELECT a.doc_id, a.lang, a.avg_e6, b.bucket
         |FROM a JOIN b USING (lang, avg_e6)""".stripMargin),
+
+    // frozen strata restated: the SAME tercile chain over the doc_id < 250
+    // reference slice only, reduced to two per-lang cut points, then the
+    // whole corpus CASE-bucketed against them (absent lang → tail)
+    "q_ccnet_serve" ->
+      (s"""WITH s AS ($backoffLmOracle),
+        |j AS (SELECT s.doc_id, d.lang, s.sum_log10p_e6 AS s6,
+        |             s.n_trigrams AS n
+        |      FROM s JOIN documents d USING (doc_id)),
+        |a AS (SELECT doc_id, lang,
+        |             (s6 - (((s6 % n) + n) % n)) // n AS avg_e6 FROM j),
+        |a0 AS (SELECT * FROM a WHERE doc_id < 250),
+        |c0 AS (SELECT lang, avg_e6, count(*)::BIGINT AS c FROM a0 GROUP BY 1, 2),
+        |w0 AS (SELECT lang, avg_e6,
+        |        coalesce(sum(c) OVER (PARTITION BY lang ORDER BY avg_e6 DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb,
+        |        sum(c) OVER (PARTITION BY lang)::BIGINT AS ng
+        |      FROM c0),
+        |b0 AS (SELECT lang, avg_e6,
+        |        CASE (3 * cb) // ng WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+        |          ELSE 'tail' END AS bucket
+        |      FROM w0),
+        |cuts AS (SELECT a0.lang,
+        |        min(CASE WHEN b0.bucket = 'head' THEN a0.avg_e6 END)::BIGINT AS head_min,
+        |        min(CASE WHEN b0.bucket = 'middle' THEN a0.avg_e6 END)::BIGINT AS mid_min
+        |      FROM a0 JOIN b0 USING (lang, avg_e6) GROUP BY 1)
+        |SELECT a.doc_id, a.lang, a.avg_e6,
+        |  CASE WHEN c.head_min IS NOT NULL AND a.avg_e6 >= c.head_min THEN 'head'
+        |       WHEN c.mid_min IS NOT NULL AND a.avg_e6 >= c.mid_min THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM a LEFT JOIN cuts c USING (lang)""".stripMargin),
 
     // the KN algebra restated: capped bigram table with its PRECOMPUTED
     // lp12, uncapped per-word lp_ctx / lp_cont lookups (the seen-context

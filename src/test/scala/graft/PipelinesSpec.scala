@@ -723,6 +723,31 @@ class PipelinesSpec extends SparkSpec {
     assert(got(12L) == ((-90L, "tail")))
   }
 
+  test("perplexityCuts/BucketsWith: frozen cuts reproduce in-sample buckets; unseen group defaults tail") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "g1", -10L, 2L), (2L, "g1", -20L, 2L), (3L, "g1", -30L, 2L),
+      (4L, "g1", -40L, 2L), (5L, "g1", -50L, 2L), (6L, "g1", -60L, 2L)
+    ).toDF("doc_id", "grp", "s6", "n")
+    val cuts = TextAnalysis.perplexityCuts(scored, "doc_id", "grp", "s6", "n")
+    // tercile assignment is monotone in avg, so serving the SAME data
+    // against the frozen cuts reproduces the batch buckets exactly
+    val batch = TextAnalysis.perplexityBuckets(scored, "doc_id", "grp", "s6", "n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val served = TextAnalysis.perplexityBucketsWith(cuts, scored,
+      "doc_id", "grp", "s6", "n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(served == batch, s"$served vs $batch")
+    // new batch: better-than-head-min → head; unseen group → tail
+    val newBatch = Seq((100L, "g1", -2L, 2L), (101L, "g1", -44L, 2L),
+      (102L, "gX", -2L, 2L)).toDF("doc_id", "grp", "s6", "n")
+    val got = TextAnalysis.perplexityBucketsWith(cuts, newBatch,
+      "doc_id", "grp", "s6", "n")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == Map(100L -> "head", 101L -> "tail", 102L -> "tail"), s"got $got")
+    graft.operators.Caches.release(spark)
+  }
+
   test("bm25Score == independent plain-Scala reference; tf and rarity order correctly") {
     import spark.implicits._
     val corpus = Seq(
