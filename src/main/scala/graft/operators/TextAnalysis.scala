@@ -466,6 +466,55 @@ object TextAnalysis {
       .agg(bm25SumExpr.as("bm25_e6"))
   }
 
+  /** [[bm25Probe]] for a QUERIES DataFrame — the index-serving workload
+    * shape (the [[bm25ScoreBatch]] convention applied to the MATERIALIZED
+    * index): prune the posting scan to the UNION of every query's term
+    * buckets, recompute df from the pruned postings (maintenance-free, the
+    * probe contract — tombstoned docs drop first), fan out per query via
+    * the broadcast query-term list, WindowGroupLimit top-k per query_id.
+    * The distinct term list collects to pick bucket directories — bounded
+    * by the query workload (plan-time data, exactly what the single-query
+    * probe already holds as a string). At 100 TB a batch of Q queries
+    * reads the union of their buckets ONCE — not Q scans, not the corpus.
+    */
+  def bm25ProbeBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "need k >= 1")
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(words(coalesce(col(queryTextCol), lit("")))))
+        .as("term")).distinct()
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq // bounded: the query workload
+    require(terms.nonEmpty, "queries must contain at least one term")
+    val buckets = terms.map { t =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"b${d(0) & 0xff}%02x"
+    }.distinct
+    val stats = spark.read.parquet(s"$dir.stats")
+    val raw = spark.read.parquet(dir)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms.map(lit): _*))
+    val (fs, pTomb) = fsAt(spark, s"$dir.tombstones")
+    val postings =
+      if (fs.exists(pTomb))
+        raw.join(spark.read.parquet(s"$dir.tombstones"), Seq("doc_id"), "left_anti")
+      else raw
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    bm25Contribution(postings
+      .join(broadcast(dfT), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(stats)))
+      .groupBy("query_id", "doc_id")
+      .agg(bm25SumExpr.as("bm25_e6"))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("bm25_e6").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "doc_id", "rank", "bm25_e6")
+  }
+
   /** [[bm25Score]] for a QUERIES DataFrame (query_id, query text) — the
     * actual search workload shape: every query scored in ONE plan, no
     * per-query job loop (the pqTopKBatch convention). Output:

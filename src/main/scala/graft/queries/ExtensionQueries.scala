@@ -1100,6 +1100,19 @@ object ExtensionQueries {
       TextAnalysis.bm25Probe(s, dir, "data join slow vector")
     }),
 
+    // the index-serving workload: every query probed in ONE plan against
+    // the materialized index — bucket pruning for the UNION of the
+    // queries' terms, df recomputed from the pruned postings, per-query
+    // WindowGroupLimit top-k; hash-matches the in-plan batch oracle
+    "q_bm25_probe_batch" -> ((s, d) => {
+      import s.implicits._
+      val dir = s"target/bm25_${new java.io.File(d).getName}_pb"
+      TextAnalysis.bm25IndexWrite(t(s, d, "documents"), "doc_id", "text", dir)
+      val qs = Seq(("q1", "data join"), ("q2", "slow vector table"),
+        ("q3", "spark merge window")).toDF("query_id", "qtext")
+      TextAnalysis.bm25ProbeBatch(s, dir, qs, "query_id", "qtext", k = 10)
+    }),
+
     // the rolling-crawl index: built from the first half, grown by append
     // with the second — the probe must hash-match the one-shot oracle,
     // proving the incremental build changes nothing
@@ -3102,6 +3115,24 @@ object ExtensionQueries {
           |LEFT JOIN v1 USING (w3), o
           |GROUP BY doc_id""".stripMargin
 
+  /** The batch-BM25 oracle — shared verbatim by q_bm25_batch and
+    * q_bm25_probe_batch (probe of the one-shot index ≡ in-plan batch).
+    */
+  private val bm25BatchOracleSql: String =
+    s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector", "table", "spark", "merge", "window"))},\n" +
+        """qmap(query_id, term) AS (VALUES
+          |  ('q1', 'data'), ('q1', 'join'),
+          |  ('q2', 'slow'), ('q2', 'vector'), ('q2', 'table'),
+          |  ('q3', 'spark'), ('q3', 'merge'), ('q3', 'window')),
+          |per AS (SELECT m.query_id, sc.doc_id,
+          |  sum((idf6 * tfq6) // 1000000)::BIGINT AS bm25_e6
+          |  FROM sc JOIN qmap m USING (term) GROUP BY 1, 2),
+          |rk AS (SELECT query_id, doc_id, bm25_e6,
+          |  row_number() OVER (PARTITION BY query_id
+          |                     ORDER BY bm25_e6 DESC, doc_id)::INTEGER AS rank
+          |  FROM per)
+          |SELECT query_id, doc_id, rank, bm25_e6 FROM rk WHERE rank <= 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_html_extract" ->
       (s"WITH h AS (SELECT doc_id,\n  $htmlDerivSql FROM documents),\n" +
@@ -3595,20 +3626,9 @@ object ExtensionQueries {
 
     // the batch form: union-term CTE chain + a VALUES query map, per-query
     // sums and rank windows — same arithmetic as the single form
-    "q_bm25_batch" ->
-      (s"WITH ${bm25Ctes(Seq("data", "join", "slow", "vector", "table", "spark", "merge", "window"))},\n" +
-        """qmap(query_id, term) AS (VALUES
-          |  ('q1', 'data'), ('q1', 'join'),
-          |  ('q2', 'slow'), ('q2', 'vector'), ('q2', 'table'),
-          |  ('q3', 'spark'), ('q3', 'merge'), ('q3', 'window')),
-          |per AS (SELECT m.query_id, sc.doc_id,
-          |  sum((idf6 * tfq6) // 1000000)::BIGINT AS bm25_e6
-          |  FROM sc JOIN qmap m USING (term) GROUP BY 1, 2),
-          |rk AS (SELECT query_id, doc_id, bm25_e6,
-          |  row_number() OVER (PARTITION BY query_id
-          |                     ORDER BY bm25_e6 DESC, doc_id)::INTEGER AS rank
-          |  FROM per)
-          |SELECT query_id, doc_id, rank, bm25_e6 FROM rk WHERE rank <= 10""".stripMargin),
+    "q_bm25_batch" -> bm25BatchOracleSql,
+
+    "q_bm25_probe_batch" -> bm25BatchOracleSql,
 
     // the batch CTEs + the positive/negative pairing with the same margin
     "q_hard_negatives" ->

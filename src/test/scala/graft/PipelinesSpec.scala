@@ -938,4 +938,30 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(grown == direct, s"incrementally-grown probe diverged: $grown vs $direct")
   }
+
+  test("bm25ProbeBatch ≡ bm25ScoreBatch per query; one pruned scan serves all queries") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "apple banana cherry apple apple"),
+      (2L, "apple banana banana date elder fig"),
+      (3L, "banana cherry date elder fig grape"),
+      (4L, "kiwi lime mango nectarine orange")).toDF("doc_id", "text")
+    val qs = Seq(("qa", "apple cherry"), ("qb", "banana fig"),
+      ("qc", "grape")).toDF("query_id", "qtext")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25b").toString + "/idx"
+    TextAnalysis.bm25IndexWrite(corpus, "doc_id", "text", dir)
+    val probed = TextAnalysis.bm25ProbeBatch(spark, dir, qs,
+      "query_id", "qtext", k = 3)
+    val want = TextAnalysis.bm25ScoreBatch(corpus, "doc_id", "text", qs,
+      "query_id", "qtext", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+    val got = probed
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3)))).toMap
+    assert(got == want, s"$got vs $want")
+    val plan = probed.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("bucket") &&
+      !scanLine.replaceAll("\\s", "").contains("PartitionFilters:[]"),
+      s"batch probe must prune on bucket partitions:\n$scanLine")
+  }
 }
