@@ -1100,6 +1100,20 @@ object ExtensionQueries {
       TextAnalysis.bm25Probe(s, dir, "data join slow vector")
     }),
 
+    // passage-level retrieval: chunkWindows cuts 64-word/stride-48
+    // passages, BM25 ranks the PASSAGES (the RAG retrieval granularity —
+    // composite id doc_id·1000 + chunk_id keys the span). Stage
+    // conventions compose: the chunk text is already the lowered word
+    // join, the scorer re-tokenizes idempotently
+    "q_passage_bm25" -> ((s, d) => {
+      val chunks = TextAnalysis.chunkWindows(t(s, d, "documents"),
+        "doc_id", "text", width = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("passage_id"),
+          col("chunk"))
+      TextAnalysis.bm25Score(chunks, "passage_id", "chunk",
+        "data join slow vector")
+    }),
+
     // the index-serving workload: every query probed in ONE plan against
     // the materialized index — bucket pruning for the UNION of the
     // queries' terms, df recomputed from the pruned postings, per-query
@@ -2672,11 +2686,12 @@ object ExtensionQueries {
     * [[bm25FinalSelect]]. Shared by the BM25 oracle, its batch form, and
     * the RRF fusion oracle.
     */
-  private def bm25Ctes(terms: Seq[String], where: String = ""): String = {
+  private def bm25Ctes(terms: Seq[String], where: String = "",
+      src: String = "documents"): String = {
     val inList = terms.map(t => s"'$t'").mkString(", ")
     s"""w AS (SELECT doc_id,
       |  list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-      |              x -> length(x) > 0) AS ws FROM documents $where),
+      |              x -> length(x) > 0) AS ws FROM $src $where),
       |st AS (SELECT count(*) AS nd, coalesce(sum(len(ws)), 0)::BIGINT AS ltot FROM w),
       |tok AS (SELECT doc_id, ws[i] AS term
       |        FROM w, range(1, 100000) r(i) WHERE i <= len(ws)),
@@ -3627,6 +3642,20 @@ object ExtensionQueries {
     // the batch form: union-term CTE chain + a VALUES query map, per-query
     // sums and rank windows — same arithmetic as the single form
     "q_bm25_batch" -> bm25BatchOracleSql,
+
+    // the chunk derivation (q_chunk_windows arithmetic, composite passage
+    // id) feeding the standard BM25 chain as its corpus
+    "q_passage_bm25" ->
+      (s"""WITH pas AS (SELECT b.doc_id * 1000 + (i - 1) AS doc_id,
+         |    array_to_string(ws0[(i-1)*48+1 : (i-1)*48+64], ' ') AS text
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(lower(text), '\\s+'),
+         |                      x -> length(x) > 0) AS ws0
+         |        FROM documents) b, range(1, 100000) r(i)
+         |  WHERE len(ws0) >= 1
+         |    AND i <= greatest(1, ceil((len(ws0) - 64) / 48::DOUBLE)::INTEGER + 1)),
+         |${bm25Ctes(Seq("data", "join", "slow", "vector"), src = "pas")}
+         |""".stripMargin + bm25FinalSelect),
 
     "q_bm25_probe_batch" -> bm25BatchOracleSql,
 

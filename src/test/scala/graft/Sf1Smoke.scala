@@ -56,7 +56,12 @@ object Sf1Smoke {
     // (codomain-bounded window at 10× scores), and the crawl chain with the
     // robots + blocklist gates composed in
     "q_pagerank", "q_dedup_containment", "q_clf_auc", "q_pipeline_crawl2",
-    "q_tag_docs")
+    "q_tag_docs",
+    // round-10 cont.: the selection/strata pair (bucket-weight broadcast +
+    // per-doc sums; LM chain + codomain window at 10× docs), the community
+    // rounds at 10× the host graph, and the novelty key join with ten
+    // exact clones of every reference shingle
+    "q_dsir", "q_ccnet_buckets", "q_lpa", "q_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
