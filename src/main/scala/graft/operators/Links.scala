@@ -485,14 +485,48 @@ object Links {
     */
   def labelPropagate(edges: DataFrame, iters: Int = 3,
       srcCol: String = "src_host", dstCol: String = "dst_host"): DataFrame = {
-    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    val (e, nodes) = lpaGraph(edges, srcCol, dstCol)
+    lpaLoop(e, nodes.withColumn("label", col("host")), iters)
+  }
+
+  /** [[labelPropagate]] RESUMED from persisted labels — the incremental
+    * column for communities (the [[pageRankFrom]] discipline): round N's
+    * (host, label) table is the state; round N+1 continues the synchronous
+    * recurrence on the (possibly grown) edge set. On an unchanged graph
+    * the continuation is EXACT: resume(labels after k, j more) ≡
+    * labelPropagate(k + j) — the equivalence the oracle pins. Hosts new
+    * to the graph seed with their own name, exactly as a cold start would.
+    */
+  def labelPropagateFrom(edges: DataFrame, init: DataFrame, iters: Int = 3,
+      srcCol: String = "src_host", dstCol: String = "dst_host",
+      hostCol: String = "host", labelCol: String = "label"): DataFrame = {
+    val (e, nodes) = lpaGraph(edges, srcCol, dstCol)
+    val labels0 = nodes
+      .join(init.select(col(hostCol).as("host"), col(labelCol).as("__l")),
+        Seq("host"), "left")
+      .select(col("host"), coalesce(col("__l"), col("host")).as("label"))
+      .localCheckpoint(eager = false)
+    lpaLoop(e, labels0, iters)
+  }
+
+  private def lpaGraph(edges: DataFrame, srcCol: String,
+      dstCol: String): (DataFrame, DataFrame) = {
     val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
     val e = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .localCheckpoint(eager = false)
     val nodes = e.select(col("a").as("host")).distinct()
       .localCheckpoint(eager = false)
-    var labels = nodes.withColumn("label", col("host"))
+    (e, nodes)
+  }
+
+  /** The shared synchronous-round loop — ONE definition feeds
+    * [[labelPropagate]] and [[labelPropagateFrom]] so the tie rule can
+    * never fork (the pageRankLoop discipline).
+    */
+  private def lpaLoop(e: DataFrame, labels0: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
+    var labels = labels0
     for (_ <- 1 to iters) {
       val neigh = labels.join(e, labels("host") === e("a"))
         .select(col("b").as("host"), col("label"))

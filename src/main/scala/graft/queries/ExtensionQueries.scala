@@ -742,6 +742,17 @@ object ExtensionQueries {
       Links.labelPropagate(Links.hostEdges(links), iters = 3)
     }),
 
+    // the incremental column for communities: resume(labels after 3, 2
+    // more) must equal cold 5 rounds — the pageRank_resume equivalence,
+    // with the loop shared so the tie rule cannot fork
+    "q_lpa_resume" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      val edges = Links.hostEdges(links)
+      Links.labelPropagateFrom(edges, Links.labelPropagate(edges, iters = 3),
+        iters = 2)
+    }),
+
     // Flesch / Flesch-Kincaid readability, both scores BIGINT 1e-3 units
     // (vowel-group syllables, [.!?]-run sentences — the standard heuristic
     // restated portably)
@@ -3364,6 +3375,7 @@ object ExtensionQueries {
     "q_pagerank" -> pageRankOracleSql,
     "q_lpa" -> lpaOracleSql,
     "q_mmr_topk" -> mmrOracleSql,
+    "q_lpa_resume" -> lpaOracleFor(5),
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_pagerank_weighted" -> pageRankWeightedOracleSql,

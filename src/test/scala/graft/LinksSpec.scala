@@ -402,4 +402,28 @@ class LinksSpec extends SparkSpec {
     assert(Set(got2("b1"), got2("b2"), got2("b3")).size == 1)
     assert(got2("a1") != got2("b1"))
   }
+
+  test("labelPropagateFrom: resume(k)+j == cold(k+j); new hosts seed with their own name") {
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
+      .toDF("src_host", "dst_host")
+    val cold = Links.labelPropagate(edges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val resumed = Links.labelPropagateFrom(edges,
+      Links.labelPropagate(edges, iters = 3), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resumed == cold, s"$resumed vs $cold")
+
+    // grown graph: c1/c2 are new; they start self-labeled like a cold start
+    val grown = (Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+      ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1")) :+ ("c1", "c2"))
+      .toDF("src_host", "dst_host")
+    val res2 = Links.labelPropagateFrom(grown,
+      Links.labelPropagate(edges, iters = 2), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val cold2 = Links.labelPropagate(grown, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the c-pair had no history, so its labels match the cold run's
+    assert(res2("c1") == cold2("c1") && res2("c2") == cold2("c2"))
+  }
 }
