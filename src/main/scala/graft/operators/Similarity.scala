@@ -303,6 +303,64 @@ object Similarity {
     selected.toSeq.toDF("rank", "vec_id", "rel4", "mmr")
   }
 
+  /** [[mmrTopK]] for a QUERIES DataFrame (query_id, query vector) — the
+    * batch workload shape (the pqTopKBatch convention): every query's
+    * candidate pool ranks in ONE plan (broadcast queries × corpus scan,
+    * per-query WindowGroupLimit to poolSize), then the collected
+    * |queries|·poolSize rows (bounded plan-time data) run the greedy
+    * phase per query. Queries are an independent frame here — a query
+    * vector drawn from the corpus keeps its self-match at rel 1.0
+    * (callers filter), unlike the single-query form's id exclusion.
+    */
+  def mmrTopKBatch(emb: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, poolSize: Int = 50, lambdaBp: Int = 7000): DataFrame = {
+    require(k >= 1 && poolSize >= k, "need poolSize >= k >= 1")
+    require(lambdaBp >= 0 && lambdaBp <= 10000, "lambdaBp is basis points")
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    GraftFunctions.register(spark)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      col(queryVecCol).as("qv"))
+    val pools = emb.filter(col(vecCol).isNotNull)
+      .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        floor(GraftFunctions.cosineSim(col("v"), col("qv")) * 10000)
+          .cast("long").as("rel4"),
+        col("v"))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel4").desc, col("vec_id"))))
+      .filter(col("rn") <= poolSize)
+      .collect() // |queries|·poolSize rows — bounded sidecar
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Float](3).toArray))
+      .groupBy(_._1)
+    val lam = lambdaBp.toLong; val mu = 10000L - lambdaBp
+    val out = pools.toSeq.sortBy(_._1).flatMap { case (qid, rows) =>
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      var remaining = rows.map { case (_, id, rel4, v) => (id, rel4, v) }
+      val sel = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Int, Long, Long, Long)]
+      var rank = 1
+      while (rank <= k && remaining.nonEmpty) {
+        val best = remaining.map { case (id, rel4, v) =>
+          val maxSim = if (chosen.isEmpty) 0L
+            else chosen.map(sv => cos4Ref(v, sv)).max
+          (lam * rel4 - mu * maxSim, id, rel4, v)
+        }.minBy { case (s, id, _, _) => (-s, id) }
+        sel += ((qid, rank, best._2, best._3, best._1))
+        chosen += best._4
+        remaining = remaining.filterNot(_._1 == best._2)
+        rank += 1
+      }
+      sel
+    }
+    import spark.implicits._
+    out.toDF("query_id", "rank", "vec_id", "rel4", "mmr")
+  }
+
   /** Radius (range) search over a materialized [[ivfWrite]] index: return
     * EVERY vector in the probed cells whose floor-quantized cosine to the
     * query reaches `minCos` — the "all near-duplicates of this item" query

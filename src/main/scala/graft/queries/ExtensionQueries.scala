@@ -559,6 +559,19 @@ object ExtensionQueries {
       Similarity.mmrTopK(t(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 5, poolSize = 20, lambdaBp = 7000)),
 
+    // the batch workload shape: both queries' pools rank in ONE plan
+    // (broadcast queries, per-query WindowGroupLimit), greedy phase per
+    // query on the bounded collected pools; corpus-drawn query vectors
+    // keep their self-match (documented)
+    "q_mmr_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id").isin(0L, 7L))
+        .select(concat(lit("q"), col("vec_id")).as("query_id"),
+          col("embedding").as("qv"))
+      Similarity.mmrTopKBatch(emb, "vec_id", "embedding", qs,
+        "query_id", "qv", k = 3, poolSize = 10, lambdaBp = 7000)
+    }),
+
     // SQ8 scalar quantization: per-dim affine byte codes (the codebook-free
     // codec next to PQ), comma-joined on the hash surface
     "q_sq8_encode" -> ((s, d) =>
@@ -2810,6 +2823,48 @@ object ExtensionQueries {
         |""" + steps.toString + unions).stripMargin
   }
 
+  /** Similarity.mmrTopKBatch restated: per-query pools via QUALIFY
+    * row_number ≤ poolSize, then the k greedy steps unrolled with
+    * per-query partitioned argmax and a max-sim join against the growing
+    * per-query sel chain.
+    */
+  private val mmrBatchOracleSql: String = {
+    val k = 3; val lam = 7000L; val mu = 3000L
+    val simPS =
+      "floor(list_cosine_similarity(p2.embedding::DOUBLE[], s.embedding::DOUBLE[]) * 10000)::BIGINT"
+    val sb = new StringBuilder
+    sb ++=
+      s"""s1 AS (SELECT query_id, vec_id, rel4, embedding, $lam * rel4 AS mmr, 1 AS rank FROM pr
+         |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY $lam * rel4 DESC, vec_id) = 1),
+         |sel1 AS (SELECT query_id, vec_id, embedding FROM s1)"""
+    for (i <- 2 to k) {
+      sb ++=
+        s""",
+           |mx$i AS (SELECT p2.query_id, p2.vec_id, max($simPS) AS m
+           |  FROM pr p2 JOIN sel${i - 1} s USING (query_id) GROUP BY 1, 2),
+           |c$i AS (SELECT p.query_id, p.vec_id, p.rel4, p.embedding,
+           |    $lam * p.rel4 - $mu * mx.m AS mmr
+           |  FROM pr p JOIN mx$i mx ON mx.query_id = p.query_id AND mx.vec_id = p.vec_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} s
+           |                    WHERE s.query_id = p.query_id AND s.vec_id = p.vec_id)),
+           |s$i AS (SELECT query_id, vec_id, rel4, embedding, mmr, $i AS rank FROM c$i
+           |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) = 1),
+           |sel$i AS (SELECT query_id, vec_id, embedding FROM sel${i - 1}
+           |  UNION ALL SELECT query_id, vec_id, embedding FROM s$i)"""
+    }
+    val unions = (1 to k)
+      .map(i => s"SELECT query_id, rank, vec_id, rel4, mmr FROM s$i")
+      .mkString("\n|", "\n|UNION ALL\n|", "")
+    (s"""WITH qs AS (SELECT 'q' || vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id IN (0, 7)),
+        |pr AS (SELECT q.query_id, b.vec_id,
+        |    floor(list_cosine_similarity(b.embedding::DOUBLE[], q.qe::DOUBLE[]) * 10000)::BIGINT AS rel4,
+        |    b.embedding
+        |  FROM embeddings b, qs q WHERE b.embedding IS NOT NULL
+        |  QUALIFY row_number() OVER (PARTITION BY q.query_id ORDER BY rel4 DESC, b.vec_id) <= 10),
+        |""" + sb.toString + unions).stripMargin
+  }
+
   /** Links.labelPropagate restated: symmetrized distinct edge set, label =
     * self, then `rounds` synchronous adopt-the-majority-label steps with
     * the (max count, min label) tie rule — exact counting only, so the
@@ -3375,6 +3430,7 @@ object ExtensionQueries {
     "q_pagerank" -> pageRankOracleSql,
     "q_lpa" -> lpaOracleSql,
     "q_mmr_topk" -> mmrOracleSql,
+    "q_mmr_batch" -> mmrBatchOracleSql,
     "q_lpa_resume" -> lpaOracleFor(5),
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,

@@ -141,6 +141,47 @@ class SimilaritySpec extends SparkSpec {
     assert(all.map(_._1).toSeq == Seq(1, 2, 3) && all.map(_._2).toSet == Set(1L, 2L, 3L))
   }
 
+  test("mmrTopKBatch: each query's selection equals an independent plain-Scala greedy over its pool") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    GraftFunctions.register(spark)
+    val qs = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(concat(lit("q"), col("vec_id")).as("query_id"),
+        col("embedding").as("qv"))
+    val got = Similarity.mmrTopKBatch(emb, "vec_id", "embedding", qs,
+      "query_id", "qv", k = 3, poolSize = 5, lambdaBp = 6000)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+
+    def cos4(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      val c = if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+      math.floor(c * 10000.0).toLong
+    }
+    val vecs = emb.filter(col("embedding").isNotNull).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Seq(0L, 7L).foreach { qid =>
+      val qv = vecs(qid)
+      val pool = vecs.toSeq.map { case (id, v) => (id, cos4(v, qv), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }.take(5)
+      var remaining = pool
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      (1 to 3).foreach { rank =>
+        val best = remaining.map { case (id, rel, v) =>
+          val ms = if (chosen.isEmpty) 0L else chosen.map(sv => cos4(v, sv)).max
+          (6000L * rel - 4000L * ms, id, v)
+        }.minBy { case (s, id, _) => (-s, id) }
+        assert(got((s"q$qid", rank)) == best._2,
+          s"q$qid rank $rank: ${got((s"q$qid", rank))} vs ${best._2}")
+        chosen += best._3
+        remaining = remaining.filterNot(_._1 == best._2)
+      }
+    }
+  }
+
   test("IVF top-k recalls most of the brute-force top-k") {
     GraftFunctions.register(spark)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
