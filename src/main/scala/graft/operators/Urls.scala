@@ -88,6 +88,27 @@ object Urls {
     docs.select(Keys.id(docs, idCol).as("doc_id"),
       canonicalUrl(col(urlCol)).as("url_canon"))
 
+  /** Parse sitemap XML (the sitemaps.org format — the crawl's OTHER URL
+    * discovery channel next to [[graft.operators.Links.extractLinks]]'
+    * anchor extraction): one row per `<url>` block with a non-empty
+    * `<loc>`, plus its optional `<lastmod>` (the recrawl-scheduling
+    * signal). Entries with an empty/missing loc drop. Regex stays in the
+    * Java∩RE2 dialect ((?s) dotall, lazy quantifier, no lookaround); one
+    * narrow codegen pass — parsing 100 TB of sitemaps is map-only. The
+    * output feeds the existing frontier chain: [[canonicalUrl]] →
+    * [[urlDedupIncremental]] → robots → fetch plan.
+    */
+  def sitemapUrls(docs: DataFrame, idCol: String, xmlCol: String): DataFrame =
+    docs.select(Keys.id(docs, idCol).as("doc_id"),
+        explode(regexp_extract_all(coalesce(col(xmlCol), lit("")),
+          lit("(?s)<url>(.*?)</url>"), lit(1))).as("b"))
+      .select(col("doc_id"),
+        nullif(regexp_extract(col("b"), "(?s)<loc>\\s*([^<]*?)\\s*</loc>", 1),
+          lit("")).as("url"),
+        nullif(regexp_extract(col("b"), "<lastmod>([^<]*)</lastmod>", 1),
+          lit("")).as("lastmod"))
+      .filter(col("url").isNotNull)
+
   /** URL-keyed exact dedup: keep the smallest doc_id per CANONICAL URL —
     * [[Dedup.exact]] with the canonical URL as the fingerprint. Scale shape:
     * canonicalization happens in the scan stage, then one map-side-combinable

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableLog
-import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, TextAnalysis, Urls}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables, Writers}
 import graft.streaming.EventStreams
@@ -149,6 +149,22 @@ object ExtensionQueries {
     */
   private def linkPages(docs: DataFrame): DataFrame =
     urlFixture(docs).join(linkHtmlFixture(docs), "doc_id")
+
+  /** Deterministic sitemap-XML fixture over documents: a dated per-source
+    * page entry, an undated hub entry, and an empty-loc entry (must drop).
+    * The oracle derives the parse RESULT from this recipe directly — never
+    * by re-running the regex.
+    */
+  private def sitemapFixture(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset>\n  <url>\n    <loc> https://www."),
+      col("source"), lit(".example.com/p/"), d % 13,
+      lit(" </loc>\n    <lastmod>2024-0"), d % 9 + 1,
+      lit("-01</lastmod>\n  </url>\n  <url><loc>https://www.hub.example.com/s/"),
+      d % 5, lit("</loc></url>\n  <url><loc></loc></url>\n</urlset>"))
+    docs.select(d.as("doc_id"), xml.as("xml"))
+  }
 
   /** Deterministic (doc_id, url) fixture over documents for the URL queries —
     * scheme/host case variants, default ports, fragments, tracking params,
@@ -754,6 +770,12 @@ object ExtensionQueries {
         "doc_id", "url", "html")
       Links.labelPropagate(Links.hostEdges(links), iters = 3)
     }),
+
+    // sitemap discovery: parse the sitemap-XML fixture — dated page entry
+    // + undated hub entry kept, the empty-loc entry dropped; oracle
+    // derives the result from the fixture recipe, never the regex
+    "q_sitemap" -> ((s, d) =>
+      Urls.sitemapUrls(sitemapFixture(t(s, d, "documents")), "doc_id", "xml")),
 
     // the incremental column for communities: resume(labels after 3, 2
     // more) must equal cold 5 rounds — the pageRank_resume equivalence,
@@ -3432,6 +3454,16 @@ object ExtensionQueries {
     "q_mmr_topk" -> mmrOracleSql,
     "q_mmr_batch" -> mmrBatchOracleSql,
     "q_lpa_resume" -> lpaOracleFor(5),
+
+    "q_sitemap" ->
+      ("""SELECT doc_id,
+        |  'https://www.' || source || '.example.com/p/' || (doc_id % 13) AS url,
+        |  '2024-0' || (doc_id % 9 + 1) || '-01' AS lastmod
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, 'https://www.hub.example.com/s/' || (doc_id % 5) AS url,
+        |  NULL AS lastmod
+        |FROM documents""".stripMargin),
     "q_trustrank" -> trustRankOracleSql,
     "q_hits" -> hitsOracleSql,
     "q_pagerank_weighted" -> pageRankWeightedOracleSql,

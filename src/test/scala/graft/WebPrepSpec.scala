@@ -284,4 +284,22 @@ class WebPrepSpec extends SparkSpec {
     assert(got == Map(1L -> ((1, false)), 2L -> ((3, false)),
       3L -> ((0, true)), 4L -> ((0, true)), 5L -> ((0, true))))
   }
+
+  test("sitemapUrls: loc trimmed, lastmod optional, empty loc and null xml drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<urlset><url><loc>  https://a.example.com/x </loc>" +
+        "<lastmod>2024-01-02</lastmod></url>" +
+        "<url><loc>https://b.example.com/y</loc></url>" +
+        "<url><loc> </loc></url></urlset>"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "<urlset><url>\n<loc>\nhttps://c.example.com/z\n</loc>\n</url></urlset>")
+    ).toDF("doc_id", "xml")
+    val got = Urls.sitemapUrls(docs, "doc_id", "xml").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, "https://a.example.com/x", Some("2024-01-02")),
+      (1L, "https://b.example.com/y", None),
+      (3L, "https://c.example.com/z", None)), s"got $got")
+  }
 }
