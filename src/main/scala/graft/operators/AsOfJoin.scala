@@ -41,27 +41,33 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightPayloadCols: Seq[String],
       rightTieBreak: String,
-      leftPayloadCols: Seq[String] = Nil): DataFrame =
+      leftPayloadCols: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     run(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightPayloadCols, rightTieBreak, leftPayloadCols, "backward")
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "backward",
+      toleranceMicros)
 
   def forward(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayloadCols: Seq[String],
       rightTieBreak: String,
-      leftPayloadCols: Seq[String] = Nil): DataFrame =
+      leftPayloadCols: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     run(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightPayloadCols, rightTieBreak, leftPayloadCols, "forward")
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "forward",
+      toleranceMicros)
 
   def nearest(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       rightPayloadCols: Seq[String],
       rightTieBreak: String,
-      leftPayloadCols: Seq[String] = Nil): DataFrame =
+      leftPayloadCols: Seq[String] = Nil,
+      toleranceMicros: Option[Long] = None): DataFrame =
     run(left, right, leftKey, rightKey, leftTime, rightTime,
-      rightPayloadCols, rightTieBreak, leftPayloadCols, "nearest")
+      rightPayloadCols, rightTieBreak, leftPayloadCols, "nearest",
+      toleranceMicros)
 
   private def run(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -69,12 +75,16 @@ object AsOfJoin {
       rightPayloadCols: Seq[String],
       rightTieBreak: String,
       leftPayloadCols: Seq[String],
-      direction: String): DataFrame = {
+      direction: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    toleranceMicros.foreach(t => require(t >= 0, "tolerance must be >= 0 micros"))
     val payloadCols = (rightPayloadCols :+ rightTieBreak).distinct
-    // nearest needs the matched row's event time for the distance compare;
-    // microsecond longs keep it integer-exact (double seconds would round)
+    // nearest (and any tolerance) needs the matched row's event time;
+    // microsecond longs keep the compare integer-exact (double seconds
+    // would round)
+    val needRt = direction == "nearest" || toleranceMicros.isDefined
     val payloadFields = payloadCols.map(col) ++
-      (if (direction == "nearest")
+      (if (needRt)
         Seq(unix_micros(col(rightTime).cast("timestamp")).as("__rt"))
       else Nil)
     val payload = struct(payloadFields: _*)
@@ -126,15 +136,35 @@ object AsOfJoin {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val unioned = l.unionByName(r)
 
+    val lt = unix_micros(col("__t").cast("timestamp"))
+    val cleanType = right.select(
+      struct(payloadCols.map(col): _*)).schema.head.dataType
+    // rebuild the payload struct without the internal __rt field so all
+    // directions present the same `asof` shape to callers
+    def strip(df: DataFrame, m: String): DataFrame =
+      if (!needRt) df.withColumnRenamed(m, "__match")
+      else df.withColumn("__match",
+        when(col(m).isNull, lit(null).cast(cleanType))
+          .otherwise(struct(payloadCols.map(c => col(s"$m.$c")): _*)))
+    // tolerance: a match farther than toleranceMicros from the left time
+    // becomes null (the pandas/polars merge_asof semantics); the compare is
+    // null-safe — a null candidate stays null through `when`
+    def withinB(m: Column): Column = toleranceMicros
+      .map(t => when(lt - m.getField("__rt") <= t, m)).getOrElse(m)
+    def withinF(m: Column): Column = toleranceMicros
+      .map(t => when(m.getField("__rt") - lt <= t, m)).getOrElse(m)
     val matched = direction match {
       case "backward" =>
-        unioned.withColumn("__match", last(col("__rrow"), ignoreNulls = true).over(wb))
+        strip(unioned.withColumn("__m0",
+          withinB(last(col("__rrow"), ignoreNulls = true).over(wb))), "__m0")
       case "forward" =>
-        unioned.withColumn("__match", first(col("__rrow"), ignoreNulls = true).over(wf))
+        strip(unioned.withColumn("__m0",
+          withinF(first(col("__rrow"), ignoreNulls = true).over(wf))), "__m0")
       case "nearest" =>
-        val lt = unix_micros(col("__t").cast("timestamp"))
-        val b = last(col("__rrow"), ignoreNulls = true).over(wb)
-        val f = first(col("__rrow"), ignoreNulls = true).over(wf)
+        // tolerance gates each SIDE before the distance pick, so a
+        // backward candidate within range beats an out-of-range forward
+        val b = withinB(last(col("__rrow"), ignoreNulls = true).over(wb))
+        val f = withinF(first(col("__rrow"), ignoreNulls = true).over(wf))
         val pick = unioned
           .withColumn("__b", b).withColumn("__f", f)
           .withColumn("__pick",
@@ -143,11 +173,8 @@ object AsOfJoin {
               // strictly closer forward wins; equal distance → backward
               .when(abs(col("__f.__rt") - lt) < abs(lt - col("__b.__rt")), col("__f"))
               .otherwise(col("__b")))
-        // rebuild the payload struct without the internal __rt field so all
-        // three directions present the same `asof` shape to callers
         pick.withColumn("__match",
-          when(col("__pick").isNull, lit(null).cast(right.select(
-            struct(payloadCols.map(col): _*)).schema.head.dataType))
+          when(col("__pick").isNull, lit(null).cast(cleanType))
             .otherwise(struct(payloadCols.map(c => col(s"__pick.$c")): _*)))
       case other => throw new IllegalArgumentException(
         s"unknown as-of direction '$other' (backward|forward|nearest)")

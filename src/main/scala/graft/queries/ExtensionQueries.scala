@@ -1964,6 +1964,22 @@ object ExtensionQueries {
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_totalprice").as("o_totalprice"))),
 
+    // tolerance form (pandas/polars merge_asof parity): the most recent
+    // order is the only backward candidate that can be within range, so
+    // nulling beyond-30-days matches ≡ filtering the join window
+    "q_asof_tolerance" -> ((s, d) =>
+      AsOfJoin.backward(
+        left = t(s, d, "events"), right = t(s, d, "orders"),
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayloadCols = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = "o_orderkey",
+        leftPayloadCols = Seq("event_id", "user_id"),
+        toleranceMicros = Some(2592000000000L)) // 30 days
+        .select(col("event_id"), col("user_id"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_totalprice").as("o_totalprice"))),
+
     "q_asof_forward" -> ((s, d) =>
       AsOfJoin.forward(
         left = t(s, d, "events"), right = t(s, d, "orders"),
@@ -5510,6 +5526,18 @@ object ExtensionQueries {
         "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
         "FROM events e LEFT JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
+        "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
+
+    // backward within 30 days: the tolerance rides the join window — the
+    // most recent candidate is the nearest backward one, so filtering is
+    // equivalent to nulling an out-of-range match
+    "q_asof_tolerance" ->
+      ("WITH m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +
+        "row_number() OVER (PARTITION BY e.event_id " +
+        "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn " +
+        "FROM events e LEFT JOIN orders o " +
+        "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts " +
+        "AND epoch_us(e.ts::TIMESTAMP) - epoch_us(o.o_orderdate::TIMESTAMP) <= 2592000000000) " +
         "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
 
     // forward: earliest order at-or-after the event; smallest orderkey on ties

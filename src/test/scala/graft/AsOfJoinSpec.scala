@@ -148,7 +148,9 @@ class AsOfJoinSpec extends SparkSpec {
     ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val dirs = Map[String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
         String, String, String, String, Seq[String], String, Seq[String]) => org.apache.spark.sql.DataFrame](
-      "backward" -> AsOfJoin.backward, "forward" -> AsOfJoin.forward, "nearest" -> AsOfJoin.nearest)
+      "backward" -> (AsOfJoin.backward(_, _, _, _, _, _, _, _, _)),
+      "forward" -> (AsOfJoin.forward(_, _, _, _, _, _, _, _, _)),
+      "nearest" -> (AsOfJoin.nearest(_, _, _, _, _, _, _, _, _)))
     val expected = Map(
       "backward" -> Map(1L -> 101L, 2L -> -1L, 3L -> -1L),
       "forward" -> Map(1L -> -1L, 2L -> -1L, 3L -> 101L),
@@ -170,5 +172,42 @@ class AsOfJoinSpec extends SparkSpec {
       Seq("o_orderkey", "o_totalprice"), "o_orderkey")
     assert(out.count() == events.count())
     assert(out.select("event_id").distinct().count() == events.count())
+  }
+
+  test("tolerance: matches beyond the window null; lefts stay total; nearest nulls when both sides out") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // backward 1h away: within 2h
+      (2L, 10L, ts("2024-01-01 23:00:00")), // backward 14h away: out of 2h
+      (3L, 20L, ts("2024-01-02 10:00:00"))  // bwd 40 min, fwd 50 min
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), 5.0),
+      (200L, 20L, ts("2024-01-02 09:20:00"), 6.0), // 40 min before event 3
+      (201L, 20L, ts("2024-01-02 10:50:00"), 7.0)  // 50 min after event 3
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    def okOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = df
+      .select(col("event_id"), col("asof.o_orderkey").as("ok"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+    val bwd = okOf(AsOfJoin.backward(left, right, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey",
+      toleranceMicros = Some(2L * 3600L * 1000000L)))
+    assert(bwd(1L) == 100L && bwd(2L) == -1L, s"backward tolerance: $bwd")
+    assert(bwd.contains(2L), "out-of-tolerance left row must stay in the output")
+
+    val near = okOf(AsOfJoin.nearest(left, right, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey"))
+    assert(near(3L) == 200L, s"untolerated nearest picks backward 40 < 50 min: $near")
+    val near45 = okOf(AsOfJoin.nearest(left, right, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey",
+      toleranceMicros = Some(45L * 60L * 1000000L)))
+    assert(near45(3L) == 200L, s"forward side gated out, backward still in: $near45")
+    val near30 = okOf(AsOfJoin.nearest(left, right, "user_id", "o_custkey",
+      "ts", "o_orderdate", Seq("o_orderkey"), "o_orderkey",
+      toleranceMicros = Some(30L * 60L * 1000000L)))
+    assert(near30(3L) == -1L, s"both sides beyond 30 min must null: $near30")
   }
 }
