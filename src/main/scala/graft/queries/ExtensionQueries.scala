@@ -771,6 +771,24 @@ object ExtensionQueries {
       Links.labelPropagate(Links.hostEdges(links), iters = 3)
     }),
 
+    // the discovery round: BOTH channels (anchor-extracted links + sitemap
+    // entries) canonicalized, minus the canonical URLs the doc_id < 20
+    // crawl round already linked — the new-frontier set a rolling crawl
+    // feeds into robots/rank/schedule. Sitemap rows ride under offset ids
+    // so the oracle can mark the seen set without a channel column.
+    "q_discover" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val links = Links.extractLinks(linkPages(docs), "doc_id", "url", "html")
+        .select(col("doc_id"), col("dst_url").as("url"))
+      val smaps = Urls.sitemapUrls(sitemapFixture(docs), "doc_id", "xml")
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("url"))
+      val canon = Urls.canonicalize(links.unionByName(smaps), "doc_id", "url")
+      val seen = Urls.canonicalize(links.filter(col("doc_id") < 20),
+        "doc_id", "url").select("url_canon").distinct()
+      canon.select("url_canon").distinct()
+        .join(seen, Seq("url_canon"), "left_anti")
+    }),
+
     // sitemap discovery: parse the sitemap-XML fixture — dated page entry
     // + undated hub entry kept, the empty-loc entry dropped; oracle
     // derives the result from the fixture recipe, never the regex
@@ -2461,6 +2479,13 @@ object ExtensionQueries {
     */
   private def urlCanonCtesFrom(rel: String): String =
     s"u AS (SELECT doc_id,\n  $urlDerivSql AS url\n  FROM $rel),\n" +
+      urlCanonChainSql
+
+  /** The canonicalization chain (c1..c5, canon) over whatever CTE `u`
+    * provides as (doc_id, url) — shared by the fixture-derived form above
+    * and the discovery composition, so the algebra cannot fork.
+    */
+  private lazy val urlCanonChainSql: String =
     """c1 AS (SELECT doc_id, regexp_replace(trim(url), '(?s)#.*', '') AS nf FROM u),
       |c2 AS (SELECT doc_id,
       |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
@@ -3470,6 +3495,25 @@ object ExtensionQueries {
     "q_mmr_topk" -> mmrOracleSql,
     "q_mmr_batch" -> mmrBatchOracleSql,
     "q_lpa_resume" -> lpaOracleFor(5),
+
+    // both discovery recipes unioned into the shared canon chain; the seen
+    // set = canon of the doc_id < 20 link rows (link rows kept their
+    // original ids, sitemap rows ride at +1000000)
+    "q_discover" ->
+      (s"""WITH $linkDerivCte,
+        |su AS (SELECT doc_id + 1000000 AS doc_id,
+        |    'https://www.' || source || '.example.com/p/' || (doc_id % 13) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'https://www.hub.example.com/s/' || (doc_id % 5)
+        |  FROM documents),
+        |u AS (SELECT doc_id, dst_url AS url FROM links
+        |      UNION ALL SELECT doc_id, url FROM su),
+        |$urlCanonChainSql,
+        |seen AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id < 20)
+        |SELECT DISTINCT url_canon FROM canon
+        |WHERE url_canon NOT IN (SELECT url_canon FROM seen)""".stripMargin),
 
     "q_sitemap" ->
       ("""SELECT doc_id,
