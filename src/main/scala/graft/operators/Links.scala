@@ -489,6 +489,28 @@ object Links {
     lpaLoop(e, nodes.withColumn("label", col("host")), iters)
   }
 
+  /** WEIGHTED label propagation: the neighbor vote counts edge weight
+    * (href multiplicity from [[hostEdges]]' n_links) instead of edge
+    * presence — a mirror network linked once from everywhere no longer
+    * outvotes the site family that links itself thousands of times (the
+    * pageRankWeighted rationale applied to communities). Same synchronous
+    * rounds and (max vote, min label) tie rule; symmetrized weights sum
+    * per undirected pair.
+    */
+  def labelPropagateWeighted(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src_host", dstCol: String = "dst_host",
+      weightCol: String = "n_links"): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .localCheckpoint(eager = false)
+    val nodes = e.select(col("a").as("host")).distinct()
+      .localCheckpoint(eager = false)
+    lpaLoop(e, nodes.withColumn("label", col("host")), iters, weighted = true)
+  }
+
   /** [[labelPropagate]] RESUMED from persisted labels — the incremental
     * column for communities (the [[pageRankFrom]] discipline): round N's
     * (host, label) table is the state; round N+1 continues the synchronous
@@ -524,13 +546,15 @@ object Links {
     * [[labelPropagate]] and [[labelPropagateFrom]] so the tie rule can
     * never fork (the pageRankLoop discipline).
     */
-  private def lpaLoop(e: DataFrame, labels0: DataFrame, iters: Int): DataFrame = {
+  private def lpaLoop(e: DataFrame, labels0: DataFrame, iters: Int,
+      weighted: Boolean = false): DataFrame = {
     require(iters >= 0 && iters <= 50, "need 0 <= iters <= 50")
     var labels = labels0
     for (_ <- 1 to iters) {
+      val vote = if (weighted) col("w") else lit(1L)
       val neigh = labels.join(e, labels("host") === e("a"))
-        .select(col("b").as("host"), col("label"))
-        .groupBy("host", "label").agg(count(lit(1)).as("cnt"))
+        .select(col("b").as("host"), col("label"), vote.as("__v"))
+        .groupBy("host", "label").agg(sum("__v").as("cnt"))
       val mc = neigh.groupBy("host").agg(max("cnt").as("mc"))
       val winners = neigh.join(mc, "host")
         .filter(col("cnt") === col("mc"))

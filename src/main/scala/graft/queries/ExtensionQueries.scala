@@ -795,6 +795,14 @@ object ExtensionQueries {
     "q_sitemap" -> ((s, d) =>
       Urls.sitemapUrls(sitemapFixture(t(s, d, "documents")), "doc_id", "xml")),
 
+    // weighted communities: neighbor votes carry href multiplicity — the
+    // pageRankWeighted rationale applied to LPA
+    "q_lpa_weighted" -> ((s, d) => {
+      val links = Links.extractLinks(linkPages(t(s, d, "documents")),
+        "doc_id", "url", "html")
+      Links.labelPropagateWeighted(Links.hostEdges(links), iters = 3)
+    }),
+
     // the incremental column for communities: resume(labels after 3, 2
     // more) must equal cold 5 rounds — the pageRank_resume equivalence,
     // with the loop shared so the tie rule cannot fork
@@ -2933,9 +2941,10 @@ object ExtensionQueries {
     * the (max count, min label) tie rule — exact counting only, so the
     * unrolled CTEs hash-match the engine's loop.
     */
-  private def lpaOracleFor(rounds: Int): String = {
+  private def lpaOracleFor(rounds: Int, weighted: Boolean = false): String = {
+    val vote = if (weighted) "sum(e.w)" else "count(*)"
     val steps = (1 to rounds).map { k =>
-      s"""c$k AS (SELECT e.b AS host, l.label, count(*)::BIGINT AS cnt
+      s"""c$k AS (SELECT e.b AS host, l.label, $vote::BIGINT AS cnt
          |  FROM l${k - 1} l JOIN e ON l.host = e.a GROUP BY 1, 2),
          |m$k AS (SELECT host, max(cnt) AS mc FROM c$k GROUP BY 1),
          |l$k AS (SELECT n.host, coalesce(w.nl, p.label) AS label
@@ -2944,10 +2953,18 @@ object ExtensionQueries {
          |             FROM c$k c JOIN m$k m ON c.host = m.host AND c.cnt = m.mc
          |             GROUP BY 1) w USING (host))""".stripMargin
     }.mkString(",\n")
+    val eCtes = if (weighted)
+      """he AS (SELECT src_host AS a, dst_host AS b, count(*)::BIGINT AS w
+        |       FROM links WHERE src_host <> dst_host GROUP BY 1, 2),
+        |e AS (SELECT a, b, sum(w)::BIGINT AS w FROM
+        |        (SELECT a, b, w FROM he UNION ALL SELECT b AS a, a AS b, w FROM he)
+        |      GROUP BY 1, 2),""".stripMargin
+    else
+      """e0 AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM links
+        |       WHERE src_host <> dst_host),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),""".stripMargin
     s"""WITH $linkDerivCte,
-       |e0 AS (SELECT DISTINCT src_host AS a, dst_host AS b FROM links
-       |       WHERE src_host <> dst_host),
-       |e AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+       |$eCtes
        |n AS (SELECT DISTINCT a AS host FROM e),
        |l0 AS (SELECT host, host AS label FROM n),
        |$steps
@@ -3495,6 +3512,7 @@ object ExtensionQueries {
     "q_mmr_topk" -> mmrOracleSql,
     "q_mmr_batch" -> mmrBatchOracleSql,
     "q_lpa_resume" -> lpaOracleFor(5),
+    "q_lpa_weighted" -> lpaOracleFor(3, weighted = true),
 
     // both discovery recipes unioned into the shared canon chain; the seen
     // set = canon of the doc_id < 20 link rows (link rows kept their

@@ -403,6 +403,18 @@ class LinksSpec extends SparkSpec {
     assert(got2("a1") != got2("b1"))
   }
 
+  test("labelPropagateWeighted: href multiplicity flips the neighbor vote") {
+    val edges = Seq(("x", "a", 1L), ("x", "b", 5L))
+      .toDF("src_host", "dst_host", "n_links")
+    val unw = Links.labelPropagate(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(unw("x") == "a", s"unweighted tie resolves to min label: $unw")
+    val w = Links.labelPropagateWeighted(edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(w("x") == "b", s"the 5x-linked neighbor must win the vote: $w")
+    assert(w("a") == "x" && w("b") == "x")
+  }
+
   test("labelPropagateFrom: resume(k)+j == cold(k+j); new hosts seed with their own name") {
     val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
       ("b1", "b2"), ("b2", "b3"), ("b1", "b3"), ("a3", "b1"))
