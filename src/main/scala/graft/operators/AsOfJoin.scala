@@ -69,6 +69,31 @@ object AsOfJoin {
       rightPayloadCols, rightTieBreak, leftPayloadCols, "nearest",
       toleranceMicros)
 
+  /** Resample an event stream onto a REGULAR time grid with
+    * last-observation-carried-forward (the pandas `resample().ffill()` /
+    * financial bar-building primitive): per key, one row per grid instant
+    * in [start, end] stepping `step`, carrying the most recent event at or
+    * before it ([[backward]] semantics, including `toleranceMicros` to
+    * stop stale observations from propagating forever). Grid instants
+    * before a key's first event carry null — lefts are total.
+    *
+    * Scale shape: the grid is |keys| × |steps| rows built by one distinct
+    * + a `sequence` explode (never a range join), and the match is the
+    * as-of union-window — still exactly ONE shuffle for any input sizes.
+    */
+  def resampleLocf(right: DataFrame, rightKey: String, rightTime: String,
+      rightPayloadCols: Seq[String], rightTieBreak: String,
+      start: String, end: String, step: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val keys = right.select(col(rightKey).as("key")).na.drop().distinct()
+    val grid = keys.select(col("key"), explode(expr(
+      s"sequence(to_timestamp('$start'), to_timestamp('$end'), interval $step)"))
+      .as("grid_ts"))
+    run(grid, right, "key", rightKey, "grid_ts", rightTime,
+      rightPayloadCols, rightTieBreak, Seq("key", "grid_ts"), "backward",
+      toleranceMicros)
+  }
+
   private def run(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

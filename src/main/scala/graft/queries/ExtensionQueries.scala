@@ -1990,6 +1990,18 @@ object ExtensionQueries {
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_totalprice").as("o_totalprice"))),
 
+    // LOCF resampling: per user one row per day of January, carrying the
+    // most recent event at or before each grid instant (pandas
+    // resample().ffill() — the time-series regularization primitive)
+    "q_resample_locf" -> ((s, d) =>
+      AsOfJoin.resampleLocf(t(s, d, "events"), "user_id", "ts",
+        rightPayloadCols = Seq("event_id", "value"),
+        rightTieBreak = "event_id",
+        start = "2024-01-01 00:00:00", end = "2024-01-30 00:00:00",
+        step = "1 day")
+        .select(col("key").as("user_id"), col("grid_ts"),
+          col("asof.event_id").as("event_id"), col("asof.value").as("value"))),
+
     // tolerance form (pandas/polars merge_asof parity): the most recent
     // order is the only backward candidate that can be within range, so
     // nulling beyond-30-days matches ≡ filtering the join window
@@ -5589,6 +5601,22 @@ object ExtensionQueries {
         "FROM events e LEFT JOIN orders o " +
         "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) " +
         "SELECT event_id, user_id, o_orderkey, o_totalprice FROM m WHERE rn = 1"),
+
+    // per-user daily grid via generate_series, backward match restated as
+    // the usual window-rank idiom; value is carried verbatim (no rounding:
+    // the matched DOUBLE is a stored parquet value, not arithmetic)
+    "q_resample_locf" ->
+      ("""WITH k AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT k.user_id, gs.g AS grid_ts
+        |      FROM k, generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                              TIMESTAMP '2024-01-30 00:00:00',
+        |                              INTERVAL 1 DAY) gs(g)),
+        |m AS (SELECT g.user_id, g.grid_ts, e.event_id, e.value,
+        |        row_number() OVER (PARTITION BY g.user_id, g.grid_ts
+        |          ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        |      FROM g LEFT JOIN events e
+        |        ON e.user_id = g.user_id AND e.ts <= g.grid_ts)
+        |SELECT user_id, grid_ts, event_id, value FROM m WHERE rn = 1""".stripMargin),
 
     // backward within 30 days: the tolerance rides the join window — the
     // most recent candidate is the nearest backward one, so filtering is

@@ -174,6 +174,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == events.count())
   }
 
+  test("resampleLocf: regular grid per key, forward-fill, tolerance stops stale carries") {
+    import spark.implicits._
+    val right = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00"), 5.0),
+      (2L, 10L, ts("2024-01-03 09:00:00"), 6.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(tol: Option[Long]): Map[String, Long] =
+      AsOfJoin.resampleLocf(right, "user_id", "ts", Seq("event_id"),
+        "event_id", "2024-01-01 00:00:00", "2024-01-04 00:00:00", "1 day",
+        toleranceMicros = tol)
+        .select(col("grid_ts").cast("string"), col("asof.event_id").as("eid"))
+        .collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+    val locf = run(None)
+    assert(locf == Map(
+      "2024-01-01 00:00:00" -> -1L, // before the first event
+      "2024-01-02 00:00:00" -> 1L,  // carried forward
+      "2024-01-03 00:00:00" -> 1L,  // still carried
+      "2024-01-04 00:00:00" -> 2L), s"got $locf")
+    val fresh = run(Some(24L * 3600L * 1000000L))
+    assert(fresh == Map(
+      "2024-01-01 00:00:00" -> -1L,
+      "2024-01-02 00:00:00" -> 1L,  // 13.5 h old: fresh enough
+      "2024-01-03 00:00:00" -> -1L, // 37.5 h old: stale, cut
+      "2024-01-04 00:00:00" -> 2L), s"got $fresh")
+  }
+
   test("tolerance: matches beyond the window null; lefts stay total; nearest nulls when both sides out") {
     import spark.implicits._
     val left = Seq(
