@@ -1977,6 +1977,17 @@ object ExtensionQueries {
     "q_events_session" -> ((s, d) =>
       EventStreams.sessions(t(s, d, "events"), "30 minutes")),
 
+    // OHLC bars per event_type per hour: deterministic first/last via
+    // (µs-time, event_id) struct extremes; values carried verbatim
+    "q_events_ohlc" -> ((s, d) =>
+      EventStreams.ohlcBars(t(s, d, "events"), "1 hour")),
+
+    // ordered funnel view → click → purchase: earliest strictly-increasing
+    // completion chain per user (greedy ≡ feasibility)
+    "q_events_funnel" -> ((s, d) =>
+      EventStreams.funnel(t(s, d, "events"),
+        Seq("view", "click", "purchase"))),
+
     // ---- as-of join (absent from Trino 400 and stock Spark, SURVEY §2.4) ----
     "q_asof_join" -> ((s, d) =>
       AsOfJoin.backward(
@@ -5572,6 +5583,40 @@ object ExtensionQueries {
       // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads
       ("SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start, event_type, " +
         "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+
+    // first/last restated as window ranks over (µs-time, event_id) — the
+    // same total order the engine's struct extremes encode
+    "q_events_ohlc" ->
+      ("""WITH b AS (SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start,
+        |    event_type AS series, epoch_us(ts::TIMESTAMP) AS tsu, event_id, value
+        |  FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY window_start, series
+        |                       ORDER BY tsu, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY window_start, series
+        |                       ORDER BY tsu DESC, event_id DESC) AS rd
+        |  FROM b)
+        |SELECT window_start, series,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*)::BIGINT AS n
+        |FROM r GROUP BY 1, 2""".stripMargin),
+
+    // the greedy chain unrolled: every comparison on µs-cast timestamps so
+    // the oracle's ns fixture cannot out-resolve the engine's µs read
+    "q_events_funnel" ->
+      ("""WITH s1 AS (SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, s1.t1, min(e.ts::TIMESTAMP) AS t2
+        |       FROM events e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT e.user_id, s2.t1, s2.t2, min(e.ts::TIMESTAMP) AS t3
+        |       FROM events e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3 FROM s3""".stripMargin),
 
     "q_events_sliding" ->
       // 1h windows sliding by 30min: each event falls in the windows starting at

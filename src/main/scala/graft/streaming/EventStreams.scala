@@ -38,6 +38,63 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n"), col("sum_value"))
 
+  /** OHLC bars per series per tumbling window — the financial bar-building
+    * aggregation generalized to any event stream (open/close = first/last
+    * observation, high/low = extremes, n = volume). Deterministic
+    * first/last via min/max over (µs-time, event_id, value) STRUCTS — a
+    * total order, unlike min_by/max_by's unspecified tie behavior — so
+    * the oracle's window-rank restatement matches value-for-value. Values
+    * are carried verbatim (stored doubles, no arithmetic on the hash
+    * surface). One map-side-combinable grouped aggregate; in streaming the
+    * same plan runs incrementally with watermark eviction.
+    */
+  def ohlcBars(events: DataFrame, width: String,
+      seriesCol: String = "event_type"): DataFrame =
+    events
+      .select(window(col("ts"), width).as("w"), col(seriesCol).as("series"),
+        unix_micros(col("ts")).as("__tsu"), col("event_id"), col("value"))
+      .groupBy(col("w.start").as("window_start"), col("series"))
+      .agg(
+        min(struct(col("__tsu"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("__tsu"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+
+  /** Ordered-funnel completion (the product-analytics primitive): per
+    * user, the EARLIEST time each step can complete given the previous
+    * step's completion time — t₁ = first `steps(0)` event, tₖ = first
+    * `steps(k)` event STRICTLY after tₖ₋₁. Output: one row per user who
+    * completed the whole funnel, with every step's timestamp. The greedy
+    * earliest-completion chain is the standard semantics (if any
+    * assignment completes the funnel, the greedy one does).
+    *
+    * Scale shape: k map-side-combinable per-user min-aggregates chained by
+    * per-user equi-joins — each step's frame is one row per surviving
+    * user, so every join after the first is against a shrinking keyed
+    * frame; no windows, no per-user event sorting.
+    */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(col(tsCol)).as("t1"))
+    for (k <- 2 to steps.size) {
+      val prevCols = (1 until k).map(i => col(s"t$i"))
+      cur = events.filter(col(typeCol) === steps(k - 1))
+        .select(col(userCol).as("user_id"), col(tsCol).as("__ts"))
+        .join(cur, "user_id")
+        .filter(col("__ts") > col(s"t${k - 1}"))
+        .groupBy((col("user_id") +: prevCols): _*)
+        .agg(min(col("__ts")).as(s"t$k"))
+    }
+    cur
+  }
+
   /** Open the events fixture as a genuine stream (file source). */
   def readEventStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)

@@ -670,4 +670,54 @@ class StreamingSpec extends SparkSpec {
     assert(w11.max == 2, s"on-time row missing: ${rows.toSeq}")
     q.stop()
   }
+
+  test("funnel: strictly-ordered greedy completion; partial funnels drop") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: clean completion
+      (1L, 1L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "click", 1.0),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "purchase", 1.0),
+      // user 2: click BEFORE the first view -> no click after view -> drop
+      (4L, 2L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (5L, 2L, ts("2024-01-01 10:01:00"), "view", 1.0),
+      (6L, 2L, ts("2024-01-01 10:02:00"), "purchase", 1.0),
+      // user 3: no purchase -> drop
+      (7L, 3L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (8L, 3L, ts("2024-01-01 10:01:00"), "click", 1.0),
+      // user 4: purchase before click is skipped; later purchase counts
+      (9L, 4L, ts("2024-01-01 10:00:00"), "view", 1.0),
+      (10L, 4L, ts("2024-01-01 10:01:00"), "purchase", 1.0),
+      (11L, 4L, ts("2024-01-01 10:02:00"), "click", 1.0),
+      (12L, 4L, ts("2024-01-01 10:03:00"), "purchase", 1.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventStreams.funnel(ev, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getTimestamp(1), r.getTimestamp(2), r.getTimestamp(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 4L), s"got $got")
+    assert(got(1L) == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00"), ts("2024-01-01 10:02:00"))))
+    assert(got(4L) == ((ts("2024-01-01 10:00:00"), ts("2024-01-01 10:02:00"), ts("2024-01-01 10:03:00"))))
+  }
+
+  test("ohlcBars: open/close by time order within the bar; extremes exact") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:05:00"), "s", 3.0),
+      (2L, 1L, ts("2024-01-01 10:10:00"), "s", 9.0),
+      (3L, 1L, ts("2024-01-01 10:20:00"), "s", 2.0),
+      (4L, 1L, ts("2024-01-01 10:50:00"), "s", 7.0),
+      (5L, 1L, ts("2024-01-01 11:05:00"), "s", 4.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventStreams.ohlcBars(ev, "1 hour").collect()
+      .map(r => r.getTimestamp(0).toString ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))))
+      .toMap
+    assert(got("2024-01-01 10:00:00.0") == ((3.0, 9.0, 2.0, 7.0, 4L)), s"got $got")
+    assert(got("2024-01-01 11:00:00.0") == ((4.0, 4.0, 4.0, 4.0, 1L)))
+  }
 }
