@@ -1988,6 +1988,17 @@ object ExtensionQueries {
       EventStreams.funnel(t(s, d, "events"),
         Seq("view", "click", "purchase"))),
 
+    // cohort retention matrix: first-event-day cohorts × whole-week
+    // offsets, exact integer day arithmetic (no bucket-origin functions)
+    "q_events_retention" -> ((s, d) =>
+      EventStreams.retention(t(s, d, "events"))),
+
+    // SCD2 validity intervals: each event becomes (valid_from, valid_to =
+    // next change per user), ties broken by event_id
+    "q_events_scd2" -> ((s, d) =>
+      EventStreams.scd2(t(s, d, "events"), "user_id", "ts", "event_id",
+        Seq("event_type", "value"))),
+
     // ---- as-of join (absent from Trino 400 and stock Spark, SURVEY §2.4) ----
     "q_asof_join" -> ((s, d) =>
       AsOfJoin.backward(
@@ -5602,6 +5613,23 @@ object ExtensionQueries {
         |  max(CASE WHEN rd = 1 THEN value END) AS close,
         |  count(*)::BIGINT AS n
         |FROM r GROUP BY 1, 2""".stripMargin),
+
+    // same integer day arithmetic: ts::DATE, date_diff('day'), // 7
+    "q_events_retention" ->
+      ("""WITH f AS (SELECT user_id, min(ts::DATE) AS cohort_day FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |        (date_diff('day', f.cohort_day, e.ts::DATE)::BIGINT // 7) AS week_offset
+        |      FROM events e JOIN f USING (user_id))
+        |SELECT cohort_day, week_offset, count(*)::BIGINT AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin),
+
+    // lead() over the same (ts, event_id) per-user order; µs casts so the
+    // ns fixture cannot out-resolve the engine's read
+    "q_events_scd2" ->
+      ("""SELECT user_id, ts::TIMESTAMP AS valid_from, event_id, event_type, value,
+        |  lead(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |    ORDER BY ts::TIMESTAMP, event_id) AS valid_to
+        |FROM events""".stripMargin),
 
     // the greedy chain unrolled: every comparison on µs-cast timestamps so
     // the oracle's ns fixture cannot out-resolve the engine's µs read

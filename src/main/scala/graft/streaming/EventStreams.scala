@@ -95,6 +95,51 @@ object EventStreams {
     cur
   }
 
+  /** Cohort retention (the product-analytics matrix): users grouped by
+    * their FIRST-event day (the cohort), then counted per whole-week
+    * offset in which they were active again. All calendar math is exact
+    * integer day arithmetic (to_date + datediff div 7) — no
+    * bucket-alignment function whose epoch origin could differ across
+    * engines. Output: (cohort_day, week_offset, n_users), week 0 = the
+    * cohort's own week.
+    *
+    * Scale shape: one per-user min-aggregate (map-side combined), one
+    * broadcast-or-shuffle join back, one distinct + grouped count — no
+    * windows over event history.
+    */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firstDay = events
+      .groupBy(col(userCol).as("user_id"))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    events.select(col(userCol).as("user_id"), to_date(col(tsCol)).as("d"))
+      .join(firstDay, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        expr("cast(datediff(d, cohort_day) as bigint) div 7")
+          .as("week_offset"))
+      .distinct()
+      .groupBy("cohort_day", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** SCD2 validity intervals from a change history: per key, each change
+    * row becomes a (valid_from, valid_to) interval — valid_to = the NEXT
+    * change's time (null for the current row), order tie-broken by
+    * `tieCol` so the intervals are deterministic under equal timestamps.
+    * The warehouse dimension-building primitive complementing the
+    * snapshot diff/refresh ops. One window per key over that key's
+    * change history (bounded by per-key change counts, not the corpus).
+    */
+  def scd2(history: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("valid_from").asc, col(tieCol).asc)
+    history.select((Seq(col(keyCol), col(tsCol).as("valid_from"),
+      col(tieCol)) ++ payloadCols.map(col)): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+  }
+
   /** Open the events fixture as a genuine stream (file source). */
   def readEventStream(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(path)
