@@ -1891,6 +1891,18 @@ object ExtensionQueries {
         "doc_id", "text", n = 5)
     }),
 
+    // the corpus-level contamination number a release audit quotes: total
+    // distinct doc-shingles, how many are novel vs the reference, basis
+    // points — one row (the per-doc q_ngram_novelty rolled up)
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      TextAnalysis.ngramNovelty(docs.filter(col("source") === "src0"), docs,
+        "doc_id", "text", n = 5)
+        .agg(sum("n_ngrams").as("n_ngrams"), sum("n_novel").as("n_novel"))
+        .select(col("n_ngrams"), col("n_novel"),
+          expr("(n_novel * 10000) div n_ngrams").as("novelty_bp"))
+    }),
+
     // CCNet head/middle/tail quality strata: per-language terciles over
     // the backoff-LM score (divisible floor-div per-doc average, codomain
     // cumulative window — never a corpus sort)
@@ -5382,6 +5394,24 @@ object ExtensionQueries {
         |  ((sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END)::BIGINT * 10000)
         |    // count(*))::BIGINT AS novelty_bp
         |FROM dsh LEFT JOIN rsh r USING (s) GROUP BY doc_id""".stripMargin),
+
+    "q_corpus_overlap" ->
+      ("""WITH w AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |dsh AS (SELECT DISTINCT doc_id,
+        |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+        |  FROM w, range(1, 100000) r(i) WHERE i <= len(ws) - 4),
+        |rsh AS (SELECT DISTINCT
+        |    ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS s
+        |  FROM w, range(1, 100000) r(i)
+        |  WHERE source = 'src0' AND i <= len(ws) - 4),
+        |tot AS (SELECT count(*)::BIGINT AS n_ngrams,
+        |    sum(CASE WHEN r.s IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel
+        |  FROM dsh LEFT JOIN rsh r USING (s))
+        |SELECT n_ngrams, n_novel,
+        |  ((n_novel * 10000) // n_ngrams)::BIGINT AS novelty_bp FROM tot""".stripMargin),
 
     "q_backoff_lm" -> backoffLmOracle,
 
