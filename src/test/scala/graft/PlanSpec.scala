@@ -717,4 +717,56 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("WindowExec"),
       s"the verdict is an aggregate, not a window:\n$plan")
   }
+
+  test("sq8 encode is a single narrow projection after the d-row bounds collect") {
+    val emb = graft.sources.Tables(spark, sfDir, "embeddings")
+    val enc = graft.operators.Similarity.sq8Encode(emb, "vec_id", "embedding")
+    val plan = enc.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sq8Encode must be map-only (bounds are literal arrays):\n$plan")
+    assert(!plan.contains("Join"), s"no join in the encode path:\n$plan")
+  }
+
+  test("frozen-state serving is broadcast-only: dsir weights and perplexity cuts never shuffle-join") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val w = graft.operators.TextAnalysis.dsirWeights(
+      docs.filter(col("lang") === "en"), docs.filter(col("doc_id") < 50),
+      "doc_id", "text", nBuckets = 256)
+    val served = graft.operators.TextAnalysis.dsirScoreWith(w, docs,
+      "doc_id", "text", nBuckets = 256)
+    val p1 = served.queryExecution.executedPlan.toString
+    assert(p1.contains("BroadcastHashJoin") && !p1.contains("SortMergeJoin"),
+      s"dsir serving must broadcast the weight table:\n$p1")
+
+    val scored = graft.operators.TextAnalysis.backoffLogProb(
+      docs.filter(col("source") === "src0"), docs, "doc_id", "text", topV = 50)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val cuts = graft.operators.TextAnalysis.perplexityCuts(
+      scored.filter(col("doc_id") < 250), "doc_id", "lang",
+      "sum_log10p_e6", "n_trigrams")
+    val buckets = graft.operators.TextAnalysis.perplexityBucketsWith(cuts,
+      scored, "doc_id", "lang", "sum_log10p_e6", "n_trigrams")
+    val p2 = buckets.queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"cut serving must broadcast the per-group cut table:\n$p2")
+    graft.operators.Caches.release(spark)
+  }
+
+  test("discovery: the new-frontier set is a left-anti join on the canonical key, never except/cartesian") {
+    import spark.implicits._
+    val pages = Seq((1L, "https://a.example.com/", "<a href=\"/x\">x</a>"),
+      (30L, "https://b.example.com/", "<a href=\"/y\">y</a>"))
+      .toDF("doc_id", "url", "html")
+    val links = graft.operators.Links.extractLinks(pages, "doc_id", "url", "html")
+      .select(col("doc_id"), col("dst_url").as("url"))
+    val canon = graft.operators.Urls.canonicalize(links, "doc_id", "url")
+    val seen = graft.operators.Urls.canonicalize(
+      links.filter(col("doc_id") < 20), "doc_id", "url")
+      .select("url_canon").distinct()
+    val frontier = canon.select("url_canon").distinct()
+      .join(seen, Seq("url_canon"), "left_anti")
+    val plan = frontier.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
 }
