@@ -805,6 +805,43 @@ object Pipelines {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Keyed snapshot MERGE — apply a CDC-shaped delta to a corpus snapshot
+    * and produce the refreshed snapshot: `upserts` rows replace (or add)
+    * their ids, `deletes` ids drop, every other snapshot row passes
+    * through untouched. The complement of [[datasetDiff]]: diff tells a
+    * rolling refresh WHAT changed, applyDiff is the final step that
+    * materializes the next snapshot from (current snapshot, delta) — so
+    * by construction `applyDiff(snap, upserts(diff), removed(diff))` over
+    * `diff = datasetDiff(snap, next)` reproduces `next` exactly (the
+    * PipelinesSpec identity).
+    *
+    * Semantics: ids are compared via [[Keys.id]] (integral ids widened to
+    * long, string ids as-is); `upserts` must carry every snapshot column
+    * (matched by NAME — extra columns are dropped, the snapshot's column
+    * order wins); a duplicate id inside `upserts` is the caller's
+    * ambiguity and passes through as duplicate rows (the SQL MERGE
+    * multiple-source-match case — dedup the delta first if that can
+    * occur).
+    *
+    * Scale shape: ONE id-keyed left-anti join of the snapshot against the
+    * (upsert ∪ delete) id set plus a union — the delta id frame is
+    * ~8-byte rows and typically ≪ snapshot, so AQE broadcasts the
+    * anti-join and the corpus-sized side never shuffles; there is no
+    * cheaper shape for an upsert into an unordered corpus. At 100 TB the
+    * snapshot rewrite cost is the unavoidable output write, not this
+    * plan.
+    */
+  def applyDiff(snapshot: DataFrame, upserts: DataFrame,
+      deletes: DataFrame, idCol: String): DataFrame = {
+    val retire = upserts.select(Keys.id(upserts, idCol).as("__retire_id"))
+      .unionByName(deletes.select(Keys.id(deletes, idCol).as("__retire_id")))
+      .distinct()
+    val kept = snapshot.join(retire,
+      Keys.id(snapshot, idCol) === col("__retire_id"), "left_anti")
+    kept.unionByName(
+      upserts.select(snapshot.columns.map(col).toIndexedSeq: _*))
+  }
+
   /** Per-domain QUANTILE quality gate: keep each domain's top `q` fraction of
     * documents by score — the form quality thresholds are actually set in
     * ("keep the best 60% of web, best 90% of books"): an absolute score

@@ -161,19 +161,24 @@ object Similarity {
 
   /** Per-dimension (min, max) of the quantized-integer grid — the SQ8
     * codec's d-row training sidecar (the IVF-codebook cost class: a
-    * bounded collect of plan-time metadata, never corpus data). Returns
-    * the SQL literal-array texts for the min and range-per-dim tables.
+    * bounded collect of plan-time metadata, never corpus data). Returned
+    * as a ONE-ROW frame holding the min and range arrays as columns, so
+    * callers broadcast-join it and every expression references the bounds
+    * as column values bound ONCE — not as d-element literal arrays
+    * re-inlined per use, which at realistic dims (768–1024) builds a
+    * multi-hundred-KB expression tree that risks Janino codegen limits
+    * (r10 ADVICE).
     */
-  private def sq8Bounds(qvecs: DataFrame): (String, String) = {
+  private def sq8Bounds(qvecs: DataFrame): DataFrame = {
     val mm = qvecs.select(posexplode(col("qv")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
       .orderBy("pos").collect() // d rows — bounded codebook sidecar
     require(mm.nonEmpty, "sq8: no non-null vectors to train bounds on")
-    val mnSql = mm.map(r => s"${r.getAs[Long]("mn")}L")
-      .mkString("array(", ", ", ")")
-    val rgSql = mm.map(r => s"${r.getAs[Long]("mx") - r.getAs[Long]("mn")}L")
-      .mkString("array(", ", ", ")")
-    (mnSql, rgSql)
+    val spark = qvecs.sparkSession
+    import spark.implicits._
+    Seq((mm.map(_.getAs[Long]("mn")).toSeq,
+      mm.map(r => r.getAs[Long]("mx") - r.getAs[Long]("mn")).toSeq))
+      .toDF("sq8_mn", "sq8_rg")
   }
 
   private def sq8Qvecs(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -193,10 +198,9 @@ object Similarity {
     */
   def sq8Encode(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val qvecs = sq8Qvecs(emb, idCol, vecCol)
-    val (mnSql, rgSql) = sq8Bounds(qvecs)
-    qvecs.select(col("vec_id"), expr(
-      s"array_join(transform(qv, (x, i) -> cast(((x - element_at($mnSql, i + 1)) * 255) " +
-        s"div greatest(1L, element_at($rgSql, i + 1)) as int)), ',')").as("sq8"))
+    qvecs.crossJoin(broadcast(sq8Bounds(qvecs))).select(col("vec_id"), expr(
+      "array_join(transform(qv, (x, i) -> cast(((x - element_at(sq8_mn, i + 1)) * 255) " +
+        "div greatest(1L, element_at(sq8_rg, i + 1)) as int)), ',')").as("sq8"))
   }
 
   /** Approximate top-k by SQ8 asymmetric inner product: candidates are
@@ -212,13 +216,14 @@ object Similarity {
   def sq8TopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
     val qvecs = sq8Qvecs(emb, idCol, vecCol)
-    val (mnSql, rgSql) = sq8Bounds(qvecs)
-    val codes = qvecs.select(col("vec_id"), expr(
-      s"transform(qv, (x, i) -> ((x - element_at($mnSql, i + 1)) * 255) " +
-        s"div greatest(1L, element_at($rgSql, i + 1)))").as("c"))
+    val codes = qvecs.crossJoin(broadcast(sq8Bounds(qvecs)))
+      .select(col("vec_id"), expr(
+        "transform(qv, (x, i) -> ((x - element_at(sq8_mn, i + 1)) * 255) " +
+          "div greatest(1L, element_at(sq8_rg, i + 1)))").as("c"),
+        col("sq8_mn"), col("sq8_rg"))
     val q = codes.filter(col("vec_id") === queryId).select(col("c").as("qc"))
     def dec(arr: String) =
-      s"element_at($mnSql, i) + (element_at($arr, i) * element_at($rgSql, i)) div 255"
+      s"element_at(sq8_mn, i) + (element_at($arr, i) * element_at(sq8_rg, i)) div 255"
     codes.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), expr(
@@ -321,7 +326,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val spark = emb.sparkSession
     GraftFunctions.register(spark)
-    val q = queries.select(col(queryIdCol).as("query_id"),
+    // query_id is surfaced as STRING (r10 ADVICE): the greedy phase reads
+    // the collected pool generically, so a bigint/int query id is cast here
+    // instead of throwing ClassCastException at collect time
+    val q = queries.select(col(queryIdCol).cast("string").as("query_id"),
       col(queryVecCol).as("qv"))
     val pools = emb.filter(col(vecCol).isNotNull)
       .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("v"))

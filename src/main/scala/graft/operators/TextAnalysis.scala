@@ -1482,8 +1482,9 @@ object TextAnalysis {
         .as("f"))
 
   /** The trained DSIR selector: per-bucket importance weight table
-    * (f, w6), one row per bucket PRESENT in the raw sample plus the OOV
-    * row at f = -1 (the classifier's bias-row convention) carrying the
+    * (f, w6), one row per bucket present in EITHER sample (target-only
+    * buckets keep their target counts with cr = 0 — r10 ADVICE) plus the
+    * OOV row at f = -1 (the classifier's bias-row convention) carrying the
     * both-counts-zero smoothed weight — what a token hashing into a
     * bucket the raw sample never produced scores under [[dsirScoreWith]].
     * This is the persistable model state of the train/serve split: fit
@@ -1504,10 +1505,15 @@ object TextAnalysis {
     def lp6(num: String, den: String): String =
       s"cast(floor(${PortableLog.log10RatioSql(num, den, spark = true)} " +
         "* 1000000.0D) as bigint)"
-    val weights = cr.join(ct, Seq("f"), "left").crossJoin(tots)
+    // FULL outer (r10 ADVICE): a bucket with target evidence but absent
+    // from the raw sample keeps its ct (cr coalesced to 0) instead of
+    // falling to the both-zero OOV weight — the paper's importance ratio
+    // up-weights exactly those target-like tokens, so the serve table must
+    // carry them; in-sample (target ⊆ raw) the branch never fires
+    val weights = cr.join(ct, Seq("f"), "full").crossJoin(tots)
       .select(col("f"),
         (expr(lp6("coalesce(ct, cast(0 as bigint)) + 1", s"tt + $nBuckets")) -
-          expr(lp6("cr + 1", s"tr + $nBuckets"))).as("w6"))
+          expr(lp6("coalesce(cr, cast(0 as bigint)) + 1", s"tr + $nBuckets"))).as("w6"))
     val oov = tots.select(lit(-1L).as("f"),
       (expr(lp6("cast(1 as bigint)", s"tt + $nBuckets")) -
         expr(lp6("cast(1 as bigint)", s"tr + $nBuckets"))).as("w6"))

@@ -1468,6 +1468,25 @@ object ExtensionQueries {
       Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // keyed snapshot MERGE: the diff's added/changed rows upsert into the
+    // old snapshot, removed ids drop — the refreshed corpus every rolling
+    // refresh ends with (by the spec identity, ≡ the new snapshot)
+    "q_dataset_merge" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit("x"))).otherwise(col("text")))
+      def proj(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        col("source"), col("lang"), md5(coalesce(col("text"), lit(""))).as("fp"))
+      val diff = Pipelines.datasetDiff(oldSnap, newSnap, "doc_id", "text")
+      val ups = proj(newSnap).join(
+        diff.filter(col("status").isin("added", "changed")).select("doc_id"),
+        "doc_id")
+      val del = diff.filter(col("status") === "removed").select("doc_id")
+      Pipelines.applyDiff(proj(oldSnap), ups, del, "doc_id")
+    }),
+
     // composed refresh pipeline: snapshot diff gates incremental dedup in
     // ONE plan — only added/changed rows of the new snapshot are re-checked
     // against the old snapshot's fingerprint history (the refresh story the
@@ -4895,6 +4914,30 @@ object ExtensionQueries {
         "WHEN fo <> fn THEN 'changed' ELSE 'unchanged' END AS status " +
         "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id"),
 
+    // the merge algebra restated over the full-outer diff: kept = old rows
+    // minus (upsert ∪ delete) ids, result = kept ∪ upserted new rows
+    "q_dataset_merge" ->
+      ("""WITH o AS (SELECT doc_id, source, lang, md5(coalesce(text, '')) AS fp
+        |           FROM documents WHERE doc_id % 11 <> 3),
+        |n AS (SELECT doc_id, source, lang,
+        |        md5(coalesce(text, '') ||
+        |            CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS fp
+        |      FROM documents WHERE doc_id % 13 <> 5),
+        |diff AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |           CASE WHEN o.doc_id IS NULL THEN 'added'
+        |                WHEN n.doc_id IS NULL THEN 'removed'
+        |                WHEN o.fp <> n.fp THEN 'changed'
+        |                ELSE 'unchanged' END AS status
+        |         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+        |ups AS (SELECT n.* FROM n JOIN diff USING (doc_id)
+        |        WHERE status IN ('added', 'changed')),
+        |del AS (SELECT doc_id FROM diff WHERE status = 'removed'),
+        |kept AS (SELECT o.* FROM o
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM ups)
+        |           AND doc_id NOT IN (SELECT doc_id FROM del))
+        |SELECT doc_id, source, lang, fp FROM kept
+        |UNION ALL SELECT doc_id, source, lang, fp FROM ups""".stripMargin),
+
     // identical snapshot construction, identical raw-md5 diff gate, then the
     // q_dedup_incremental fingerprint chain over only the delta rows
     "q_pipeline_refresh" ->
@@ -5533,13 +5576,14 @@ object ExtensionQueries {
         |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok GROUP BY 1),
         |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
         |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
-        |wt AS (SELECT cr.f,
+        |wt AS (SELECT f,
         |    (floor(${PortableLog.log10RatioSql(
              "coalesce(ct, 0::BIGINT) + 1", "tt + 256",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT
-        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 256",
+        |     - floor(${PortableLog.log10RatioSql(
+             "coalesce(cr, 0::BIGINT) + 1", "tr + 256",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
-        |  FROM cr LEFT JOIN ct USING (f), tots)
+        |  FROM cr FULL JOIN ct USING (f), tots)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS dsir_e6
         |FROM tok JOIN wt USING (f) GROUP BY doc_id""".stripMargin),
 
@@ -5557,13 +5601,14 @@ object ExtensionQueries {
         |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok WHERE doc_id < 50 GROUP BY 1),
         |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
         |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
-        |wt AS (SELECT cr.f,
+        |wt AS (SELECT f,
         |    (floor(${PortableLog.log10RatioSql(
              "coalesce(ct, 0::BIGINT) + 1", "tt + 1024",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT
-        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 1024",
+        |     - floor(${PortableLog.log10RatioSql(
+             "coalesce(cr, 0::BIGINT) + 1", "tr + 1024",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
-        |  FROM cr LEFT JOIN ct USING (f), tots),
+        |  FROM cr FULL JOIN ct USING (f), tots),
         |ov AS (SELECT
         |    (floor(${PortableLog.log10RatioSql("1::BIGINT", "tt + 1024",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT
@@ -5585,13 +5630,14 @@ object ExtensionQueries {
         |cr AS (SELECT f, count(*)::BIGINT AS cr FROM tok GROUP BY 1),
         |tots AS (SELECT (SELECT sum(ct) FROM ct)::BIGINT AS tt,
         |                (SELECT sum(cr) FROM cr)::BIGINT AS tr),
-        |wt AS (SELECT cr.f,
+        |wt AS (SELECT f,
         |    (floor(${PortableLog.log10RatioSql(
              "coalesce(ct, 0::BIGINT) + 1", "tt + 256",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT
-        |     - floor(${PortableLog.log10RatioSql("cr + 1", "tr + 256",
+        |     - floor(${PortableLog.log10RatioSql(
+             "coalesce(cr, 0::BIGINT) + 1", "tr + 256",
              spark = false)} * 1000000.0::DOUBLE)::BIGINT) AS w6
-        |  FROM cr LEFT JOIN ct USING (f), tots)
+        |  FROM cr FULL JOIN ct USING (f), tots)
         |SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS dsir_e6
         |FROM tok JOIN wt USING (f) GROUP BY doc_id
         |ORDER BY dsir_e6 DESC, doc_id LIMIT 100""".stripMargin),

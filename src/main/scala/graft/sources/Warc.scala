@@ -70,7 +70,9 @@ object Warc {
     * re-write. So the container is written to a sibling `.writing`
     * directory and rename-swapped into place (the compactPartitioned
     * idiom): either the old or the new container is intact at every
-    * instant.
+    * instant. Within the staging dir each task attempt is additionally
+    * isolated via per-attempt temp files (see [[writePartitionFile]]), so
+    * task retries AND speculative twin attempts are both safe.
     */
   def write(df: DataFrame, path: String): Unit = {
     val tmp = s"$path.writing"
@@ -89,32 +91,15 @@ object Warc {
     rows.rdd.mapPartitionsWithIndex { (i, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val conf = new org.apache.hadoop.conf.Configuration()
-        val p = new org.apache.hadoop.fs.Path(tmp, f"part-$i%05d.gwarc")
-        val fs = p.getFileSystem(conf)
-        val out = new DataOutputStream(new BufferedOutputStream(fs.create(p, true)))
-        var n = 0L
-        try {
-          out.write(FileMagic)
-          it.foreach { row =>
-            require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
-              "record_id, url and fetch_ts are required WARC headers")
-            out.writeInt(RecMagic)
-            out.writeLong(row.getLong(0))
-            val url = row.getString(1).getBytes(UTF_8)
-            out.writeInt(url.length); out.write(url)
-            out.writeLong(toMicros(row.getTimestamp(2)))
-            if (row.isNullAt(3)) out.writeInt(-1)
-            else {
-              val html = row.getString(3).getBytes(UTF_8)
-              out.writeInt(html.length); out.write(html)
-            }
-            n += 1
-          }
-        } finally out.close()
-        Iterator.single(n)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        Iterator.single(writePartitionFile(tmp, i, attempt, it))
       }
     }.sum()
+    // sweep speculative/failed attempts' uncommitted temp files out of the
+    // staging dir so the swapped-in container holds only committed parts
+    for (st <- dirFs.globStatus(new org.apache.hadoop.fs.Path(tmp, "*.gwarc.tmp-*")))
+      dirFs.delete(st.getPath, false)
     // swap the finished container in: move the old aside, rename the new
     // into place, then drop the old — a crash leaves one intact container
     if (dirFs.exists(dirPath)) {
@@ -130,6 +115,53 @@ object Warc {
     } else if (!dirFs.rename(tmpPath, dirPath))
       throw new java.io.IOException(s"warc write: cannot move $tmp into place")
     ()
+  }
+
+  /** Write one partition's records as a GWARC part file, speculation-safely
+    * (r10 VERDICT item): each task ATTEMPT streams to its own temp file
+    * (`part-N.gwarc.tmp-<attemptId>`) and only a completed attempt
+    * rename-commits it to the final `part-N.gwarc`. Two live attempts of the
+    * same partition (task retry after a zombie, or `spark.speculation=true`)
+    * therefore never interleave bytes in one file — the failure mode of the
+    * previous direct `fs.create(final, overwrite)` write. Commit is
+    * first-wins: if the final name already exists (the twin attempt won),
+    * this attempt discards its temp — both attempts wrote the same
+    * deterministic partition, so either file is correct.
+    *
+    * Package-visible so WritersSpec can drive two concurrent attempts of one
+    * partition directly and assert byte-identity of the committed container.
+    */
+  private[graft] def writePartitionFile(
+      tmpDir: String, part: Int, attempt: Long, it: Iterator[Row]): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val finalP = new org.apache.hadoop.fs.Path(tmpDir, f"part-$part%05d.gwarc")
+    val tmpP = new org.apache.hadoop.fs.Path(
+      tmpDir, f"part-$part%05d.gwarc.tmp-$attempt")
+    val fs = finalP.getFileSystem(conf)
+    val out = new DataOutputStream(new BufferedOutputStream(fs.create(tmpP, true)))
+    var n = 0L
+    try {
+      out.write(FileMagic)
+      it.foreach { row =>
+        require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+          "record_id, url and fetch_ts are required WARC headers")
+        out.writeInt(RecMagic)
+        out.writeLong(row.getLong(0))
+        val url = row.getString(1).getBytes(UTF_8)
+        out.writeInt(url.length); out.write(url)
+        out.writeLong(toMicros(row.getTimestamp(2)))
+        if (row.isNullAt(3)) out.writeInt(-1)
+        else {
+          val html = row.getString(3).getBytes(UTF_8)
+          out.writeInt(html.length); out.write(html)
+        }
+        n += 1
+      }
+    } finally out.close()
+    // first committer wins; HDFS/local rename refuses an existing dest, so a
+    // racing twin attempt falls into the cleanup branch either way
+    if (fs.exists(finalP) || !fs.rename(tmpP, finalP)) fs.delete(tmpP, false)
+    n
   }
 
   /** Read every GWARC container under `path` back as (record_id, url,

@@ -134,6 +134,43 @@ class FormatsSpec extends SparkSpec {
     assert(graft.sources.Warc.read(spark, dir).count() == 0L)
   }
 
+  test("GWARC speculative twin attempts: per-attempt temp + first-wins commit, byte-identical container") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2026-02-02 00:00:00")
+    val rows = (1L to 7L).map(i =>
+      org.apache.spark.sql.Row(i, s"https://spec.example/$i", ts,
+        if (i == 4L) null else s"<p>page $i</p>"))
+    val dir = tmp("gwarcspec")
+    // two attempts of the SAME partition, as speculation launches them; the
+    // second starts while the first's output is already committed (the zombie
+    // / twin-attempt window) — it must neither interleave nor clobber
+    val n1 = graft.sources.Warc.writePartitionFile(dir, 0, attempt = 11L, rows.iterator)
+    val n2 = graft.sources.Warc.writePartitionFile(dir, 0, attempt = 12L, rows.iterator)
+    assert(n1 == 7L && n2 == 7L)
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(files.count(_ == "part-00000.gwarc") == 1)
+    assert(!files.exists(_.contains(".tmp-")), s"uncommitted temp left: $files")
+    // the committed container is byte-identical to a single clean attempt
+    val ref = tmp("gwarcref")
+    graft.sources.Warc.writePartitionFile(ref, 0, attempt = 1L, rows.iterator)
+    val got = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "part-00000.gwarc").toPath)
+    val want = java.nio.file.Files.readAllBytes(
+      new java.io.File(ref, "part-00000.gwarc").toPath)
+    assert(java.util.Arrays.equals(got, want), "twin-attempt container differs")
+    // and the walked-back rows are the partition's rows exactly
+    val back = graft.sources.Warc.read(spark, dir)
+    assert(back.count() == 7L)
+    assert(back.filter(col("html").isNull).select("record_id").head().getLong(0) == 4L)
+    // full write(): staging sweep leaves no temp debris in the swapped dir
+    val full = tmp("gwarcfull") + "/out"
+    val df = rows.map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+      r.getString(3))).toDF("record_id", "url", "fetch_ts", "html")
+    graft.sources.Warc.write(df, full)
+    val outFiles = new java.io.File(full).listFiles().map(_.getName).toSeq
+    assert(!outFiles.exists(_.contains(".tmp-")), s"debris: $outFiles")
+  }
+
   test("non-parquet formats run the same query plan surface (filter+agg)") {
     val nation = Tables(spark, sfDir, "nation")
     val dir = tmp("orcq")

@@ -427,6 +427,39 @@ class PipelinesSpec extends SparkSpec {
       .head().getString(1) == "unchanged")
   }
 
+  test("applyDiff: merge(snapshot, diff(snapshot, next)) ≡ next — the refresh identity") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a", "s1"), (2L, "b", "s1"), (3L, "c", "s2"),
+      (4L, null.asInstanceOf[String], "s2")).toDF("doc_id", "text", "source")
+    val next = Seq((2L, "b", "s1"), (3L, "c-CHANGED", "s2"),
+      (4L, null.asInstanceOf[String], "s2"), (9L, "new", "s3"))
+      .toDF("doc_id", "text", "source")
+    val diff = Pipelines.datasetDiff(oldSnap, next, "doc_id", "text")
+    val ups = next.join(diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id"), "doc_id")
+    val del = diff.filter(col("status") === "removed").select("doc_id")
+    val merged = Pipelines.applyDiff(oldSnap, ups, del, "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(merged.columns.toSeq == oldSnap.columns.toSeq,
+      "merged keeps the snapshot's column order")
+    assert(rows(merged) == rows(next), "merge must reproduce the next snapshot")
+    // empty delta → merge is the identity on the snapshot
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(rows(Pipelines.applyDiff(oldSnap, empty,
+      empty.select("doc_id"), "doc_id")) == rows(oldSnap))
+    // delete-only delta drops exactly those ids
+    assert(rows(Pipelines.applyDiff(oldSnap, empty,
+      Seq(2L, 4L).toDF("doc_id"), "doc_id")).map(_._1) == Seq(1L, 3L))
+    // upsert columns match by NAME: extra delta columns drop, order differs
+    val shuffledUps = Seq(("s9", 1L, "a2")).toDF("source", "doc_id", "text")
+      .withColumn("extra", lit(42))
+    val up2 = rows(Pipelines.applyDiff(oldSnap, shuffledUps,
+      empty.select("doc_id"), "doc_id"))
+    assert(up2.find(_._1 == 1L).get == ((1L, Some("a2"), "s9")))
+  }
+
   test("quantileFilter: exact per-domain rank cut, null scores dropped, edge quantiles") {
     import spark.implicits._
     // domain a: scores 10..1 (10 docs) → q=0.6 keeps the top 6 (ids 0..5)

@@ -180,6 +180,14 @@ class SimilaritySpec extends SparkSpec {
         remaining = remaining.filterNot(_._1 == best._2)
       }
     }
+    // bigint query ids work (r10 ADVICE: the collected pool used to assume a
+    // string id) — surfaced as their string rendering, same selections
+    val qsLong = emb.filter(col("vec_id").isin(0L, 7L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val gotLong = Similarity.mmrTopKBatch(emb, "vec_id", "embedding", qsLong,
+      "query_id", "qv", k = 3, poolSize = 5, lambdaBp = 6000)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(gotLong == got.map { case ((q, r), v) => ((q.stripPrefix("q"), r), v) })
   }
 
   test("IVF top-k recalls most of the brute-force top-k") {
