@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableLog
-import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, TextAnalysis, Urls}
+import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, States, TextAnalysis, Urls}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables, Writers}
 import graft.streaming.EventStreams
@@ -1103,6 +1103,139 @@ object ExtensionQueries {
         graft.operators.Urls.hostOf(col("url")).as("domain")), "doc_id")
       Pipelines.tokenBudgetIncremental(dom1, "doc_id", "text", "domain",
         spentSt, budgets = Map.empty, defaultBudget = 3000L)
+    }),
+
+    // the crawl you can run FOREVER (r10 VERDICT #1): THREE chained rounds
+    // through the persisted-state lifecycle — round 0 establishes all four
+    // states on disk (States.write), round 1 runs every incremental form and
+    // APPENDS its additions, then a takedown RETRACTS the doc_id % 10 == 1
+    // round-0 docs from every state (sidecar keys for the membership states,
+    // a negated spend append for the budget) and every state is COMPACTED
+    // (rename-swap rewrite applying the retractions), and round 2 runs
+    // against the compacted states. Planted signals prove each property:
+    // re-crawl records re-serving the retracted pages byte-identically (same
+    // URL, same HTML) are RE-ADMITTED through url + exact + containment
+    // dedup — retraction survived compaction; quote docs duplicating
+    // SURVIVING round-0 content under fresh URLs/headings are still dropped
+    // by incremental containment — state content survived compaction; and
+    // round-2 budgets continue from spent₀ + spent₁ − retracted spend.
+    "q_pipeline_e2e_incremental2" -> ((s, d) => {
+      val sfn = new java.io.File(d).getName
+      val docs = t(s, d, "documents")
+      val quotes = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 150)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
+          col("text"))
+      val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+      val retrDocs = docs
+        .filter(col("doc_id") % 10 === 1 && col("doc_id") < 150)
+        .select("doc_id", "source", "text")
+      val dir0 = s"target/gwarc_${sfn}_r3a"
+      val dir1 = s"target/gwarc_${sfn}_r3b"
+      val dir2 = s"target/gwarc_${sfn}_r3c"
+      graft.sources.Warc.write(
+        warcFixture(all.filter(col("doc_id") < 150), withNulls = false), dir0)
+      graft.sources.Warc.write(
+        warcFixture(all.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+          withNulls = false), dir1)
+      // re-crawl records: the RETRACTED pages re-served byte-identically —
+      // url and html derive from the ORIGINAL doc id, only the record id is
+      // fresh (monotone with arrival)
+      val recrawl = warcFixture(retrDocs, withNulls = false)
+        .select((col("record_id") + 300000L).as("record_id"), col("url"),
+          col("fetch_ts"), col("html"))
+      graft.sources.Warc.write(
+        warcFixture(all.filter(col("doc_id") >= 300), withNulls = false)
+          .unionByName(recrawl), dir2)
+      val uDir = s"target/state_${sfn}_e2e2_url"
+      val fDir = s"target/state_${sfn}_e2e2_fp"
+      val cDir = s"target/state_${sfn}_e2e2_cont"
+      val sDir = s"target/state_${sfn}_e2e2_spent"
+      val budgetMerge: DataFrame => DataFrame =
+        _.groupBy("domain").agg(sum("spent_tok").as("spent_tok"))
+      def hostsOf(recs: DataFrame) = recs.select(
+        col("record_id").as("doc_id"), Urls.hostOf(col("url")).as("domain"))
+      // ---- round 0: batch operators establish the four persisted states ----
+      val recs0 = graft.sources.Warc.read(s, dir0).cache()
+      States.write(Urls.urlState(recs0, "record_id", "url"), uDir)
+      val kept0 = Urls.urlDedup(recs0, "record_id", "url")
+        .select(col("doc_id").as("record_id"))
+      val g0 = TextAnalysis.htmlExtract(recs0.join(kept0, "record_id"),
+          "record_id", "html", minWords = 5)
+        .filter(col("n_kept") >= 2).select(col("doc_id"), col("text")).cache()
+      States.write(TextAnalysis.fingerprint(g0, "doc_id", "text"), fDir)
+      val clean0 = g0.join(Dedup.exact(g0, "doc_id", "text"), "doc_id").cache()
+      States.write(Dedup.containmentState(clean0, "doc_id", "text", n = 3), cDir)
+      val dom0 = clean0.join(hostsOf(recs0), "doc_id")
+      val b0 = Pipelines.tokenBudgetSample(dom0, "doc_id", "text", "domain",
+        budgets = Map.empty, defaultBudget = 3000L)
+      val dom0kept = dom0.join(b0.select("doc_id"), "doc_id").cache()
+      States.write(
+        Pipelines.tokenBudgetState(dom0kept, "doc_id", "text", "domain"), sDir)
+      // ---- round 1: incrementals vs state₀, then append the additions ----
+      val recs1 = graft.sources.Warc.read(s, dir1).cache()
+      val front1 = Urls.urlDedupIncremental(recs1, "record_id", "url",
+        States.read(s, uDir)).select(col("doc_id").as("record_id"))
+      // round-1 results must be SEVERED from the state-dir file listings
+      // before any append touches those dirs: an append's refreshByPath
+      // invalidates every cached plan reading the dir, so a mere cache()
+      // would silently RECOMPUTE against the grown state (batch-vs-own-
+      // additions — observed as an empty round 1). localCheckpoint pins the
+      // rows as computed against state N-1, the read-before-append contract.
+      val g1 = TextAnalysis.htmlExtract(recs1.join(front1, "record_id"),
+          "record_id", "html", minWords = 5)
+        .filter(col("n_kept") >= 2).select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val surv1 = g1.join(
+        Dedup.exactIncremental(g1, "doc_id", "text", States.read(s, fDir)),
+        "doc_id")
+      val kept1 = surv1.join(Dedup.containmentDedupIncremental(surv1,
+        "doc_id", "text", States.read(s, cDir), n = 3, threshold = 0.9,
+        minShingles = 5), "doc_id").localCheckpoint()
+      val dom1 = kept1.join(hostsOf(recs1), "doc_id")
+      val b1 = Pipelines.tokenBudgetIncremental(dom1, "doc_id", "text",
+        "domain", States.read(s, sDir, budgetMerge), budgets = Map.empty,
+        defaultBudget = 3000L)
+      val dom1kept = dom1.join(b1.select("doc_id"), "doc_id").localCheckpoint()
+      States.append(Urls.urlState(recs1, "record_id", "url"), uDir)
+      States.append(TextAnalysis.fingerprint(g1, "doc_id", "text"), fDir)
+      States.append(Dedup.containmentState(kept1, "doc_id", "text", n = 3), cDir)
+      States.append(
+        Pipelines.tokenBudgetState(dom1kept, "doc_id", "text", "domain"), sDir)
+      // ---- takedown: retract the % 10 == 1 round-0 docs from every state,
+      // then compact each state (rename-swap rewrite applying them) ----
+      States.retract(
+        Urls.urlState(warcFixture(retrDocs, withNulls = false),
+          "record_id", "url"), uDir)
+      States.retract(TextAnalysis.fingerprint(
+        g0.filter(col("doc_id") % 10 === 1), "doc_id", "text").select("fp"),
+        fDir)
+      States.retract(retrDocs.select(col("doc_id").cast("long").as("doc_id")),
+        cDir)
+      States.append( // spend returns to the pool: the negated-row form
+        Pipelines.tokenBudgetState(
+          dom0kept.filter(col("doc_id") % 10 === 1), "doc_id", "text", "domain")
+          .select(col("domain"), (-col("spent_tok")).as("spent_tok")), sDir)
+      States.compact(s, uDir)
+      States.compact(s, fDir)
+      States.compact(s, cDir)
+      States.compact(s, sDir, budgetMerge)
+      // ---- round 2: every incremental form vs the COMPACTED states ----
+      val recs2 = graft.sources.Warc.read(s, dir2).cache()
+      val front2 = Urls.urlDedupIncremental(recs2, "record_id", "url",
+        States.read(s, uDir)).select(col("doc_id").as("record_id"))
+      val g2 = TextAnalysis.htmlExtract(recs2.join(front2, "record_id"),
+          "record_id", "html", minWords = 5)
+        .filter(col("n_kept") >= 2).select(col("doc_id"), col("text")).cache()
+      val surv2 = g2.join(
+        Dedup.exactIncremental(g2, "doc_id", "text", States.read(s, fDir)),
+        "doc_id")
+      val kept2 = surv2.join(Dedup.containmentDedupIncremental(surv2,
+        "doc_id", "text", States.read(s, cDir), n = 3, threshold = 0.9,
+        minShingles = 5), "doc_id")
+      val dom2 = kept2.join(hostsOf(recs2), "doc_id")
+      Pipelines.tokenBudgetIncremental(dom2, "doc_id", "text", "domain",
+        States.read(s, sDir, budgetMerge), budgets = Map.empty,
+        defaultBudget = 3000L)
     }),
 
     // paragraph-granularity corpus dedup (the Dolma convention — C4/CCNet
@@ -3498,6 +3631,143 @@ object ExtensionQueries {
           |  (coalesce(sp.spent, 0) + tc1.bstart)::BIGINT AS start_tok
           |FROM tc1 LEFT JOIN sp USING (domain)
           |WHERE coalesce(sp.spent, 0) + tc1.bstart < 3000""".stripMargin),
+
+    // the THREE-round chain restated: rounds split at 150/300, recrawl rows
+    // (doc_id + 300000) derive url/html from the ORIGINAL id via `did`,
+    // every post-retraction state CTE (ust2/fpst2/std2/spent2) applies the
+    // takedown exactly as the engine's sidecar/negated-append + compaction
+    "q_pipeline_e2e_incremental2" ->
+      ("WITH qd AS (SELECT doc_id + 100000 AS doc_id, source, text\n" +
+        "  FROM documents WHERE doc_id % 20 = 0 AND doc_id < 150),\n" +
+        "ud AS (SELECT doc_id, source, text FROM documents\n" +
+        "  UNION ALL SELECT doc_id, source, text FROM qd),\n" +
+        "ud2 AS (SELECT doc_id, doc_id AS did, source, text FROM ud\n" +
+        "  UNION ALL SELECT doc_id + 300000 AS doc_id, doc_id AS did, source, text\n" +
+        "  FROM documents WHERE doc_id % 10 = 1 AND doc_id < 150),\n" +
+        "uu AS (SELECT doc_id AS real_id, did AS doc_id, source FROM ud2),\n" +
+        s"u0 AS (SELECT real_id,\n  $urlDerivSql AS url FROM uu),\n" +
+        "u AS (SELECT real_id AS doc_id, url FROM u0),\n" +
+        urlCanonChainSql + ",\n" +
+        """ust0 AS (SELECT DISTINCT url_canon FROM canon WHERE doc_id < 150),
+          |rurl AS (SELECT DISTINCT url_canon FROM canon
+          |         WHERE doc_id % 10 = 1 AND doc_id < 150),
+          |keep0 AS (SELECT min(doc_id) AS doc_id FROM canon WHERE doc_id < 150
+          |          GROUP BY url_canon),
+          |keep1 AS (SELECT min(doc_id) AS doc_id FROM canon
+          |          WHERE doc_id >= 150 AND doc_id < 300
+          |            AND url_canon NOT IN (SELECT url_canon FROM ust0)
+          |          GROUP BY url_canon),
+          |ust2 AS (SELECT url_canon FROM (
+          |           SELECT url_canon FROM ust0
+          |           UNION SELECT url_canon FROM canon
+          |           WHERE doc_id >= 150 AND doc_id < 300) t
+          |         WHERE url_canon NOT IN (SELECT url_canon FROM rurl)),
+          |keep2 AS (SELECT min(doc_id) AS doc_id FROM canon
+          |          WHERE doc_id >= 300
+          |            AND url_canon NOT IN (SELECT url_canon FROM ust2)
+          |          GROUP BY url_canon),
+          |ka AS (SELECT doc_id FROM keep0 UNION ALL SELECT doc_id FROM keep1
+          |       UNION ALL SELECT doc_id FROM keep2),
+          |hb AS (SELECT d.doc_id AS real_id, d.did AS doc_id, d.text
+          |       FROM ud2 d JOIN ka ON ka.doc_id = d.doc_id),
+          |""".stripMargin +
+        s"h0 AS (SELECT real_id,\n  $htmlDerivSql FROM hb),\n" +
+        "h AS (SELECT real_id AS doc_id, html FROM h0),\n" +
+        htmlRulesCte + ",\n" +
+        """ex AS (SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+          |  len(ks)::INTEGER AS n_kept FROM k),
+          |g AS (SELECT doc_id, text FROM ex WHERE n_kept >= 2),
+          |fpv AS (SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp FROM g),
+          |fpst0 AS (SELECT DISTINCT fp FROM fpv WHERE doc_id < 150),
+          |clean0 AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id < 150 GROUP BY fp),
+          |surv1 AS (SELECT min(doc_id) AS doc_id FROM fpv
+          |          WHERE doc_id >= 150 AND doc_id < 300
+          |            AND fp NOT IN (SELECT fp FROM fpst0) GROUP BY fp),
+          |cw1 AS (SELECT g.doc_id,
+          |  list_filter(string_split_regex(lower(g.text), '\s+'), x -> length(x) > 0) AS ws
+          |  FROM g JOIN (SELECT doc_id FROM clean0
+          |               UNION ALL SELECT doc_id FROM surv1) cs USING (doc_id)),
+          |sh1 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s3
+          |        FROM cw1, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+          |sz1 AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY 1),
+          |in1 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          |        FROM sh1 a JOIN sh1 b ON a.s3 = b.s3 AND b.doc_id < a.doc_id
+          |        GROUP BY 1, 2),
+          |drop1 AS (SELECT DISTINCT da FROM in1 JOIN sz1 sa ON sa.doc_id = da
+          |          WHERE da >= 150 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n),
+          |kept1 AS (SELECT s.doc_id FROM surv1 s
+          |          LEFT JOIN drop1 ON s.doc_id = drop1.da WHERE drop1.da IS NULL),
+          |fpst2 AS (SELECT fp FROM (
+          |            SELECT fp FROM fpst0
+          |            UNION SELECT DISTINCT fp FROM fpv
+          |            WHERE doc_id >= 150 AND doc_id < 300) t
+          |          WHERE fp NOT IN (SELECT fp FROM fpv
+          |                           WHERE doc_id % 10 = 1 AND doc_id < 150)),
+          |surv2 AS (SELECT min(doc_id) AS doc_id FROM fpv WHERE doc_id >= 300
+          |          AND fp NOT IN (SELECT fp FROM fpst2) GROUP BY fp),
+          |std2 AS (SELECT doc_id FROM (SELECT doc_id FROM clean0
+          |           UNION ALL SELECT doc_id FROM kept1) t
+          |         WHERE NOT (doc_id % 10 = 1 AND doc_id < 150)),
+          |cw2 AS (SELECT g.doc_id,
+          |  list_filter(string_split_regex(lower(g.text), '\s+'), x -> length(x) > 0) AS ws
+          |  FROM g JOIN (SELECT doc_id FROM std2
+          |               UNION ALL SELECT doc_id FROM surv2) cs USING (doc_id)),
+          |sh2 AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s3
+          |        FROM cw2, range(1, 100000) r(i) WHERE i <= len(ws) - 2),
+          |sz2 AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY 1),
+          |in2 AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          |        FROM sh2 a JOIN sh2 b ON a.s3 = b.s3 AND b.doc_id < a.doc_id
+          |        GROUP BY 1, 2),
+          |drop2 AS (SELECT DISTINCT da FROM in2 JOIN sz2 sa ON sa.doc_id = da
+          |          WHERE da >= 300 AND sa.n >= 5 AND i * 10000 >= 9000 * sa.n),
+          |kept2 AS (SELECT s.doc_id FROM surv2 s
+          |          LEFT JOIN drop2 ON s.doc_id = drop2.da WHERE drop2.da IS NULL),
+          |dom0 AS (SELECT c0.doc_id, g.text, cn.host AS domain
+          |         FROM clean0 c0 JOIN g USING (doc_id) JOIN canon cn USING (doc_id)),
+          |tb0 AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom0),
+          |tc0 AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          |  FROM tb0),
+          |sp0 AS (SELECT domain, sum(n_tokens)::BIGINT AS v FROM tc0
+          |        WHERE start_tok < 3000 GROUP BY domain),
+          |rsp AS (SELECT domain, (-sum(n_tokens))::BIGINT AS v FROM tc0
+          |        WHERE start_tok < 3000 AND doc_id % 10 = 1 GROUP BY domain),
+          |dom1 AS (SELECT k1.doc_id, g.text, cn.host AS domain
+          |         FROM kept1 k1 JOIN g USING (doc_id) JOIN canon cn USING (doc_id)),
+          |tb1 AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom1),
+          |tc1 AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bstart
+          |  FROM tb1),
+          |b1k AS (SELECT tc1.domain, tc1.n_tokens FROM tc1
+          |        LEFT JOIN sp0 ON sp0.domain = tc1.domain
+          |        WHERE coalesce(sp0.v, 0) + tc1.bstart < 3000),
+          |sp1 AS (SELECT domain, sum(n_tokens)::BIGINT AS v FROM b1k GROUP BY domain),
+          |spent2 AS (SELECT domain, sum(v)::BIGINT AS spent FROM (
+          |    SELECT domain, v FROM sp0
+          |    UNION ALL SELECT domain, v FROM sp1
+          |    UNION ALL SELECT domain, v FROM rsp) t GROUP BY domain),
+          |dom2 AS (SELECT k2.doc_id, g.text, cn.host AS domain
+          |         FROM kept2 k2 JOIN g USING (doc_id) JOIN canon cn USING (doc_id)),
+          |tb2 AS (SELECT doc_id, domain,
+          |  len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> length(x) > 0))::BIGINT AS n_tokens FROM dom2),
+          |tc2 AS (SELECT doc_id, domain, n_tokens,
+          |  coalesce(sum(n_tokens) OVER (PARTITION BY domain
+          |    ORDER BY md5(doc_id::VARCHAR), doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS bstart
+          |  FROM tb2)
+          |SELECT tc2.doc_id, tc2.domain, tc2.n_tokens,
+          |  (coalesce(sp.spent, 0) + tc2.bstart)::BIGINT AS start_tok
+          |FROM tc2 LEFT JOIN spent2 sp ON sp.domain = tc2.domain
+          |WHERE coalesce(sp.spent, 0) + tc2.bstart < 3000""".stripMargin),
 
     // byte-identical records round-trip through the GWARC container, so the
     // downstream chain is EXACTLY q_pipeline_web — one oracle, two entry

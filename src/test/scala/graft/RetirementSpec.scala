@@ -172,6 +172,75 @@ class RetirementSpec extends SparkSpec {
       "retract-by-id must be bit-identical to a rebuild on the survivors")
   }
 
+  test("States lifecycle: compact(write + append ∖ retracted) == rebuild-on-survivors, all four state kinds") {
+    import spark.implicits._
+    import graft.operators.{Pipelines, States}
+    val base = java.nio.file.Files.createTempDirectory("graft_states").toString
+    val a = Seq((1L, "alpha beta gamma", "s1"), (2L, "delta epsilon zeta", "s1"),
+      (3L, "eta theta iota", "s2")).toDF("doc_id", "text", "source")
+    val b = Seq((4L, "kappa lambda mu", "s2"), (5L, "nu xi omicron", "s3"))
+      .toDF("doc_id", "text", "source")
+    val all = a.unionByName(b)
+    val retractedIds = Set(2L, 4L)
+    val r = all.filter($"doc_id".isin(retractedIds.toSeq.map(java.lang.Long.valueOf): _*))
+    val survivors = all.filter(!$"doc_id".isin(retractedIds.toSeq.map(java.lang.Long.valueOf): _*))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+
+    // 1. fingerprint state — sidecar key: fp (content-keyed)
+    val fDir = s"$base/fp"
+    States.write(TextAnalysis.fingerprint(a, "doc_id", "text"), fDir)
+    States.append(TextAnalysis.fingerprint(b, "doc_id", "text"), fDir)
+    States.retract(TextAnalysis.fingerprint(r, "doc_id", "text").select("fp"), fDir)
+    val fLive = rows(States.read(spark, fDir))
+    States.compact(spark, fDir)
+    assert(rows(States.read(spark, fDir)) == fLive, "read changed under compaction")
+    assert(fLive == rows(TextAnalysis.fingerprint(survivors, "doc_id", "text")))
+    assert(!new java.io.File(s"$fDir.retracted").exists, "sidecar must clear")
+
+    // 2. containment postings — sidecar key: doc_id
+    val cDir = s"$base/cont"
+    States.write(Dedup.containmentState(a, "doc_id", "text", n = 2), cDir)
+    States.append(Dedup.containmentState(b, "doc_id", "text", n = 2), cDir)
+    States.retract(r.select($"doc_id".cast("long").as("doc_id")), cDir)
+    val cLive = rows(States.read(spark, cDir))
+    States.compact(spark, cDir)
+    assert(rows(States.read(spark, cDir)) == cLive)
+    assert(cLive == rows(Dedup.containmentState(survivors, "doc_id", "text", n = 2)))
+
+    // 3. URL membership — sidecar key: url_canon; re-appends dedup on compact
+    val urls = all.select($"doc_id",
+      concat(lit("https://h"), $"doc_id", lit(".example.com/p?utm_source=x")).as("url"))
+    val rUrls = urls.filter($"doc_id".isin(retractedIds.toSeq.map(java.lang.Long.valueOf): _*))
+    val uDir = s"$base/url"
+    States.write(Urls.urlState(urls.filter($"doc_id" <= 3), "doc_id", "url"), uDir)
+    States.append(Urls.urlState(urls.filter($"doc_id" >= 3), "doc_id", "url"), uDir) // doc 3 re-appends
+    States.retract(Urls.urlState(rUrls, "doc_id", "url"), uDir)
+    val uLive = rows(States.read(spark, uDir).distinct())
+    States.compact(spark, uDir)
+    assert(rows(States.read(spark, uDir)) == uLive, "compact dedups the re-append")
+    assert(uLive == rows(Urls.urlState(
+      urls.filter(!$"doc_id".isin(retractedIds.toSeq.map(java.lang.Long.valueOf): _*)),
+      "doc_id", "url")))
+
+    // 4. spent budgets — sum-merged; retraction = negated-row append
+    val budgetMerge: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.groupBy("domain").agg(sum("spent_tok").as("spent_tok"))
+    val sDir = s"$base/spent"
+    States.write(Pipelines.tokenBudgetState(a, "doc_id", "text", "source"), sDir)
+    States.append(Pipelines.tokenBudgetState(b, "doc_id", "text", "source"), sDir)
+    States.append(Pipelines.tokenBudgetState(r, "doc_id", "text", "source")
+      .select($"domain", (-$"spent_tok").as("spent_tok")), sDir)
+    val sLive = rows(States.read(spark, sDir, budgetMerge))
+    States.compact(spark, sDir, budgetMerge)
+    assert(rows(States.read(spark, sDir, budgetMerge)) == sLive)
+    // rebuild-on-survivors, zero-spend domains dropped (s1: 3-token doc left)
+    val want = rows(Pipelines.tokenBudgetState(survivors, "doc_id", "text", "source"))
+    assert(rows(States.read(spark, sDir, budgetMerge)
+      .filter($"spent_tok" =!= 0L)) == want,
+      "sum-merged state must equal a rebuild on the survivors (modulo zeroed domains)")
+  }
+
   test("containmentRetract: a quote of a retracted source no longer flags") {
     import spark.implicits._
     val src = (1L, "one two three four five six seven eight nine ten")
