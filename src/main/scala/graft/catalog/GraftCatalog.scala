@@ -18,8 +18,12 @@ import graft.plans.GovernancePolicies
 /** DSv2 TableCatalog + SupportsNamespaces over a directory of parquet tables — the
   * Spark-native analog of the reference's connector metadata layer
   * (trino/RecordServiceMetadata.java): catalog → namespaces → tables with
-  * externally-owned schemas, read-only (the reference has no write path,
-  * trino/RecordServiceTransactionHandle.java:17-19).
+  * externally-owned schemas. Reads mirror the reference; the WRITE surface
+  * (CREATE/CTAS/INSERT/DROP/RENAME, atomic CTAS via StagingTableCatalog)
+  * deliberately exceeds it — the reference connector is read-only
+  * (trino/RecordServiceTransactionHandle.java:17-19) because Okera fronts
+  * someone else's warehouse, but a Spark-native engine owns its outputs and
+  * wants them governed by the same catalog that serves reads.
   *
   * Register with:
   *   spark.sql.catalog.graft     = graft.catalog.GraftCatalog
@@ -48,7 +52,8 @@ import graft.plans.GovernancePolicies
   * (okera.metadata.cache-ttl-ms, trino/RecordServiceConfig.java:201-206); per-query
   * snapshot consistency comes from DSv2 capturing the Table at resolution time.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -155,21 +160,200 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
     val conf = hadoopConf
     lazy val rows = ParquetFooters.rowCount(path, conf)
-    val wrapped: Table = new GraftTable(table, () => rows)
+    // directory tables are INSERT targets; single-file `<name>.parquet`
+    // tables stay read-only (appending part files under a file path is not
+    // a meaningful layout)
+    val writable =
+      if (fs.getFileStatus(path).isDirectory) Some(path.toString) else None
+    val wrapped: Table = new GraftTable(table, () => rows, writable,
+      onWrite = () => invalidateTable(ident))
     cache.put(key, (now, wrapped))
     wrapped
   }
 
+  override def invalidateTable(ident: Identifier): Unit = {
+    val prefix = ident.toString + "|"
+    cache.keySet.asScala.filter(_.startsWith(prefix))
+      .foreach(cache.remove)
+  }
+
+  private def requireWritableTarget(ident: Identifier,
+      partitions: Array[Transform]): Unit = {
+    if (!ident.namespace.sameElements(defaultNs))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        ident.namespace.toSeq)
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft catalog tables are unpartitioned directories; use " +
+          "graft.sources.Writers.partitionedParquet for hive-partitioned layouts")
+  }
+
+  /** Materialize an empty, schema-carrying table: one zero-row parquet part
+    * file, so the created table is immediately loadable (schema inference
+    * needs at least one footer) and insertable.
+    */
+  private def writeEmpty(schema: StructType, path: Path): Unit = {
+    val spark = SparkSession.active
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("append").parquet(path.toString)
+  }
+
+  /** CREATE TABLE — the write surface the read-only reference lacks
+    * (trino/RecordServiceTransactionHandle.java:17-19); deliberately
+    * exceeded here per SURVEY §2.1 S10: a Spark-native engine owns its
+    * outputs, so CTAS/INSERT go through the same governed catalog that
+    * serves reads (policies apply to the written table by name like any
+    * other).
+    */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+      partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
+    requireWritableTarget(ident, partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    writeEmpty(schema, new Path(dir, ident.name))
+    invalidateTable(ident)
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException("graft catalog: ALTER is not supported")
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def dropTable(ident: Identifier): Boolean = {
+    invalidateTable(ident)
+    tablePath(ident.name) match {
+      case Some(p) => fs.delete(p, true)
+      case None => false
+    }
+  }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        oldIdent.namespace.toSeq :+ oldIdent.name)
+    if (tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        newIdent.namespace.toSeq :+ newIdent.name)
+    val from = tablePath(oldIdent.name).get
+    val to = if (from.getName.endsWith(".parquet"))
+      new Path(dir, s"${newIdent.name}.parquet") else new Path(dir, newIdent.name)
+    if (!fs.rename(from, to))
+      throw new java.io.IOException(s"cannot rename $from to $to")
+    invalidateTable(oldIdent); invalidateTable(newIdent)
+  }
+
+  // ---- StagingTableCatalog: atomic CTAS via stage-write-then-rename (the
+  // States/ivfPqCompact swap discipline — a failed CTAS leaves either no
+  // table or the old table, never a half-written one) ----
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
+    requireWritableTarget(ident, partitions)
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    staged(ident, schema, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
+    requireWritableTarget(ident, partitions)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    staged(ident, schema, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
+    requireWritableTarget(ident, partitions)
+    staged(ident, schema, replace = true)
+  }
+
+  private def staged(ident: Identifier, schema: StructType,
+      replace: Boolean): StagedTable = {
+    val staging = new Path(dir,
+      s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
+    new GraftStagedTable(ident, schema, staging, new Path(dir, ident.name),
+      replace, this)
+  }
+
+  /** Finalize a staged CTAS: ensure the staging dir carries at least one
+    * schema-bearing part file (an empty SELECT writes none), then
+    * rename-swap it into place.
+    */
+  private[catalog] def commitStaged(ident: Identifier, schema: StructType,
+      staging: Path, target: Path, replace: Boolean): Unit = {
+    val filesystem = fs
+    if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
+    val hasData = filesystem.listStatus(staging)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (!hasData) writeEmpty(schema, staging)
+    if (filesystem.exists(target)) {
+      if (!replace)
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          ident.namespace.toSeq :+ ident.name)
+      val aside = new Path(dir, s".old-${ident.name}")
+      if (filesystem.exists(aside)) filesystem.delete(aside, true)
+      if (!filesystem.rename(target, aside))
+        throw new java.io.IOException(s"ctas: cannot move $target aside")
+      if (!filesystem.rename(staging, target)) {
+        filesystem.rename(aside, target) // roll back — the old table lives
+        throw new java.io.IOException(s"ctas: cannot swap $staging in")
+      }
+      filesystem.delete(aside, true)
+    } else if (!filesystem.rename(staging, target))
+      throw new java.io.IOException(s"ctas: cannot move $staging into place")
+    invalidateTable(ident)
+  }
+
+  private[catalog] def abortStaged(staging: Path): Unit =
+    fs.delete(staging, true)
+}
+
+/** The staged side of an atomic CTAS: writes land in a hidden sibling
+  * staging directory through the stock committer-protected parquet write;
+  * `commitStagedChanges` rename-swaps the directory into the table's final
+  * path (so a crash mid-CTAS leaves no half-table and a REPLACE keeps the
+  * old table readable until the instant of the swap), `abortStagedChanges`
+  * deletes the staging debris.
+  */
+private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructType,
+    staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog)
+    extends StagedTable with SupportsWrite {
+
+  private val delegate = ParquetTable(
+    ident.name,
+    SparkSession.active,
+    CaseInsensitiveStringMap.empty(),
+    Seq(staging.toString),
+    Some(tableSchema),
+    classOf[ParquetFileFormat])
+
+  override def name(): String = ident.name
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+  // REPLACE writes arrive as OverwriteByExpression(true) on the staged
+  // table (AtomicReplaceTableAsSelectExec.writeToTable overwrite=true), so
+  // the staged table declares TRUNCATE — and since the staging directory
+  // starts empty, truncate is trivially satisfied by the plain append write
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val b = delegate.newWriteBuilder(info)
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this // staging dir is empty: truncate ≡ append into the fresh dir
+      override def build(): org.apache.spark.sql.connector.write.Write = b.build()
+    }
+  }
+  override def commitStagedChanges(): Unit =
+    catalog.commitStaged(ident, tableSchema, staging, target, replace)
+  override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
 }

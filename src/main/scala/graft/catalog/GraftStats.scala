@@ -6,7 +6,8 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.NamedReference
@@ -51,19 +52,40 @@ object ParquetFooters {
 }
 
 /** Delegating Table that swaps the ScanBuilder for a stats-reporting one.
-  * Read-only (the reference connector has no write path,
-  * trino/RecordServiceTransactionHandle.java:17-19).
+  *
+  * Reads mirror the reference connector exactly; WRITES deliberately exceed
+  * it (the reference is read-only, trino/RecordServiceTransactionHandle
+  * .java:17-19) — a Spark-native engine that owns its outputs wants
+  * INSERT/CTAS through the same governed catalog, so directory tables
+  * delegate `newWriteBuilder` to the stock parquet write path
+  * (committer-protected, appends as new part files). Single-file
+  * `<name>.parquet` tables stay read-only: appending part files under a
+  * file path is not a meaningful layout.
   */
-class GraftTable(delegate: ParquetTable, rowCount: () => Long) extends Table with SupportsRead {
+class GraftTable(delegate: ParquetTable, rowCount: () => Long,
+    writablePath: Option[String] = None, onWrite: () => Unit = () => ())
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] = delegate.partitioning()
   override def properties(): java.util.Map[String, String] = delegate.properties()
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (writablePath.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (writablePath.isEmpty)
+      throw new UnsupportedOperationException(
+        s"table ${delegate.name} is a single-file table — read-only " +
+          "(CTAS/INSERT targets are directory tables)")
+    // evict the catalog's cached (table, file listing, footer stats) so the
+    // next load after this write re-lists — read-after-write within the TTL
+    onWrite()
+    delegate.newWriteBuilder(info)
+  }
 }
 
 /** Forwards the full parquet pushdown surface (column pruning ≈ reference P1,

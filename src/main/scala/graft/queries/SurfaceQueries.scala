@@ -97,6 +97,28 @@ object SurfaceQueries {
         |  ON c.c_nationkey = n.n_nationkey
         |GROUP BY n_name""".stripMargin),
 
+    // CTAS + INSERT through the governed catalog (write surface — exceeds
+    // the read-only reference, trino/RecordServiceTransactionHandle.java:
+    // 17-19): materialize a table via atomic staged CTAS, append the rest
+    // via INSERT, then aggregate the READ-BACK — hash-green proves the
+    // write/commit/read cycle preserves content exactly
+    "q_catalog_ctas" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_rw"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_rw", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rw.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_rw.main.nation_ctas")
+      s.sql("CREATE TABLE graft_rw.main.nation_ctas AS " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM graft.main.nation " +
+        "WHERE n_regionkey >= 2")
+      s.sql("INSERT INTO graft_rw.main.nation_ctas " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM graft.main.nation " +
+        "WHERE n_regionkey < 2")
+      s.sql("SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
+        "FROM graft_rw.main.nation_ctas GROUP BY n_regionkey")
+    }),
+
     // ---- S7: count(*) via aggregate pushdown (footer counts, no data read) ----
     "q_count_pushdown" -> catalogSql(
       "SELECT count(*) AS n FROM graft.main.lineitem"),
@@ -687,6 +709,12 @@ object SurfaceQueries {
     "q_catalog_scan" ->
       ("SELECT n_name, count(*) AS n_cust FROM customer c JOIN nation n " +
         "ON c.c_nationkey = n.n_nationkey GROUP BY n_name"),
+
+    // the CTAS+INSERT split reassembles the whole table, so the read-back
+    // aggregate equals the same aggregate over the source
+    "q_catalog_ctas" ->
+      ("SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
+        "FROM nation GROUP BY n_regionkey"),
 
     "q_count_pushdown" -> "SELECT count(*) AS n FROM lineitem",
 

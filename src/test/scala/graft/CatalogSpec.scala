@@ -73,6 +73,66 @@ class CatalogSpec extends SparkSpec {
     assert(planStr.contains("o_year"), s"partition filter missing:\n$planStr")
   }
 
+  test("CTAS/INSERT through the governed catalog: staged commit, read-back, governance, drop") {
+    import graft.plans.{GovernancePolicies, TablePolicy}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-write")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$sfDir/nation.parquet").write.parquet(s"$dir/nation_src")
+    spark.conf.set("spark.sql.catalog.graft_rw", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rw.dir", dir)
+    // atomic CTAS (StagingTableCatalog): stage-write, rename-swap on commit
+    spark.sql("CREATE TABLE graft_rw.main.big_nations AS " +
+      "SELECT n_nationkey, n_name FROM graft_rw.main.nation_src WHERE n_nationkey >= 10")
+    def cnt(t: String) =
+      spark.sql(s"SELECT count(*) FROM graft_rw.main.$t").head().getLong(0)
+    assert(cnt("big_nations") == 15)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".staging-")),
+      "committed CTAS must leave no staging debris")
+    // INSERT INTO appends through the same table
+    spark.sql("INSERT INTO graft_rw.main.big_nations " +
+      "SELECT n_nationkey, n_name FROM graft_rw.main.nation_src WHERE n_nationkey < 10")
+    assert(cnt("big_nations") == 25, "read-after-insert must see the new rows")
+    // CREATE OR REPLACE swaps the table wholesale
+    spark.sql("CREATE OR REPLACE TABLE graft_rw.main.big_nations AS " +
+      "SELECT n_nationkey FROM graft_rw.main.nation_src WHERE n_nationkey >= 20")
+    assert(cnt("big_nations") == 5)
+    assert(spark.table("graft_rw.main.big_nations").columns.toSeq == Seq("n_nationkey"))
+    // empty CTAS still materializes a loadable, schema-carrying table
+    spark.sql("CREATE TABLE graft_rw.main.empty_t AS " +
+      "SELECT n_nationkey, n_name FROM graft_rw.main.nation_src WHERE 1 = 0")
+    assert(cnt("empty_t") == 0)
+    assert(spark.table("graft_rw.main.empty_t").columns.toSeq ==
+      Seq("n_nationkey", "n_name"))
+    // CREATE TABLE (no AS) + INSERT
+    spark.sql("CREATE TABLE graft_rw.main.plain_t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO graft_rw.main.plain_t VALUES (1, 'a'), (2, 'b')")
+    assert(cnt("plain_t") == 2)
+    // duplicate CREATE refuses
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_rw.main.plain_t (x INT)")
+    }
+    // governance applies to reads of the WRITTEN table like any other (X4)
+    GovernancePolicies.register("big_nations",
+      TablePolicy(rowFilterSql = Some("n_nationkey >= 22")))
+    try assert(cnt("big_nations") == 3, "row policy must gate the CTAS table")
+    finally GovernancePolicies.clear()
+    assert(cnt("big_nations") == 5)
+    // single-file `<name>.parquet` tables stay read-only
+    spark.read.parquet(s"$sfDir/region.parquet").limit(1)
+      .coalesce(1).write.parquet(s"$dir/tmp_region")
+    val part = new java.io.File(s"$dir/tmp_region").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$dir/single.parquet"))
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft_rw.main.single SELECT * FROM graft_rw.main.single")
+    }
+    // DROP removes table and listing
+    spark.sql("DROP TABLE graft_rw.main.plain_t")
+    assert(!spark.sql("SHOW TABLES IN graft_rw.main").collect()
+      .map(_.getString(1)).contains("plain_t"))
+  }
+
   test("registerAll registers views in EVERY session, keyed on the session itself") {
     graft.sources.Tables.registerAll(spark, sfDir)
     // a second session must get its own registration pass — temp views are
