@@ -1796,6 +1796,16 @@ object ExtensionQueries {
       graft.operators.Bpe.tokenCounts(t(s, d, "documents"), "doc_id", "text",
         numMerges = 20)),
 
+    // unigram-LM (SentencePiece-style) tokenizer: seed + hard-EM + prune
+    // over the word-type table, then per-doc token counts under the learned
+    // vocabulary — rows-only by design (iterative training has no SQL
+    // oracle, the q_bpe_merges precedent); UnigramLmSpec proves ≡ an
+    // independent plain-Scala implementation
+    "q_unigram_tok" -> ((s, d) =>
+      graft.operators.UnigramLm.tokenCounts(t(s, d, "documents"),
+        "doc_id", "text", vocabSize = 256, maxPieceLen = 6, seedSize = 500,
+        iters = 2)),
+
     // TF-IDF keyword extraction, decimal-exact scoring
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
