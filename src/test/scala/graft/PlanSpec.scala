@@ -718,13 +718,19 @@ class PlanSpec extends SparkSpec {
       s"the verdict is an aggregate, not a window:\n$plan")
   }
 
-  test("sq8 encode is a single narrow projection after the d-row bounds collect") {
+  test("sq8 encode stays narrow: bounds ride ONE broadcast row, corpus rows never exchange") {
+    // r10 ADVICE moved the bounds from re-inlined d-element literal arrays
+    // (codegen-size hazard at dim 768+) to a broadcast one-row frame — the
+    // plan gains a broadcast nested-loop of that single row, and must still
+    // never exchange the corpus side
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
     val enc = graft.operators.Similarity.sq8Encode(emb, "vec_id", "embedding")
     val plan = enc.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"sq8Encode must be map-only (bounds are literal arrays):\n$plan")
-    assert(!plan.contains("Join"), s"no join in the encode path:\n$plan")
+    assert(!plan.contains("ShuffleExchange"),
+      s"sq8Encode corpus side must not shuffle:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must ride a broadcast single-row frame:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffle join:\n$plan")
   }
 
   test("frozen-state serving is broadcast-only: dsir weights and perplexity cuts never shuffle-join") {
@@ -735,8 +741,18 @@ class PlanSpec extends SparkSpec {
     val served = graft.operators.TextAnalysis.dsirScoreWith(w, docs,
       "doc_id", "text", nBuckets = 256)
     val p1 = served.queryExecution.executedPlan.toString
-    assert(p1.contains("BroadcastHashJoin") && !p1.contains("SortMergeJoin"),
+    assert(p1.contains("BroadcastHashJoin"),
       s"dsir serving must broadcast the weight table:\n$p1")
+    // the WEIGHT-TABLE build now full-outer-joins the two bucket-count
+    // frames (r10 ADVICE: target-only buckets keep their evidence) — full
+    // outer cannot broadcast, so the plan carries SMJs whose BOTH sides are
+    // ≤ nBuckets aggregate rows (bounded by the bucket space, never the
+    // corpus; the subtree appears once under the weights branch and once
+    // under the OOV branch). Pin: every SMJ is that FullOuter bucket join —
+    // the corpus-sized scoring join stays broadcast
+    val smjLines = p1.linesIterator.filter(_.contains("SortMergeJoin")).toSeq
+    assert(smjLines.nonEmpty && smjLines.forall(_.contains("FullOuter")),
+      s"only the bucket-table full outer may sort-merge:\n$p1")
 
     val scored = graft.operators.TextAnalysis.backoffLogProb(
       docs.filter(col("source") === "src0"), docs, "doc_id", "text", topV = 50)
