@@ -1731,8 +1731,12 @@ object ExtensionQueries {
           when(col("doc_id") % 7 === 0,
             lit(" all rights reserved worldwide")).otherwise(lit("")))
           .as("text"))
+      // k sized for the sf1 sweep (stream ~2.7M 3-grams at sf1 → need
+      // k·minCount > stream or the certified-superset guard THROWS — it
+      // correctly did at the r11 sf1 sweep with k = 8192); the output is an
+      // exact recount, identical at every SF regardless of k
       TextAnalysis.ngramHeavyHitters(docs, "text",
-        n = 3, minCount = 100L, k = 8192)
+        n = 3, minCount = 100L, k = 65536)
     }),
 
     // rolling boilerplate discovery: round-0 count state merged with the

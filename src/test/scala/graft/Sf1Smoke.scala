@@ -97,6 +97,8 @@ object Sf1Smoke {
       }
     }
 
+    if (args.contains("--fixtures-only")) { spark.stop(); return }
+
     def time(label: String)(f: => Unit): Double = {
       val t0 = System.nanoTime(); f
       val dt = (System.nanoTime() - t0) / 1e9

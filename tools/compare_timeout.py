@@ -43,7 +43,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Sf1Smoke fixtures are directories of parts
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p) or os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok, rows_only, bad, timed_out = [], [], {}, []
