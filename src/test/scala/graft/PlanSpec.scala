@@ -785,4 +785,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
+
+  test("applyDiff: one id-keyed anti-join, AQE broadcasts the takedown-sized delta") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+      .select("doc_id", "text", "source")
+    val ups = docs.filter(col("doc_id") < 3)
+      .withColumn("text", lit("updated"))
+    val del = Seq(7L, 9L).toDF("doc_id")
+    val merged = graft.operators.Pipelines.applyDiff(docs, ups, del, "doc_id")
+    merged.write.format("noop").mode("overwrite").save() // finalize AQE
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"anti-join expected:\n$plan")
+    // the corpus side must not shuffle for a small delta: AQE converts the
+    // anti-join to broadcast, so the only exchanges left are broadcasts
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"delta side must broadcast under AQE:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for a takedown-sized delta:\n$plan")
+  }
 }

@@ -281,6 +281,64 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSet == Set(1L, 2L, 4L, 7L))
   }
 
+  test("streaming States lifecycle: disk-persisted fp state across micro-batches, mid-stream retraction + compaction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Dedup, States, TextAnalysis}
+
+    // the q_pipeline_e2e_incremental2 lifecycle driven by a STREAM: the
+    // state lives on disk (States), each micro-batch reads the live view,
+    // emits survivors, appends its fingerprints; between batches 2 and 3 a
+    // takedown retracts batch-1 content and the state compacts — batch 3's
+    // re-serve of that content must re-admit
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_state")
+      .toString + "/fp"
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    States.write(TextAnalysis.fingerprint(empty, "doc_id", "text"), dir)
+    val batches = Seq(
+      Seq((1L, "alpha beta"), (2L, "gamma delta")),
+      Seq((3L, "alpha beta"), (4L, "epsilon zeta")),   // 3 dups 1 → dropped
+      Seq((5L, "alpha beta"), (6L, "gamma delta"),     // 5 re-admits (1 retracted)
+        (7L, "eta theta")))                            // 6 still dups 2 → dropped
+
+    val input = MemoryStream[(Long, String)]
+    val kept = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // survivors MATERIALIZE before the append (the read-before-append
+        // contract: append's refreshByPath would invalidate the cached
+        // plan and recompute the batch against its own additions)
+        val survivors = Dedup.exactIncremental(
+          batch, "doc_id", "text", States.read(spark, dir))
+          .collect().map(_.getLong(0))
+        kept ++= survivors
+        States.append(TextAnalysis.fingerprint(batch, "doc_id", "text"), dir)
+        if (id == 1L) { // takedown between micro-batches 2 and 3
+          States.retract(TextAnalysis.fingerprint(
+            Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+            "doc_id", "text").select("fp"), dir)
+          States.compact(spark, dir)
+        }
+        ()
+      }
+      .start()
+    batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    assert(kept.toSeq.sorted == Seq(1L, 2L, 4L, 5L, 7L),
+      s"lifecycle stream kept ${kept.toSeq}")
+    // the final on-disk state equals a rebuild on what it should claim:
+    // everything ingested minus the retracted content (content-keyed)
+    val claimed = States.read(spark, dir).select("fp").distinct()
+      .collect().map(_.getString(0)).toSet
+    val expect = TextAnalysis.fingerprint(
+      batches.flatten.toDF("doc_id", "text"), "doc_id", "text")
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    // 'alpha beta' was retracted but batch 3 re-ingested it → still claimed
+    assert(claimed == expect, "state after the full stream must claim all live content")
+  }
+
   test("streaming semantic dedup: foreachBatch vs persisted cell state == batch semanticDedup") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
