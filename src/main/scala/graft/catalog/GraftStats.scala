@@ -71,11 +71,21 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   override def properties(): java.util.Map[String, String] = delegate.properties()
   override def capabilities(): java.util.Set[TableCapability] =
     if (writablePath.isDefined)
-      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+        TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount)
+
+  /** INSERT INTO appends through the stock committer-protected parquet
+    * write; INSERT OVERWRITE (truncate) writes the replacement into a
+    * hidden sibling staging dir and RENAME-SWAPS it over the live table at
+    * job commit — the same all-or-nothing discipline as staged CTAS and
+    * the state compactions: readers see the old table until the swap
+    * instant, a crashed overwrite leaves the old table intact, and an
+    * empty overwrite still materializes a schema-carrying zero-row file.
+    */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (writablePath.isEmpty)
       throw new UnsupportedOperationException(
@@ -84,7 +94,76 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     // evict the catalog's cached (table, file listing, footer stats) so the
     // next load after this write re-lists — read-after-write within the TTL
     onWrite()
-    delegate.newWriteBuilder(info)
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncating = false
+      override def truncate(): WriteBuilder = { truncating = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        if (!truncating) delegate.newWriteBuilder(info).build()
+        else new SwapOverwrite(delegate.name, writablePath.get, info, onWrite).write()
+    }
+  }
+}
+
+/** The truncating half of [[GraftTable.newWriteBuilder]]: a parquet write
+  * into `.overwrite-<name>-<uuid>` (ignored by table listing) whose batch
+  * COMMIT swaps the staging dir over the live table.
+  */
+private[catalog] class SwapOverwrite(tableName: String, livePath: String,
+    info: LogicalWriteInfo, onWrite: () => Unit) {
+  import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, Write, WriterCommitMessage}
+
+  private val spark = org.apache.spark.sql.SparkSession.active
+  private val live = new Path(livePath)
+  private val staging = new Path(live.getParent,
+    s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+  private def fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def write(): Write = {
+    val staged = ParquetTable(tableName, spark,
+      CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+      Some(info.schema()), classOf[org.apache.spark.sql.execution
+        .datasources.parquet.ParquetFileFormat])
+    val inner = staged.newWriteBuilder(info).build()
+    new Write {
+      override def description(): String = s"graft-overwrite($tableName)"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val innerBatch = inner.toBatch
+        override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+          innerBatch.createBatchWriterFactory(p)
+        // the file write runs the Hadoop committer, NOT the driver-side
+        // commit coordinator — delegating this is load-bearing (the
+        // default `true` makes the coordinator deny the tasks' commits)
+        override def useCommitCoordinator(): Boolean =
+          innerBatch.useCommitCoordinator()
+        override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+          innerBatch.onDataWriterCommit(message)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.commit(messages)
+          val filesystem = fs
+          if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
+          val hasData = filesystem.listStatus(staging).exists(st =>
+            st.isFile && st.getPath.getName.endsWith(".parquet"))
+          if (!hasData) // empty overwrite keeps the table loadable
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              info.schema()).write.mode("append").parquet(staging.toString)
+          val aside = new Path(live.getParent, s".old-${live.getName}")
+          if (filesystem.exists(aside)) filesystem.delete(aside, true)
+          if (!filesystem.rename(live, aside))
+            throw new java.io.IOException(s"overwrite: cannot move $live aside")
+          if (!filesystem.rename(staging, live)) {
+            filesystem.rename(aside, live) // roll back — the old table lives
+            throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+          }
+          filesystem.delete(aside, true)
+          onWrite()
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.abort(messages)
+          fs.delete(staging, true)
+        }
+      }
+    }
   }
 }
 

@@ -127,6 +127,17 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("INSERT INTO graft_rw.main.single SELECT * FROM graft_rw.main.single")
     }
+    // INSERT OVERWRITE swaps wholesale (staged write + rename-swap commit)
+    spark.sql("INSERT OVERWRITE graft_rw.main.big_nations " +
+      "SELECT n_nationkey FROM graft_rw.main.nation_src WHERE n_nationkey < 4")
+    assert(cnt("big_nations") == 4, "overwrite must replace, not append")
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".overwrite-")),
+      "committed overwrite must leave no staging debris")
+    // empty overwrite keeps the table loadable with its schema
+    spark.sql("INSERT OVERWRITE graft_rw.main.big_nations " +
+      "SELECT n_nationkey FROM graft_rw.main.nation_src WHERE 1 = 0")
+    assert(cnt("big_nations") == 0)
+    assert(spark.table("graft_rw.main.big_nations").columns.toSeq == Seq("n_nationkey"))
     // DROP removes table and listing
     spark.sql("DROP TABLE graft_rw.main.plain_t")
     assert(!spark.sql("SHOW TABLES IN graft_rw.main").collect()
