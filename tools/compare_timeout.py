@@ -1,12 +1,14 @@
 #!/usr/bin/env python3
-"""compare.py with a per-query oracle timeout, for the sf1 full-corpus sweep:
-a few brute-force oracles (shingle self-joins over ~50k docs with ten exact
-clones of every document) are quadratic in DuckDB at sf1; rather than hang
-the sweep, record them as 'oracle_timeout' explicitly — a skipped oracle is
+"""compare.py with a HARD per-query oracle timeout, for the sf1 full-corpus
+sweep: a few brute-force oracles (shingle self-joins over ~50k docs with ten
+exact clones of every document) are quadratic in DuckDB at sf1; rather than
+hang the sweep, each oracle runs in a killable subprocess and over-budget
+ones are recorded as 'oracle_timeout' explicitly — a skipped oracle is
 reported, never silently passed. Usage:
   compare_timeout.py <verify_out_dir> <sf_dir> [timeout_s]
 """
-import sys, os, json, math, glob, threading
+import sys, os, json, math, glob
+import multiprocessing as mp
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -37,56 +39,78 @@ def canon(cols, rows):
     return [cols[i] for i in order], out
 
 
-def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 300.0
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Sf1Smoke fixtures are directories of parts
             p = os.path.join(p, "*.parquet")
         if glob.glob(p) or os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def one(sf_dir, out_dir, name, sql, q):
+    """Child process: compare one query, put the verdict on the queue."""
+    try:
+        con = connect(sf_dir)
+        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        sd = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        scols = [d[0] for d in con.description]
+        od = con.execute(sql).fetchall()
+        ocols = [d[0] for d in con.description]
+        sc, sr = canon(scols, sd)
+        oc, orr = canon(ocols, od)
+        if [c.lower() for c in sc] != [c.lower() for c in oc]:
+            q.put({"status": "SCHEMA", "spark": sc, "oracle": oc})
+        elif len(sr) != len(orr):
+            q.put({"status": "ROWS", "spark": len(sr), "oracle": len(orr)})
+        elif sr != orr:
+            oset = set(orr)
+            sset = set(sr)
+            q.put({"status": "HASH",
+                   "only_spark": [list(r) for r in sr if r not in oset][:3],
+                   "only_oracle": [list(r) for r in orr if r not in sset][:3]})
+        else:
+            q.put({"status": "OK"})
+    except Exception as e:
+        q.put({"status": "ORACLE_ERROR", "err": str(e)[:300]})
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok, rows_only, bad, timed_out = [], [], {}, []
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-        if not files:
+        print(f"[cmp] {name}", file=sys.stderr, flush=True)
+        if not glob.glob(os.path.join(out_dir, name, "*.parquet")):
             bad[name] = {"status": "NO_SPARK_OUTPUT"}
             continue
-        sd = con.execute(
-            f"SELECT * FROM read_parquet({files!r})").fetchall()
-        scols = [d[0] for d in con.description]
         if name not in oracle:
             rows_only.append(name)
             continue
-        timer = threading.Timer(timeout_s, con.interrupt)
-        timer.start()
-        try:
-            od = con.execute(oracle[name]).fetchall()
-            ocols = [d[0] for d in con.description]
-        except Exception as e:
-            if "INTERRUPT" in str(e).upper() or "interrupted" in str(e).lower():
-                timed_out.append(name)
-            else:
-                bad[name] = {"status": "ORACLE_ERROR", "err": str(e)[:300]}
+        q = mp.Queue()
+        p = mp.Process(target=one,
+                       args=(sf_dir, out_dir, name, oracle[name], q))
+        p.start()
+        p.join(timeout_s)
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            if p.is_alive():
+                p.kill()
+            timed_out.append(name)
             continue
-        finally:
-            timer.cancel()
-        sc, sr = canon(scols, sd)
-        oc, orr = canon(ocols, od)
-        if [c.lower() for c in sc] != [c.lower() for c in oc]:
-            bad[name] = {"status": "SCHEMA", "spark": sc, "oracle": oc}
-        elif len(sr) != len(orr):
-            bad[name] = {"status": "ROWS", "spark": len(sr), "oracle": len(orr)}
-        elif sr != orr:
-            d1 = [r for r in sr if r not in set(orr)][:3]
-            d2 = [r for r in orr if r not in set(sr)][:3]
-            bad[name] = {"status": "HASH", "only_spark": d1, "only_oracle": d2}
-        else:
+        verdict = q.get() if not q.empty() else {"status": "ORACLE_ERROR",
+                                                 "err": "child died"}
+        if verdict["status"] == "OK":
             ok.append(name)
+        else:
+            bad[name] = verdict
     print(json.dumps({"ok": len(ok), "rows_only": rows_only,
                       "oracle_timeout": timed_out, "bad": bad}))
 
