@@ -2482,6 +2482,13 @@ object ExtensionQueries {
     * probed cells — every stage exact-integer, so the pruned search
     * hash-matches. The coarse quantizer and the PQ codebook draw the SAME 16
     * md5-ordered seeds here (nlist = ksub = 16), exactly as the engine does.
+    *
+    * `live` CTE (r11 sf1 catch): the engine's `.cells`/`.seeds` sidecars
+    * keep one cell per DISTINCT seed vector — when the corpus contains
+    * exact clones, a duplicate seed's cell is EMPTY (every vector ties to
+    * the smaller-id twin) and the engine never spends a probe slot on it;
+    * the oracle's probe ranking must rank over the same live universe or a
+    * phantom-cell probe silently shrinks its candidate pool.
     */
   private val ivfPqProbeOracle: String = {
     val dists = (0 until 8).map { j =>
@@ -2507,8 +2514,10 @@ object ExtensionQueries {
        |            SELECT vec_id, seed_id, row_number() OVER
        |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
        |            FROM cd) WHERE rn = 1),
-       |probe AS (SELECT seed_id AS cell FROM cd WHERE vec_id = 0
-       |          ORDER BY dist2, seed_id LIMIT 4),
+       |live AS (SELECT min(seed_id) AS seed_id FROM seeds GROUP BY sv),
+       |probe AS (SELECT cd.seed_id AS cell
+       |          FROM cd JOIN live ON live.seed_id = cd.seed_id
+       |          WHERE vec_id = 0 ORDER BY dist2, cd.seed_id LIMIT 4),
        |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
        |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
        |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")}
@@ -2548,8 +2557,10 @@ object ExtensionQueries {
        |            SELECT vec_id, seed_id, row_number() OVER
        |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
        |            FROM cd) WHERE rn = 1),
-       |probe AS (SELECT seed_id AS cell FROM cd WHERE vec_id = 0
-       |          ORDER BY dist2, seed_id LIMIT 4),
+       |live AS (SELECT min(seed_id) AS seed_id FROM seeds GROUP BY sv),
+       |probe AS (SELECT cd.seed_id AS cell
+       |          FROM cd JOIN live ON live.seed_id = cd.seed_id
+       |          WHERE vec_id = 0 ORDER BY dist2, cd.seed_id LIMIT 4),
        |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
        |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
        |lq AS (SELECT r, ${(0 until 8).map(j => s"d$j").mkString(", ")}
@@ -2597,10 +2608,12 @@ object ExtensionQueries {
        |            SELECT vec_id, seed_id, row_number() OVER
        |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
        |            FROM cd) WHERE rn = 1),
+       |live AS (SELECT min(seed_id) AS seed_id FROM seeds GROUP BY sv),
        |probe AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
-       |            SELECT vec_id, seed_id, row_number() OVER
-       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
-       |            FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |            SELECT cd.vec_id, cd.seed_id, row_number() OVER
+       |              (PARTITION BY cd.vec_id ORDER BY cd.dist2, cd.seed_id) AS rn
+       |            FROM cd JOIN live ON live.seed_id = cd.seed_id
+       |            WHERE cd.vec_id % 100 = 0) WHERE rn <= 4),
        |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
        |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
        |lq AS (SELECT vec_id AS query_id, r,
@@ -2645,10 +2658,12 @@ object ExtensionQueries {
        |            SELECT vec_id, seed_id, row_number() OVER
        |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
        |            FROM cd) WHERE rn = 1),
+       |live AS (SELECT min(seed_id) AS seed_id FROM seeds GROUP BY sv),
        |probe AS (SELECT vec_id AS query_id, seed_id AS cell FROM (
-       |            SELECT vec_id, seed_id, row_number() OVER
-       |              (PARTITION BY vec_id ORDER BY dist2, seed_id) AS rn
-       |            FROM cd WHERE vec_id % 100 = 0) WHERE rn <= 4),
+       |            SELECT cd.vec_id, cd.seed_id, row_number() OVER
+       |              (PARTITION BY cd.vec_id ORDER BY cd.dist2, cd.seed_id) AS rn
+       |            FROM cd JOIN live ON live.seed_id = cd.seed_id
+       |            WHERE cd.vec_id % 100 = 0) WHERE rn <= 4),
        |d AS (SELECT q.vec_id, s.r, $dists FROM q, seeds s),
        |k AS (SELECT vec_id, $keys FROM d GROUP BY 1),
        |lq AS (SELECT vec_id AS query_id, r,
@@ -4825,7 +4840,9 @@ object ExtensionQueries {
         |    SELECT vec_id, cell,
         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
         |    FROM cd) WHERE rn = 1),
-        |probe AS (SELECT cell FROM cd WHERE vec_id = 0 ORDER BY dist2, cell LIMIT 4)
+        |live AS (SELECT min(cell) AS cell FROM seeds GROUP BY sv),
+        |probe AS (SELECT cd.cell FROM cd JOIN live ON live.cell = cd.cell
+        |          WHERE vec_id = 0 ORDER BY dist2, cd.cell LIMIT 4)
         |SELECT * FROM (
         |  SELECT b.vec_id,
         |    floor(list_cosine_similarity(b.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 10000) / 10000 AS cos

@@ -68,9 +68,14 @@ object RelationalQueries {
       t(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
+        // money sums ride the exact-DECIMAL/BIGINT-cents idiom (r11 sf1
+        // catch on q5_join — order-dependent double sums at scale);
+        // quantity sums stay double: integral values are exact in IEEE
         .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          (round(sum(col("l_extendedprice").cast("decimal(30,8)")), 2) * 100)
+            .cast("long").as("base_c2"),
+          (round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,8)")), 2) * 100).cast("long").as("disc_c2"),
           round(avg("l_quantity"), 2).as("avg_qty"),
           count("*").as("n"))),
 
@@ -78,7 +83,8 @@ object RelationalQueries {
       t(s, d, "lineitem")
         .filter(col("l_shipdate").between("1996-01-01", "1997-12-31") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+        .agg((round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(30,8)")), 2) * 100).cast("long").as("revenue_c2"))),
 
     "q_having" -> ((s, d) =>
       t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
@@ -118,8 +124,9 @@ object RelationalQueries {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .agg((round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 2) * 100).cast("long").as("revenue_c2"))
+        .orderBy(col("revenue_c2").desc, col("o_orderkey").asc)
         .limit(10)
     }),
 
@@ -134,7 +141,15 @@ object RelationalQueries {
         .join(su, col("l_suppkey") === col("s_suppkey") &&
           col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // revenue in BIGINT cents over an exact DECIMAL sum (r11 sf1 sweep
+        // catch): round(sum(double), 2) is order-dependent in the last ulp
+        // and at 10× rows the sum crossed a cent boundary between engines
+        // (549463674.44 vs .43); the per-row product is IEEE-identical on
+        // both engines, so casting IT to DECIMAL(30,8) and summing exactly
+        // is engine-portable, and the BIGINT surface avoids the DECIMAL
+        // rendering divergence the canaries pin
+        .agg((round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 2) * 100).cast("long").as("revenue_c2"),
           count("*").as("n"))
     }),
 
@@ -182,7 +197,8 @@ object RelationalQueries {
       t(s, d, "lineitem").join(broadcast(t(s, d, "part")),
         col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg((round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 2) * 100).cast("long").as("revenue_c2"),
           count("*").as("n"))),
 
     // ---- subqueries ----
@@ -277,13 +293,16 @@ object RelationalQueries {
 
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
-        "round(sum(l_extendedprice), 2) AS sum_base, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) * 100 " +
+        "AS BIGINT) AS base_c2, " +
+        "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS disc_c2, " +
         "round(avg(l_quantity), 2) AS avg_qty, count(*) AS n " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2"),
 
     "q6_filter" ->
-      ("SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem " +
+      ("SELECT CAST(round(sum(CAST(l_extendedprice * l_discount " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_c2 FROM lineitem " +
         "WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31' " +
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
 
@@ -311,14 +330,16 @@ object RelationalQueries {
 
     "q3_topk" ->
       ("SELECT o_orderkey, o_orderdate, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_c2 " +
         "FROM customer JOIN orders ON c_custkey = o_custkey " +
         "JOIN lineitem ON o_orderkey = l_orderkey " +
         "WHERE c_mktsegment = 'BUILDING' GROUP BY 1, 2 " +
-        "ORDER BY revenue DESC, o_orderkey LIMIT 10"),
+        "ORDER BY revenue_c2 DESC, o_orderkey LIMIT 10"),
 
     "q5_join" ->
-      ("SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      ("SELECT n_name, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_c2, " +
         "count(*) AS n FROM region " +
         "JOIN nation ON n_regionkey = r_regionkey " +
         "JOIN customer ON c_nationkey = n_nationkey " +
@@ -356,7 +377,8 @@ object RelationalQueries {
         "JOIN supplier b ON a.s_acctbal < b.s_acctbal"),
 
     "q_broadcast_join" ->
-      ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+      ("SELECT p_brand, CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_c2, " +
         "count(*) AS n FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1"),
 
     "q_scalar_subquery" ->

@@ -41,6 +41,15 @@ def canon(cols, rows):
 
 def connect(sf_dir):
     con = duckdb.connect()
+    # bounded per child: N workers × unbounded-thread DuckDBs thrash the box
+    # and make even trivial oracles blow the wall-clock cap
+    con.execute("PRAGMA threads=4")
+    con.execute("PRAGMA memory_limit='10GB'")
+    # concurrent children must not share a spill dir — colliding
+    # duckdb_temp_storage files corrupt each other's reads
+    tmp = f"/tmp/duckdb_spill_{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"PRAGMA temp_directory='{tmp}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Sf1Smoke fixtures are directories of parts
@@ -79,40 +88,54 @@ def one(sf_dir, out_dir, name, sql, q):
 
 
 def main():
+    import time
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     timeout_s = float(sys.argv[3]) if len(sys.argv) > 3 else 120.0
+    workers = int(sys.argv[4]) if len(sys.argv) > 4 else 6
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     ok, rows_only, bad, timed_out = [], [], {}, []
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
-        print(f"[cmp] {name}", file=sys.stderr, flush=True)
+    pending = []
+    for name in sorted(d for d in os.listdir(out_dir)
+                       if os.path.isdir(os.path.join(out_dir, d))):
         if not glob.glob(os.path.join(out_dir, name, "*.parquet")):
             bad[name] = {"status": "NO_SPARK_OUTPUT"}
-            continue
-        if name not in oracle:
+        elif name not in oracle:
             rows_only.append(name)
-            continue
-        q = mp.Queue()
-        p = mp.Process(target=one,
-                       args=(sf_dir, out_dir, name, oracle[name], q))
-        p.start()
-        p.join(timeout_s)
-        if p.is_alive():
-            p.terminate()
-            p.join(10)
-            if p.is_alive():
-                p.kill()
-            timed_out.append(name)
-            continue
-        verdict = q.get() if not q.empty() else {"status": "ORACLE_ERROR",
-                                                 "err": "child died"}
-        if verdict["status"] == "OK":
-            ok.append(name)
         else:
-            bad[name] = verdict
-    print(json.dumps({"ok": len(ok), "rows_only": rows_only,
-                      "oracle_timeout": timed_out, "bad": bad}))
+            pending.append(name)
+    running = {}  # name -> (Process, Queue, deadline)
+    while pending or running:
+        while pending and len(running) < workers:
+            name = pending.pop(0)
+            print(f"[cmp] start {name}", file=sys.stderr, flush=True)
+            q = mp.Queue()
+            p = mp.Process(target=one,
+                           args=(sf_dir, out_dir, name, oracle[name], q))
+            p.start()
+            running[name] = (p, q, time.monotonic() + timeout_s)
+        time.sleep(0.2)
+        for name in list(running):
+            p, q, deadline = running[name]
+            if not p.is_alive():
+                verdict = q.get() if not q.empty() else {
+                    "status": "ORACLE_ERROR", "err": "child died"}
+                if verdict["status"] == "OK":
+                    ok.append(name)
+                else:
+                    bad[name] = verdict
+                print(f"[cmp] done  {name} {verdict['status']}",
+                      file=sys.stderr, flush=True)
+                del running[name]
+            elif time.monotonic() > deadline:
+                p.terminate()
+                p.join(10)
+                if p.is_alive():
+                    p.kill()
+                timed_out.append(name)
+                print(f"[cmp] TIMEOUT {name}", file=sys.stderr, flush=True)
+                del running[name]
+    print(json.dumps({"ok": len(ok), "rows_only": sorted(rows_only),
+                      "oracle_timeout": sorted(timed_out), "bad": bad}))
 
 
 if __name__ == "__main__":
