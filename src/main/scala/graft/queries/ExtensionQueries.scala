@@ -5968,9 +5968,11 @@ object ExtensionQueries {
         |      FROM embeddings)""".stripMargin),
 
     "q_events_tumbling" ->
-      // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads
+      // ts::TIMESTAMP truncates DuckDB's ns to µs — the precision Spark reads;
+      // money sum in BIGINT cents over an exact DECIMAL sum (r11 sf1-sweep idiom)
       ("SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS window_start, event_type, " +
-        "count(*) AS n, round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"),
+        "count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) * 100 " +
+        "AS BIGINT) AS sum_value_c2 FROM events GROUP BY 1, 2"),
 
     // first/last restated as window ranks over (µs-time, event_id) — the
     // same total order the engine's struct extremes encode
@@ -6042,7 +6044,8 @@ object ExtensionQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM x) " +
         "SELECT user_id, min(ts) AS session_start, " +
         "max(ts) + INTERVAL '30 minutes' AS session_end, " +
-        "count(*) AS n, round(sum(value), 2) AS sum_value FROM y GROUP BY user_id, sid"),
+        "count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) * 100 " +
+        "AS BIGINT) AS sum_value_c2 FROM y GROUP BY user_id, sid"),
 
     "q_asof_join" ->
       ("WITH m AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice, " +

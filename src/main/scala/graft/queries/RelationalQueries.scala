@@ -244,11 +244,16 @@ object RelationalQueries {
         |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         |) WHERE rn <= 3""".stripMargin),
 
+    // running money total in BIGINT cents over an exact DECIMAL window sum —
+    // the r11 sf1-sweep idiom: round(sum(double)) is order-dependent and a
+    // cumulative frame re-accumulates per row, so the exact sum is the only
+    // scale-stable hash surface
     "q_window_running" -> sql(
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100
+        |    AS BIGINT) AS running_c2
         |FROM orders""".stripMargin),
 
     "q_window_leadlag" -> sql(
@@ -418,9 +423,11 @@ object RelationalQueries {
         ") WHERE rn <= 3"),
 
     "q_window_running" ->
-      ("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+      ("SELECT o_custkey, o_orderkey, CAST(round(sum(CAST(o_totalprice " +
+        "AS DECIMAL(30,8))) OVER (" +
         "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running FROM orders"),
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) * 100 " +
+        "AS BIGINT) AS running_c2 FROM orders"),
 
     "q_window_leadlag" ->
       ("SELECT o_custkey, o_orderkey, lag(o_totalprice) OVER w AS prev_price, " +

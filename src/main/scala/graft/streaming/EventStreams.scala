@@ -13,13 +13,20 @@ import org.apache.spark.sql.types.StructType
   */
 object EventStreams {
 
-  /** Tumbling-window counts/sums per event_type. Works on batch or streaming df. */
+  /** Tumbling-window counts/sums per event_type. Works on batch or streaming df.
+    * The value sum rides the exact-DECIMAL/BIGINT-cents idiom (the r11 sf1
+    * sweep's fix for order-dependent double sums): per-row doubles are cast to
+    * DECIMAL(30,8) and summed exactly, so the hash surface cannot flip a last
+    * ulp when accumulation order changes at scale.
+    */
   def tumbling(events: DataFrame, width: String): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count("*").as("n"),
+        (round(sum(col("value").cast("decimal(30,8)")), 2) * 100)
+          .cast("long").as("sum_value_c2"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n"), col("sum_value"))
+        col("n"), col("sum_value_c2"))
 
   /** Sliding-window event counts. */
   def sliding(events: DataFrame, width: String, slide: String): DataFrame =
@@ -34,9 +41,11 @@ object EventStreams {
   def sessions(events: DataFrame, gap: String): DataFrame =
     events
       .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
-      .agg(count("*").as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count("*").as("n"),
+        (round(sum(col("value").cast("decimal(30,8)")), 2) * 100)
+          .cast("long").as("sum_value_c2"))
       .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n"), col("sum_value"))
+        col("w.end").as("session_end"), col("n"), col("sum_value_c2"))
 
   /** OHLC bars per series per tumbling window — the financial bar-building
     * aggregation generalized to any event stream (open/close = first/last
