@@ -196,7 +196,9 @@ class RetirementSpec extends SparkSpec {
     States.compact(spark, fDir)
     assert(rows(States.read(spark, fDir)) == fLive, "read changed under compaction")
     assert(fLive == rows(TextAnalysis.fingerprint(survivors, "doc_id", "text")))
-    assert(!new java.io.File(s"$fDir.retracted").exists, "sidecar must clear")
+    assert(!new java.io.File(s"$fDir.retracted").exists, "legacy sidecar must not appear")
+    assert(!new java.io.File(fDir).listFiles.exists(_.getName.startsWith("_retracted-gen-")),
+      "compaction must clear the consumed sidecar")
 
     // 2. containment postings — sidecar key: doc_id
     val cDir = s"$base/cont"
@@ -294,5 +296,72 @@ class RetirementSpec extends SparkSpec {
       graft.operators.Semantic.semanticRetract(state, seed)
     }
     assert(e.getMessage.contains("rebuild"))
+  }
+
+  test("States marker commit: a kill at any point leaves a readable state (r11 ask #5)") {
+    import graft.operators.States
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_states_crash")
+      .toString + "/st"
+    def rows = States.read(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    States.write(v1, dir)
+    val want = rows
+
+    // kill point A: a replacement generation fully written but NOT
+    // committed (crash before the marker create) — the old state stays
+    // live and the orphan is invisible to read
+    Seq((9L, "z")).toDF("id", "v").write.parquet(s"$dir/gen-99-deadbeef")
+    assert(rows == want, "uncommitted generation must not become visible")
+
+    // a later write() both commits atomically and sweeps the orphan
+    States.write(v1, dir)
+    assert(rows == want)
+    assert(!new java.io.File(s"$dir/gen-99-deadbeef").exists,
+      "orphaned uncommitted generation must be swept")
+
+    // kill point B: committed marker whose generation was already swept
+    // (crash mid-sweep after a newer commit) — resolution skips it
+    new java.io.File(s"$dir/_commit-98-deadbeef").createNewFile()
+    assert(rows == want, "marker without data must be skipped")
+    new java.io.File(s"$dir/_commit-98-deadbeef").delete()
+
+    // the state path is NEVER absent across a full lifecycle: read works
+    // between every step (the r11 double-rename left an absent-dir window)
+    States.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(rows.size == 3)
+    States.retract(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(rows.size == 2)
+    States.compact(spark, dir)
+    assert(rows == Seq((1L, "a"), (3L, "c")).toDF("id", "v")
+      .collect().map(_.toString).sorted.toSeq)
+    // exactly one committed generation survives the sweep
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSeq
+    assert(names.count(_.startsWith("_commit-")) == 1, s"layout after compact: $names")
+    assert(names.count(_.startsWith("gen-")) == 1, s"layout after compact: $names")
+  }
+
+  test("States compact: retractions landing after the snapshot carry forward (r11 ADVICE)") {
+    import graft.operators.States
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_states_late")
+      .toString + "/st"
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    States.write(v1, dir)
+    States.retract(Seq((2L, "b")).toDF("id", "v"), dir)
+    // inject a retraction AFTER compact's sidecar snapshot but BEFORE its
+    // commit, via the merge callback (which compact invokes between the
+    // two): the r11 layout silently dropped it with the sidecar delete —
+    // the snapshot discipline must carry it into the new generation
+    States.compact(spark, dir, { df =>
+      States.retract(Seq((3L, "c")).toDF("id", "v"), dir)
+      df.distinct()
+    })
+    assert(States.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L),
+      "a retract landing mid-compact must survive the compaction")
+    // and it is applied physically by the next compact
+    States.compact(spark, dir)
+    assert(States.read(spark, dir).collect().map(_.getLong(0)).toSet == Set(1L))
   }
 }
