@@ -148,9 +148,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       userSchema,
       classOf[ParquetFileFormat])
 
+    // metadata sidecar (partitioned / evolved tables): its schema is
+    // authoritative — wider than old footers after ADD COLUMN, and the only
+    // schema source for an empty partitioned table
+    val isDir = fs.getFileStatus(path).isDirectory
+    val meta = if (isDir) TableMeta.read(fs, path) else None
+
     // schema-level governance: no-access columns never appear (reference
     // trino/RecordServiceMetadata.java:803-804)
-    val base = parquetTable(None)
+    val declared = meta.map(_.schema)
+    val base = declared.map(s => parquetTable(Some(s))).getOrElse(parquetTable(None))
     val table =
       if (dropped.isEmpty) base
       else {
@@ -163,10 +170,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // directory tables are INSERT targets; single-file `<name>.parquet`
     // tables stay read-only (appending part files under a file path is not
     // a meaningful layout)
-    val writable =
-      if (fs.getFileStatus(path).isDirectory) Some(path.toString) else None
+    val writable = if (isDir) Some(path.toString) else None
     val wrapped: Table = new GraftTable(table, () => rows, writable,
-      onWrite = () => invalidateTable(ident))
+      onWrite = () => invalidateTable(ident),
+      partCols = meta.map(_.partitionCols).getOrElse(Nil))
     cache.put(key, (now, wrapped))
     wrapped
   }
@@ -177,15 +184,48 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .foreach(cache.remove)
   }
 
-  private def requireWritableTarget(ident: Identifier,
-      partitions: Array[Transform]): Unit = {
+  /** Namespace gate shared by every name-addressed mutation: DROP/RENAME
+    * resolve tables by NAME, so without this check
+    * `DROP TABLE cat.bogus_ns.nation` would delete main's directory
+    * (r11 ADVICE).
+    */
+  private def requireKnownNamespace(ident: Identifier): Unit =
     if (!ident.namespace.sameElements(defaultNs))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         ident.namespace.toSeq)
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft catalog tables are unpartitioned directories; use " +
-          "graft.sources.Writers.partitionedParquet for hive-partitioned layouts")
+
+  /** Validate a write target and resolve its partitioning: only IDENTITY
+    * `PARTITIONED BY (col, ...)` transforms are supported (they map 1:1 to
+    * the hive `k=v` directory layout the read path already prunes with
+    * DPP); bucket/temporal transforms have no directory analog here.
+    */
+  private def requireWritableTarget(ident: Identifier,
+      partitions: Array[Transform]): Seq[String] = {
+    requireKnownNamespace(ident)
+    partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() != "identity" || refs.length != 1 ||
+          refs.head.fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft catalog supports only identity PARTITIONED BY columns, got: $t")
+      refs.head.fieldNames().head
+    }
+  }
+
+  /** Canonical on-disk column order: data columns first (declared order),
+    * partition columns last — the order a hive-layout read reports
+    * (FileTable appends the partition schema), so the declared schema and
+    * the read-back schema agree.
+    */
+  private def canonicalSchema(schema: StructType, partCols: Seq[String]): StructType = {
+    if (partCols.isEmpty) return schema
+    val missing = partCols.filterNot(p => schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"PARTITIONED BY columns not in schema: ${missing.mkString(", ")}")
+    val (part, data) = schema.fields.partition(f =>
+      partCols.exists(_.equalsIgnoreCase(f.name)))
+    StructType(data ++ part)
   }
 
   /** Materialize an empty, schema-carrying table: one zero-row parquet part
@@ -208,19 +248,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    requireWritableTarget(ident, partitions)
+    val partCols = requireWritableTarget(ident, partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace.toSeq :+ ident.name)
-    writeEmpty(schema, new Path(dir, ident.name))
+    val target = new Path(dir, ident.name)
+    if (partCols.nonEmpty) {
+      // partitioned: the sidecar IS the schema source (an empty table has
+      // no `k=v` dirs or footers to infer from); no seed file — a root
+      // part file would break the hive layout
+      fs.mkdirs(target)
+      TableMeta.write(fs, target,
+        TableMeta(canonicalSchema(schema, partCols), partCols))
+    } else writeEmpty(schema, target)
     invalidateTable(ident)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog: ALTER is not supported")
+  /** ALTER TABLE — the ADD COLUMN subset (r11 VERDICT ask #3), over
+    * directory tables: the evolved schema lands in the `_graft_table.json`
+    * sidecar (created from the live layout on first ALTER), reads serve it
+    * with parquet null-filling the column for pre-evolution files, and
+    * subsequent INSERTs write the wider rows. Other changes (drop/rename/
+    * retype) would silently corrupt positional readers of existing files —
+    * refused loudly.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireKnownNamespace(ident)
+    val path = tablePath(ident.name).getOrElse {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    }
+    if (!fs.getFileStatus(path).isDirectory)
+      throw new UnsupportedOperationException(
+        s"table ${ident.name} is a single-file table — read-only")
+    val current = TableMeta.read(fs, path).getOrElse {
+      val spark = SparkSession.active
+      TableMeta(spark.read.parquet(path.toString).schema, partitionColsOf(path))
+    }
+    val updated = changes.foldLeft(current) { (m, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          if (add.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "graft catalog: nested ADD COLUMN is not supported")
+          val colName = add.fieldNames().head
+          if (!add.isNullable)
+            throw new UnsupportedOperationException(
+              s"added column $colName must be nullable: existing files lack it")
+          if (m.schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
+            throw new IllegalArgumentException(s"column $colName already exists")
+          var field = org.apache.spark.sql.types.StructField(
+            colName, add.dataType(), nullable = true)
+          if (add.comment() != null) field = field.withComment(add.comment())
+          // keep partition columns last (the canonical read-back order)
+          val (part, data) = m.schema.fields.partition(f =>
+            m.partitionCols.exists(_.equalsIgnoreCase(f.name)))
+          TableMeta(StructType((data :+ field) ++ part), m.partitionCols)
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: ALTER ${other.getClass.getSimpleName} is not supported " +
+              "(only ADD COLUMN evolves a directory table safely)")
+      }
+    }
+    TableMeta.write(fs, path, updated)
+    invalidateTable(ident)
+    loadTable(ident)
+  }
+
+  /** Partition columns of a live hive-layout directory (for tables
+    * predating a metadata sidecar): the chain of `k=v` directory names.
+    */
+  private def partitionColsOf(path: Path): Seq[String] = {
+    val filesystem = fs
+    val b = Seq.newBuilder[String]
+    var cur = path
+    var descending = true
+    while (descending) {
+      val kv = filesystem.listStatus(cur)
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      if (kv.isEmpty) descending = false
+      else {
+        b += kv.head.getPath.getName.split("=", 2)(0)
+        cur = kv.head.getPath
+      }
+    }
+    b.result()
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
+    requireKnownNamespace(ident)
     invalidateTable(ident)
     tablePath(ident.name) match {
       case Some(p) => fs.delete(p, true)
@@ -229,6 +346,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireKnownNamespace(oldIdent)
+    requireKnownNamespace(newIdent)
     if (!tableExists(oldIdent))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         oldIdent.namespace.toSeq :+ oldIdent.name)
@@ -249,53 +368,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
-    requireWritableTarget(ident, partitions)
+    val partCols = requireWritableTarget(ident, partitions)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.namespace.toSeq :+ ident.name)
-    staged(ident, schema, replace = false)
+    staged(ident, schema, partCols, replace = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
-    requireWritableTarget(ident, partitions)
+    val partCols = requireWritableTarget(ident, partitions)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
-    staged(ident, schema, replace = true)
+    staged(ident, schema, partCols, replace = true)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
-    requireWritableTarget(ident, partitions)
-    staged(ident, schema, replace = true)
+    val partCols = requireWritableTarget(ident, partitions)
+    staged(ident, schema, partCols, replace = true)
   }
 
   private def staged(ident: Identifier, schema: StructType,
-      replace: Boolean): StagedTable = {
+      partCols: Seq[String], replace: Boolean): StagedTable = {
     val staging = new Path(dir,
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
-    new GraftStagedTable(ident, schema, staging, new Path(dir, ident.name),
-      replace, this)
+    new GraftStagedTable(ident, canonicalSchema(schema, partCols), staging,
+      new Path(dir, ident.name), replace, this, partCols)
   }
 
   /** Finalize a staged CTAS: ensure the staging dir carries at least one
-    * schema-bearing part file (an empty SELECT writes none), then
-    * rename-swap it into place.
+    * schema-bearing part file (an empty SELECT writes none; a partitioned
+    * table carries its schema in the metadata sidecar instead — a root
+    * part file would break the hive layout), then rename-swap it into
+    * place.
     */
   private[catalog] def commitStaged(ident: Identifier, schema: StructType,
-      staging: Path, target: Path, replace: Boolean): Unit = {
+      staging: Path, target: Path, replace: Boolean,
+      partCols: Seq[String]): Unit = {
     val filesystem = fs
     if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
-    val hasData = filesystem.listStatus(staging)
-      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (!hasData) writeEmpty(schema, staging)
+    if (partCols.nonEmpty)
+      TableMeta.write(filesystem, staging, TableMeta(schema, partCols))
+    else {
+      val hasData = filesystem.listStatus(staging)
+        .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      if (!hasData) writeEmpty(schema, staging)
+    }
     if (filesystem.exists(target)) {
       if (!replace)
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           ident.namespace.toSeq :+ ident.name)
-      val aside = new Path(dir, s".old-${ident.name}")
-      if (filesystem.exists(aside)) filesystem.delete(aside, true)
+      // uuid-suffixed aside: concurrent REPLACEs of the same table cannot
+      // collide on a fixed aside name (r11 ADVICE). Crash recovery: between
+      // the two renames the table is briefly absent from its canonical path
+      // — the pre-swap data survives under this dot-prefixed aside
+      // (invisible to listing); restore it by renaming `.old-<name>-<uuid>`
+      // back over `<name>`.
+      val aside = new Path(dir,
+        s".old-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
       if (!filesystem.rename(target, aside))
         throw new java.io.IOException(s"ctas: cannot move $target aside")
       if (!filesystem.rename(staging, target)) {
@@ -320,10 +452,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * deletes the staging debris.
   */
 private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructType,
-    staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog)
+    staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog,
+    partCols: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
 
-  private val delegate = ParquetTable(
+  private def delegate = ParquetTable(
     ident.name,
     SparkSession.active,
     CaseInsensitiveStringMap.empty(),
@@ -333,27 +466,41 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
 
   override def name(): String = ident.name
   override def schema(): StructType = tableSchema
-  override def partitioning(): Array[Transform] = Array.empty
+  override def partitioning(): Array[Transform] =
+    partCols.map(org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
   override def properties(): java.util.Map[String, String] =
     java.util.Collections.emptyMap()
   // REPLACE writes arrive as OverwriteByExpression(true) on the staged
   // table (AtomicReplaceTableAsSelectExec.writeToTable overwrite=true), so
   // the staged table declares TRUNCATE — and since the staging directory
-  // starts empty, truncate is trivially satisfied by the plain append write
+  // starts empty, truncate is trivially satisfied by the plain append write.
+  // Partitioned staged tables write through the V1 fallback (Spark 4.1
+  // plans staged CTAS as a regular AppendData, which supports V1Write):
+  // one distributed `partitionBy` parquet job into the staging dir — the
+  // DSv2 parquet BatchWrite has no partitioned layout path.
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    if (partCols.isEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else
+      java.util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder = {
-    val b = delegate.newWriteBuilder(info)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder
         with org.apache.spark.sql.connector.write.SupportsTruncate {
       override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
         this // staging dir is empty: truncate ≡ append into the fresh dir
-      override def build(): org.apache.spark.sql.connector.write.Write = b.build()
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        if (partCols.isEmpty) delegate.newWriteBuilder(info).build()
+        else new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
+              data.write.partitionBy(partCols: _*).mode("append")
+                .parquet(staging.toString)
+        }
     }
-  }
   override def commitStagedChanges(): Unit =
-    catalog.commitStaged(ident, tableSchema, staging, target, replace)
+    catalog.commitStaged(ident, tableSchema, staging, target, replace, partCols)
   override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
 }

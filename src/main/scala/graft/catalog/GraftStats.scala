@@ -63,14 +63,24 @@ object ParquetFooters {
   * file path is not a meaningful layout.
   */
 class GraftTable(delegate: ParquetTable, rowCount: () => Long,
-    writablePath: Option[String] = None, onWrite: () => Unit = () => ())
+    writablePath: Option[String] = None, onWrite: () => Unit = () => (),
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def partitioning(): Array[Transform] =
+    if (partCols.isEmpty) delegate.partitioning()
+    else partCols.map(
+      org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
   override def properties(): java.util.Map[String, String] = delegate.properties()
+  // partitioned tables write through the V1 fallback (one distributed
+  // `partitionBy` parquet job — the DSv2 parquet BatchWrite has no
+  // partitioned layout path), so they declare V1_BATCH_WRITE instead
   override def capabilities(): java.util.Set[TableCapability] =
-    if (writablePath.isDefined)
+    if (writablePath.isDefined && partCols.nonEmpty)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    else if (writablePath.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -91,16 +101,95 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       throw new UnsupportedOperationException(
         s"table ${delegate.name} is a single-file table — read-only " +
           "(CTAS/INSERT targets are directory tables)")
-    // evict the catalog's cached (table, file listing, footer stats) so the
-    // next load after this write re-lists — read-after-write within the TTL
-    onWrite()
+    if (partCols.nonEmpty)
+      return new PartitionedV1WriteBuilder(delegate.name, writablePath.get,
+        partCols, onWrite)
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
       override def build(): org.apache.spark.sql.connector.write.Write =
-        if (!truncating) delegate.newWriteBuilder(info).build()
+        if (!truncating)
+          // cache eviction must fire INSIDE commit, not at plan time: a
+          // concurrent loadTable between planning and commit would re-cache
+          // the pre-insert file listing and serve it for up to the TTL
+          // (r11 ADVICE) — mirror SwapOverwrite's post-commit onWrite()
+          new InvalidateOnCommit(delegate.newWriteBuilder(info).build(), onWrite)
         else new SwapOverwrite(delegate.name, writablePath.get, info, onWrite).write()
     }
+  }
+}
+
+/** Write path for PARTITIONED directory tables (r11 VERDICT ask #2):
+  * Spark's DSv2 parquet BatchWrite has no partitioned-layout path, so
+  * partitioned INSERTs ride the V1 fallback — `insert` runs ONE
+  * distributed `partitionBy` parquet job (the stock dynamic-partition
+  * file writer: each task writes its partition values' `k=v` files, no
+  * extra shuffle beyond what the query already did). INSERT OVERWRITE
+  * stages the replacement table next to the live one and rename-swaps at
+  * the end, the same all-or-nothing discipline as SwapOverwrite.
+  */
+private[catalog] class PartitionedV1WriteBuilder(tableName: String,
+    livePath: String, partCols: Seq[String], onWrite: () => Unit)
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncating = false
+  override def truncate(): WriteBuilder = { truncating = true; this }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          val live = new Path(livePath)
+          val fs = live.getFileSystem(
+            data.sparkSession.sessionState.newHadoopConf())
+          if (truncating || overwriteFlag) {
+            val staging = new Path(live.getParent,
+              s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+            data.write.partitionBy(partCols: _*).mode("overwrite")
+              .parquet(staging.toString)
+            // the sidecar travels with the table
+            TableMeta.read(fs, live).foreach(TableMeta.write(fs, staging, _))
+            val aside = new Path(live.getParent,
+              s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+            if (!fs.rename(live, aside))
+              throw new java.io.IOException(s"overwrite: cannot move $live aside")
+            if (!fs.rename(staging, live)) {
+              fs.rename(aside, live) // roll back — the old table lives
+              throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+            }
+            fs.delete(aside, true)
+          } else
+            data.write.partitionBy(partCols: _*).mode("append")
+              .parquet(livePath)
+          onWrite()
+        }
+    }
+}
+
+/** The appending half of [[GraftTable.newWriteBuilder]]: delegates the
+  * write untouched, firing the catalog's cache eviction after the batch
+  * COMMIT (the same point SwapOverwrite fires it) so read-after-write
+  * within the cache TTL always sees the inserted rows.
+  */
+private[catalog] class InvalidateOnCommit(
+    inner: org.apache.spark.sql.connector.write.Write, onWrite: () => Unit)
+    extends org.apache.spark.sql.connector.write.Write {
+  import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, WriterCommitMessage}
+  override def description(): String = inner.description()
+  override def toBatch: BatchWrite = new BatchWrite {
+    private val innerBatch = inner.toBatch
+    override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+      innerBatch.createBatchWriterFactory(p)
+    override def useCommitCoordinator(): Boolean =
+      innerBatch.useCommitCoordinator()
+    override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+      innerBatch.onDataWriterCommit(message)
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      innerBatch.commit(messages)
+      onWrite()
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      innerBatch.abort(messages)
   }
 }
 
@@ -147,8 +236,11 @@ private[catalog] class SwapOverwrite(tableName: String, livePath: String,
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               info.schema()).write.mode("append").parquet(staging.toString)
-          val aside = new Path(live.getParent, s".old-${live.getName}")
-          if (filesystem.exists(aside)) filesystem.delete(aside, true)
+          // uuid-suffixed aside (r11 ADVICE): concurrent overwrites cannot
+          // collide; a crash between the two renames leaves the old table
+          // recoverable under the dot-prefixed aside
+          val aside = new Path(live.getParent,
+            s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
           if (!filesystem.rename(live, aside))
             throw new java.io.IOException(s"overwrite: cannot move $live aside")
           if (!filesystem.rename(staging, live)) {

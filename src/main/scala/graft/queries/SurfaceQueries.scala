@@ -119,6 +119,38 @@ object SurfaceQueries {
         "FROM graft_rw.main.nation_ctas GROUP BY n_regionkey")
     }),
 
+    // partitioned CTAS + INSERT + schema evolution through the governed
+    // catalog (r11 VERDICT asks #2/#3): CTAS a hive-partitioned table,
+    // append via INSERT, ADD COLUMN, insert a wider generation, then
+    // aggregate the read-back WITH a partition-pruned filter — hash-green
+    // proves layout, pruning, and null-filled evolution all preserve
+    // content exactly
+    "q_catalog_ctas_part" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_pw"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_pw", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_pw.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_pw.main.orders_part")
+      s.sql("CREATE TABLE graft_pw.main.orders_part PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft_pw.main.orders_part " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+        "WHERE o_orderkey % 2 = 1")
+      s.sql("ALTER TABLE graft_pw.main.orders_part ADD COLUMN flagged BOOLEAN")
+      // evolved schema order: data cols, then the added col, then the
+      // partition col last — (o_orderkey, o_totalprice, flagged, o_orderpriority)
+      s.sql("INSERT INTO graft_pw.main.orders_part " +
+        "SELECT o_orderkey + 100000000, o_totalprice, true, o_orderpriority " +
+        "FROM graft.main.orders WHERE o_orderpriority = '1-URGENT'")
+      s.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "count(CASE WHEN flagged THEN 1 END) AS n_flagged, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+        "FROM graft_pw.main.orders_part " +
+        "WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY o_orderpriority")
+    }),
+
     // ---- S7: count(*) via aggregate pushdown (footer counts, no data read) ----
     "q_count_pushdown" -> catalogSql(
       "SELECT count(*) AS n FROM graft.main.lineitem"),
@@ -715,6 +747,21 @@ object SurfaceQueries {
     "q_catalog_ctas" ->
       ("SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name " +
         "FROM nation GROUP BY n_regionkey"),
+
+    // the CTAS+INSERT split reassembles orders; the post-ALTER insert adds
+    // a flagged copy of the urgent partition under shifted keys
+    "q_catalog_ctas_part" ->
+      ("""WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority, NULL::BOOLEAN AS flagged
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority, true
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN flagged THEN 1 END) AS n_flagged,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM t WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |GROUP BY o_orderpriority""".stripMargin),
 
     "q_count_pushdown" -> "SELECT count(*) AS n FROM lineitem",
 

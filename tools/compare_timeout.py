@@ -7,7 +7,7 @@ ones are recorded as 'oracle_timeout' explicitly — a skipped oracle is
 reported, never silently passed. Usage:
   compare_timeout.py <verify_out_dir> <sf_dir> [timeout_s]
 """
-import sys, os, json, math, glob
+import sys, os, json, math, glob, queue, shutil
 import multiprocessing as mp
 import duckdb
 
@@ -85,6 +85,8 @@ def one(sf_dir, out_dir, name, sql, q):
             q.put({"status": "OK"})
     except Exception as e:
         q.put({"status": "ORACLE_ERROR", "err": str(e)[:300]})
+    finally:
+        shutil.rmtree(f"/tmp/duckdb_spill_{os.getpid()}", ignore_errors=True)
 
 
 def main():
@@ -117,8 +119,13 @@ def main():
         for name in list(running):
             p, q, deadline = running[name]
             if not p.is_alive():
-                verdict = q.get() if not q.empty() else {
-                    "status": "ORACLE_ERROR", "err": "child died"}
+                # q.empty() races the mp.Queue feeder-thread flush of a
+                # just-exited child: a finished comparison could be
+                # misreported as 'child died' — block briefly instead
+                try:
+                    verdict = q.get(timeout=5)
+                except queue.Empty:
+                    verdict = {"status": "ORACLE_ERROR", "err": "child died"}
                 if verdict["status"] == "OK":
                     ok.append(name)
                 else:
@@ -131,6 +138,11 @@ def main():
                 p.join(10)
                 if p.is_alive():
                     p.kill()
+                    p.join(5)
+                # a killed child leaves its per-pid spill dir behind
+                if p.pid is not None:
+                    shutil.rmtree(f"/tmp/duckdb_spill_{p.pid}",
+                                  ignore_errors=True)
                 timed_out.append(name)
                 print(f"[cmp] TIMEOUT {name}", file=sys.stderr, flush=True)
                 del running[name]
