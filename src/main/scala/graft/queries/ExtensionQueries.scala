@@ -147,7 +147,7 @@ object ExtensionQueries {
     * (doc_id, url, html) — the urlFixture URL joined to the link-bearing
     * HTML payload.
     */
-  private def linkPages(docs: DataFrame): DataFrame =
+  private[graft] def linkPages(docs: DataFrame): DataFrame =
     urlFixture(docs).join(linkHtmlFixture(docs), "doc_id")
 
   /** Deterministic sitemap-XML fixture over documents: a dated per-source
