@@ -142,6 +142,11 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
           val live = new Path(livePath)
           val fs = live.getFileSystem(
             data.sparkSession.sessionState.newHadoopConf())
+          // INSERT OVERWRITE is whole-table (static) by design: Spark's
+          // dynamic-partition overwrite plans OverwritePartitionsDynamic,
+          // which has no V1-fallback exec — per-partition backfill of a
+          // hive layout goes through Writers.partitionedParquet with the
+          // dynamic writer option instead
           if (truncating || overwriteFlag) {
             val staging = new Path(live.getParent,
               s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")

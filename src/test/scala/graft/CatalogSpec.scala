@@ -207,6 +207,18 @@ class CatalogSpec extends SparkSpec {
       spark.sql("CREATE TABLE graft_pw.main.bad_p (id BIGINT, ts TIMESTAMP) " +
         "PARTITIONED BY (days(ts))")
     }
+
+    // INSERT OVERWRITE is whole-table by design (static swap); Spark's
+    // dynamic-partition overwrite plans OverwritePartitionsDynamic, which
+    // has no V1-fallback exec — it must refuse loudly, not corrupt
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft_pw.main.nation_p " +
+        "SELECT n_nationkey, n_name, n_regionkey " +
+        "FROM graft_pw.main.nation_src WHERE n_regionkey = 1")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    assert(cnt("nation_p", "n_regionkey = 0") == 5,
+      "a refused dynamic overwrite must leave the table untouched")
   }
 
   test("ALTER TABLE ADD COLUMN evolves directory tables (r11 ask #3)") {
