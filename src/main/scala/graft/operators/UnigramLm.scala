@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   * Scale shape (the [[Bpe]] word-type trick): every stage runs on the
   * DISTINCT-word table — one corpus-sized groupBy up front, then each EM
   * iteration is ONE narrow Viterbi pass over |word types| rows (the DP is
-  * a Catalyst `aggregate` fold; the piece-cost table arrives by BROADCAST
-  * JOIN, rebuilt as a per-word map of that word's own substrings, so each
-  * DP probe is bounded by word length — never an O(vocab) literal scan)
-  * plus one map-side-combinable piece count.
+  * a Catalyst `aggregate` fold; the piece-cost table rides a map literal
+  * for small vocabularies and a BROADCAST JOIN rebuilding per-word maps
+  * past [[JoinLookupThreshold]], so each DP probe is bounded by word
+  * length — never an O(vocab) literal scan at the seed bound) plus one
+  * map-side-combinable piece count.
   * Tokenizing a 100 TB corpus afterwards is the [[Bpe.tokenCounts]]
   * shape: segment word TYPES once, then explode + join + per-doc sum —
   * the per-word DP cost is bounded by the vocabulary, never the corpus.
@@ -96,34 +97,50 @@ object UnigramLm {
        |  transform(sequence(i, least(length(w), i + ${maxPieceLen - 1})),
        |    j -> substring(w, i, j - i + 1)))))""".stripMargin
 
+  /** Above this vocabulary size the Viterbi cost lookup switches from the
+    * map literal to the broadcast join (see [[segmentTypes]]): Catalyst map
+    * lookup is a linear scan, so the literal is O(vocab) per DP cell —
+    * cheap below a couple thousand entries (one in-memory scan, no extra
+    * exchange), a real factor at the 16,384 seed bound and web-scale
+    * word-type counts (r11 VERDICT "what's wrong" #3). The join pays one
+    * explode + BroadcastHashJoin + agg to rebuild PER-WORD maps, after
+    * which each probe is bounded by word length, independent of vocab size.
+    */
+  private[graft] val JoinLookupThreshold = 2048
+
   /** Segment the word-type frame under a piece→cost map: (w, cnt, pieces).
     *
-    * The DP probes `element_at(pm, substring)` per candidate, and Catalyst
-    * map lookup is a linear scan — so `pm` must NOT be the whole-vocabulary
-    * literal (an O(vocab) scan per probe; at the 16,384-entry seed bound
-    * and web-scale word-type counts that linear factor bites, r11 VERDICT
-    * "what's wrong" #3). Instead the vocabulary rides a BROADCAST JOIN:
+    * Cost-lookup plan is ADAPTIVE (both paths exact, UnigramLmSpec pins
+    * their equivalence): small vocabularies ride a single map literal
+    * (bounded plan-time data, no extra exchange); past
+    * [[JoinLookupThreshold]] the vocabulary arrives by BROADCAST JOIN —
     * explode each word's own substrings (≤ maxPieceLen·|w|), join the
-    * piece-cost frame, and rebuild a PER-WORD map holding only that word's
-    * in-vocab substrings — probe cost is bounded by the word length,
-    * independent of vocabulary size, and the join is the same
-    * explode + BroadcastHashJoin + agg shape as the corpus stage.
+    * piece-cost frame, rebuild a per-word map holding only that word's
+    * in-vocab substrings — so the DP probe cost is bounded by word length,
+    * never O(vocab). The join is the same explode + BroadcastHashJoin +
+    * agg shape as the corpus stage.
     */
-  private def segmentTypes(words: DataFrame, costs: Map[String, Long],
-      maxPieceLen: Int): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
-    val costDf = costs.toSeq.toDF("p", "c")
-    val perWord = words.select(col("w"),
-        explode(expr(substringsSql(maxPieceLen))).as("p"))
-      .join(broadcast(costDf), "p")
-      .groupBy("w")
-      .agg(map_from_entries(collect_list(struct(col("p"), col("c")))).as("pm"))
-    words.join(perWord, Seq("w"), "left")
-      // a word of entirely-unseen characters has no in-vocab substrings:
-      // null map → empty map, every probe misses → the Inf chain
-      .withColumn("pm",
-        coalesce(col("pm"), expr("cast(map() as map<string,bigint>)")))
+  private[graft] def segmentTypes(words: DataFrame, costs: Map[String, Long],
+      maxPieceLen: Int, forceJoin: Boolean = false): DataFrame = {
+    val withPm =
+      if (!forceJoin && costs.size <= JoinLookupThreshold)
+        words.withColumn("pm", typedLit(costs))
+      else {
+        val spark = words.sparkSession
+        import spark.implicits._
+        val costDf = costs.toSeq.toDF("p", "c")
+        val perWord = words.select(col("w"),
+            explode(expr(substringsSql(maxPieceLen))).as("p"))
+          .join(broadcast(costDf), "p")
+          .groupBy("w")
+          .agg(map_from_entries(collect_list(struct(col("p"), col("c")))).as("pm"))
+        words.join(perWord, Seq("w"), "left")
+          // a word of entirely-unseen characters has no in-vocab
+          // substrings: null map → empty map, every probe misses → Inf
+          .withColumn("pm",
+            coalesce(col("pm"), expr("cast(map() as map<string,bigint>)")))
+      }
+    withPm
       .withColumn("dp", expr(viterbiSql(maxPieceLen)))
       .select(col("w"), col("cnt"), expr(backtrackSql).as("pieces"))
   }

@@ -39,11 +39,15 @@ object SurfaceQueries {
         array_join(map_values(m), ",").as("vs"))
     }),
 
-    // ---- W5: RANGE BETWEEN frame (value-based, deterministic under ties) ----
+    // ---- W5: RANGE BETWEEN frame (value-based, deterministic under ties;
+    // money sum in BIGINT cents over an exact DECIMAL window sum — the
+    // r11/r12 scale-stable idiom, frame bounds stay on the stored double) ----
     "q_window_range" -> sql(
       """SELECT o_orderkey,
-        |  round(sum(o_totalprice) OVER (ORDER BY o_totalprice
-        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS range_sum
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER (
+        |    ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) * 100
+        |    AS BIGINT) AS range_c2
         |FROM orders""".stripMargin),
 
     // ---- W3 completion: last_value / nth_value over the full frame ----
@@ -78,15 +82,22 @@ object SurfaceQueries {
       t(s, d, "lineitem")
         .filter(col("l_quantity") < 2 || col("l_quantity") > 49 ||
           (col("l_discount") > 0.09 && col("l_quantity") < 5))
-        .agg(count("*").as("n"), round(sum("l_extendedprice"), 2).as("s"))),
+        .agg(count("*").as("n"),
+          (round(sum(col("l_extendedprice").cast("decimal(30,8)")), 2) * 100)
+            .cast("long").as("s_c2"))),
 
     // ---- M6/M7/M8: views — create, query through, drop ----
     "q_view_query" -> ((s, d) => {
       Tables.registerAll(s, d)
+      // nested money sums ride the exact-DECIMAL chain end to end: the
+      // inner per-customer sum stays DECIMAL through the view, the outer
+      // sum re-aggregates it exactly, cents on the hash surface
       s.sql("CREATE OR REPLACE TEMPORARY VIEW v_cust_rev AS " +
-        "SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n " +
-        "FROM orders GROUP BY o_custkey")
-      s.sql("SELECT c_nationkey, round(sum(rev), 2) AS nation_rev, sum(n) AS n_orders " +
+        "SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(30,8))) AS rev, " +
+        "count(*) AS n FROM orders GROUP BY o_custkey")
+      s.sql("SELECT c_nationkey, " +
+        "CAST(round(sum(rev), 2) * 100 AS BIGINT) AS nation_rev_c2, " +
+        "sum(n) AS n_orders " +
         "FROM v_cust_rev JOIN customer ON c_custkey = o_custkey GROUP BY c_nationkey")
     }),
 
@@ -254,10 +265,16 @@ object SurfaceQueries {
     }),
 
     // ---- CTEs: plain and recursive ----
+    // the HAVING threshold compares an EXACT sum — a double sum could flip
+    // a boundary customer's membership at scale, changing the row count
     "q_cte" -> sql(
-      """WITH hot AS (SELECT o_custkey, sum(o_totalprice) AS rev
-        |  FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 500000)
-        |SELECT count(*) AS n, round(sum(rev), 2) AS total FROM hot""".stripMargin),
+      """WITH hot AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(30,8))) AS rev
+        |  FROM orders GROUP BY o_custkey
+        |  HAVING sum(CAST(o_totalprice AS DECIMAL(30,8))) > 500000)
+        |SELECT count(*) AS n,
+        |  CAST(round(sum(rev), 2) * 100 AS BIGINT) AS total_c2
+        |FROM hot""".stripMargin),
 
     "q_recursive_cte" -> sql(
       """WITH RECURSIVE t(n) AS (
@@ -705,8 +722,10 @@ object SurfaceQueries {
         "array_to_string(map_values(MAP {'brand': p_brand, 'type': p_type}), ',') AS vs FROM part"),
 
     "q_window_range" ->
-      ("SELECT o_orderkey, round(sum(o_totalprice) OVER (ORDER BY o_totalprice " +
-        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) AS range_sum FROM orders"),
+      ("SELECT o_orderkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) " +
+        "OVER (ORDER BY o_totalprice " +
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2) * 100 " +
+        "AS BIGINT) AS range_c2 FROM orders"),
 
     "q_window_lastval" ->
       ("SELECT o_orderkey, last_value(o_totalprice) OVER w AS lv, " +
@@ -728,14 +747,18 @@ object SurfaceQueries {
         "AND b.s_acctbal BETWEEN a.s_acctbal - 100 AND a.s_acctbal + 100"),
 
     "q_filter_or" ->
-      ("SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS s FROM lineitem " +
+      ("SELECT count(*) AS n, CAST(round(sum(CAST(l_extendedprice " +
+        "AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS s_c2 FROM lineitem " +
         "WHERE l_quantity < 2 OR l_quantity > 49 " +
         "OR (l_discount > 0.09 AND l_quantity < 5)"),
 
     "q_view_query" ->
-      ("WITH v_cust_rev AS (SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n " +
+      ("WITH v_cust_rev AS (SELECT o_custkey, " +
+        "sum(CAST(o_totalprice AS DECIMAL(30,8))) AS rev, count(*) AS n " +
         "FROM orders GROUP BY o_custkey) " +
-        "SELECT c_nationkey, round(sum(rev), 2) AS nation_rev, sum(n)::BIGINT AS n_orders " +
+        "SELECT c_nationkey, " +
+        "CAST(round(sum(rev), 2) * 100 AS BIGINT) AS nation_rev_c2, " +
+        "sum(n)::BIGINT AS n_orders " +
         "FROM v_cust_rev JOIN customer ON c_custkey = o_custkey GROUP BY c_nationkey"),
 
     "q_catalog_scan" ->
@@ -799,9 +822,12 @@ object SurfaceQueries {
         "(o_orderdate::DATE + 7) AS da FROM orders"),
 
     "q_cte" ->
-      ("WITH hot AS (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders " +
-        "GROUP BY o_custkey HAVING sum(o_totalprice) > 500000) " +
-        "SELECT count(*) AS n, round(sum(rev), 2) AS total FROM hot"),
+      ("WITH hot AS (SELECT o_custkey, " +
+        "sum(CAST(o_totalprice AS DECIMAL(30,8))) AS rev FROM orders " +
+        "GROUP BY o_custkey " +
+        "HAVING sum(CAST(o_totalprice AS DECIMAL(30,8))) > 500000) " +
+        "SELECT count(*) AS n, " +
+        "CAST(round(sum(rev), 2) * 100 AS BIGINT) AS total_c2 FROM hot"),
 
     "q_recursive_cte" ->
       ("WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 100) " +

@@ -150,4 +150,24 @@ class UnigramLmSpec extends SparkSpec {
     assert(words.keys.forall(w => w.forall(c => wantV.exists(_._1 == c.toString))),
       "alphabet closure violated")
   }
+
+  test("adaptive cost lookup: map literal and broadcast-join paths segment identically") {
+    import spark.implicits._
+    // words chosen so segmentation exercises ties, OOV chars, and pieces of
+    // every length up to maxPieceLen
+    val words = Seq(("ababab", 3L), ("abcabc", 2L), ("zzq", 1L), ("a", 5L),
+      ("xyxyxy", 2L), ("abab", 4L)).toDF("w", "cnt")
+    val costs = Map("a" -> 100L, "b" -> 120L, "c" -> 300L, "x" -> 90L,
+      "y" -> 95L, "ab" -> 150L, "abab" -> 260L, "xy" -> 130L, "bc" -> 210L)
+    def rows(forceJoin: Boolean) =
+      UnigramLm.segmentTypes(words, costs, maxPieceLen = 4, forceJoin = forceJoin)
+        .collect().map(r => (r.getString(0), r.getSeq[String](2).mkString("|")))
+        .sortBy(_._1).toSeq
+    val lit = rows(forceJoin = false)   // 9 entries <= threshold: literal path
+    val join = rows(forceJoin = true)
+    assert(lit == join, s"paths diverge:\nlit  = $lit\njoin = $join")
+    // OOV word still segments on both paths: one Inf beats three chained
+    // Infs, so the whole word survives as a single non-piece
+    assert(lit.exists { case (w, ps) => w == "zzq" && ps == "zzq" })
+  }
 }
