@@ -125,6 +125,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = tablePath(ident.name).isDefined
 
+  /** Crash recovery for the rename-swap commits (commitStaged /
+    * SwapOverwrite): a kill between "move live aside" and "move staging in"
+    * leaves the table absent from its canonical path with the pre-swap data
+    * intact under `.old-<name>-<uuid>`. On a load MISS with exactly ONE
+    * matching aside, restore it — the swap never happened, so the aside IS
+    * the table. Zero asides = nothing to recover; several = ambiguous
+    * (concurrent replaces), refuse and leave them for manual inspection.
+    * Only load consults asides, and DROP/RENAME clean them up, so a stale
+    * aside can never resurrect a deliberately dropped table.
+    */
+  private def recoverAside(name: String): Option[Path] = {
+    val filesystem = fs
+    val root = new Path(dir)
+    if (!filesystem.exists(root)) return None
+    val re = ("\\.old-" + java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}").r
+    val asides = filesystem.listStatus(root).map(_.getPath)
+      .filter(p => re.pattern.matcher(p.getName).matches())
+    if (asides.length != 1) return None
+    val target = new Path(dir, name)
+    if (filesystem.rename(asides.head, target)) Some(target) else None
+  }
+
+  private def dropAsides(name: String): Unit = {
+    val filesystem = fs
+    val root = new Path(dir)
+    if (!filesystem.exists(root)) return
+    val re = ("\\.old-" + java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}").r
+    filesystem.listStatus(root).map(_.getPath)
+      .filter(p => re.pattern.matcher(p.getName).matches())
+      .foreach(p => filesystem.delete(p, true))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     // governance is part of the cache key: a policy or user change must not be
     // masked by a stale cached schema
@@ -135,7 +167,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now - cached._1 < ttlMs) return cached._2
-    val path = tablePath(ident.name).getOrElse {
+    val path = tablePath(ident.name).orElse(recoverAside(ident.name)).getOrElse {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
     }
@@ -339,6 +371,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     requireKnownNamespace(ident)
     invalidateTable(ident)
+    // a lingering crash-aside must not resurrect a dropped table
+    dropAsides(ident.name)
     tablePath(ident.name) match {
       case Some(p) => fs.delete(p, true)
       case None => false
@@ -359,6 +393,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       new Path(dir, s"${newIdent.name}.parquet") else new Path(dir, newIdent.name)
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"cannot rename $from to $to")
+    dropAsides(oldIdent.name) // crash-asides don't follow a rename
     invalidateTable(oldIdent); invalidateTable(newIdent)
   }
 

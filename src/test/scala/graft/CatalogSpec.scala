@@ -262,6 +262,44 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("crash-aside recovery: a kill between the swap renames self-heals on load") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-aside")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cr.dir", dir)
+    spark.sql("CREATE TABLE graft_cr.main.t1 (id BIGINT)")
+    spark.sql("INSERT INTO graft_cr.main.t1 VALUES (1), (2)")
+    def cnt() = spark.sql("SELECT count(*) FROM graft_cr.main.t1").head().getLong(0)
+    assert(cnt() == 2)
+    // simulate the crash window: live dir moved aside, swap never happened
+    def strand(uuid: String): Unit = {
+      assert(new java.io.File(s"$dir/t1").renameTo(new java.io.File(s"$dir/.old-t1-$uuid")))
+      spark.sessionState.catalogManager.catalog("graft_cr")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("main"), "t1"))
+    }
+    strand("deadbee1")
+    assert(cnt() == 2, "load must restore the single stranded aside")
+    assert(new java.io.File(s"$dir/t1").exists &&
+      !new java.io.File(s"$dir/.old-t1-deadbee1").exists)
+    // ambiguous (two asides) refuses rather than guessing
+    strand("deadbee2")
+    new java.io.File(s"$dir/.old-t1-deadbee3").mkdirs()
+    intercept[Exception] { cnt() }
+    // manual resolution: remove the impostor, load recovers again
+    new java.io.File(s"$dir/.old-t1-deadbee3").delete()
+    assert(cnt() == 2)
+    // DROP cleans asides: a crash AFTER swap-in but before the aside
+    // delete leaves both the live table and an aside — dropping the table
+    // must take the aside with it, or the next load resurrects it
+    new java.io.File(s"$dir/.old-t1-deadbee4").mkdirs()
+    spark.sql("DROP TABLE graft_cr.main.t1")
+    assert(!new java.io.File(s"$dir/.old-t1-deadbee4").exists,
+      "DROP must clean crash-asides")
+    intercept[Exception] { cnt() }
+  }
+
   test("DROP/RENAME refuse unknown namespaces (r11 ADVICE: name-only resolution)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat-ns")
       .toFile.getAbsolutePath
