@@ -193,6 +193,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val table =
       if (dropped.isEmpty) base
       else {
+        // a PARTITION column cannot be schema-dropped on a hive layout:
+        // the file index re-infers it from the k=v directory names, so the
+        // pruned userSchema would silently grow it back — and the values
+        // are readable off the PATHS regardless. Refuse loudly instead of
+        // leaking (row-filter or re-layout are the real fixes).
+        val partNames = meta.map(_.partitionCols)
+          .getOrElse(base.partitioning().flatMap(_.references())
+            .flatMap(_.fieldNames()).toSeq)
+        val leaked = partNames.filter(p => dropped(p.toLowerCase))
+        if (leaked.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"governance: cannot drop partition column(s) ${leaked.mkString(", ")} " +
+              s"of ${ident.name} — a hive layout exposes partition values in " +
+              "directory names; use a row filter or re-layout the table")
         val pruned = StructType(base.schema.fields.filterNot(f => dropped(f.name.toLowerCase)))
         parquetTable(Some(pruned))
       }

@@ -262,6 +262,31 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("governance cannot silently column-drop a partition column (layout leaks it)") {
+    import graft.plans.{GovernancePolicies, TablePolicy}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-govp")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_gp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gp.dir", dir)
+    spark.sql("CREATE TABLE graft_gp.main.gp (id BIGINT, secret STRING, region INT) " +
+      "PARTITIONED BY (region)")
+    spark.sql("INSERT INTO graft_gp.main.gp VALUES (1, 'x', 7), (2, 'y', 8)")
+    // dropping a DATA column works (the normal silent-drop contract)
+    GovernancePolicies.register("gp", TablePolicy(dropColumns = Seq("secret")))
+    try {
+      assert(spark.table("graft_gp.main.gp").columns.toSeq == Seq("id", "region"))
+    } finally GovernancePolicies.clear()
+    // dropping the PARTITION column must refuse loudly: the k=v directory
+    // names expose the values no matter what the reported schema says
+    GovernancePolicies.register("gp", TablePolicy(dropColumns = Seq("region")))
+    try {
+      val e = intercept[Exception] { spark.table("graft_gp.main.gp").collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("partition column")), s"got: ${msgs(e)}")
+    } finally GovernancePolicies.clear()
+  }
+
   test("crash-aside recovery: a kill between the swap renames self-heals on load") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat-aside")
       .toFile.getAbsolutePath
