@@ -545,7 +545,12 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
-              data.write.partitionBy(partCols: _*).mode("append")
+              // pre-write repartition by the partition columns (the
+              // Writers.partitionedParquet discipline): one file per value
+              // per non-empty shuffle partition, not tasks × values
+              data.repartition(partCols.map(
+                  org.apache.spark.sql.functions.col): _*)
+                .write.partitionBy(partCols: _*).mode("append")
                 .parquet(staging.toString)
         }
     }

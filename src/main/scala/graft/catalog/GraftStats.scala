@@ -147,10 +147,17 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
           // which has no V1-fallback exec — per-partition backfill of a
           // hive layout goes through Writers.partitionedParquet with the
           // dynamic writer option instead
+          // pre-write repartition by the partition columns (the
+          // Writers.partitionedParquet discipline): each task owns whole
+          // partition values, so the layout gets one file per value per
+          // non-empty shuffle partition instead of the tasks × values
+          // small-files explosion a raw partitionBy produces at scale
+          val arranged = data.repartition(
+            partCols.map(org.apache.spark.sql.functions.col): _*)
           if (truncating || overwriteFlag) {
             val staging = new Path(live.getParent,
               s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-            data.write.partitionBy(partCols: _*).mode("overwrite")
+            arranged.write.partitionBy(partCols: _*).mode("overwrite")
               .parquet(staging.toString)
             // the sidecar travels with the table
             TableMeta.read(fs, live).foreach(TableMeta.write(fs, staging, _))
@@ -164,7 +171,7 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
             }
             fs.delete(aside, true)
           } else
-            data.write.partitionBy(partCols: _*).mode("append")
+            arranged.write.partitionBy(partCols: _*).mode("append")
               .parquet(livePath)
           onWrite()
         }

@@ -182,6 +182,15 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("graft_pw.main.nation_p").columns.toSeq ==
       Seq("n_nationkey", "n_name", "n_regionkey"))
 
+    // small-files discipline: the pre-write repartition gives each k=v dir
+    // ONE part file per write (not one per task per value)
+    val perPartFiles = new java.io.File(s"$dir/nation_p").listFiles()
+      .filter(_.getName.startsWith("n_regionkey="))
+      .map(d => d.getName -> d.listFiles().count(f =>
+        f.getName.endsWith(".parquet"))).toMap
+    assert(perPartFiles.values.forall(_ <= 2),
+      s"expected ~1 file per partition per write, got $perPartFiles")
+
     // empty partitioned CREATE: loadable via the sidecar schema, insertable
     spark.sql("CREATE TABLE graft_pw.main.empty_p " +
       "(id BIGINT, tag STRING, bucket INT) PARTITIONED BY (bucket)")
