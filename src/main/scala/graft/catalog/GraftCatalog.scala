@@ -53,11 +53,22 @@ import graft.plans.GovernancePolicies
   * snapshot consistency comes from DSv2 capturing the Table at resolution time.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog with ViewCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
   private var ttlMs: Long = 60000L
+  /** Byte-budget sampling (r12 ask #6, reference analog: the plugin
+    * registers `okera_sampled_10mb`/`okera_sampled_100mb` connector
+    * variants, trino/RecordServicePlugin.java:63-65): a catalog registered
+    * with `sampling_bytes=N` serves every directory table from a
+    * deterministic PREFIX of its data files whose cumulative size fits the
+    * budget — scans read at most ~N bytes per table, exactly the
+    * quick-look use the reference's sampled catalogs exist for. Sampled
+    * catalogs are READ-ONLY (writing through a partial file list would
+    * corrupt the real table).
+    */
+  private var samplingBytes: Option[Long] = None
   private val cache = new ConcurrentHashMap[String, (Long, Table)]()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
@@ -65,6 +76,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     dir = Option(options.get("dir")).getOrElse(
       throw new IllegalArgumentException(s"catalog $name requires option 'dir'"))
     ttlMs = Option(options.get("cache-ttl-ms")).map(_.toLong).getOrElse(60000L)
+    samplingBytes = Option(options.get("sampling_bytes")).map(_.toLong).filter(_ > 0)
   }
 
   override def name(): String = catalogName
@@ -75,55 +87,249 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fs = new Path(dir).getFileSystem(hadoopConf)
 
-  /** Resolve a table name to its storage path: `<dir>/<name>.parquet` (single
-    * file) or `<dir>/<name>` (directory of part files).
+  /** Multi-namespace layout (r12 VERDICT ask #3, reference analog
+    * trino/RecordServiceMetadata.java:166-189): `main` is the catalog
+    * directory itself (backward compatible — every pre-existing table keeps
+    * resolving), and every other namespace is a first-level subdirectory
+    * carrying a `_graft_ns.json` marker. The marker disambiguates the two
+    * things a first-level directory can be — a TABLE (directory of part
+    * files) or a NAMESPACE — so listing never misclassifies, and a stray
+    * data directory can never masquerade as a namespace.
     */
-  private def tablePath(name: String): Option[Path] = {
-    val f = new Path(dir, s"$name.parquet")
-    val d = new Path(dir, name)
+  private val NsMarker = "_graft_ns.json"
+
+  private def nsDir(ns: Array[String]): Path =
+    if (ns.sameElements(defaultNs)) new Path(dir)
+    else new Path(dir, ns.mkString("/"))
+
+  /** Resolve a table name to its storage path inside its namespace:
+    * `<nsDir>/<name>.parquet` (single file) or `<nsDir>/<name>` (directory
+    * of part files).
+    */
+  private def tablePath(ns: Array[String], name: String): Option[Path] = {
+    val base = nsDir(ns)
+    val f = new Path(base, s"$name.parquet")
+    val d = new Path(base, name)
     val filesystem = fs
     if (filesystem.exists(f)) Some(f)
     else if (filesystem.exists(d) && filesystem.getFileStatus(d).isDirectory) Some(d)
     else None
   }
 
-  override def listNamespaces(): Array[Array[String]] = Array(defaultNs)
+  override def listNamespaces(): Array[Array[String]] = {
+    val filesystem = fs
+    val root = new Path(dir)
+    val created =
+      if (!filesystem.exists(root)) Array.empty[Array[String]]
+      else filesystem.listStatus(root).collect {
+        case st if st.isDirectory &&
+            filesystem.exists(new Path(st.getPath, NsMarker)) =>
+          Array(st.getPath.getName)
+      }
+    Array(defaultNs) ++ created.sortBy(_.head)
+  }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) Array(defaultNs) else Array.empty
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // single-level: no children
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace.toSeq)
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.sameElements(defaultNs)
+    namespace.sameElements(defaultNs) ||
+      (namespace.length == 1 && !namespace.head.startsWith("_") &&
+        !namespace.head.startsWith(".") &&
+        fs.exists(new Path(nsDir(namespace), NsMarker)))
 
   override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] =
     if (namespaceExists(namespace)) Map.empty[String, String].asJava
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
       namespace.toSeq)
 
-  override def createNamespace(ns: Array[String], meta: java.util.Map[String, String]): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def createNamespace(ns: Array[String], meta: java.util.Map[String, String]): Unit = {
+    requireNotSampled("CREATE NAMESPACE")
+    if (ns.length != 1 || ns.head.startsWith("_") || ns.head.startsWith("."))
+      throw new IllegalArgumentException(
+        s"graft catalog namespaces are single-level plain names, got ${ns.mkString(".")}")
+    if (namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+        ns.toSeq.toArray)
+    // a namespace dir and a main-namespace table dir share the same physical
+    // location — refuse the collision instead of silently merging them
+    if (tablePath(defaultNs, ns.head).isDefined)
+      throw new IllegalArgumentException(
+        s"cannot create namespace ${ns.head}: a table of that name exists in main")
+    val marker = new Path(nsDir(ns), NsMarker)
+    fs.mkdirs(marker.getParent)
+    val out = fs.create(marker, false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+  }
 
   override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    throw new UnsupportedOperationException(
+      "graft catalog namespaces carry no mutable metadata")
 
-  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    requireNotSampled("DROP NAMESPACE")
+    if (ns.sameElements(defaultNs))
+      throw new UnsupportedOperationException("cannot drop the main namespace")
+    if (!namespaceExists(ns)) return false
+    if (!cascade && listTables(ns).nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
+        ns.toSeq.toArray)
+    val prefix = ns.head + "."
+    cache.keySet.asScala.filter(_.startsWith(prefix)).foreach(cache.remove)
+    fs.delete(nsDir(ns), true)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        namespace.toSeq)
     val filesystem = fs
-    val root = new Path(dir)
+    val root = nsDir(namespace)
     if (!filesystem.exists(root)) return Array.empty
     filesystem.listStatus(root).flatMap { st =>
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(".parquet"))
         Some(Identifier.of(namespace, n.stripSuffix(".parquet")))
-      else if (st.isDirectory && !n.startsWith("_") && !n.startsWith("."))
+      else if (st.isFile && n.endsWith(GraftViews.Suffix))
+        Some(Identifier.of(namespace, n.stripSuffix(GraftViews.Suffix)))
+      else if (st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          // in main, a first-level NAMESPACE dir is not a table
+          !filesystem.exists(new Path(st.getPath, NsMarker)))
         Some(Identifier.of(namespace, n))
       else None
     }
   }
 
-  override def tableExists(ident: Identifier): Boolean = tablePath(ident.name).isDefined
+  override def tableExists(ident: Identifier): Boolean =
+    namespaceExists(ident.namespace) &&
+      tablePath(ident.namespace, ident.name).isDefined
+
+  // ---- persistent views (r12 ask #5): `<nsDir>/<name>.graftview.json`
+  // sidecars. The DSv2 ViewCatalog INTERFACE is implemented so Spark's
+  // analyzer accepts view DDL against this catalog (ResolveSessionCatalog
+  // gates CREATE/DROP VIEW on it) — but Spark 4.1 ships no analyzer or
+  // exec support behind the interface, so the actual resolution/DDL flow
+  // is carried by the injected rules in GraftViews.scala.
+
+  private def viewPath(ns: Array[String], name: String): Path =
+    new Path(nsDir(ns), name + GraftViews.Suffix)
+
+  private def viewExists(ns: Array[String], name: String): Boolean =
+    fs.exists(viewPath(ns, name))
+
+  private[catalog] def createView(ident: Identifier, sql: String,
+      schema: StructType, replace: Boolean, allowExisting: Boolean): Unit = {
+    requireNotSampled("CREATE VIEW")
+    requireKnownNamespace(ident)
+    val p = viewPath(ident.namespace, ident.name)
+    val filesystem = fs
+    if (tablePath(ident.namespace, ident.name).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    if (filesystem.exists(p) && !replace) {
+      if (allowExisting) return // CREATE VIEW IF NOT EXISTS
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    }
+    filesystem.mkdirs(p.getParent)
+    val out = filesystem.create(p, true)
+    try out.write(GraftViews.render(sql, schema).getBytes("UTF-8"))
+    finally out.close()
+    invalidateTable(ident)
+  }
+
+  private[catalog] def dropView(ident: Identifier, ifExists: Boolean): Unit = {
+    requireNotSampled("DROP VIEW")
+    requireKnownNamespace(ident)
+    val p = viewPath(ident.namespace, ident.name)
+    if (!fs.exists(p)) {
+      if (ifExists) return
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    }
+    fs.delete(p, false)
+    invalidateTable(ident)
+  }
+
+  // ViewCatalog interface methods (the standard surface, mapped onto the
+  // same sidecars; programmatic callers get the full CRUD)
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    if (!namespaceExists(ns))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(ns.toSeq)
+    val filesystem = fs
+    val root = nsDir(ns)
+    if (!filesystem.exists(root)) return Array.empty
+    filesystem.listStatus(root).collect {
+      case st if st.isFile && st.getPath.getName.endsWith(GraftViews.Suffix) =>
+        Identifier.of(ns, st.getPath.getName.stripSuffix(GraftViews.Suffix))
+    }
+  }
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
+    if (!namespaceExists(ident.namespace) || !viewExists(ident.namespace, ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val (sql, schema) = GraftViews.read(fs, viewPath(ident.namespace, ident.name))
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = ident.name
+      override def query(): String = sql
+      override def currentCatalog(): String = catalogName
+      override def currentNamespace(): Array[String] = ident.namespace
+      override def schema(): StructType = schema
+      override def queryColumnNames(): Array[String] = schema.fieldNames
+      override def columnAliases(): Array[String] = Array.empty
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): java.util.Map[String, String] =
+        java.util.Collections.emptyMap()
+    }
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    namespaceExists(ident.namespace) && viewExists(ident.namespace, ident.name)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    createView(info.ident, info.sql, info.schema, replace = false,
+      allowExisting = false)
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !viewExists(info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    createView(info.ident, info.sql, info.schema, replace = true,
+      allowExisting = false)
+    loadView(info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: org.apache.spark.sql
+      .connector.catalog.ViewChange*): org.apache.spark.sql.connector.catalog.View =
+    throw new UnsupportedOperationException(
+      "graft catalog views carry no mutable properties — CREATE OR REPLACE instead")
+
+  override def dropView(ident: Identifier): Boolean = {
+    if (!viewExists(ident)) return false
+    dropView(ident, ifExists = true)
+    true
+  }
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireNotSampled("RENAME VIEW")
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    requireKnownNamespace(newIdent)
+    if (viewExists(newIdent) || tableExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(newIdent)
+    if (!fs.rename(viewPath(oldIdent.namespace, oldIdent.name),
+        viewPath(newIdent.namespace, newIdent.name)))
+      throw new java.io.IOException(s"cannot rename view $oldIdent to $newIdent")
+    invalidateTable(oldIdent); invalidateTable(newIdent)
+  }
 
   /** Crash recovery for the rename-swap commits (commitStaged /
     * SwapOverwrite): a kill between "move live aside" and "move staging in"
@@ -135,55 +341,149 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * Only load consults asides, and DROP/RENAME clean them up, so a stale
     * aside can never resurrect a deliberately dropped table.
     */
-  private def recoverAside(name: String): Option[Path] = {
+  private def recoverAside(ns: Array[String], name: String): Option[Path] = {
     val filesystem = fs
-    val root = new Path(dir)
+    val root = nsDir(ns)
     if (!filesystem.exists(root)) return None
     val re = ("\\.old-" + java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}").r
     val asides = filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
     if (asides.length != 1) return None
-    val target = new Path(dir, name)
+    val target = new Path(root, name)
     if (filesystem.rename(asides.head, target)) Some(target) else None
   }
 
-  private def dropAsides(name: String): Unit = {
+  /** Delete a table's crash debris: `.old-` asides AND orphaned `.staging-`
+    * / `.overwrite-` dirs (a kill mid-CTAS or mid-overwrite leaks a
+    * full-size table copy otherwise — r12 ADVICE). Callers are the
+    * name-retiring operations (DROP, RENAME's old name) and CREATE over a
+    * resolved non-ambiguous name — all points where no write of this table
+    * can legitimately be in flight under the single-writer-per-table
+    * discipline.
+    */
+  private def dropAsides(ns: Array[String], name: String): Unit = {
     val filesystem = fs
-    val root = new Path(dir)
+    val root = nsDir(ns)
     if (!filesystem.exists(root)) return
-    val re = ("\\.old-" + java.util.regex.Pattern.quote(name) + "-[0-9a-f]{8}").r
+    val q = java.util.regex.Pattern.quote(name)
+    val re = ("\\.(old|staging|overwrite|dynover)-" + q + "-[0-9a-f]{8}").r
     filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
       .foreach(p => filesystem.delete(p, true))
   }
 
+  /** CREATE-side aside discipline (r12 ADVICE): `tableExists` consults only
+    * the canonical path, but a crash between the two swap renames leaves the
+    * table absent with its data recoverable under `.old-<name>-<uuid>`. A
+    * CREATE/CTAS that ignored the aside would permanently shadow the
+    * recoverable pre-crash data. So before creating: recover a single aside
+    * (the create then correctly fails with TableAlreadyExists), refuse on
+    * several (ambiguous, same as loadTable), and sweep stale staging /
+    * overwrite debris so it cannot linger under the new table.
+    */
+  private def prepareCreate(ident: Identifier): Unit = {
+    requireNotSampled("CREATE TABLE")
+    val ns = ident.namespace
+    if (tablePath(ns, ident.name).isEmpty) {
+      val filesystem = fs
+      val root = nsDir(ns)
+      if (filesystem.exists(root)) {
+        val re = ("\\.old-" + java.util.regex.Pattern.quote(ident.name) +
+          "-[0-9a-f]{8}").r
+        val asides = filesystem.listStatus(root).map(_.getPath)
+          .filter(p => re.pattern.matcher(p.getName).matches())
+        if (asides.length == 1) recoverAside(ns, ident.name)
+        else if (asides.length > 1)
+          throw new IllegalStateException(
+            s"cannot create ${ident.name}: ${asides.length} crash-asides " +
+              "exist (ambiguous recovery) — reconcile the .old-* dirs first")
+      }
+    }
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    // a main-namespace table dir and a namespace dir share the same physical
+    // location — refuse the collision instead of nesting tables inside it
+    if (ns.sameElements(defaultNs) && namespaceExists(Array(ident.name)))
+      throw new IllegalArgumentException(
+        s"cannot create table ${ident.name} in main: a namespace of that name exists")
+    // a stored view occupies the name too
+    if (viewExists(ns, ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.namespace.toSeq :+ ident.name)
+    // the name is genuinely free: clear any orphaned staging/overwrite debris
+    dropAsides(ns, ident.name)
+  }
+
   override def loadTable(ident: Identifier): Table = {
     // governance is part of the cache key: a policy or user change must not be
-    // masked by a stale cached schema
+    // masked by a stale cached schema. Policies are keyed ns-qualified first
+    // (`ns2.t` governs only ns2's t), then by basename (the pre-namespace
+    // registration form, which governs any table of that name) — r12 ask #8.
     val user = graft.plans.Users.current(SparkSession.active)
-    val dropped = GovernancePolicies.getFor(user, ident.name)
+    val qualified = (ident.namespace :+ ident.name).mkString(".")
+    val dropped = GovernancePolicies.getFor(user, qualified)
+      .orElse(GovernancePolicies.getFor(user, ident.name))
       .map(_.dropColumns.map(_.toLowerCase).toSet).getOrElse(Set.empty)
     val key = ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now - cached._1 < ttlMs) return cached._2
-    val path = tablePath(ident.name).orElse(recoverAside(ident.name)).getOrElse {
+    // an unknown namespace must not resolve paths (graft.<table>.<subdir>
+    // would otherwise read inside a main table's directory)
+    if (!namespaceExists(ident.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    // stored views resolve to a schema-only table; GraftViewRule splices
+    // the parsed view query (with governance beneath) at analysis time
+    if (viewExists(ident.namespace, ident.name)) {
+      val (sql, viewSchema) = GraftViews.read(fs, viewPath(ident.namespace, ident.name))
+      val vt: Table = new GraftViewTable(ident, sql, viewSchema)
+      cache.put(key, (now, vt))
+      return vt
+    }
+    val path = tablePath(ident.namespace, ident.name)
+        .orElse(recoverAside(ident.namespace, ident.name)).getOrElse {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
     }
     val spark = SparkSession.active
+    val isDir = fs.getFileStatus(path).isDirectory
+
+    // byte-budget sampled catalog: serve a deterministic file-prefix of the
+    // table whose cumulative size fits the budget (always ≥ 1 file so the
+    // schema stays inferable); `basePath` keeps hive partition columns
+    // resolvable from the leaf-file paths
+    val (tablePaths, tableOptions) = samplingBytes match {
+      case Some(budget) if isDir =>
+        def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val st = fs.getFileStatus(p)
+          if (st.isFile) Seq(st)
+          else fs.listStatus(p).toSeq
+            .filterNot(s => s.getPath.getName.startsWith("_") ||
+              s.getPath.getName.startsWith("."))
+            .flatMap(s => if (s.isDirectory) dataFiles(s.getPath) else Seq(s))
+        }
+        val files = dataFiles(path).sortBy(_.getPath.toString)
+        var acc = 0L
+        val kept = files.takeWhile { f => val ok = acc < budget; acc += f.getLen; ok }
+        val paths = (if (kept.nonEmpty) kept else files.take(1)).map(_.getPath.toString)
+        (paths, new CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("basePath", path.toString)))
+      case _ => (Seq(path.toString), CaseInsensitiveStringMap.empty())
+    }
+
     def parquetTable(userSchema: Option[StructType]) = ParquetTable(
       ident.name,
       spark,
-      CaseInsensitiveStringMap.empty(),
-      Seq(path.toString),
+      tableOptions,
+      tablePaths,
       userSchema,
       classOf[ParquetFileFormat])
 
     // metadata sidecar (partitioned / evolved tables): its schema is
     // authoritative — wider than old footers after ADD COLUMN, and the only
     // schema source for an empty partitioned table
-    val isDir = fs.getFileStatus(path).isDirectory
     val meta = if (isDir) TableMeta.read(fs, path) else None
 
     // schema-level governance: no-access columns never appear (reference
@@ -212,11 +512,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
 
     val conf = hadoopConf
-    lazy val rows = ParquetFooters.rowCount(path, conf)
+    // stats reflect what the catalog actually serves: the sampled prefix's
+    // footers for a sampled catalog, the whole table otherwise
+    lazy val rows = tablePaths.map(p =>
+      ParquetFooters.rowCount(new Path(p), conf)).sum
     // directory tables are INSERT targets; single-file `<name>.parquet`
     // tables stay read-only (appending part files under a file path is not
-    // a meaningful layout)
-    val writable = if (isDir) Some(path.toString) else None
+    // a meaningful layout), and sampled catalogs never write
+    val writable =
+      if (isDir && samplingBytes.isEmpty) Some(path.toString) else None
     val wrapped: Table = new GraftTable(table, () => rows, writable,
       onWrite = () => invalidateTable(ident),
       partCols = meta.map(_.partitionCols).getOrElse(Nil))
@@ -236,9 +540,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (r11 ADVICE).
     */
   private def requireKnownNamespace(ident: Identifier): Unit =
-    if (!ident.namespace.sameElements(defaultNs))
+    if (!namespaceExists(ident.namespace))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
         ident.namespace.toSeq)
+
+  /** Sampled catalogs are strictly read-only: they alias the REAL storage
+    * directory, so any mutation through the sampled name would hit the
+    * full table (or worse, write a partial file list's worth of state).
+    */
+  private def requireNotSampled(op: String): Unit =
+    if (samplingBytes.isDefined)
+      throw new UnsupportedOperationException(
+        s"catalog $catalogName is a byte-budget sampled catalog — read-only ($op refused)")
 
   /** Validate a write target and resolve its partitioning: only IDENTITY
     * `PARTITIONED BY (col, ...)` transforms are supported (they map 1:1 to
@@ -295,10 +608,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val partCols = requireWritableTarget(ident, partitions)
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        ident.namespace.toSeq :+ ident.name)
-    val target = new Path(dir, ident.name)
+    prepareCreate(ident)
+    val target = new Path(nsDir(ident.namespace), ident.name)
     if (partCols.nonEmpty) {
       // partitioned: the sidecar IS the schema source (an empty table has
       // no `k=v` dirs or footers to infer from); no seed file — a root
@@ -320,8 +631,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * refused loudly.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    requireNotSampled("ALTER TABLE")
     requireKnownNamespace(ident)
-    val path = tablePath(ident.name).getOrElse {
+    val path = tablePath(ident.namespace, ident.name).getOrElse {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
     }
@@ -339,6 +651,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new UnsupportedOperationException(
               "graft catalog: nested ADD COLUMN is not supported")
           val colName = add.fieldNames().head
+          // FIRST/AFTER would be silently dropped (the column always lands
+          // after existing data columns) while positional INSERTs then bind
+          // to the unexpected order — refuse loudly (r12 ADVICE), matching
+          // the policy for other unsupported ALTERs
+          if (add.position() != null)
+            throw new UnsupportedOperationException(
+              s"graft catalog: ADD COLUMN $colName FIRST/AFTER is not " +
+                "supported — columns are appended after existing data columns")
           if (!add.isNullable)
             throw new UnsupportedOperationException(
               s"added column $colName must be nullable: existing files lack it")
@@ -383,17 +703,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    requireNotSampled("DROP TABLE")
     requireKnownNamespace(ident)
     invalidateTable(ident)
     // a lingering crash-aside must not resurrect a dropped table
-    dropAsides(ident.name)
-    tablePath(ident.name) match {
+    dropAsides(ident.namespace, ident.name)
+    tablePath(ident.namespace, ident.name) match {
       case Some(p) => fs.delete(p, true)
       case None => false
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireNotSampled("RENAME TABLE")
     requireKnownNamespace(oldIdent)
     requireKnownNamespace(newIdent)
     if (!tableExists(oldIdent))
@@ -402,12 +724,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(newIdent))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         newIdent.namespace.toSeq :+ newIdent.name)
-    val from = tablePath(oldIdent.name).get
+    val from = tablePath(oldIdent.namespace, oldIdent.name).get
+    val toBase = nsDir(newIdent.namespace)
     val to = if (from.getName.endsWith(".parquet"))
-      new Path(dir, s"${newIdent.name}.parquet") else new Path(dir, newIdent.name)
+      new Path(toBase, s"${newIdent.name}.parquet")
+    else new Path(toBase, newIdent.name)
     if (!fs.rename(from, to))
       throw new java.io.IOException(s"cannot rename $from to $to")
-    dropAsides(oldIdent.name) // crash-asides don't follow a rename
+    dropAsides(oldIdent.namespace, oldIdent.name) // crash-asides don't follow a rename
     invalidateTable(oldIdent); invalidateTable(newIdent)
   }
 
@@ -418,16 +742,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
-    if (tableExists(ident))
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        ident.namespace.toSeq :+ ident.name)
+    prepareCreate(ident)
     staged(ident, schema, partCols, replace = false)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
-    if (!tableExists(ident))
+    // a crash-stranded table (absent canonical path, single aside) is still
+    // REPLACE-able: recover it first, mirroring loadTable
+    if (tablePath(ident.namespace, ident.name)
+        .orElse(recoverAside(ident.namespace, ident.name)).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
     staged(ident, schema, partCols, replace = true)
@@ -436,15 +761,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
+    // recover a stranded single aside so the eventual swap retires it instead
+    // of leaving it to shadow the new table (multiple asides stay untouched:
+    // CREATE OR REPLACE semantically discards old content anyway)
+    if (tablePath(ident.namespace, ident.name).isEmpty)
+      recoverAside(ident.namespace, ident.name)
     staged(ident, schema, partCols, replace = true)
   }
 
   private def staged(ident: Identifier, schema: StructType,
       partCols: Seq[String], replace: Boolean): StagedTable = {
-    val staging = new Path(dir,
+    val base = nsDir(ident.namespace)
+    val staging = new Path(base,
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
     new GraftStagedTable(ident, canonicalSchema(schema, partCols), staging,
-      new Path(dir, ident.name), replace, this, partCols)
+      new Path(base, ident.name), replace, this, partCols)
   }
 
   /** Finalize a staged CTAS: ensure the staging dir carries at least one
@@ -475,7 +806,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // — the pre-swap data survives under this dot-prefixed aside
       // (invisible to listing); restore it by renaming `.old-<name>-<uuid>`
       // back over `<name>`.
-      val aside = new Path(dir,
+      val aside = new Path(target.getParent,
         s".old-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
       if (!filesystem.rename(target, aside))
         throw new java.io.IOException(s"ctas: cannot move $target aside")
@@ -545,10 +876,12 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, _: Boolean) =>
-              // pre-write repartition by the partition columns (the
-              // Writers.partitionedParquet discipline): one file per value
-              // per non-empty shuffle partition, not tasks × values
-              data.repartition(partCols.map(
+              // pre-write REBALANCE by the partition columns (the
+              // Writers.partitionedParquet skew discipline): values are
+              // clustered (no tasks × values small-files explosion) but a
+              // hot value still fans out across tasks instead of funneling
+              // through one writer
+              data.hint("rebalance", partCols.map(
                   org.apache.spark.sql.functions.col): _*)
                 .write.partitionBy(partCols: _*).mode("append")
                 .parquet(staging.toString)

@@ -112,11 +112,42 @@ object States {
   private def live(spark: SparkSession, dir: String): Option[Gen] =
     committed(spark, dir).lastOption
 
-  /** Live data path: committed generation, or the directory itself for a
-    * pre-layout state (plain part files written before this convention).
+  /** Live data path for WRITES (append target): committed generation, or the
+    * directory itself for a pre-layout state (plain part files written before
+    * this convention).
     */
   private def livePath(spark: SparkSession, dir: String): String =
     live(spark, dir).map(_.genPath.toString).getOrElse(dir)
+
+  /** Live data paths for READS. With a committed generation this is that
+    * generation's directory. Without one, the fallback must NOT be the state
+    * directory itself: a crash after a first-generation write fully
+    * materializes `gen-0-<uuid>` but before the marker create, and a
+    * recursive directory read would surface that UNCOMMITTED generation
+    * (violating the "no marker ⇒ invisible" contract). Instead, only the
+    * pre-layout ROOT part files are live — listed explicitly, the same
+    * discipline as [[sidecarFiles]]. A state with no marker and no root part
+    * files has no committed content at all: refuse loudly rather than read
+    * debris.
+    */
+  private def liveReadPaths(spark: SparkSession, dir: String): Seq[String] =
+    live(spark, dir) match {
+      case Some(g) => Seq(g.genPath.toString)
+      case None =>
+        val p = new Path(dir)
+        val fs = fsOf(spark, p)
+        // absent dir: defer to spark.read's own path-not-found error
+        if (!fs.exists(p)) return Seq(dir)
+        val rootFiles = fs.listStatus(p).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+        if (rootFiles.isEmpty)
+          throw new IllegalStateException(
+            s"state at $dir has no committed generation (a crashed first " +
+              "write leaves only uncommitted gen-* debris — re-run write)")
+        rootFiles
+    }
 
   private def sidecarPathFor(spark: SparkSession, dir: String): Path =
     live(spark, dir).map(_.sidecarPath).getOrElse(new Path(s"$dir.retracted"))
@@ -186,9 +217,9 @@ object States {
       .parquet(sidecarPathFor(keys.sparkSession, dir).toString)
 
   /** The live view over explicit data/sidecar paths. */
-  private def readPaths(spark: SparkSession, dataPath: String,
+  private def readPaths(spark: SparkSession, dataPaths: Seq[String],
       sidecarFiles: Seq[String], merge: DataFrame => DataFrame): DataFrame = {
-    val st = spark.read.parquet(dataPath)
+    val st = spark.read.parquet(dataPaths: _*)
     val liveView = if (sidecarFiles.nonEmpty) {
       val r = spark.read.parquet(sidecarFiles: _*)
       // reselect: the using-column join hoists key columns to the front,
@@ -215,7 +246,7 @@ object States {
     */
   def read(spark: SparkSession, dir: String,
       merge: DataFrame => DataFrame = identity): DataFrame =
-    readPaths(spark, livePath(spark, dir),
+    readPaths(spark, liveReadPaths(spark, dir),
       sidecarFiles(spark, sidecarPathFor(spark, dir)), merge)
 
   /** Apply accumulated appends and retractions physically: rewrite the
@@ -234,7 +265,7 @@ object States {
     val srcSidecar = sidecarPathFor(spark, dir)
     val snapshot = sidecarFiles(spark, srcSidecar)
     val g = nextGen(spark, dir)
-    readPaths(spark, livePath(spark, dir), snapshot, merge)
+    readPaths(spark, liveReadPaths(spark, dir), snapshot, merge)
       .write.mode("overwrite").parquet(g.genPath.toString)
     commitMarker(spark, g)
     // late retractions (post-snapshot) carry forward to the new generation

@@ -129,13 +129,18 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def parse(sql: String): Expression =
     spark.sessionState.sqlParser.parseExpression(sql)
 
-  /** Table-name candidates for a relation: v2 identifier/table name, or for
-    * file relations the root path's basename minus extension (customer.parquet →
-    * customer) — so pathless `spark.read.parquet` access cannot bypass policy.
+  /** Table-name candidates for a relation, MOST-qualified first: the v2
+    * identifier's `ns.name` (so a policy registered for `ns2.t` governs only
+    * ns2's t, never main's t of the same basename — r12 ask #8), then the
+    * bare name (the pre-namespace registration form, governing any table of
+    * that basename), and for file relations the root path's basename minus
+    * extension (customer.parquet → customer) — so pathless
+    * `spark.read.parquet` access cannot bypass policy.
     */
   private def tableNames(plan: LogicalPlan): Seq[String] = plan match {
     case r: DataSourceV2Relation =>
-      r.identifier.map(_.name()).toSeq :+ r.table.name()
+      r.identifier.map(i => (i.namespace() :+ i.name()).mkString(".")).toSeq ++
+        r.identifier.map(_.name()).toSeq :+ r.table.name()
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: HadoopFsRelation =>
@@ -197,5 +202,10 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(GovernanceRule(_))
+    e.injectResolutionRule(graft.catalog.GraftDynamicOverwriteRule(_))
+    e.injectResolutionRule(graft.catalog.GraftViewRule(_))
+    // view DDL must rewrite BEFORE the Resolution batch:
+    // ResolveSessionCatalog throws for any non-session-catalog view DDL
+    e.injectHintResolutionRule(graft.catalog.GraftViewDdlRule(_))
   }
 }

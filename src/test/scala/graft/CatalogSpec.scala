@@ -217,17 +217,18 @@ class CatalogSpec extends SparkSpec {
         "PARTITIONED BY (days(ts))")
     }
 
-    // INSERT OVERWRITE is whole-table by design (static swap); Spark's
-    // dynamic-partition overwrite plans OverwritePartitionsDynamic, which
-    // has no V1-fallback exec — it must refuse loudly, not corrupt
+    // dynamic-partition overwrite (r12 ask #2): backfills ONLY the incoming
+    // partitions — region 0's partition stays live, region 1's appears
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try intercept[Exception] {
+    try {
       spark.sql("INSERT OVERWRITE graft_pw.main.nation_p " +
         "SELECT n_nationkey, n_name, n_regionkey " +
         "FROM graft_pw.main.nation_src WHERE n_regionkey = 1")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
     assert(cnt("nation_p", "n_regionkey = 0") == 5,
-      "a refused dynamic overwrite must leave the table untouched")
+      "dynamic overwrite must leave untouched partitions live")
+    assert(cnt("nation_p", "n_regionkey = 1") == 5)
+    assert(cnt("nation_p") == 10)
   }
 
   test("ALTER TABLE ADD COLUMN evolves directory tables (r11 ask #3)") {
@@ -334,6 +335,127 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { cnt() }
   }
 
+  test("dynamic partition overwrite: backfilled partitions swap, untouched files byte-identical (r12 ask #2)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-dyn")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_dy", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dy.dir", dir)
+    spark.sql("DROP TABLE IF EXISTS graft_dy.main.t")
+    spark.sql("CREATE TABLE graft_dy.main.t PARTITIONED BY (k) AS " +
+      "SELECT id AS v, concat('k', id % 3) AS k FROM range(30) WHERE id % 5 <> 0")
+
+    def md5s(part: String): Map[String, String] = {
+      val d = new java.io.File(s"$dir/t/k=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val h = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        f.getName -> h.map("%02x".format(_)).mkString
+      }.toMap
+    }
+    val untouched0 = md5s("k0")
+    val untouched2 = md5s("k2")
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // backfill ONLY k=k1 with its complete rows
+      spark.sql("INSERT OVERWRITE graft_dy.main.t " +
+        "SELECT id AS v, concat('k', id % 3) AS k FROM range(30) WHERE id % 3 = 1")
+      // k1 is now complete (10 rows); k0/k2 keep the %5 gap (8 rows each)
+      val counts = spark.sql("SELECT k, count(*) AS n FROM graft_dy.main.t GROUP BY k")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("k0" -> 8L, "k1" -> 10L, "k2" -> 8L), s"got $counts")
+      assert(md5s("k0") == untouched0 && md5s("k2") == untouched2,
+        "untouched partitions' files must be byte-identical")
+
+      // an empty incoming set overwrites NOTHING (dynamic semantics)
+      spark.sql("INSERT OVERWRITE graft_dy.main.t " +
+        "SELECT id AS v, concat('k', id % 3) AS k FROM range(30) WHERE 1 = 0")
+      assert(spark.sql("SELECT count(*) FROM graft_dy.main.t").head().getLong(0) == 26)
+
+      // static mode still swaps the WHOLE table
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("INSERT OVERWRITE graft_dy.main.t " +
+        "SELECT id AS v, concat('k', id % 3) AS k FROM range(30) WHERE id % 3 = 1")
+      assert(spark.sql("SELECT count(*) FROM graft_dy.main.t").head().getLong(0) == 10)
+      assert(!new java.io.File(s"$dir/t/k=k0").exists,
+        "static overwrite replaces the whole table")
+
+      // crash-before-swap contract: a fully-materialized staging dir left
+      // behind by a killed run is invisible to reads and swept by DROP
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.range(5).select(col("id").as("v"), lit("k9").as("k"))
+        .write.partitionBy("k").parquet(s"$dir/.dynover-t-deadbeef")
+      assert(spark.sql("SELECT count(*) FROM graft_dy.main.t").head().getLong(0) == 10,
+        "uncommitted staging must stay invisible — old partitions live")
+      // dynamic overwrite of an UNPARTITIONED table refuses loudly
+      spark.sql("CREATE TABLE graft_dy.main.flat AS SELECT 1 AS x")
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_dy.main.flat SELECT 2 AS x")
+      }
+      assert(e.getMessage.toLowerCase.contains("unpartitioned") ||
+        e.getMessage.toLowerCase.contains("dynamic"))
+      spark.sql("DROP TABLE graft_dy.main.t")
+      assert(!new java.io.File(s"$dir/.dynover-t-deadbeef").exists,
+        "DROP sweeps crashed dynamic-overwrite staging")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("CREATE over a crash-stranded name recovers the aside instead of shadowing it (r12 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-aside2")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cr2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cr2.dir", dir)
+    spark.sql("CREATE TABLE graft_cr2.main.t2 (id BIGINT)")
+    spark.sql("INSERT INTO graft_cr2.main.t2 VALUES (7)")
+    def invalidate(): Unit = spark.sessionState.catalogManager.catalog("graft_cr2")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("main"), "t2"))
+    // crash window: table absent from canonical path, data under the aside
+    assert(new java.io.File(s"$dir/t2").renameTo(new java.io.File(s"$dir/.old-t2-deadbee1")))
+    invalidate()
+    // CREATE must NOT succeed over the stranded name — it recovers the aside
+    // and reports the table as already existing
+    intercept[Exception] { spark.sql("CREATE TABLE graft_cr2.main.t2 (x STRING)") }
+    assert(new java.io.File(s"$dir/t2").exists, "aside recovered by the refused CREATE")
+    assert(spark.sql("SELECT count(*) FROM graft_cr2.main.t2").head().getLong(0) == 1,
+      "pre-crash data survives the refused CREATE")
+    // CTAS over the recovered table also refuses (stageCreate path)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cr2.main.t2 AS SELECT 1 AS y")
+    }
+    // orphaned staging/overwrite debris is swept by DROP
+    new java.io.File(s"$dir/.staging-t2-feedf00d").mkdirs()
+    new java.io.File(s"$dir/.overwrite-t2-feedf00d").mkdirs()
+    spark.sql("DROP TABLE graft_cr2.main.t2")
+    assert(!new java.io.File(s"$dir/.staging-t2-feedf00d").exists &&
+      !new java.io.File(s"$dir/.overwrite-t2-feedf00d").exists,
+      "DROP sweeps crash-orphaned staging/overwrite dirs")
+  }
+
+  test("ALTER ADD COLUMN refuses FIRST/AFTER instead of silently appending (r12 ADVICE)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pos")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_pos", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pos.dir", dir)
+    spark.sql("CREATE TABLE graft_pos.main.tp (id BIGINT, v STRING)")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_pos.main.tp ADD COLUMN z INT FIRST")
+    }
+    assert(e.getMessage.toLowerCase.contains("first/after"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_pos.main.tp ADD COLUMN z INT AFTER id")
+    }
+    // plain append-position ADD COLUMN still works
+    spark.sql("ALTER TABLE graft_pos.main.tp ADD COLUMN z INT")
+    assert(spark.table("graft_pos.main.tp").columns.toSeq == Seq("id", "v", "z"))
+  }
+
   test("DROP/RENAME refuse unknown namespaces (r11 ADVICE: name-only resolution)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cat-ns")
       .toFile.getAbsolutePath
@@ -349,6 +471,141 @@ class CatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft_ns.bogus.keep_me RENAME TO graft_ns.bogus.gone")
     }
     assert(new java.io.File(s"$dir/keep_me").exists)
+  }
+
+  test("MERGE/UPDATE/DELETE via row-level operations: full action grid (r12 ask #4)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-merge")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_mr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mr.dir", dir)
+    spark.sql("CREATE TABLE graft_mr.main.t AS " +
+      "SELECT * FROM VALUES (1, 'keep'), (2, 'stale'), (3, 'dead'), (4, 'gone') AS v(k, s)")
+    // grid: k=1 matched-unchanged (no clause fires), k=2 matched-update,
+    // k=3 matched-delete (conditional), k=5 not-matched-insert,
+    // k=4 not-matched-by-source-delete
+    spark.sql("""MERGE INTO graft_mr.main.t t
+      |USING (SELECT * FROM VALUES (1, 'keep'), (2, 'fresh'), (3, 'kill'),
+      |       (5, 'new') AS v(k, s)) s
+      |ON t.k = s.k
+      |WHEN MATCHED AND s.s = 'kill' THEN DELETE
+      |WHEN MATCHED AND t.s <> s.s THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *
+      |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.sql("SELECT k, s FROM graft_mr.main.t ORDER BY k")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(got == Seq(1 -> "keep", 2 -> "fresh", 5 -> "new"), s"got $got")
+
+    // UPDATE and DELETE ride the same row-level operation
+    spark.sql("UPDATE graft_mr.main.t SET s = upper(s) WHERE k = 2")
+    spark.sql("DELETE FROM graft_mr.main.t WHERE k = 5")
+    val got2 = spark.sql("SELECT k, s FROM graft_mr.main.t ORDER BY k")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSeq
+    assert(got2 == Seq(1 -> "keep", 2 -> "FRESH"), s"got $got2")
+    // the rewrite is staged: no overwrite debris after commit
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".overwrite-")))
+
+    // partitioned tables refuse loudly (ReplaceData has no V1 fallback)
+    spark.sql("CREATE TABLE graft_mr.main.p (k INT, s STRING) PARTITIONED BY (s)")
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_mr.main.p WHERE k = 1")
+    }
+    assert(e.getMessage.contains("dynamic INSERT OVERWRITE") ||
+      e.getMessage.toLowerCase.contains("not"))
+  }
+
+  test("multi-namespace catalog: DDL/DML/governed-read cycle (r12 ask #3)") {
+    import graft.plans.{ColumnMask, GovernancePolicies, TablePolicy}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-mns")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_mn", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_mn.dir", dir)
+
+    spark.sql("CREATE NAMESPACE graft_mn.stage")
+    spark.sql("CREATE NAMESPACE graft_mn.curated")
+    val listed = spark.sql("SHOW NAMESPACES IN graft_mn").collect()
+      .map(_.getString(0)).toSet
+    assert(listed == Set("main", "stage", "curated"), s"got $listed")
+    // duplicate namespace refuses
+    intercept[Exception] { spark.sql("CREATE NAMESPACE graft_mn.stage") }
+
+    // same basename in three namespaces: independent tables
+    spark.sql("CREATE TABLE graft_mn.main.t AS SELECT 1 AS v")
+    spark.sql("CREATE TABLE graft_mn.stage.t AS SELECT 10 AS v")
+    spark.sql("CREATE TABLE graft_mn.curated.t PARTITIONED BY (k) AS " +
+      "SELECT id AS v, concat('k', id % 2) AS k FROM range(6)")
+    spark.sql("INSERT INTO graft_mn.stage.t VALUES (20)")
+    assert(spark.sql("SELECT sum(v) FROM graft_mn.main.t").head().getLong(0) == 1)
+    assert(spark.sql("SELECT sum(v) FROM graft_mn.stage.t").head().getLong(0) == 30)
+    assert(spark.sql("SELECT count(*) FROM graft_mn.curated.t WHERE k = 'k0'")
+      .head().getLong(0) == 3)
+    // physical layout: stage's table under the namespace dir, marker present
+    assert(new java.io.File(s"$dir/stage/t").isDirectory)
+    assert(new java.io.File(s"$dir/stage/_graft_ns.json").isFile)
+    // SHOW TABLES per namespace; main does NOT list namespace dirs as tables
+    val mainTables = spark.sql("SHOW TABLES IN graft_mn.main").collect()
+      .map(_.getString(1)).toSet
+    assert(mainTables == Set("t"), s"got $mainTables")
+    assert(spark.sql("SHOW TABLES IN graft_mn.stage").collect()
+      .map(_.getString(1)).toSet == Set("t"))
+
+    // name-collision guards: table 'stage' in main / namespace 't' over a table
+    intercept[Exception] { spark.sql("CREATE TABLE graft_mn.main.stage AS SELECT 1 AS x") }
+    intercept[Exception] { spark.sql("CREATE NAMESPACE graft_mn.t") }
+
+    // cross-namespace rename moves the table (new name is catalog-relative)
+    spark.sql("ALTER TABLE graft_mn.stage.t RENAME TO curated.t2")
+    assert(spark.sql("SELECT sum(v) FROM graft_mn.curated.t2").head().getLong(0) == 30)
+    intercept[Exception] { spark.sql("SELECT * FROM graft_mn.stage.t") }
+
+    // governed read in a non-main namespace (ns-qualified policy key)
+    GovernancePolicies.register("curated.t2",
+      TablePolicy(masks = Seq(ColumnMask("v", "v % 10"))))
+    try {
+      assert(spark.sql("SELECT sum(v) FROM graft_mn.curated.t2").head().getLong(0) == 0,
+        "mask must apply to the ns-qualified table")
+      assert(spark.sql("SELECT sum(v) FROM graft_mn.main.t").head().getLong(0) == 1,
+        "policy for curated.t2 must not touch main.t")
+    } finally GovernancePolicies.clear()
+
+    // DROP NAMESPACE: non-empty refuses without CASCADE, cascade removes all
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_mn.curated") }
+    spark.sql("DROP NAMESPACE graft_mn.curated CASCADE")
+    assert(!new java.io.File(s"$dir/curated").exists)
+    intercept[Exception] { spark.sql("SELECT * FROM graft_mn.curated.t") }
+    // main is not droppable
+    intercept[Exception] { spark.sql("DROP NAMESPACE graft_mn.main CASCADE") }
+    // unknown-namespace access refuses instead of resolving into table dirs
+    intercept[Exception] { spark.sql("SELECT * FROM graft_mn.nope.t") }
+  }
+
+  test("sampled catalog variant: byte-budget file prefix, strictly read-only (r12 ask #6)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-samp")
+      .toFile.getAbsolutePath
+    // a multi-file table: 8 part files of ~equal size
+    spark.range(80000).select(col("id"), md5(col("id").cast("string")).as("payload"))
+      .repartition(8).write.parquet(s"$dir/big")
+    spark.conf.set("spark.sql.catalog.graft_full", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_full.dir", dir)
+    val fullCount = spark.sql("SELECT count(*) FROM graft_full.main.big").head().getLong(0)
+    assert(fullCount == 80000)
+    val oneFile = new java.io.File(s"$dir/big").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).min
+    // budget ≈ 2.5 files → the sampled catalog serves a strict prefix
+    spark.conf.set("spark.sql.catalog.graft_samp", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_samp.dir", dir)
+    spark.conf.set("spark.sql.catalog.graft_samp.sampling_bytes", (oneFile * 5 / 2).toString)
+    val sampled = spark.sql("SELECT count(*) FROM graft_samp.main.big").head().getLong(0)
+    assert(sampled > 0 && sampled < fullCount, s"sampled=$sampled full=$fullCount")
+    // deterministic: the same prefix every read
+    assert(spark.sql("SELECT count(*) FROM graft_samp.main.big").head().getLong(0) == sampled)
+    // read-only: every mutation refuses
+    intercept[Exception] { spark.sql("INSERT INTO graft_samp.main.big VALUES (1, 'x')") }
+    intercept[Exception] { spark.sql("DROP TABLE graft_samp.main.big") }
+    intercept[Exception] { spark.sql("CREATE TABLE graft_samp.main.t2 (x INT)") }
+    intercept[Exception] { spark.sql("CREATE NAMESPACE graft_samp.ns") }
+    // the real table is untouched
+    assert(spark.sql("SELECT count(*) FROM graft_full.main.big").head().getLong(0) == 80000)
   }
 
   test("registerAll registers views in EVERY session, keyed on the session itself") {

@@ -146,6 +146,36 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
     } finally spark.conf.unset(Users.UserKey)
   }
 
+  test("ns-qualified policy governs only its namespace's table, not a same-basename sibling (r12 ask #8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov-ns")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_gn", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gn.dir", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_gn.ns2")
+    spark.sql("CREATE TABLE graft_gn.main.acct AS SELECT 100 AS bal, 'alice' AS who")
+    spark.sql("CREATE TABLE graft_gn.ns2.acct  AS SELECT 200 AS bal, 'bob' AS who")
+
+    // epoch guard: both tables were already analyzed/loaded BEFORE the policy
+    assert(spark.sql("SELECT bal FROM graft_gn.main.acct").head().getInt(0) == 100)
+    assert(spark.sql("SELECT bal FROM graft_gn.ns2.acct").head().getInt(0) == 200)
+
+    GovernancePolicies.register("ns2.acct",
+      TablePolicy(masks = Seq(ColumnMask("bal", "-1"))))
+    // ns2's table is masked...
+    assert(spark.sql("SELECT bal FROM graft_gn.ns2.acct").head().getInt(0) == -1,
+      "ns-qualified policy must apply to its own table (post-registration epoch)")
+    // ...while main's SAME-BASENAME table is untouched — the basename
+    // fallback must not smear an ns-qualified policy across namespaces
+    assert(spark.sql("SELECT bal FROM graft_gn.main.acct").head().getInt(0) == 100,
+      "policy for ns2.acct leaked onto main.acct")
+    // a BARE-name policy still governs both (the pre-namespace form)
+    GovernancePolicies.register("acct",
+      TablePolicy(masks = Seq(ColumnMask("bal", "0"))))
+    assert(spark.sql("SELECT bal FROM graft_gn.main.acct").head().getInt(0) == 0)
+    // qualified key wins over bare for ns2
+    assert(spark.sql("SELECT bal FROM graft_gn.ns2.acct").head().getInt(0) == -1)
+  }
+
   test("runtime conf cannot self-grant delegation rights") {
     import graft.plans.Users
     GovernancePolicies.register("customer", policy)

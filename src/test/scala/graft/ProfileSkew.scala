@@ -314,6 +314,44 @@ object ProfileSkew {
     contState.unpersist(); stDocs.unpersist()
     }
 
+    if (only.isEmpty || only.contains(12)) {
+    // --- 12. partitioned WRITE under partition-value skew (r12 VERDICT #1)
+    // 90% of rows carry ONE partition value (lang=en in a web corpus) vs a
+    // uniform spread over the same 10 values. The rebalance form must keep
+    // the skewed write flat vs uniform: AQE splits the hot value across
+    // tasks (a few size-bounded files) instead of funneling 90% of the
+    // bytes through one writer task, while small values still land one
+    // file each (no tasks × values explosion).
+    val nW = nDoc / 2
+    val wide = lpad(md5(col("id").cast("string")), 256, "x")
+    val skewed = spark.range(nW).select(col("id"),
+      when(pmod(col("id"), lit(10)) === 0,
+        concat(lit("l"), pmod(col("id"), lit(10)).cast("string")))
+        .otherwise(lit("en")).as("lang"), wide.as("payload"))
+    val uniform = spark.range(nW).select(col("id"),
+      concat(lit("l"), pmod(col("id"), lit(10)).cast("string")).as("lang"),
+      wide.as("payload"))
+    def fileStats(out: String): String = {
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      dirs.map { d =>
+        val fl = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        s"${d.getName}:${fl.length}f/${fl.map(_.length).sum / 1000000}MB"
+      }.sorted.mkString(" ")
+    }
+    for (i <- 1 to 2) {
+      val outU = java.nio.file.Files.createTempDirectory("prof_wr_u").toString + "/t"
+      val outS = java.nio.file.Files.createTempDirectory("prof_wr_s").toString + "/t"
+      time(s"partitionedParquet uniform 10 values #$i") {
+        graft.sources.Writers.partitionedParquet(uniform, outU, Seq("lang"))
+      }
+      if (i == 2) println(s"[prof]   uniform layout: ${fileStats(outU)}")
+      time(s"partitionedParquet 90%-one-value  #$i") {
+        graft.sources.Writers.partitionedParquet(skewed, outS, Seq("lang"))
+      }
+      if (i == 2) println(s"[prof]   skewed layout:  ${fileStats(outS)}")
+    }
+    }
+
     if (only.isEmpty || only.contains(11)) {
     // --- 11. Bloom-sidecar incremental dedup at its DESIGN point --------
     // Large persisted fingerprint state × small mostly-new batch — the

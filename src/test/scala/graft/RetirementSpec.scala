@@ -342,6 +342,33 @@ class RetirementSpec extends SparkSpec {
     assert(names.count(_.startsWith("gen-")) == 1, s"layout after compact: $names")
   }
 
+  test("States first-write kill: an uncommitted gen-0 never becomes visible (r12 ADVICE)") {
+    import graft.operators.States
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_states_first").toString
+
+    // crash after a FIRST-generation write fully materialized but before the
+    // marker create: no marker exists at all, so the fallback must not
+    // recurse into the orphan — the state has no committed content
+    val d1 = s"$base/fresh"
+    Seq((9L, "z")).toDF("id", "v").write.parquet(s"$d1/gen-0-deadbeef")
+    val e = intercept[IllegalStateException](States.read(spark, d1).collect())
+    assert(e.getMessage.contains("no committed generation"))
+    // re-running the write recovers: commits atomically and sweeps the orphan
+    States.write(Seq((1L, "a")).toDF("id", "v"), d1)
+    assert(States.read(spark, d1).collect().map(_.toString).toSeq == Seq("[1,a]"))
+    assert(!new java.io.File(s"$d1/gen-0-deadbeef").exists)
+
+    // layout upgrade: a pre-layout state (root part files) plus an orphan
+    // uncommitted generation — reads serve ONLY the root files, never a mix
+    val d2 = s"$base/legacy"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(d2)
+    Seq((9L, "z")).toDF("id", "v").write.mode("append").parquet(s"$d2/gen-0-deadbeef")
+    assert(States.read(spark, d2).collect().map(_.toString).sorted.toSeq ==
+      Seq("[1,a]", "[2,b]"),
+      "root part files are the live pre-layout state; orphan gen is invisible")
+  }
+
   test("States compact: retractions landing after the snapshot carry forward (r11 ADVICE)") {
     import graft.operators.States
     import spark.implicits._
