@@ -55,7 +55,10 @@ object Bench {
     "q_dsir", "q_ccnet_buckets", "q_sim_range", "q_ngram_novelty", "q_lpa",
     "q_sq8_topk", "q_dsir_serve", "q_mmr_topk", "q_ccnet_serve", "q_bm25_probe_batch", "q_passage_bm25", "q_lpa_resume", "q_mmr_batch", "q_sitemap", "q_asof_tolerance", "q_discover", "q_lpa_weighted", "q_resample_locf", "q_events_ohlc", "q_events_funnel", "q_events_retention", "q_events_scd2", "q_corpus_overlap",
     "q_dataset_merge", "q_catalog_ctas", "q_pipeline_e2e_incremental2",
-    "q_catalog_ctas_part")
+    "q_catalog_ctas_part",
+    // r13 warehouse surface: dynamic overwrite, compaction, MERGE, views, ns
+    "q_catalog_overwrite_dyn", "q_catalog_compact", "q_dataset_merge_sql",
+    "q_view_catalog", "q_catalog_ns")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

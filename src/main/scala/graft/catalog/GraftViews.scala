@@ -153,6 +153,24 @@ case class GraftDropViewCommand(catalog: GraftCatalog, ident: Identifier,
   }
 }
 
+/** SHOW VIEWS over a graft catalog namespace (session-catalog-only in stock
+  * Spark, like the rest of the view DDL). Pattern semantics mirror
+  * ShowViewsCommand: `*` = any chars, `|` = alternation.
+  */
+case class GraftShowViewsCommand(catalog: GraftCatalog, ns: Array[String],
+    pattern: Option[String],
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val re = pattern.map(p =>
+      p.split("\\|").map(_.replace("*", ".*")).mkString("(?i)(", "|", ")"))
+    catalog.listViews(ns.toIndexedSeq: _*)
+      .filter(id => re.forall(id.name.matches))
+      .sortBy(_.name)
+      .map(id => Row(ns.mkString("."), id.name, false)).toSeq
+  }
+}
+
 /** Rewrites CREATE/DROP VIEW statements addressed at a graft catalog into
   * the sidecar commands. Spark has no v2 view DDL path of its own — worse,
   * `ResolveSessionCatalog` THROWS for any CreateView/DropView whose
@@ -184,7 +202,35 @@ case class GraftViewDdlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Namespace-addressed resolution for SHOW VIEWS: all parts are namespace. */
+  private def graftNamespace(nameParts: Seq[String]): Option[(GraftCatalog, Array[String])] = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, rest) =
+      if (nameParts.nonEmpty) {
+        try (cm.catalog(nameParts.head), nameParts.tail)
+        catch {
+          case _: org.apache.spark.sql.connector.catalog.CatalogNotFoundException =>
+            (cm.currentCatalog, nameParts)
+        }
+      } else (cm.currentCatalog, nameParts)
+    cat match {
+      case g: GraftCatalog =>
+        Some((g, if (rest.isEmpty) Array("main") else rest.toArray))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case sv: org.apache.spark.sql.catalyst.plans.logical.ShowViews =>
+      sv.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+          graftNamespace(u.multipartIdentifier) match {
+            case Some((cat, ns)) =>
+              GraftShowViewsCommand(cat, ns, sv.pattern, sv.output)
+            case None => sv
+          }
+        case _ => sv
+      }
     case cv: CreateView =>
       cv.child match {
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>

@@ -20,7 +20,8 @@ object DumpSome {
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+      // dir name matches graft.Verify (no suffix): both compare tools accept it
+      df.write.mode("overwrite").parquet(s"$outDir/$n")
       println(s"[dump] $n: done")
     }
     val oracles = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))

@@ -323,7 +323,11 @@ object ProfileSkew {
     // bytes through one writer task, while small values still land one
     // file each (no tasks × values explosion).
     val nW = nDoc / 2
-    val wide = lpad(md5(col("id").cast("string")), 256, "x")
+    // incompressible ~256 B payload: AQE's rebalance skew split decides on
+    // COMPRESSED shuffle sizes, so a constant-padded payload would hide the
+    // hot partition under the 64 MB advisory size at profile scale
+    val wide = concat((0 until 8).map(j =>
+      md5(concat(col("id").cast("string"), lit(j)))): _*)
     val skewed = spark.range(nW).select(col("id"),
       when(pmod(col("id"), lit(10)) === 0,
         concat(lit("l"), pmod(col("id"), lit(10)).cast("string")))

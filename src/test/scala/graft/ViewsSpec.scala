@@ -55,6 +55,11 @@ class ViewsSpec extends SparkSpec {
     val listed = spark.sql("SHOW TABLES IN graft_vc.main").collect()
       .map(_.getString(1)).toSet
     assert(listed == Set("base", "v"), s"got $listed")
+    // SHOW VIEWS lists only views (with pattern support)
+    val shownViews = spark.sql("SHOW VIEWS IN graft_vc.main").collect()
+      .map(_.getString(1)).toSet
+    assert(shownViews == Set("v"), s"got $shownViews")
+    assert(spark.sql("SHOW VIEWS IN graft_vc.main LIKE 'nope*'").collect().isEmpty)
     intercept[Exception] { spark.sql("CREATE TABLE graft_vc.main.v AS SELECT 1 AS x") }
     intercept[Exception] {
       spark.sql("CREATE VIEW graft_vc.main.v AS SELECT 1 AS x")
