@@ -66,7 +66,47 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val writablePath: Option[String] = None, val onWrite: () => Unit = () => (),
     val partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** `TRUNCATE TABLE` — swap in an empty generation with the same staged
+    * rename discipline as every other replacement: a schema-carrying
+    * zero-row file (unpartitioned) or just the metadata sidecar
+    * (partitioned — the sidecar is the schema source of an empty
+    * partitioned table), so the truncated table stays loadable and
+    * insertable, and a crash leaves the old contents intact.
+    */
+  override def truncateTable(): Boolean = {
+    val livePath = writablePath.getOrElse(throw new UnsupportedOperationException(
+      s"table ${delegate.name} is a single-file table — read-only"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val live = new Path(livePath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staging = new Path(live.getParent,
+      s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val meta = TableMeta.read(fs, live)
+    fs.mkdirs(staging)
+    meta match {
+      case Some(m) if m.partitionCols.nonEmpty => TableMeta.write(fs, staging, m)
+      case other =>
+        other.foreach(TableMeta.write(fs, staging, _))
+        // data schema only: partition columns (none here) stay out of files
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
+          .write.mode("append").parquet(staging.toString)
+    }
+    val aside = new Path(live.getParent,
+      s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(s"truncate: cannot move $live aside")
+    if (!fs.rename(staging, live)) {
+      fs.rename(aside, live)
+      throw new java.io.IOException(s"truncate: cannot swap $staging in")
+    }
+    fs.delete(aside, true)
+    onWrite()
+    true
+  }
 
   /** MERGE INTO / UPDATE / DELETE (r12 VERDICT ask #4): group-based
     * copy-on-write at WHOLE-TABLE granularity. Spark's

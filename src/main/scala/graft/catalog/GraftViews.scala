@@ -259,5 +259,22 @@ case class GraftViewDdlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => dv
       }
+    // ALTER VIEW v AS <query> ≡ replace the stored definition (the view must
+    // already exist — matching Spark's session-catalog semantics)
+    case av: org.apache.spark.sql.catalyst.plans.logical.AlterViewAs =>
+      av.child match {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+          graftTarget(u.multipartIdentifier) match {
+            case Some((cat, ident)) =>
+              if (!cat.viewExists(ident))
+                throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+              val analyzed = spark.sessionState.analyzer.execute(av.query)
+              require(analyzed.resolved, s"ALTER VIEW $ident: query failed to resolve")
+              GraftCreateViewCommand(cat, ident, av.originalText, analyzed.schema,
+                replace = true, allowExisting = false)
+            case None => av
+          }
+        case _ => av
+      }
   }
 }

@@ -578,6 +578,29 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT * FROM graft_mn.nope.t") }
   }
 
+  test("TRUNCATE TABLE: staged empty swap keeps the table loadable and insertable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-trunc")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_tr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tr.dir", dir)
+    spark.sql("CREATE TABLE graft_tr.main.t AS SELECT 1 AS k, 'a' AS s")
+    spark.sql("TRUNCATE TABLE graft_tr.main.t")
+    assert(spark.sql("SELECT count(*) FROM graft_tr.main.t").head().getLong(0) == 0)
+    assert(spark.table("graft_tr.main.t").columns.toSeq == Seq("k", "s"),
+      "schema survives truncation")
+    spark.sql("INSERT INTO graft_tr.main.t VALUES (2, 'b')")
+    assert(spark.sql("SELECT count(*) FROM graft_tr.main.t").head().getLong(0) == 1)
+    // partitioned: truncation empties the layout; sidecar keeps the schema
+    spark.sql("CREATE TABLE graft_tr.main.p (v BIGINT, k STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO graft_tr.main.p SELECT id AS v, concat('k', id % 2) AS k FROM range(10)")
+    spark.sql("TRUNCATE TABLE graft_tr.main.p")
+    assert(spark.sql("SELECT count(*) FROM graft_tr.main.p").head().getLong(0) == 0)
+    assert(!new java.io.File(s"$dir/p/k=k0").exists, "partition dirs removed")
+    spark.sql("INSERT INTO graft_tr.main.p SELECT id AS v, concat('k', id % 2) AS k FROM range(4)")
+    assert(spark.sql("SELECT count(*) FROM graft_tr.main.p WHERE k = 'k1'")
+      .head().getLong(0) == 2)
+  }
+
   test("sampled catalog variant: byte-budget file prefix, strictly read-only (r12 ask #6)") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-cat-samp")

@@ -71,6 +71,17 @@ class ViewsSpec extends SparkSpec {
       "SELECT k, amt * 3 AS amt3 FROM graft_vc.main.base WHERE k = 3")
     assert(spark.sql("SELECT amt3 FROM graft_vc.main.v").head().getInt(0) == 900)
 
+    // ALTER VIEW ... AS replaces the stored definition in place (and back)
+    spark.sql("ALTER VIEW graft_vc.main.v AS " +
+      "SELECT k, amt * 4 AS amt3 FROM graft_vc.main.base WHERE k = 3")
+    assert(spark.sql("SELECT amt3 FROM graft_vc.main.v").head().getInt(0) == 1200)
+    spark.sql("ALTER VIEW graft_vc.main.v AS " +
+      "SELECT k, amt * 3 AS amt3 FROM graft_vc.main.base WHERE k = 3")
+    assert(spark.sql("SELECT amt3 FROM graft_vc.main.v").head().getInt(0) == 900)
+    intercept[Exception] {
+      spark.sql("ALTER VIEW graft_vc.main.never_was AS SELECT 1 AS x")
+    }
+
     // governance on the BASE table applies beneath the view, at the
     // reading user's current epoch (registered AFTER the view was created)
     GovernancePolicies.register("main.base",
