@@ -273,14 +273,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View = {
     if (!namespaceExists(ident.namespace) || !viewExists(ident.namespace, ident.name))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    val (sql, schema) = GraftViews.read(fs, viewPath(ident.namespace, ident.name))
+    val (sql, viewSchema) = GraftViews.read(fs, viewPath(ident.namespace, ident.name))
     new org.apache.spark.sql.connector.catalog.View {
       override def name(): String = ident.name
       override def query(): String = sql
       override def currentCatalog(): String = catalogName
       override def currentNamespace(): Array[String] = ident.namespace
-      override def schema(): StructType = schema
-      override def queryColumnNames(): Array[String] = schema.fieldNames
+      override def schema(): StructType = viewSchema
+      override def queryColumnNames(): Array[String] = viewSchema.fieldNames
       override def columnAliases(): Array[String] = Array.empty
       override def columnComments(): Array[String] = Array.empty
       override def properties(): java.util.Map[String, String] =
@@ -366,7 +366,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = nsDir(ns)
     if (!filesystem.exists(root)) return
     val q = java.util.regex.Pattern.quote(name)
-    val re = ("\\.(old|staging|overwrite|dynover)-" + q + "-[0-9a-f]{8}").r
+    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart)-" + q + "-[0-9a-f]{8}").r
     filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
       .foreach(p => filesystem.delete(p, true))

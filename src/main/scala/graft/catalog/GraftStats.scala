@@ -67,7 +67,58 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+
+  /** The partition columns in layout order with their declared types —
+    * the schema the `k=v` value parsing binds against.
+    */
+  private def partSchema: StructType = StructType(
+    partCols.flatMap(c => delegate.schema.fields.find(_.name.equalsIgnoreCase(c))))
+
+  /** Metadata-only DELETE (`SupportsDeleteV2`): when every predicate of a
+    * `DELETE FROM t WHERE ...` references only partition columns, the
+    * delete is a directory drop — no row is read, no file rewritten.
+    * Spark's `OptimizeMetadataOnlyDeleteFromTable` downgrades the
+    * group-based rewrite to this path automatically when we answer yes
+    * here; any predicate touching a data column answers no and the
+    * row-level copy-on-write path runs instead. At 100 TB this is THE
+    * retention primitive: `DELETE FROM events WHERE day < '2020-01-01'`
+    * costs one directory listing and k renames, not a table rewrite.
+    */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    if (writablePath.isEmpty || partCols.isEmpty) return false
+    val ps = partSchema
+    if (ps.length != partCols.length ||
+        !ps.fields.forall(f => PartitionDirs.supportedType(f.dataType)))
+      return false
+    val names = partCols.map(_.toLowerCase).toSet
+    predicates.forall { p =>
+      org.apache.spark.sql.GraftSqlShims.predicateToV1(p)
+        .exists(f => PartitionDirs.canEval(f, names))
+    }
+  }
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val livePath = writablePath.getOrElse(throw new UnsupportedOperationException(
+      s"table ${delegate.name} is read-only"))
+    val filters = predicates.toSeq.map(p =>
+      org.apache.spark.sql.GraftSqlShims.predicateToV1(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"cannot translate predicate $p — canDeleteWhere should have refused")))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val live = new Path(livePath)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val doomed = PartitionDirs.leaves(fs, live, partSchema).filter { leaf =>
+      filters.forall(f => PartitionDirs.eval(f, leaf.values).contains(true))
+    }
+    doomed.foreach { leaf =>
+      val dir = leaf.rel.foldLeft(live)((p, n) => new Path(p, n))
+      PartitionDirs.deleteLeafAndEmptyParents(fs, live, dir)
+    }
+    onWrite()
+  }
 
   /** `TRUNCATE TABLE` — swap in an empty generation with the same staged
     * rename discipline as every other replacement: a schema-carrying
@@ -109,19 +160,16 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   }
 
   /** MERGE INTO / UPDATE / DELETE (r12 VERDICT ask #4): group-based
-    * copy-on-write at WHOLE-TABLE granularity. Spark's
-    * RewriteMergeIntoTable computes the complete post-merge contents (the
-    * same algebra as graft.operators.Pipelines.applyDiff: kept ∪ upserts ∖
-    * deletes) and ReplaceDataExec writes it through this operation's
-    * WriteBuilder — here the SwapOverwrite staged write, so a crashed MERGE
-    * leaves the old table intact and readers never see a half-merged
-    * state. Scale note, stated honestly: table-granularity rewrite is the
-    * right shape for snapshot-refresh merges that touch most rows; for
-    * sparse point-merges into a 100 TB table, partition the table and
-    * backfill via dynamic overwrite instead (file-granularity groups would
-    * need a _file metadata column and per-file replacement — not built).
-    * Partitioned tables refuse loudly: their write path is V1-only, and
-    * ReplaceData has no V1 fallback.
+    * copy-on-write — the group is a `k=v` partition directory for
+    * partitioned tables (r13: the scan's partition pruning plus Spark's
+    * runtime group filtering scope the rewrite to the partitions that
+    * contain matched rows) and the whole table otherwise. Spark's rewrite
+    * rules compute the post-merge contents (the same algebra as
+    * graft.operators.Pipelines.applyDiff) and ReplaceDataExec writes them
+    * through this operation's staged write, so a crashed MERGE leaves the
+    * old contents intact. See [[GraftRowLevelOperation]] for the two
+    * invariants (no data-filter pushdown into candidate groups; write
+    * replaces exactly the scanned groups).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -129,12 +177,8 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     if (writablePath.isEmpty)
       throw new UnsupportedOperationException(
         s"table ${delegate.name} is a single-file table — read-only")
-    if (partCols.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"MERGE/UPDATE/DELETE on partitioned table ${delegate.name} is not " +
-          "supported — backfill the affected partitions with dynamic " +
-          "INSERT OVERWRITE instead")
-    () => new GraftRowLevelOperation(delegate, writablePath.get, onWrite, info)
+    () => new GraftRowLevelOperation(delegate, writablePath.get, onWrite,
+      partCols, info)
   }
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -187,43 +231,6 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
         else new SwapOverwrite(delegate.name, writablePath.get, info, onWrite).write()
     }
   }
-}
-
-/** The row-level-operation half of [[GraftTable]]: reads via the stock
-  * parquet scan (the whole table is the one copy-on-write group), writes
-  * via the SwapOverwrite staged rewrite. `command()` echoes what Spark is
-  * rewriting (MERGE, UPDATE, or DELETE) — the plan shape is the same for
-  * all three.
-  */
-private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
-    livePath: String, onWrite: () => Unit,
-    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-    extends org.apache.spark.sql.connector.write.RowLevelOperation {
-  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-
-  override def command(): Command = info.command()
-  override def description(): String =
-    s"graft-cow-${info.command()}(${delegate.name})"
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
-  /** The rows ReplaceDataExec delivers are `__row_operation`-prefixed (the
-    * MergeRows / rewrite output) and, with no metadata attributes declared,
-    * arrive UNPROJECTED (Spark's plain DataWritingSparkTask only strips the
-    * prefix on the metadata-projection path). [[OpPrefixedWrite]] adapts:
-    * DELETE-op rows are dropped, WRITE ops are projected to the data
-    * columns (`info.schema()` is already the data schema) and forwarded to
-    * the staged parquet writer.
-    */
-  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        new OpPrefixedWrite(
-          new SwapOverwrite(delegate.name, livePath, winfo, onWrite).write(),
-          winfo.schema())
-    }
-  override def requiredMetadataAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array.empty
 }
 
 /** Adapts a clean data-schema Write to the `__row_operation`-prefixed rows
@@ -519,13 +526,47 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
   * that don't translate are dropped, never wrongly applied.
   */
 class GraftStatsScan(val delegate: ParquetScan, rowCount: () => Long)
-    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   // runtime-pruned view of the delegate; swapped by filter() at execution time
   @volatile private var current: ParquetScan = delegate
 
+  /** Storage-partitioned execution (see [[KeyGroupedRead]]): behind the
+    * DOUBLE opt-in (`graft.spj` AND Spark's v2-bucketing flag — see
+    * SessionProps.SpjKey for why Spark's default-true flag alone cannot
+    * gate this), hive-partitioned tables report key-grouped partitioning
+    * over their partition columns so co-partitioned joins and
+    * partition-keyed aggregations skip the shuffle. Requires the read to
+    * retain EVERY partition column: a scan that pruned them has its
+    * partition values projected to the pruned schema, so no per-value key
+    * can be built (and Spark could not resolve the clustering refs against
+    * the output anyway). When ineligible, split planning stays on the
+    * size-balanced default.
+    */
+  private def keyGrouped: Boolean =
+    delegate.fileIndex.partitionSchema.nonEmpty &&
+      delegate.readPartitionSchema.length ==
+        delegate.fileIndex.partitionSchema.length &&
+      org.apache.spark.sql.internal.SQLConf.get.v2BucketingEnabled &&
+      graft.plans.SessionProps.spjEnabled(
+        org.apache.spark.sql.SparkSession.active)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
+    if (!keyGrouped) return new UnknownPartitioning(0)
+    val n = KeyGroupedRead.keyedPartitions(current).length
+    if (n == 0) return new UnknownPartitioning(0)
+    new KeyGroupedPartitioning(
+      delegate.fileIndex.partitionSchema.fieldNames
+        .map(org.apache.spark.sql.connector.expressions.Expressions.identity),
+      n)
+  }
+
   override def readSchema(): StructType = delegate.readSchema()
-  override def toBatch: Batch = current.toBatch
+  override def toBatch: Batch =
+    if (keyGrouped) new KeyGroupedRead.KeyedBatch(current) else current.toBatch
   override def description(): String = delegate.description()
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()

@@ -1,0 +1,262 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types._
+
+/** Hive-layout partition directory enumeration and predicate evaluation —
+  * the metadata half of partition-scoped DML (`DELETE FROM ... WHERE
+  * partcol = v` as a directory drop, reference analog: the planner-side
+  * partition pruning the connector's metadata service performs before any
+  * split is produced, trino/RecordServiceSplitManagerImpl.java:196-225).
+  *
+  * Everything here is driver-side metadata work: one directory listing per
+  * partition LEVEL (not per row), value parsing off the `k=v` path
+  * segments, and three-valued SQL evaluation of translated V1 filters
+  * against those values. At 100 TB the cost is proportional to the number
+  * of partitions, never to the data.
+  */
+object PartitionDirs {
+
+  /** One leaf partition directory: `rel` is the k=v segment chain relative
+    * to the table root, `values` the parsed EXTERNAL-typed value per
+    * partition column (null for `__HIVE_DEFAULT_PARTITION__`).
+    */
+  case class Leaf(rel: Seq[String], values: Map[String, Any]) {
+    def relPath: String = rel.mkString("/")
+  }
+
+  val HiveDefaultPartition = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Hive percent-escaping: decode `%xx` byte sequences (the inverse of
+    * the escaping the partitioned writer applies to special characters in
+    * partition values).
+    */
+  def unescape(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          isHex(s.charAt(i + 1)) && isHex(s.charAt(i + 2))) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        val bytes = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.write(bytes, 0, bytes.length)
+        i += 1
+      }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+
+  /** Parse a raw (already unescaped) partition-value string to the
+    * EXTERNAL Scala type of `dt` — the same types V1 `sources.Filter`
+    * literals carry, so [[eval]] compares like with like. Returns null for
+    * the hive null sentinel. Throws for unsupported partition types
+    * (callers gate with [[supportedType]] first).
+    */
+  def parseExternal(dt: DataType, raw: String): Any = {
+    if (raw == HiveDefaultPartition) return null
+    dt match {
+      case StringType => raw
+      case IntegerType => raw.toInt
+      case LongType => raw.toLong
+      case ShortType => raw.toShort
+      case ByteType => raw.toByte
+      case BooleanType => raw.toBoolean
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case _: DecimalType => new java.math.BigDecimal(raw)
+      case DateType => java.sql.Date.valueOf(raw)
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+  }
+
+  def supportedType(dt: DataType): Boolean = dt match {
+    case StringType | IntegerType | LongType | ShortType | ByteType |
+         BooleanType | DoubleType | FloatType | DateType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Enumerate the leaf partition directories of a hive layout, level by
+    * level following `partSchema`'s column order. Dot- and
+    * underscore-prefixed names (staging debris, sidecars) are skipped, as
+    * are files at intermediate levels.
+    */
+  def leaves(fs: FileSystem, root: Path, partSchema: StructType): Seq[Leaf] = {
+    def walk(p: Path, level: Int, rel: Seq[String],
+        values: Map[String, Any]): Seq[Leaf] = {
+      if (level == partSchema.length) return Seq(Leaf(rel, values))
+      val field = partSchema.fields(level)
+      fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_") &&
+          st.getPath.getName.contains("="))
+        .flatMap { st =>
+          val name = st.getPath.getName
+          val eq = name.indexOf('=')
+          val col = unescape(name.substring(0, eq))
+          if (!col.equalsIgnoreCase(field.name)) Nil
+          else {
+            val raw = unescape(name.substring(eq + 1))
+            val v = parseExternal(field.dataType, raw)
+            walk(st.getPath, level + 1, rel :+ name,
+              values + (field.name.toLowerCase -> v))
+          }
+        }
+    }
+    if (!fs.exists(root)) Nil else walk(root, 0, Nil, Map.empty)
+  }
+
+  /** Structural leaf enumeration: every `k=v` directory chain under
+    * `root`, without binding to a schema (used where the caller only needs
+    * the relative paths — staging swaps, whole-table affected sets).
+    */
+  def kvLeaves(fs: FileSystem, root: Path): Seq[Seq[String]] = {
+    def walk(p: Path, rel: Seq[String]): Seq[Seq[String]] = {
+      val kv = fs.listStatus(p).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_") &&
+        st.getPath.getName.contains("="))
+      if (kv.isEmpty) { if (rel.nonEmpty) Seq(rel) else Nil }
+      else kv.toSeq.flatMap(st => walk(st.getPath, rel :+ st.getPath.getName))
+    }
+    if (!fs.exists(root)) Nil else walk(root, Nil)
+  }
+
+  /** Drop a leaf partition directory and sweep any `k=v` parent levels it
+    * leaves empty (multi-level layouts stay listing-clean).
+    */
+  def deleteLeafAndEmptyParents(fs: FileSystem, root: Path, dir: Path): Unit = {
+    fs.delete(dir, true)
+    var parent = dir.getParent
+    while (parent != null && parent != root &&
+        parent.getName.contains("=") && fs.exists(parent) &&
+        fs.listStatus(parent).isEmpty) {
+      fs.delete(parent, false)
+      parent = parent.getParent
+    }
+  }
+
+  /** Three-valued evaluation of a V1 filter against a partition-value row:
+    * Some(true)/Some(false) when determined, None for SQL NULL (unknown).
+    * A partition qualifies for deletion only on Some(true) — exactly the
+    * rows `DELETE ... WHERE cond` removes.
+    */
+  def eval(f: sources.Filter, row: Map[String, Any]): Option[Boolean] = {
+    def v(col: String): Any = row.getOrElse(col.toLowerCase,
+      throw new IllegalArgumentException(s"not a partition column: $col"))
+    def cmp(col: String, x: Any)(p: Int => Boolean): Option[Boolean] = {
+      val a = v(col)
+      if (a == null || x == null) None else Some(p(compareExternal(a, x)))
+    }
+    f match {
+      case sources.AlwaysTrue() => Some(true)
+      case sources.AlwaysFalse() => Some(false)
+      case sources.EqualTo(c, x) => cmp(c, x)(_ == 0)
+      case sources.EqualNullSafe(c, x) =>
+        val a = v(c)
+        if (a == null && x == null) Some(true)
+        else if (a == null || x == null) Some(false)
+        else Some(compareExternal(a, x) == 0)
+      case sources.GreaterThan(c, x) => cmp(c, x)(_ > 0)
+      case sources.GreaterThanOrEqual(c, x) => cmp(c, x)(_ >= 0)
+      case sources.LessThan(c, x) => cmp(c, x)(_ < 0)
+      case sources.LessThanOrEqual(c, x) => cmp(c, x)(_ <= 0)
+      case sources.In(c, xs) =>
+        val a = v(c)
+        if (a == null) None
+        else {
+          val nonNull = xs.filter(_ != null)
+          if (nonNull.exists(x => compareExternal(a, x) == 0)) Some(true)
+          else if (nonNull.length < xs.length) None // IN (..., NULL) never false
+          else Some(false)
+        }
+      case sources.IsNull(c) => Some(v(c) == null)
+      case sources.IsNotNull(c) => Some(v(c) != null)
+      case sources.StringStartsWith(c, x) => v(c) match {
+        case null => None
+        case s: String => Some(s.startsWith(x))
+        case _ => None
+      }
+      case sources.StringEndsWith(c, x) => v(c) match {
+        case null => None
+        case s: String => Some(s.endsWith(x))
+        case _ => None
+      }
+      case sources.StringContains(c, x) => v(c) match {
+        case null => None
+        case s: String => Some(s.contains(x))
+        case _ => None
+      }
+      case sources.Not(inner) => eval(inner, row).map(!_)
+      case sources.And(l, r) => (eval(l, row), eval(r, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case sources.Or(l, r) => (eval(l, row), eval(r, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case _ => throw new IllegalArgumentException(s"unsupported filter: $f")
+    }
+  }
+
+  /** Can [[eval]] handle this filter against these partition columns?
+    * Checks the filter SHAPE and that every referenced column is a
+    * partition column — the conservative gate behind `canDeleteWhere`.
+    */
+  def canEval(f: sources.Filter, partCols: Set[String]): Boolean = {
+    def colOk(c: String) = partCols.contains(c.toLowerCase)
+    f match {
+      case sources.AlwaysTrue() | sources.AlwaysFalse() => true
+      case sources.EqualTo(c, _) => colOk(c)
+      case sources.EqualNullSafe(c, _) => colOk(c)
+      case sources.GreaterThan(c, _) => colOk(c)
+      case sources.GreaterThanOrEqual(c, _) => colOk(c)
+      case sources.LessThan(c, _) => colOk(c)
+      case sources.LessThanOrEqual(c, _) => colOk(c)
+      case sources.In(c, _) => colOk(c)
+      case sources.IsNull(c) => colOk(c)
+      case sources.IsNotNull(c) => colOk(c)
+      case sources.StringStartsWith(c, _) => colOk(c)
+      case sources.StringEndsWith(c, _) => colOk(c)
+      case sources.StringContains(c, _) => colOk(c)
+      case sources.Not(inner) => canEval(inner, partCols)
+      case sources.And(l, r) => canEval(l, partCols) && canEval(r, partCols)
+      case sources.Or(l, r) => canEval(l, partCols) && canEval(r, partCols)
+      case _ => false
+    }
+  }
+
+  /** Compare two external values of compatible types. Numbers compare
+    * numerically regardless of boxing width; dates via epoch day; strings
+    * and booleans natively.
+    */
+  private[catalog] def compareExternal(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.time.LocalDate) =>
+      x.toLocalDate.compareTo(y)
+    case (x: java.time.LocalDate, y: java.sql.Date) =>
+      x.compareTo(y.toLocalDate)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: Number, y: Number) =>
+      new java.math.BigDecimal(x.toString).compareTo(
+        new java.math.BigDecimal(y.toString))
+    case _ => throw new IllegalArgumentException(
+      s"incomparable partition value types: ${a.getClass} vs ${b.getClass}")
+  }
+}

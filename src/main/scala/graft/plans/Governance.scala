@@ -166,7 +166,62 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * here (value-level), while true schema-level removal — the reference's
     * hasAccess drop — happens in GraftCatalog.loadTable before resolution.
     */
+  /** Mutations that REPLACE table contents refuse loudly when the current
+    * user has ANY policy on the target: a copy-on-write DML or overwrite
+    * executed through a policy-restricted view of the table would rewrite
+    * it WITHOUT the rows/values the policy hides — silent destruction of
+    * data the user cannot even see. (Without this check the refusal still
+    * happens, but as a rule-ordering-dependent INTERNAL_ERROR from the
+    * planner — the governed relation is already wrapped in Project/Filter
+    * when the DML rewrite looks for a bare relation.) Plain INSERT stays
+    * allowed: appends cannot destroy hidden data. Reads inside the DML
+    * SOURCE (e.g. MERGE ... USING) keep normal governance.
+    */
+  private def refuseGovernedMutation(target: LogicalPlan, op: String): Unit = {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val governed = target.collectFirst {
+      case r: DataSourceV2Relation if policyFor(r).isDefined => tableNames(r).head
+    }
+    governed.foreach { name =>
+      throw new UnsupportedOperationException(
+        s"$op on governed table '$name' is not allowed: a governance policy " +
+          s"applies to the current user, and a replacing mutation through a " +
+          s"policy-restricted view would silently destroy the rows or values " +
+          s"the policy hides. Run the mutation as an unrestricted user, or " +
+          s"lift the policy first.")
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUpWithNewOutput {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if d.table.resolved =>
+      refuseGovernedMutation(d.table, "DELETE FROM"); (d, Nil)
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable
+        if u.table.resolved =>
+      refuseGovernedMutation(u.table, "UPDATE"); (u, Nil)
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable
+        if m.targetTable.resolved =>
+      refuseGovernedMutation(m.targetTable, "MERGE INTO"); (m, Nil)
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwriteByExpression
+        if o.table.resolved =>
+      refuseGovernedMutation(o.table, "INSERT OVERWRITE"); (o, Nil)
+    case o: org.apache.spark.sql.catalyst.plans.logical.OverwritePartitionsDynamic
+        if o.table.resolved =>
+      refuseGovernedMutation(o.table, "dynamic INSERT OVERWRITE"); (o, Nil)
+    case tr: org.apache.spark.sql.catalyst.plans.logical.TruncateTable
+        if tr.table.resolved =>
+      tr.table match {
+        case rt: org.apache.spark.sql.catalyst.analysis.ResolvedTable =>
+          val user = Users.current(spark)
+          val qualified = (rt.identifier.namespace() :+ rt.identifier.name()).mkString(".")
+          if (Seq(qualified, rt.identifier.name())
+              .exists(GovernancePolicies.getFor(user, _).isDefined))
+            throw new UnsupportedOperationException(
+              s"TRUNCATE TABLE on governed table '$qualified' is not allowed: " +
+                s"a governance policy applies to the current user (see DML refusal rationale)")
+        case _ =>
+      }
+      (tr, Nil)
     case rel if rel.resolved && rel.children.isEmpty &&
         rel.getTagValue(tag).isEmpty && policyFor(rel).isDefined =>
       rel.setTagValue(tag, true)

@@ -36,6 +36,19 @@ object SessionProps {
   def statsEnabled(spark: SparkSession): Boolean =
     !spark.conf.getOption(StatsModeKey).contains("none")
 
+  /** Storage-partitioned joins are DOUBLE opt-in (the Iceberg
+    * `preserve-data-grouping` pattern): Spark's own
+    * `spark.sql.sources.v2.bucketing.enabled` defaults to true in 4.x, so
+    * gating on it alone would silently switch EVERY partitioned scan to
+    * one-task-per-partition-value — a parallelism cliff for ordinary
+    * scans. `graft.spj` says "my partition values are sized for per-value
+    * tasks; trade split balance for shuffle-free co-partitioned joins".
+    */
+  val SpjKey = "graft.spj"
+
+  def spjEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(SpjKey).contains("true")
+
   /** Apply session-property scan transforms to a freshly-read table.
     * `tableBytes` (when known) enables byte-budget sampling: the reference's
     * sampled catalogs cap the bytes a scan may read

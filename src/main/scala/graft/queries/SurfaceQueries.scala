@@ -299,6 +299,96 @@ object SurfaceQueries {
         "FROM graft_cm.main.orders_cmp GROUP BY o_orderpriority")
     }),
 
+    // partitioned DELETE (r13): the first DELETE's predicate references
+    // only the partition column — `SupportsDeleteV2` plans it as a
+    // METADATA-ONLY directory drop (no row read, no file rewritten; the
+    // retention primitive at 100 TB). The second mixes a data predicate —
+    // the group-based rewrite runs, scoped by static partition pruning to
+    // the one matched partition. The read-back aggregate hash-checks both
+    // against an oracle restating the deletions.
+    "q_catalog_delete_part" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_del"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_dl", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dl.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_dl.main.orders_del")
+      s.sql("CREATE TABLE graft_dl.main.orders_del PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders")
+      s.sql("DELETE FROM graft_dl.main.orders_del WHERE o_orderpriority = '1-URGENT'")
+      s.sql("DELETE FROM graft_dl.main.orders_del " +
+        "WHERE o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0")
+      s.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+        "FROM graft_dl.main.orders_del GROUP BY o_orderpriority")
+    }),
+
+    // storage-partitioned join (r13): both tables are hive-partitioned on
+    // the join key, and under the graft.spj opt-in (with Spark's
+    // v2-bucketing flag, default-on in 4.x) the
+    // catalog scans report KeyGroupedPartitioning — the join AND the final
+    // aggregation run with ZERO exchanges (CatalogSpec pins the plan
+    // shape); this query hash-checks that the shuffle-free plan computes
+    // the same answer as the oracle's restatement. Executed eagerly inside
+    // the conf scope; "above average" is exact integer math (price×n vs
+    // partition sum in cents) so both engines agree bit-for-bit.
+    "q_catalog_spj" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_spj"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_sp", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sp.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_sp.main.orders_sp")
+      s.sql("DROP TABLE IF EXISTS graft_sp.main.prio_stats")
+      s.sql("CREATE TABLE graft_sp.main.orders_sp PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders")
+      s.sql("CREATE TABLE graft_sp.main.prio_stats PARTITIONED BY (o_orderpriority) AS " +
+        "SELECT count(*) AS n_rows, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS sum_c2, " +
+        "o_orderpriority FROM graft.main.orders GROUP BY o_orderpriority")
+      val prev = s.conf.getOption("graft.spj")
+      s.conf.set("graft.spj", "true")
+      try {
+        val df = s.sql(
+          "SELECT o.o_orderpriority, count(*) AS n_above, min(st.sum_c2) AS sum_c2 " +
+            "FROM graft_sp.main.orders_sp o " +
+            "JOIN graft_sp.main.prio_stats st ON o.o_orderpriority = st.o_orderpriority " +
+            "WHERE CAST(round(CAST(o.o_totalprice AS DECIMAL(30,8)), 2) * 100 AS BIGINT) " +
+            "  * st.n_rows > st.sum_c2 " +
+            "GROUP BY o.o_orderpriority")
+        val rows = df.collectAsList()
+        s.createDataFrame(rows, df.schema)
+      } finally prev match {
+        case Some(v) => s.conf.set("graft.spj", v)
+        case None => s.conf.unset("graft.spj")
+      }
+    }),
+
+    // partitioned MERGE (r13): the ON key is NOT the partition column, so
+    // only Spark's runtime group filtering (a dynamic subquery over the
+    // partition values containing matched rows, answered through the scan's
+    // SupportsRuntimeV2Filtering) scopes the copy-on-write to the touched
+    // `lang=` directories; inserts landing in untouched partitions append.
+    // The full read-back is hash-checked against the merge identity.
+    "q_catalog_merge_part" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_pmg"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_pg", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_pg.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_pg.main.docs_pm")
+      s.sql("CREATE TABLE graft_pg.main.docs_pm PARTITIONED BY (lang) AS " +
+        "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+        "FROM graft.main.documents WHERE doc_id % 7 <> 0")
+      s.sql("""MERGE INTO graft_pg.main.docs_pm t
+        |USING (SELECT doc_id, length(coalesce(text, '')) + 1000000 AS tok, lang
+        |       FROM graft.main.documents WHERE doc_id % 3 = 0) s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET tok = s.tok
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql("SELECT doc_id, lang, tok FROM graft_pg.main.docs_pm")
+    }),
+
     // ---- S7: count(*) via aggregate pushdown (footer counts, no data read) ----
     "q_count_pushdown" -> catalogSql(
       "SELECT count(*) AS n FROM graft.main.lineitem"),
@@ -943,6 +1033,36 @@ object SurfaceQueries {
         |  n_regionkey, count(*) AS n,
         |  min(CASE WHEN n_regionkey < 2 THEN n_name ELSE upper(n_name) END) AS first_name
         |FROM nation GROUP BY 1, 2""".stripMargin),
+
+    // both deletes restated: the whole 1-URGENT partition, then the even
+    // half of 3-MEDIUM
+    "q_catalog_delete_part" ->
+      ("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |  AND NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0)
+        |GROUP BY o_orderpriority""".stripMargin),
+
+    // above-average orders per priority, in exact cents arithmetic
+    "q_catalog_spj" ->
+      ("""WITH st AS (SELECT o_orderpriority, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS sum_c2
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, count(*) AS n_above, min(st.sum_c2) AS sum_c2
+        |FROM orders o JOIN st ON o.o_orderpriority = st.o_orderpriority
+        |WHERE CAST(round(CAST(o.o_totalprice AS DECIMAL(30,8)), 2) * 100 AS BIGINT)
+        |  * st.n_rows > st.sum_c2
+        |GROUP BY o.o_orderpriority""".stripMargin),
+
+    // merge identity over the partitioned target: matched rows take the
+    // source's shifted token count, unmatched inserts appear, the rest of
+    // the base survives untouched
+    "q_catalog_merge_part" ->
+      ("""SELECT doc_id, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN length(coalesce(text, '')) + 1000000
+        |       ELSE length(coalesce(text, '')) END AS tok
+        |FROM documents WHERE doc_id % 7 <> 0 OR doc_id % 3 = 0""".stripMargin),
 
     // merge identity: update-changed + insert-added + delete-removed over
     // the old snapshot ≡ the new snapshot

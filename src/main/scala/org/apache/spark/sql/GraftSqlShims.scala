@@ -12,4 +12,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlShims {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** V2 connector `Predicate` → V1 `sources.Filter` (None when the
+    * predicate shape has no V1 equivalent). Used by the graft catalog's
+    * metadata-only DELETE (`SupportsDeleteV2.canDeleteWhere`) to evaluate
+    * partition-column predicates against `k=v` directory values with the
+    * same translation Spark itself uses for V1 sinks.
+    */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 }

@@ -503,14 +503,171 @@ class CatalogSpec extends SparkSpec {
     assert(got2 == Seq(1 -> "keep", 2 -> "FRESH"), s"got $got2")
     // the rewrite is staged: no overwrite debris after commit
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith(".overwrite-")))
+  }
 
-    // partitioned tables refuse loudly (ReplaceData has no V1 fallback)
-    spark.sql("CREATE TABLE graft_mr.main.p (k INT, s STRING) PARTITIONED BY (s)")
-    val e = intercept[Exception] {
-      spark.sql("DELETE FROM graft_mr.main.p WHERE k = 1")
+  test("row-level DML never loses rows the scan's pushdown would prune (r13)") {
+    // The r12 implementation handed the command condition to the parquet
+    // reader as a data filter; row-groups that could not match were
+    // skipped, and the whole-table swap then dropped every unread row —
+    // `DELETE ... WHERE id = 5` on a multi-file table kept ONLY the file
+    // containing id=5. Multi-file disjoint ranges reproduce it: footer
+    // stats exclude every other file unless the firewall refuses the push.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-rg")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_rg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_rg.dir", dir)
+    spark.sql("CREATE TABLE graft_rg.main.t AS SELECT id, id * 2 AS v FROM range(0, 1000)")
+    spark.sql("INSERT INTO graft_rg.main.t SELECT id, id * 2 FROM range(1000, 2000)")
+    def cnt() = spark.sql("SELECT count(*) FROM graft_rg.main.t").head().getLong(0)
+    assert(cnt() == 2000)
+    spark.sql("DELETE FROM graft_rg.main.t WHERE id = 5")
+    assert(cnt() == 1999, "DELETE dropped rows outside the matched row-group")
+    spark.sql("UPDATE graft_rg.main.t SET v = -1 WHERE id = 1500")
+    assert(cnt() == 1999, "UPDATE dropped rows outside the matched row-group")
+    assert(spark.sql("SELECT count(*) FROM graft_rg.main.t WHERE v = -1")
+      .head().getLong(0) == 1)
+  }
+
+  test("partitioned DML: metadata-only DELETE, partition-scoped rewrite, cross-partition moves (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pdml")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_pd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pd.dir", dir)
+    spark.sql("CREATE TABLE graft_pd.main.t PARTITIONED BY (p) AS " +
+      "SELECT id, id * 2 AS v, CAST(id % 5 AS INT) AS p FROM range(0, 1000)")
+    def cnt() = spark.sql("SELECT count(*) FROM graft_pd.main.t").head().getLong(0)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/t/$part")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
     }
-    assert(e.getMessage.contains("dynamic INSERT OVERWRITE") ||
-      e.getMessage.toLowerCase.contains("not"))
+
+    // metadata-only: a partition-column predicate plans DeleteFromTable
+    // (no ReplaceData rewrite) and drops the directory
+    val plan = spark.sql("EXPLAIN DELETE FROM graft_pd.main.t WHERE p = 3")
+      .head().getString(0)
+    assert(!plan.contains("ReplaceData"), s"partition delete should be metadata-only:\n$plan")
+    val p1Before = files("p=1")
+    spark.sql("DELETE FROM graft_pd.main.t WHERE p = 3")
+    assert(cnt() == 800)
+    assert(!new java.io.File(s"$dir/t/p=3").exists(), "partition dir must be dropped")
+    assert(files("p=1") == p1Before, "untouched partitions must stay byte-identical")
+
+    // mixed predicate: row-level rewrite scoped to the matched partition
+    val p1Static = files("p=1")
+    spark.sql("DELETE FROM graft_pd.main.t WHERE p = 2 AND v % 4 = 0")
+    assert(cnt() == 700)
+    assert(files("p=1") == p1Static, "static partition pruning must scope the rewrite")
+
+    // a row-level delete that empties a partition drops its directory
+    spark.sql("DELETE FROM graft_pd.main.t WHERE p = 2 AND v >= 0")
+    assert(!new java.io.File(s"$dir/t/p=2").exists(), "emptied partition dir must be dropped")
+    assert(cnt() == 600)
+
+    // UPDATE moving a row across partitions: appears in the destination,
+    // gone from the source, nothing else changes
+    spark.sql("UPDATE graft_pd.main.t SET p = 0 WHERE id = 6")
+    assert(spark.sql("SELECT p FROM graft_pd.main.t WHERE id = 6").head().getInt(0) == 0)
+    assert(cnt() == 600)
+  }
+
+  test("partitioned MERGE: runtime group filtering scopes the rewrite; inserts append to unaffected partitions (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pmrg")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_pm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pm.dir", dir)
+    spark.sql("CREATE TABLE graft_pm.main.t PARTITIONED BY (p) AS " +
+      "SELECT id, id * 2 AS v, CAST(id % 5 AS INT) AS p FROM range(0, 1000)")
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/t/$part")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // the ON key is NOT the partition column: only runtime group filtering
+    // (the dynamic subquery over matched partition values) can scope this.
+    // Source rows: all matched ids are ≡ 1 (mod 5) → partition p=1 only;
+    // one insert lands in p=4 (no matched rows there → append, not swap).
+    val p4Before = files("p=4")
+    val p2Before = files("p=2")
+    spark.sql("""MERGE INTO graft_pm.main.t t USING
+      |  (SELECT id * 10 + 1 AS id, CAST(-1 AS BIGINT) AS v, CAST(1 AS INT) AS p FROM range(1, 20)
+      |   UNION ALL SELECT 5000, 7, CAST(4 AS INT)) s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft_pm.main.t").head().getLong(0) == 1001)
+    assert(spark.sql("SELECT count(*) FROM graft_pm.main.t WHERE v = -1")
+      .head().getLong(0) == 19, "matched rows updated")
+    assert(spark.sql("SELECT v FROM graft_pm.main.t WHERE id = 5000").head().getLong(0) == 7)
+    assert(files("p=2") == p2Before, "merge must not rewrite partitions without matches")
+    val p4After = files("p=4")
+    assert(p4Before.forall { case (n, m) => p4After.get(n).contains(m) },
+      "an insert into an unaffected partition must append, not replace")
+    assert(p4After.size > p4Before.size, "the insert lands as a new file")
+
+    // NOT MATCHED BY SOURCE disables group filtering (every partition is a
+    // candidate) — the whole-table path must still be exact
+    spark.sql("""MERGE INTO graft_pm.main.t t USING
+      |  (SELECT id FROM range(0, 6000) WHERE id % 2 = 0) s
+      |ON t.id = s.id
+      |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft_pm.main.t WHERE id % 2 = 1")
+      .head().getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft_pm.main.t").head().getLong(0) == 501)
+  }
+
+  test("storage-partitioned join: co-partitioned tables join and aggregate without a shuffle (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-spj")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_sj", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sj.dir", dir)
+    spark.sql("CREATE TABLE graft_sj.main.ta PARTITIONED BY (p) AS " +
+      "SELECT id, CAST(id % 8 AS INT) AS p FROM range(0, 400)")
+    spark.sql("CREATE TABLE graft_sj.main.tb PARTITIONED BY (p) AS " +
+      "SELECT id AS jd, CAST(id % 8 AS INT) AS p FROM range(0, 200)")
+    val joinSql = "SELECT a.p AS p, count(*) AS n FROM graft_sj.main.ta a " +
+      "JOIN graft_sj.main.tb b ON a.p = b.p GROUP BY a.p"
+    def planOf(sql: String): String = {
+      val df = spark.sql(sql)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val confs = Seq(
+      "graft.spj" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // both sides report KeyGroupedPartitioning(p): the join AND the
+      // aggregation ride the storage partitioning — zero exchanges
+      val plan = planOf(joinSql)
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle:\n$plan")
+      val got = spark.sql(joinSql).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == (0 until 8).map(p => p -> 50L * 25L).toMap, s"got $got")
+
+      // partition-keyed aggregation alone is also shuffle-free
+      val aggPlan = planOf(
+        "SELECT p, count(*) AS n FROM graft_sj.main.ta GROUP BY p")
+      assert(!aggPlan.contains("Exchange"),
+        s"partition-keyed aggregation must not shuffle:\n$aggPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // opt-in off (even with Spark's v2-bucketing flag at its default
+    // TRUE): default size-balanced scan, the join shuffles as usual and
+    // the results agree
+    val offPlan = planOf(joinSql)
+    assert(offPlan.contains("Exchange"), "default path should shuffle")
+    val gotOff = spark.sql(joinSql).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotOff == (0 until 8).map(p => p -> 50L * 25L).toMap)
   }
 
   test("multi-namespace catalog: DDL/DML/governed-read cycle (r12 ask #3)") {

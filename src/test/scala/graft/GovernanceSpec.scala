@@ -176,6 +176,55 @@ class GovernanceSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.sql("SELECT bal FROM graft_gn.ns2.acct").head().getInt(0) == -1)
   }
 
+  test("replacing mutations refuse on governed tables — a policy can never cause silent destruction (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gov-dml")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_gd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gd.dir", dir)
+    spark.sql("CREATE TABLE graft_gd.main.t AS SELECT id, id * 2 AS v FROM range(0, 100)")
+
+    def intactAfter(policyShape: TablePolicy)(mutations: String*): Unit = {
+      GovernancePolicies.register("t", policyShape)
+      try mutations.foreach { sql =>
+        val e = intercept[Exception] { spark.sql(sql) }
+        // the loud governance refusal, or — for statements referencing a
+        // schema-DROPPED column — the analyzer's own unresolved-column /
+        // arity error, which fires before any rule can phrase it; all REFUSE
+        assert(e.getMessage.contains("governed table") ||
+            e.getMessage.contains("cannot be resolved") ||
+            e.getMessage.contains("Cannot write"),
+          s"expected a refusal for [$sql], got: ${e.getMessage.take(200)}")
+      } finally GovernancePolicies.clear()
+      // the load-bearing half: NOTHING was destroyed — full contents intact
+      assert(spark.sql("SELECT count(*) FROM graft_gd.main.t").head().getLong(0) == 100)
+      assert(spark.sql("SELECT count(*) FROM graft_gd.main.t WHERE v = id * 2")
+        .head().getLong(0) == 100, "hidden values must survive a refused mutation")
+    }
+
+    val all = Seq(
+      "DELETE FROM graft_gd.main.t WHERE id = 10",
+      "UPDATE graft_gd.main.t SET v = -1 WHERE id = 10",
+      """MERGE INTO graft_gd.main.t t USING (SELECT 10 AS id, -1 AS v) s
+        |ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin,
+      "INSERT OVERWRITE graft_gd.main.t SELECT id, id * 2 AS v FROM range(0, 5)",
+      "TRUNCATE TABLE graft_gd.main.t")
+    // every policy SHAPE would destroy differently: a row filter loses the
+    // hidden rows, a mask bakes masked values over the originals, a column
+    // drop nulls the hidden column — all must refuse identically
+    intactAfter(TablePolicy(rowFilterSql = Some("id < 50")))(all: _*)
+    intactAfter(TablePolicy(masks = Seq(ColumnMask("v", "-1"))))(all: _*)
+    intactAfter(TablePolicy(dropColumns = Seq("v")))(all: _*)
+
+    // plain INSERT (append) stays allowed under a policy: appends cannot
+    // destroy hidden data, and a governed READ immediately reflects policy
+    GovernancePolicies.register("t", TablePolicy(rowFilterSql = Some("id < 50")))
+    try {
+      spark.sql("INSERT INTO graft_gd.main.t VALUES (7, 14)")
+      assert(spark.sql("SELECT count(*) FROM graft_gd.main.t").head().getLong(0) == 51)
+    } finally GovernancePolicies.clear()
+    assert(spark.sql("SELECT count(*) FROM graft_gd.main.t").head().getLong(0) == 101)
+  }
+
   test("runtime conf cannot self-grant delegation rights") {
     import graft.plans.Users
     GovernancePolicies.register("customer", policy)
