@@ -59,8 +59,9 @@ object Bench {
     // r13 warehouse surface: dynamic overwrite, compaction, MERGE, views, ns
     "q_catalog_overwrite_dyn", "q_catalog_compact", "q_dataset_merge_sql",
     "q_view_catalog", "q_catalog_ns",
-    // r13 partitioned DML + storage-partitioned join
-    "q_catalog_delete_part", "q_catalog_merge_part", "q_catalog_spj")
+    // r13 partitioned DML + storage-partitioned join + time travel
+    "q_catalog_delete_part", "q_catalog_merge_part", "q_catalog_spj",
+    "q_catalog_timetravel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,7 +69,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * corrupt the real table).
     */
   private var samplingBytes: Option[Long] = None
-  private val cache = new ConcurrentHashMap[String, (Long, Table)]()
+  /** The TTL cache is PROCESS-GLOBAL (companion), keyed by catalog dir +
+    * identifier + governance epoch: Spark clones sessions freely (each
+    * foreachBatch micro-batch, thread-local sessions), every clone
+    * instantiates its own GraftCatalog, and a per-instance cache would let
+    * a write committed through one session serve a stale file listing to
+    * another for up to the TTL (the streaming CDC sink found exactly this:
+    * the merge's eviction never reached the driving session's cache).
+    * Same-JVM coherence is exact; cross-driver coherence remains the TTL,
+    * as with the reference's metadata cache.
+    */
+  private def cache = GraftCatalog.cache
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -177,8 +187,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!cascade && listTables(ns).nonEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(
         ns.toSeq.toArray)
-    val prefix = ns.head + "."
-    cache.keySet.asScala.filter(_.startsWith(prefix)).foreach(cache.remove)
+    // evict the namespace's entries under every variant of this dir (the
+    // key carries the sampling budget between the dir and the identifier)
+    val dirPrefix = dir + "\u0000"
+    val nsMark = "\u0000" + ns.head + "."
+    cache.keySet.asScala
+      .filter(k => k.startsWith(dirPrefix) && k.contains(nsMark))
+      .foreach(cache.remove)
     fs.delete(nsDir(ns), true)
   }
 
@@ -366,7 +381,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = nsDir(ns)
     if (!filesystem.exists(root)) return
     val q = java.util.regex.Pattern.quote(name)
-    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart)-" + q + "-[0-9a-f]{8}").r
+    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart)-" + q +
+      "-[0-9a-f]{8}|\\.gen-" + q + "-[0-9]{13}-[0-9a-f]{8}").r
     filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
       .foreach(p => filesystem.delete(p, true))
@@ -425,7 +441,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dropped = GovernancePolicies.getFor(user, qualified)
       .orElse(GovernancePolicies.getFor(user, ident.name))
       .map(_.dropColumns.map(_.toLowerCase).toSet).getOrElse(Set.empty)
-    val key = ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
+    // the key carries every load-shaping catalog option: two catalogs over
+    // the SAME dir (e.g. the sampled variant) must never share entries
+    val key = dir + "\u0000" + samplingBytes.getOrElse(0L) + "\u0000" +
+      ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
     if (cached != null && now - cached._1 < ttlMs) return cached._2
@@ -528,9 +547,66 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     wrapped
   }
 
+  /** Time travel (`VERSION AS OF`): read-only snapshot of a retained
+    * generation — see [[History]] for semantics, retention, and the
+    * partitioned-table refusal.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadSnapshot(ident, (fs, dir) =>
+      Some(History.byVersion(fs, dir, ident.name, version)))
+
+  /** Time travel (`TIMESTAMP AS OF`, microseconds since epoch): None from
+    * the resolver means the CURRENT table was already live at the instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    loadSnapshot(ident, (fs, dir) =>
+      History.byTimestamp(fs, dir, ident.name, timestamp))
+
+  private def loadSnapshot(ident: Identifier,
+      resolve: (org.apache.hadoop.fs.FileSystem, Path) => Option[Path]): Table = {
+    requireNotSampled("time travel")
+    if (!namespaceExists(ident.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    val livePath = tablePath(ident.namespace, ident.name).getOrElse {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    }
+    val filesystem = fs
+    // per-partition mutations (dynamic overwrite, partition-scoped DML,
+    // appends) don't create whole-table generations, so a partitioned
+    // snapshot could silently miss them — refuse instead of lying
+    val currentMeta =
+      if (filesystem.getFileStatus(livePath).isDirectory)
+        TableMeta.read(filesystem, livePath)
+      else None
+    if (currentMeta.exists(_.partitionCols.nonEmpty))
+      throw new UnsupportedOperationException(
+        s"time travel on partitioned table ${ident.name} is not supported: " +
+          "partitions mutate per-directory, so whole-table generations " +
+          "cannot represent every historical state")
+    val gen = resolve(filesystem, nsDir(ident.namespace)) match {
+      case Some(p) => p
+      case None => return loadTable(ident) // current table was live then
+    }
+    val spark = SparkSession.active
+    val genMeta = TableMeta.read(filesystem, gen)
+    val snapshot = ParquetTable(ident.name, spark,
+      CaseInsensitiveStringMap.empty(), Seq(gen.toString),
+      genMeta.map(_.schema), classOf[ParquetFileFormat])
+    val conf = hadoopConf
+    lazy val rows = ParquetFooters.rowCount(gen, conf)
+    // read-only: no writablePath, so every mutation of a snapshot refuses
+    new GraftTable(snapshot, () => rows)
+  }
+
   override def invalidateTable(ident: Identifier): Unit = {
-    val prefix = ident.toString + "|"
-    cache.keySet.asScala.filter(_.startsWith(prefix))
+    // evict the ident's entries under EVERY variant of this dir (the
+    // sampled catalogs key differently but watch the same storage)
+    val dirPrefix = dir + "\u0000"
+    val identMark = "\u0000" + ident.toString + "|"
+    cache.keySet.asScala
+      .filter(k => k.startsWith(dirPrefix) && k.contains(identMark))
       .foreach(cache.remove)
   }
 
@@ -814,7 +890,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         filesystem.rename(aside, target) // roll back — the old table lives
         throw new java.io.IOException(s"ctas: cannot swap $staging in")
       }
-      filesystem.delete(aside, true)
+      // history (graft.history=N): unpartitioned replaced contents retire
+      // as a readable generation instead of being deleted (partitioned
+      // tables mutate per-directory later — no whole-table history)
+      if (partCols.isEmpty) History.retire(filesystem, ident.name, target, aside)
+      else filesystem.delete(aside, true)
     } else if (!filesystem.rename(staging, target))
       throw new java.io.IOException(s"ctas: cannot move $staging into place")
     invalidateTable(ident)
@@ -890,4 +970,12 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
   override def commitStagedChanges(): Unit =
     catalog.commitStaged(ident, tableSchema, staging, target, replace, partCols)
   override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
+}
+
+object GraftCatalog {
+  /** See the instance-side doc: process-global so all sessions of this JVM
+    * share one coherent view; entries are (insertMillis, table).
+    */
+  private[catalog] val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.connector.catalog.Table)]()
 }

@@ -67,7 +67,8 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   /** The partition columns in layout order with their declared types —
     * the schema the `k=v` value parsing binds against.
@@ -154,7 +155,10 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       fs.rename(aside, live)
       throw new java.io.IOException(s"truncate: cannot swap $staging in")
     }
-    fs.delete(aside, true)
+    // unpartitioned truncates participate in history like any replacement
+    if (meta.forall(_.partitionCols.isEmpty))
+      History.retire(fs, live.getName, live, aside)
+    else fs.delete(aside, true)
     onWrite()
     true
   }
@@ -180,6 +184,109 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     () => new GraftRowLevelOperation(delegate, writablePath.get, onWrite,
       partCols, info)
   }
+  // ---- SupportsPartitionManagement (r13): SHOW PARTITIONS and ALTER
+  // TABLE ADD/DROP PARTITION over the hive layout. All metadata-only —
+  // a directory listing, a mkdir, a recursive delete — the retention
+  // companion to the partition-predicate DELETE fast path. Partition-level
+  // properties have no storage here and refuse loudly.
+
+  override def partitionSchema(): StructType = partSchema
+
+  private def partitionDir(ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
+    val ps = partSchema
+    require(ident.numFields == ps.length,
+      s"partition ident has ${ident.numFields} fields, table has ${ps.length} " +
+        "partition columns")
+    val live = new Path(writablePath.getOrElse(
+      throw new UnsupportedOperationException(
+        s"table ${delegate.name} is not a managed directory table")))
+    ps.fields.zipWithIndex.foldLeft(live) { case (p, (f, i)) =>
+      val v = if (ident.isNullAt(i)) null else ident.get(i, f.dataType)
+      new Path(p, s"${f.name}=${PartitionDirs.renderCatalyst(f.dataType, v)}")
+    }
+  }
+
+  private def partitionFs = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    new Path(writablePath.get).getFileSystem(spark.sessionState.newHadoopConf())
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit = {
+    if (!properties.isEmpty)
+      throw new UnsupportedOperationException(
+        "partition properties are not supported by the graft catalog")
+    val dir = partitionDir(ident)
+    val fs = partitionFs
+    if (fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+        delegate.name, ident, partSchema)
+    fs.mkdirs(dir)
+    onWrite()
+  }
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val dir = partitionDir(ident)
+    val fs = partitionFs
+    if (!fs.exists(dir)) return false
+    PartitionDirs.deleteLeafAndEmptyParents(fs, new Path(writablePath.get), dir)
+    onWrite()
+    true
+  }
+
+  override def truncatePartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val dir = partitionDir(ident)
+    val fs = partitionFs
+    if (!fs.exists(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        delegate.name, ident, partSchema)
+    fs.listStatus(dir).foreach(st => fs.delete(st.getPath, true))
+    onWrite()
+    true
+  }
+
+  override def replacePartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "partition properties are not supported by the graft catalog")
+
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] = java.util.Collections.emptyMap()
+
+  /** `names`/`ident` filter on a PREFIX-agnostic subset of the partition
+    * columns (SHOW PARTITIONS t PARTITION(k=v)); values compare in
+    * catalyst space so dates/decimals match regardless of rendering.
+    */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    require(names.length == ident.numFields)
+    val ps = partSchema
+    if (writablePath.isEmpty || ps.isEmpty)
+      return Array.empty
+    val live = new Path(writablePath.get)
+    val fs = partitionFs
+    val wanted: Seq[(Int, Any)] = names.toSeq.zipWithIndex.map { case (n, i) =>
+      val fi = ps.fieldIndex(ps.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(s"not a partition column: $n")).name)
+      val dt = ps.fields(fi).dataType
+      (fi, if (ident.isNullAt(i)) null else ident.get(i, dt))
+    }
+    PartitionDirs.leaves(fs, live, ps).flatMap { leaf =>
+      val catalystVals = ps.fields.map(f =>
+        PartitionDirs.externalToCatalyst(f.dataType,
+          leaf.values(f.name.toLowerCase)))
+      val matches = wanted.forall { case (fi, v) =>
+        (catalystVals(fi) == null && v == null) ||
+          (catalystVals(fi) != null && catalystVals(fi) == v)
+      }
+      if (matches)
+        Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          catalystVals.asInstanceOf[Array[Any]]): org.apache.spark.sql.catalyst.InternalRow)
+      else None
+    }.toArray
+  }
+
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def partitioning(): Array[Transform] =
@@ -432,7 +539,8 @@ private[catalog] class SwapOverwrite(tableName: String, livePath: String,
             filesystem.rename(aside, live) // roll back — the old table lives
             throw new java.io.IOException(s"overwrite: cannot swap $staging in")
           }
-          filesystem.delete(aside, true)
+          // graft.history=N retires the replaced contents as a generation
+          History.retire(filesystem, tableName, live, aside)
           onWrite()
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -556,7 +664,7 @@ class GraftStatsScan(val delegate: ParquetScan, rowCount: () => Long)
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, UnknownPartitioning}
     if (!keyGrouped) return new UnknownPartitioning(0)
-    val n = KeyGroupedRead.keyedPartitions(current).length
+    val n = KeyGroupedRead.groupCount(current)
     if (n == 0) return new UnknownPartitioning(0)
     new KeyGroupedPartitioning(
       delegate.fileIndex.partitionSchema.fieldNames

@@ -116,6 +116,26 @@ object PartitionDirs {
     if (!fs.exists(root)) Nil else walk(root, 0, Nil, Map.empty)
   }
 
+  /** Render a CATALYST partition value (UTF8String, epoch-day int, ...) as
+    * its hive path fragment — the exact string the partitioned writer
+    * would produce, so managed `k=v` names round-trip with written ones.
+    */
+  def renderCatalyst(dt: DataType, v: Any): String = {
+    if (v == null) return HiveDefaultPartition
+    val raw = dt match {
+      case DateType => java.time.LocalDate.ofEpochDay(
+        v.asInstanceOf[Number].longValue()).toString
+      case _ => v.toString
+    }
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(raw)
+  }
+
+  /** External parsed value (from [[parseExternal]]) → catalyst runtime
+    * value, for comparing directory listings against `InternalRow` idents.
+    */
+  def externalToCatalyst(dt: DataType, v: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(v, dt).value
+
   /** Structural leaf enumeration: every `k=v` directory chain under
     * `root`, without binding to a schema (used where the caller only needs
     * the relative paths — staging swaps, whole-table affected sets).

@@ -323,6 +323,39 @@ object SurfaceQueries {
         "FROM graft_dl.main.orders_del GROUP BY o_orderpriority")
     }),
 
+    // time travel (r13): with graft.history=N, every replacing commit
+    // retires the old contents as a readable generation. Snapshot the
+    // documents slice A, overwrite with slice B, then read BOTH states —
+    // current from the live table, the pre-overwrite state via VERSION AS
+    // OF 1 — and hash-check the union against an oracle restating the two
+    // slices. One rename per commit; the snapshot read is an ordinary scan.
+    "q_catalog_timetravel" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_tt"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_tv", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tv.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_tv.main.docs_tt")
+      s.sql("CREATE TABLE graft_tv.main.docs_tt AS " +
+        "SELECT doc_id, lang, length(coalesce(text, '')) AS tok " +
+        "FROM graft.main.documents WHERE doc_id % 5 <> 1")
+      val prev = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "2")
+      try
+        s.sql("INSERT OVERWRITE graft_tv.main.docs_tt " +
+          "SELECT doc_id, lang, length(coalesce(text, '')) + 1000000 AS tok " +
+          "FROM graft.main.documents WHERE doc_id % 3 = 0")
+      finally prev match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tv.main.docs_tt GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tv.main.docs_tt VERSION AS OF '1' GROUP BY lang""".stripMargin)
+    }),
+
     // storage-partitioned join (r13): both tables are hive-partitioned on
     // the join key, and under the graft.spj opt-in (with Spark's
     // v2-bucketing flag, default-on in 4.x) the
@@ -1043,6 +1076,17 @@ object SurfaceQueries {
         |WHERE o_orderpriority <> '1-URGENT'
         |  AND NOT (o_orderpriority = '3-MEDIUM' AND o_orderkey % 2 = 0)
         |GROUP BY o_orderpriority""".stripMargin),
+
+    // the overwritten state (slice B, shifted tokens) plus the retained
+    // pre-overwrite generation (slice A, raw tokens)
+    "q_catalog_timetravel" ->
+      ("""SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(length(coalesce(text, '')) + 1000000)::BIGINT AS tok_sum
+        |FROM documents WHERE doc_id % 3 = 0 GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n,
+        |  sum(length(coalesce(text, '')))::BIGINT AS tok_sum
+        |FROM documents WHERE doc_id % 5 <> 1 GROUP BY lang""".stripMargin),
 
     // above-average orders per priority, in exact cents arithmetic
     "q_catalog_spj" ->

@@ -193,6 +193,56 @@ object EventStreams {
           updated
       }.toDF()
   }
+
+  /** CDC-style streaming upsert into a graft catalog table (r13): each
+    * micro-batch of `(key..., values..., op)` rows is applied with ONE
+    * `MERGE INTO` — `op = 'D'` deletes the matched key, anything else
+    * upserts. The merge write is the catalog's staged swap (or
+    * partition-scoped replace for partitioned targets), so every batch is
+    * all-or-nothing: readers see the table before or after a batch, never
+    * mid-batch, and a crashed batch leaves the previous state live. Later
+    * duplicates win within a batch via the `seqCol` max-row pick (the
+    * standard CDC compaction), so replaying a batch after a failure
+    * converges instead of double-applying.
+    *
+    * Returns the started query; the caller owns its lifecycle. At 100 TB
+    * the per-batch cost is the merge's: partition-scoped if the target is
+    * partitioned and the batch touches few partitions.
+    */
+  def upsertSink(changes: DataFrame, targetTable: String, keyCols: Seq[String],
+      opCol: String, seqCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        // within-batch compaction: one change per key, the newest wins
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+        val latest = batch
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
+        val view = s"__graft_upserts_${java.util.UUID.randomUUID().toString.take(8)}"
+        latest.createOrReplaceTempView(view)
+        val on = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+        val dataCols = latest.columns.filterNot(c =>
+          c.equalsIgnoreCase(opCol) || c.equalsIgnoreCase(seqCol))
+        val setList = dataCols.filterNot(keyCols.contains)
+          .map(c => s"t.`$c` = s.`$c`").mkString(", ")
+        val insCols = dataCols.map(c => s"`$c`").mkString(", ")
+        val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
+        try spark.sql(
+          s"""MERGE INTO $targetTable t USING $view s ON $on
+             |WHEN MATCHED AND s.`$opCol` = 'D' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET $setList
+             |WHEN NOT MATCHED AND s.`$opCol` <> 'D' THEN INSERT ($insCols) VALUES ($insVals)
+             |""".stripMargin)
+        finally spark.catalog.dropTempView(view)
+        ()
+      }
+      .start()
+  }
 }
 
 case class UserTotal(userId: Long, n: Long, sumValue: Double)

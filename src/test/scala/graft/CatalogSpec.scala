@@ -570,6 +570,11 @@ class CatalogSpec extends SparkSpec {
     spark.sql("UPDATE graft_pd.main.t SET p = 0 WHERE id = 6")
     assert(spark.sql("SELECT p FROM graft_pd.main.t WHERE id = 6").head().getInt(0) == 0)
     assert(cnt() == 600)
+
+    // committed rewrites leave no staging debris (both phases cleaned)
+    assert(!new java.io.File(dir).listFiles().exists(f =>
+      f.getName.startsWith(".rlflat-") || f.getName.startsWith(".rlpart-")),
+      "committed partition-scoped DML must clean its stagings")
   }
 
   test("partitioned MERGE: runtime group filtering scopes the rewrite; inserts append to unaffected partitions (r13)") {
@@ -668,6 +673,167 @@ class CatalogSpec extends SparkSpec {
     val gotOff = spark.sql(joinSql).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gotOff == (0 until 8).map(p => p -> 50L * 25L).toMap)
+  }
+
+  test("storage-partitioned join edges: asymmetric partition values; runtime filtering under SPJ (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-spj2")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_se", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_se.dir", dir)
+    // ta has partitions 0..7, tb only 0..3: Spark must align the value sets
+    // (pushPartValues), empty on one side = no matches, never wrong rows
+    spark.sql("CREATE TABLE graft_se.main.ta PARTITIONED BY (p) AS " +
+      "SELECT id, CAST(id % 8 AS INT) AS p FROM range(0, 400)")
+    spark.sql("CREATE TABLE graft_se.main.tb PARTITIONED BY (p) AS " +
+      "SELECT id AS jd, CAST(id % 4 AS INT) AS p FROM range(0, 200)")
+    val saved = Seq("graft.spj", "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("graft.spj", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val asym = spark.sql("SELECT a.p AS p, count(*) AS n FROM graft_se.main.ta a " +
+        "JOIN graft_se.main.tb b ON a.p = b.p GROUP BY a.p")
+      val got = asym.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == (0 until 4).map(p => p -> 50L * 50L).toMap, s"got $got")
+
+      // DPP-style runtime filtering while the scan is key-grouped: a
+      // selective dim filter — whatever plan Spark picks, results exact
+      val dpp = spark.sql("SELECT a.p AS p, count(*) AS n FROM graft_se.main.ta a " +
+        "JOIN graft_se.main.tb b ON a.p = b.p WHERE b.jd = 1 GROUP BY a.p")
+      val gotDpp = dpp.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(gotDpp == Map(1 -> 50L), s"got $gotDpp")
+
+      // partition-column-pruned read (count(*) after projection drop) is
+      // SPJ-ineligible by design and must still be exact
+      assert(spark.sql("SELECT count(*) FROM (SELECT id FROM graft_se.main.ta)")
+        .head().getLong(0) == 400)
+
+      // hot-value skew: force within-value splits (tiny maxPartitionBytes)
+      // and run under the partially-clustered mode — Spark may keep the
+      // same-key splits and replicate the other side; either way exact
+      val savedSkew = Seq("spark.sql.files.maxPartitionBytes",
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", "true")
+      try {
+        val skew = spark.sql("SELECT a.p AS p, count(*) AS n FROM graft_se.main.ta a " +
+          "JOIN graft_se.main.tb b ON a.p = b.p GROUP BY a.p")
+        val gotSkew = skew.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(gotSkew == (0 until 4).map(p => p -> 50L * 50L).toMap, s"got $gotSkew")
+      } finally savedSkew.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("partition management: SHOW PARTITIONS, ADD/DROP PARTITION over the hive layout (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-pm")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_pt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pt.dir", dir)
+    // two-level layout with a value needing path escaping (space)
+    spark.sql("CREATE TABLE graft_pt.main.t PARTITIONED BY (p, q) AS " +
+      "SELECT id, CAST(id % 3 AS INT) AS p, " +
+      "CASE WHEN id % 2 = 0 THEN 'ev en' ELSE 'odd' END AS q FROM range(0, 60)")
+    def shown(extra: String = "") =
+      spark.sql(s"SHOW PARTITIONS graft_pt.main.t $extra").collect()
+        .map(_.getString(0)).sorted.toSeq
+    assert(shown() == Seq("p=0/q=ev en", "p=0/q=odd", "p=1/q=ev en",
+      "p=1/q=odd", "p=2/q=ev en", "p=2/q=odd"))
+    assert(shown("PARTITION (p=1)") == Seq("p=1/q=ev en", "p=1/q=odd"))
+    assert(shown("PARTITION (q='ev en')") ==
+      Seq("p=0/q=ev en", "p=1/q=ev en", "p=2/q=ev en"),
+      "escaped values must round-trip through listing and filtering")
+
+    spark.sql("ALTER TABLE graft_pt.main.t ADD PARTITION (p=9, q='new')")
+    assert(new java.io.File(s"$dir/t/p=9").isDirectory)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_pt.main.t ADD PARTITION (p=9, q='new')")
+    }
+    // DROP PARTITION = metadata-only retention: the directory goes, every
+    // other partition's files untouched
+    spark.sql("ALTER TABLE graft_pt.main.t DROP PARTITION (p=1, q='odd')")
+    assert(!new java.io.File(s"$dir/t/p=1/q=odd").exists())
+    assert(spark.sql("SELECT count(*) FROM graft_pt.main.t").head().getLong(0) == 50)
+  }
+
+  test("time travel: VERSION/TIMESTAMP AS OF over retained generations (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-tt")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_tt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tt.dir", dir)
+    def sum() = spark.sql("SELECT sum(v) FROM graft_tt.main.t").head().getLong(0)
+    def sumAt(v: String) = spark.sql(
+      s"SELECT sum(v) FROM graft_tt.main.t VERSION AS OF '$v'").head().getLong(0)
+
+    spark.sql("CREATE TABLE graft_tt.main.t AS SELECT id, id AS v FROM range(0, 10)") // sum 45
+    // history off: replacing commits drop the old contents, travel refuses
+    spark.sql("INSERT OVERWRITE graft_tt.main.t SELECT id, id * 10 AS v FROM range(0, 10)")
+    val off = intercept[Exception] { sumAt("1") }
+    assert(off.getMessage.contains("no retained generations"))
+
+    spark.conf.set(graft.catalog.History.Key, "2")
+    try {
+      val t0 = new java.sql.Timestamp(System.currentTimeMillis()).toString
+      Thread.sleep(60)
+      spark.sql("INSERT OVERWRITE graft_tt.main.t SELECT id, id * 100 AS v FROM range(0, 10)")
+      Thread.sleep(60)
+      val t1 = new java.sql.Timestamp(System.currentTimeMillis()).toString
+      Thread.sleep(60)
+      spark.sql("INSERT OVERWRITE graft_tt.main.t SELECT id, id * 1000 AS v FROM range(0, 10)")
+      assert(sum() == 45000)
+      assert(sumAt("1") == 4500, "one generation back")
+      assert(sumAt("2") == 450, "two generations back")
+      // exact retirement stamp addressing
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gens = graft.catalog.History.generations(fs,
+        new org.apache.hadoop.fs.Path(dir), "t")
+      assert(gens.length == 2)
+      assert(sumAt(gens.head._1.toString) == 4500)
+      // TIMESTAMP AS OF: before the ×100 overwrite the ×10 table was live;
+      // between the overwrites the ×100 table was; now = current
+      assert(spark.sql(s"SELECT sum(v) FROM graft_tt.main.t TIMESTAMP AS OF '$t0'")
+        .head().getLong(0) == 450)
+      assert(spark.sql(s"SELECT sum(v) FROM graft_tt.main.t TIMESTAMP AS OF '$t1'")
+        .head().getLong(0) == 4500)
+      assert(spark.sql("SELECT sum(v) FROM graft_tt.main.t TIMESTAMP AS OF current_timestamp()")
+        .head().getLong(0) == 45000)
+
+      // retention: a third overwrite prunes to the newest 2 generations
+      spark.sql("INSERT OVERWRITE graft_tt.main.t SELECT id, id * 7 AS v FROM range(0, 10)")
+      assert(sumAt("1") == 45000 && sumAt("2") == 4500)
+      assert(intercept[Exception] { sumAt("3") }
+        .getMessage.contains("retains 2 generation"))
+
+      // TRUNCATE is a replacing commit too — the pre-truncate contents travel
+      spark.sql("TRUNCATE TABLE graft_tt.main.t")
+      assert(spark.sql("SELECT count(*) FROM graft_tt.main.t").head().getLong(0) == 0)
+      assert(sumAt("1") == 315)
+
+      // partitioned tables refuse (per-partition mutations have no
+      // whole-table generation)
+      spark.sql("CREATE TABLE graft_tt.main.p PARTITIONED BY (k) AS " +
+        "SELECT id, CAST(id % 2 AS INT) AS k FROM range(0, 10)")
+      spark.sql("INSERT OVERWRITE graft_tt.main.p SELECT id, CAST(id % 2 AS INT) FROM range(0, 4)")
+      val e = intercept[Exception] {
+        spark.sql("SELECT count(*) FROM graft_tt.main.p VERSION AS OF '1'").collect()
+      }
+      assert(e.getMessage.contains("partitioned"))
+
+      // DROP sweeps the table's generations with it
+      spark.sql("DROP TABLE graft_tt.main.t")
+      assert(graft.catalog.History.generations(fs,
+        new org.apache.hadoop.fs.Path(dir), "t").isEmpty)
+    } finally spark.conf.unset(graft.catalog.History.Key)
   }
 
   test("multi-namespace catalog: DDL/DML/governed-read cycle (r12 ask #3)") {

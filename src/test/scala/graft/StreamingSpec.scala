@@ -778,4 +778,39 @@ class StreamingSpec extends SparkSpec {
     assert(got("2024-01-01 10:00:00.0") == ((3.0, 9.0, 2.0, 7.0, 4L)), s"got $got")
     assert(got("2024-01-01 11:00:00.0") == ((4.0, 4.0, 4.0, 4.0, 1L)))
   }
+
+  test("streaming CDC upsert sink: per-batch MERGE into a catalog table (r13)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cd.dir", dir)
+    spark.sql("CREATE TABLE graft_cd.main.state AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, 'one' AS v UNION ALL SELECT 2, 'two'")
+
+    // changes: (key, value, op, seq) — op 'U' upserts, 'D' deletes
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "v", "op", "seq"),
+      "graft_cd.main.state", Seq("k"), "op", "seq",
+      java.nio.file.Files.createTempDirectory("graft-cdc-ck").toString)
+
+    def state(): Map[Long, String] =
+      spark.sql("SELECT k, v FROM graft_cd.main.state").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // batch 1: update k=1, insert k=3, and a within-batch duplicate for
+    // k=3 where the NEWER seq must win (CDC compaction)
+    input.addData((1L, "uno", "U", 10L), (3L, "stale", "U", 11L), (3L, "three", "U", 12L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> "uno", 2L -> "two", 3L -> "three"))
+
+    // batch 2: delete k=2, upsert k=4; a delete for an absent key is a no-op
+    input.addData((2L, "", "D", 20L), (4L, "four", "U", 21L), (9L, "", "D", 22L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> "uno", 3L -> "three", 4L -> "four"))
+    q.stop()
+  }
 }
