@@ -740,13 +740,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"added column $colName must be nullable: existing files lack it")
           if (m.schema.fieldNames.exists(_.equalsIgnoreCase(colName)))
             throw new IllegalArgumentException(s"column $colName already exists")
+          // resurrection guard: the bytes of a schema-dropped column are
+          // still in the files (DROP is metadata-only), so re-adding the
+          // name would silently surface the OLD values as the new column
+          if (m.droppedColumns.exists(_.equalsIgnoreCase(colName)))
+            throw new UnsupportedOperationException(
+              s"column $colName was previously dropped; its values remain in " +
+                "existing files and would resurrect — use a new name or " +
+                "rewrite the table (CREATE OR REPLACE ... AS SELECT)")
           var field = org.apache.spark.sql.types.StructField(
             colName, add.dataType(), nullable = true)
           if (add.comment() != null) field = field.withComment(add.comment())
           // keep partition columns last (the canonical read-back order)
           val (part, data) = m.schema.fields.partition(f =>
             m.partitionCols.exists(_.equalsIgnoreCase(f.name)))
-          TableMeta(StructType((data :+ field) ++ part), m.partitionCols)
+          TableMeta(StructType((data :+ field) ++ part), m.partitionCols,
+            m.droppedColumns)
+        case del: TableChange.DeleteColumn =>
+          // DROP COLUMN (r13): metadata-only — the declared schema shrinks,
+          // reads never materialize the column again, no file is rewritten.
+          // The name is tombstoned so ADD COLUMN cannot resurrect the bytes.
+          if (del.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "graft catalog: nested DROP COLUMN is not supported")
+          val colName = del.fieldNames().head
+          if (m.partitionCols.exists(_.equalsIgnoreCase(colName)))
+            throw new UnsupportedOperationException(
+              s"cannot drop partition column $colName — the hive layout " +
+                "exposes its values in directory names; re-layout the table")
+          if (!m.schema.fieldNames.exists(_.equalsIgnoreCase(colName))) {
+            if (del.ifExists()) m
+            else throw new IllegalArgumentException(s"no such column: $colName")
+          } else {
+            val remaining = m.schema.fields.filterNot(
+              _.name.equalsIgnoreCase(colName))
+            if (!remaining.exists(f =>
+                !m.partitionCols.exists(_.equalsIgnoreCase(f.name))))
+              throw new UnsupportedOperationException(
+                s"cannot drop $colName: a table needs at least one data column")
+            TableMeta(StructType(remaining), m.partitionCols,
+              m.droppedColumns :+ colName)
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: ALTER ${other.getClass.getSimpleName} is not supported " +

@@ -26,7 +26,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Tables without a sidecar keep the inference-only behavior — the sidecar
   * is written by partitioned CREATE/CTAS and by the first ALTER.
   */
-case class TableMeta(schema: StructType, partitionCols: Seq[String])
+/** `droppedColumns` are TOMBSTONES (r13): a schema-level DROP COLUMN is
+  * metadata-only — the bytes stay in the files — so re-ADDing the same
+  * name would silently RESURRECT the old values into the "new" column
+  * (the classic parquet name-binding pitfall that field-id column mapping
+  * exists to solve). The tombstone list makes the resurrection impossible:
+  * ADD COLUMN refuses any tombstoned name.
+  */
+case class TableMeta(schema: StructType, partitionCols: Seq[String],
+    droppedColumns: Seq[String] = Nil)
 
 object TableMeta {
 
@@ -66,6 +74,7 @@ object TableMeta {
       case c => c.toString
     } + "\""
     s"""{"version":1,"partitionCols":[${meta.partitionCols.map(js).mkString(",")}],""" +
+      s""""droppedColumns":[${meta.droppedColumns.map(js).mkString(",")}],""" +
       s""""schema":${meta.schema.json}}"""
   }
 
@@ -80,8 +89,14 @@ object TableMeta {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }
+    val dropped = Option(root.get("droppedColumns")).map { node =>
+      val it = node.elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }.getOrElse(Nil)
     val schema = DataType.fromJson(root.get("schema").toString)
       .asInstanceOf[StructType]
-    TableMeta(schema, parts)
+    TableMeta(schema, parts, dropped)
   }
 }

@@ -397,6 +397,48 @@ object SurfaceQueries {
       }
     }),
 
+    // bucketed co-located join (r13): HIGH-cardinality key co-location —
+    // both tables store kb = pmod(hash(key), 16) and partition by it; the
+    // join lists kb beside the key (implied by equal keys under identical
+    // bucketing), so under SPJ + requireAllClusterKeysForCoPartition=false
+    // the join AND the (kb, key)-grouped aggregation run with zero
+    // exchanges (CatalogSpec pins the plan). Hash-checked against an
+    // oracle restating the join arithmetic — the bucket column is derived
+    // identically on both sides, so it cancels out of the semantics.
+    "q_catalog_bucketed" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_bkt"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_bq", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_bq.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_bq.main.orders_bk")
+      s.sql("DROP TABLE IF EXISTS graft_bq.main.customer_bk")
+      s.sql("CREATE TABLE graft_bq.main.orders_bk PARTITIONED BY (kb) AS " +
+        "SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(pmod(hash(o_custkey), 16) AS INT) AS kb FROM graft.main.orders")
+      s.sql("CREATE TABLE graft_bq.main.customer_bk PARTITIONED BY (kb) AS " +
+        "SELECT c_custkey, c_nationkey, " +
+        "CAST(pmod(hash(c_custkey), 16) AS INT) AS kb FROM graft.main.customer")
+      val confs = Seq(
+        "graft.spj" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false")
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(
+          "SELECT c.c_nationkey, count(*) AS n, " +
+            "CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+            "FROM graft_bq.main.orders_bk o JOIN graft_bq.main.customer_bk c " +
+            "ON o.kb = c.kb AND o.o_custkey = c.c_custkey " +
+            "GROUP BY c.c_nationkey")
+        val rows = df.collectAsList()
+        s.createDataFrame(rows, df.schema)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }),
+
     // partitioned MERGE (r13): the ON key is NOT the partition column, so
     // only Spark's runtime group filtering (a dynamic subquery over the
     // partition values containing matched rows, answered through the scan's
@@ -1087,6 +1129,13 @@ object SurfaceQueries {
         |SELECT 'v1' AS state, lang, count(*) AS n,
         |  sum(length(coalesce(text, '')))::BIGINT AS tok_sum
         |FROM documents WHERE doc_id % 5 <> 1 GROUP BY lang""".stripMargin),
+
+    // the bucket column cancels out: orders×customer revenue by nation
+    "q_catalog_bucketed" ->
+      ("""SELECT c.c_nationkey, count(*) AS n,
+        |  CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_nationkey""".stripMargin),
 
     // above-average orders per priority, in exact cents arithmetic
     "q_catalog_spj" ->

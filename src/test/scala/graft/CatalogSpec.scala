@@ -263,9 +263,10 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO graft_ev.main.docs_p VALUES (2, 0.5, 6)")
     assert(spark.sql("SELECT count(*) FROM graft_ev.main.docs_p WHERE k = 6")
       .head().getLong(0) == 1)
-    // unsupported ALTERs refuse loudly
+    // unsupported ALTERs refuse loudly (DROP COLUMN became a supported
+    // metadata-only evolution in r13 — RENAME would need field-id mapping)
     intercept[UnsupportedOperationException] {
-      spark.sql("ALTER TABLE graft_ev.main.docs DROP COLUMN body")
+      spark.sql("ALTER TABLE graft_ev.main.docs RENAME COLUMN body TO text2")
     }
     intercept[Exception] {
       spark.sql("ALTER TABLE graft_ev.main.docs ADD COLUMN body STRING")
@@ -763,6 +764,118 @@ class CatalogSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft_pt.main.t DROP PARTITION (p=1, q='odd')")
     assert(!new java.io.File(s"$dir/t/p=1/q=odd").exists())
     assert(spark.sql("SELECT count(*) FROM graft_pt.main.t").head().getLong(0) == 50)
+  }
+
+  test("ALTER TABLE DROP COLUMN: metadata-only, tombstoned against resurrection (r13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-dc")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_dc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dc.dir", dir)
+    spark.sql("CREATE TABLE graft_dc.main.t PARTITIONED BY (p) AS " +
+      "SELECT id, id * 2 AS v, concat('s', id) AS s, CAST(id % 3 AS INT) AS p " +
+      "FROM range(0, 30)")
+    def files(): Map[String, Long] = {
+      def walk(d: java.io.File): Seq[java.io.File] =
+        d.listFiles().toSeq.flatMap(f => if (f.isDirectory) walk(f) else Seq(f))
+      walk(new java.io.File(s"$dir/t")).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = files()
+    spark.sql("ALTER TABLE graft_dc.main.t DROP COLUMN v")
+    assert(files() == before, "DROP COLUMN must not rewrite any file")
+    assert(spark.table("graft_dc.main.t").columns.toSeq == Seq("id", "s", "p"))
+    assert(spark.sql("SELECT count(*) FROM graft_dc.main.t").head().getLong(0) == 30)
+    // resurrection guard: the bytes are still in the files — same name refuses
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft_dc.main.t ADD COLUMN v BIGINT")
+    }
+    assert(e.getMessage.contains("resurrect"), e.getMessage)
+    // a NEW name evolves fine and reads null over old files
+    spark.sql("ALTER TABLE graft_dc.main.t ADD COLUMN w BIGINT")
+    assert(spark.sql("SELECT count(*) FROM graft_dc.main.t WHERE w IS NULL")
+      .head().getLong(0) == 30)
+    // partition columns and the last data column are protected
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_dc.main.t DROP COLUMN p")
+    }.getMessage.contains("partition column"))
+    spark.sql("ALTER TABLE graft_dc.main.t DROP COLUMN s")
+    spark.sql("ALTER TABLE graft_dc.main.t DROP COLUMN w")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_dc.main.t DROP COLUMN id")
+    }.getMessage.contains("at least one data column"))
+  }
+
+  test("governance applies to time-travel snapshots (r13)") {
+    import graft.plans.{GovernancePolicies, TablePolicy}
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-gtt")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_gt", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gt.dir", dir)
+    spark.sql("CREATE TABLE graft_gt.main.t AS SELECT id, id * 2 AS v FROM range(0, 100)")
+    spark.conf.set(graft.catalog.History.Key, "1")
+    try {
+      spark.sql("INSERT OVERWRITE graft_gt.main.t SELECT id, id * 10 AS v FROM range(0, 50)")
+      // the generation holds the ORIGINAL 100 rows; a row policy must gate
+      // the snapshot exactly like the live table — history is not a
+      // governance bypass
+      GovernancePolicies.register("t", TablePolicy(rowFilterSql = Some("id < 10")))
+      try {
+        assert(spark.sql("SELECT count(*) FROM graft_gt.main.t").head().getLong(0) == 10)
+        assert(spark.sql("SELECT count(*) FROM graft_gt.main.t VERSION AS OF '1'")
+          .head().getLong(0) == 10,
+          "a time-travel read must not bypass the row policy")
+      } finally GovernancePolicies.clear()
+      assert(spark.sql("SELECT count(*) FROM graft_gt.main.t VERSION AS OF '1'")
+        .head().getLong(0) == 100)
+    } finally spark.conf.unset(graft.catalog.History.Key)
+  }
+
+  test("bucketed co-located join pattern: high-cardinality keys, zero exchanges (r13)") {
+    // Co-locating a HIGH-cardinality join key: store an explicit bucket
+    // column kb = pmod(hash(k), 16) and partition by it. Both sides bucket
+    // with the same expression, the join lists kb alongside k (implied by
+    // k = k under identical bucketing, stated explicitly so the cluster
+    // keys cover the partition keys), and SPJ runs the join shuffle-free.
+    // This is the graft bucketing CONTRACT: same expression, same bucket
+    // count, join on (kb, k) — documented in SURVEY §8.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-bkt")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_bk", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_bk.dir", dir)
+    spark.sql("CREATE TABLE graft_bk.main.fact PARTITIONED BY (kb) AS " +
+      "SELECT id, id % 1000 AS k, CAST(pmod(hash(id % 1000), 16) AS INT) AS kb " +
+      "FROM range(0, 4000)")
+    spark.sql("CREATE TABLE graft_bk.main.dim PARTITIONED BY (kb) AS " +
+      "SELECT id AS k, concat('name-', id) AS nm, " +
+      "CAST(pmod(hash(id), 16) AS INT) AS kb FROM range(0, 1000)")
+    val confs = Seq(
+      "graft.spj" -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // the join clusters on (kb, k) while storage clusters on kb alone —
+      // a valid co-partitioning (equal kb ⇒ same partition), accepted when
+      // Spark is told not to demand the FULL cluster key set
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // grouping keeps kb in the keys: clustering by kb satisfies the
+      // (kb, k) distribution, so the aggregation is exchange-free too
+      val q = spark.sql("SELECT f.k AS k, count(*) AS n, min(d.nm) AS nm " +
+        "FROM graft_bk.main.fact f JOIN graft_bk.main.dim d " +
+        "ON f.kb = d.kb AND f.k = d.k GROUP BY f.kb, f.k")
+      val rows = q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$plan")
+      assert(rows.length == 1000)
+      assert(rows.forall(_.getLong(1) == 4L), "every key joins its 4 fact rows")
+      assert(rows.forall(r => r.getString(2) == s"name-${r.getLong(0)}"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("time travel: VERSION/TIMESTAMP AS OF over retained generations (r13)") {
