@@ -174,8 +174,11 @@ object States {
         val stale =
           (n.startsWith("gen-") || n.startsWith("_commit-") ||
             n.startsWith("_retracted-gen-")) && !keepNames(n) ||
-          // pre-layout debris: root part files from before the gen layout
-          (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+          // pre-layout debris: ONLY parquet-writer-shaped root files
+          // (part-*.parquet). The dir is documented as States-owned, but a
+          // mis-pointed `dir` must not silently lose arbitrary files
+          // (r12 VERDICT residual #2) — anything unrecognized stays put.
+          (st.isFile && n.startsWith("part-") && n.endsWith(".parquet"))
         if (stale) fs.delete(st.getPath, true)
       }
       // pre-layout sibling sidecar

@@ -367,6 +367,15 @@ class RetirementSpec extends SparkSpec {
     assert(States.read(spark, d2).collect().map(_.toString).sorted.toSeq ==
       Seq("[1,a]", "[2,b]"),
       "root part files are the live pre-layout state; orphan gen is invisible")
+
+    // sweep guard (r12 VERDICT residual): a mis-pointed `dir` holding a
+    // FOREIGN file must not lose it — the layout-upgrade sweep deletes only
+    // parquet-writer-shaped root files (part-*.parquet), never arbitrary ones
+    val foreign = new java.io.File(s"$d2/notes.txt")
+    java.nio.file.Files.write(foreign.toPath, "keep me".getBytes)
+    States.write(Seq((5L, "e")).toDF("id", "v"), d2) // upgrades the layout
+    assert(foreign.exists, "sweep must never delete unrecognized files")
+    assert(States.read(spark, d2).collect().map(_.getLong(0)).toSet == Set(5L))
   }
 
   test("States compact: retractions landing after the snapshot carry forward (r11 ADVICE)") {
