@@ -31,8 +31,13 @@ object History {
 
   val Key = "graft.history"
 
+  /** `toIntOption`: an unparsable value means history OFF, never an
+    * exception — keep() runs inside retire(), which runs AFTER the live
+    * swap; throwing there would report failure for a commit that already
+    * succeeded and leak the aside dir (r13 ADVICE).
+    */
   def keep(spark: SparkSession): Int =
-    spark.conf.getOption(Key).map(_.toInt).filter(_ > 0).getOrElse(0)
+    spark.conf.getOption(Key).flatMap(_.toIntOption).filter(_ > 0).getOrElse(0)
 
   private val GenRe = """\.gen-(.+)-(\d{13})-[0-9a-f]{8}""".r
 

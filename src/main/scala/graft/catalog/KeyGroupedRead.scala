@@ -51,7 +51,10 @@ object KeyGroupedRead {
         case u: UTF8String => u.toString
         case other => other
       })
-      .toSeq.sortBy(_._1.mkString(""))
+      // NUL-joined sort key: a bare concat is ambiguous for multi-column
+      // keys (("1","23") vs ("12","3")), which would let such groups fall
+      // back to unordered-map iteration order (r13 ADVICE)
+      .toSeq.sortBy(_._1.map(String.valueOf).mkString("\u0000"))
     val out = Seq.newBuilder[InputPartition]
     var idx = 0
     groups.foreach { case (_, fs) =>

@@ -208,10 +208,19 @@ object EventStreams {
     * Returns the started query; the caller owns its lifecycle. At 100 TB
     * the per-batch cost is the merge's: partition-scoped if the target is
     * partitioned and the batch touches few partitions.
+    *
+    * `guardSeq = true` (r13 VERDICT ask #4) extends the ordering guarantee
+    * ACROSS batches: the target persists `seqCol` as a data column and
+    * every matched branch carries `AND s.seq > t.seq`, so a late-arriving
+    * batch bearing an older seq for a key can never overwrite (or delete
+    * under) newer data, and replaying a batch after a restart converges to
+    * the same contents instead of double-applying. Off by default — the
+    * original contract (target has no seq column; within-batch ordering
+    * only) is unchanged.
     */
   def upsertSink(changes: DataFrame, targetTable: String, keyCols: Seq[String],
-      opCol: String, seqCol: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      opCol: String, seqCol: String, checkpoint: String,
+      guardSeq: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.functions._
     changes.writeStream
       .option("checkpointLocation", checkpoint)
@@ -226,18 +235,28 @@ object EventStreams {
         val view = s"__graft_upserts_${java.util.UUID.randomUUID().toString.take(8)}"
         latest.createOrReplaceTempView(view)
         val on = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
+        // under the cross-batch guard the seq column IS a data column of
+        // the target — it must persist so the next batch can compare
         val dataCols = latest.columns.filterNot(c =>
-          c.equalsIgnoreCase(opCol) || c.equalsIgnoreCase(seqCol))
-        val setList = dataCols.filterNot(keyCols.contains)
-          .map(c => s"t.`$c` = s.`$c`").mkString(", ")
+          c.equalsIgnoreCase(opCol) ||
+            (!guardSeq && c.equalsIgnoreCase(seqCol)))
+        // key-column matching is case-insensitive like opCol/seqCol above —
+        // a differently-cased key name must not leak into the SET list
+        val setCols = dataCols.filterNot(c => keyCols.exists(_.equalsIgnoreCase(c)))
+        val setList = setCols.map(c => s"t.`$c` = s.`$c`").mkString(", ")
+        // a target whose every column is a key has nothing to update on
+        // match (the matched row already equals the incoming one) — an
+        // empty SET list would be malformed SQL, so the branch is omitted
+        val guard = if (guardSeq) s" AND s.`$seqCol` > t.`$seqCol`" else ""
+        val updateBranch =
+          if (setCols.isEmpty) "" else s"WHEN MATCHED$guard THEN UPDATE SET $setList\n"
         val insCols = dataCols.map(c => s"`$c`").mkString(", ")
         val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
         try spark.sql(
           s"""MERGE INTO $targetTable t USING $view s ON $on
-             |WHEN MATCHED AND s.`$opCol` = 'D' THEN DELETE
-             |WHEN MATCHED THEN UPDATE SET $setList
-             |WHEN NOT MATCHED AND s.`$opCol` <> 'D' THEN INSERT ($insCols) VALUES ($insVals)
-             |""".stripMargin)
+             |WHEN MATCHED AND s.`$opCol` = 'D'$guard THEN DELETE
+             |$updateBranch""".stripMargin +
+          s"WHEN NOT MATCHED AND s.`$opCol` <> 'D' THEN INSERT ($insCols) VALUES ($insVals)")
         finally spark.catalog.dropTempView(view)
         ()
       }

@@ -813,4 +813,91 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Map(1L -> "uno", 3L -> "three", 4L -> "four"))
     q.stop()
   }
+
+  test("CDC upsert sink guardSeq: late batch with older seq cannot overwrite (r14)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-g").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cg.dir", dir)
+    // guarded target persists the seq column
+    spark.sql("CREATE TABLE graft_cg.main.state AS " +
+      "SELECT CAST(1 AS BIGINT) AS k, 'one' AS v, CAST(1 AS BIGINT) AS seq " +
+      "UNION ALL SELECT 2, 'two', 2")
+
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "v", "op", "seq"),
+      "graft_cg.main.state", Seq("k"), "op", "seq",
+      java.nio.file.Files.createTempDirectory("graft-cdc-gck").toString,
+      guardSeq = true)
+
+    def state(): Map[Long, (String, Long)] =
+      spark.sql("SELECT k, v, seq FROM graft_cg.main.state").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+    // batch 1 (fresh): update k=1 to seq 10, insert k=3 at seq 12
+    input.addData((1L, "uno", "U", 10L), (3L, "three", "U", 12L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> (("uno", 10L)), 2L -> (("two", 2L)), 3L -> (("three", 12L))))
+
+    // batch 2 (LATE — all seqs older than the target's): an update and a
+    // delete for k=1 and a stale re-insert attempt for k=3 must all be
+    // no-ops; only the genuinely-new k=4 lands
+    input.addData((1L, "stale", "U", 5L), (1L, "", "D", 6L),
+      (3L, "stale3", "U", 11L), (4L, "four", "U", 20L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> (("uno", 10L)), 2L -> (("two", 2L)),
+      3L -> (("three", 12L)), 4L -> (("four", 20L))),
+      s"late batch leaked: ${state()}")
+
+    // batch 3 replays batch 1 verbatim (restart-replay): equal seqs are
+    // not-newer, so the state converges instead of double-applying
+    input.addData((1L, "uno", "U", 10L), (3L, "three", "U", 12L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> (("uno", 10L)), 2L -> (("two", 2L)),
+      3L -> (("three", 12L)), 4L -> (("four", 20L))))
+
+    // a genuinely newer delete still lands through the guard
+    input.addData((1L, "", "D", 30L))
+    q.processAllAvailable()
+    assert(state() == Map(2L -> (("two", 2L)), 3L -> (("three", 12L)),
+      4L -> (("four", 20L))))
+    q.stop()
+  }
+
+  test("CDC upsert sink: all-key target omits the malformed empty UPDATE SET (r13 ADVICE)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-k").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_ck", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ck.dir", dir)
+    // every data column is a key (a membership set); key case differs from
+    // the incoming frame's to pin the case-insensitive key matching
+    spark.sql("CREATE TABLE graft_ck.main.members AS SELECT CAST(1 AS BIGINT) AS K")
+
+    val input = MemoryStream[(Long, String, Long)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "op", "seq"),
+      "graft_ck.main.members", Seq("k"), "op", "seq",
+      java.nio.file.Files.createTempDirectory("graft-cdc-kck").toString)
+
+    def members(): Set[Long] =
+      spark.sql("SELECT K FROM graft_ck.main.members").collect()
+        .map(_.getLong(0)).toSet
+
+    // re-upsert of an existing key (matched, nothing to set), one insert,
+    // one delete — the batch must not produce malformed SQL
+    input.addData((1L, "U", 1L), (2L, "U", 2L))
+    q.processAllAvailable()
+    assert(members() == Set(1L, 2L))
+    input.addData((1L, "D", 3L), (3L, "U", 4L))
+    q.processAllAvailable()
+    assert(members() == Set(2L, 3L))
+    q.stop()
+  }
 }
