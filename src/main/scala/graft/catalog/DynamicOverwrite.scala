@@ -91,7 +91,8 @@ object DynamicOverwrite {
   */
 case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
     partCols: Seq[String], query: LogicalPlan,
-    invalidate: () => Unit) extends LeafRunnableCommand {
+    invalidate: () => Unit, snapshotted: Boolean = false)
+    extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
 
@@ -105,7 +106,22 @@ case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
         .hint("rebalance", partCols.map(col): _*)
         .write.partitionBy(partCols: _*).mode("overwrite")
         .parquet(staging.toString)
-      DynamicOverwrite.backfill(spark, livePath, staging)
+      if (snapshotted) {
+        // snapshot tables (r14): adopt the staged leaves as generations
+        // and REPLACE exactly those entries in ONE manifest commit — the
+        // whole backfill becomes atomic across partitions (the plain path
+        // below promises only per-directory atomicity)
+        val base = Snapshots.current(fs, live)
+        val baseEntries = base.map(_.entries).getOrElse(Map.empty)
+        val adopted = Snapshots.adoptStaged(fs, staging, live)
+        val entries = baseEntries ++ adopted.map { case (kv, g) => kv -> Seq(g) }
+        try Snapshots.commit(fs, live, base, entries)
+        catch { case e: ConcurrentCommitException =>
+          Snapshots.dropGens(fs, live, adopted); throw e
+        }
+      } else CommitLock.withLock(fs, live.getParent, live.getName) {
+        DynamicOverwrite.backfill(spark, livePath, staging)
+      }
     } finally {
       fs.delete(staging, true)
       invalidate()
@@ -131,7 +147,7 @@ case class GraftDynamicOverwriteRule(spark: SparkSession) extends Rule[LogicalPl
                 s"table; ${t.name()} is ${if (t.writablePath.isEmpty) "read-only"
                 else "unpartitioned (use static INSERT OVERWRITE)"}")
           GraftDynamicOverwriteCommand(t.name(), t.writablePath.get,
-            t.partCols, o.query, t.onWrite)
+            t.partCols, o.query, t.onWrite, t.snapshotted)
         case _ => o
       }
   }

@@ -97,6 +97,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private def fs = new Path(dir).getFileSystem(hadoopConf)
 
+  /** Cache keys and evictions use the QUALIFIED dir so two catalogs
+    * addressing the same storage via different spellings ('/wh' vs '/wh/'
+    * vs 'file:///wh') see each other's evictions (r13 ADVICE). Lazy: the
+    * filesystem needs an active session, which initialize() may predate.
+    */
+  private lazy val cacheDir: String =
+    try fs.makeQualified(new Path(dir)).toString
+    catch { case _: Exception => dir }
+
   /** Multi-namespace layout (r12 VERDICT ask #3, reference analog
     * trino/RecordServiceMetadata.java:166-189): `main` is the catalog
     * directory itself (backward compatible — every pre-existing table keeps
@@ -189,7 +198,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         ns.toSeq.toArray)
     // evict the namespace's entries under every variant of this dir (the
     // key carries the sampling budget between the dir and the identifier)
-    val dirPrefix = dir + "\u0000"
+    val dirPrefix = cacheDir + "\u0000"
     val nsMark = "\u0000" + ns.head + "."
     cache.keySet.asScala
       .filter(k => k.startsWith(dirPrefix) && k.contains(nsMark))
@@ -381,8 +390,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = nsDir(ns)
     if (!filesystem.exists(root)) return
     val q = java.util.regex.Pattern.quote(name)
-    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart)-" + q +
-      "-[0-9a-f]{8}|\\.gen-" + q + "-[0-9]{13}-[0-9a-f]{8}").r
+    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart|snapstage|snapcompact)-" + q +
+      "-[0-9a-f]{8}|\\.gen-" + q + "-[0-9]{13}-[0-9a-f]{8}|\\.commitlock-" + q).r
     filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
       .foreach(p => filesystem.delete(p, true))
@@ -443,7 +452,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map(_.dropColumns.map(_.toLowerCase).toSet).getOrElse(Set.empty)
     // the key carries every load-shaping catalog option: two catalogs over
     // the SAME dir (e.g. the sampled variant) must never share entries
-    val key = dir + "\u0000" + samplingBytes.getOrElse(0L) + "\u0000" +
+    val key = cacheDir + "\u0000" + samplingBytes.getOrElse(0L) + "\u0000" +
       ident.toString + "|" + dropped.toSeq.sorted.mkString(",")
     val now = System.currentTimeMillis()
     val cached = cache.get(key)
@@ -469,10 +478,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val spark = SparkSession.active
     val isDir = fs.getFileStatus(path).isDirectory
 
+    // metadata sidecar (partitioned / evolved tables): its schema is
+    // authoritative — wider than old footers after ADD COLUMN, and the only
+    // schema source for an empty partitioned table. Read BEFORE the file
+    // listing: the snapshots flag shapes what the table serves.
+    val meta = if (isDir) TableMeta.read(fs, path) else None
+
+    // snapshot tables (r14, see Snapshots): serve EXACTLY the generation
+    // directories the current manifest lists — unreferenced generations
+    // (in-flight commits, retained history) are invisible, so a reader can
+    // never observe a half-committed multi-partition mutation
+    val snapDirs: Option[Seq[Path]] = meta.filter(_.snapshots).map { _ =>
+      Snapshots.current(fs, path)
+        .map(_.relDirs.map(rel => new Path(path, rel))).getOrElse(Nil)
+    }
+
     // byte-budget sampled catalog: serve a deterministic file-prefix of the
     // table whose cumulative size fits the budget (always ≥ 1 file so the
     // schema stays inferable); `basePath` keeps hive partition columns
     // resolvable from the leaf-file paths
+    val basePathOpt = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("basePath", path.toString))
     val (tablePaths, tableOptions) = samplingBytes match {
       case Some(budget) if isDir =>
         def dataFiles(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -483,13 +509,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s.getPath.getName.startsWith("."))
             .flatMap(s => if (s.isDirectory) dataFiles(s.getPath) else Seq(s))
         }
-        val files = dataFiles(path).sortBy(_.getPath.toString)
+        val files = snapDirs match {
+          case Some(dirs) => dirs.flatMap(dataFiles).sortBy(_.getPath.toString)
+          case None => dataFiles(path).sortBy(_.getPath.toString)
+        }
         var acc = 0L
         val kept = files.takeWhile { f => val ok = acc < budget; acc += f.getLen; ok }
         val paths = (if (kept.nonEmpty) kept else files.take(1)).map(_.getPath.toString)
-        (paths, new CaseInsensitiveStringMap(
-          java.util.Collections.singletonMap("basePath", path.toString)))
-      case _ => (Seq(path.toString), CaseInsensitiveStringMap.empty())
+        (paths, basePathOpt)
+      case _ => snapDirs match {
+        case Some(dirs) => (dirs.map(_.toString), basePathOpt)
+        case None => (Seq(path.toString), CaseInsensitiveStringMap.empty())
+      }
     }
 
     def parquetTable(userSchema: Option[StructType]) = ParquetTable(
@@ -499,11 +530,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       tablePaths,
       userSchema,
       classOf[ParquetFileFormat])
-
-    // metadata sidecar (partitioned / evolved tables): its schema is
-    // authoritative — wider than old footers after ADD COLUMN, and the only
-    // schema source for an empty partitioned table
-    val meta = if (isDir) TableMeta.read(fs, path) else None
 
     // schema-level governance: no-access columns never appear (reference
     // trino/RecordServiceMetadata.java:803-804)
@@ -542,25 +568,84 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (isDir && samplingBytes.isEmpty) Some(path.toString) else None
     val wrapped: Table = new GraftTable(table, () => rows, writable,
       onWrite = () => invalidateTable(ident),
-      partCols = meta.map(_.partitionCols).getOrElse(Nil))
+      partCols = meta.map(_.partitionCols).getOrElse(Nil),
+      snapshotted = meta.exists(_.snapshots),
+      sortOrder = meta.map(_.sortOrder).getOrElse(Nil))
     cache.put(key, (now, wrapped))
     wrapped
   }
 
-  /** Time travel (`VERSION AS OF`): read-only snapshot of a retained
+  /** Time travel (`VERSION AS OF`): snapshot tables resolve the version as
+    * a MANIFEST version number (r14 — partitioned time travel, one JSON
+    * file per commit); everything else resolves a retained whole-table
     * generation — see [[History]] for semantics, retention, and the
-    * partitioned-table refusal.
+    * plain-partitioned refusal.
     */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadSnapshot(ident, (fs, dir) =>
-      Some(History.byVersion(fs, dir, ident.name, version)))
+    snapshotMetaOf(ident) match {
+      case Some((path, m)) =>
+        val filesystem = fs
+        def have = Snapshots.versions(filesystem, path).mkString(", ")
+        val v = version.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF '$version': snapshot table ${ident.name} takes " +
+              s"a manifest version number (have: $have)"))
+        val snap = Snapshots.read(filesystem, path, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF $v: not a retained snapshot of ${ident.name} " +
+              s"(have: $have)"))
+        snapshotTable(ident, path, m, snap)
+      case None =>
+        loadSnapshot(ident, (fs, dir) =>
+          Some(History.byVersion(fs, dir, ident.name, version)))
+    }
 
   /** Time travel (`TIMESTAMP AS OF`, microseconds since epoch): None from
     * the resolver means the CURRENT table was already live at the instant.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    loadSnapshot(ident, (fs, dir) =>
-      History.byTimestamp(fs, dir, ident.name, timestamp))
+    snapshotMetaOf(ident) match {
+      case Some((path, m)) =>
+        val snap = Snapshots.byTimestamp(fs, path, timestamp).getOrElse(
+          throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF: no retained snapshot of ${ident.name} at or " +
+              "before the instant"))
+        snapshotTable(ident, path, m, snap)
+      case None =>
+        loadSnapshot(ident, (fs, dir) =>
+          History.byTimestamp(fs, dir, ident.name, timestamp))
+    }
+
+  /** Is `ident` a snapshot-manifest table? (None = plain table, fall back
+    * to whole-table History semantics.) Shares the time-travel gates.
+    */
+  private def snapshotMetaOf(ident: Identifier): Option[(Path, TableMeta)] = {
+    requireNotSampled("time travel")
+    if (!namespaceExists(ident.namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    val p = tablePath(ident.namespace, ident.name).getOrElse {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident.namespace.toSeq :+ ident.name)
+    }
+    if (!fs.getFileStatus(p).isDirectory) None
+    else TableMeta.read(fs, p).filter(_.snapshots).map(m => (p, m))
+  }
+
+  /** Read-only table over one retained manifest's generation set. */
+  private def snapshotTable(ident: Identifier, path: Path, m: TableMeta,
+      snap: Snapshots.Snapshot): Table = {
+    val spark = SparkSession.active
+    val dirs = snap.relDirs.map(rel => new Path(path, rel).toString)
+    val t = ParquetTable(ident.name, spark,
+      new CaseInsensitiveStringMap(
+        java.util.Collections.singletonMap("basePath", path.toString)),
+      dirs, Some(m.schema), classOf[ParquetFileFormat])
+    val conf = hadoopConf
+    lazy val rows = dirs.map(d => ParquetFooters.rowCount(new Path(d), conf)).sum
+    // read-only: no writablePath, so every mutation of a snapshot refuses
+    new GraftTable(t, () => rows, partCols = m.partitionCols)
+  }
 
   private def loadSnapshot(ident: Identifier,
       resolve: (org.apache.hadoop.fs.FileSystem, Path) => Option[Path]): Table = {
@@ -603,7 +688,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def invalidateTable(ident: Identifier): Unit = {
     // evict the ident's entries under EVERY variant of this dir (the
     // sampled catalogs key differently but watch the same storage)
-    val dirPrefix = dir + "\u0000"
+    val dirPrefix = cacheDir + "\u0000"
     val identMark = "\u0000" + ident.toString + "|"
     cache.keySet.asScala
       .filter(k => k.startsWith(dirPrefix) && k.contains(identMark))
@@ -681,9 +766,45 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * serves reads (policies apply to the written table by name like any
     * other).
     */
+  /** Is `TBLPROPERTIES ('snapshots'='true')` requested, and is the target
+    * shape eligible? Snapshot manifests version PARTITIONED tables (the
+    * per-directory mutation case History cannot cover); unpartitioned
+    * tables already version whole-table via graft.history.
+    */
+  private def snapshotsRequested(partCols: Seq[String],
+      properties: java.util.Map[String, String]): Boolean = {
+    val on = java.lang.Boolean.parseBoolean(
+      Option(properties.get("snapshots")).getOrElse("false"))
+    if (on && partCols.isEmpty)
+      throw new UnsupportedOperationException(
+        "TBLPROPERTIES ('snapshots'='true') requires a PARTITIONED table — " +
+          "unpartitioned tables version whole-table via graft.history")
+    on
+  }
+
+  /** `TBLPROPERTIES ('sort_order'='c1,c2')` (r14, VERDICT ask #6):
+    * validated against the schema; partition columns are excluded (their
+    * value is constant within a file — nothing to sort).
+    */
+  private def sortOrderRequested(schema: StructType, partCols: Seq[String],
+      properties: java.util.Map[String, String]): Seq[String] = {
+    val cols = Option(properties.get("sort_order")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    cols.foreach { c =>
+      if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(s"sort_order column $c not in schema")
+      if (partCols.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"sort_order column $c is a partition column — constant per file")
+    }
+    cols
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val partCols = requireWritableTarget(ident, partitions)
+    val snapshots = snapshotsRequested(partCols, properties)
+    val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
     val target = new Path(nsDir(ident.namespace), ident.name)
     if (partCols.nonEmpty) {
@@ -692,8 +813,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // part file would break the hive layout
       fs.mkdirs(target)
       TableMeta.write(fs, target,
-        TableMeta(canonicalSchema(schema, partCols), partCols))
-    } else writeEmpty(schema, target)
+        TableMeta(canonicalSchema(schema, partCols), partCols,
+          snapshots = snapshots, sortOrder = sortOrder))
+      if (snapshots) Snapshots.commit(fs, target, None, Map.empty)
+    } else {
+      writeEmpty(schema, target)
+      if (sortOrder.nonEmpty)
+        TableMeta.write(fs, target, TableMeta(schema, Nil, sortOrder = sortOrder))
+    }
     invalidateTable(ident)
     loadTable(ident)
   }
@@ -754,8 +881,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // keep partition columns last (the canonical read-back order)
           val (part, data) = m.schema.fields.partition(f =>
             m.partitionCols.exists(_.equalsIgnoreCase(f.name)))
-          TableMeta(StructType((data :+ field) ++ part), m.partitionCols,
-            m.droppedColumns)
+          m.copy(schema = StructType((data :+ field) ++ part))
         case del: TableChange.DeleteColumn =>
           // DROP COLUMN (r13): metadata-only — the declared schema shrinks,
           // reads never materialize the column again, no file is rewritten.
@@ -778,13 +904,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                 !m.partitionCols.exists(_.equalsIgnoreCase(f.name))))
               throw new UnsupportedOperationException(
                 s"cannot drop $colName: a table needs at least one data column")
-            TableMeta(StructType(remaining), m.partitionCols,
-              m.droppedColumns :+ colName)
+            m.copy(schema = StructType(remaining),
+              droppedColumns = m.droppedColumns :+ colName)
           }
+        case up: TableChange.UpdateColumnType =>
+          // ALTER COLUMN ... TYPE (r13 VERDICT ask #5): WIDENING only.
+          // Metadata-only — the declared schema widens, Spark 4's parquet
+          // readers (SPARK-40876) upcast the narrower values of existing
+          // files at scan time, and subsequent INSERTs bind to the wide
+          // type. Narrowing or cross-family retypes would corrupt or
+          // truncate existing values — refused, as before.
+          if (up.fieldNames().length != 1)
+            throw new UnsupportedOperationException(
+              "graft catalog: nested ALTER COLUMN is not supported")
+          val colName = up.fieldNames().head
+          val idx = m.schema.fields.indexWhere(_.name.equalsIgnoreCase(colName))
+          if (idx < 0)
+            throw new IllegalArgumentException(s"no such column: $colName")
+          val from = m.schema.fields(idx).dataType
+          val to = up.newDataType()
+          if (!GraftCatalog.safeWidening(from, to))
+            throw new UnsupportedOperationException(
+              s"graft catalog: ALTER COLUMN $colName TYPE " +
+                s"${from.simpleString} -> ${to.simpleString} is not a safe " +
+                "widening (supported: byte/short/int -> wider integer, " +
+                "float -> double); rewrite the table for anything else")
+          val fields = m.schema.fields.clone()
+          fields(idx) = fields(idx).copy(dataType = to)
+          m.copy(schema = StructType(fields))
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: ALTER ${other.getClass.getSimpleName} is not supported " +
-              "(only ADD COLUMN evolves a directory table safely)")
+              "(only ADD/DROP COLUMN and widening ALTER COLUMN TYPE evolve " +
+              "a directory table safely)")
       }
     }
     TableMeta.write(fs, path, updated)
@@ -852,40 +1004,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
+    val snapshots = snapshotsRequested(partCols, properties)
+    val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
-    staged(ident, schema, partCols, replace = false)
+    staged(ident, schema, partCols, replace = false, snapshots, sortOrder)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
+    val snapshots = snapshotsRequested(partCols, properties)
+    val sortOrder = sortOrderRequested(schema, partCols, properties)
     // a crash-stranded table (absent canonical path, single aside) is still
     // REPLACE-able: recover it first, mirroring loadTable
     if (tablePath(ident.namespace, ident.name)
         .orElse(recoverAside(ident.namespace, ident.name)).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
-    staged(ident, schema, partCols, replace = true)
+    staged(ident, schema, partCols, replace = true, snapshots, sortOrder)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
+    val snapshots = snapshotsRequested(partCols, properties)
+    val sortOrder = sortOrderRequested(schema, partCols, properties)
     // recover a stranded single aside so the eventual swap retires it instead
     // of leaving it to shadow the new table (multiple asides stay untouched:
     // CREATE OR REPLACE semantically discards old content anyway)
     if (tablePath(ident.namespace, ident.name).isEmpty)
       recoverAside(ident.namespace, ident.name)
-    staged(ident, schema, partCols, replace = true)
+    staged(ident, schema, partCols, replace = true, snapshots, sortOrder)
   }
 
   private def staged(ident: Identifier, schema: StructType,
-      partCols: Seq[String], replace: Boolean): StagedTable = {
+      partCols: Seq[String], replace: Boolean, snapshots: Boolean,
+      sortOrder: Seq[String]): StagedTable = {
     val base = nsDir(ident.namespace)
     val staging = new Path(base,
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
     new GraftStagedTable(ident, canonicalSchema(schema, partCols), staging,
-      new Path(base, ident.name), replace, this, partCols)
+      new Path(base, ident.name), replace, this, partCols, snapshots, sortOrder)
   }
 
   /** Finalize a staged CTAS: ensure the staging dir carries at least one
@@ -896,12 +1055,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   private[catalog] def commitStaged(ident: Identifier, schema: StructType,
       staging: Path, target: Path, replace: Boolean,
-      partCols: Seq[String]): Unit = {
+      partCols: Seq[String], snapshots: Boolean = false,
+      sortOrder: Seq[String] = Nil): Unit = {
     val filesystem = fs
     if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
-    if (partCols.nonEmpty)
-      TableMeta.write(filesystem, staging, TableMeta(schema, partCols))
-    else {
+    if (partCols.nonEmpty || sortOrder.nonEmpty)
+      TableMeta.write(filesystem, staging,
+        TableMeta(schema, partCols, snapshots = snapshots,
+          sortOrder = sortOrder))
+    if (partCols.isEmpty) {
       val hasData = filesystem.listStatus(staging)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       if (!hasData) writeEmpty(schema, staging)
@@ -911,26 +1073,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           ident.namespace.toSeq :+ ident.name)
       // uuid-suffixed aside: concurrent REPLACEs of the same table cannot
-      // collide on a fixed aside name (r11 ADVICE). Crash recovery: between
-      // the two renames the table is briefly absent from its canonical path
-      // — the pre-swap data survives under this dot-prefixed aside
-      // (invisible to listing); restore it by renaming `.old-<name>-<uuid>`
-      // back over `<name>`.
-      val aside = new Path(target.getParent,
-        s".old-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
-      if (!filesystem.rename(target, aside))
-        throw new java.io.IOException(s"ctas: cannot move $target aside")
-      if (!filesystem.rename(staging, target)) {
-        filesystem.rename(aside, target) // roll back — the old table lives
-        throw new java.io.IOException(s"ctas: cannot swap $staging in")
+      // collide on a fixed aside name (r11 ADVICE) — and the commit lock
+      // (r14) makes the RACE itself refuse instead of silently retiring
+      // the other writer's output. Crash recovery: between the two renames
+      // the table is briefly absent from its canonical path — the pre-swap
+      // data survives under this dot-prefixed aside (invisible to
+      // listing); restore it by renaming `.old-<name>-<uuid>` back over
+      // `<name>`.
+      CommitLock.withLock(filesystem, target.getParent, ident.name) {
+        val aside = new Path(target.getParent,
+          s".old-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
+        if (!filesystem.rename(target, aside))
+          throw new java.io.IOException(s"ctas: cannot move $target aside")
+        if (!filesystem.rename(staging, target)) {
+          filesystem.rename(aside, target) // roll back — the old table lives
+          throw new java.io.IOException(s"ctas: cannot swap $staging in")
+        }
+        // history (graft.history=N): unpartitioned replaced contents retire
+        // as a readable generation instead of being deleted (partitioned
+        // tables mutate per-directory later — no whole-table history)
+        if (partCols.isEmpty) History.retire(filesystem, ident.name, target, aside)
+        else filesystem.delete(aside, true)
       }
-      // history (graft.history=N): unpartitioned replaced contents retire
-      // as a readable generation instead of being deleted (partitioned
-      // tables mutate per-directory later — no whole-table history)
-      if (partCols.isEmpty) History.retire(filesystem, ident.name, target, aside)
-      else filesystem.delete(aside, true)
     } else if (!filesystem.rename(staging, target))
       throw new java.io.IOException(s"ctas: cannot move $staging into place")
+    // snapshot tables: wrap the freshly-landed plain hive layout into
+    // generation directories and write manifest v1 (the table is not yet
+    // visible to any writer, so this init cannot race)
+    if (snapshots) Snapshots.initialize(filesystem, target)
     invalidateTable(ident)
   }
 
@@ -947,7 +1117,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   */
 private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructType,
     staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, snapshots: Boolean = false,
+    sortOrder: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
 
   private def delegate = ParquetTable(
@@ -1002,7 +1173,8 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
         }
     }
   override def commitStagedChanges(): Unit =
-    catalog.commitStaged(ident, tableSchema, staging, target, replace, partCols)
+    catalog.commitStaged(ident, tableSchema, staging, target, replace,
+      partCols, snapshots, sortOrder)
   override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
 }
 
@@ -1012,4 +1184,22 @@ object GraftCatalog {
     */
   private[catalog] val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.connector.catalog.Table)]()
+
+  /** The widenings existing parquet files read back losslessly under
+    * Spark 4's reader-side type promotion (SPARK-40876): every old value
+    * is exactly representable in the new type. Anything else (narrowing,
+    * integer -> float, string retypes, decimal changes) is refused.
+    */
+  private[catalog] def safeWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
 }

@@ -64,7 +64,8 @@ object ParquetFooters {
   */
 class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val writablePath: Option[String] = None, val onWrite: () => Unit = () => (),
-    val partCols: Seq[String] = Nil)
+    val partCols: Seq[String] = Nil, val snapshotted: Boolean = false,
+    val sortOrder: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -111,6 +112,21 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val spark = org.apache.spark.sql.SparkSession.active
     val live = new Path(livePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (snapshotted) {
+      // manifest edit only: doomed entries vanish from the next snapshot
+      // ATOMICALLY across partitions; the generation dirs stay on disk for
+      // time travel until retention prunes them
+      val ps = partSchema
+      val base = Snapshots.current(fs, live)
+      val entries = base.map(_.entries).getOrElse(Map.empty)
+      val keep = entries.filter { case (kv, _) =>
+        !Snapshots.parseKvChain(ps, kv).exists(vals =>
+          filters.forall(f => PartitionDirs.eval(f, vals).contains(true)))
+      }
+      Snapshots.commit(fs, live, base, keep)
+      onWrite()
+      return
+    }
     val doomed = PartitionDirs.leaves(fs, live, partSchema).filter { leaf =>
       filters.forall(f => PartitionDirs.eval(f, leaf.values).contains(true))
     }
@@ -134,6 +150,13 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val spark = org.apache.spark.sql.SparkSession.active
     val live = new Path(livePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (snapshotted) {
+      // one empty manifest — atomic, and the old snapshot stays readable
+      // under graft.history retention
+      Snapshots.commit(fs, live, Snapshots.current(fs, live), Map.empty)
+      onWrite()
+      return true
+    }
     val staging = new Path(live.getParent,
       s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     val meta = TableMeta.read(fs, live)
@@ -147,18 +170,20 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema())
           .write.mode("append").parquet(staging.toString)
     }
-    val aside = new Path(live.getParent,
-      s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-    if (!fs.rename(live, aside))
-      throw new java.io.IOException(s"truncate: cannot move $live aside")
-    if (!fs.rename(staging, live)) {
-      fs.rename(aside, live)
-      throw new java.io.IOException(s"truncate: cannot swap $staging in")
+    CommitLock.withLock(fs, live.getParent, live.getName) {
+      val aside = new Path(live.getParent,
+        s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (!fs.rename(live, aside))
+        throw new java.io.IOException(s"truncate: cannot move $live aside")
+      if (!fs.rename(staging, live)) {
+        fs.rename(aside, live)
+        throw new java.io.IOException(s"truncate: cannot swap $staging in")
+      }
+      // unpartitioned truncates participate in history like any replacement
+      if (meta.forall(_.partitionCols.isEmpty))
+        History.retire(fs, live.getName, live, aside)
+      else fs.delete(aside, true)
     }
-    // unpartitioned truncates participate in history like any replacement
-    if (meta.forall(_.partitionCols.isEmpty))
-      History.retire(fs, live.getName, live, aside)
-    else fs.delete(aside, true)
     onWrite()
     true
   }
@@ -182,7 +207,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       throw new UnsupportedOperationException(
         s"table ${delegate.name} is a single-file table — read-only")
     () => new GraftRowLevelOperation(delegate, writablePath.get, onWrite,
-      partCols, info)
+      partCols, info, snapshotted)
   }
   // ---- SupportsPartitionManagement (r13): SHOW PARTITIONS and ALTER
   // TABLE ADD/DROP PARTITION over the hive layout. All metadata-only —
@@ -192,8 +217,25 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
 
   override def partitionSchema(): StructType = partSchema
 
-  private def partitionDir(ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
+  /** Partition management needs round-trippable `k=v` rendering/parsing —
+    * the same gate `canDeleteWhere` applies. Without it, SHOW PARTITIONS on
+    * a timestamp-partitioned table would throw from parseExternal, and
+    * ADD/DROP PARTITION would render raw micros into names that never match
+    * the writer's layout (r13 ADVICE) — refuse with a clear error instead.
+    */
+  private def requireManageablePartitions(op: String): StructType = {
     val ps = partSchema
+    val bad = ps.fields.filterNot(f => PartitionDirs.supportedType(f.dataType))
+    if (bad.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$op on ${delegate.name}: partition column type(s) " +
+          bad.map(f => s"${f.name} ${f.dataType.simpleString}").mkString(", ") +
+          " cannot round-trip through hive k=v directory names")
+    ps
+  }
+
+  private def partitionDir(ident: org.apache.spark.sql.catalyst.InternalRow): Path = {
+    val ps = requireManageablePartitions("partition management")
     require(ident.numFields == ps.length,
       s"partition ident has ${ident.numFields} fields, table has ${ps.length} " +
         "partition columns")
@@ -211,11 +253,39 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     new Path(writablePath.get).getFileSystem(spark.sessionState.newHadoopConf())
   }
 
+  /** The ident's `k=v` chain relative to the table root (manifest entry
+    * key form).
+    */
+  private def kvRelOf(ident: org.apache.spark.sql.catalyst.InternalRow): String = {
+    val ps = requireManageablePartitions("partition management")
+    require(ident.numFields == ps.length,
+      s"partition ident has ${ident.numFields} fields, table has ${ps.length} " +
+        "partition columns")
+    ps.fields.zipWithIndex.map { case (f, i) =>
+      val v = if (ident.isNullAt(i)) null else ident.get(i, f.dataType)
+      s"${f.name}=${PartitionDirs.renderCatalyst(f.dataType, v)}"
+    }.mkString("/")
+  }
+
   override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
       properties: java.util.Map[String, String]): Unit = {
     if (!properties.isEmpty)
       throw new UnsupportedOperationException(
         "partition properties are not supported by the graft catalog")
+    if (snapshotted) {
+      // an empty generation LIST marks the partition as declared; atomic
+      val live = new Path(writablePath.get)
+      val fs = partitionFs
+      val base = Snapshots.current(fs, live)
+      val entries = base.map(_.entries).getOrElse(Map.empty)
+      val kv = kvRelOf(ident)
+      if (entries.contains(kv))
+        throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
+          delegate.name, ident, partSchema)
+      Snapshots.commit(fs, live, base, entries + (kv -> Nil))
+      onWrite()
+      return
+    }
     val dir = partitionDir(ident)
     val fs = partitionFs
     if (fs.exists(dir))
@@ -226,6 +296,17 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   }
 
   override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (snapshotted) {
+      val live = new Path(writablePath.get)
+      val fs = partitionFs
+      val base = Snapshots.current(fs, live)
+      val entries = base.map(_.entries).getOrElse(Map.empty)
+      val kv = kvRelOf(ident)
+      if (!entries.contains(kv)) return false
+      Snapshots.commit(fs, live, base, entries - kv)
+      onWrite()
+      return true
+    }
     val dir = partitionDir(ident)
     val fs = partitionFs
     if (!fs.exists(dir)) return false
@@ -235,6 +316,19 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   }
 
   override def truncatePartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (snapshotted) {
+      val live = new Path(writablePath.get)
+      val fs = partitionFs
+      val base = Snapshots.current(fs, live)
+      val entries = base.map(_.entries).getOrElse(Map.empty)
+      val kv = kvRelOf(ident)
+      if (!entries.contains(kv))
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+          delegate.name, ident, partSchema)
+      Snapshots.commit(fs, live, base, entries.updated(kv, Nil))
+      onWrite()
+      return true
+    }
     val dir = partitionDir(ident)
     val fs = partitionFs
     if (!fs.exists(dir))
@@ -261,9 +355,9 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       ident: org.apache.spark.sql.catalyst.InternalRow)
       : Array[org.apache.spark.sql.catalyst.InternalRow] = {
     require(names.length == ident.numFields)
-    val ps = partSchema
-    if (writablePath.isEmpty || ps.isEmpty)
+    if (writablePath.isEmpty || partSchema.isEmpty)
       return Array.empty
+    val ps = requireManageablePartitions("SHOW PARTITIONS")
     val live = new Path(writablePath.get)
     val fs = partitionFs
     val wanted: Seq[(Int, Any)] = names.toSeq.zipWithIndex.map { case (n, i) =>
@@ -272,10 +366,17 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       val dt = ps.fields(fi).dataType
       (fi, if (ident.isNullAt(i)) null else ident.get(i, dt))
     }
-    PartitionDirs.leaves(fs, live, ps).flatMap { leaf =>
+    // snapshot tables list from the MANIFEST (physical kv dirs may carry
+    // retained generations of dropped partitions); plain tables list dirs
+    val leafValues: Seq[Map[String, Any]] =
+      if (snapshotted)
+        Snapshots.current(fs, live).map(_.entries.keys.toSeq.sorted).getOrElse(Nil)
+          .flatMap(kv => Snapshots.parseKvChain(ps, kv))
+      else PartitionDirs.leaves(fs, live, ps).map(_.values)
+    leafValues.flatMap { values =>
       val catalystVals = ps.fields.map(f =>
         PartitionDirs.externalToCatalyst(f.dataType,
-          leaf.values(f.name.toLowerCase)))
+          values(f.name.toLowerCase)))
       val matches = wanted.forall { case (fi, v) =>
         (catalystVals(fi) == null && v == null) ||
           (catalystVals(fi) != null && catalystVals(fi) == v)
@@ -324,20 +425,52 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
           "(CTAS/INSERT targets are directory tables)")
     if (partCols.nonEmpty)
       return new PartitionedV1WriteBuilder(delegate.name, writablePath.get,
-        partCols, onWrite)
+        partCols, onWrite, snapshotted, sortOrder)
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
-      override def build(): org.apache.spark.sql.connector.write.Write =
-        if (!truncating)
-          // cache eviction must fire INSIDE commit, not at plan time: a
-          // concurrent loadTable between planning and commit would re-cache
-          // the pre-insert file listing and serve it for up to the TTL
-          // (r11 ADVICE) — mirror SwapOverwrite's post-commit onWrite()
-          new InvalidateOnCommit(delegate.newWriteBuilder(info).build(), onWrite)
-        else new SwapOverwrite(delegate.name, writablePath.get, info, onWrite).write()
+      override def build(): org.apache.spark.sql.connector.write.Write = {
+        val w =
+          if (!truncating)
+            // cache eviction must fire INSIDE commit, not at plan time: a
+            // concurrent loadTable between planning and commit would re-cache
+            // the pre-insert file listing and serve it for up to the TTL
+            // (r11 ADVICE) — mirror SwapOverwrite's post-commit onWrite()
+            new InvalidateOnCommit(delegate.newWriteBuilder(info).build(), onWrite)
+          else new SwapOverwrite(delegate.name, writablePath.get, info, onWrite).write()
+        // declared sort order (r14): range-partition + sort the incoming
+        // rows so parquet footer min/max become tight and disjoint across
+        // the written files — see OrderedWrite
+        if (sortOrder.isEmpty) w else new OrderedWrite(w, sortOrder)
+      }
     }
   }
+}
+
+/** Write wrapper declaring the table's `sort_order` (r14, VERDICT ask #6):
+  * a STRICT `OrderedDistribution` plus in-partition ordering, so Spark
+  * plans a range exchange + sort before the parquet write — each written
+  * file covers a DISJOINT range of the sort column and its footer min/max
+  * prune scans (the row-group stats filter the reader already applies to
+  * pushed predicates). Range partitioning samples boundaries, so skew
+  * degrades to per-value granularity, never worse than one hot value per
+  * task — acceptable for the scan-pruning trade.
+  */
+private[catalog] class OrderedWrite(
+    inner: org.apache.spark.sql.connector.write.Write, sortCols: Seq[String])
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+  private def orders = sortCols.map(c =>
+    Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = orders
+  override def description(): String = inner.description()
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    inner.toBatch
 }
 
 /** Adapts a clean data-schema Write to the `__row_operation`-prefixed rows
@@ -347,9 +480,39 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   */
 private[catalog] class OpPrefixedWrite(
     inner: org.apache.spark.sql.connector.write.Write, dataSchema: StructType)
-    extends org.apache.spark.sql.connector.write.Write {
-  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, WriterCommitMessage}
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, PhysicalWriteInfo, RequiresDistributionAndOrdering, WriterCommitMessage}
   import org.apache.spark.sql.catalyst.InternalRow
+
+  // forward the inner write's distribution/ordering so Spark's
+  // DistributionAndOrderingUtils.prepareQuery sees it through this wrapper
+  // (the single-pass partitioned replace asks for rebalance + sort on the
+  // partition columns; the op-code prefix column doesn't disturb name
+  // resolution). An inner write without requirements resolves to
+  // unspecified/empty — prepareQuery then leaves the plan untouched.
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = inner match {
+    case r: RequiresDistributionAndOrdering => r.requiredDistribution()
+    case _ => org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  }
+  override def distributionStrictlyRequired(): Boolean = inner match {
+    case r: RequiresDistributionAndOrdering => r.distributionStrictlyRequired()
+    case _ => false
+  }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = inner match {
+    case r: RequiresDistributionAndOrdering => r.requiredOrdering()
+    case _ => Array.empty
+  }
+  override def requiredNumPartitions(): Int = inner match {
+    case r: RequiresDistributionAndOrdering => r.requiredNumPartitions()
+    case _ => 0
+  }
+  override def advisoryPartitionSizeInBytes(): Long = inner match {
+    case r: RequiresDistributionAndOrdering => r.advisoryPartitionSizeInBytes()
+    case _ => 0
+  }
 
   override def description(): String = inner.description()
   override def toBatch: BatchWrite = new BatchWrite {
@@ -408,11 +571,29 @@ private[catalog] class OpPrefixedFactory(
   * the end, the same all-or-nothing discipline as SwapOverwrite.
   */
 private[catalog] class PartitionedV1WriteBuilder(tableName: String,
-    livePath: String, partCols: Seq[String], onWrite: () => Unit)
+    livePath: String, partCols: Seq[String], onWrite: () => Unit,
+    snapshotted: Boolean = false, sortOrder: Seq[String] = Nil)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncating = false
   override def truncate(): WriteBuilder = { truncating = true; this }
+
+  /** Rebalance on the partition columns, then — when the table declares a
+    * `sort_order` — sort (partCols ++ sortCols) within each task: the
+    * partition-column prefix satisfies the file writer's required ordering
+    * (so it adds no sort of its own that would destroy ours), and each
+    * written `k=v` file carries tight, ordered row-group min/max on the
+    * sort columns.
+    */
+  private def arrange(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rebalanced = data.hint("rebalance",
+      partCols.map(org.apache.spark.sql.functions.col): _*)
+    if (sortOrder.isEmpty) rebalanced
+    else rebalanced.sortWithinPartitions(
+      (partCols ++ sortOrder).map(org.apache.spark.sql.functions.col): _*)
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
       override def toInsertableRelation
@@ -421,6 +602,36 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
           val live = new Path(livePath)
           val fs = live.getFileSystem(
             data.sparkSession.sessionState.newHadoopConf())
+          if (snapshotted) {
+            // snapshot tables: stage the incoming rows as a plain hive
+            // layout, ADOPT each staged leaf as a fresh generation, then
+            // commit ONE manifest — append extends the generation lists,
+            // overwrite replaces the whole entry map. Atomic across
+            // partitions; a crash pre-commit leaves unreferenced debris.
+            val arranged = arrange(data)
+            val staging = new Path(live.getParent,
+              s".snapstage-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+            try {
+              arranged.write.partitionBy(partCols: _*).mode("overwrite")
+                .parquet(staging.toString)
+              val base = Snapshots.current(fs, live)
+              val baseEntries = base.map(_.entries).getOrElse(Map.empty)
+              val adopted = Snapshots.adoptStaged(fs, staging, live)
+              val entries =
+                if (truncating || overwriteFlag)
+                  adopted.map { case (kv, g) => kv -> Seq(g) }
+                else baseEntries ++ adopted.map { case (kv, g) =>
+                  kv -> (baseEntries.getOrElse(kv, Nil) :+ g)
+                }
+              try Snapshots.commit(fs, live, base, entries)
+              catch { case e: ConcurrentCommitException =>
+                Snapshots.dropGens(fs, live, adopted); throw e
+              }
+            } finally {
+              fs.delete(staging, true)
+              onWrite()
+            }
+          } else {
           // INSERT OVERWRITE is whole-table (static) by design: Spark's
           // dynamic-partition overwrite plans OverwritePartitionsDynamic,
           // which has no V1-fallback exec — per-partition backfill of a
@@ -432,8 +643,7 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
           // small-files explosion cannot happen, while AQE splits an
           // oversized value across tasks — a plain hash repartition would
           // funnel a 60%-one-value write through a single task
-          val arranged = data.hint("rebalance",
-            partCols.map(org.apache.spark.sql.functions.col): _*)
+          val arranged = arrange(data)
           if (truncating || overwriteFlag) {
             val staging = new Path(live.getParent,
               s".overwrite-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -441,19 +651,22 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
               .parquet(staging.toString)
             // the sidecar travels with the table
             TableMeta.read(fs, live).foreach(TableMeta.write(fs, staging, _))
-            val aside = new Path(live.getParent,
-              s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-            if (!fs.rename(live, aside))
-              throw new java.io.IOException(s"overwrite: cannot move $live aside")
-            if (!fs.rename(staging, live)) {
-              fs.rename(aside, live) // roll back — the old table lives
-              throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+            CommitLock.withLock(fs, live.getParent, live.getName) {
+              val aside = new Path(live.getParent,
+                s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+              if (!fs.rename(live, aside))
+                throw new java.io.IOException(s"overwrite: cannot move $live aside")
+              if (!fs.rename(staging, live)) {
+                fs.rename(aside, live) // roll back — the old table lives
+                throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+              }
+              fs.delete(aside, true)
             }
-            fs.delete(aside, true)
           } else
             arranged.write.partitionBy(partCols: _*).mode("append")
               .parquet(livePath)
           onWrite()
+          }
         }
     }
 }
@@ -488,9 +701,20 @@ private[catalog] class InvalidateOnCommit(
 /** The truncating half of [[GraftTable.newWriteBuilder]]: a parquet write
   * into `.overwrite-<name>-<uuid>` (ignored by table listing) whose batch
   * COMMIT swaps the staging dir over the live table.
+  *
+  * `fileScope` (r14, VERDICT ask #2 — FILE-granularity row-level groups):
+  * when the row-level scan pinned a candidate-file subset (see
+  * [[GroupScopedScanBuilder]]), the commit replaces exactly those files —
+  * the staged part files move in under fresh names, the candidates retire
+  * through per-file asides, and every other file stays byte-identical. A
+  * point DELETE then writes bytes proportional to the matched FILES, not
+  * the table. Atomicity is per file (the aside discipline per candidate);
+  * the whole-table swap path — `fileScope() == None` — keeps its
+  * all-or-nothing rename and its History retirement.
   */
 private[catalog] class SwapOverwrite(tableName: String, livePath: String,
-    info: LogicalWriteInfo, onWrite: () => Unit) {
+    info: LogicalWriteInfo, onWrite: () => Unit,
+    fileScope: () => Option[Set[String]] = () => None) {
   import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, Write, WriterCommitMessage}
 
   private val spark = org.apache.spark.sql.SparkSession.active
@@ -522,25 +746,55 @@ private[catalog] class SwapOverwrite(tableName: String, livePath: String,
           innerBatch.commit(messages)
           val filesystem = fs
           if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
+          fileScope() match {
+            case Some(doomed) => CommitLock.withLock(filesystem, live.getParent, live.getName) {
+              // FILE-granularity replace: staged files in, candidates out,
+              // everything else untouched
+              val uuid = java.util.UUID.randomUUID().toString.take(8)
+              val asides = doomed.toSeq.sorted.map { p =>
+                val src = new Path(p)
+                val aside = new Path(live, s".rlold-${src.getName}-$uuid")
+                if (!filesystem.rename(src, aside))
+                  throw new java.io.IOException(s"cow: cannot retire $src")
+                aside
+              }
+              filesystem.listStatus(staging).toSeq
+                .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+                  !st.getPath.getName.startsWith("."))
+                .zipWithIndex.foreach { case (st, i) =>
+                  val dst = new Path(live, s"part-rl-$uuid-$i-${st.getPath.getName}")
+                  if (!filesystem.rename(st.getPath, dst))
+                    throw new java.io.IOException(
+                      s"cow: cannot move ${st.getPath} into $live")
+                }
+              asides.foreach(filesystem.delete(_, false))
+              filesystem.delete(staging, true)
+              onWrite()
+              return
+            }
+            case None => ()
+          }
           val hasData = filesystem.listStatus(staging).exists(st =>
             st.isFile && st.getPath.getName.endsWith(".parquet"))
           if (!hasData) // empty overwrite keeps the table loadable
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               info.schema()).write.mode("append").parquet(staging.toString)
-          // uuid-suffixed aside (r11 ADVICE): concurrent overwrites cannot
-          // collide; a crash between the two renames leaves the old table
-          // recoverable under the dot-prefixed aside
-          val aside = new Path(live.getParent,
-            s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
-          if (!filesystem.rename(live, aside))
-            throw new java.io.IOException(s"overwrite: cannot move $live aside")
-          if (!filesystem.rename(staging, live)) {
-            filesystem.rename(aside, live) // roll back — the old table lives
-            throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+          CommitLock.withLock(filesystem, live.getParent, live.getName) {
+            // uuid-suffixed aside (r11 ADVICE): concurrent overwrites cannot
+            // collide; a crash between the two renames leaves the old table
+            // recoverable under the dot-prefixed aside
+            val aside = new Path(live.getParent,
+              s".old-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+            if (!filesystem.rename(live, aside))
+              throw new java.io.IOException(s"overwrite: cannot move $live aside")
+            if (!filesystem.rename(staging, live)) {
+              filesystem.rename(aside, live) // roll back — the old table lives
+              throw new java.io.IOException(s"overwrite: cannot swap $staging in")
+            }
+            // graft.history=N retires the replaced contents as a generation
+            History.retire(filesystem, tableName, live, aside)
           }
-          // graft.history=N retires the replaced contents as a generation
-          History.retire(filesystem, tableName, live, aside)
           onWrite()
         }
         override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -33,8 +33,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * exists to solve). The tombstone list makes the resurrection impossible:
   * ADD COLUMN refuses any tombstoned name.
   */
+/** `snapshots` (r14): the table commits through manifest files — see
+  * [[Snapshots]]. Set at CREATE via `TBLPROPERTIES ('snapshots'='true')`,
+  * immutable thereafter (flipping it mid-life would orphan either the
+  * manifests or the plain layout).
+  *
+  * `sortOrder` (r14): declared write-time clustering columns
+  * (`TBLPROPERTIES ('sort_order'='c1,c2')`). INSERTs range-partition and
+  * sort on them, so parquet footer min/max become tight and DISJOINT
+  * across files — the cheapest scan-pruning win at 100 TB — and
+  * compaction preserves the order. Declarative, not enforced on files
+  * that predate the property.
+  */
 case class TableMeta(schema: StructType, partitionCols: Seq[String],
-    droppedColumns: Seq[String] = Nil)
+    droppedColumns: Seq[String] = Nil, snapshots: Boolean = false,
+    sortOrder: Seq[String] = Nil)
 
 object TableMeta {
 
@@ -75,6 +88,8 @@ object TableMeta {
     } + "\""
     s"""{"version":1,"partitionCols":[${meta.partitionCols.map(js).mkString(",")}],""" +
       s""""droppedColumns":[${meta.droppedColumns.map(js).mkString(",")}],""" +
+      s""""snapshots":${meta.snapshots},""" +
+      s""""sortOrder":[${meta.sortOrder.map(js).mkString(",")}],""" +
       s""""schema":${meta.schema.json}}"""
   }
 
@@ -95,8 +110,15 @@ object TableMeta {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }.getOrElse(Nil)
+    val snapshots = Option(root.get("snapshots")).exists(_.asBoolean(false))
+    val sortOrder = Option(root.get("sortOrder")).map { node =>
+      val it = node.elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }.getOrElse(Nil)
     val schema = DataType.fromJson(root.get("schema").toString)
       .asInstanceOf[StructType]
-    TableMeta(schema, parts, dropped)
+    TableMeta(schema, parts, dropped, snapshots, sortOrder)
   }
 }

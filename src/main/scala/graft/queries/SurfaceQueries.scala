@@ -356,6 +356,78 @@ object SurfaceQueries {
         |FROM graft_tv.main.docs_tt VERSION AS OF '1' GROUP BY lang""".stripMargin)
     }),
 
+    // partitioned time travel via snapshot manifests (r14, VERDICT ask #1):
+    // the table opts into manifest commits (TBLPROPERTIES snapshots), a
+    // DYNAMIC overwrite replaces only the incoming langs' partitions in ONE
+    // atomic manifest commit, and VERSION AS OF 1 reads the pre-overwrite
+    // state — something per-directory swaps could never reconstruct. The
+    // union of both states is hash-checked against an oracle restating the
+    // backfill algebra (replaced-or-new partitions serve slice B, untouched
+    // partitions keep slice A; v1 is slice A wholesale).
+    "q_catalog_timetravel_part" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_ttp"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_tp", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tp.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_tp.main.docs_ttp")
+      s.sql("CREATE TABLE graft_tp.main.docs_ttp PARTITIONED BY (lang) " +
+        "TBLPROPERTIES ('snapshots'='true') AS " +
+        "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+        "FROM graft.main.documents WHERE doc_id % 5 <> 1")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "2")
+      val prevM = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        s.sql("INSERT OVERWRITE graft_tp.main.docs_ttp " +
+          "SELECT doc_id, length(coalesce(text, '')) + 1000000 AS tok, lang " +
+          "FROM graft.main.documents WHERE doc_id % 3 = 0")
+      finally {
+        prevH match {
+          case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+          case None => s.conf.unset(graft.catalog.History.Key)
+        }
+        prevM match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tp.main.docs_ttp GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tp.main.docs_ttp VERSION AS OF '1' GROUP BY lang""".stripMargin)
+    }),
+
+    // snapshot-table DML cycle (r14): metadata partition DELETE, a
+    // partition-scoped MERGE, and an append — each ONE manifest commit —
+    // then the final contents hash-checked against an oracle restating the
+    // three mutations in order
+    "q_catalog_snap_dml" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_sdm"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_sd", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_sd.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_sd.main.orders_snap")
+      s.sql("CREATE TABLE graft_sd.main.orders_snap PARTITIONED BY (o_orderpriority) " +
+        "TBLPROPERTIES ('snapshots'='true') AS " +
+        "SELECT o_orderkey, o_totalprice, o_orderpriority FROM graft.main.orders")
+      s.sql("DELETE FROM graft_sd.main.orders_snap WHERE o_orderpriority = '1-URGENT'")
+      s.sql("""MERGE INTO graft_sd.main.orders_snap t
+        |USING (SELECT o_orderkey, o_orderpriority FROM graft.main.orders
+        |       WHERE o_orderkey % 97 = 0) s
+        |ON t.o_orderkey = s.o_orderkey AND t.o_orderpriority = s.o_orderpriority
+        |WHEN MATCHED THEN UPDATE SET t.o_totalprice = t.o_totalprice + 1""".stripMargin)
+      s.sql("INSERT INTO graft_sd.main.orders_snap " +
+        "SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority " +
+        "FROM graft.main.orders WHERE o_orderpriority = '5-LOW'")
+      s.sql("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2 " +
+        "FROM graft_sd.main.orders_snap GROUP BY o_orderpriority")
+    }),
+
     // storage-partitioned join (r13): both tables are hive-partitioned on
     // the join key, and under the graft.spj opt-in (with Spark's
     // v2-bucketing flag, default-on in 4.x) the
@@ -1129,6 +1201,40 @@ object SurfaceQueries {
         |SELECT 'v1' AS state, lang, count(*) AS n,
         |  sum(length(coalesce(text, '')))::BIGINT AS tok_sum
         |FROM documents WHERE doc_id % 5 <> 1 GROUP BY lang""".stripMargin),
+
+    // dynamic-overwrite algebra over the snapshot manifest: langs present
+    // in slice B (doc_id % 3 = 0) serve B (replaced or newly created),
+    // langs absent from B keep slice A; VERSION AS OF 1 is slice A
+    "q_catalog_timetravel_part" ->
+      ("""WITH a AS (
+        |  SELECT lang, count(*) AS n,
+        |    sum(length(coalesce(text, '')))::BIGINT AS tok_sum
+        |  FROM documents WHERE doc_id % 5 <> 1 GROUP BY lang),
+        |b AS (
+        |  SELECT lang, count(*) AS n,
+        |    sum(length(coalesce(text, '')) + 1000000)::BIGINT AS tok_sum
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY lang)
+        |SELECT 'current' AS state, coalesce(b.lang, a.lang) AS lang,
+        |  coalesce(b.n, a.n) AS n, coalesce(b.tok_sum, a.tok_sum) AS tok_sum
+        |FROM a FULL OUTER JOIN b ON a.lang = b.lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, n, tok_sum FROM a""".stripMargin),
+
+    // delete the 1-URGENT partition, +1 the %97 keys of the remainder,
+    // then append the 5-LOW slice under shifted keys
+    "q_catalog_snap_dml" ->
+      ("""WITH t AS (
+        |  SELECT o_orderkey,
+        |    o_totalprice + CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END
+        |      AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
+        |FROM t GROUP BY o_orderpriority""".stripMargin),
 
     // the bucket column cancels out: orders×customer revenue by nation
     "q_catalog_bucketed" ->

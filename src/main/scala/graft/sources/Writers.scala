@@ -173,9 +173,22 @@ object Writers {
     require(!fs0.exists(new org.apache.hadoop.fs.Path(s"$dir.old")) &&
       !fs0.exists(new org.apache.hadoop.fs.Path(tmp)),
       s"leftover $dir.old or $tmp from a crashed compact — reconcile first")
-    spark.read.parquet(dir)
-      .hint("rebalance", col(partCol))
-      .write.partitionBy(partCol).mode("overwrite").parquet(tmp)
+    // a snapshot table's raw directory holds EVERY retained generation — a
+    // flat read would duplicate rows; its compaction goes through the
+    // manifest layer instead
+    require(!graft.catalog.TableMeta
+        .read(fs0, new org.apache.hadoop.fs.Path(dir)).exists(_.snapshots),
+      s"$dir is a snapshot table — use graft.catalog.Snapshots.compact")
+    // a declared sort_order survives compaction: re-sort within tasks so
+    // the rewritten files keep tight, ordered row-group min/max (r14)
+    val sortCols = graft.catalog.TableMeta
+      .read(fs0, new org.apache.hadoop.fs.Path(dir)).map(_.sortOrder)
+      .getOrElse(Nil)
+    val rebalanced = spark.read.parquet(dir).hint("rebalance", col(partCol))
+    val arranged =
+      if (sortCols.isEmpty) rebalanced
+      else rebalanced.sortWithinPartitions((partCol +: sortCols).map(col): _*)
+    arranged.write.partitionBy(partCol).mode("overwrite").parquet(tmp)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new org.apache.hadoop.fs.Path(s"$dir.old")

@@ -22,4 +22,14 @@ object GraftSqlShims {
   def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
+  /** Catalyst `Expression` → V1 `sources.Filter` (None when untranslatable)
+    * — the same conversion Spark applies before V1 pushdown. Used by the
+    * graft catalog's FILE-granularity row-level groups to evaluate the
+    * pushed command condition against parquet footer stats.
+    */
+  def expressionToV1(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = false)
 }

@@ -273,6 +273,46 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER COLUMN TYPE widening: old narrow files and new wide rows both read (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-widen")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_wd", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_wd.dir", dir)
+    spark.sql("CREATE TABLE graft_wd.main.t (id INT, score FLOAT, body STRING)")
+    spark.sql("INSERT INTO graft_wd.main.t VALUES " +
+      "(1, CAST(1.5 AS FLOAT), 'a'), (2147483647, CAST(2.5 AS FLOAT), 'b')")
+    spark.sql("ALTER TABLE graft_wd.main.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_wd.main.t ALTER COLUMN score TYPE DOUBLE")
+    val schema = spark.table("graft_wd.main.t").schema
+    assert(schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // a positional INSERT binds to the widened type — a value beyond INT
+    // range lands
+    spark.sql("INSERT INTO graft_wd.main.t VALUES (4000000000, 3.5, 'c')")
+    val rows = spark.sql(
+      "SELECT id, score, body FROM graft_wd.main.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 1.5, "a"), (2147483647L, 2.5, "b"),
+      (4000000000L, 3.5, "c")), s"got $rows")
+    // aggregation across old (int32/float) and new (int64/double) files
+    assert(spark.sql("SELECT sum(id) FROM graft_wd.main.t").head().getLong(0) ==
+      1L + 2147483647L + 4000000000L)
+    // narrowing and cross-family retypes refuse loudly
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wd.main.t ALTER COLUMN id TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wd.main.t ALTER COLUMN body TYPE BIGINT")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_wd.main.t ALTER COLUMN score TYPE FLOAT")
+    }
+    // RENAME still refuses (needs field-id mapping)
+    intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE graft_wd.main.t RENAME COLUMN body TO text2")
+    }
+  }
+
   test("governance cannot silently column-drop a partition column (layout leaks it)") {
     import graft.plans.{GovernancePolicies, TablePolicy}
     val dir = java.nio.file.Files.createTempDirectory("graft-cat-govp")
@@ -947,6 +987,336 @@ class CatalogSpec extends SparkSpec {
       assert(graft.catalog.History.generations(fs,
         new org.apache.hadoop.fs.Path(dir), "t").isEmpty)
     } finally spark.conf.unset(graft.catalog.History.Key)
+  }
+
+  test("sort_order tables: files are internally sorted and range-disjoint; compaction preserves order (r14)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-sort")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_so", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_so.dir", dir)
+    val prevCoalesce = spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // UNPARTITIONED sorted table: rows arrive scattered, the declared
+      // sort order range-partitions + sorts them at write time
+      spark.sql("CREATE TABLE graft_so.main.t (id BIGINT, v STRING) " +
+        "TBLPROPERTIES ('sort_order'='id')")
+      spark.sql("INSERT INTO graft_so.main.t " +
+        "SELECT (id * 769) % 1000 AS id, concat('v', id) AS v FROM range(1000)")
+      val tdir = new Path(s"$dir/t")
+      val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+      def dataFiles(p: Path): Seq[Path] = fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        .map(_.getPath)
+        .filter(f => spark.read.parquet(f.toString).limit(1).count() > 0)
+      val files = dataFiles(tdir)
+      assert(files.size > 1, s"expected several sorted files, got ${files.size}")
+      // every file internally sorted…
+      files.foreach { f =>
+        val ids = spark.read.parquet(f.toString).select("id")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"$f not internally sorted")
+      }
+      // …and the files' [min, max] ranges are DISJOINT (footer-stats
+      // skipping: a point predicate touches one file)
+      val conf = spark.sessionState.newHadoopConf()
+      val schema = new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType)
+      val ranges = files.map { f =>
+        val st = graft.catalog.FileStats.read(conf, f, schema)("id")
+        (st.min.get.asInstanceOf[Number].longValue(),
+          st.max.get.asInstanceOf[Number].longValue())
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) => assert(hi <= lo2,
+          s"file ranges overlap: $ranges")
+        case _ => ()
+      }
+      // content round-trip
+      assert(spark.sql("SELECT count(*), sum(id) FROM graft_so.main.t")
+        .head().toSeq == Seq(1000L, (0L until 1000L).map(i => (i * 769) % 1000).sum))
+
+      // PARTITIONED + sorted: appends decay to several files per
+      // partition; compaction restores one file per partition AND keeps it
+      // sorted (the declared order survives the rewrite)
+      spark.sql("CREATE TABLE graft_so.main.p (id BIGINT, k INT) " +
+        "PARTITIONED BY (k) TBLPROPERTIES ('sort_order'='id')")
+      spark.sql("INSERT INTO graft_so.main.p " +
+        "SELECT (id * 31) % 500 AS id, CAST(id % 2 AS INT) AS k FROM range(500)")
+      spark.sql("INSERT INTO graft_so.main.p " +
+        "SELECT (id * 17) % 500 + 1000 AS id, CAST(id % 2 AS INT) AS k FROM range(500)")
+      graft.sources.Writers.compactPartitioned(spark, s"$dir/p", "k")
+      spark.sessionState.catalogManager.catalog("graft_so")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("main"), "p"))
+      Seq(0, 1).foreach { k =>
+        dataFiles(new Path(s"$dir/p/k=$k")).foreach { f =>
+          val ids = spark.read.parquet(f.toString).select("id")
+            .collect().map(_.getLong(0)).toSeq
+          assert(ids == ids.sorted, s"compacted $f lost the sort order")
+        }
+      }
+      assert(spark.sql("SELECT count(*) FROM graft_so.main.p").head().getLong(0) == 1000)
+      // invalid sort_order refuses at CREATE
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft_so.main.bad (id BIGINT) " +
+          "TBLPROPERTIES ('sort_order'='nope')")
+      }
+    } finally prevCoalesce match {
+      case Some(v) => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
+  test("commit lock: a held lock refuses replacing commits; stale locks break (r14)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-lock")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cl.dir", dir)
+    spark.sql("CREATE TABLE graft_cl.main.t AS SELECT id FROM range(10)")
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = new Path(dir, ".commitlock-t")
+    val out = fs.create(lock, false)
+    out.write("held".getBytes("UTF-8")); out.close()
+
+    // a live lock: the replacing commit refuses LOUDLY, table unchanged
+    val ex = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE graft_cl.main.t SELECT id + 100 FROM range(5)")
+    }
+    def causes(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(causes(ex).exists(_.contains("concurrent replacing commit")),
+      s"unexpected failure: ${causes(ex)}")
+    assert(spark.sql("SELECT count(*), max(id) FROM graft_cl.main.t")
+      .head().toSeq == Seq(10L, 9L))
+
+    // a STALE lock (older than the TTL) is broken and the commit proceeds
+    fs.setTimes(lock, System.currentTimeMillis() - 700000L, -1)
+    spark.sql("INSERT OVERWRITE graft_cl.main.t SELECT id + 100 FROM range(5)")
+    assert(spark.sql("SELECT count(*), min(id) FROM graft_cl.main.t")
+      .head().toSeq == Seq(5L, 100L))
+    assert(!fs.exists(lock), "lock must be released after the commit")
+  }
+
+  test("file-granularity DML: point DELETE/UPDATE rewrite only matched files (r14)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-filedml")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_fg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_fg.dir", dir)
+    spark.sql("CREATE TABLE graft_fg.main.t (id BIGINT, v STRING)")
+    // 10 range-clustered files: per-file id ranges are disjoint, so footer
+    // min/max pin a point predicate to exactly one file
+    spark.range(100).selectExpr("id", "concat('v', id) AS v")
+      .repartitionByRange(10, org.apache.spark.sql.functions.col("id"))
+      .writeTo("graft_fg.main.t").append()
+    val tdir = new Path(s"$dir/t")
+    val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+    def files(): Map[String, Long] = fs.listStatus(tdir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val before = files()
+    assert(before.size >= 10, s"expected >=10 data files, got ${before.size}")
+
+    spark.sql("DELETE FROM graft_fg.main.t WHERE id = 55")
+    val afterDelete = files()
+    // exactly one original file was replaced; every other file survived
+    // with its exact name and byte length (files are immutable — same name
+    // = same bytes)
+    val removed = before.keySet -- afterDelete.keySet
+    assert(removed.size == 1, s"delete rewrote ${removed.size} files: $removed")
+    (before.keySet & afterDelete.keySet).foreach { n =>
+      assert(before(n) == afterDelete(n), s"$n changed size")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_fg.main.t").head().getLong(0) == 99)
+    assert(spark.sql("SELECT count(*) FROM graft_fg.main.t WHERE id = 55")
+      .head().getLong(0) == 0)
+
+    spark.sql("UPDATE graft_fg.main.t SET v = 'patched' WHERE id = 7")
+    val afterUpdate = files()
+    val removed2 = afterDelete.keySet -- afterUpdate.keySet
+    assert(removed2.size == 1, s"update rewrote ${removed2.size} files: $removed2")
+    assert(spark.sql("SELECT v FROM graft_fg.main.t WHERE id = 7")
+      .head().getString(0) == "patched")
+    assert(spark.sql("SELECT count(*) FROM graft_fg.main.t").head().getLong(0) == 99)
+    // the neighbor rows of the rewritten file survived the copy
+    assert(spark.sql("SELECT v FROM graft_fg.main.t WHERE id = 8")
+      .head().getString(0) == "v8")
+
+    // with history retention ON, file-scoped edits would break whole-table
+    // generations — the engine falls back to the staged swap (every data
+    // file replaced, the old contents retired as a generation)
+    val prev = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "1")
+    try {
+      spark.sql("DELETE FROM graft_fg.main.t WHERE id = 90")
+      val afterHist = files()
+      assert((afterUpdate.keySet & afterHist.keySet).isEmpty,
+        "history-on point delete must take the whole-table swap path")
+      assert(spark.sql("SELECT count(*) FROM graft_fg.main.t").head().getLong(0) == 98)
+      // and the pre-delete state is time-travelable
+      assert(spark.sql("SELECT count(*) FROM graft_fg.main.t VERSION AS OF 1")
+        .head().getLong(0) == 99)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
+
+  test("snapshot tables: atomic multi-partition commits, time travel, retention (r14)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_sn", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sn.dir", dir)
+    val prev = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "5")
+    try {
+      // v1: CTAS — four partitions of 25 rows
+      spark.sql("CREATE TABLE graft_sn.main.t PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('snapshots'='true') AS " +
+        "SELECT id AS v, CAST(id % 4 AS INT) AS k FROM range(100)")
+      def counts(): Map[Int, Long] =
+        spark.sql("SELECT k, count(*) AS n FROM graft_sn.main.t GROUP BY k")
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(counts() == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+
+      // a reader resolved BEFORE a multi-partition commit keeps its whole
+      // snapshot (generation dirs are retained under graft.history)
+      val oldReader = spark.table("graft_sn.main.t")
+
+      // v2: dynamic overwrite of partitions 0 and 1 in ONE commit
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql("INSERT OVERWRITE graft_sn.main.t " +
+        "SELECT id + 1000 AS v, CAST(id % 2 AS INT) AS k FROM range(10)")
+      finally prevMode match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 25L, 3 -> 25L))
+      // the pre-commit reader still serves the ENTIRE old state
+      assert(oldReader.count() == 100)
+      assert(oldReader.where("v >= 1000").count() == 0)
+      // and VERSION AS OF 1 is that state by name
+      assert(spark.sql("SELECT count(*) FROM graft_sn.main.t VERSION AS OF '1'")
+        .head().getLong(0) == 100)
+
+      // v3: INSERT INTO appends a generation (existing rows survive)
+      spark.sql("INSERT INTO graft_sn.main.t " +
+        "SELECT id + 2000 AS v, CAST(2 AS INT) AS k FROM range(7)")
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 32L, 3 -> 25L))
+
+      // v4: metadata partition DELETE — one manifest edit, gens retained
+      spark.sql("DELETE FROM graft_sn.main.t WHERE k = 3")
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 32L))
+      assert(spark.sql("SELECT count(*) FROM graft_sn.main.t VERSION AS OF '3'")
+        .head().getLong(0) == 67)
+
+      // SHOW PARTITIONS lists from the manifest (k=3 gone, its dirs retained)
+      val parts = spark.sql("SHOW PARTITIONS graft_sn.main.t")
+        .collect().map(_.getString(0)).toSet
+      assert(parts == Set("k=0", "k=1", "k=2"), s"got $parts")
+
+      // v5: partition-scoped MERGE touches only k=2; commit is one manifest
+      spark.range(3).selectExpr("id + 2000 AS v", "CAST(2 AS INT) AS k")
+        .createOrReplaceTempView("snap_src")
+      spark.sql("""MERGE INTO graft_sn.main.t t USING snap_src s
+        |ON t.v = s.v AND t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v + 100000
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 32L))
+      assert(spark.sql(
+        "SELECT count(*) FROM graft_sn.main.t WHERE v >= 102000").head()
+        .getLong(0) == 3)
+
+      // v6: the merge REPLACED k=2's generation list — append again so the
+      // partition is multi-generation for the compaction case
+      spark.sql("INSERT INTO graft_sn.main.t " +
+        "SELECT id + 3000 AS v, CAST(2 AS INT) AS k FROM range(4)")
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 36L))
+
+      // compaction: k=2 carries several generations; one compact pass
+      // collapses them with identical content, old snapshots intact
+      val before = spark.sql("SELECT sum(v) FROM graft_sn.main.t").head().getLong(0)
+      val compacted = graft.catalog.Snapshots.compact(
+        spark, new org.apache.hadoop.fs.Path(s"$dir/t"))
+      assert(compacted >= 1, "expected at least one multi-generation partition")
+      spark.sessionState.catalogManager.catalog("graft_sn")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+        .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("main"), "t"))
+      assert(spark.sql("SELECT sum(v) FROM graft_sn.main.t").head().getLong(0) == before)
+      assert(counts() == Map(0 -> 5L, 1 -> 5L, 2 -> 36L))
+
+      // TRUNCATE = one empty manifest; previous snapshot fully readable
+      spark.sql("TRUNCATE TABLE graft_sn.main.t")
+      assert(spark.sql("SELECT count(*) FROM graft_sn.main.t").head().getLong(0) == 0)
+      val vs = graft.catalog.Snapshots.versions(
+        new org.apache.hadoop.fs.Path(s"$dir/t").getFileSystem(
+          spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(s"$dir/t"))
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_sn.main.t VERSION AS OF '${vs.init.last}'")
+        .head().getLong(0) == 46)
+      // the truncated table is still insertable
+      spark.sql("INSERT INTO graft_sn.main.t VALUES (1, 9)")
+      assert(counts() == Map(9 -> 1L))
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
+
+  test("snapshot tables: uncommitted debris invisible; concurrent commit refuses (r14)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap2")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_s2", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_s2.dir", dir)
+    spark.sql("CREATE TABLE graft_s2.main.t PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('snapshots'='true') AS " +
+      "SELECT id AS v, CAST(id % 2 AS INT) AS k FROM range(20)")
+    val tableDir = new Path(s"$dir/t")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // a crash between generation adoption and the manifest write leaves an
+    // UNREFERENCED generation — readers must not see it
+    val stray = new Path(tableDir, "k=0/gen-deadbeefcafe")
+    fs.mkdirs(stray)
+    spark.range(5).selectExpr("id + 500 AS v").write.mode("overwrite")
+      .parquet(stray.toString)
+    spark.sessionState.catalogManager.catalog("graft_s2")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("main"), "t"))
+    assert(spark.sql("SELECT count(*) FROM graft_s2.main.t").head().getLong(0) == 20)
+    assert(spark.sql("SELECT count(*) FROM graft_s2.main.t WHERE v >= 500")
+      .head().getLong(0) == 0)
+
+    // optimistic concurrency: two commits computed against the same base —
+    // the second loses loudly instead of silently retiring the first
+    val base = graft.catalog.Snapshots.current(fs, tableDir)
+    graft.catalog.Snapshots.commit(fs, tableDir, base,
+      base.get.entries.filter(_._1 == "k=0"))
+    intercept[graft.catalog.ConcurrentCommitException] {
+      graft.catalog.Snapshots.commit(fs, tableDir, base,
+        base.get.entries.filter(_._1 == "k=1"))
+    }
+
+    // snapshots='true' refuses on unpartitioned tables (History covers them)
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_s2.main.flat TBLPROPERTIES " +
+        "('snapshots'='true') AS SELECT id FROM range(5)")
+    }
+    // and the flat compactor refuses snapshot tables (double-read hazard)
+    intercept[IllegalArgumentException] {
+      graft.sources.Writers.compactPartitioned(spark, s"$dir/t", "k")
+    }
   }
 
   test("multi-namespace catalog: DDL/DML/governed-read cycle (r12 ask #3)") {
