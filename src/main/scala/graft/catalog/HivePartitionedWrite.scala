@@ -106,10 +106,17 @@ private[catalog] class HiveFactory(conf: SerializableConfiguration,
       private var current: org.apache.spark.sql.execution.datasources.OutputWriter = null
       private var written = List.empty[String]
       private var n = 0
+      private var recordsInFile = 0L
 
       private def closeCurrent(): Unit = {
-        if (current != null) current.close()
-        current = null; currentKey = null
+        if (current != null) {
+          val p = new Path(current.path())
+          current.close()
+          // credit the task's output metrics like the stock writers do
+          val bytes = try fs.getFileStatus(p).getLen catch { case _: Exception => 0L }
+          org.apache.spark.sql.GraftSqlShims.addTaskOutputMetrics(bytes, recordsInFile)
+        }
+        current = null; currentKey = null; recordsInFile = 0L
       }
 
       override def write(row: InternalRow): Unit = {
@@ -129,6 +136,7 @@ private[catalog] class HiveFactory(conf: SerializableConfiguration,
           written ::= rel
         }
         current.write(fileProj(row))
+        recordsInFile += 1
       }
 
       override def commit(): WriterCommitMessage = {

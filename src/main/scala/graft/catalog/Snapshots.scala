@@ -289,6 +289,36 @@ object Snapshots {
     } finally fs.delete(staging, true)
   }
 
+  /** Incremental consumption (r14): the rows ADDED to a snapshot table
+    * between two retained versions — every generation directory present in
+    * `toV` but not `fromV`, read as one DataFrame (partition values bind
+    * off the kv chains via basePath). For append-only histories this is
+    * exactly "the new rows since version `fromV`" — the feed a downstream
+    * training pipeline tails instead of re-reading 100 TB; for replaced
+    * partitions it returns the partition's full new contents (the
+    * generation IS the replacement unit — no row-level diff is stored, and
+    * the method name says so honestly).
+    */
+  def addedBetween(spark: SparkSession, tableDir: Path,
+      fromV: Long, toV: Long): org.apache.spark.sql.DataFrame = {
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = TableMeta.read(fs, tableDir).getOrElse(
+      throw new IllegalArgumentException(s"$tableDir: no table sidecar"))
+    require(meta.snapshots, s"$tableDir is not a snapshot table")
+    def snap(v: Long) = read(fs, tableDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"version $v of ${tableDir.getName} is not retained " +
+          s"(have: ${versions(fs, tableDir).mkString(", ")})"))
+    val fromDirs = snap(fromV).relDirs.toSet
+    val added = snap(toV).relDirs.filterNot(fromDirs)
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
+    else
+      spark.read.option("basePath", tableDir.toString)
+        .parquet(added.map(rel => new Path(tableDir, rel).toString): _*)
+  }
+
   /** Parse a kv chain ("k1=a/k2=b") into external-typed partition values
     * keyed by lowercase column name — the manifest-side analog of
     * [[PartitionDirs.leaves]]; None when the chain doesn't bind against

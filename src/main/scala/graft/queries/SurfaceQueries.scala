@@ -428,6 +428,40 @@ object SurfaceQueries {
         "FROM graft_sd.main.orders_snap GROUP BY o_orderpriority")
     }),
 
+    // incremental snapshot consumption (r14): two INSERT commits land as
+    // two manifest versions; addedBetween(v2, v3) returns EXACTLY the
+    // second batch's rows — the tail-the-table primitive an incremental
+    // training pipeline reads instead of rescanning the corpus. Oracle
+    // restates the second slice directly.
+    "q_catalog_snap_changes" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_chg"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_ch", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_ch.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_ch.main.docs_chg")
+      s.sql("CREATE TABLE graft_ch.main.docs_chg (doc_id BIGINT, tok INT, lang STRING) " +
+        "PARTITIONED BY (lang) TBLPROPERTIES ('snapshots'='true')")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "2") // retain superseded manifests
+      try {
+        s.sql("INSERT INTO graft_ch.main.docs_chg " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents WHERE doc_id % 4 = 0")
+        s.sql("INSERT INTO graft_ch.main.docs_chg " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents WHERE doc_id % 4 = 1")
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      val added = graft.catalog.Snapshots.addedBetween(s,
+        new org.apache.hadoop.fs.Path(s"$wdir/docs_chg"), 2L, 3L)
+      added.createOrReplaceTempView("snap_added")
+      s.sql("SELECT lang, count(*) AS n, sum(tok) AS tok_sum, " +
+        "min(doc_id) AS min_id FROM snap_added GROUP BY lang")
+    }),
+
     // storage-partitioned join (r13): both tables are hive-partitioned on
     // the join key, and under the graft.spj opt-in (with Spark's
     // v2-bucketing flag, default-on in 4.x) the
@@ -1235,6 +1269,13 @@ object SurfaceQueries {
         |SELECT o_orderpriority, count(*) AS n,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
         |FROM t GROUP BY o_orderpriority""".stripMargin),
+
+    // the added slice is exactly the second insert (doc_id % 4 = 1)
+    "q_catalog_snap_changes" ->
+      ("""SELECT lang, count(*) AS n,
+        |  sum(length(coalesce(text, '')))::BIGINT AS tok_sum,
+        |  min(doc_id) AS min_id
+        |FROM documents WHERE doc_id % 4 = 1 GROUP BY lang""".stripMargin),
 
     // the bucket column cancels out: orders×customer revenue by nation
     "q_catalog_bucketed" ->

@@ -23,6 +23,20 @@ object GraftSqlShims {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
 
+  /** Credit bytes/records to the running task's OUTPUT metrics — what the
+    * stock file writers do via their committer protocol. Used by the graft
+    * catalog's direct hive-layout task writer so `bytesWritten` in the UI,
+    * listeners, and profiles reflects its files too.
+    */
+  def addTaskOutputMetrics(bytes: Long, records: Long): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) {
+      val om = tc.taskMetrics().outputMetrics
+      om.setBytesWritten(om.bytesWritten + bytes)
+      om.setRecordsWritten(om.recordsWritten + records)
+    }
+  }
+
   /** Catalyst `Expression` → V1 `sources.Filter` (None when untranslatable)
     * — the same conversion Spark applies before V1 pushdown. Used by the
     * graft catalog's FILE-granularity row-level groups to evaluate the

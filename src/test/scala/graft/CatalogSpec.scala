@@ -870,6 +870,38 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.unset(graft.catalog.History.Key)
   }
 
+  test("governance gates snapshot tables: live read, manifest time travel, incremental feed (r14)") {
+    import graft.plans.{GovernancePolicies, TablePolicy}
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsnap")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_gs", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_gs.dir", dir)
+    val prev = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "2")
+    try {
+      spark.sql("CREATE TABLE graft_gs.main.t PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('snapshots'='true') AS " +
+        "SELECT id, id * 2 AS v, CAST(id % 4 AS INT) AS k FROM range(100)")
+      spark.sql("DELETE FROM graft_gs.main.t WHERE k = 3")
+      GovernancePolicies.register("t",
+        TablePolicy(rowFilterSql = Some("id < 10"), dropColumns = Seq("v")))
+      try {
+        // live read: row filter + column drop (ids 0-9 minus k=3's 3 and 7)
+        assert(spark.sql("SELECT count(*) FROM graft_gs.main.t").head().getLong(0) == 8)
+        assert(!spark.table("graft_gs.main.t").columns.contains("v"))
+        // manifest time travel is not a governance bypass
+        assert(spark.sql("SELECT count(*) FROM graft_gs.main.t VERSION AS OF '1'")
+          .head().getLong(0) == 10,
+          "snapshot time travel must not bypass the row policy")
+      } finally GovernancePolicies.clear()
+      assert(spark.sql("SELECT count(*) FROM graft_gs.main.t VERSION AS OF '1'")
+        .head().getLong(0) == 100)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
+
   test("bucketed co-located join pattern: high-cardinality keys, zero exchanges (r13)") {
     // Co-locating a HIGH-cardinality join key: store an explicit bucket
     // column kb = pmod(hash(k), 16) and partition by it. Both sides bucket
@@ -1297,6 +1329,18 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_s2.main.t").head().getLong(0) == 20)
     assert(spark.sql("SELECT count(*) FROM graft_s2.main.t WHERE v >= 500")
       .head().getLong(0) == 0)
+
+    // a crash MID-MANIFEST-WRITE leaves a truncated file at the claimed
+    // version: readers must skip it (the commit never completed) and the
+    // next commit must claim a HIGHER version, never re-use the corpse
+    val torn = graft.catalog.Snapshots.manifestPath(tableDir, 99L)
+    val out2 = fs.create(torn, false)
+    out2.write("""{"version":99,"stampMi""".getBytes("UTF-8")); out2.close()
+    assert(graft.catalog.Snapshots.current(fs, tableDir).get.version < 99L)
+    assert(spark.sql("SELECT count(*) FROM graft_s2.main.t").head().getLong(0) == 20)
+    spark.sql("INSERT INTO graft_s2.main.t VALUES (100, 0)")
+    assert(graft.catalog.Snapshots.current(fs, tableDir).get.version == 100L)
+    assert(spark.sql("SELECT count(*) FROM graft_s2.main.t").head().getLong(0) == 21)
 
     // optimistic concurrency: two commits computed against the same base —
     // the second loses loudly instead of silently retiring the first

@@ -391,8 +391,9 @@ object ProfileSkew {
     // wall-clock at profile scale is overhead-dominated (300 MB is free on
     // local NVMe) — the structural claim is the BYTES each path moves, which
     // is what scales to 100 TB: scoped ≈ full narrow subquery read + 2/50 of
-    // the wide bytes (read once, written twice: flat then hive); whole-table
-    // ≈ every byte read once and written once
+    // the wide bytes read AND written ONCE (r14 single-pass staging: the
+    // r13 flat→hive hop that doubled the write is gone); whole-table ≈
+    // every byte read once and written once
     val written = new java.util.concurrent.atomic.AtomicLong
     val read = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
@@ -420,6 +421,83 @@ object ProfileSkew {
       .count(d => d.isDirectory && d.getName.startsWith("p=") &&
         !d.getName.equals("p=0") && !d.getName.equals("p=1"))
     println(s"[prof]   untouched partition dirs intact: $untouched of 48")
+    }
+
+    if (only.contains(14)) {
+    // --- 14. DATA-DOMINATED DML points (r14 VERDICT ask #7): ≥1 GB ------
+    // affected bytes, so the write-volume claims of §13 carry a wall-clock
+    // witness instead of being overhead-bound. Run explicitly:
+    //   sbt "Test/runMain graft.ProfileSkew 200000 4000000 14"
+    val nG = math.max(nDoc, 4000000)
+    // ~290 B/row of incompressible payload → table ≈ 1.2 GB parquet
+    val wideG = concat((0 until 8).map(j =>
+      md5(concat(col("id").cast("string"), lit(j)))): _*)
+    val profDirG = java.nio.file.Files.createTempDirectory("prof_dml").toString
+    spark.conf.set("spark.sql.catalog.graft_pg", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pg.dir", profDirG)
+
+    val writtenG = new java.util.concurrent.atomic.AtomicLong
+    val readG = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            writtenG.addAndGet(m.outputMetrics.bytesWritten)
+            readG.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def accountedG[T](f: => T): Unit = {
+      Thread.sleep(300); writtenG.set(0L); readG.set(0L)
+      f
+      Thread.sleep(300)
+      println(f"[prof]   read ${readG.get / 1e6}%.0f MB, wrote ${writtenG.get / 1e6}%.0f MB")
+    }
+
+    // (a) FILE-scoped DELETE: unpartitioned, range-clustered into ~40
+    // files; a point delete must read+write ~1/40 of the table
+    spark.sql("CREATE TABLE graft_pg.main.ft (id BIGINT, payload STRING)")
+    time("file-dml fixture: 40-file range-clustered write") {
+      spark.range(nG).select(col("id"), wideG.as("payload"))
+        .repartitionByRange(40, col("id"))
+        .writeTo("graft_pg.main.ft").append()
+    }
+    accountedG { time("point DELETE, file-scoped (1 of 40 files)") {
+      spark.sql(s"DELETE FROM graft_pg.main.ft WHERE id = ${nG / 2}")
+    } }
+    // control: the same delete shape against a clone with stats disabled
+    // by clustering on a hash (every file holds the full id range → all
+    // files candidates → whole-table swap)
+    spark.sql("CREATE TABLE graft_pg.main.fu (id BIGINT, payload STRING)")
+    time("file-dml control fixture: hash-scattered write") {
+      spark.range(nG).select(col("id"), wideG.as("payload"))
+        .repartition(40, pmod(hash(col("id")), lit(40)))
+        .writeTo("graft_pg.main.fu").append()
+    }
+    accountedG { time("point DELETE, scattered layout (whole-table bar)") {
+      spark.sql(s"DELETE FROM graft_pg.main.fu WHERE id = ${nG / 2}")
+    } }
+
+    // (b) partition-scoped MERGE at data scale: 2-of-50 partitions of the
+    // same ~1.2 GB table; single-pass staging ⇒ wrote ≈ 2/50 of the bytes
+    spark.range(nG).select(col("id"),
+      pmod(col("id"), lit(50)).cast("int").as("p"), wideG.as("payload"))
+      .createOrReplaceTempView("prof_base_g")
+    time("merge fixture: 50-partition CTAS") {
+      spark.sql("CREATE TABLE graft_pg.main.mp PARTITIONED BY (p) " +
+        "AS SELECT id, payload, p FROM prof_base_g")
+    }
+    spark.range(nG / 500).select((col("id") * 500 + col("id") % 2).as("id"),
+      lit("updated").as("payload"),
+      (col("id") % 2).cast("int").as("p"))
+      .createOrReplaceTempView("prof_src_g")
+    accountedG { time("MERGE 2-of-50 partitions, data-dominated") {
+      spark.sql("""MERGE INTO graft_pg.main.mp t
+        |USING prof_src_g s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET payload = s.payload""".stripMargin)
+    } }
     }
 
     if (only.isEmpty || only.contains(11)) {
