@@ -488,9 +488,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // directories the current manifest lists — unreferenced generations
     // (in-flight commits, retained history) are invisible, so a reader can
     // never observe a half-committed multi-partition mutation
+    val snap: Option[Snapshots.Snapshot] =
+      if (meta.exists(_.snapshots)) Snapshots.current(fs, path) else None
     val snapDirs: Option[Seq[Path]] = meta.filter(_.snapshots).map { _ =>
-      Snapshots.current(fs, path)
-        .map(_.relDirs.map(rel => new Path(path, rel))).getOrElse(Nil)
+      snap.map(_.relDirs.map(rel => new Path(path, rel))).getOrElse(Nil)
     }
 
     // byte-budget sampled catalog: serve a deterministic file-prefix of the
@@ -558,9 +559,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
     val conf = hadoopConf
     // stats reflect what the catalog actually serves: the sampled prefix's
-    // footers for a sampled catalog, the whole table otherwise
-    lazy val rows = tablePaths.map(p =>
-      ParquetFooters.rowCount(new Path(p), conf)).sum
+    // footers for a sampled catalog, the whole table otherwise. Snapshot
+    // manifests carry per-generation row counts, so their stats cost one
+    // JSON read instead of one footer read per generation (r14).
+    lazy val rows = snap.filter(_ => samplingBytes.isEmpty)
+      .flatMap(_.totalRows)
+      .getOrElse(tablePaths.map(p => ParquetFooters.rowCount(new Path(p), conf)).sum)
     // directory tables are INSERT targets; single-file `<name>.parquet`
     // tables stay read-only (appending part files under a file path is not
     // a meaningful layout), and sampled catalogs never write
@@ -642,7 +646,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         java.util.Collections.singletonMap("basePath", path.toString)),
       dirs, Some(m.schema), classOf[ParquetFileFormat])
     val conf = hadoopConf
-    lazy val rows = dirs.map(d => ParquetFooters.rowCount(new Path(d), conf)).sum
+    lazy val rows = snap.totalRows.getOrElse(
+      dirs.map(d => ParquetFooters.rowCount(new Path(d), conf)).sum)
     // read-only: no writablePath, so every mutation of a snapshot refuses
     new GraftTable(t, () => rows, partCols = m.partitionCols)
   }

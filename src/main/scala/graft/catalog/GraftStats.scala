@@ -394,7 +394,16 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     if (partCols.isEmpty) delegate.partitioning()
     else partCols.map(
       org.apache.spark.sql.connector.expressions.Expressions.identity).toArray
-  override def properties(): java.util.Map[String, String] = delegate.properties()
+  /** Surface the declared table options through DESCRIBE EXTENDED / SHOW
+    * TBLPROPERTIES (r14) — they change write behavior, so users should be
+    * able to read them back.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String](delegate.properties())
+    if (snapshotted) m.put("snapshots", "true")
+    if (sortOrder.nonEmpty) m.put("sort_order", sortOrder.mkString(","))
+    m
+  }
   // partitioned tables write through the V1 fallback (one distributed
   // `partitionBy` parquet job — the DSv2 parquet BatchWrite has no
   // partitioned layout path), so they declare V1_BATCH_WRITE instead

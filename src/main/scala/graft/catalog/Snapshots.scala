@@ -56,13 +56,28 @@ object Snapshots {
   private val Prefix = "_graft_snap-"
   private val Suffix = ".json"
 
+  /** `rows` (optional, per generation relDir): footer row counts carried
+    * IN the manifest, so planner statistics for a snapshot table cost one
+    * small JSON read instead of one footer read per generation — at 100 TB
+    * that's the difference between metadata-light CBO stats and thousands
+    * of storage round-trips per query compilation. Commits compute counts
+    * only for NEW generations (old ones inherit from the base manifest).
+    */
   case class Snapshot(version: Long, stampMillis: Long,
-      entries: Map[String, Seq[String]]) {
+      entries: Map[String, Seq[String]], rows: Map[String, Long] = Map.empty) {
     /** Generation directories of this snapshot, table-root relative,
       * deterministic order.
       */
     def relDirs: Seq[String] = entries.toSeq.sortBy(_._1).flatMap {
       case (kv, gens) => gens.sorted.map(g => s"$kv/$g")
+    }
+
+    /** Total row count when every generation carries one; None = at least
+      * one generation predates row accounting (fall back to footers).
+      */
+    def totalRows: Option[Long] = {
+      val dirs = relDirs
+      if (dirs.forall(rows.contains)) Some(dirs.map(rows).sum) else None
     }
   }
 
@@ -128,7 +143,20 @@ object Snapshots {
     if (newerCommitted)
       throw new ConcurrentCommitException(tableDir.getName, baseV)
     val next = (present :+ baseV).max + 1
-    val snap = Snapshot(next, System.currentTimeMillis(), entries)
+    // row accounting: inherit counts for generations the base already
+    // measured, footer-read only the NEW ones (cost ∝ the commit, never
+    // the table)
+    val baseRows = base.map(_.rows).getOrElse(Map.empty)
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    val rows = entries.toSeq.flatMap { case (kv, gens) =>
+      gens.map { g =>
+        val rel = s"$kv/$g"
+        rel -> baseRows.getOrElse(rel,
+          try ParquetFooters.rowCount(new Path(tableDir, rel), conf)
+          catch { case _: Exception => -1L })
+      }
+    }.filter(_._2 >= 0).toMap
+    val snap = Snapshot(next, System.currentTimeMillis(), entries, rows)
     val p = manifestPath(tableDir, next)
     val out = try fs.create(p, false) catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException |
@@ -350,8 +378,11 @@ object Snapshots {
     val entries = s.entries.toSeq.sortBy(_._1).map { case (kv, gens) =>
       s"${js(kv)}:[${gens.sorted.map(js).mkString(",")}]"
     }.mkString(",")
+    val rows = s.rows.toSeq.sortBy(_._1).map { case (rel, n) =>
+      s"${js(rel)}:$n"
+    }.mkString(",")
     s"""{"version":${s.version},"stampMillis":${s.stampMillis},""" +
-      s""""entries":{$entries}}"""
+      s""""entries":{$entries},"rows":{$rows}}"""
   }
 
   private[catalog] def parse(raw: String): Snapshot = {
@@ -371,7 +402,17 @@ object Snapshots {
       }
       b.result()
     }
-    Snapshot(root.get("version").asLong(), root.get("stampMillis").asLong(), entries)
+    val rows = Option(root.get("rows")).map { node =>
+      val it = node.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asLong()
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, Long])
+    Snapshot(root.get("version").asLong(), root.get("stampMillis").asLong(),
+      entries, rows)
   }
 }
 

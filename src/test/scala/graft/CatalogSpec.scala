@@ -1216,6 +1216,15 @@ class CatalogSpec extends SparkSpec {
         spark.sql("SELECT k, count(*) AS n FROM graft_sn.main.t GROUP BY k")
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       assert(counts() == Map(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
+      // the manifest carries per-generation row counts (stats without
+      // footer reads) and the declared properties read back
+      val tPath = new org.apache.hadoop.fs.Path(s"$dir/t")
+      val tFs = tPath.getFileSystem(spark.sessionState.newHadoopConf())
+      assert(graft.catalog.Snapshots.current(tFs, tPath).get.totalRows
+        .contains(100L), "manifest must carry row counts")
+      val props = spark.sql("SHOW TBLPROPERTIES graft_sn.main.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("snapshots").contains("true"), s"got $props")
 
       // a reader resolved BEFORE a multi-partition commit keeps its whole
       // snapshot (generation dirs are retained under graft.history)
