@@ -868,6 +868,57 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("CDC upsert sink into a partitioned SNAPSHOT table: one manifest per batch (r14)") {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-sn").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cs", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cs.dir", dir)
+    spark.sql("CREATE TABLE graft_cs.main.state (k BIGINT, v STRING, p INT) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('snapshots'='true')")
+    spark.sql("INSERT INTO graft_cs.main.state VALUES " +
+      "(1, 'one', 0), (2, 'two', 0), (3, 'three', 1)")
+
+    val input = MemoryStream[(Long, String, Int, String, Long)]
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "v", "p", "op", "seq"),
+      "graft_cs.main.state", Seq("k", "p"), "op", "seq",
+      java.nio.file.Files.createTempDirectory("graft-cdc-snck").toString)
+
+    def state(): Map[Long, (String, Int)] =
+      spark.sql("SELECT k, v, p FROM graft_cs.main.state").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+
+    // batch 1: update in p=0, delete in p=1, insert into a NEW partition —
+    // all three land as ONE manifest commit (the merge's group-scoped
+    // write goes through the snapshot path)
+    input.addData((1L, "uno", 0, "U", 10L), (3L, "", 1, "D", 11L),
+      (4L, "four", 2, "U", 12L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> (("uno", 0)), 2L -> (("two", 0)),
+      4L -> (("four", 2))), s"got ${state()}")
+
+    // the batch produced exactly one new manifest version
+    val tdir = new Path(s"$dir/state")
+    val fs = tdir.getFileSystem(spark.sessionState.newHadoopConf())
+    val vsAfter1 = graft.catalog.Snapshots.versions(fs, tdir)
+    // v1 create, v2 insert, v3 the CDC batch (older manifests pruned under
+    // default retention, so check the CURRENT version, not the count)
+    assert(graft.catalog.Snapshots.current(fs, tdir).get.version == 3L,
+      s"have versions $vsAfter1")
+
+    // batch 2 converges after replay-style duplicates within the batch
+    input.addData((4L, "stale", 2, "U", 20L), (4L, "FOUR", 2, "U", 21L))
+    q.processAllAvailable()
+    assert(state() == Map(1L -> (("uno", 0)), 2L -> (("two", 0)),
+      4L -> (("FOUR", 2))))
+    assert(graft.catalog.Snapshots.current(fs, tdir).get.version == 4L)
+    q.stop()
+  }
+
   test("CDC upsert sink: all-key target omits the malformed empty UPDATE SET (r13 ADVICE)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
