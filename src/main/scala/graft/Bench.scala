@@ -62,7 +62,8 @@ object Bench {
     // r13 partitioned DML + storage-partitioned join + time travel
     "q_catalog_delete_part", "q_catalog_merge_part", "q_catalog_spj",
     "q_catalog_timetravel", "q_catalog_bucketed",
-    "q_catalog_timetravel_part", "q_catalog_snap_dml", "q_catalog_snap_changes")
+    "q_catalog_timetravel_part", "q_catalog_snap_dml", "q_catalog_snap_changes",
+    "q_catalog_snap_file", "q_catalog_cdf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

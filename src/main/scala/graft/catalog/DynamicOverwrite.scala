@@ -91,7 +91,8 @@ object DynamicOverwrite {
   */
 case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
     partCols: Seq[String], query: LogicalPlan,
-    invalidate: () => Unit, snapshotted: Boolean = false)
+    invalidate: () => Unit, snapshotted: Boolean = false,
+    baseSnap: Option[Snapshots.Snapshot] = None)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
@@ -110,12 +111,15 @@ case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
         // snapshot tables (r14): adopt the staged leaves as generations
         // and REPLACE exactly those entries in ONE manifest commit — the
         // whole backfill becomes atomic across partitions (the plain path
-        // below promises only per-directory atomicity)
-        val base = Snapshots.current(fs, live)
+        // below promises only per-directory atomicity). The OCC base is
+        // the snapshot the target table RESOLVED with (r14 ADVICE): a
+        // commit landing mid-query rebases when disjoint from the
+        // backfilled partitions and refuses when not — never absorbed.
+        val base = baseSnap
         val baseEntries = base.map(_.entries).getOrElse(Map.empty)
         val adopted = Snapshots.adoptStaged(fs, staging, live)
         val entries = baseEntries ++ adopted.map { case (kv, g) => kv -> Seq(g) }
-        try Snapshots.commit(fs, live, base, entries)
+        try Snapshots.commit(fs, live, base, entries, kind = "replace")
         catch { case e: ConcurrentCommitException =>
           Snapshots.dropGens(fs, live, adopted); throw e
         }
@@ -147,7 +151,7 @@ case class GraftDynamicOverwriteRule(spark: SparkSession) extends Rule[LogicalPl
                 s"table; ${t.name()} is ${if (t.writablePath.isEmpty) "read-only"
                 else "unpartitioned (use static INSERT OVERWRITE)"}")
           GraftDynamicOverwriteCommand(t.name(), t.writablePath.get,
-            t.partCols, o.query, t.onWrite, t.snapshotted)
+            t.partCols, o.query, t.onWrite, t.snapshotted, t.loadedSnap)
         case _ => o
       }
   }

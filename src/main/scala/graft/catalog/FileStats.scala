@@ -45,14 +45,32 @@ object FileStats {
 
   /** Like [[read]] but also returns the footer row count — a zero-row file
     * (the schema-carrying CREATE seed) can never be a candidate.
+    *
+    * Block merging is ORDER-INDEPENDENT (r14 ADVICE): "unknown" is tracked
+    * explicitly per bound, so a stats-less first block poisons the file
+    * bound exactly like a stats-less later block would — the previous
+    * `case (None, y) => y` shape couldn't tell "no blocks yet" from
+    * "earlier block unknown" and produced falsely tight bounds when the
+    * stat-less block came first (a wrongly-excluded DML candidate = silent
+    * row loss). A provably ALL-NULL block contributes no values and is
+    * deliberately NOT a poison: its zero values cannot widen min/max.
     */
   def readWithRows(conf: Configuration, file: Path,
       schema: StructType): (Long, Map[String, ColStats]) = {
     val fields = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    final class Acc {
+      var minUnknown = false; var maxUnknown = false
+      var min: Option[Any] = None; var max: Option[Any] = None
+      var hasNulls = false; var allNull = true
+      def result: ColStats = ColStats(
+        if (minUnknown) None else min,
+        if (maxUnknown) None else max,
+        hasNulls, allNull)
+    }
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       var totalRows = 0L
-      val acc = scala.collection.mutable.Map.empty[String, ColStats]
+      val acc = scala.collection.mutable.Map.empty[String, Acc]
       r.getFooter.getBlocks.forEach { block =>
         totalRows += block.getRowCount
         block.getColumns.forEach { chunk =>
@@ -60,45 +78,49 @@ object FileStats {
           if (pathParts.length == 1) {
             val name = pathParts(0).toLowerCase
             fields.get(name).foreach { dt =>
+              val a = acc.getOrElseUpdate(name, new Acc)
               val st = chunk.getStatistics
               val rows = block.getRowCount
-              val (mn, mx, nulls, allN) =
-                if (st == null) (None, None, true, false)
-                else {
-                  val numNulls = if (st.isNumNullsSet) st.getNumNulls else -1L
-                  val hasN = numNulls != 0L // unknown (-1) counts as "maybe"
-                  val allN = numNulls >= 0 && numNulls == rows
-                  if (st.hasNonNullValue)
-                    (external(dt, st.genericGetMin),
-                      external(dt, st.genericGetMax), hasN, allN)
-                  else (None, None, hasN, allN)
-                }
-              val prev = acc.getOrElse(name, ColStats(None, None, false, true))
-              acc(name) = ColStats(
-                merge(prev.min, mn, keepMax = false),
-                merge(prev.max, mx, keepMax = true),
-                prev.hasNulls || nulls,
-                prev.allNull && allN)
+              if (st == null) {
+                // no statistics at all: values AND null count unknown
+                a.minUnknown = true; a.maxUnknown = true
+                a.hasNulls = true; a.allNull = false
+              } else {
+                val numNulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+                a.hasNulls ||= numNulls != 0L // unknown (-1) counts as "maybe"
+                a.allNull &&= numNulls >= 0 && numNulls == rows
+                if (st.hasNonNullValue) {
+                  (external(dt, st.genericGetMin), external(dt, st.genericGetMax)) match {
+                    case (Some(mn), Some(mx)) =>
+                      a.min = tighten(a.min, mn, keepMax = false)
+                      a.max = tighten(a.max, mx, keepMax = true)
+                      if (a.min.isEmpty) a.minUnknown = true // incomparable
+                      if (a.max.isEmpty) a.maxUnknown = true
+                    case _ => // unsupported type: bounds unknown
+                      a.minUnknown = true; a.maxUnknown = true
+                  }
+                } else if (!(numNulls >= 0 && numNulls == rows)) {
+                  // non-null values exist (or null count unknown) but no
+                  // recorded min/max: the block hides values — poison
+                  a.minUnknown = true; a.maxUnknown = true
+                } // else: provably all-null block, contributes no values
+              }
             }
           }
         }
       }
-      (totalRows, acc.toMap)
+      (totalRows, acc.view.mapValues(_.result).toMap)
     } finally r.close()
   }
 
-  /** Merge block-level bounds; None (unknown) poisons the bound. A column
-    * absent from a block is impossible here (parquet files carry every
-    * schema column), so per-block merging is sound.
-    */
-  private def merge(a: Option[Any], b: Option[Any], keepMax: Boolean): Option[Any] =
-    (a, b) match {
-      case (Some(x), Some(y)) =>
-        val c = try PartitionDirs.compareExternal(x, y)
+  /** Fold one block's bound into the running bound; None = incomparable. */
+  private def tighten(a: Option[Any], b: Any, keepMax: Boolean): Option[Any] =
+    a match {
+      case None => Some(b)
+      case Some(x) =>
+        val c = try PartitionDirs.compareExternal(x, b)
         catch { case _: Exception => return None }
-        Some(if ((c >= 0) == keepMax) x else y)
-      case (None, y) => y // first block
-      case _ => None
+        Some(if ((c >= 0) == keepMax) x else b)
     }
 
   /** Parquet's physical stat value → the external family
@@ -168,9 +190,12 @@ object FileStats {
       case sources.Or(l, r) => mightMatch(l, cols) || mightMatch(r, cols)
       case sources.StringStartsWith(c, p) if p != null =>
         // s startsWith p  ⟺  p <= s < successor(p)
+        // all comparisons in UTF-8 byte order (compareExternal's string
+        // order — the same order the footer stats carry)
         stats(c) match {
           case Some(ColStats(Some(mn: String), Some(mx: String), _, _)) =>
-            mx >= p && successor(p).forall(up => mn < up)
+            cmp(mx, p).forall(_ >= 0) &&
+              successor(p).forall(up => cmp(mn, up).forall(_ < 0))
           case Some(ColStats(_, _, _, true)) => false
           case _ => true
         }
@@ -178,13 +203,30 @@ object FileStats {
     }
   }
 
-  /** Smallest string greater than every string with prefix `p` (last char
-    * incremented); None when that's not expressible (trailing U+FFFF).
+  /** Smallest string greater (in UTF-8 byte / code-point order) than every
+    * string with prefix `p`: increment `p`'s last CODE POINT \u2014 incrementing
+    * a UTF-16 code unit (the previous shape) produces a bound that strings
+    * continuing `p` with a supplementary-plane char EXCEED, wrongly
+    * excluding their file. An increment landing in the surrogate gap skips
+    * to U+E000 (no valid string holds a lone surrogate, so order is
+    * preserved); None when no increment is expressible (all U+10FFFF).
     */
   private def successor(p: String): Option[String] = {
-    var i = p.length - 1
-    while (i >= 0 && p.charAt(i) == '\uffff') i -= 1
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
     if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
+    else {
+      val next = cps(i) + 1
+      val bumped =
+        if (next >= Character.MIN_SURROGATE.toInt &&
+            next <= Character.MAX_SURROGATE.toInt) 0xE000
+        else next
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < i) { sb.appendCodePoint(cps(j)); j += 1 }
+      sb.appendCodePoint(bumped)
+      Some(sb.toString)
+    }
   }
 }

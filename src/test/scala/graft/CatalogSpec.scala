@@ -1351,22 +1351,29 @@ class CatalogSpec extends SparkSpec {
     assert(graft.catalog.Snapshots.current(fs, tableDir).get.version == 100L)
     assert(spark.sql("SELECT count(*) FROM graft_s2.main.t").head().getLong(0) == 21)
 
-    // optimistic concurrency: two commits computed against the same base —
-    // the second loses loudly instead of silently retiring the first
+    // optimistic concurrency (r15 semantics): two commits computed against
+    // the same base REBASE when their touched entries are disjoint — both
+    // land — and refuse loudly when they overlap, instead of silently
+    // retiring the first writer's output
     val base = graft.catalog.Snapshots.current(fs, tableDir)
+    // A rewrites k=0's generation list (2 gens after the insert above);
+    // B drops the k=1 entry — disjoint keys
+    val g0 = base.get.entries("k=0")
+    assert(g0.length == 2, s"expected CTAS + insert generations, got $g0")
     graft.catalog.Snapshots.commit(fs, tableDir, base,
-      base.get.entries.filter(_._1 == "k=0"))
+      base.get.entries.updated("k=0", g0.take(1)))
+    val rebased = graft.catalog.Snapshots.commit(fs, tableDir, base,
+      base.get.entries - "k=1")
+    // the rebased commit carries BOTH edits: A's k=0 list and B's removal
+    assert(rebased.entries("k=0") == g0.take(1))
+    assert(!rebased.entries.contains("k=1"))
+    // overlapping edit on k=0 against the now-stale base: refuses
     intercept[graft.catalog.ConcurrentCommitException] {
       graft.catalog.Snapshots.commit(fs, tableDir, base,
-        base.get.entries.filter(_._1 == "k=1"))
+        base.get.entries.updated("k=0", Nil))
     }
 
-    // snapshots='true' refuses on unpartitioned tables (History covers them)
-    intercept[Exception] {
-      spark.sql("CREATE TABLE graft_s2.main.flat TBLPROPERTIES " +
-        "('snapshots'='true') AS SELECT id FROM range(5)")
-    }
-    // and the flat compactor refuses snapshot tables (double-read hazard)
+    // the flat compactor refuses snapshot tables (double-read hazard)
     intercept[IllegalArgumentException] {
       graft.sources.Writers.compactPartitioned(spark, s"$dir/t", "k")
     }
@@ -1510,5 +1517,290 @@ class CatalogSpec extends SparkSpec {
     val rows = df.collect()
     assert(rows.map(_.getLong(1)).sum == 25)
     assert(rows.length == 5)
+  }
+
+  // ---- r15: unpartitioned snapshot tables (file-level manifests) ----
+
+  test("unpartitioned snapshot table: point DELETE rewrites one file, time travel coexists (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapf")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_sf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_sf.dir", dir)
+    val prev = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "3")
+    try {
+      // CTAS with a range repartition: 4 staged files with DISJOINT v ranges
+      spark.sql("CREATE TABLE graft_sf.main.f TBLPROPERTIES ('snapshots'='true') AS " +
+        "SELECT /*+ REPARTITION_BY_RANGE(4, v) */ id AS v, concat('d', id) AS s " +
+        "FROM range(40)")
+      val tableDir = new Path(s"$dir/f")
+      val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+      val v1 = graft.catalog.Snapshots.current(fs, tableDir).get
+      assert(v1.entries.size == 4, s"expected 4 file entries, got ${v1.entries}")
+      assert(v1.entries.keySet.forall(k => !k.contains("=")), "file keys carry no kv")
+      // manifest carries per-file stats for the data columns
+      assert(v1.files.size == 4)
+      assert(v1.files.values.forall(_.cols.contains("v")))
+      assert(v1.totalRows.contains(40L))
+
+      // point DELETE: manifest-stats candidacy pins exactly one file
+      spark.sql("DELETE FROM graft_sf.main.f WHERE v = 7")
+      val v2 = graft.catalog.Snapshots.current(fs, tableDir).get
+      assert(v2.version == v1.version + 1)
+      val shared = v1.entries.keySet.intersect(v2.entries.keySet)
+      assert(shared.size == 3,
+        s"point DELETE must keep 3 of 4 file entries byte-identical, shared=$shared")
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 39)
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f WHERE v = 7")
+        .head().getLong(0) == 0)
+      // time travel to the pre-delete manifest still reads the old file
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft_sf.main.f VERSION AS OF '${v1.version}'")
+        .head().getLong(0) == 40)
+      assert(spark.sql(s"SELECT count(*) FROM graft_sf.main.f " +
+        s"VERSION AS OF '${v1.version}' WHERE v = 7").head().getLong(0) == 1)
+
+      // appends are manifest commits of NEW file keys (old entries inherited)
+      spark.sql("INSERT INTO graft_sf.main.f VALUES (100, 'x'), (101, 'y')")
+      val v3 = graft.catalog.Snapshots.current(fs, tableDir).get
+      assert(v3.entries.keySet.intersect(v2.entries.keySet) == v2.entries.keySet)
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 41)
+
+      // UPDATE through the same file-scoped path: only matching files rewrite
+      spark.sql("UPDATE graft_sf.main.f SET s = 'upd' WHERE v = 100")
+      assert(spark.sql("SELECT s FROM graft_sf.main.f WHERE v = 100")
+        .head().getString(0) == "upd")
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 41)
+      val v4 = graft.catalog.Snapshots.current(fs, tableDir).get
+      // the four original data files (minus the one deleted from) survive
+      assert(v4.entries.keySet.intersect(v2.entries.keySet).size >= 3)
+
+      // TRUNCATE is one empty manifest; the table stays loadable + insertable
+      spark.sql("TRUNCATE TABLE graft_sf.main.f")
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 0)
+      spark.sql("INSERT INTO graft_sf.main.f VALUES (1, 'z')")
+      assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
+
+  test("snapshot OCC: a commit landing between load and commit is detected, never absorbed (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_oc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_oc.dir", dir)
+    // retention keeps the superseded snapshot's generations readable, so the
+    // stale scan COMPLETES and the conflict surfaces at the COMMIT (with
+    // history off, retention would sweep the old files mid-scan instead)
+    val prevHist = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "3")
+    try {
+    spark.sql("CREATE TABLE graft_oc.main.t PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('snapshots'='true') AS " +
+      "SELECT id AS v, CAST(id % 2 AS INT) AS k FROM range(20)")
+    val tableDir = new Path(s"$dir/t")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // WARM the table cache (this is the snapshot the coming MERGE will scan)
+    assert(spark.sql("SELECT count(*) FROM graft_oc.main.t").head().getLong(0) == 20)
+
+    // a concurrent writer commits DIRECTLY (bypassing the catalog cache):
+    // it drops partition k=0 — rows the cached table still serves
+    val base = graft.catalog.Snapshots.current(fs, tableDir)
+    graft.catalog.Snapshots.commit(fs, tableDir, base,
+      base.get.entries - "k=0", kind = "delete")
+
+    // an UPDATE touching k=0 computed against the STALE cached snapshot
+    // must refuse — the r14 shape read current() at commit time and would
+    // have silently resurrected k=0 from rows derived from the old state
+    val e = intercept[Exception] {
+      spark.sql("UPDATE graft_oc.main.t SET v = v + 1000 WHERE k = 0 AND v < 10")
+    }
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null || t.getCause == t) t else root(t.getCause)
+    assert(root(e).isInstanceOf[graft.catalog.ConcurrentCommitException] ||
+      e.isInstanceOf[graft.catalog.ConcurrentCommitException],
+      s"expected ConcurrentCommitException, got $e")
+    // the concurrent delete's effect SURVIVED (nothing absorbed/resurrected)
+    spark.sessionState.catalogManager.catalog("graft_oc")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .invalidateTable(org.apache.spark.sql.connector.catalog.Identifier
+        .of(Array("main"), "t"))
+    assert(spark.sql("SELECT count(*) FROM graft_oc.main.t WHERE k = 0")
+      .head().getLong(0) == 0)
+    assert(spark.sql("SELECT count(*) FROM graft_oc.main.t").head().getLong(0) == 10)
+
+    // DISJOINT concurrent work lands: direct commit touches k=1's list, a
+    // catalog INSERT appends a NEW generation — rebase merges both
+    val base2 = graft.catalog.Snapshots.current(fs, tableDir)
+    assert(spark.sql("SELECT count(*) FROM graft_oc.main.t").head().getLong(0) == 10)
+    graft.catalog.Snapshots.commit(fs, tableDir, base2,
+      base2.get.entries.updated("k=1", base2.get.entries("k=1")), kind = "partition")
+    spark.sql("INSERT INTO graft_oc.main.t VALUES (500, 0)")
+    assert(spark.sql("SELECT count(*) FROM graft_oc.main.t").head().getLong(0) == 11)
+    } finally prevHist match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
+
+  test("retention: young orphan generations survive pruning; aged orphans sweep (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-orph")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_or", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_or.dir", dir)
+    spark.sql("CREATE TABLE graft_or.main.t PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('snapshots'='true') AS " +
+      "SELECT id AS v, CAST(id % 2 AS INT) AS k FROM range(10)")
+    val tableDir = new Path(s"$dir/t")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+
+    // an in-flight writer's adopted-but-uncommitted generation: referenced
+    // by NO manifest, mtime = now. A commit's prune must NOT delete it (the
+    // r14 shape swept every unreferenced gen dir — killing live commits)
+    val inflight = new Path(tableDir, "k=0/gen-inflight0001")
+    fs.mkdirs(inflight)
+    spark.range(3).selectExpr("CAST(id AS BIGINT) AS v").write
+      .mode("overwrite").parquet(inflight.toString)
+    spark.sql("INSERT INTO graft_or.main.t VALUES (99, 1)") // commit + prune
+    assert(fs.exists(inflight), "young unreferenced generation must survive pruning")
+
+    // aged out (grace = 0): the same orphan is crash debris and sweeps
+    val prevGrace = spark.conf.getOption(graft.catalog.Snapshots.OrphanGraceKey)
+    spark.conf.set(graft.catalog.Snapshots.OrphanGraceKey, "0")
+    try {
+      spark.sql("INSERT INTO graft_or.main.t VALUES (98, 1)")
+      assert(!fs.exists(inflight), "aged unreferenced generation must sweep")
+    } finally prevGrace match {
+      case Some(v) => spark.conf.set(graft.catalog.Snapshots.OrphanGraceKey, v)
+      case None => spark.conf.unset(graft.catalog.Snapshots.OrphanGraceKey)
+    }
+  }
+
+  test("commit lock: two breakers over one stale lock — exactly one section at a time (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-lockrace")
+      .toFile.getAbsolutePath
+    val parent = new Path(dir)
+    val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+    // plant a GENUINELY stale lock: a crashed writer's, mtime an hour old —
+    // under the default 10-minute TTL every breaker judges it stale, but a
+    // FRESH lock re-created by the winning breaker must stay unbreakable
+    val lock = new Path(parent, ".commitlock-t")
+    val out = fs.create(lock, false); out.write("0".getBytes); out.close()
+    fs.setTimes(lock, System.currentTimeMillis() - 3600000L, -1L)
+    locally {
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          try {
+            graft.catalog.CommitLock.withLock(fs, parent, "t") {
+              val n = inside.incrementAndGet()
+              maxInside.accumulateAndGet(n, math.max)
+              Thread.sleep(5)
+              inside.decrementAndGet()
+              acquired.incrementAndGet()
+            }
+          } catch { case _: IllegalStateException => () } // loud refusal is fine
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(maxInside.get() == 1,
+        s"mutual exclusion violated: ${maxInside.get()} holders at once")
+      assert(acquired.get() >= 1, "at least one breaker must win")
+      assert(!fs.exists(lock), "released lock must not linger")
+      // no break-marker debris from successful breaks
+      val debris = fs.listStatus(parent).map(_.getPath.getName)
+        .filter(_.startsWith(".commitlock-t."))
+      assert(debris.isEmpty, s"break-marker debris: ${debris.mkString(",")}")
+    }
+  }
+
+  test("manifest-stats scan pruning: refuted units never reach the file listing (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprune")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_pr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pr.dir", dir)
+    // sort_order gives range-disjoint files; snapshots carries their stats
+    spark.sql("CREATE TABLE graft_pr.main.f TBLPROPERTIES " +
+      "('snapshots'='true') AS " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, v) */ id AS v, id * 2 AS w FROM range(400)")
+    val df = spark.sql("SELECT v, w FROM graft_pr.main.f WHERE v >= 390")
+    // the plan's scan must list at most ONE of the four range-disjoint files
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val nFiles = scans.head.scan
+      .asInstanceOf[graft.catalog.GraftStatsScan].delegate.fileIndex
+      .allFiles().length
+    assert(nFiles == 1, s"manifest stats should prune to 1 file, scanned $nFiles")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (390L until 400L))
+    // correctness: unprunable predicates keep everything
+    assert(spark.sql("SELECT count(*) FROM graft_pr.main.f").head().getLong(0) == 400)
+  }
+  test("change data feed: recorded row-level ops, synthesized appends/removals, loud refusal (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdf")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_cf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cf.dir", dir)
+    val prevH = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "9")
+    try {
+      spark.sql("CREATE TABLE graft_cf.main.t (v BIGINT, k INT) PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('snapshots'='true', 'changelog'='true')") // v1: init
+      spark.sql("INSERT INTO graft_cf.main.t SELECT id, CAST(id % 2 AS INT) " +
+        "FROM range(10)") // v2: append
+      spark.sql("""MERGE INTO graft_cf.main.t t
+        |USING (SELECT CAST(v AS BIGINT) AS v, CAST(k AS INT) AS k
+        |       FROM VALUES (0, 0), (1, 1), (100, 0) AS s(v, k)) s
+        |ON t.v = s.v AND t.k = s.k
+        |WHEN MATCHED AND t.v = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.v = t.v + 50
+        |WHEN NOT MATCHED THEN INSERT (v, k) VALUES (s.v, s.k)""".stripMargin) // v3: rowlevel
+      spark.sql("DELETE FROM graft_cf.main.t WHERE k = 1") // v4: partition removal
+
+      val tableDir = new Path(s"$dir/t")
+      val feed = graft.catalog.Snapshots.changesBetween(spark, tableDir, 1L, 4L)
+        .collect().map(r => (r.getAs[Long]("v"), r.getAs[String]("_change_op"),
+          r.getAs[Long]("_change_version"))).toSeq
+      // v2 (pure append): 10 synthesized inserts
+      assert(feed.count(c => c._3 == 2L && c._2 == "I") == 10)
+      assert(feed.count(_._3 == 2L) == 10)
+      // v3 (recorded merge): delete of 0, update 1 -> 51 as D+I, insert 100
+      val v3 = feed.filter(_._3 == 3L)
+      assert(v3.toSet == Set((0L, "D", 3L), (1L, "D", 3L), (51L, "I", 3L),
+        (100L, "I", 3L)), s"v3 feed was $v3")
+      // v4 (pure removal): partition k=1's rows at v3 as deletes
+      val v4 = feed.filter(_._3 == 4L)
+      assert(v4.map(_._2).toSet == Set("D"))
+      assert(v4.map(_._1).toSet == Set(3L, 5L, 7L, 9L, 51L), s"v4 feed was $v4")
+
+      // a replacing commit WITHOUT a recorded changelog refuses loudly
+      spark.sql("INSERT OVERWRITE graft_cf.main.t SELECT id + 1000, " +
+        "CAST(id % 2 AS INT) FROM range(4)") // v5: replace
+      val e = intercept[UnsupportedOperationException] {
+        graft.catalog.Snapshots.changesBetween(spark, tableDir, 4L, 5L).collect()
+      }
+      assert(e.getMessage.contains("changelog"))
+      // compaction is content-invariant: empty feed, never a refusal
+      graft.catalog.Snapshots.compact(spark, tableDir)
+      val vNow = graft.catalog.Snapshots.current(
+        tableDir.getFileSystem(spark.sessionState.newHadoopConf()), tableDir).get.version
+      if (vNow > 5L)
+        assert(graft.catalog.Snapshots.changesBetween(spark, tableDir, 5L, vNow).count() == 0)
+    } finally prevH match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
   }
 }

@@ -96,4 +96,35 @@ class FileStatsSpec extends AnyFunSuite {
     assert(FileStats.mightMatch(sources.StringContains("s", "x"), strs("a", "b")))
     assert(FileStats.mightMatch(sources.EqualTo("other", 5), ints(0, 9)))
   }
+  test("string collation: UTF-8 byte order, not UTF-16 code units (r14 wrong-item #1)") {
+    // parquet footer min/max order strings by unsigned UTF-8 bytes, which is
+    // code-point order: a supplementary-plane char (U+10000) sorts ABOVE
+    // U+E000..U+FFFF. UTF-16 code units order them the other way around —
+    // the r14 shape would PROVE such a key out of range and a DELETE would
+    // silently skip its file (the exact silent-miss class the file-group
+    // firewall exists to prevent).
+    val supp = new String(Character.toChars(0x10000))
+    // real footer order: min = U+E000-string (EE 80 80), max = supp (F0 90..)
+    val st = strs("\ue000a", supp + "z")
+    assert(FileStats.mightMatch(sources.EqualTo("s", supp + "m"), st),
+      "a supplementary-plane key inside [min,max] must keep the file")
+    assert(FileStats.mightMatch(sources.GreaterThanOrEqual("s", supp), st))
+    assert(!FileStats.mightMatch(sources.GreaterThan("s", supp + "z"), st))
+    // U+D7FF sorts below U+E000 in BOTH orders: provably absent stays provable
+    assert(!FileStats.mightMatch(sources.EqualTo("s", "\ud7ffq"), st))
+
+    // prefix proof under byte order: max is a supplementary string, so the
+    // file CAN hold U+E000-prefixed keys (UTF-16 said max < prefix: excluded)
+    assert(FileStats.mightMatch(sources.StringStartsWith("s", "\ue000"), st))
+
+    // the successor increments CODE POINTS and skips the surrogate gap: a
+    // last-char-U+D7FF prefix must not produce a lone-surrogate bound
+    // (which UTF-8-encodes as a replacement char and breaks the range)
+    val st2 = strs("a\ud7ff0", "a\ud7ffz")
+    assert(FileStats.mightMatch(sources.StringStartsWith("s", "a\ud7ff"), st2),
+      "files of prefix-matching strings must stay candidates")
+    // and a genuinely-out-of-range file is still provably excludable
+    assert(!FileStats.mightMatch(sources.StringStartsWith("s", "a\ud7ff"),
+      strs("a0", "az")))
+  }
 }

@@ -500,6 +500,43 @@ object ProfileSkew {
     } }
     }
 
+    if (only.contains(15)) {
+    // --- 15. MANIFEST-carried candidacy: planning cost flat in file -----
+    // count (r14 VERDICT ask #1). The footer path pays one driver-side
+    // storage round-trip per data file per DML command (~10^6 at 100 TB);
+    // the snapshot path answers candidacy from ONE manifest already read
+    // at load. Measure a point DELETE against 40-file and 400-file
+    // snapshot tables (expect flat wall-clock, bytes ∝ 1/files) and the
+    // 400-file PLAIN table (footer-pass bar, grows with file count).
+    //   sbt "Test/runMain graft.ProfileSkew 200000 4000000 15"
+    val n15 = 2000000L
+    val profDir15 = java.nio.file.Files.createTempDirectory("prof_cand").toString
+    spark.conf.set("spark.sql.catalog.graft_pc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pc.dir", profDir15)
+    def mkTable(name: String, files: Int, snap: Boolean): Unit = {
+      val props = if (snap) "TBLPROPERTIES ('snapshots'='true') " else ""
+      time(s"fixture $name: $files-file range-clustered CTAS (snap=$snap)") {
+        spark.sql(s"CREATE TABLE graft_pc.main.$name $props AS " +
+          s"SELECT /*+ REPARTITION_BY_RANGE($files, id) */ id, " +
+          s"md5(CAST(id AS STRING)) AS payload FROM range($n15)")
+      }
+    }
+    mkTable("s40", 40, snap = true)
+    mkTable("s400", 400, snap = true)
+    mkTable("p400", 400, snap = false)
+    for (i <- 1 to 2) {
+      time(s"point DELETE, snapshot 40 files (manifest candidacy) #$i") {
+        spark.sql(s"DELETE FROM graft_pc.main.s40 WHERE id = ${1000 + i}")
+      }
+      time(s"point DELETE, snapshot 400 files (manifest candidacy) #$i") {
+        spark.sql(s"DELETE FROM graft_pc.main.s400 WHERE id = ${1000 + i}")
+      }
+      time(s"point DELETE, plain 400 files (footer-pass bar) #$i") {
+        spark.sql(s"DELETE FROM graft_pc.main.p400 WHERE id = ${1000 + i}")
+      }
+    }
+    }
+
     if (only.isEmpty || only.contains(11)) {
     // --- 11. Bloom-sidecar incremental dedup at its DESIGN point --------
     // Large persisted fingerprint state × small mostly-new batch — the

@@ -951,4 +951,59 @@ class StreamingSpec extends SparkSpec {
     assert(members() == Set(2L, 3L))
     q.stop()
   }
+  test("snapshot manifest-tail source: one micro-batch per commit, restart resumes at checkpoint (r15)") {
+    val dir = Files.createTempDirectory("graft-tail").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_tl", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tl.dir", dir)
+    val prevH = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "10")
+    try {
+      spark.sql("CREATE TABLE graft_tl.main.t (v BIGINT, k INT) PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('snapshots'='true')")
+      spark.sql("INSERT INTO graft_tl.main.t SELECT id, CAST(id % 2 AS INT) FROM range(5)")
+
+      val checkpoint = Files.createTempDirectory("graft-tail-ck").toFile.getAbsolutePath
+      val batches = new scala.collection.mutable.ArrayBuffer[(Long, Set[Long])]()
+      def startStream() = spark.readStream
+        .format("graft.streaming.SnapshotTailProvider")
+        .option("path", s"$dir/t")
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.synchronized {
+            batches += ((id, df.collect().map(_.getAs[Long]("v")).toSet))
+          }
+          ()
+        }
+        .start()
+
+      val q = startStream()
+      q.processAllAvailable()
+      // batch 0: the snapshot current at start (the 5 inserted rows)
+      assert(batches.synchronized(batches.toList).map(_._2) == List(Set(0L, 1L, 2L, 3L, 4L)))
+
+      spark.sql("INSERT INTO graft_tl.main.t VALUES (100, 0)")
+      q.processAllAvailable()
+      spark.sql("INSERT INTO graft_tl.main.t VALUES (200, 1), (201, 0)")
+      q.processAllAvailable()
+      q.stop()
+      // one micro-batch per commit, each exactly the added rows
+      assert(batches.synchronized(batches.toList).map(_._2) ==
+        List(Set(0L, 1L, 2L, 3L, 4L), Set(100L), Set(200L, 201L)),
+        s"got ${batches.toList}")
+
+      // restart from the checkpoint: only commits AFTER it appear
+      spark.sql("INSERT INTO graft_tl.main.t VALUES (300, 0)")
+      val q2 = startStream()
+      q2.processAllAvailable()
+      q2.stop()
+      val after = batches.synchronized(batches.toList)
+      assert(after.last._2 == Set(300L), s"restart replayed: $after")
+      assert(after.map(_._2).count(_ == Set(300L)) == 1)
+    } finally prevH match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
 }
