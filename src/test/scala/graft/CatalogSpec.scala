@@ -1803,4 +1803,45 @@ class CatalogSpec extends SparkSpec {
       case None => spark.conf.unset(graft.catalog.History.Key)
     }
   }
+  test("file-DML candidacy reads the MANIFEST: non-candidate footers can be unreadable (r15)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-nofooter")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_nf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_nf.dir", dir)
+    spark.sql("CREATE TABLE graft_nf.main.f TBLPROPERTIES ('snapshots'='true') AS " +
+      "SELECT /*+ REPARTITION_BY_RANGE(4, v) */ id AS v, md5(CAST(id AS STRING)) AS s " +
+      "FROM range(400)")
+    val tableDir = new Path(s"$dir/f")
+    val fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1 = graft.catalog.Snapshots.current(fs, tableDir).get
+    assert(v1.entries.size == 4)
+    // which file holds v=7? the manifest knows — CORRUPT the other three
+    // on disk (garbage bytes, unreadable footers). The r14 footer-pass
+    // shape would die here; the manifest path must neither read them for
+    // candidacy nor for the commit's stats accounting (inherited).
+    val holders = v1.files.collect { case (rel, ref)
+      if graft.catalog.FileStats.mightMatch(
+        org.apache.spark.sql.sources.EqualTo("v", 7L), ref.cols) => rel }.toSet
+    assert(holders.nonEmpty && holders.size < 4, s"bad range layout: $holders")
+    val bystanders = v1.entries.keySet -- holders
+    bystanders.foreach { rel =>
+      val out = fs.create(new Path(tableDir, rel), true)
+      out.write("not parquet at all".getBytes("UTF-8")); out.close()
+    }
+    spark.sql("DELETE FROM graft_nf.main.f WHERE v = 7")
+    val v2 = graft.catalog.Snapshots.current(fs, tableDir).get
+    // the corrupted bystander entries survive BYTE-IDENTICAL in the
+    // manifest, stats INHERITED (never re-read); the holders were replaced
+    assert(v2.entries.keySet.intersect(v1.entries.keySet) == bystanders)
+    assert(bystanders.forall(rel => v2.files(rel) == v1.files(rel)),
+      "non-candidate stats must be inherited, not re-read")
+    // the replacement files hold the holders' rows minus v=7
+    val newRels = (v2.entries.keySet -- v1.entries.keySet).toSeq
+    val rows = spark.read.parquet(newRels.map(r =>
+      new Path(tableDir, r).toString): _*)
+      .select("v").collect().map(_.getLong(0)).toSet
+    assert(!rows.contains(7L))
+    assert(rows.size == holders.toSeq.map(v1.files(_).rows).sum - 1)
+  }
 }
