@@ -92,7 +92,7 @@ object DynamicOverwrite {
 case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
     partCols: Seq[String], query: LogicalPlan,
     invalidate: () => Unit, snapshotted: Boolean = false,
-    baseSnap: Option[Snapshots.Snapshot] = None)
+    baseSnap: Option[Snapshots.Snapshot] = None, changelog: Boolean = false)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[QueryPlan[_]] = Seq(query)
@@ -119,9 +119,30 @@ case class GraftDynamicOverwriteCommand(tableName: String, livePath: String,
         val baseEntries = base.map(_.entries).getOrElse(Map.empty)
         val adopted = Snapshots.adoptStaged(fs, staging, live)
         val entries = baseEntries ++ adopted.map { case (kv, g) => kv -> Seq(g) }
-        try Snapshots.commit(fs, live, base, entries, kind = "replace")
+        // changelog tables record the backfill's row-level diff (replaced
+        // partitions' old generations vs their replacements; new partitions
+        // surface as pure inserts) — cost ∝ the backfill, opt-in
+        val changes =
+          if (!changelog) None
+          else TableMeta.read(fs, live).map { meta =>
+            import org.apache.spark.sql.functions.lit
+            val oldUnits = adopted.keySet.toSeq.sorted
+              .flatMap(kv => baseEntries.getOrElse(kv, Nil).map(g => s"$kv/$g"))
+            val newUnits = adopted.toSeq.map { case (kv, g) => s"$kv/$g" }
+            val oldDf = Snapshots.readUnits(spark, live, meta, oldUnits)
+            val newDf = Snapshots.readUnits(spark, live, meta, newUnits)
+            Snapshots.recordChanges(spark, live,
+              oldDf.exceptAll(newDf).withColumn("_change_op", lit("D"))
+                .unionAll(newDf.exceptAll(oldDf)
+                  .withColumn("_change_op", lit("I"))))
+          }
+        try Snapshots.commit(fs, live, base, entries, kind = "replace",
+          changes = changes)
         catch { case e: ConcurrentCommitException =>
-          Snapshots.dropGens(fs, live, adopted); throw e
+          Snapshots.dropGens(fs, live, adopted)
+          changes.foreach(c => fs.delete(
+            new Path(new Path(live, Snapshots.ChangesDir), c), true))
+          throw e
         }
       } else CommitLock.withLock(fs, live.getParent, live.getName) {
         DynamicOverwrite.backfill(spark, livePath, staging)
@@ -151,7 +172,8 @@ case class GraftDynamicOverwriteRule(spark: SparkSession) extends Rule[LogicalPl
                 s"table; ${t.name()} is ${if (t.writablePath.isEmpty) "read-only"
                 else "unpartitioned (use static INSERT OVERWRITE)"}")
           GraftDynamicOverwriteCommand(t.name(), t.writablePath.get,
-            t.partCols, o.query, t.onWrite, t.snapshotted, t.loadedSnap)
+            t.partCols, o.query, t.onWrite, t.snapshotted, t.loadedSnap,
+            t.changelog)
         case _ => o
       }
   }

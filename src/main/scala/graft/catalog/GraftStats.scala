@@ -444,7 +444,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
           "(CTAS/INSERT targets are directory tables)")
     if (partCols.nonEmpty)
       return new PartitionedV1WriteBuilder(delegate.name, writablePath.get,
-        partCols, onWrite, snapshotted, sortOrder, loadedSnap)
+        partCols, onWrite, snapshotted, sortOrder, loadedSnap, changelog)
     if (snapshotted)
       // unpartitioned SNAPSHOT table (r15): appends and overwrites are
       // manifest commits over file entries — a plain delegate append would
@@ -455,7 +455,8 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
         override def build(): org.apache.spark.sql.connector.write.Write = {
           val w = new SnapshotFilesWrite(delegate.name, writablePath.get,
             info, onWrite, loadedSnap,
-            mode = if (truncating) "replace" else "append").write()
+            mode = if (truncating) "replace" else "append",
+            changelog = changelog).write()
           if (sortOrder.isEmpty) w else new OrderedWrite(w, sortOrder)
         }
       }
@@ -606,7 +607,7 @@ private[catalog] class OpPrefixedFactory(
 private[catalog] class PartitionedV1WriteBuilder(tableName: String,
     livePath: String, partCols: Seq[String], onWrite: () => Unit,
     snapshotted: Boolean = false, sortOrder: Seq[String] = Nil,
-    baseSnap: Option[Snapshots.Snapshot] = None)
+    baseSnap: Option[Snapshots.Snapshot] = None, changelog: Boolean = false)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var truncating = false
@@ -654,16 +655,36 @@ private[catalog] class PartitionedV1WriteBuilder(tableName: String,
               val base = baseSnap
               val baseEntries = base.map(_.entries).getOrElse(Map.empty)
               val adopted = Snapshots.adoptStaged(fs, staging, live)
+              val replacing = truncating || overwriteFlag
               val entries =
-                if (truncating || overwriteFlag)
-                  adopted.map { case (kv, g) => kv -> Seq(g) }
+                if (replacing) adopted.map { case (kv, g) => kv -> Seq(g) }
                 else baseEntries ++ adopted.map { case (kv, g) =>
                   kv -> (baseEntries.getOrElse(kv, Nil) :+ g)
                 }
+              // changelog tables record the overwrite's row-level diff
+              // (appends need no recording: the feed synthesizes them)
+              val changes =
+                if (!changelog || !replacing) None
+                else TableMeta.read(fs, live).map { meta =>
+                  import org.apache.spark.sql.functions.lit
+                  val oldUnits = base.map(_.relDirs).getOrElse(Nil)
+                  val newUnits = adopted.toSeq.map { case (kv, g) => s"$kv/$g" }
+                  val spark = data.sparkSession
+                  val oldDf = Snapshots.readUnits(spark, live, meta, oldUnits)
+                  val newDf = Snapshots.readUnits(spark, live, meta, newUnits)
+                  Snapshots.recordChanges(spark, live,
+                    oldDf.exceptAll(newDf).withColumn("_change_op", lit("D"))
+                      .unionAll(newDf.exceptAll(oldDf)
+                        .withColumn("_change_op", lit("I"))))
+                }
               try Snapshots.commit(fs, live, base, entries,
-                kind = if (truncating || overwriteFlag) "replace" else "append")
+                kind = if (replacing) "replace" else "append",
+                changes = changes)
               catch { case e: ConcurrentCommitException =>
-                Snapshots.dropGens(fs, live, adopted); throw e
+                Snapshots.dropGens(fs, live, adopted)
+                changes.foreach(c => fs.delete(
+                  new Path(new Path(live, Snapshots.ChangesDir), c), true))
+                throw e
               }
             } finally {
               fs.delete(staging, true)
@@ -911,7 +932,8 @@ private[catalog] class SnapshotFilesWrite(tableName: String, livePath: String,
                 (baseEntries ++ Snapshots.fileEntries(newRels), "append",
                   Seq.empty[String])
               case "replace" =>
-                (Snapshots.fileEntries(newRels), "replace", Seq.empty[String])
+                (Snapshots.fileEntries(newRels), "replace",
+                  baseSnap.map(_.relDirs).getOrElse(Nil))
               case "rowlevel" => fileScope() match {
                 case Some(doomed) =>
                   val rels = doomed.toSeq.map(relOf).sorted
@@ -928,7 +950,7 @@ private[catalog] class SnapshotFilesWrite(tableName: String, livePath: String,
             // files against their replacement, record BEFORE the commit so
             // the manifest either references the feed or nothing dangles
             val changes =
-              if (!changelog || kind != "rowlevel") None
+              if (!changelog || kind == "append") None
               else TableMeta.read(filesystem, live).map { meta =>
                 import org.apache.spark.sql.functions.lit
                 val oldDf = Snapshots.readUnits(spark, live, meta, doomedRels)
@@ -1040,26 +1062,23 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long,
     */
   private def pruneBySnapshotStats(scan: ParquetScan): ParquetScan = {
     val (snap, root) = snapInfo.getOrElse(return scan)
-    if (snap.files.isEmpty) return scan
     val pushed = scan.pushedFilters
     if (pushed.isEmpty) return scan
     val units = snap.relDirs
-    // group per-file stats by their unit (file entries are their own unit)
-    val byUnit = snap.files.toSeq.groupBy { case (f, _) =>
-      val i = f.lastIndexOf('/')
-      val parent = if (i < 0) "" else f.substring(0, i)
-      if (units.contains(f)) f else parent
-    }
+    if (units.isEmpty) return scan
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
     val surviving = units.filter { u =>
-      byUnit.get(u) match {
+      Snapshots.unitStats(fs, rootPath, u) match {
         case Some(fl) =>
-          // integrity: the manifest must account for ALL of the unit's
+          // integrity: the sidecar must account for ALL of the unit's
           // rows, else some file predates stats accounting — keep
-          val accounted = snap.rows.get(u).forall(_ == fl.map(_._2.rows).sum)
-          !accounted || fl.exists { case (_, ref) =>
+          val accounted = snap.rows.get(u).forall(_ == fl.values.map(_.rows).sum)
+          !accounted || fl.values.exists { ref =>
             ref.rows != 0 && pushed.forall(f => FileStats.mightMatch(f, ref.cols))
           }
-        case None => true // no per-file stats for this unit: keep
+        case None => true // no sidecar for this unit: keep
       }
     }
     if (surviving.length == units.length) return scan

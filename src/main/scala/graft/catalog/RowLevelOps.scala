@@ -172,13 +172,13 @@ private[catalog] class GroupScopedScanBuilder(delegate: ParquetScanBuilder,
     val all = base.fileIndex.allFiles()
     val cands =
       if (snapshotted) {
-        val snap = baseSnap.getOrElse(return None)
-        val fs = new Path(livePath).getFileSystem(spark.sessionState.newHadoopConf())
-        val rootStr = fs.makeQualified(new Path(livePath)).toString
+        val live = new Path(livePath)
+        val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+        val rootStr = fs.makeQualified(live).toString
         all.filter { st =>
           val rel = fs.makeQualified(st.getPath).toString
             .stripPrefix(rootStr).stripPrefix("/")
-          snap.files.get(rel) match {
+          Snapshots.statsOf(fs, live, rel) match {
             case Some(ref) =>
               ref.rows != 0 && v1.forall(f => FileStats.mightMatch(f, ref.cols))
             case None => true // predates stats accounting: stay a candidate

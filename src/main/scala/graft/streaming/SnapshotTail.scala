@@ -7,6 +7,8 @@ import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
+import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
 import graft.catalog.{Snapshots, TableMeta}
 
 /** Structured Streaming source that TAILS a snapshot table's manifest log
@@ -46,6 +48,15 @@ class SnapshotTailProvider extends StreamSourceProvider {
     new Path(parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft snapshot tail source requires option 'path' (a snapshot table dir)")))
 
+  /** `feed=changes` (opt-in): serve the row-level CHANGE feed instead of
+    * added rows — each micro-batch is `Snapshots.changesBetween` for its
+    * version range (recorded row-level ops, synthesized appends/removals),
+    * with `_change_op`/`_change_version` columns appended. The very first
+    * batch serves the whole current snapshot as 'I' rows (initial load).
+    */
+  private def changesMode(parameters: Map[String, String]): Boolean =
+    parameters.get("feed").exists(_.equalsIgnoreCase("changes"))
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) = {
     val dir = tableDir(parameters)
@@ -54,18 +65,25 @@ class SnapshotTailProvider extends StreamSourceProvider {
       s"$dir is not a graft table (no ${TableMeta.FileName})"))
     require(meta.snapshots, s"$dir is not a snapshot table — the tail source " +
       "rides manifest versions; create with TBLPROPERTIES ('snapshots'='true')")
-    ("graft-snapshot-tail", schema.getOrElse(meta.schema))
+    val base = schema.getOrElse(meta.schema)
+    val served =
+      if (!changesMode(parameters)) base
+      else StructType(base.fields :+ StructField("_change_op", StringType) :+
+        StructField("_change_version", LongType))
+    ("graft-snapshot-tail", served)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotTailSource(sqlContext, tableDir(parameters),
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      changesMode(parameters))
 }
 
 class SnapshotTailSource(sqlContext: SQLContext, tableDir: Path,
-    override val schema: StructType) extends Source {
+    override val schema: StructType, changesFeed: Boolean = false)
+    extends Source {
 
   private def spark = sqlContext.sparkSession
   private def fs = tableDir.getFileSystem(spark.sessionState.newHadoopConf())
@@ -98,7 +116,15 @@ class SnapshotTailSource(sqlContext: SQLContext, tableDir: Path,
     val fromV = start.map(versionOf).getOrElse(0L)
     // recovery: a restarted query's checkpoint is the authoritative cursor
     cursor = Some(math.max(toV, cursor.getOrElse(0L)))
-    val batch = Snapshots.addedBetween(spark, tableDir, fromV, toV)
+    val batch =
+      if (!changesFeed) Snapshots.addedBetween(spark, tableDir, fromV, toV)
+      else if (fromV <= 0L) {
+        // initial load: the whole snapshot at toV, as inserts
+        import org.apache.spark.sql.functions.lit
+        Snapshots.addedBetween(spark, tableDir, 0L, toV)
+          .withColumn("_change_op", lit("I"))
+          .withColumn("_change_version", lit(toV))
+      } else Snapshots.changesBetween(spark, tableDir, fromV, toV)
     // v1 Source contract: the returned frame must be flagged streaming —
     // wrap the batch plan's rows (lazily) under this source's schema
     org.apache.spark.sql.GraftSqlShims.streamingDataFrame(spark,

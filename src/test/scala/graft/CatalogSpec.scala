@@ -1539,9 +1539,11 @@ class CatalogSpec extends SparkSpec {
       val v1 = graft.catalog.Snapshots.current(fs, tableDir).get
       assert(v1.entries.size == 4, s"expected 4 file entries, got ${v1.entries}")
       assert(v1.entries.keySet.forall(k => !k.contains("=")), "file keys carry no kv")
-      // manifest carries per-file stats for the data columns
-      assert(v1.files.size == 4)
-      assert(v1.files.values.forall(_.cols.contains("v")))
+      // the generation's stats sidecar carries per-file column bounds
+      val refs = v1.entries.keySet.toSeq
+        .flatMap(rel => graft.catalog.Snapshots.statsOf(fs, tableDir, rel))
+      assert(refs.size == 4)
+      assert(refs.forall(_.cols.contains("v")))
       assert(v1.totalRows.contains(40L))
 
       // point DELETE: manifest-stats candidacy pins exactly one file
@@ -1567,14 +1569,23 @@ class CatalogSpec extends SparkSpec {
       assert(v3.entries.keySet.intersect(v2.entries.keySet) == v2.entries.keySet)
       assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 41)
 
-      // UPDATE through the same file-scoped path: only matching files rewrite
+      // UPDATE through the same file-scoped path: candidacy from the FRESH
+      // generation's sidecar (written by the insert commit moments ago)
+      // pins exactly the v=100 holder — every other file entry, CTAS-era
+      // and freshly-inserted alike, survives byte-identical
       spark.sql("UPDATE graft_sf.main.f SET s = 'upd' WHERE v = 100")
       assert(spark.sql("SELECT s FROM graft_sf.main.f WHERE v = 100")
         .head().getString(0) == "upd")
       assert(spark.sql("SELECT count(*) FROM graft_sf.main.f").head().getLong(0) == 41)
       val v4 = graft.catalog.Snapshots.current(fs, tableDir).get
-      // the four original data files (minus the one deleted from) survive
-      assert(v4.entries.keySet.intersect(v2.entries.keySet).size >= 3)
+      val holders100 = v3.entries.keySet.filter { rel =>
+        graft.catalog.Snapshots.statsOf(fs, tableDir, rel).forall(ref =>
+          graft.catalog.FileStats.mightMatch(
+            org.apache.spark.sql.sources.EqualTo("v", 100L), ref.cols))
+      }
+      assert(v4.entries.keySet.intersect(v3.entries.keySet) ==
+        v3.entries.keySet -- holders100,
+        s"UPDATE must rewrite exactly the candidate files ($holders100)")
 
       // TRUNCATE is one empty manifest; the table stays loadable + insertable
       spark.sql("TRUNCATE TABLE graft_sf.main.f")
@@ -1785,11 +1796,26 @@ class CatalogSpec extends SparkSpec {
       assert(v4.map(_._2).toSet == Set("D"))
       assert(v4.map(_._1).toSet == Set(3L, 5L, 7L, 9L, 51L), s"v4 feed was $v4")
 
-      // a replacing commit WITHOUT a recorded changelog refuses loudly
+      // replacing commits on a changelog table RECORD their diff too
       spark.sql("INSERT OVERWRITE graft_cf.main.t SELECT id + 1000, " +
-        "CAST(id % 2 AS INT) FROM range(4)") // v5: replace
+        "CAST(id % 2 AS INT) FROM range(4)") // v5: replace, recorded
+      val v5 = graft.catalog.Snapshots.changesBetween(spark, tableDir, 4L, 5L)
+        .collect().map(r => (r.getAs[Long]("v"), r.getAs[String]("_change_op")))
+      assert(v5.filter(_._2 == "D").map(_._1).toSet ==
+        Set(2L, 4L, 6L, 8L, 100L), s"v5 deletes: ${v5.toSeq}")
+      assert(v5.filter(_._2 == "I").map(_._1).toSet ==
+        Set(1000L, 1001L, 1002L, 1003L), s"v5 inserts: ${v5.toSeq}")
+
+      // a replacing commit WITHOUT changelog opted in refuses loudly
+      spark.sql("CREATE TABLE graft_cf.main.nolog (v BIGINT, k INT) " +
+        "PARTITIONED BY (k) TBLPROPERTIES ('snapshots'='true')")
+      spark.sql("INSERT INTO graft_cf.main.nolog SELECT id, CAST(id % 2 AS INT) " +
+        "FROM range(4)")
+      spark.sql("INSERT OVERWRITE graft_cf.main.nolog SELECT id + 10, " +
+        "CAST(id % 2 AS INT) FROM range(4)")
+      val nologDir = new Path(s"$dir/nolog")
       val e = intercept[UnsupportedOperationException] {
-        graft.catalog.Snapshots.changesBetween(spark, tableDir, 4L, 5L).collect()
+        graft.catalog.Snapshots.changesBetween(spark, nologDir, 2L, 3L).collect()
       }
       assert(e.getMessage.contains("changelog"))
       // compaction is content-invariant: empty feed, never a refusal
@@ -1820,9 +1846,12 @@ class CatalogSpec extends SparkSpec {
     // on disk (garbage bytes, unreadable footers). The r14 footer-pass
     // shape would die here; the manifest path must neither read them for
     // candidacy nor for the commit's stats accounting (inherited).
-    val holders = v1.files.collect { case (rel, ref)
-      if graft.catalog.FileStats.mightMatch(
-        org.apache.spark.sql.sources.EqualTo("v", 7L), ref.cols) => rel }.toSet
+    def statsOf(rel: String) =
+      graft.catalog.Snapshots.statsOf(fs, tableDir, rel).get
+    val holders = v1.entries.keySet.filter { rel =>
+      graft.catalog.FileStats.mightMatch(
+        org.apache.spark.sql.sources.EqualTo("v", 7L), statsOf(rel).cols)
+    }
     assert(holders.nonEmpty && holders.size < 4, s"bad range layout: $holders")
     val bystanders = v1.entries.keySet -- holders
     bystanders.foreach { rel =>
@@ -1832,16 +1861,17 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM graft_nf.main.f WHERE v = 7")
     val v2 = graft.catalog.Snapshots.current(fs, tableDir).get
     // the corrupted bystander entries survive BYTE-IDENTICAL in the
-    // manifest, stats INHERITED (never re-read); the holders were replaced
+    // manifest with their sidecar stats untouched (never re-read); the
+    // holders were replaced
     assert(v2.entries.keySet.intersect(v1.entries.keySet) == bystanders)
-    assert(bystanders.forall(rel => v2.files(rel) == v1.files(rel)),
-      "non-candidate stats must be inherited, not re-read")
+    assert(bystanders.forall(rel => v2.rows(rel) == v1.rows(rel)),
+      "non-candidate row accounting must be inherited, not re-read")
     // the replacement files hold the holders' rows minus v=7
     val newRels = (v2.entries.keySet -- v1.entries.keySet).toSeq
     val rows = spark.read.parquet(newRels.map(r =>
       new Path(tableDir, r).toString): _*)
       .select("v").collect().map(_.getLong(0)).toSet
     assert(!rows.contains(7L))
-    assert(rows.size == holders.toSeq.map(v1.files(_).rows).sum - 1)
+    assert(rows.size == holders.toSeq.map(statsOf(_).rows).sum - 1)
   }
 }

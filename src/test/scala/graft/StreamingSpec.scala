@@ -1006,4 +1006,52 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset(graft.catalog.History.Key)
     }
   }
+  test("snapshot tail feed=changes: row-level op stream per commit (r15)") {
+    val dir = Files.createTempDirectory("graft-tailc").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graft_tc", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_tc.dir", dir)
+    val prevH = spark.conf.getOption(graft.catalog.History.Key)
+    spark.conf.set(graft.catalog.History.Key, "10")
+    try {
+      spark.sql("CREATE TABLE graft_tc.main.t (v BIGINT, k INT) PARTITIONED BY (k) " +
+        "TBLPROPERTIES ('snapshots'='true', 'changelog'='true')")
+      spark.sql("INSERT INTO graft_tc.main.t SELECT id, CAST(id % 2 AS INT) FROM range(4)")
+
+      val checkpoint = Files.createTempDirectory("graft-tailc-ck").toFile.getAbsolutePath
+      val batches = new scala.collection.mutable.ArrayBuffer[Set[(Long, String)]]()
+      val q = spark.readStream
+        .format("graft.streaming.SnapshotTailProvider")
+        .option("path", s"$dir/t")
+        .option("feed", "changes")
+        .load()
+        .writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches.synchronized {
+            batches += df.collect().map(r =>
+              (r.getAs[Long]("v"), r.getAs[String]("_change_op"))).toSet
+          }
+          ()
+        }
+        .start()
+      q.processAllAvailable()
+      // initial load: the whole current snapshot as inserts
+      assert(batches.synchronized(batches.toList) ==
+        List((0L to 3L).map(v => (v, "I")).toSet))
+
+      // an UPDATE commit streams as a D(old)+I(new) pair
+      spark.sql("UPDATE graft_tc.main.t SET v = v + 100 WHERE v = 2")
+      q.processAllAvailable()
+      // a partition-predicate DELETE streams as synthesized deletes
+      spark.sql("DELETE FROM graft_tc.main.t WHERE k = 1")
+      q.processAllAvailable()
+      q.stop()
+      val got = batches.synchronized(batches.toList)
+      assert(got(1) == Set((2L, "D"), (102L, "I")), s"update batch: ${got(1)}")
+      assert(got(2) == Set((1L, "D"), (3L, "D")), s"delete batch: ${got(2)}")
+    } finally prevH match {
+      case Some(v) => spark.conf.set(graft.catalog.History.Key, v)
+      case None => spark.conf.unset(graft.catalog.History.Key)
+    }
+  }
 }

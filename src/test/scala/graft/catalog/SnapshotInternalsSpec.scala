@@ -69,25 +69,27 @@ class SnapshotInternalsSpec extends graft.SparkSpec {
     } finally prev.foreach(spark.conf.set(History.Key, _))
   }
 
-  test("manifest wire format round-trips per-file stats of every value family") {
+  test("manifest + stats-sidecar wire formats round-trip every value family") {
     val snap = Snapshots.Snapshot(7L, 123456789L,
       entries = Map("k=a" -> Seq("gen-x"), "gen-y/f.parquet" -> Nil),
       rows = Map("k=a/gen-x" -> 10L, "gen-y/f.parquet" -> 3L),
-      files = Map(
-        "k=a/gen-x/p0.parquet" -> Snapshots.FileRef(10L, Map(
-          "i" -> FileStats.ColStats(Some(Int.box(-3)), Some(Int.box(9)), false, false),
-          "l" -> FileStats.ColStats(Some(Long.box(1L)), Some(Long.box(99L)), true, false),
-          "f" -> FileStats.ColStats(Some(Float.box(0.5f)), Some(Float.box(2.5f)), false, false),
-          "d" -> FileStats.ColStats(Some(Double.box(-1.25)), Some(Double.box(3.5)), false, false),
-          "b" -> FileStats.ColStats(Some(Boolean.box(false)), Some(Boolean.box(true)), false, false),
-          "dt" -> FileStats.ColStats(Some(java.time.LocalDate.parse("2021-03-04")),
-            Some(java.time.LocalDate.parse("2022-05-06")), false, false),
-          "s" -> FileStats.ColStats(Some("a\"b\\c"), Some("z"), true, false),
-          "unknown" -> FileStats.ColStats(None, None, true, true))),
-        "gen-y/f.parquet" -> Snapshots.FileRef(3L, Map.empty)),
       kind = "rowlevel", changes = Some("chg-abc123"))
     val back = Snapshots.parse(Snapshots.render(snap))
     assert(back == snap, s"round-trip mismatch:\n$back\nvs\n$snap")
+    val stats = Map(
+      "p0.parquet" -> Snapshots.FileRef(10L, Map(
+        "i" -> FileStats.ColStats(Some(Int.box(-3)), Some(Int.box(9)), false, false),
+        "l" -> FileStats.ColStats(Some(Long.box(1L)), Some(Long.box(99L)), true, false),
+        "f" -> FileStats.ColStats(Some(Float.box(0.5f)), Some(Float.box(2.5f)), false, false),
+        "d" -> FileStats.ColStats(Some(Double.box(-1.25)), Some(Double.box(3.5)), false, false),
+        "b" -> FileStats.ColStats(Some(Boolean.box(false)), Some(Boolean.box(true)), false, false),
+        "dt" -> FileStats.ColStats(Some(java.time.LocalDate.parse("2021-03-04")),
+          Some(java.time.LocalDate.parse("2022-05-06")), false, false),
+        "s" -> FileStats.ColStats(Some("a\"b\\c"), Some("z"), true, false),
+        "unknown" -> FileStats.ColStats(None, None, true, true))),
+      "p1.parquet" -> Snapshots.FileRef(3L, Map.empty))
+    val backStats = Snapshots.parseStats(Snapshots.renderStats(stats))
+    assert(backStats == stats, s"stats round-trip mismatch:\n$backStats\nvs\n$stats")
   }
 
   test("footer stats: a stats-less block poisons bounds regardless of order; all-null blocks don't") {
