@@ -63,7 +63,10 @@ object Bench {
     "q_catalog_delete_part", "q_catalog_merge_part", "q_catalog_spj",
     "q_catalog_timetravel", "q_catalog_bucketed",
     "q_catalog_timetravel_part", "q_catalog_snap_dml", "q_catalog_snap_changes",
-    "q_catalog_snap_file", "q_catalog_cdf")
+    "q_catalog_snap_file", "q_catalog_cdf",
+    // r15 deletion vectors + bloom skipping: merge-on-read DELETE,
+    // synthesized change feed, unclustered point-delete candidacy
+    "q_catalog_dv", "q_catalog_dv_changes", "q_catalog_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -580,7 +580,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // — commits pass it as the OCC base, so a writer landing between this
       // load and a commit is DETECTED, never silently absorbed (r14 ADVICE)
       loadedSnap = snap,
-      changelog = meta.exists(_.changelog))
+      changelog = meta.exists(_.changelog),
+      dvEnabled = meta.exists(_.deletionVectors),
+      // the dv read-rewrite anchor: set only for full-layout loads (a
+      // sampled catalog's deliberate file prefix must not be re-expanded,
+      // so its reads keep the raw prefix — sampling is approximate by
+      // contract and this is documented there)
+      tableRoot = if (isDir && samplingBytes.isEmpty) Some(path.toString) else None,
+      bloomCols = meta.map(_.bloomCols).getOrElse(Nil))
     cache.put(key, (now, wrapped))
     wrapped
   }
@@ -654,8 +661,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val conf = hadoopConf
     lazy val rows = snap.totalRows.getOrElse(
       dirs.map(d => ParquetFooters.rowCount(new Path(d), conf)).sum)
-    // read-only: no writablePath, so every mutation of a snapshot refuses
-    new GraftTable(t, () => rows, partCols = m.partitionCols)
+    // read-only: no writablePath, so every mutation of a snapshot refuses.
+    // loadedSnap + tableRoot carry the version's deletion vectors so the
+    // dv read-rewrite serves its exact historical live view.
+    new GraftTable(t, () => rows, partCols = m.partitionCols,
+      loadedSnap = Some(snap), tableRoot = Some(path.toString))
   }
 
   private def loadSnapshot(ident: Identifier,
@@ -802,6 +812,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     on
   }
 
+  /** `TBLPROPERTIES ('deletion_vectors'='true')` (r15): DELETE commits
+    * merge-on-read position vectors instead of rewriting candidate files —
+    * see [[DeletionVectors]]. Requires snapshots: the vectors ride the
+    * manifest.
+    */
+  private def deletionVectorsRequested(snapshots: Boolean,
+      properties: java.util.Map[String, String]): Boolean = {
+    val on = java.lang.Boolean.parseBoolean(
+      Option(properties.get("deletion_vectors")).getOrElse("false"))
+    if (on && !snapshots)
+      throw new UnsupportedOperationException(
+        "TBLPROPERTIES ('deletion_vectors'='true') requires 'snapshots'='true' — " +
+          "the vectors are referenced from the manifest")
+    on
+  }
+
+  /** `TBLPROPERTIES ('bloom_cols'='c1,c2' [, 'bloom_fpp'='0.001'])`
+    * (r15): per-file Bloom filters for point-lookup candidacy/pruning on
+    * unclustered columns — see [[BloomSkip]]. Requires snapshots;
+    * integral/string columns only (the put/probe encoding must agree
+    * exactly); partition columns excluded (their value binds off the kv
+    * path — nothing to probe).
+    */
+  private def bloomColsRequested(schema: StructType, partCols: Seq[String],
+      snapshots: Boolean,
+      properties: java.util.Map[String, String]): (Seq[String], Double) = {
+    val cols = Option(properties.get("bloom_cols")).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    if (cols.isEmpty) return (Nil, 0.001)
+    if (!snapshots)
+      throw new UnsupportedOperationException(
+        "TBLPROPERTIES ('bloom_cols'=...) requires 'snapshots'='true' — " +
+          "the bloom sidecars ride the generation layout")
+    cols.foreach { c =>
+      val field = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(s"bloom_cols column $c not in schema"))
+      if (partCols.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"bloom_cols column $c is a partition column — its value binds " +
+            "off the directory path, nothing to probe")
+      if (!BloomSkip.supportedType(field.dataType))
+        throw new IllegalArgumentException(
+          s"bloom_cols column $c has type ${field.dataType.simpleString} — " +
+            "only integral and string columns probe exactly")
+    }
+    val fpp = Option(properties.get("bloom_fpp")).map(_.trim.toDouble)
+      .getOrElse(0.001)
+    require(fpp > 0 && fpp < 0.5, s"bloom_fpp $fpp out of (0, 0.5)")
+    (cols, fpp)
+  }
+
   /** `TBLPROPERTIES ('sort_order'='c1,c2')` (r14, VERDICT ask #6):
     * validated against the schema; partition columns are excluded (their
     * value is constant within a file — nothing to sort).
@@ -825,6 +886,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
     val changelog = changelogRequested(snapshots, properties)
+    val dv = deletionVectorsRequested(snapshots, properties)
+    val (bloomCols, bloomFpp) =
+      bloomColsRequested(schema, partCols, snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
     val target = new Path(nsDir(ident.namespace), ident.name)
@@ -835,7 +899,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       fs.mkdirs(target)
       TableMeta.write(fs, target,
         TableMeta(canonicalSchema(schema, partCols), partCols,
-          snapshots = snapshots, sortOrder = sortOrder, changelog = changelog))
+          snapshots = snapshots, sortOrder = sortOrder, changelog = changelog,
+          deletionVectors = dv, bloomCols = bloomCols, bloomFpp = bloomFpp))
       if (snapshots) Snapshots.commit(fs, target, None, Map.empty, kind = "init")
     } else {
       writeEmpty(schema, target)
@@ -1027,10 +1092,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partCols = requireWritableTarget(ident, partitions)
     val snapshots = snapshotsRequested(partCols, properties)
     val changelog = changelogRequested(snapshots, properties)
+    val dv = deletionVectorsRequested(snapshots, properties)
     val sortOrder = sortOrderRequested(schema, partCols, properties)
     prepareCreate(ident)
     staged(ident, schema, partCols, replace = false, snapshots, sortOrder,
-      changelog)
+      changelog, dv, bloomColsRequested(schema, partCols, snapshots, properties))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -1046,7 +1112,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
     staged(ident, schema, partCols, replace = true, snapshots, sortOrder,
-      changelog)
+      changelog, deletionVectorsRequested(snapshots, properties),
+      bloomColsRequested(schema, partCols, snapshots, properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -1061,18 +1128,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tablePath(ident.namespace, ident.name).isEmpty)
       recoverAside(ident.namespace, ident.name)
     staged(ident, schema, partCols, replace = true, snapshots, sortOrder,
-      changelog)
+      changelog, deletionVectorsRequested(snapshots, properties),
+      bloomColsRequested(schema, partCols, snapshots, properties))
   }
 
   private def staged(ident: Identifier, schema: StructType,
       partCols: Seq[String], replace: Boolean, snapshots: Boolean,
-      sortOrder: Seq[String], changelog: Boolean): StagedTable = {
+      sortOrder: Seq[String], changelog: Boolean,
+      deletionVectors: Boolean = false,
+      blooms: (Seq[String], Double) = (Nil, 0.001)): StagedTable = {
     val base = nsDir(ident.namespace)
     val staging = new Path(base,
       s".staging-${ident.name}-${java.util.UUID.randomUUID().toString.take(8)}")
     new GraftStagedTable(ident, canonicalSchema(schema, partCols), staging,
       new Path(base, ident.name), replace, this, partCols, snapshots, sortOrder,
-      changelog)
+      changelog, deletionVectors, blooms)
   }
 
   /** Finalize a staged CTAS: ensure the staging dir carries at least one
@@ -1084,13 +1154,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[catalog] def commitStaged(ident: Identifier, schema: StructType,
       staging: Path, target: Path, replace: Boolean,
       partCols: Seq[String], snapshots: Boolean = false,
-      sortOrder: Seq[String] = Nil, changelog: Boolean = false): Unit = {
+      sortOrder: Seq[String] = Nil, changelog: Boolean = false,
+      deletionVectors: Boolean = false,
+      blooms: (Seq[String], Double) = (Nil, 0.001)): Unit = {
     val filesystem = fs
     if (!filesystem.exists(staging)) filesystem.mkdirs(staging)
     if (partCols.nonEmpty || sortOrder.nonEmpty || snapshots)
       TableMeta.write(filesystem, staging,
         TableMeta(schema, partCols, snapshots = snapshots,
-          sortOrder = sortOrder, changelog = changelog))
+          sortOrder = sortOrder, changelog = changelog,
+          deletionVectors = deletionVectors,
+          bloomCols = blooms._1, bloomFpp = blooms._2))
     if (partCols.isEmpty && !snapshots) {
       val hasData = filesystem.listStatus(staging)
         .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -1147,7 +1221,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructType,
     staging: Path, target: Path, replace: Boolean, catalog: GraftCatalog,
     partCols: Seq[String] = Nil, snapshots: Boolean = false,
-    sortOrder: Seq[String] = Nil, changelog: Boolean = false)
+    sortOrder: Seq[String] = Nil, changelog: Boolean = false,
+    deletionVectors: Boolean = false,
+    blooms: (Seq[String], Double) = (Nil, 0.001))
     extends StagedTable with SupportsWrite {
 
   private def delegate = ParquetTable(
@@ -1203,7 +1279,7 @@ private[catalog] class GraftStagedTable(ident: Identifier, tableSchema: StructTy
     }
   override def commitStagedChanges(): Unit =
     catalog.commitStaged(ident, tableSchema, staging, target, replace,
-      partCols, snapshots, sortOrder, changelog)
+      partCols, snapshots, sortOrder, changelog, deletionVectors, blooms)
   override def abortStagedChanges(): Unit = catalog.abortStaged(staging)
 }
 

@@ -67,7 +67,13 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val partCols: Seq[String] = Nil, val snapshotted: Boolean = false,
     val sortOrder: Seq[String] = Nil,
     val loadedSnap: Option[Snapshots.Snapshot] = None,
-    val changelog: Boolean = false)
+    val changelog: Boolean = false,
+    val dvEnabled: Boolean = false,
+    // the table's root directory whenever the load serves the FULL layout
+    // (unset for sampled catalogs, whose deliberate file prefix must not
+    // be re-expanded) — the anchor for deletion-vector reads/commits
+    val tableRoot: Option[String] = None,
+    val bloomCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -89,9 +95,12 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     * retention primitive: `DELETE FROM events WHERE day < '2020-01-01'`
     * costs one directory listing and k renames, not a table rewrite.
     */
-  override def canDeleteWhere(predicates: Array[
+  /** All predicates are partition-column-only and directory-evaluable —
+    * the metadata-only (entry-drop / directory-drop) DELETE shape.
+    */
+  private def partitionOnlyDelete(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
-    if (writablePath.isEmpty || partCols.isEmpty) return false
+    if (partCols.isEmpty) return false
     val ps = partSchema
     if (ps.length != partCols.length ||
         !ps.fields.forall(f => PartitionDirs.supportedType(f.dataType)))
@@ -101,6 +110,19 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       org.apache.spark.sql.GraftSqlShims.predicateToV1(p)
         .exists(f => PartitionDirs.canEval(f, names))
     }
+  }
+
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean = {
+    if (writablePath.isEmpty) return false
+    if (partitionOnlyDelete(predicates)) return true
+    // deletion-vector tables (r15) additionally accept any predicate the
+    // dv path can compile to a DataFrame filter: the DELETE becomes one
+    // tiny position-vector commit instead of a copy-on-write rewrite
+    dvEnabled && snapshotted && loadedSnap.isDefined &&
+      predicates.forall(p =>
+        org.apache.spark.sql.GraftSqlShims.predicateToV1(p)
+          .exists(DeletionVectors.compilable))
   }
 
   override def deleteWhere(predicates: Array[
@@ -114,6 +136,18 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val spark = org.apache.spark.sql.SparkSession.active
     val live = new Path(livePath)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!partitionOnlyDelete(predicates)) {
+      // deletion-vector path (r15): canDeleteWhere only accepts non-
+      // partition-only predicates when the table opted into dvs, so this
+      // is that shape — one position-vector parquet + one manifest commit
+      val meta = TableMeta.read(fs, live).getOrElse(
+        throw new IllegalStateException(s"$live: dv table lost its sidecar"))
+      DeletionVectors.deleteWhere(spark, live, meta,
+        loadedSnap.getOrElse(throw new IllegalStateException(
+          s"$live: dv DELETE without a loaded snapshot")), filters)
+      onWrite()
+      return
+    }
     if (snapshotted) {
       // manifest edit only: doomed entries vanish from the next snapshot
       // ATOMICALLY across partitions; the generation dirs stay on disk for
@@ -406,6 +440,8 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
     val m = new java.util.HashMap[String, String](delegate.properties())
     if (snapshotted) m.put("snapshots", "true")
     if (changelog) m.put("changelog", "true")
+    if (dvEnabled) m.put("deletion_vectors", "true")
+    if (bloomCols.nonEmpty) m.put("bloom_cols", bloomCols.mkString(","))
     if (sortOrder.nonEmpty) m.put("sort_order", sortOrder.mkString(","))
     m
   }
@@ -1075,8 +1111,12 @@ class GraftScanBuilder(delegate: ParquetScanBuilder, rowCount: () => Long,
           // integrity: the sidecar must account for ALL of the unit's
           // rows, else some file predates stats accounting — keep
           val accounted = snap.rows.get(u).forall(_ == fl.values.map(_.rows).sum)
-          !accounted || fl.values.exists { ref =>
-            ref.rows != 0 && pushed.forall(f => FileStats.mightMatch(f, ref.cols))
+          !accounted || fl.exists { case (rel, ref) =>
+            ref.rows != 0 &&
+              pushed.forall(f => FileStats.mightMatch(f, ref.cols)) && {
+                val bl = BloomSkip.forFile(fs, rootPath, rel)
+                pushed.forall(f => BloomSkip.mightMatch(f, bl))
+              }
           }
         case None => true // no sidecar for this unit: keep
       }

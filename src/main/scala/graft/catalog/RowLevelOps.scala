@@ -76,6 +76,19 @@ private[catalog] class GraftRowLevelOperation(delegate: ParquetTable,
   override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
+        // RESURRECTION FIREWALL (r15): a copy-on-write group scan reads
+        // every physical row of its candidate groups — including rows a
+        // live deletion vector already deleted — and the replacement would
+        // write them back. Refuse while vectors are live; one compaction
+        // materializes them and copy-on-write works again. (A dv-table
+        // DELETE with a pushable predicate never reaches here — the
+        // optimizer downgrades it to the metadata/dv deleteWhere path.)
+        if (baseSnap.exists(_.dvs.nonEmpty))
+          throw new UnsupportedOperationException(
+            s"${info.command()} on ${delegate.name}: the table has live " +
+              "deletion vectors, and a copy-on-write rewrite would " +
+              "resurrect the deleted rows. Run Snapshots.compact (or " +
+              "CALL-site compaction) to materialize the vectors first.")
         val inner =
           if (partCols.isEmpty && snapshotted)
             // file-level manifest commit: candidate files out, rewrite in,
@@ -180,7 +193,14 @@ private[catalog] class GroupScopedScanBuilder(delegate: ParquetScanBuilder,
             .stripPrefix(rootStr).stripPrefix("/")
           Snapshots.statsOf(fs, live, rel) match {
             case Some(ref) =>
-              ref.rows != 0 && v1.forall(f => FileStats.mightMatch(f, ref.cols))
+              ref.rows != 0 &&
+                v1.forall(f => FileStats.mightMatch(f, ref.cols)) && {
+                  // bloom probe (r15): point lookups on unclustered keys
+                  // prove absence where min/max cannot; loaded lazily, only
+                  // for files the stats could not refute
+                  val bl = BloomSkip.forFile(fs, live, rel)
+                  v1.forall(f => BloomSkip.mightMatch(f, bl))
+                }
             case None => true // predates stats accounting: stay a candidate
           }
         }

@@ -32,13 +32,11 @@ import org.apache.spark.sql.types._
   * manifest commit (replace exactly the candidate files' entries), so a
   * GDPR point-DELETE and time travel COEXIST — the r14 shape refused
   * file-scoped DML whenever `graft.history` was on because whole-table
-  * generations couldn't represent a per-file edit. Honest bound: an
-  * unpartitioned manifest names every live file, so each commit rewrites
-  * O(live files) of JSON — fine to ~10^4 files (compaction keeps it
-  * there); a 100 TB table should be partitioned (manifest O(partitions)),
-  * and the structural fix beyond that is Iceberg-style segmented
-  * manifests (immutable entry segments + a per-snapshot segment list),
-  * deliberately not built until a workload needs it.
+  * generations couldn't represent a per-file edit. Beyond ~2× the
+  * segment size the entry map moves into SEGMENTED storage ([[SegForm]]):
+  * immutable entry segments plus a per-manifest segment list + inline
+  * delta, so each commit writes O(its changes) regardless of live-file
+  * count — the r15a O(live files)-per-commit bound is gone.
   *
   * Readers resolve the CURRENT manifest (highest parseable version) and
   * scan exactly the units it lists, passed with `basePath` so hive
@@ -86,6 +84,102 @@ object Snapshots {
   private val Prefix = "_graft_snap-"
   private val Suffix = ".json"
   val ChangesDir = "_graft_changes"
+  val DvDir = "_graft_dv"
+  val SegDir = "_graft_segments"
+
+  /** Commits write inline manifests until the entry map outgrows
+    * 2 × this size, then split into immutable SEGMENTS (see [[SegForm]]).
+    * Session-tunable for tests; the default keeps manifests ≤ a few
+    * hundred KB.
+    */
+  val SegmentSizeKey = "graft.manifest.segment_size"
+  private def segmentSize: Int =
+    (try SparkSession.active.conf.getOption(SegmentSizeKey)
+    catch { case _: Exception => None })
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(1024)
+
+  /** SEGMENTED manifest storage (r15): an unpartitioned snapshot names
+    * every live FILE in its entry map, so inline manifests cost O(live
+    * files) of JSON per commit — at ~10^6 files that is the
+    * proportional-to-table-size rewrite the snapshot layer exists to kill
+    * (the r15a shape documented this bound honestly and deferred the fix).
+    * The Iceberg-style answer: entries live in immutable SEGMENT files
+    * (`_graft_segments/seg-<uuid>.json`, ~segment_size keys each, process-
+    * cached like every other immutable sidecar), and the manifest carries
+    *
+    *  - `segs`: the ordered segment list (LATER SEGMENTS OVERRIDE earlier
+    *    ones key-by-key),
+    *  - inline `entries`/`rows`: this lineage's recent edits (override
+    *    everything),
+    *  - `drops`: keys deleted from the segment union.
+    *
+    * A commit writes only its DELTA: changed keys go inline, removed keys
+    * join `drops`, untouched segments are REFERENCED, never rewritten.
+    * When inline outgrows segment_size it is demoted to one fresh segment
+    * (appended last, so its keys override); when `drops` outgrows 2× or
+    * the segment list exceeds 256, the full state FOLDS into fresh
+    * segments — amortized O(changes) per commit, O(live files) only at
+    * fold points. Readers materialize (ordered segment union − drops) ++
+    * inline once per manifest read, against the immutable-segment cache.
+    * Retention sweeps segments exactly like change/dv dirs: only when no
+    * retained manifest references them, with the orphan grace protecting
+    * a concurrent committer's freshly-written segments.
+    */
+  case class SegForm(segs: Seq[String],
+      inlineEntries: Map[String, Seq[String]],
+      inlineRows: Map[String, Long], drops: Set[String])
+
+  /** Immutable segment IO: {entries: {key: [units]}, rows: {unit: n}}. */
+  object SegStore {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, Option[(Map[String, Seq[String]], Map[String, Long])]]()
+
+    private def pathOf(tableDir: Path, name: String) =
+      new Path(new Path(tableDir, SegDir), name)
+
+    def write(fs: FileSystem, tableDir: Path,
+        entries: Map[String, Seq[String]], rows: Map[String, Long]): String = {
+      val name = s"seg-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      val p = pathOf(tableDir, name)
+      fs.mkdirs(p.getParent)
+      val out = fs.create(p, false)
+      try out.write(renderSeg(entries, rows).getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      cache.put(qualify(fs, p), Some((entries, rows)))
+      name
+    }
+
+    def read(fs: FileSystem, tableDir: Path,
+        name: String): Option[(Map[String, Seq[String]], Map[String, Long])] = {
+      val key = qualify(fs, pathOf(tableDir, name))
+      val cached = cache.get(key)
+      if (cached != null) return cached
+      val loaded =
+        try {
+          val p = pathOf(tableDir, name)
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            val raw = try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](65536)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              new String(out.toByteArray, StandardCharsets.UTF_8)
+            } finally in.close()
+            Some(parseSeg(raw))
+          }
+        } catch { case _: Exception => None }
+      if (cache.size > 65536) cache.clear()
+      cache.put(key, loaded)
+      loaded
+    }
+
+    def invalidate(): Unit = cache.clear()
+
+    private def qualify(fs: FileSystem, p: Path): String =
+      try fs.makeQualified(p).toString catch { case _: Exception => p.toString }
+  }
 
   val OrphanGraceKey = "graft.snapshot_orphan_grace_ms"
 
@@ -197,10 +291,27 @@ object Snapshots {
     * `changes`: relative dir under [[ChangesDir]] holding this commit's
     * recorded row-level change files, when the table opted into
     * `changelog='true'`.
+    * `dvs` (r15, deletion vectors): data file rel path -> dv dir name under
+    * [[DvDir]]. A referenced dv dir holds (file, pos) parquet pairs; the
+    * rows of that file at those positions are DELETED in this snapshot.
+    * Readers anti-join them out, a merge-on-read point DELETE writes one
+    * tiny dv file instead of rewriting candidates, and compaction
+    * materializes them. A dv dir may carry pairs for files whose dv ref
+    * has since moved to a newer dir — a newer dir always carries the FULL
+    * pair union for its files, so reading the CURRENT refs and filtering
+    * to the current key set is exact (stale subsets dedup away).
+    * `dvRows`: per-file deleted-position counts — keeps the `rows` map
+    * (live rows per unit) maintainable without re-reading any dv parquet.
     */
   case class Snapshot(version: Long, stampMillis: Long,
       entries: Map[String, Seq[String]], rows: Map[String, Long] = Map.empty,
-      kind: String = "", changes: Option[String] = None) {
+      kind: String = "", changes: Option[String] = None,
+      dvs: Map[String, String] = Map.empty,
+      dvRows: Map[String, Long] = Map.empty,
+      // segmented storage form (see [[SegForm]]): entries/rows above are
+      // always FULLY materialized; this records how they are persisted so
+      // the next commit can write only its delta
+      seg: Option[SegForm] = None) {
     /** Scan units of this snapshot (generation dirs, or data files for
       * unpartitioned tables), table-root relative, deterministic order.
       * A key WITHOUT `=` is a FILE entry (its own unit) — per-file keys
@@ -220,6 +331,37 @@ object Snapshots {
       val dirs = relDirs
       if (dirs.forall(rows.contains)) Some(dirs.map(rows).sum) else None
     }
+  }
+
+  /** The ENTRY key that owns a data file rel path: the kv chain for
+    * partitioned layouts (`k=a/gen-x/f.parquet` -> `k=a`), the file rel
+    * itself for unpartitioned ones (file rels ARE the entry keys there).
+    * Deletion-vector edits map to entry keys at this granularity for
+    * commit conflict detection: a dv on a file conflicts with any
+    * concurrent rewrite of the entry holding it.
+    */
+  def entryKeyOf(fileRel: String): String = {
+    val segs = fileRel.split("/")
+    if (!segs.head.contains("=")) fileRel
+    else segs.takeWhile(_.contains("=")).mkString("/")
+  }
+
+  /** The scan UNIT holding a data file: `kv/gen` for partitioned layouts,
+    * the file rel itself otherwise (matches [[Snapshot.relDirs]] keys).
+    */
+  def unitOf(fileRel: String): String = {
+    val segs = fileRel.split("/")
+    if (!segs.head.contains("=")) fileRel
+    else segs.dropRight(1).mkString("/")
+  }
+
+  /** Is `fileRel` a live data file under `entries`? */
+  private def fileListed(entries: Map[String, Seq[String]], fileRel: String): Boolean = {
+    if (entries.contains(fileRel)) return true
+    val segs = fileRel.split("/")
+    val kvLen = segs.takeWhile(_.contains("=")).length
+    if (kvLen == 0 || segs.length < kvLen + 2) return false
+    entries.get(segs.take(kvLen).mkString("/")).exists(_.contains(segs(kvLen)))
   }
 
   def manifestPath(tableDir: Path, version: Long): Path =
@@ -250,7 +392,8 @@ object Snapshots {
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
       new String(out.toByteArray, StandardCharsets.UTF_8)
     } finally in.close()
-    try Some(parse(raw)) catch { case _: Exception => None }
+    try Some(parse(raw, SegStore.read(fs, tableDir, _)))
+    catch { case _: Exception => None }
   }
 
   /** The CURRENT snapshot: highest parseable version. */
@@ -285,16 +428,28 @@ object Snapshots {
     */
   def commit(fs: FileSystem, tableDir: Path, base: Option[Snapshot],
       entries: Map[String, Seq[String]], kind: String = "commit",
-      changes: Option[String] = None): Snapshot = {
+      changes: Option[String] = None,
+      dvEdit: Option[(Map[String, String], Map[String, Long])] = None): Snapshot = {
     val origEntries = base.map(_.entries).getOrElse(Map.empty)
     // the caller's edit, keyed: a key is touched when added, removed, or
     // its unit list changed relative to the caller's base
-    val touched: Set[String] =
+    val entryTouched: Set[String] =
       (origEntries.keySet ++ entries.keySet)
         .filter(k => origEntries.get(k) != entries.get(k))
+    // deletion-vector edit, keyed by FILE (None = inherit the base's dvs
+    // untouched); conflicts detect at the owning-entry granularity
+    val origDvs = base.map(_.dvs).getOrElse(Map.empty)
+    val (wantDvs, wantDvRows) = dvEdit.getOrElse(
+      (origDvs, base.map(_.dvRows).getOrElse(Map.empty)))
+    val dvTouchedFiles: Set[String] =
+      (origDvs.keySet ++ wantDvs.keySet)
+        .filter(f => origDvs.get(f) != wantDvs.get(f))
+    val touched: Set[String] = entryTouched ++ dvTouchedFiles.map(entryKeyOf)
 
     var curBase = base
     var curEntries = entries
+    var curDvs = wantDvs
+    var curDvRows = wantDvRows
     var attempts = 0
     val MaxAttempts = 6
     while (true) {
@@ -306,8 +461,11 @@ object Snapshots {
         attempts += 1
         val cur = newerCommitted.maxBy(_._1)._2
         val be = curBase.map(_.entries).getOrElse(Map.empty)
+        val bd = curBase.map(_.dvs).getOrElse(Map.empty)
         val changedSince = (be.keySet ++ cur.entries.keySet)
-          .filter(k => be.get(k) != cur.entries.get(k))
+          .filter(k => be.get(k) != cur.entries.get(k)) ++
+          (bd.keySet ++ cur.dvs.keySet)
+            .filter(f => bd.get(f) != cur.dvs.get(f)).map(entryKeyOf)
         val overlap = changedSince.intersect(touched)
         if (overlap.nonEmpty)
           throw new ConcurrentCommitException(tableDir.getName, baseV,
@@ -318,18 +476,36 @@ object Snapshots {
           throw new ConcurrentCommitException(tableDir.getName, baseV,
             s"rebase retries exhausted after $attempts attempts")
         // disjoint: replay the caller's touched-key edits onto the new state
-        curEntries = touched.foldLeft(cur.entries) { (m, k) =>
+        curEntries = entryTouched.foldLeft(cur.entries) { (m, k) =>
           entries.get(k) match {
             case Some(units) => m.updated(k, units)
             case None => m - k
+          }
+        }
+        curDvs = dvTouchedFiles.foldLeft(cur.dvs) { (m, f) =>
+          wantDvs.get(f) match {
+            case Some(ref) => m.updated(f, ref)
+            case None => m - f
+          }
+        }
+        curDvRows = dvTouchedFiles.foldLeft(cur.dvRows) { (m, f) =>
+          wantDvRows.get(f) match {
+            case Some(n) => m.updated(f, n)
+            case None => m - f
           }
         }
         curBase = Some(cur)
         // loop: re-check for even newer commits, then claim
       } else {
         val next = (present :+ baseV).max + 1
-        val snap = buildSnapshot(fs, tableDir, curBase, curEntries, next,
-          kind, changes)
+        // dv refs follow their files: one whose file is no longer listed
+        // (replaced partition, rewritten candidate, truncate) drops here,
+        // so no manifest ever references a dv for a dead file
+        val liveDvs = curDvs.filter { case (f, _) => fileListed(curEntries, f) }
+        val liveDvRows = curDvRows.filter { case (f, _) => fileListed(curEntries, f) }
+        val snap = planSegments(fs, tableDir, curBase,
+          buildSnapshot(fs, tableDir, curBase, curEntries, next,
+            kind, changes, liveDvs, liveDvRows))
         val p = manifestPath(tableDir, next)
         // create-exclusive via CommitLock.createExclusive: atomic on HDFS
         // and (through O_EXCL) on local fs; best-effort on object stores
@@ -358,11 +534,14 @@ object Snapshots {
     */
   private def buildSnapshot(fs: FileSystem, tableDir: Path,
       base: Option[Snapshot], entries: Map[String, Seq[String]], next: Long,
-      kind: String, changes: Option[String]): Snapshot = {
+      kind: String, changes: Option[String],
+      dvs: Map[String, String] = Map.empty,
+      dvRows: Map[String, Long] = Map.empty): Snapshot = {
     val baseRows = base.map(_.rows).getOrElse(Map.empty)
     val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
-    val schema = try TableMeta.read(fs, tableDir).map(_.schema)
+    val meta = try TableMeta.read(fs, tableDir)
     catch { case _: Exception => None }
+    val schema = meta.map(_.schema)
     val units = Snapshot(0L, 0L, entries).relDirs
     val rowB = Map.newBuilder[String, Long]
     val inherited = units.filter(baseRows.contains).toSet
@@ -415,6 +594,22 @@ object Snapshots {
             }
           } catch { case _: Exception => None }
         }
+        // bloom sidecar (r15, [[BloomSkip]]): one distributed pass over the
+        // NEW generation's files for the declared bloom columns — cost ∝
+        // the commit; a rebase retry over the same adopted generation
+        // reuses the already-written sidecar
+        meta.filter(_.bloomCols.nonEmpty).foreach { m =>
+          try {
+            if (BloomSkip.read(fs, genDir).isEmpty) stats.foreach { sm =>
+              val fields = m.bloomCols.flatMap(c =>
+                m.schema.fields.find(_.name.equalsIgnoreCase(c)))
+              val rowsByFile = sm.map { case (n, ref) => n -> ref.rows }
+              val built = BloomSkip.build(SparkSession.active, genDir,
+                rowsByFile, fields, m.bloomFpp)
+              BloomSkip.write(fs, genDir, built)
+            }
+          } catch { case _: Exception => () } // conservative: no sidecar
+        }
         stats.foreach { m =>
           unitRels.foreach { rel =>
             if (rel == genRel) rowB += rel -> m.values.map(_.rows).sum
@@ -426,8 +621,80 @@ object Snapshots {
         }
       }
     }
-    Snapshot(next, System.currentTimeMillis(), entries, rowB.result(),
-      kind, changes)
+    // the `rows` map records LIVE rows per unit: inherited values are
+    // already net of the base's deletion vectors, so apply only the DELTA
+    // of dv'd positions this commit adds (new units footer-count post-dv
+    // contents by construction — a rewrite materializes its dvs first)
+    val baseDvRows = base.map(_.dvRows).getOrElse(Map.empty)
+    val rows0 = rowB.result()
+    val dvDelta: Map[String, Long] = (dvRows.keySet ++ baseDvRows.keySet).toSeq
+      .map(f => unitOf(f) -> (dvRows.getOrElse(f, 0L) - baseDvRows.getOrElse(f, 0L)))
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val rows = rows0.map { case (u, n) =>
+      u -> math.max(0L, n - dvDelta.getOrElse(u, 0L))
+    }
+    Snapshot(next, System.currentTimeMillis(), entries, rows,
+      kind, changes, dvs, dvRows)
+  }
+
+  /** Decide the new snapshot's STORAGE form (see [[SegForm]]): inline
+    * while small, segmented deltas once large. Writes any new segment
+    * files (invisible until the manifest claim references them; a lost
+    * claim leaves orphans the grace sweep collects).
+    */
+  private def planSegments(fs: FileSystem, tableDir: Path,
+      base: Option[Snapshot], snap: Snapshot): Snapshot = {
+    val sz = segmentSize
+    val baseSegs = base.flatMap(_.seg).map(_.segs).getOrElse(Nil)
+    if (baseSegs.isEmpty && snap.entries.size <= 2 * sz) return snap
+
+    // rows attributable to one entry key (its units' live counts)
+    def rowsOfKey(k: String): Map[String, Long] =
+      Snapshot(0L, 0L, Map(k -> snap.entries(k))).relDirs
+        .flatMap(u => snap.rows.get(u).map(u -> _)).toMap
+
+    def fold(): Snapshot = {
+      val keys = snap.entries.keys.toSeq.sorted
+      val names = keys.grouped(math.max(1, sz)).map { g =>
+        SegStore.write(fs, tableDir,
+          g.map(k => k -> snap.entries(k)).toMap,
+          g.flatMap(rowsOfKey).toMap)
+      }.toSeq
+      snap.copy(seg = Some(SegForm(names, Map.empty, Map.empty, Set.empty)))
+    }
+    if (baseSegs.isEmpty) return fold()
+
+    // the base segments' ordered union (later segments override). A
+    // segment unreadable at PLAN time must fail loudly: treating it as
+    // empty would misclassify its keys as fresh and — worse — omit its
+    // removed keys from `drops`, resurrecting them at read time.
+    val segE = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val segR = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    baseSegs.foreach { name =>
+      val (e, r) = SegStore.read(fs, tableDir, name).getOrElse(
+        throw new java.io.IOException(
+          s"snapshot segment $name of ${tableDir.getName} is unreadable"))
+      segE ++= e
+      segR ++= r
+    }
+    val drops = segE.keySet.toSet -- snap.entries.keySet
+    val inlineKeys = snap.entries.keysIterator.filter { k =>
+      !segE.get(k).contains(snap.entries(k)) ||
+        rowsOfKey(k).exists { case (u, n) => !segR.get(u).contains(n) }
+    }.toSet
+    if (drops.size > 2 * sz || baseSegs.length > 256) return fold()
+    val (segs, inline) =
+      if (inlineKeys.size > sz) {
+        // demote the inline block to one fresh segment (appended LAST so
+        // its keys override older segments)
+        val name = SegStore.write(fs, tableDir,
+          inlineKeys.map(k => k -> snap.entries(k)).toMap,
+          inlineKeys.toSeq.flatMap(rowsOfKey).toMap)
+        (baseSegs :+ name, Set.empty[String])
+      } else (baseSegs, inlineKeys)
+    snap.copy(seg = Some(SegForm(segs,
+      inline.map(k => k -> snap.entries(k)).toMap,
+      inline.toSeq.flatMap(rowsOfKey).toMap, drops)))
   }
 
   /** Retention after a commit: keep the newest `graft.history` superseded
@@ -468,6 +735,33 @@ object Snapshots {
       fs.listStatus(chRoot).foreach { st =>
         val n = st.getPath.getName
         if (!retainedCh(n) && (droppedCh(n) ||
+            now - st.getModificationTime > grace))
+          fs.delete(st.getPath, true)
+      }
+    }
+    // segment files likewise — shared across manifests, so sweep only
+    // those NO retained manifest references (grace protects a concurrent
+    // committer's freshly-written segments before its claim)
+    val segRoot = new Path(tableDir, SegDir)
+    if (fs.exists(segRoot)) {
+      val droppedSeg = dropped.flatMap(_.seg.map(_.segs).getOrElse(Nil)).toSet
+      val retainedSeg = retainedSnaps.flatMap(_.seg.map(_.segs).getOrElse(Nil)).toSet
+      fs.listStatus(segRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (!retainedSeg(n) && (droppedSeg(n) ||
+            now - st.getModificationTime > grace))
+          fs.delete(st.getPath, false)
+      }
+    }
+    // deletion-vector dirs likewise: swept once no retained manifest
+    // references them (an in-flight commit's dv survives under the grace)
+    val dvRoot = new Path(tableDir, DvDir)
+    if (fs.exists(dvRoot)) {
+      val droppedDv = dropped.flatMap(_.dvs.values).toSet
+      val retainedDv = retainedSnaps.flatMap(_.dvs.values).toSet
+      fs.listStatus(dvRoot).foreach { st =>
+        val n = st.getPath.getName
+        if (!retainedDv(n) && (droppedDv(n) ||
             now - st.getModificationTime > grace))
           fs.delete(st.getPath, true)
       }
@@ -638,16 +932,22 @@ object Snapshots {
       s"$tableDir is not a snapshot table — use Writers.compactPartitioned")
     val base = current(fs, tableDir).getOrElse(return 0)
     if (meta.partitionCols.isEmpty) return compactFiles(spark, fs, tableDir, meta, base)
-    val multi = base.entries.filter(_._2.length > 1)
+    // rewrite every partition that is fragmented (>1 generation) OR
+    // carries a deletion vector — compaction is how vectors materialize
+    // back to zero read tax
+    val dvKvs = base.dvs.keySet.map(entryKeyOf)
+    val multi = base.entries.filter { case (kv, gens) =>
+      gens.length > 1 || dvKvs(kv)
+    }
     if (multi.isEmpty) return 0
     val staging = new Path(tableDir.getParent,
       s".snapcompact-${tableDir.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      val paths = multi.toSeq.sortBy(_._1).flatMap { case (kv, gens) =>
-        gens.map(g => new Path(tableDir, s"$kv/$g").toString)
+      val units = multi.toSeq.sortBy(_._1).flatMap { case (kv, gens) =>
+        gens.sorted.map(g => s"$kv/$g")
       }
-      val rebalanced = spark.read.option("basePath", tableDir.toString)
-        .parquet(paths: _*)
+      val rebalanced = DeletionVectors
+        .readLiveUnits(spark, tableDir, meta, base, units)
         .hint("rebalance", meta.partitionCols.map(
           org.apache.spark.sql.functions.col): _*)
       val arranged =
@@ -673,7 +973,8 @@ object Snapshots {
   private def compactFiles(spark: SparkSession, fs: FileSystem,
       tableDir: Path, meta: TableMeta, base: Snapshot): Int = {
     val files = base.relDirs
-    if (files.length <= 1) return 0
+    if (files.length <= 1 && base.dvs.isEmpty) return 0
+    if (files.isEmpty) return 0
     val staging = new Path(tableDir.getParent,
       s".snapcompact-${tableDir.getName}-${java.util.UUID.randomUUID().toString.take(8)}")
     try {
@@ -681,8 +982,8 @@ object Snapshots {
         try fs.getFileStatus(new Path(tableDir, f)).getLen
         catch { case _: Exception => 0L }).sum
       val parts = math.max(1, (bytes / (128L << 20)).toInt)
-      val df = spark.read.parquet(files.map(f =>
-        new Path(tableDir, f).toString): _*).repartition(parts)
+      val df = DeletionVectors.readLive(spark, tableDir, meta, base)
+        .repartition(parts)
       val arranged = if (meta.sortOrder.isEmpty) df
       else df.sortWithinPartitions(meta.sortOrder.map(
         org.apache.spark.sql.functions.col): _*)
@@ -717,8 +1018,11 @@ object Snapshots {
         s"version $v of ${tableDir.getName} is not retained " +
           s"(have: ${versions(fs, tableDir).mkString(", ")})"))
     val fromDirs = if (fromV <= 0) Set.empty[String] else snap(fromV).relDirs.toSet
-    val added = snap(toV).relDirs.filterNot(fromDirs)
-    readUnits(spark, tableDir, meta, added)
+    val to = snap(toV)
+    val added = to.relDirs.filterNot(fromDirs)
+    // serve the TO-snapshot's live view of the added units: rows a
+    // deletion vector has since removed never reach the consumer
+    DeletionVectors.readLiveUnits(spark, tableDir, meta, to, added)
   }
 
   /** Read a set of units (gen dirs / files) as one DataFrame with the
@@ -796,8 +1100,16 @@ object Snapshots {
           val added = sb.relDirs.filterNot(aUnits)
           val removed = sa.relDirs.filterNot(bUnits)
           if (sb.kind == "compact") withOp(readUnits(spark, tableDir, meta, Nil), "I", b)
-          else if (removed.isEmpty) withOp(readUnits(spark, tableDir, meta, added), "I", b)
-          else if (added.isEmpty) withOp(readUnits(spark, tableDir, meta, removed), "D", b)
+          else if (added.isEmpty && removed.isEmpty && sb.dvs != sa.dvs)
+            // deletion-vector commit: the pair-set difference IS the exact
+            // row-level feed — no changelog recording needed
+            withOp(DeletionVectors.deletedRows(spark, tableDir, meta, sa, sb), "D", b)
+          else if (removed.isEmpty) withOp(
+            DeletionVectors.readLiveUnits(spark, tableDir, meta, sb, added), "I", b)
+          else if (added.isEmpty) withOp(
+            // the removed units' LIVE rows under the pre-commit snapshot:
+            // rows an earlier dv already deleted are not deleted again
+            DeletionVectors.readLiveUnits(spark, tableDir, meta, sa, removed), "D", b)
           else throw new UnsupportedOperationException(
             s"changesBetween: version $b of ${tableDir.getName} replaced " +
               "units without a recorded changelog — create the table with " +
@@ -862,19 +1174,80 @@ object Snapshots {
     case c => c.toString
   } + "\""
 
-  private[catalog] def render(s: Snapshot): String = {
-    val entries = s.entries.toSeq.sortBy(_._1).map { case (kv, gens) =>
+  private def renderEntryMap(m: Map[String, Seq[String]]): String =
+    m.toSeq.sortBy(_._1).map { case (kv, gens) =>
       s"${js(kv)}:[${gens.sorted.map(js).mkString(",")}]"
     }.mkString(",")
-    val rows = s.rows.toSeq.sortBy(_._1).map { case (rel, n) =>
-      s"${js(rel)}:$n"
-    }.mkString(",")
+
+  private def renderRowMap(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (rel, n) => s"${js(rel)}:$n" }.mkString(",")
+
+  private[catalog] def renderSeg(entries: Map[String, Seq[String]],
+      rows: Map[String, Long]): String =
+    "{" + js("entries") + ":{" + renderEntryMap(entries) + "}," +
+      js("rows") + ":{" + renderRowMap(rows) + "}}"
+
+  private[catalog] def parseSeg(raw: String)
+      : (Map[String, Seq[String]], Map[String, Long]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(raw)
+    require(root.has("entries"), "not a graft snapshot segment")
+    (parseEntryNode(root.get("entries")),
+      parseRowNode(Option(root.get("rows"))))
+  }
+
+  private def parseEntryNode(node: com.fasterxml.jackson.databind.JsonNode)
+      : Map[String, Seq[String]] = {
+    val it = node.fields()
+    val b = Map.newBuilder[String, Seq[String]]
+    while (it.hasNext) {
+      val e = it.next()
+      val git = e.getValue.elements()
+      val gb = Seq.newBuilder[String]
+      while (git.hasNext) gb += git.next().asText()
+      b += e.getKey -> gb.result()
+    }
+    b.result()
+  }
+
+  private def parseRowNode(node: Option[com.fasterxml.jackson.databind.JsonNode])
+      : Map[String, Long] =
+    node.map { n =>
+      val it = n.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asLong()
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+
+  private[catalog] def render(s: Snapshot): String = {
+    // segmented form: only the delta is inline; the segment list carries
+    // the bulk (commit bytes ∝ the commit, not the table)
+    val (entries, rows, segExtra) = s.seg match {
+      case Some(form) =>
+        (renderEntryMap(form.inlineEntries), renderRowMap(form.inlineRows),
+          "," + js("segs") + ":[" + form.segs.map(js).mkString(",") + "]," +
+            js("drops") + ":[" + form.drops.toSeq.sorted.map(js).mkString(",") + "]")
+      case None => (renderEntryMap(s.entries), renderRowMap(s.rows), "")
+    }
     val changes = s.changes.map(c => "," + js("changes") + ":" + js(c)).getOrElse("")
+    val dvs =
+      if (s.dvs.isEmpty) ""
+      else "," + js("dvs") + ":{" + s.dvs.toSeq.sortBy(_._1).map {
+        case (f, ref) => s"${js(f)}:${js(ref)}"
+      }.mkString(",") + "}"
+    val dvRows =
+      if (s.dvRows.isEmpty) ""
+      else "," + js("dvRows") + ":{" + s.dvRows.toSeq.sortBy(_._1).map {
+        case (f, n) => s"${js(f)}:$n"
+      }.mkString(",") + "}"
     "{" + js("version") + ":" + s.version + "," +
       js("stampMillis") + ":" + s.stampMillis + "," +
       js("kind") + ":" + js(s.kind) + "," +
       js("entries") + ":{" + entries + "}," +
-      js("rows") + ":{" + rows + "}" + changes + "}"
+      js("rows") + ":{" + rows + "}" + segExtra + changes + dvs + dvRows + "}"
   }
 
   /** Per-generation stats sidecar wire format: file name -> {rows, cols}. */
@@ -930,24 +1303,58 @@ object Snapshots {
     b.result()
   }
 
-  private[catalog] def parse(raw: String): Snapshot = {
+  private[catalog] def parse(raw: String,
+      resolveSeg: String => Option[(Map[String, Seq[String]], Map[String, Long])]
+        = _ => None): Snapshot = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.readTree(raw)
     require(root.has("version") && root.has("stampMillis") && root.has("entries"),
       "not a graft snapshot manifest")
-    val entries = {
-      val it = root.get("entries").fields()
-      val b = Map.newBuilder[String, Seq[String]]
-      while (it.hasNext) {
-        val e = it.next()
-        val git = e.getValue.elements()
-        val gb = Seq.newBuilder[String]
-        while (git.hasNext) gb += git.next().asText()
-        b += e.getKey -> gb.result()
-      }
+    val inlineEntries = parseEntryNode(root.get("entries"))
+    val inlineRows = parseRowNode(Option(root.get("rows")))
+    // segmented form (r15): materialize (ordered segment union − drops)
+    // overridden by the inline block. A missing/corrupt segment makes the
+    // whole manifest unreadable (read() skips it as a crashed commit) —
+    // never a silently partial table.
+    val segNames = Option(root.get("segs")).map { node =>
+      val it = node.elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
       b.result()
     }
-    val rows = Option(root.get("rows")).map { node =>
+    val (entries, rows, seg) = segNames match {
+      case Some(names) =>
+        val drops = Option(root.get("drops")).map { node =>
+          val it = node.elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }.getOrElse(Set.empty[String])
+        val segE = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+        val segR = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        names.foreach { n =>
+          val (e, r) = resolveSeg(n).getOrElse(
+            throw new IllegalStateException(s"snapshot segment $n unreadable"))
+          segE ++= e
+          segR ++= r
+        }
+        ((segE.toMap -- drops) ++ inlineEntries,
+          segR.toMap ++ inlineRows,
+          Some(SegForm(names, inlineEntries, inlineRows, drops)))
+      case None => (inlineEntries, inlineRows, None)
+    }
+    val kind = Option(root.get("kind")).map(_.asText()).getOrElse("")
+    val changes = Option(root.get("changes")).map(_.asText()).filter(_.nonEmpty)
+    val dvs = Option(root.get("dvs")).map { node =>
+      val it = node.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asText()
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    val dvRows = Option(root.get("dvRows")).map { node =>
       val it = node.fields()
       val b = Map.newBuilder[String, Long]
       while (it.hasNext) {
@@ -956,10 +1363,8 @@ object Snapshots {
       }
       b.result()
     }.getOrElse(Map.empty[String, Long])
-    val kind = Option(root.get("kind")).map(_.asText()).getOrElse("")
-    val changes = Option(root.get("changes")).map(_.asText()).filter(_.nonEmpty)
     Snapshot(root.get("version").asLong(), root.get("stampMillis").asLong(),
-      entries, rows, kind, changes)
+      entries, rows, kind, changes, dvs, dvRows, seg)
   }
 }
 

@@ -52,9 +52,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * recording costs one extra read of the affected partitions per mutating
   * commit.
   */
+/** `deletionVectors` (r15): DELETE on this snapshot table commits
+  * merge-on-read position vectors instead of rewriting candidate files —
+  * see [[DeletionVectors]]. Opt-in
+  * (`TBLPROPERTIES ('deletion_vectors'='true')`, requires `snapshots`)
+  * because live vectors tax reads with one anti-join and make
+  * copy-on-write UPDATE/MERGE refuse until a compaction materializes
+  * them.
+  */
+/** `bloomCols`/`bloomFpp` (r15): per-file Bloom filters on these columns,
+  * built once per new generation at commit and consulted by DML candidacy
+  * and scan pruning for point lookups on unclustered keys — see
+  * [[BloomSkip]]. Requires `snapshots`.
+  */
 case class TableMeta(schema: StructType, partitionCols: Seq[String],
     droppedColumns: Seq[String] = Nil, snapshots: Boolean = false,
-    sortOrder: Seq[String] = Nil, changelog: Boolean = false)
+    sortOrder: Seq[String] = Nil, changelog: Boolean = false,
+    deletionVectors: Boolean = false,
+    bloomCols: Seq[String] = Nil, bloomFpp: Double = 0.001)
 
 object TableMeta {
 
@@ -97,6 +112,9 @@ object TableMeta {
       s""""droppedColumns":[${meta.droppedColumns.map(js).mkString(",")}],""" +
       s""""snapshots":${meta.snapshots},""" +
       s""""changelog":${meta.changelog},""" +
+      s""""deletionVectors":${meta.deletionVectors},""" +
+      s""""bloomCols":[${meta.bloomCols.map(js).mkString(",")}],""" +
+      s""""bloomFpp":${meta.bloomFpp},""" +
       s""""sortOrder":[${meta.sortOrder.map(js).mkString(",")}],""" +
       s""""schema":${meta.schema.json}}"""
   }
@@ -126,8 +144,18 @@ object TableMeta {
       while (it.hasNext) b += it.next().asText()
       b.result()
     }.getOrElse(Nil)
+    val dv = Option(root.get("deletionVectors")).exists(_.asBoolean(false))
+    val bloomCols = Option(root.get("bloomCols")).map { node =>
+      val it = node.elements()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next().asText()
+      b.result()
+    }.getOrElse(Nil)
+    val bloomFpp = Option(root.get("bloomFpp")).map(_.asDouble(0.001))
+      .getOrElse(0.001)
     val schema = DataType.fromJson(root.get("schema").toString)
       .asInstanceOf[StructType]
-    TableMeta(schema, parts, dropped, snapshots, sortOrder, changelog)
+    TableMeta(schema, parts, dropped, snapshots, sortOrder, changelog, dv,
+      bloomCols, bloomFpp)
   }
 }

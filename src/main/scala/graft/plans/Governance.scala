@@ -257,6 +257,10 @@ case class GovernanceRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectResolutionRule(GovernanceRule(_))
+    // AFTER governance (injection order = run order within the batch):
+    // policy wraps a dv table's relation first, the dv rewrite swaps only
+    // the leaf beneath it
+    e.injectResolutionRule(graft.catalog.GraftDvReadRule(_))
     e.injectResolutionRule(graft.catalog.GraftDynamicOverwriteRule(_))
     e.injectResolutionRule(graft.catalog.GraftViewRule(_))
     // view DDL must rewrite BEFORE the Resolution batch:

@@ -536,6 +536,111 @@ object SurfaceQueries {
         "FROM cdf_feed GROUP BY _change_op")
     }),
 
+    // deletion vectors (r15): merge-on-read DELETEs — a point delete, an
+    // IN-list delete re-touching the same file (positions union), and a
+    // range delete — each commit ONE tiny (file, pos) parquet + ONE
+    // manifest with every data file byte-untouched; the current live view
+    // AND the pre-delete VERSION AS OF 1 hash-check against an oracle
+    // restating the deletes
+    "q_catalog_dv" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_dv"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_dv", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dv.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_dv.main.docs_dv")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "4")
+      try {
+        s.sql("CREATE TABLE graft_dv.main.docs_dv " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT /*+ REPARTITION_BY_RANGE(4, doc_id) */ doc_id, " +
+          "length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("DELETE FROM graft_dv.main.docs_dv WHERE doc_id = 42")
+        s.sql("DELETE FROM graft_dv.main.docs_dv WHERE doc_id IN (42, 43, 77)")
+        s.sql("DELETE FROM graft_dv.main.docs_dv " +
+          "WHERE doc_id >= 500 AND doc_id < 520 AND tok > 0")
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_dv.main.docs_dv GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_dv.main.docs_dv VERSION AS OF '1' GROUP BY lang""".stripMargin)
+    }),
+
+    // deletion-vector change feed (r15): the per-commit pair-set
+    // difference IS the row-level feed — no changelog recording — so two
+    // dv deletes (the second re-deleting an already-dead key, which must
+    // NOT re-emit) synthesize exact (op, version) D rows
+    "q_catalog_dv_changes" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_dvc"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_dc", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_dc.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_dc.main.docs_dvc")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "4")
+      try {
+        s.sql("CREATE TABLE graft_dc.main.docs_dvc " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("DELETE FROM graft_dc.main.docs_dvc " +
+          "WHERE doc_id >= 100 AND doc_id < 150")
+        s.sql("DELETE FROM graft_dc.main.docs_dvc " +
+          "WHERE doc_id >= 120 AND doc_id < 180")
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      val feed = graft.catalog.Snapshots.changesBetween(s,
+        new org.apache.hadoop.fs.Path(s"$wdir/docs_dvc"), 1L, 3L)
+      feed.createOrReplaceTempView("dv_feed")
+      s.sql("SELECT _change_op, _change_version, count(*) AS n, " +
+        "sum(doc_id) AS key_sum, sum(tok) AS tok_sum " +
+        "FROM dv_feed GROUP BY _change_op, _change_version")
+    }),
+
+    // bloom file-skipping (r15): the layout clusters by a HASH, so every
+    // file's doc_id min/max spans the whole domain and footer candidacy is
+    // useless — per-file blooms prove absence instead, and the point
+    // DELETEs (dv commits) still land exactly. The silent-miss class this
+    // guards: a wrongly-excluded candidate file would leave its matching
+    // rows alive and the hash would catch it.
+    "q_catalog_bloom" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_blm"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_bm", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_bm.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_bm.main.docs_bl")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "3")
+      try {
+        s.sql("CREATE TABLE graft_bm.main.docs_bl " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true', " +
+          "'bloom_cols'='doc_id,lang', 'bloom_fpp'='0.0001') AS " +
+          "SELECT /*+ REPARTITION(8, hashed) */ doc_id, " +
+          "hash(doc_id) AS hashed, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("DELETE FROM graft_bm.main.docs_bl WHERE doc_id = 99")
+        s.sql("DELETE FROM graft_bm.main.docs_bl WHERE doc_id IN (7, 11, 99, 1234)")
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_bm.main.docs_bl GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_bm.main.docs_bl VERSION AS OF '1' GROUP BY lang""".stripMargin)
+    }),
+
     // storage-partitioned join (r13): both tables are hive-partitioned on
     // the join key, and under the graft.spj opt-in (with Spark's
     // v2-bucketing flag, default-on in 4.x) the
@@ -1383,6 +1488,50 @@ object SurfaceQueries {
         |SELECT _change_op, count(*) AS n, sum(o_orderkey)::BIGINT AS key_sum,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS price_c2
         |FROM c GROUP BY _change_op""".stripMargin),
+
+    // dv delete algebra: drop 42, 43, 77 and the [500,520) nonzero-token
+    // range from the current view; v1 is the untouched base
+    "q_catalog_dv" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok, lang
+        |  FROM documents),
+        |cur AS (
+        |  SELECT * FROM base
+        |  WHERE doc_id NOT IN (42, 43, 77)
+        |    AND NOT (doc_id >= 500 AND doc_id < 520 AND tok > 0))
+        |SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM cur GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang""".stripMargin),
+
+    // version 2 deletes [100,150); version 3 adds ONLY the fresh
+    // [150,180) (the re-deleted [120,150) overlap must not re-emit)
+    "q_catalog_dv_changes" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT 'D' AS _change_op, 2::BIGINT AS _change_version, doc_id, tok
+        |  FROM base WHERE doc_id >= 100 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT 'D' AS _change_op, 3::BIGINT AS _change_version, doc_id, tok
+        |  FROM base WHERE doc_id >= 150 AND doc_id < 180)
+        |SELECT _change_op, _change_version, count(*) AS n,
+        |  sum(doc_id)::BIGINT AS key_sum, sum(tok)::BIGINT AS tok_sum
+        |FROM c GROUP BY _change_op, _change_version""".stripMargin),
+
+    // drop the four point-deleted keys from the current view; v1 untouched
+    "q_catalog_bloom" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok, lang
+        |  FROM documents),
+        |cur AS (SELECT * FROM base WHERE doc_id NOT IN (7, 11, 99, 1234))
+        |SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM cur GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang""".stripMargin),
 
     // the bucket column cancels out: orders×customer revenue by nation
     "q_catalog_bucketed" ->

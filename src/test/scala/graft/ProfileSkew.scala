@@ -537,6 +537,155 @@ object ProfileSkew {
     }
     }
 
+    if (only.contains(16)) {
+    // --- 16. DELETION VECTORS vs copy-on-write at data scale (r15) ------
+    // The §14/§15 file-scoped path still rewrites the matched FILE (~1/40
+    // of the table); a dv DELETE writes positions only. Measure on the
+    // same ~1.2 GB 40-file range-clustered shape:
+    //   sbt "Test/runMain graft.ProfileSkew 200000 4000000 16"
+    val n16 = math.max(nDoc.toLong, 4000000L)
+    val profDir16 = java.nio.file.Files.createTempDirectory("prof_dv").toString
+    spark.conf.set("spark.sql.catalog.graft_pv", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pv.dir", profDir16)
+    val written16 = new java.util.concurrent.atomic.AtomicLong
+    val read16 = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            written16.addAndGet(m.outputMetrics.bytesWritten)
+            read16.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def accounted16[T](f: => T): Unit = {
+      Thread.sleep(300); written16.set(0L); read16.set(0L)
+      f
+      Thread.sleep(300)
+      println(f"[prof]   read ${read16.get / 1e6}%.0f MB, wrote ${written16.get / 1e6}%.2f MB")
+    }
+    def mk16(name: String, dv: Boolean): Unit = {
+      val props = if (dv)
+        "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') "
+      else "TBLPROPERTIES ('snapshots'='true') "
+      time(s"fixture $name: 40-file ~1.2 GB range-clustered CTAS (dv=$dv)") {
+        spark.sql(s"CREATE TABLE graft_pv.main.$name $props AS " +
+          s"SELECT /*+ REPARTITION_BY_RANGE(40, id) */ id, " +
+          s"pmod(id, 7) AS grp, " +
+          s"concat(md5(concat(cast(id as string), '0')), " +
+          s"md5(concat(cast(id as string), '1'))," +
+          s"md5(concat(cast(id as string), '2'))," +
+          s"md5(concat(cast(id as string), '3'))," +
+          s"md5(concat(cast(id as string), '4'))," +
+          s"md5(concat(cast(id as string), '5'))," +
+          s"md5(concat(cast(id as string), '6'))," +
+          s"md5(concat(cast(id as string), '7'))) AS payload FROM range($n16)")
+      }
+    }
+    mk16("dv", dv = true)
+    mk16("cw", dv = false)
+    for (i <- 1 to 2) {
+      accounted16 { time(s"point DELETE, deletion vector #$i") {
+        spark.sql(s"DELETE FROM graft_pv.main.dv WHERE id = ${n16 / 2 + i}")
+      } }
+      accounted16 { time(s"point DELETE, file-scoped copy-on-write #$i") {
+        spark.sql(s"DELETE FROM graft_pv.main.cw WHERE id = ${n16 / 2 + i}")
+      } }
+    }
+    // read tax: a full aggregate over the dv'd table (one vectored file,
+    // 39 clean) vs the rewritten COW table
+    for (i <- 1 to 2) {
+      accounted16 { time(s"full scan agg, dv table (1 vectored file) #$i") {
+        spark.sql("SELECT grp, count(*) FROM graft_pv.main.dv GROUP BY grp")
+          .collect()
+      } }
+      accounted16 { time(s"full scan agg, cow table (no vectors) #$i") {
+        spark.sql("SELECT grp, count(*) FROM graft_pv.main.cw GROUP BY grp")
+          .collect()
+      } }
+    }
+    // a broad delete (grp = 3 — matches 1/7 of the rows in all 40
+    // files) then compaction materializes the vectors back to zero
+    accounted16 { time("broad DELETE (grp = 3, all files), deletion vector") {
+      spark.sql("DELETE FROM graft_pv.main.dv WHERE grp = 3")
+    } }
+    accounted16 { time("compact: materialize vectors") {
+      graft.catalog.Snapshots.compact(spark,
+        new org.apache.hadoop.fs.Path(s"$profDir16/dv"))
+    } }
+    }
+
+    if (only.contains(17)) {
+    // --- 17. BLOOM candidacy on an UNCLUSTERED key (r15) ----------------
+    // Hash-scattered layout: every file's min/max spans the whole id
+    // domain, so footer/manifest stats keep ALL files as candidates and a
+    // point DELETE reads the table. Per-file blooms prove absence; the
+    // DELETE reads ~1/40 of the bytes. bloom build cost is paid once per
+    // commit (shown in the CTAS fixture time).
+    //   sbt "Test/runMain graft.ProfileSkew 200000 4000000 17"
+    val n17 = math.max(nDoc.toLong, 4000000L)
+    val profDir17 = java.nio.file.Files.createTempDirectory("prof_bloom").toString
+    spark.conf.set("spark.sql.catalog.graft_pb", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pb.dir", profDir17)
+    val written17 = new java.util.concurrent.atomic.AtomicLong
+    val read17 = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            written17.addAndGet(m.outputMetrics.bytesWritten)
+            read17.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def accounted17[T](f: => T): Unit = {
+      Thread.sleep(300); written17.set(0L); read17.set(0L)
+      f
+      Thread.sleep(300)
+      println(f"[prof]   read ${read17.get / 1e6}%.0f MB, wrote ${written17.get / 1e6}%.2f MB")
+    }
+    def mk17(name: String, bloom: Boolean): Unit = {
+      val bl = if (bloom) ", 'bloom_cols'='id', 'bloom_fpp'='0.0001'" else ""
+      time(s"fixture $name: 40-file hash-scattered ~1.2 GB CTAS (bloom=$bloom)") {
+        spark.sql("CREATE TABLE graft_pb.main." + name +
+          s" TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true'$bl) AS " +
+          s"SELECT /*+ REPARTITION(40, hashed) */ id, hash(id) AS hashed, " +
+          s"concat(md5(concat(cast(id as string), '0')), " +
+          s"md5(concat(cast(id as string), '1'))," +
+          s"md5(concat(cast(id as string), '2'))," +
+          s"md5(concat(cast(id as string), '3'))," +
+          s"md5(concat(cast(id as string), '4'))," +
+          s"md5(concat(cast(id as string), '5'))," +
+          s"md5(concat(cast(id as string), '6'))," +
+          s"md5(concat(cast(id as string), '7'))) AS payload FROM range($n17)")
+      }
+    }
+    mk17("bl", bloom = true)
+    mk17("nb", bloom = false)
+    val blBytes = {
+      val fs = new org.apache.hadoop.fs.Path(profDir17)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$profDir17/bl")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+        .flatMap(g => fs.listStatus(g.getPath).toSeq)
+        .filter(_.getPath.getName == "_graft_blooms.json")
+        .map(_.getLen).sum
+    }
+    println(f"[prof]   bloom sidecar bytes: ${blBytes / 1e6}%.1f MB")
+    for (i <- 1 to 2) {
+      accounted17 { time(s"point DELETE by unclustered id, BLOOM #$i") {
+        spark.sql(s"DELETE FROM graft_pb.main.bl WHERE id = ${n17 / 3 + i}")
+      } }
+      accounted17 { time(s"point DELETE by unclustered id, stats-only #$i") {
+        spark.sql(s"DELETE FROM graft_pb.main.nb WHERE id = ${n17 / 3 + i}")
+      } }
+    }
+    }
+
     if (only.isEmpty || only.contains(11)) {
     // --- 11. Bloom-sidecar incremental dedup at its DESIGN point --------
     // Large persisted fingerprint state × small mostly-new batch — the
