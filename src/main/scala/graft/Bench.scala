@@ -66,7 +66,8 @@ object Bench {
     "q_catalog_snap_file", "q_catalog_cdf",
     // r15 deletion vectors + bloom skipping: merge-on-read DELETE,
     // synthesized change feed, unclustered point-delete candidacy
-    "q_catalog_dv", "q_catalog_dv_changes", "q_catalog_bloom")
+    "q_catalog_dv", "q_catalog_dv_changes", "q_catalog_bloom",
+    "q_catalog_rollback")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

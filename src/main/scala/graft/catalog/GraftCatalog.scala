@@ -53,7 +53,8 @@ import graft.plans.GovernancePolicies
   * snapshot consistency comes from DSv2 capturing the Table at resolution time.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog with ViewCatalog {
+    with StagingTableCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var dir: String = _
@@ -1018,11 +1019,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           val fields = m.schema.fields.clone()
           fields(idx) = fields(idx).copy(dataType = to)
           m.copy(schema = StructType(fields))
+        case set: TableChange.SetProperty =>
+          // ALTER TABLE SET TBLPROPERTIES (r15): the write-behavior
+          // properties can be flipped on an EXISTING table — recreating a
+          // 100 TB table to enable deletion vectors would defeat their
+          // point. All validations mirror CREATE; `snapshots` itself is
+          // immutable (flipping it mid-life would orphan either the
+          // manifests or the plain layout).
+          val props = new java.util.HashMap[String, String]()
+          props.put(set.property(), set.value())
+          set.property() match {
+            case "deletion_vectors" =>
+              m.copy(deletionVectors = deletionVectorsRequested(m.snapshots, props))
+            case "changelog" =>
+              m.copy(changelog = changelogRequested(m.snapshots, props))
+            case "bloom_cols" =>
+              // applies to generations written AFTER the change (existing
+              // generations have no sidecar — candidacy stays conservative
+              // for them until compaction rewrites)
+              val (cols, _) = bloomColsRequested(m.schema, m.partitionCols,
+                m.snapshots, props)
+              m.copy(bloomCols = cols)
+            case "bloom_fpp" =>
+              val fpp = set.value().trim.toDouble
+              require(fpp > 0 && fpp < 0.5, s"bloom_fpp $fpp out of (0, 0.5)")
+              m.copy(bloomFpp = fpp)
+            case "sort_order" =>
+              m.copy(sortOrder = sortOrderRequested(m.schema, m.partitionCols,
+                props))
+            case "snapshots" =>
+              throw new UnsupportedOperationException(
+                "the 'snapshots' property is immutable: flipping it mid-life " +
+                  "would orphan either the manifests or the plain layout — " +
+                  "use CREATE OR REPLACE ... AS SELECT to re-layout")
+            case other =>
+              throw new UnsupportedOperationException(
+                s"graft catalog: SET TBLPROPERTIES ('$other') is not a " +
+                  "recognized table property (settable: deletion_vectors, " +
+                  "changelog, bloom_cols, bloom_fpp, sort_order)")
+          }
+        case rm: TableChange.RemoveProperty =>
+          rm.property() match {
+            case "deletion_vectors" => m.copy(deletionVectors = false)
+            case "changelog" => m.copy(changelog = false)
+            case "bloom_cols" => m.copy(bloomCols = Nil)
+            case "bloom_fpp" => m.copy(bloomFpp = 0.001)
+            case "sort_order" => m.copy(sortOrder = Nil)
+            case other =>
+              throw new UnsupportedOperationException(
+                s"graft catalog: UNSET TBLPROPERTIES ('$other') is not a " +
+                  "recognized table property")
+          }
         case other =>
           throw new UnsupportedOperationException(
             s"graft catalog: ALTER ${other.getClass.getSimpleName} is not supported " +
-              "(only ADD/DROP COLUMN and widening ALTER COLUMN TYPE evolve " +
-              "a directory table safely)")
+              "(only ADD/DROP COLUMN, widening ALTER COLUMN TYPE, and " +
+              "SET/UNSET TBLPROPERTIES evolve a directory table safely)")
       }
     }
     TableMeta.write(fs, path, updated)
@@ -1048,6 +1100,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
     }
     b.result()
+  }
+
+  // ---- maintenance procedures: CALL <cat>.system.<proc>(...) (r15) ----
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.length == 1 &&
+        namespace(0).equalsIgnoreCase(GraftProcedures.Namespace))
+      GraftProcedures.names.map(n =>
+        Identifier.of(Array(GraftProcedures.Namespace), n)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known = ident.namespace.length == 1 &&
+      ident.namespace()(0).equalsIgnoreCase(GraftProcedures.Namespace)
+    (if (known) GraftProcedures.load(this, ident.name) else None).getOrElse(
+      throw new RuntimeException(
+        s"no such procedure: ${ident.namespace.mkString(".")}.${ident.name} " +
+          s"(have: ${GraftProcedures.names.map(n => s"system.$n").mkString(", ")})"))
+  }
+
+  /** Is `ns.name` a deletion-vector snapshot table — the merge-on-read
+    * UPDATE standin's cheap hint-time probe (one sidecar read, cached by
+    * the metadata TTL cache's coherence discipline elsewhere; a miss of
+    * any kind just means the stock UpdateTable path).
+    */
+  private[catalog] def morEligible(ns: Array[String], name: String): Boolean =
+    try tablePath(ns, name).flatMap(p => TableMeta.read(fs, p))
+      .exists(m => m.snapshots && m.deletionVectors)
+    catch { case _: Exception => false }
+
+  /** Resolve a procedure's 'ns.table' (or bare 'table' = main) argument. */
+  private[catalog] def resolveTableRef(ref: String): (Identifier, Path) = {
+    val parts = ref.split("\\.").toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"empty table reference")
+    val (ns, name) =
+      if (parts.length == 1) (Array("main"), parts.head)
+      else (parts.init.toArray, parts.last)
+    val ident = Identifier.of(ns, name)
+    val p = tablePath(ns, name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ns.toSeq :+ name))
+    (ident, p)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -705,8 +705,9 @@ object Snapshots {
     * writer's commit) and young unreferenced units (a concurrent writer's
     * adopted-but-uncommitted generations) are untouchable (r14 ADVICE).
     */
-  private[catalog] def prune(fs: FileSystem, tableDir: Path, currentV: Long): Unit = {
-    val keep = History.keep(SparkSession.active)
+  private[catalog] def prune(fs: FileSystem, tableDir: Path, currentV: Long,
+      keepOverride: Option[Int] = None): Unit = {
+    val keep = keepOverride.getOrElse(History.keep(SparkSession.active))
     val all = versions(fs, tableDir)
     val (dropVs, retainVs) = all.partition(_ < currentV - keep)
     val dropped = dropVs.flatMap(v => read(fs, tableDir, v))
@@ -766,6 +767,36 @@ object Snapshots {
           fs.delete(st.getPath, true)
       }
     }
+  }
+
+  /** Retire all but the newest `keep` superseded manifests NOW (the SQL
+    * `CALL <cat>.system.expire_snapshots` surface), sweeping the units,
+    * segments, change dirs, and dv dirs only they referenced. Returns the
+    * number of manifests expired.
+    */
+  def expire(fs: FileSystem, tableDir: Path, keep: Int): Int = {
+    val cur = current(fs, tableDir).getOrElse(return 0)
+    val before = versions(fs, tableDir).size
+    prune(fs, tableDir, cur.version, Some(keep))
+    before - versions(fs, tableDir).size
+  }
+
+  /** Restore a RETAINED snapshot version as a NEW manifest (the SQL
+    * `CALL <cat>.system.rollback` surface): the table's current state
+    * becomes the target version's entries AND deletion vectors, committed
+    * on top of history — every version in between stays readable under
+    * retention, and a concurrent commit conflicts exactly like any other
+    * writer (the rollback's touched set is every entry that differs).
+    */
+  def rollback(fs: FileSystem, tableDir: Path, version: Long): Snapshot = {
+    val target = read(fs, tableDir, version).getOrElse(
+      throw new IllegalArgumentException(
+        s"rollback: version $version of ${tableDir.getName} is not retained " +
+          s"(have: ${versions(fs, tableDir).mkString(", ")})"))
+    val cur = current(fs, tableDir)
+    if (cur.exists(_.version == version)) return cur.get
+    commit(fs, tableDir, cur, target.entries, kind = "rollback",
+      dvEdit = Some((target.dvs, target.dvRows)))
   }
 
   /** Remove `k=v` / `gen-*` directory levels a unit delete left EMPTY —
@@ -1104,8 +1135,18 @@ object Snapshots {
             // deletion-vector commit: the pair-set difference IS the exact
             // row-level feed — no changelog recording needed
             withOp(DeletionVectors.deletedRows(spark, tableDir, meta, sa, sb), "D", b)
-          else if (removed.isEmpty) withOp(
-            DeletionVectors.readLiveUnits(spark, tableDir, meta, sb, added), "I", b)
+          else if (removed.isEmpty) {
+            // pure append — and the merge-on-read UPDATE shape (r15):
+            // added units carry the exact 'I' rows, and when the commit
+            // also edited vectors the pair-set difference carries the
+            // exact 'D' rows (the matched rows' pre-update values) — both
+            // synthesized, no changelog recording needed
+            val inserts = withOp(
+              DeletionVectors.readLiveUnits(spark, tableDir, meta, sb, added), "I", b)
+            if (sb.dvs == sa.dvs) inserts
+            else withOp(DeletionVectors.deletedRows(spark, tableDir, meta, sa, sb),
+              "D", b).unionAll(inserts)
+          }
           else if (added.isEmpty) withOp(
             // the removed units' LIVE rows under the pre-commit snapshot:
             // rows an earlier dv already deleted are not deleted again

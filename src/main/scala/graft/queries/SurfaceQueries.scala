@@ -641,6 +641,42 @@ object SurfaceQueries {
         |FROM graft_bm.main.docs_bl VERSION AS OF '1' GROUP BY lang""".stripMargin)
     }),
 
+    // SQL maintenance procedures (r15): a dv DELETE, an append, then
+    // CALL rollback restores the pre-delete/pre-append version as a NEW
+    // commit — current state == v1, while VERSION AS OF still serves the
+    // rolled-over history. CALL compact then materializes (now-empty)
+    // state content-invariantly. Hash-checked against the base relation.
+    "q_catalog_rollback" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_rb"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_rb", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_rb.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_rb.main.docs_rb")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "5")
+      try {
+        s.sql("CREATE TABLE graft_rb.main.docs_rb " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("DELETE FROM graft_rb.main.docs_rb WHERE doc_id < 200")
+        s.sql("INSERT INTO graft_rb.main.docs_rb " +
+          "SELECT doc_id + 7000000, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents WHERE doc_id % 11 = 0")
+        s.sql("CALL graft_rb.system.rollback('main.docs_rb', 1)")
+        s.sql("CALL graft_rb.system.compact('main.docs_rb')")
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_rb.main.docs_rb GROUP BY lang
+        |UNION ALL
+        |SELECT 'v3' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_rb.main.docs_rb VERSION AS OF '3' GROUP BY lang""".stripMargin)
+    }),
+
     // storage-partitioned join (r13): both tables are hive-partitioned on
     // the join key, and under the graft.spj opt-in (with Spark's
     // v2-bucketing flag, default-on in 4.x) the
@@ -1532,6 +1568,22 @@ object SurfaceQueries {
         |UNION ALL
         |SELECT 'v1' AS state, lang, count(*) AS n,
         |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang""".stripMargin),
+
+    // rollback restores the untouched base as `current`; v3 carries the
+    // delete + append the rollback retired
+    "q_catalog_rollback" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok, lang
+        |  FROM documents),
+        |v3 AS (
+        |  SELECT * FROM base WHERE doc_id >= 200
+        |  UNION ALL
+        |  SELECT doc_id + 7000000, tok, lang FROM base WHERE doc_id % 11 = 0)
+        |SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang
+        |UNION ALL
+        |SELECT 'v3' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM v3 GROUP BY lang""".stripMargin),
 
     // the bucket column cancels out: orders×customer revenue by nation
     "q_catalog_bucketed" ->
