@@ -248,6 +248,95 @@ object DeletionVectors {
     } finally matched.unpersist()
   }
 
+  /** Execute a merge-on-read `UPDATE t SET ... WHERE ...` (r15, see
+    * [[GraftMorUpdateCommand]]): matched LIVE rows are position-vectored
+    * out of their files and re-written — with the assignments applied —
+    * as one fresh generation, in one atomic manifest commit. Bytes
+    * written ∝ matched rows (vector pairs + updated rows), never
+    * candidate file bytes. `v1Filters` are the translatable conjuncts of
+    * the condition (candidacy only — a subset is always safe); `cond` is
+    * the FULL condition; `sets` maps lowercase column name to its
+    * assigned value. An UPDATE matching nothing commits nothing.
+    */
+  def updateWhere(spark: SparkSession, root: Path, meta: TableMeta,
+      snap: Snapshots.Snapshot, v1Filters: Seq[sources.Filter],
+      cond: Column, sets: Map[String, Column]): Unit = {
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    sets.keys.foreach { n =>
+      require(meta.schema.fieldNames.exists(_.equalsIgnoreCase(n)),
+        s"UPDATE ${root.getName}: no such column $n")
+    }
+    val cands = candidateFiles(fs, root, meta, snap, v1Filters)
+    if (cands.isEmpty) return
+    val rootStr = fs.makeQualified(root).toString
+    val raw = spark.read.option("basePath", root.toString)
+      .parquet(cands.map(rel => new Path(root, rel).toString): _*)
+      .withColumn("__graft_file",
+        expr(s"substring(_metadata.file_path, ${rootStr.length + 2})"))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    val live = dvPairs(spark, root, snap, Some(cands.toSet)) match {
+      case Some(pairs) => raw.join(pairs,
+        col("__graft_file") === pairs("file") &&
+          col("__graft_pos") === pairs("pos"), "left_anti")
+      case None => raw
+    }
+    val matched = live.filter(cond)
+    matched.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = matched.groupBy("__graft_file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.isEmpty) return
+      // 1. the replacement rows: assignments applied, declared columns only
+      val outCols = meta.schema.fields.toSeq.map { f =>
+        sets.find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+          .map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(s"`${f.name}`"))
+      }
+      val newRows = matched.select(outCols: _*)
+      // 2. stage and adopt the new generation(s) — invisible until commit
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new Path(root.getParent, s".morupd-${root.getName}-$uuid")
+      var entries = snap.entries
+      var adoptedGens: Map[String, String] = Map.empty
+      if (meta.partitionCols.isEmpty) {
+        newRows.write.parquet(staging.toString)
+        val (gen, rels) = Snapshots.adoptStagedFiles(fs, staging, root)
+        adoptedGens = Map("" -> gen)
+        entries = entries ++ Snapshots.fileEntries(rels)
+      } else {
+        newRows.write.partitionBy(meta.partitionCols: _*).parquet(staging.toString)
+        val adopted = Snapshots.adoptStaged(fs, staging, root)
+        adoptedGens = adopted
+        adopted.foreach { case (kv, g) =>
+          entries = entries.updated(kv, entries.getOrElse(kv, Nil) :+ g)
+        }
+      }
+      fs.delete(staging, true)
+      // 3. dv union over the touched files (deleteWhere's discipline: the
+      // new dir carries old-pairs-of-touched ∪ matched, one lookup per file)
+      val touched = counts.keySet
+      val name = s"dv-${java.util.UUID.randomUUID().toString.replace("-", "").take(12)}"
+      val dvDir = new Path(new Path(root, Snapshots.DvDir), name)
+      val matchedPairs = matched
+        .select(col("__graft_file").as("file"), col("__graft_pos").as("pos"))
+      val carried = dvPairs(spark, root, snap,
+        Some(touched.filter(snap.dvs.contains)))
+      val pairsOut = carried.map(matchedPairs.unionAll).getOrElse(matchedPairs)
+      pairsOut.coalesce(1).write.mode("overwrite").parquet(dvDir.toString)
+      val dvs = snap.dvs ++ touched.map(_ -> name)
+      val dvRows = snap.dvRows ++ counts.map { case (f, n) =>
+        f -> (snap.dvRows.getOrElse(f, 0L) + n)
+      }
+      try Snapshots.commit(fs, root, Some(snap), entries,
+        kind = "morupdate", dvEdit = Some((dvs, dvRows)))
+      catch { case e: ConcurrentCommitException =>
+        fs.delete(dvDir, true)
+        Snapshots.dropGens(fs, root, adoptedGens)
+        throw e
+      }
+    } finally matched.unpersist()
+  }
+
   /** The rows a dv-delete commit removed, for the change feed: the pair
     * sets' difference, joined back to the (still-listed) files — exact
     * per-row 'D' records with no changelog recording needed.
@@ -315,6 +404,7 @@ case class GraftDvReadRule(spark: SparkSession)
     plan.foreach {
       case d: DeleteFromTable => d.table.foreach(skip.add)
       case u: UpdateTable => u.table.foreach(skip.add)
+      case g: GraftMorUpdate => g.table.foreach(skip.add)
       case m: MergeIntoTable => m.targetTable.foreach(skip.add)
       case _ =>
     }

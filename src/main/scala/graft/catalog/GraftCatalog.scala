@@ -461,9 +461,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (cached != null && now - cached._1 < ttlMs) return cached._2
     // an unknown namespace must not resolve paths (graft.<table>.<subdir>
     // would otherwise read inside a main table's directory)
-    if (!namespaceExists(ident.namespace))
+    if (!namespaceExists(ident.namespace)) {
+      // metadata tables (r15): `<ns>.<table>.files|history|partitions` —
+      // the trailing part arrives as the Identifier name with the real
+      // table as the last namespace element. Only reachable when the
+      // namespace does NOT exist, so no real namespace is ever shadowed.
+      if (ident.namespace.length >= 2 && MetaTables.isMetaName(ident.name)) {
+        val ns = ident.namespace.init
+        val tbl = ident.namespace.last
+        if (namespaceExists(ns)) tablePath(ns, tbl).foreach { p =>
+          return MetaTables.load(SparkSession.active, ident,
+            Identifier.of(ns, tbl), p, ident.name)
+        }
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident.namespace.toSeq :+ ident.name)
+    }
     // stored views resolve to a schema-only table; GraftViewRule splices
     // the parsed view query (with governance beneath) at analysis time
     if (viewExists(ident.namespace, ident.name)) {
@@ -604,10 +617,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some((path, m)) =>
         val filesystem = fs
         def have = Snapshots.versions(filesystem, path).mkString(", ")
-        val v = version.toLongOption.getOrElse(
+        // a non-numeric version is a TAG (r15): named, retention-pinned
+        // refs — `VERSION AS OF 'prod-2026-08'`
+        val v = version.toLongOption
+          .orElse(Snapshots.tags(filesystem, path).get(version)).getOrElse(
           throw new IllegalArgumentException(
             s"VERSION AS OF '$version': snapshot table ${ident.name} takes " +
-              s"a manifest version number (have: $have)"))
+              s"a manifest version number or a tag (versions: $have; tags: " +
+              s"${Snapshots.tags(filesystem, path).keys.toSeq.sorted.mkString(", ")})"))
         val snap = Snapshots.read(filesystem, path, v).getOrElse(
           throw new IllegalArgumentException(
             s"VERSION AS OF $v: not a retained snapshot of ${ident.name} " +

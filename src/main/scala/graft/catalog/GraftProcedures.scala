@@ -33,7 +33,8 @@ object GraftProcedures {
 
   val Namespace = "system"
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rollback", "history")
+    Seq("compact", "expire_snapshots", "rollback", "history",
+      "create_tag", "drop_tag")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -41,6 +42,8 @@ object GraftProcedures {
       case "expire_snapshots" => Some(new ExpireProc(catalog))
       case "rollback" => Some(new RollbackProc(catalog))
       case "history" => Some(new HistoryProc(catalog))
+      case "create_tag" => Some(new CreateTagProc(catalog))
+      case "drop_tag" => Some(new DropTagProc(catalog))
       case _ => None
     }
 
@@ -126,6 +129,44 @@ object GraftProcedures {
         }.toArray
       java.util.Collections.singletonList(
         ResultScan(schema, rows): Scan).iterator()
+    }
+  }
+
+  private class CreateTagProc(catalog: GraftCatalog) extends GraftProc(catalog) {
+    override def name(): String = "create_tag"
+    override def description(): String =
+      "pin a retained snapshot version under a name; `VERSION AS OF '<tag>'` reads it " +
+        "and retention never sweeps it until the tag drops"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").comment("retained version; default = current").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (_, dir) = tableArg(input)
+      val tag = input.getUTF8String(1).toString
+      val version = input.getLong(2)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val v = Snapshots.createTag(fs, dir, tag, version)
+      result(StructType(Seq(
+        StructField("tag", StringType),
+        StructField("pinned_version", LongType))), UTF8String.fromString(tag), v)
+    }
+  }
+
+  private class DropTagProc(catalog: GraftCatalog) extends GraftProc(catalog) {
+    override def name(): String = "drop_tag"
+    override def description(): String =
+      "drop a tag; the next retention pass may sweep what only it pinned"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("tag", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (_, dir) = tableArg(input)
+      val tag = input.getUTF8String(1).toString
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      val existed = Snapshots.dropTag(fs, dir, tag)
+      result(StructType(Seq(StructField("dropped", BooleanType))), existed)
     }
   }
 

@@ -709,7 +709,11 @@ object Snapshots {
       keepOverride: Option[Int] = None): Unit = {
     val keep = keepOverride.getOrElse(History.keep(SparkSession.active))
     val all = versions(fs, tableDir)
-    val (dropVs, retainVs) = all.partition(_ < currentV - keep)
+    // tagged versions are PINNED: their manifests stay, and because they
+    // join the retained set below, every unit/segment/change/dv dir they
+    // reference is protected from the sweep too
+    val pinned = tags(fs, tableDir).values.toSet
+    val (dropVs, retainVs) = all.partition(v => v < currentV - keep && !pinned(v))
     val dropped = dropVs.flatMap(v => read(fs, tableDir, v))
     val retainedSnaps = retainVs.flatMap(v => read(fs, tableDir, v))
     val droppedRefs = dropped.flatMap(_.relDirs).toSet
@@ -769,10 +773,85 @@ object Snapshots {
     }
   }
 
+  // ---- tags: named, retention-pinning refs to manifest versions (r15) --
+
+  val TagsFile = "_graft_tags.json"
+
+  /** Named refs (`_graft_tags.json`: name -> manifest version). A tagged
+    * version is PINNED: [[prune]] (and therefore [[expire]]) never drops
+    * its manifest or sweeps what it references, no matter the retention
+    * window — "the snapshot training run X read" stays readable until the
+    * tag is dropped. `VERSION AS OF '<tag>'` resolves through here.
+    */
+  def tags(fs: FileSystem, tableDir: Path): Map[String, Long] = {
+    val p = new Path(tableDir, TagsFile)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val raw = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+    // {"name":version,...} — same minimal hand parser family as the rest
+    // of the sidecars
+    """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r.findAllMatchIn(raw).map { m =>
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\") -> m.group(2).toLong
+    }.toMap
+  }
+
+  private def writeTags(fs: FileSystem, tableDir: Path,
+      all: Map[String, Long]): Unit = {
+    val p = new Path(tableDir, TagsFile)
+    if (all.isEmpty) { fs.delete(p, false); return }
+    val body = all.toSeq.sortBy(_._1).map { case (n, v) =>
+      js(n) + ":" + v
+    }.mkString("{", ",", "}")
+    val tmp = new Path(tableDir, s".$TagsFile-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"tags: cannot install $tmp as $p")
+  }
+
+  /** Create (or move) a tag. Edits serialize under the commit lock so two
+    * concurrent tag edits cannot lose one another's write; the target
+    * version must be retained at edit time (a pin on an already-swept
+    * manifest would dangle).
+    */
+  def createTag(fs: FileSystem, tableDir: Path, name: String,
+      version: Long): Long = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-empty and non-numeric " +
+        "(VERSION AS OF could not tell it from a version number)")
+    CommitLock.withLock(fs, tableDir.getParent, s"${tableDir.getName}.tags") {
+      val v = if (version >= 0) version
+        else current(fs, tableDir).map(_.version).getOrElse(
+          throw new IllegalArgumentException(
+            s"${tableDir.getName}: not a snapshot table — nothing to tag"))
+      if (read(fs, tableDir, v).isEmpty)
+        throw new IllegalArgumentException(
+          s"tag '$name': version $v of ${tableDir.getName} is not retained " +
+            s"(have: ${versions(fs, tableDir).mkString(", ")})")
+      writeTags(fs, tableDir, tags(fs, tableDir).updated(name, v))
+      v
+    }
+  }
+
+  /** Drop a tag; the next prune/expire may sweep what only it pinned.
+    * Returns false when the tag did not exist.
+    */
+  def dropTag(fs: FileSystem, tableDir: Path, name: String): Boolean =
+    CommitLock.withLock(fs, tableDir.getParent, s"${tableDir.getName}.tags") {
+      val cur = tags(fs, tableDir)
+      if (!cur.contains(name)) false
+      else { writeTags(fs, tableDir, cur - name); true }
+    }
+
   /** Retire all but the newest `keep` superseded manifests NOW (the SQL
     * `CALL <cat>.system.expire_snapshots` surface), sweeping the units,
-    * segments, change dirs, and dv dirs only they referenced. Returns the
-    * number of manifests expired.
+    * segments, change dirs, and dv dirs only they referenced — tagged
+    * versions stay pinned. Returns the number of manifests expired.
     */
   def expire(fs: FileSystem, tableDir: Path, keep: Int): Int = {
     val cur = current(fs, tableDir).getOrElse(return 0)

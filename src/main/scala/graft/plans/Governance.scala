@@ -261,10 +261,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // policy wraps a dv table's relation first, the dv rewrite swaps only
     // the leaf beneath it
     e.injectResolutionRule(graft.catalog.GraftDvReadRule(_))
+    e.injectResolutionRule(graft.catalog.GraftMorUpdateRule(_))
     e.injectResolutionRule(graft.catalog.GraftDynamicOverwriteRule(_))
     e.injectResolutionRule(graft.catalog.GraftViewRule(_))
     // view DDL must rewrite BEFORE the Resolution batch:
     // ResolveSessionCatalog throws for any non-session-catalog view DDL
     e.injectHintResolutionRule(graft.catalog.GraftViewDdlRule(_))
+    // UPDATE on dv tables must be claimed BEFORE the Resolution batch's
+    // built-in RewriteUpdateTable (same-batch, earlier-rule race — see
+    // graft.catalog.GraftMorUpdate)
+    e.injectHintResolutionRule(graft.catalog.GraftMorUpdateStandinRule(_))
   }
 }

@@ -606,6 +606,128 @@ object SurfaceQueries {
         "FROM dv_feed GROUP BY _change_op, _change_version")
     }),
 
+    // snapshot tags (r15): pin v1 under a name, expire retention down to
+    // nothing, and the tagged version is STILL readable by name while the
+    // untagged middle version is swept — the "training run X's input"
+    // primitive. Hash-checks the tag read against the v1 restatement.
+    "q_catalog_tag" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_tag"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_tga", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tga.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_tga.main.docs_tag")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      val prevG = s.conf.getOption(graft.catalog.Snapshots.OrphanGraceKey)
+      s.conf.set(graft.catalog.History.Key, "4")
+      s.conf.set(graft.catalog.Snapshots.OrphanGraceKey, "0")
+      try {
+        s.sql("CREATE TABLE graft_tga.main.docs_tag " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("CALL graft_tga.system.create_tag('main.docs_tag', 'baseline', 1)")
+        s.sql("DELETE FROM graft_tga.main.docs_tag WHERE doc_id < 300")   // v2
+        s.sql("INSERT INTO graft_tga.main.docs_tag " +
+          "SELECT doc_id + 8000000, length(coalesce(text, '')), lang " +
+          "FROM graft.main.documents WHERE doc_id % 13 = 0")              // v3
+        s.sql("CALL graft_tga.system.expire_snapshots('main.docs_tag', 0)")
+      } finally {
+        prevH match {
+          case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+          case None => s.conf.unset(graft.catalog.History.Key)
+        }
+        prevG match {
+          case Some(v) => s.conf.set(graft.catalog.Snapshots.OrphanGraceKey, v)
+          case None => s.conf.unset(graft.catalog.Snapshots.OrphanGraceKey)
+        }
+      }
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tga.main.docs_tag GROUP BY lang
+        |UNION ALL
+        |SELECT 'baseline' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_tga.main.docs_tag VERSION AS OF 'baseline' GROUP BY lang""".stripMargin)
+    }),
+
+    // metadata tables (r15): `t.partitions` serves LIVE per-partition rows
+    // (manifest accounting, dv subtracted), `t.files` physical counts +
+    // dv_deleted, `t.history` the retained versions — all hash-checked
+    // against an oracle restating the DML
+    "q_catalog_meta" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_meta"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_mx", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mx.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_mx.main.docs_meta")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "4")
+      try {
+        s.sql("CREATE TABLE graft_mx.main.docs_meta " +
+          "USING parquet PARTITIONED BY (lang) " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("DELETE FROM graft_mx.main.docs_meta WHERE doc_id < 50") // v2 dv
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT concat('part:', partition) AS key,
+        |  rows AS a, dv_deleted AS b
+        |FROM graft_mx.main.docs_meta.partitions
+        |UNION ALL
+        |SELECT 'files_total' AS key, sum(rows) AS a, sum(dv_deleted) AS b
+        |FROM graft_mx.main.docs_meta.files
+        |UNION ALL
+        |SELECT 'history' AS key, count(*) AS a, max(version) AS b
+        |FROM graft_mx.main.docs_meta.history""".stripMargin)
+    }),
+
+    // merge-on-read UPDATE (r15): each UPDATE on the dv table commits one
+    // position vector + one tiny generation — no candidate file rewrite —
+    // including a re-update of rows the first UPDATE already moved into a
+    // fresh generation. Current state, time travel, and the synthesized
+    // D+I change feed are all hash-checked.
+    "q_catalog_mor_update" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_mor"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_mo", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_mo.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_mo.main.docs_mor")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "5")
+      try {
+        s.sql("CREATE TABLE graft_mo.main.docs_mor " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT /*+ REPARTITION_BY_RANGE(4, doc_id) */ doc_id, " +
+          "length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("UPDATE graft_mo.main.docs_mor SET lang = 'xx' " +
+          "WHERE doc_id < 100")                                   // v2
+        s.sql("UPDATE graft_mo.main.docs_mor SET tok = tok + 1000 " +
+          "WHERE doc_id IN (200, 201)")                           // v3
+        s.sql("UPDATE graft_mo.main.docs_mor SET lang = 'yy' " +
+          "WHERE doc_id = 50")                                    // v4 (re-update)
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      val feed = graft.catalog.Snapshots.changesBetween(s,
+        new org.apache.hadoop.fs.Path(s"$wdir/docs_mor"), 1L, 4L)
+      feed.createOrReplaceTempView("mor_feed")
+      s.sql("""SELECT 'current' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_mo.main.docs_mor GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM graft_mo.main.docs_mor VERSION AS OF '1' GROUP BY lang
+        |UNION ALL
+        |SELECT concat('feed_', _change_op, '_v', _change_version) AS state,
+        |  NULL AS lang, count(*) AS n, sum(tok) AS tok_sum
+        |FROM mor_feed GROUP BY _change_op, _change_version""".stripMargin)
+    }),
+
     // bloom file-skipping (r15): the layout clusters by a HASH, so every
     // file's doc_id min/max spans the whole domain and footer candidacy is
     // useless — per-file blooms prove absence instead, and the point
@@ -1556,6 +1678,66 @@ object SurfaceQueries {
         |SELECT _change_op, _change_version, count(*) AS n,
         |  sum(doc_id)::BIGINT AS key_sum, sum(tok)::BIGINT AS tok_sum
         |FROM c GROUP BY _change_op, _change_version""".stripMargin),
+
+    // baseline = the untouched CTAS (pinned through the expire); current
+    // carries the delete + append
+    "q_catalog_tag" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok, lang
+        |  FROM documents),
+        |cur AS (
+        |  SELECT * FROM base WHERE doc_id >= 300
+        |  UNION ALL
+        |  SELECT doc_id + 8000000, tok, lang FROM base WHERE doc_id % 13 = 0)
+        |SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM cur GROUP BY lang
+        |UNION ALL
+        |SELECT 'baseline' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang""".stripMargin),
+
+    // partitions = live rows per lang (dv'd doc_id<50 out); files = the
+    // physical counts with the dv'd rows itemized; history = v1 init + v2
+    // dvdelete
+    "q_catalog_meta" ->
+      ("""WITH base AS (SELECT doc_id, lang FROM documents)
+        |SELECT concat('part:lang=', lang) AS key,
+        |  count(*) FILTER (WHERE doc_id >= 50)::BIGINT AS a,
+        |  count(*) FILTER (WHERE doc_id < 50)::BIGINT AS b
+        |FROM base GROUP BY lang
+        |UNION ALL
+        |SELECT 'files_total' AS key, count(*)::BIGINT AS a,
+        |  count(*) FILTER (WHERE doc_id < 50)::BIGINT AS b FROM base
+        |UNION ALL
+        |SELECT 'history' AS key, 2::BIGINT AS a, 2::BIGINT AS b""".stripMargin),
+
+    // v2 rewrites lang for doc_id<100, v3 adds 1000 tokens to two rows,
+    // v4 re-updates row 50; the feed restates each commit's D (pre) and I
+    // (post) rows
+    "q_catalog_mor_update" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok, lang
+        |  FROM documents),
+        |cur AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id IN (200, 201) THEN tok + 1000 ELSE tok END AS tok,
+        |    CASE WHEN doc_id = 50 THEN 'yy'
+        |         WHEN doc_id < 100 THEN 'xx' ELSE lang END AS lang
+        |  FROM base),
+        |feed AS (
+        |  SELECT 'feed_D_v2' AS state, tok FROM base WHERE doc_id < 100
+        |  UNION ALL SELECT 'feed_I_v2', tok FROM base WHERE doc_id < 100
+        |  UNION ALL SELECT 'feed_D_v3', tok FROM base WHERE doc_id IN (200, 201)
+        |  UNION ALL SELECT 'feed_I_v3', tok + 1000 FROM base WHERE doc_id IN (200, 201)
+        |  UNION ALL SELECT 'feed_D_v4', tok FROM base WHERE doc_id = 50
+        |  UNION ALL SELECT 'feed_I_v4', tok FROM base WHERE doc_id = 50)
+        |SELECT 'current' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM cur GROUP BY lang
+        |UNION ALL
+        |SELECT 'v1' AS state, lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM base GROUP BY lang
+        |UNION ALL
+        |SELECT state, NULL::VARCHAR AS lang, count(*) AS n,
+        |  sum(tok)::BIGINT AS tok_sum FROM feed GROUP BY state""".stripMargin),
 
     // drop the four point-deleted keys from the current view; v1 untouched
     "q_catalog_bloom" ->

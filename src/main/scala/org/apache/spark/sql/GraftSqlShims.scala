@@ -48,6 +48,14 @@ object GraftSqlShims {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
 
+  /** Catalyst `Expression` → classic `Column` — the Spark-4 ColumnNode
+    * bridge (`ExpressionUtils.column`). Used by the graft catalog's
+    * merge-on-read UPDATE command to re-apply resolved SET/WHERE
+    * expressions over its own file-position read.
+    */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   /** Catalyst `Expression` → V1 `sources.Filter` (None when untranslatable)
     * — the same conversion Spark applies before V1 pushdown. Used by the
     * graft catalog's FILE-granularity row-level groups to evaluate the

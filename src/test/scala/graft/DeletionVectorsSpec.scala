@@ -150,7 +150,7 @@ class DeletionVectorsSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dvp.main.t")
   }
 
-  test("copy-on-write UPDATE/MERGE refuse while vectors are live; compaction materializes them and reopens COW") {
+  test("UPDATE is merge-on-read on dv tables; copy-on-write MERGE refuses while vectors are live; compaction materializes them and reopens COW") {
     val dir = freshDir("cow")
     spark.conf.set("spark.sql.catalog.graft_dvc", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.graft_dvc.dir", dir)
@@ -160,7 +160,7 @@ class DeletionVectorsSpec extends SparkSpec {
         "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
         "SELECT /*+ REPARTITION_BY_RANGE(3, id) */ id, CAST(0 AS LONG) AS v " +
         "FROM range(3000)")
-      // with NO vectors, copy-on-write UPDATE works normally on a dv table
+      // UPDATE rides the merge-on-read path (r15d — see MorUpdateSpec)
       spark.sql("UPDATE graft_dvc.main.t SET v = 1 WHERE id = 7")
       assert(spark.sql("SELECT v FROM graft_dvc.main.t WHERE id = 7")
         .collect().head.getLong(0) == 1)
@@ -168,9 +168,18 @@ class DeletionVectorsSpec extends SparkSpec {
       spark.sql("DELETE FROM graft_dvc.main.t WHERE id = 2500")
       assert(spark.table("graft_dvc.main.t").count() == 2999)
 
-      // live vectors: COW would resurrect the deleted row — refuse loudly
+      // UPDATE with live vectors works — merge-on-read never resurrects
+      spark.sql("UPDATE graft_dvc.main.t SET v = 2 WHERE id = 8")
+      assert(spark.sql("SELECT v FROM graft_dvc.main.t WHERE id = 8")
+        .collect().head.getLong(0) == 2)
+      assert(spark.table("graft_dvc.main.t").count() == 2999)
+
+      // live vectors: copy-on-write MERGE would resurrect the deleted
+      // row — refuse loudly
       val e = intercept[Exception] {
-        spark.sql("UPDATE graft_dvc.main.t SET v = 2 WHERE id = 8")
+        spark.sql("MERGE INTO graft_dvc.main.t AS tgt " +
+          "USING (SELECT 9L AS id, 99L AS v) AS src ON tgt.id = src.id " +
+          "WHEN MATCHED THEN UPDATE SET v = src.v")
       }
       def rootMsg(t: Throwable): String = {
         var c: Throwable = t
@@ -189,11 +198,16 @@ class DeletionVectorsSpec extends SparkSpec {
       assert(spark.table("graft_dvc.main.t").count() == 2999)
       assert(spark.sql("SELECT count(*) FROM graft_dvc.main.t WHERE id = 2500")
         .collect().head.getLong(0) == 0)
+      // updates survived the materialization
+      assert(spark.sql("SELECT v FROM graft_dvc.main.t WHERE id = 7")
+        .collect().head.getLong(0) == 1)
 
-      // COW works again
-      spark.sql("UPDATE graft_dvc.main.t SET v = 2 WHERE id = 8")
-      assert(spark.sql("SELECT v FROM graft_dvc.main.t WHERE id = 8")
-        .collect().head.getLong(0) == 2)
+      // COW MERGE works again
+      spark.sql("MERGE INTO graft_dvc.main.t AS tgt " +
+        "USING (SELECT 9L AS id, 99L AS v) AS src ON tgt.id = src.id " +
+        "WHEN MATCHED THEN UPDATE SET v = src.v")
+      assert(spark.sql("SELECT v FROM graft_dvc.main.t WHERE id = 9")
+        .collect().head.getLong(0) == 99)
     } finally spark.sql("DROP TABLE IF EXISTS graft_dvc.main.t")
   }
 

@@ -22,6 +22,11 @@ object ProfileSkew {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // production wiring: the dv read rewrite and the merge-on-read
+      // UPDATE standin live in the extensions — without them a dv table's
+      // scan would serve deleted rows and UPDATE would silently take the
+      // copy-on-write path, making §16/§18 measure the wrong thing
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
@@ -684,6 +689,81 @@ object ProfileSkew {
         spark.sql(s"DELETE FROM graft_pb.main.nb WHERE id = ${n17 / 3 + i}")
       } }
     }
+    }
+
+    if (only.contains(18)) {
+    // --- 18. MERGE-ON-READ UPDATE vs copy-on-write at data scale (r15) --
+    // The file-scoped copy-on-write UPDATE rewrites the matched FILE
+    // (~1/40 of the table, ~30 MB here) even for a one-row SET; the
+    // merge-on-read path commits one position vector + a one-row
+    // generation — KBs. Same 40-file ~1.2 GB range-clustered shape as §16:
+    //   sbt "Test/runMain graft.ProfileSkew 200000 4000000 18"
+    val n18 = math.max(nDoc.toLong, 4000000L)
+    val profDir18 = java.nio.file.Files.createTempDirectory("prof_mor").toString
+    spark.conf.set("spark.sql.catalog.graft_pm18", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_pm18.dir", profDir18)
+    val written18 = new java.util.concurrent.atomic.AtomicLong
+    val read18 = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            written18.addAndGet(m.outputMetrics.bytesWritten)
+            read18.addAndGet(m.inputMetrics.bytesRead)
+          }
+        }
+      })
+    def accounted18[T](f: => T): Unit = {
+      Thread.sleep(300); written18.set(0L); read18.set(0L)
+      f
+      Thread.sleep(300)
+      println(f"[prof]   read ${read18.get / 1e6}%.0f MB, wrote ${written18.get / 1e6}%.2f MB")
+    }
+    def mk18(name: String, dv: Boolean): Unit = {
+      val props = if (dv)
+        "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') "
+      else "TBLPROPERTIES ('snapshots'='true') "
+      time(s"fixture $name: 40-file ~1.2 GB range-clustered CTAS (dv=$dv)") {
+        spark.sql(s"CREATE TABLE graft_pm18.main.$name $props AS " +
+          s"SELECT /*+ REPARTITION_BY_RANGE(40, id) */ id, " +
+          s"pmod(id, 7) AS grp, " +
+          s"concat(md5(concat(cast(id as string), '0')), " +
+          s"md5(concat(cast(id as string), '1'))," +
+          s"md5(concat(cast(id as string), '2'))," +
+          s"md5(concat(cast(id as string), '3'))," +
+          s"md5(concat(cast(id as string), '4'))," +
+          s"md5(concat(cast(id as string), '5'))," +
+          s"md5(concat(cast(id as string), '6'))," +
+          s"md5(concat(cast(id as string), '7'))) AS payload FROM range($n18)")
+      }
+    }
+    mk18("mu", dv = true)
+    mk18("cu", dv = false)
+    for (i <- 1 to 2) {
+      accounted18 { time(s"point UPDATE, merge-on-read #$i") {
+        spark.sql(s"UPDATE graft_pm18.main.mu SET grp = grp + 100 " +
+          s"WHERE id = ${n18 / 2 + i}")
+      } }
+      accounted18 { time(s"point UPDATE, file-scoped copy-on-write #$i") {
+        spark.sql(s"UPDATE graft_pm18.main.cu SET grp = grp + 100 " +
+          s"WHERE id = ${n18 / 2 + i}")
+      } }
+    }
+    // correctness anchors: both tables agree after the same mutations
+    val muCnt = spark.sql(
+      "SELECT count(*) FROM graft_pm18.main.mu WHERE grp > 100").collect()
+      .head.getLong(0)
+    val cuCnt = spark.sql(
+      "SELECT count(*) FROM graft_pm18.main.cu WHERE grp > 100").collect()
+      .head.getLong(0)
+    println(s"[prof]   updated rows visible: mor=$muCnt cow=$cuCnt")
+    // compaction materializes the update vectors back to zero
+    accounted18 { time("compact: materialize update vectors") {
+      graft.catalog.Snapshots.compact(spark,
+        new org.apache.hadoop.fs.Path(s"$profDir18/mu"))
+    } }
     }
 
     if (only.isEmpty || only.contains(11)) {
