@@ -68,7 +68,7 @@ object Bench {
     // synthesized change feed, unclustered point-delete candidacy
     "q_catalog_dv", "q_catalog_dv_changes", "q_catalog_bloom",
     "q_catalog_rollback", "q_catalog_mor_update", "q_catalog_meta",
-    "q_catalog_tag")
+    "q_catalog_tag", "q_catalog_tvf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1138,6 +1138,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"(have: ${GraftProcedures.names.map(n => s"system.$n").mkString(", ")})"))
   }
 
+  /** Age-gated crash-debris sweep for a LIVE table (the `CALL
+    * system.vacuum` surface): dot-prefixed staging/aside/lock debris of
+    * THIS table older than `olderThanMs` is deleted from its namespace
+    * dir, then — for snapshot tables — a retention pass sweeps
+    * unreferenced units/dv/change/segment dirs under the same grace
+    * discipline [[Snapshots.prune]] always applies. The age gate is the
+    * concurrency story: an IN-FLIGHT writer's staging dir is younger than
+    * any sane grace, so vacuum only ever removes what a crashed writer
+    * abandoned. Returns the number of debris paths removed.
+    */
+  private[catalog] def vacuumTable(ident: Identifier, path: Path,
+      olderThanMs: Long): Int = {
+    val filesystem = fs
+    val root = nsDir(ident.namespace)
+    val q = java.util.regex.Pattern.quote(ident.name)
+    val re = ("\\.(old|staging|overwrite|dynover|rlflat|rlpart|snapstage|" +
+      "snapcompact|morupd)-" + q + "-[0-9a-f]{8}|\\.gen-" + q +
+      "-[0-9]{13}-[0-9a-f]{8}|\\.commitlock-" + q + "(\\.tags)?(\\.break)?").r
+    val now = System.currentTimeMillis()
+    val debris = filesystem.listStatus(root).toSeq
+      .filter(st => re.pattern.matcher(st.getPath.getName).matches())
+      .filter(st => now - st.getModificationTime > olderThanMs)
+    debris.foreach(st => filesystem.delete(st.getPath, true))
+    Snapshots.current(filesystem, path).foreach(cur =>
+      Snapshots.prune(filesystem, path, cur.version))
+    debris.length
+  }
+
   /** Is `ns.name` a deletion-vector snapshot table — the merge-on-read
     * UPDATE standin's cheap hint-time probe (one sidecar read, cached by
     * the metadata TTL cache's coherence discipline elsewhere; a miss of

@@ -34,7 +34,7 @@ object GraftProcedures {
   val Namespace = "system"
   val names: Seq[String] =
     Seq("compact", "expire_snapshots", "rollback", "history",
-      "create_tag", "drop_tag")
+      "create_tag", "drop_tag", "vacuum")
 
   def load(catalog: GraftCatalog, name: String): Option[UnboundProcedure] =
     name.toLowerCase match {
@@ -44,6 +44,7 @@ object GraftProcedures {
       case "history" => Some(new HistoryProc(catalog))
       case "create_tag" => Some(new CreateTagProc(catalog))
       case "drop_tag" => Some(new DropTagProc(catalog))
+      case "vacuum" => Some(new VacuumProc(catalog))
       case _ => None
     }
 
@@ -129,6 +130,26 @@ object GraftProcedures {
         }.toArray
       java.util.Collections.singletonList(
         ResultScan(schema, rows): Scan).iterator()
+    }
+  }
+
+  private class VacuumProc(catalog: GraftCatalog) extends GraftProc(catalog) {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "sweep a crashed writer's staging/aside/lock debris older than the age " +
+        "gate, then run a retention pass (snapshot tables)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType)
+        .defaultValue("3600000")
+        .comment("age gate; an in-flight writer's staging is always younger").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (ident, dir) = tableArg(input)
+      val olderThan = input.getLong(1)
+      require(olderThan >= 0, s"older_than_ms must be >= 0, got $olderThan")
+      val n = catalog.vacuumTable(ident, dir, olderThan)
+      catalog.invalidateTable(ident)
+      result(StructType(Seq(StructField("removed_paths", IntegerType))), n)
     }
   }
 

@@ -456,7 +456,22 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // SILENT-RESURRECTION FIREWALL (r15): when this snapshot carries live
+    // deletion vectors, correct reads REQUIRE the analysis-time rewrite
+    // (GraftDvReadRule, injected by graft.plans.GraftExtensions) — with
+    // the extensions active this builder is never reached for a vectored
+    // table because the rule replaced the relation. Reaching it means the
+    // session is NOT wired and a raw scan would silently serve deleted
+    // rows. Refuse loudly instead. (Found the hard way: a profiling
+    // session without the extensions measured plain scans as "dv reads".)
+    if (loadedSnap.exists(_.dvs.nonEmpty))
+      throw new IllegalStateException(
+        s"${delegate.name}: this snapshot carries live deletion vectors, and " +
+          "reading it without the graft extensions would silently serve " +
+          "deleted rows. Start the session with " +
+          "spark.sql.extensions=graft.plans.GraftExtensions (or compact the " +
+          "table to materialize its vectors first).")
     new GraftScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder], rowCount,
       // manifest-stats scan pruning (r15): only live snapshot tables —
@@ -464,6 +479,7 @@ class GraftTable(delegate: ParquetTable, rowCount: () => Long,
       // re-expanded, read-only time-travel tables skip the optimization
       if (snapshotted) loadedSnap.flatMap(sn => writablePath.map(p => (sn, p)))
       else None)
+  }
 
   /** INSERT INTO appends through the stock committer-protected parquet
     * write; INSERT OVERWRITE (truncate) writes the replacement into a

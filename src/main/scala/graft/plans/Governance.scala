@@ -271,5 +271,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // built-in RewriteUpdateTable (same-batch, earlier-rule race — see
     // graft.catalog.GraftMorUpdate)
     e.injectHintResolutionRule(graft.catalog.GraftMorUpdateStandinRule(_))
+    // SQL incremental consumption: graft_table_changes / graft_table_added
+    graft.catalog.TableFunctions.register(e)
   }
 }

@@ -606,6 +606,45 @@ object SurfaceQueries {
         "FROM dv_feed GROUP BY _change_op, _change_version")
     }),
 
+    // SQL TVF over the change feed (r15): graft_table_changes as a plain
+    // FROM-clause relation, tag name as the from-version — no Scala API,
+    // no temp view
+    "q_catalog_tvf" -> ((s, d) => {
+      Tables.registerCatalog(s, d)
+      val wdir = s"target/catalog_${new java.io.File(d).getName}_tvf"
+      new java.io.File(wdir).mkdirs()
+      s.conf.set("spark.sql.catalog.graft_tv", "graft.catalog.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_tv.dir", wdir)
+      s.sql("DROP TABLE IF EXISTS graft_tv.main.docs_tvf")
+      val prevH = s.conf.getOption(graft.catalog.History.Key)
+      s.conf.set(graft.catalog.History.Key, "5")
+      try {
+        s.sql("CREATE TABLE graft_tv.main.docs_tvf " +
+          "TBLPROPERTIES ('snapshots'='true', 'deletion_vectors'='true') AS " +
+          "SELECT doc_id, length(coalesce(text, '')) AS tok, lang " +
+          "FROM graft.main.documents")
+        s.sql("CALL graft_tv.system.create_tag('main.docs_tvf', 'epoch0')")
+        s.sql("DELETE FROM graft_tv.main.docs_tvf " +
+          "WHERE doc_id >= 400 AND doc_id < 450")                       // v2
+        s.sql("UPDATE graft_tv.main.docs_tvf SET tok = tok + 5 " +
+          "WHERE doc_id IN (10, 20)")                                    // v3
+        s.sql("INSERT INTO graft_tv.main.docs_tvf " +
+          "SELECT doc_id + 9000000, length(coalesce(text, '')), lang " +
+          "FROM graft.main.documents WHERE doc_id % 17 = 0")             // v4
+      } finally prevH match {
+        case Some(v) => s.conf.set(graft.catalog.History.Key, v)
+        case None => s.conf.unset(graft.catalog.History.Key)
+      }
+      s.sql("""SELECT concat(_change_op, '_v', _change_version) AS key,
+        |  count(*) AS n, sum(doc_id) AS key_sum, sum(tok) AS tok_sum
+        |FROM graft_table_changes('graft_tv.main.docs_tvf', 'epoch0', 4)
+        |GROUP BY _change_op, _change_version
+        |UNION ALL
+        |SELECT 'added_3_4' AS key, count(*) AS n, sum(doc_id) AS key_sum,
+        |  sum(tok) AS tok_sum
+        |FROM graft_table_added('graft_tv.main.docs_tvf', 3, 4)""".stripMargin)
+    }),
+
     // snapshot tags (r15): pin v1 under a name, expire retention down to
     // nothing, and the tagged version is STILL readable by name while the
     // untagged middle version is swept — the "training run X's input"
@@ -1678,6 +1717,26 @@ object SurfaceQueries {
         |SELECT _change_op, _change_version, count(*) AS n,
         |  sum(doc_id)::BIGINT AS key_sum, sum(tok)::BIGINT AS tok_sum
         |FROM c GROUP BY _change_op, _change_version""".stripMargin),
+
+    // v2 deletes [400,450); v3 updates two rows (D pre + I post); v4
+    // appends the %17 rows; added(3,4) = the v4 appends alone
+    "q_catalog_tvf" ->
+      ("""WITH base AS (
+        |  SELECT doc_id, length(coalesce(text, ''))::BIGINT AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT 'D_v2' AS key, doc_id, tok FROM base
+        |  WHERE doc_id >= 400 AND doc_id < 450
+        |  UNION ALL
+        |  SELECT 'D_v3', doc_id, tok FROM base WHERE doc_id IN (10, 20)
+        |  UNION ALL
+        |  SELECT 'I_v3', doc_id, tok + 5 FROM base WHERE doc_id IN (10, 20)
+        |  UNION ALL
+        |  SELECT 'I_v4', doc_id + 9000000, tok FROM base WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT 'added_3_4', doc_id + 9000000, tok FROM base WHERE doc_id % 17 = 0)
+        |SELECT key, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS key_sum,
+        |  sum(tok)::BIGINT AS tok_sum FROM c GROUP BY key""".stripMargin),
 
     // baseline = the untouched CTAS (pinned through the expire); current
     // carries the delete + append
