@@ -30,7 +30,7 @@ object Dedup {
 
   /** (doc_id, sh) — distinct xxhash64 of the lower-cased word n-gram shingles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
       .select(col("doc_id"), explode(shingleArrayExpr(n)).as("sh"))
@@ -40,7 +40,7 @@ object Dedup {
     * Normalization = lower-case + whitespace-collapse; fingerprint = md5.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id"))
@@ -62,7 +62,7 @@ object Dedup {
       seenFps: DataFrame): DataFrame = {
     require(seenFps.columns.contains("fp"),
       "seenFps must carry the fingerprint column 'fp'")
-    newDocs
+    Par.spread(newDocs)
       .select(Keys.id(newDocs, idCol).as("doc_id"),
         md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
       .join(seenFps.select("fp"), Seq("fp"), "left_anti")
@@ -88,7 +88,8 @@ object Dedup {
     require(state.columns.contains("fp"),
       "state must carry the fingerprint column 'fp'")
     state.join(
-      docs.select(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
+      Par.spread(docs)
+        .select(md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
         .distinct(),
       Seq("fp"), "left_anti")
   }
@@ -125,7 +126,7 @@ object Dedup {
     val spark = newDocs.sparkSession
     val bc = spark.sparkContext.broadcast(BloomState.read(spark, bloomPath))
     val mightSeen = udf((fp: String) => bc.value.mightContainString(fp))
-    val fps = newDocs
+    val fps = Par.spread(newDocs)
       .select(Keys.id(newDocs, idCol).as("doc_id"),
         md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
     val maybe = fps.filter(mightSeen(col("fp")))
@@ -495,11 +496,18 @@ object Dedup {
     */
   private def shingleArrays(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs
-      .select(Keys.id(docs, idCol).as("doc_id"),
-        filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
+    // the `size(w) >= n` gate is EXACTLY `size(shs) > 0` (shingleArrayExpr
+    // yields a non-empty transform iff size(w) >= n, and array_distinct of a
+    // non-empty array is non-empty) — stated on the cheap words column and
+    // BEFORE the spread so predicate pushdown cannot drag the per-shingle
+    // hashing below the exchange onto the single scan task (r15 opt round:
+    // the pushed `size(shs) > 0` recomputed the whole shingle pipeline
+    // serially, 5-7 s per pass at sf0.1)
+    Par.spread(
+      docs.select(Keys.id(docs, idCol).as("doc_id"),
+          filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0).as("w"))
+        .filter(size(col("w")) >= n))
       .select(col("doc_id"), array_distinct(shingleArrayExpr(n)).as("shs"))
-      .filter(size(col("shs")) > 0)
 
   /** MinHash + LSH banding near-dup: candidates from band-bucket equality joins,
     * verified with exact Jaccard ≥ threshold. With numPerm=32, bands=8 (r=4) and
@@ -778,7 +786,7 @@ object Dedup {
     val hashCol =
       if (portableHash) expr("cast(conv(substr(md5(tok), 1, 15), 16, 10) as bigint)")
       else xxhash64(col("tok"))
-    val tokens = docs
+    val tokens = Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         explode(split(lower(col(textCol)), "\\s+")).as("tok"))
       .filter(length(col("tok")) > 0)

@@ -93,7 +93,7 @@ object Links {
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val srcHost = Urls.hostOf(col(urlCol))
     val resolved = transform(hrefs, h => resolveHref(h, srcScheme, srcHost))
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"), srcHost.as("src_host"),
         resolved.as("ls"))
       .select(col("doc_id"), col("src_host"),
@@ -125,7 +125,7 @@ object Links {
       lit(s"(?is)<a(?:\\s$ATagBody*)?>.*?</a>"), lit(0))
     val srcScheme = lower(regexp_extract(trim(col(urlCol)),
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val base = docs
+    val base = Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"), srcScheme.as("__sch"),
         Urls.hostOf(col(urlCol)).as("src_host"), explode(elems).as("__elem"))
     // href is read from the OPENING TAG only — an href-shaped string in the
@@ -376,10 +376,17 @@ object Links {
     def half(scores: DataFrame, joinOn: String, outOn: String): DataFrame = {
       val raw = e.join(scores, e(joinOn) === scores("host"))
         .groupBy(e(outOn).as("h")).agg(sum("s").as("raw"))
-      val m = raw.agg(coalesce(max("raw"), lit(0L))).head.getLong(0)
-      val d = math.max(m / Scale, 1L)
+      // normalizer IN-PLAN as a broadcast 1-row cross join (r15 opt round):
+      // the previous `.head.getLong(0)` forced a driver collect per
+      // half-step — 2·iters blocking jobs per call whose only purpose was
+      // turning max(raw) into a literal. greatest(m div Scale, 1) is the
+      // identical integer arithmetic (m ≥ 0), so scores are bit-identical;
+      // the whole recurrence now materializes under the ONE final action.
+      val mx = raw.agg(coalesce(max("raw"), lit(0L)).as("m"))
       nodes.join(raw, nodes("host") === raw("h"), "left")
-        .select(col("host"), expr(s"coalesce(raw, 0L) div ${d}L").as("s"))
+        .crossJoin(broadcast(mx))
+        .select(col("host"),
+          expr(s"coalesce(raw, 0L) div greatest(m div ${Scale}L, 1L)").as("s"))
         .localCheckpoint(eager = false)
     }
     var hub = nodes.withColumn("s", lit(Scale))

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.spark_partition_id
+
+/** Scale-adaptive parallelism guard for expensive narrow kernels (r15
+  * optimization round, guide §2.5 "input skew: one huge unsplittable file —
+  * repartition immediately after the read").
+  *
+  * The per-row cost of the text/vector kernels (shingling + numPerm
+  * minhashes, char-ngram explosion, HTML stripping, phash decode, PQ
+  * encode) dwarfs their input bytes by orders of magnitude. When such a
+  * kernel's input is a SMALL parquet file, Spark's split planning hands the
+  * whole scan to one task (a 600 KB file is one split — and one row group,
+  * so file splitting cannot help either) and the kernel runs on 1 of N
+  * cores while N-1 idle; measured on this suite, single-task stages of
+  * 3-7 s each dominated every dedup/text query at sf0.1.
+  *
+  * `spread` inserts a round-robin repartition to the session's default
+  * parallelism ONLY when the optimizer's size estimate says the input is
+  * small (default < 256 MiB, conf `graft.spread.max_bytes`). At 100 TB the
+  * estimate is huge, the guard is a no-op, and no shuffle is added — the
+  * scan is already parallel there; shuffling tiny inputs costs KBs. This is
+  * the scale-adaptive form the optimization guide asks for instead of a
+  * constant tuned for either local mode or the cluster.
+  *
+  * Results are unaffected: every consumer is key-based (aggregate / join /
+  * window-by-key), never partition-order-sensitive, and the round-robin
+  * assignment is deterministic under retries (sortBeforeRepartition).
+  */
+object Par {
+
+  private val MaxBytesKey = "graft.spread.max_bytes"
+  private val DefaultMaxBytes = 256L * 1024 * 1024
+
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    if (cores <= 2) return df
+    val maxBytes = spark.conf.getOption(MaxBytesKey).map(_.toLong)
+      .getOrElse(DefaultMaxBytes)
+    val est =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Exception => return df }
+    if (est < maxBytes)
+      // the `spark_partition_id() >= 0` fence is a non-deterministic
+      // always-true filter: predicate pushdown may not reorder across it, so
+      // a caller's filter on an EXPENSIVE derived column (a gate verdict, a
+      // shingle array) cannot be dragged below the exchange and re-evaluated
+      // serially on the single scan task (guide §4.4's duplicated-evaluation
+      // trap, Catalyst-expression edition). Costs one codegen'd comparison
+      // per row; column pruning still reaches the scan through it.
+      df.repartition(cores).where(spark_partition_id() >= 0)
+    else df
+  }
+
+  /** Run independent side-effecting Spark actions concurrently (guide §2.6
+    * "overlap independent jobs"): the scheduler happily runs jobs from
+    * several driver threads, and FIFO scheduling back-fills one job's
+    * straggler tail with the next job's tasks. Callers must pass units that
+    * touch DISJOINT state (different state dirs / output paths). Rethrows
+    * the first failure with its original type.
+    */
+  def inParallel(units: (() => Unit)*): Unit = {
+    if (units.sizeIs <= 1) { units.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(units.size)
+    try {
+      val futs = units.map(u => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = u()
+      }))
+      futs.foreach { f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      }
+    } finally pool.shutdownNow()
+  }
+}

@@ -52,7 +52,7 @@ object Pipelines {
       maxTokens: Int = 2048, shards: Int = 64): DataFrame = {
     require(maxTokens > 0 && shards > 0, "maxTokens and shards must be positive")
     val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
-    val base = docs.select(
+    val base = Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       nTok.cast("long").as("n_tokens"))
       .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
@@ -169,7 +169,7 @@ object Pipelines {
     require(minCount >= 2, "minCount must be >= 2 (1 would drop every line)")
     // coalesce: split(NULL) yields no posexplode rows, which would silently
     // drop null-text docs from the output and break totality
-    val lines = docs.select(
+    val lines = Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(sep)))
@@ -302,7 +302,7 @@ object Pipelines {
     * null text tokenizes to an empty array, keeping span ops total).
     */
   private def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
+    Par.spread(df).select(
       Keys.id(df, idCol).as("doc_id"),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         x => length(x) > 0).as("ws"))
@@ -587,7 +587,7 @@ object Pipelines {
       case (acc, (dom, w)) =>
         when(col("domain") === dom, lit(math.round(w * 10000))).otherwise(acc)
     }
-    val perDomain = docs
+    val perDomain = Par.spread(docs)
       .select(col(domainCol).as("domain"), nTok.cast("long").as("__nt"))
       .groupBy("domain")
       .agg(count(lit(1)).as("n_docs"), sum("__nt").as("n_tokens"))
@@ -943,7 +943,7 @@ object Pipelines {
       domainCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue): DataFrame = {
     val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
-    val base = docs.select(
+    val base = Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       col(domainCol).as("domain"),
       nTok.cast("long").as("n_tokens"))
@@ -989,7 +989,8 @@ object Pipelines {
   def tokenBudgetState(docs: DataFrame, idCol: String, textCol: String,
       domainCol: String): DataFrame = {
     val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
-    docs.select(col(domainCol).as("domain"), nTok.cast("long").as("n_tokens"))
+    Par.spread(docs)
+      .select(col(domainCol).as("domain"), nTok.cast("long").as("n_tokens"))
       .groupBy("domain").agg(sum("n_tokens").as("spent_tok"))
   }
 
@@ -1015,7 +1016,7 @@ object Pipelines {
     require(state.columns.contains("domain") && state.columns.contains("spent_tok"),
       "state must be a tokenBudgetState table carrying (domain, spent_tok)")
     val nTok = size(filter(split(lower(col(textCol)), "\\s+"), w => length(w) > 0))
-    val base = newDocs.select(
+    val base = Par.spread(newDocs).select(
       Keys.id(newDocs, idCol).as("doc_id"),
       col(domainCol).as("domain"),
       nTok.cast("long").as("n_tokens"))

@@ -86,7 +86,7 @@ object QualityClassifier {
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
           "else cast(array() as array<string>) end)")
       else col("ws")
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         w => length(w) > 0).as("ws"))
       .select(col("doc_id"), explode(grams).as("w"))
@@ -141,16 +141,21 @@ object QualityClassifier {
           (lit(bias6) + coalesce(col("s6"), lit(0L))).as("z6"))
       // algebraic sigmoid, all-integer — no libm anywhere
       val errs = zs.select(col("doc_id"), expr(errExprSql).as("err6")).cache()
-      // gradient: presence features ⇒ g6_f = Σ_{docs ∋ f} err6 — exact
-      val grads = feats.join(errs, "doc_id")
+      // gradient: presence features ⇒ g6_f = Σ_{docs ∋ f} err6 — exact.
+      // The bias gradient rides the SAME frame as the f = -1 row (features
+      // are non-negative buckets, so -1 never collides), halving the
+      // blocking driver round-trips per iteration (r15 opt round: this loop
+      // previously ran two collect jobs per iteration, one of them a 1-row
+      // head() for the bias alone).
+      val steps = feats.join(errs, "doc_id")
         .groupBy("f").agg(sum("err6").as("g6"))
+        .unionByName(errs.agg(sum("err6").as("g6"))
+          .select(lit(-1L).as("f"), col("g6")))
         .select(col("f"), expr(stepExprSql(lr6, n)).as("step6"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val biasStep = errs.agg(sum("err6").as("g6"))
-        .select(expr(stepExprSql(lr6, n))).head().getLong(0)
       errs.unpersist()
-      w6 = w6.map { case (f, wf) => (f, wf - grads.getOrElse(f, 0L)) }
-      bias6 -= biasStep
+      w6 = w6.map { case (f, wf) => (f, wf - steps.getOrElse(f, 0L)) }
+      bias6 -= steps.getOrElse(-1L, 0L)
     }
     (w6.toSeq :+ (-1L -> bias6))
       .map { case (f, v) => (f, BigDecimal(java.math.BigDecimal.valueOf(v, 6))) }

@@ -67,8 +67,7 @@ object Semantic {
     * quantizer SemDeDup and IVF both start from.
     */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
-    assignCellsFromQv(emb
-      .filter(col(vecCol).isNotNull)
+    assignCellsFromQv(Par.spread(emb.filter(col(vecCol).isNotNull))
       .select(Keys.id(emb, idCol).as("vec_id"),
         qvGuard(quantized(vecCol), size(col(vecCol)), 1, "assignCells").as("qv")), k)
 
@@ -128,7 +127,7 @@ object Semantic {
       iters: Int = 2): DataFrame = {
     require(k >= 1, "k must be positive")
     require(iters >= 1 && iters <= 20, "need 1 <= iters <= 20")
-    val vecs = emb.filter(col(vecCol).isNotNull)
+    val vecs = Par.spread(emb.filter(col(vecCol).isNotNull))
       .select(Keys.id(emb, idCol).as("vec_id"),
         qvGuard(quantized(vecCol), size(col(vecCol)), 1, "kmeansTrain").as("qv"))
       .localCheckpoint(eager = false)
@@ -189,7 +188,7 @@ object Semantic {
     val cents = state.groupBy("cell")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         x => x.getField("c")).as("cv"))
-    val vecs = emb.filter(col(vecCol).isNotNull)
+    val vecs = Par.spread(emb.filter(col(vecCol).isNotNull))
       .select(Keys.id(emb, idCol).as("vec_id"),
         qvGuard(quantized(vecCol), size(col(vecCol)), 1, "kmeansUpdate").as("qv"))
     val sums = assignAgainst(vecs, cents)
@@ -410,8 +409,7 @@ object Semantic {
     */
   private def quantizedVecs(emb: DataFrame, idCol: String, vecCol: String,
       m: Int): (DataFrame, Int) = {
-    val vecsRaw = emb
-      .filter(col(vecCol).isNotNull)
+    val vecsRaw = Par.spread(emb.filter(col(vecCol).isNotNull))
       .select(Keys.id(emb, idCol).as("vec_id"), quantized(vecCol).as("qv"))
     val dim = vecsRaw.select(size(col("qv"))).limit(1).collect().headOption
       .map(_.getInt(0))

@@ -43,7 +43,7 @@ object Similarity {
     * pass, no shuffle: quantizing 100 TB of vectors is a map-only job.
     */
   def normalizeQuantize(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb
+    graft.operators.Par.spread(emb)
       .select(Keys.id(emb, idCol).as("vec_id"), col(vecCol).as("__v"))
       .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
         (acc, x) => acc + x.cast("double") * x.cast("double"))))
@@ -70,7 +70,8 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
-    val vecs = emb.select(Keys.id(emb, idCol).as("vec_id"),
+    val vecs = graft.operators.Par.spread(emb)
+      .select(Keys.id(emb, idCol).as("vec_id"),
       col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
 

@@ -25,7 +25,7 @@ object TextAnalysis {
     val punct = length(regexp_replace(col(textCol), "[^.,;:!?'\"()-]", ""))
     val upper = length(regexp_replace(col(textCol), "[^A-Z]", ""))
     val chars = length(col(textCol))
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       chars.as("n_chars"),
       nTok.as("n_tokens"),
@@ -94,7 +94,7 @@ object TextAnalysis {
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val cols = gopherRuleCols(t, minWords, maxWords)
-    docs.select(Keys.id(docs, idCol).as("doc_id") +:
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id") +:
       cols.map { case (name, c) => c.as(name) }: _*)
       .withColumn("passed",
         cols.drop(1).map { case (name, _) => col(name) }.reduce(_ && _))
@@ -135,7 +135,7 @@ object TextAnalysis {
       minLineWords: Int = 5): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
     val (cleaned, nKept, verdict) = c4Cols(t, minLineWords)
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       cleaned.as("text"), nKept.as("n_kept"), verdict.as("kept"))
   }
 
@@ -173,7 +173,7 @@ object TextAnalysis {
       blocklist: Seq[String], maxHits: Int = 0): DataFrame = {
     require(blocklist.nonEmpty, "need a non-empty blocklist")
     val hits = wordlistHitCount(coalesce(col(textCol), lit("")), blocklist)
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       hits.as("n_hits"),
       (hits <= maxHits).as("kept"))
   }
@@ -227,7 +227,7 @@ object TextAnalysis {
       query: String): DataFrame = {
     val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
     require(terms.nonEmpty, "query must contain at least one term")
-    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val base = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       words(coalesce(col(textCol), lit(""))).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
     val stats = base.agg(count(lit(1)).as("nd"),
@@ -262,7 +262,7 @@ object TextAnalysis {
   def bm25IndexWrite(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = docs.sparkSession
-    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val base = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       words(coalesce(col(textCol), lit(""))).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .cache() // the writes below share the tokenize pass
@@ -362,7 +362,7 @@ object TextAnalysis {
       dir: String): Unit = {
     val spark = docs.sparkSession
     requireNoStagedSidecar(spark, dir)
-    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val base = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       words(coalesce(col(textCol), lit(""))).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
       .cache()
@@ -537,7 +537,7 @@ object TextAnalysis {
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(words(coalesce(col(queryTextCol), lit("")))))
         .as("term")).distinct()
-    val base = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val base = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       words(coalesce(col(textCol), lit(""))).as("ws"))
       .withColumn("dl", size(col("ws")).cast("long"))
     val stats = base.agg(count(lit(1)).as("nd"),
@@ -620,7 +620,7 @@ object TextAnalysis {
     val t = coalesce(col(textCol), lit(""))
     val gopher = gopherRuleCols(t, minWords, maxWords)
     val (_, _, c4Verdict) = c4Cols(t, minLineWords)
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       length(t).as("n_chars"),
       gopher.head._2.as("n_words"),
@@ -792,7 +792,8 @@ object TextAnalysis {
     val norm = concat(lit(" "),
       trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
         "[^\\p{L}]+", " ")), lit(" "))
-    docs.select(Keys.id(docs, idCol).as("doc_id"), norm.as("s"))
+    graft.operators.Par.spread(docs)
+      .select(Keys.id(docs, idCol).as("doc_id"), norm.as("s"))
       .select(col("doc_id"), explode(expr(
         "case when length(s) >= 3 then " +
           "transform(sequence(1, length(s) - 2), i -> substring(s, i, 3)) " +
@@ -897,7 +898,7 @@ object TextAnalysis {
       l => trim(regexp_replace(l, "\\s+", " ")))
     val kept = filter(lines,
       l => size(filter(split(l, " "), w => length(w) > 0)) >= minWords)
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       array_join(kept, "\n").as("text"),
       size(kept).as("n_kept"),
@@ -974,7 +975,7 @@ object TextAnalysis {
       s.getField("nw") >= minWords &&
         s.getField("na").cast("long") * lit(10000L) <=
           lit(maxAnchorBp.toLong) * s.getField("nw").cast("long"))
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       array_join(transform(kept, _.getField("v")), "\n").as("text"),
       size(kept).as("n_kept"),
@@ -983,14 +984,14 @@ object TextAnalysis {
 
   /** Document fingerprint: md5 of the whitespace-normalized, lower-cased text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       md5(regexp_replace(lower(col(textCol)), "\\s+", " ")).as("fp"))
 
   /** BPE-ish token count: runs of letters, runs of digits, or single
     * non-alphanumeric non-space chars — the classic pre-tokenizer split.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
       size(words(col(textCol))).as("n_ws_tokens"))
@@ -1013,7 +1014,7 @@ object TextAnalysis {
     val t1 = regexp_replace(t0, EmailPattern, "[EMAIL]")
     val t2 = regexp_replace(t1, Ipv4Pattern, "[IP]")
     val t3 = regexp_replace(t2, PhonePattern, "[PHONE]")
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       t3.as("scrubbed"),
       regexp_count(t0, lit(EmailPattern)).as("n_emails"),
@@ -1040,7 +1041,7 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5): DataFrame = {
     require(k >= 1, "k must be positive")
-    val tokens = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val tokens = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       explode(words(col(textCol))).as("w"))
     val tf = tokens.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -1074,7 +1075,7 @@ object TextAnalysis {
     require(k >= 1, "k must be positive")
     require(!sep.contains("'") && !sep.contains("\\"),
       "sep is spliced into a SQL literal; quotes/backslashes are not supported")
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         filter(split(col(textCol), "\\s+"), w => length(w) > 0).as("w"))
       .select(col("doc_id"), expr(
@@ -1093,7 +1094,7 @@ object TextAnalysis {
     * max-doc-length gate every curation pipeline applies first.
     */
   def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
+    val base = Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .withColumn("bg", expr(
@@ -1135,7 +1136,7 @@ object TextAnalysis {
   def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       topV: Int = 65536): DataFrame = {
     require(topV >= 1, "topV must be positive")
-    val tokens = docs.select(Keys.id(docs, idCol).as("doc_id"),
+    val tokens = Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
       explode(words(col(textCol))).as("w"))
     val freq = tokens.groupBy("w").agg(count(lit(1)).as("c"))
     val total = freq.agg(sum("c").as("t"))
@@ -1208,7 +1209,7 @@ object TextAnalysis {
   def bigramLogProbAgainst(refDocs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, topV: Int = 65536): DataFrame = {
     require(topV >= 1, "topV must be positive")
-    def bigramsOf(df: DataFrame): DataFrame = df
+    def bigramsOf(df: DataFrame): DataFrame = Par.spread(df)
       .select(Keys.id(df, idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1285,7 +1286,7 @@ object TextAnalysis {
   def backoffLogProb(refDocs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, topV: Int = 65536): DataFrame = {
     require(topV >= 1, "topV must be positive")
-    def trigramsOf(df: DataFrame): DataFrame = df
+    def trigramsOf(df: DataFrame): DataFrame = Par.spread(df)
       .select(Keys.id(df, idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -1386,7 +1387,7 @@ object TextAnalysis {
   def kneserNeyLogProb(refDocs: DataFrame, docs: DataFrame, idCol: String,
       textCol: String, topV: Int = 65536): DataFrame = {
     require(topV >= 1, "topV must be positive")
-    def bigramsOf(df: DataFrame): DataFrame = df
+    def bigramsOf(df: DataFrame): DataFrame = Par.spread(df)
       .select(Keys.id(df, idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1473,7 +1474,7 @@ object TextAnalysis {
     * selection — this extends the engine along SURVEY §2.13.
     */
   private def dsirToks(df: DataFrame, idCol: String, textCol: String,
-      nBuckets: Int): DataFrame = df
+      nBuckets: Int): DataFrame = Par.spread(df)
     .select(Keys.id(df, idCol).as("doc_id"),
       explode(filter(split(lower(coalesce(col(textCol), lit(""))), "\\s+"),
         w => length(w) > 0)).as("w"))
@@ -1661,7 +1662,7 @@ object TextAnalysis {
     * (already small) count rows — the TF-IDF shape without the broadcast.
     */
   def wordEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = docs
+    val wc = Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     wc.groupBy("doc_id")
@@ -1687,7 +1688,7 @@ object TextAnalysis {
       width: Int, stride: Int): DataFrame = {
     require(width >= 1 && stride >= 1 && stride <= width,
       "need width >= stride >= 1 (stride > width would drop words)")
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 1)
@@ -1716,7 +1717,7 @@ object TextAnalysis {
     val (hashOf, emptyType) =
       if (portableHash) ("md5(concat_ws(' ', slice(w, i, %d)))", "array<string>")
       else ("xxhash64(concat_ws(' ', slice(w, i, %d)))", "array<bigint>")
-    docs
+    Par.spread(docs)
       .select(Keys.id(docs, idCol).as("doc_id"),
         words(col(textCol)).as("w"))
       .select(col("doc_id"), expr(
@@ -1766,7 +1767,7 @@ object TextAnalysis {
   }
 
   private def ngramStream(docs: DataFrame, textCol: String, n: Int): DataFrame =
-    docs
+    Par.spread(docs)
       .select(words(col(textCol)).as("w"))
       .filter(size(col("w")) >= n)
       .select(explode(expr(
@@ -1873,7 +1874,7 @@ object TextAnalysis {
     */
   def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = coalesce(col(textCol), lit(""))
-    docs.select(
+    Par.spread(docs).select(
       Keys.id(docs, idCol).as("doc_id"),
       size(filter(split(lower(t), "\\s+"), w => length(w) > 0))
         .cast("long").as("n_words"),
@@ -1917,7 +1918,7 @@ object TextAnalysis {
     require(topK >= 1, "topK must be positive")
     require(dampBp >= 0 && dampBp <= 10000, "dampBp is basis points")
     val Scale = 1000000000000L
-    val toks = docs.filter(col(textCol).isNotNull)
+    val toks = Par.spread(docs.filter(col(textCol).isNotNull))
       .select(Keys.id(docs, idCol).as("doc_id"),
         posexplode(filter(split(lower(col(textCol)), "\\s+"),
           w => length(w) > 0)).as(Seq("pos", "w")))

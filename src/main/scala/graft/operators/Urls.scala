@@ -99,7 +99,7 @@ object Urls {
     * [[urlDedupIncremental]] → robots → fetch plan.
     */
   def sitemapUrls(docs: DataFrame, idCol: String, xmlCol: String): DataFrame =
-    docs.select(Keys.id(docs, idCol).as("doc_id"),
+    Par.spread(docs).select(Keys.id(docs, idCol).as("doc_id"),
         explode(regexp_extract_all(coalesce(col(xmlCol), lit("")),
           lit("(?s)<url>(.*?)</url>"), lit(1))).as("b"))
       .select(col("doc_id"),
@@ -268,7 +268,7 @@ object Urls {
     // arbitrary, but stable run-to-run instead of silently nondeterministic
     val lineW = Window.partitionBy("host")
       .orderBy(col("pos"), col("field"), col("value"))
-    val parsed = robots
+    val parsed = Par.spread(robots)
       .select(lower(col(hostCol)).as("host"),
         posexplode(split(coalesce(col(contentCol), lit("")), "\n")).as(Seq("pos", "raw")))
       .select(col("host"), col("pos"),

@@ -1058,10 +1058,11 @@ object ExtensionQueries {
       val all = docs.select("doc_id", "source", "text").unionByName(quotes)
       val dir0 = s"target/gwarc_${new java.io.File(d).getName}_inc0"
       val dir1 = s"target/gwarc_${new java.io.File(d).getName}_inc1"
-      graft.sources.Warc.write(
-        warcFixture(all.filter(col("doc_id") < 250), withNulls = false), dir0)
-      graft.sources.Warc.write(
-        warcFixture(all.filter(col("doc_id") >= 250), withNulls = false), dir1)
+      graft.operators.Par.inParallel(
+        () => graft.sources.Warc.write(
+          warcFixture(all.filter(col("doc_id") < 250), withNulls = false), dir0),
+        () => graft.sources.Warc.write(
+          warcFixture(all.filter(col("doc_id") >= 250), withNulls = false), dir1))
       // the container walks and the extracted/gated frames each feed 3-4
       // downstream states — uncached, every consumer would re-run the GWARC
       // parse / the extraction chain (measured 15.0 -> see BASELINE r10);
@@ -1132,20 +1133,21 @@ object ExtensionQueries {
       val dir0 = s"target/gwarc_${sfn}_r3a"
       val dir1 = s"target/gwarc_${sfn}_r3b"
       val dir2 = s"target/gwarc_${sfn}_r3c"
-      graft.sources.Warc.write(
-        warcFixture(all.filter(col("doc_id") < 150), withNulls = false), dir0)
-      graft.sources.Warc.write(
-        warcFixture(all.filter(col("doc_id") >= 150 && col("doc_id") < 300),
-          withNulls = false), dir1)
       // re-crawl records: the RETRACTED pages re-served byte-identically —
       // url and html derive from the ORIGINAL doc id, only the record id is
       // fresh (monotone with arrival)
       val recrawl = warcFixture(retrDocs, withNulls = false)
         .select((col("record_id") + 300000L).as("record_id"), col("url"),
           col("fetch_ts"), col("html"))
-      graft.sources.Warc.write(
-        warcFixture(all.filter(col("doc_id") >= 300), withNulls = false)
-          .unionByName(recrawl), dir2)
+      graft.operators.Par.inParallel(
+        () => graft.sources.Warc.write(
+          warcFixture(all.filter(col("doc_id") < 150), withNulls = false), dir0),
+        () => graft.sources.Warc.write(
+          warcFixture(all.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+            withNulls = false), dir1),
+        () => graft.sources.Warc.write(
+          warcFixture(all.filter(col("doc_id") >= 300), withNulls = false)
+            .unionByName(recrawl), dir2))
       val uDir = s"target/state_${sfn}_e2e2_url"
       val fDir = s"target/state_${sfn}_e2e2_fp"
       val cDir = s"target/state_${sfn}_e2e2_cont"
@@ -1196,29 +1198,33 @@ object ExtensionQueries {
         "domain", States.read(s, sDir, budgetMerge), budgets = Map.empty,
         defaultBudget = 3000L)
       val dom1kept = dom1.join(b1.select("doc_id"), "doc_id").localCheckpoint()
-      States.append(Urls.urlState(recs1, "record_id", "url"), uDir)
-      States.append(TextAnalysis.fingerprint(g1, "doc_id", "text"), fDir)
-      States.append(Dedup.containmentState(kept1, "doc_id", "text", n = 3), cDir)
-      States.append(
-        Pipelines.tokenBudgetState(dom1kept, "doc_id", "text", "domain"), sDir)
+      graft.operators.Par.inParallel(
+        () => States.append(Urls.urlState(recs1, "record_id", "url"), uDir),
+        () => States.append(TextAnalysis.fingerprint(g1, "doc_id", "text"), fDir),
+        () => States.append(
+          Dedup.containmentState(kept1, "doc_id", "text", n = 3), cDir),
+        () => States.append(
+          Pipelines.tokenBudgetState(dom1kept, "doc_id", "text", "domain"), sDir))
       // ---- takedown: retract the % 10 == 1 round-0 docs from every state,
       // then compact each state (rename-swap rewrite applying them) ----
-      States.retract(
-        Urls.urlState(warcFixture(retrDocs, withNulls = false),
-          "record_id", "url"), uDir)
-      States.retract(TextAnalysis.fingerprint(
-        g0.filter(col("doc_id") % 10 === 1), "doc_id", "text").select("fp"),
-        fDir)
-      States.retract(retrDocs.select(col("doc_id").cast("long").as("doc_id")),
-        cDir)
-      States.append( // spend returns to the pool: the negated-row form
-        Pipelines.tokenBudgetState(
-          dom0kept.filter(col("doc_id") % 10 === 1), "doc_id", "text", "domain")
-          .select(col("domain"), (-col("spent_tok")).as("spent_tok")), sDir)
-      States.compact(s, uDir)
-      States.compact(s, fDir)
-      States.compact(s, cDir)
-      States.compact(s, sDir, budgetMerge)
+      graft.operators.Par.inParallel(
+        () => States.retract(
+          Urls.urlState(warcFixture(retrDocs, withNulls = false),
+            "record_id", "url"), uDir),
+        () => States.retract(TextAnalysis.fingerprint(
+          g0.filter(col("doc_id") % 10 === 1), "doc_id", "text").select("fp"),
+          fDir),
+        () => States.retract(
+          retrDocs.select(col("doc_id").cast("long").as("doc_id")), cDir),
+        () => States.append( // spend returns to the pool: the negated-row form
+          Pipelines.tokenBudgetState(
+            dom0kept.filter(col("doc_id") % 10 === 1), "doc_id", "text", "domain")
+            .select(col("domain"), (-col("spent_tok")).as("spent_tok")), sDir))
+      graft.operators.Par.inParallel(
+        () => States.compact(s, uDir),
+        () => States.compact(s, fDir),
+        () => States.compact(s, cDir),
+        () => States.compact(s, sDir, budgetMerge))
       // ---- round 2: every incremental form vs the COMPACTED states ----
       val recs2 = graft.sources.Warc.read(s, dir2).cache()
       val front2 = Urls.urlDedupIncremental(recs2, "record_id", "url",

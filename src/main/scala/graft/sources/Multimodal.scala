@@ -150,7 +150,7 @@ object Multimodal {
         s"asMedia id column '$idCol' must be integral (kind = id % 3); " +
           s"got ${other.simpleString}")
     }
-    docs
+    graft.operators.Par.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         col(textCol).as("text"))
       .as[(Long, String)]

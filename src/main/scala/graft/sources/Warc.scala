@@ -207,6 +207,15 @@ object Warc {
           Iterator.continually(nextRec()).takeWhile(_.isDefined).map(_.get)
         }
       }
-    spark.createDataFrame(rows, schema)
+    val df = spark.createDataFrame(rows, schema)
+    // one container file = one partition; a corpus with fewer files than
+    // cores would feed every downstream kernel (htmlExtract, dedup) from a
+    // near-serial scan — and an RDD-backed frame has no size statistics for
+    // Par.spread's gate to see. Spread by the KNOWN partition count instead:
+    // at 100 TB (many ~1 GB containers) this is a no-op, locally it unlocks
+    // the other 31 cores. The parse stage itself stays one task per file —
+    // inherent to a sequential container walk, same as any WARC reader.
+    val cores = spark.sparkContext.defaultParallelism
+    if (rows.getNumPartitions < cores) df.repartition(cores) else df
   }
 }

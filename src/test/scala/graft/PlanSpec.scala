@@ -18,6 +18,17 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Build plans with [[graft.operators.Par.spread]] disabled. The
+    * narrow-pass tests below pin the AT-SCALE plan shape, where the spread
+    * gate is a no-op (inputs past the size threshold); on the tiny test
+    * fixtures the gate fires and inserts its repartition by design. The
+    * dedicated spread test pins the gate's own behavior.
+    */
+  private def noSpread[A](f: => A): A = {
+    spark.conf.set("graft.spread.max_bytes", "0")
+    try f finally spark.conf.unset("graft.spread.max_bytes")
+  }
+
   test("predicate pushdown reaches the parquet scan (catalog path)") {
     val df = spark.sql(
       "SELECT l_orderkey FROM graft.main.lineitem WHERE l_quantity > 49 AND l_shipdate IS NOT NULL")
@@ -358,21 +369,41 @@ class PlanSpec extends SparkSpec {
       s"no quadratic stage:\n$plan")
   }
 
-  test("chunk windows are narrow: zero shuffles") {
+
+  test("Par.spread: tiny input repartitions across cores, fence blocks filter pushdown; disabled gate is narrow (r15)") {
+    val docs = graft.sources.Tables(spark, sfDir, "documents")
+    val spreadPlan = graft.operators.TextAnalysis.scrubPii(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(spreadPlan.contains("RoundRobinPartitioning"),
+      s"a small input must spread across the session's cores:\n$spreadPlan")
+    // the non-deterministic fence keeps a caller's filter on a derived
+    // column ABOVE the exchange: the gate verdict must not be re-evaluated
+    // serially on the scan task (the pushed-predicate duplication trap)
+    val filtered = graft.operators.TextAnalysis.c4Gate(docs, "doc_id", "text")
+      .filter(col("kept"))
+    val fp = filtered.queryExecution.executedPlan.toString
+    val scanLine = fp.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(!scanLine.contains("lorem ipsum"),
+      s"the gate verdict leaked below the spread exchange into the scan:\n$fp")
+    assert(fp.contains("SPARK_PARTITION_ID"),
+      s"expected the spread fence in the plan:\n$fp")
+  }
+
+  test("chunk windows are narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val out = graft.operators.TextAnalysis.chunkWindows(docs, "doc_id", "text", 64, 48)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
-  }
+  } }
 
-  test("link-density extraction is narrow: zero shuffles") {
+  test("link-density extraction is narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text").as("html"))
     val out = graft.operators.TextAnalysis.htmlExtractDense(
       docs, "doc_id", "html", minWords = 5, maxAnchorBp = 2000)
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"extraction must be map-only:\n$plan")
-  }
+  } }
 
   test("incremental quantile gate: batch rows meet kept cells by broadcast, never a sort-merge") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
@@ -409,7 +440,7 @@ class PlanSpec extends SparkSpec {
       s"segment blocking must never compare all pairs:\n$plan")
   }
 
-  test("repetition stats and embedding quantization are narrow: zero shuffles") {
+  test("repetition stats and embedding quantization are narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val emb = graft.sources.Tables(spark, sfDir, "embeddings")
     val rep = graft.operators.TextAnalysis.repetitionStats(docs, "doc_id", "text")
@@ -419,9 +450,9 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$label must be a narrow pass, found a shuffle:\n$plan")
     }
-  }
+  } }
 
-  test("mixture sampling and PII scrub are narrow: zero shuffles") {
+  test("mixture sampling and PII scrub are narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val sampled = graft.operators.Pipelines.hashSample(
       docs, "doc_id", "source", Map("src0" -> 0.5), defaultRate = 0.25)
@@ -431,7 +462,7 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$label must be a narrow pass, found a shuffle:\n$plan")
     }
-  }
+  } }
 
   test("token-budget sampling: salted two-level prefix — no per-domain reducer, text never shuffles") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
@@ -477,7 +508,7 @@ class PlanSpec extends SparkSpec {
       s"html must be projected away before the url exchange:\n${urlExchanges.mkString("\n")}")
   }
 
-  test("html extraction and url canonicalization are narrow: zero shuffles") {
+  test("html extraction and url canonicalization are narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val html = graft.operators.TextAnalysis.htmlExtract(
       docs.withColumnRenamed("text", "html"), "doc_id", "html")
@@ -492,7 +523,7 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$label must be a narrow pass, found a shuffle:\n$plan")
     }
-  }
+  } }
 
   test("url dedup: one map-side-combinable min aggregate on the canonical key") {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
@@ -603,7 +634,7 @@ class PlanSpec extends SparkSpec {
       s"no all-pairs stage may appear:\n$plan")
   }
 
-  test("link extraction is narrow; host graph is one map-side-combined aggregate") {
+  test("link extraction is narrow; host graph is one map-side-combined aggregate") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
       .select(col("doc_id"),
         concat(lit("https://h"), col("doc_id") % 7, lit(".example.com/p")).as("url"),
@@ -615,7 +646,7 @@ class PlanSpec extends SparkSpec {
     val plan = edges.queryExecution.executedPlan.toString
     assert(plan.contains("partial_count") || plan.contains("partial count"),
       s"edge weights must combine map-side before the exchange:\n$plan")
-  }
+  } }
 
   test("pageRank iteration: equi-joins + hash aggregate only, never cartesian or a global window") {
     import spark.implicits._
@@ -661,7 +692,7 @@ class PlanSpec extends SparkSpec {
     graft.operators.Caches.release(spark)
   }
 
-  test("wordlist gate and anchor extraction are narrow: zero shuffles") {
+  test("wordlist gate and anchor extraction are narrow: zero shuffles") { noSpread {
     val docs = graft.sources.Tables(spark, sfDir, "documents")
     val gate = graft.operators.TextAnalysis.wordlistGate(
       docs, "doc_id", "text", Seq("slow", "dup"))
@@ -674,7 +705,7 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Exchange"),
         s"$label must be a narrow pass, found a shuffle:\n$plan")
     }
-  }
+  } }
 
   test("bm25: stats broadcast, df broadcast, per-doc sum map-side-combined; batch adds one query-partitioned rank") {
     import spark.implicits._
