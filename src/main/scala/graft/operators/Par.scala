@@ -39,9 +39,32 @@ object Par {
     if (cores <= 2) return df
     val maxBytes = spark.conf.getOption(MaxBytesKey).map(_.toLong)
       .getOrElse(DefaultMaxBytes)
-    val est =
-      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (maxBytes <= 0) return df
+    // Fire ONLY on narrow chains over source scans — the single-small-file
+    // scan is the serial stage this guard exists for. An input that already
+    // crossed a shuffle (join/aggregate/window/sort/repartition/distinct) or
+    // rides a checkpointed/cached RDD is partitioned by that boundary, and
+    // spreading it again measured WORSE on the composed pipelines: each call
+    // added an exchange plus a full optimizer pass over the deep subtree
+    // (r15 mid-round bench: q_pipeline_e2e_incremental +3.2 s before this
+    // gate). Walking the (already-)analyzed plan costs nothing.
+    val boundary = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      df.queryExecution.analyzed.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+          _: RepartitionOperation | _: Deduplicate | _: GlobalLimit |
+          _: LocalLimit) => p
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }
+    }
+    if (boundary.isDefined) return df
+    val opt =
+      try df.queryExecution.optimizedPlan
       catch { case _: Exception => return df }
+    if (opt.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.isDefined) return df
+    val est = try opt.stats.sizeInBytes catch { case _: Exception => return df }
     if (est < maxBytes)
       // the `spark_partition_id() >= 0` fence is a non-deterministic
       // always-true filter: predicate pushdown may not reorder across it, so

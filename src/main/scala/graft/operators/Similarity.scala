@@ -115,11 +115,18 @@ object Similarity {
       .cache() // two writes below — an uncached plan would run the full
                // assignment (scan + k-distance pass + argmin) twice
     try {
-      rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+      // cluster by cell before the partitioned write (guide §6 / the Iceberg
+      // write.distribution-mode=hash shape): without it every upstream
+      // partition opens a file in every cell directory — the r15 spread
+      // parallelism turned that into up to #cores tiny files per cell and
+      // probe latency regressed on file-open overhead
+      rows.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
       // sidecar codebook (nlist rows): probes must find the seed vectors
       // WITHOUT scanning the index — a vec_id filter over the partitioned
       // table would touch every cell directory
       rows.filter(col("vec_id") === col("cell"))
+        .coalesce(1) // nlist rows, read whole by every probe: one file
         .write.mode("overwrite").parquet(s"$dir.seeds")
     } finally rows.unpersist()
   }
@@ -438,13 +445,16 @@ object Similarity {
       .cache() // the index write and the .cells sidecar both read it; an
                // uncached plan would run encode + assignment twice
     try {
-      rows.write.partitionBy("cell").mode("overwrite").parquet(dir)
+      // hash-cluster by cell before the write (the ivfWrite rationale)
+      rows.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
       // coarse-seed sidecar: nlist quantized vectors, keyed by the cell they
       // anchor (a vec_id filter over the partitioned index would touch every
       // cell directory — the ivfWrite.seeds reasoning)
       p.vecs
         .join(rows.filter(col("vec_id") === col("cell")).select("vec_id"), "vec_id")
         .select(col("vec_id").as("cell"), col("qv"))
+        .coalesce(1) // nlist rows, collected whole by every probe: one file
         .write.mode("overwrite").parquet(s"$dir.cells")
       // PQ-codebook sidecar: ksub ranked quantized seeds + the subspace count
       // (m rides along so a probe needs no out-of-band metadata)
@@ -552,6 +562,7 @@ object Similarity {
       spark.read.parquet(s"$dir.cells").select(col("cell"), col("qv").as("cv")))
     Semantic.encodeCodeArray(p)
       .join(assigned, "vec_id")
+      .repartition(col("cell"))
       .write.partitionBy("cell").mode("append").parquet(dir)
   }
 

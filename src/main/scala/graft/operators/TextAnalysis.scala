@@ -275,6 +275,11 @@ object TextAnalysis {
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
         .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
+        // hash-cluster by bucket before the partitioned write so each bucket
+        // directory holds one file per writing task that OWNS it, not one
+        // per upstream partition (guide §6 small-files; the Similarity
+        // ivfWrite rationale) — probes open ~|terms| files, not |terms|·cores
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(dir)
       // a rebuild starts from a clean slate: clear any tombstones left by
       // bm25IndexDelete against the PREVIOUS index generation
@@ -382,6 +387,7 @@ object TextAnalysis {
         .groupBy("term", "doc_id")
         .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
         .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
+        .repartition(col("bucket")) // bucket-clustered append (see write)
         .write.partitionBy("bucket").mode("append").parquet(dir)
       markPayloadCommitted(spark, dir)
       swapStats(spark, dir)
