@@ -562,10 +562,17 @@ object Links {
       val neigh = labels.join(e, labels("host") === e("a"))
         .select(col("b").as("host"), col("label"), vote.as("__v"))
         .groupBy("host", "label").agg(sum("__v").as("cnt"))
-      val mc = neigh.groupBy("host").agg(max("cnt").as("mc"))
-      val winners = neigh.join(mc, "host")
-        .filter(col("cnt") === col("mc"))
-        .groupBy("host").agg(min("label").as("nl"))
+      // (max vote, min label) in ONE host-partitioned window pass (r15 opt
+      // round): the previous max-aggregate + join-back + min-aggregate
+      // chain cost two extra exchanges of the (host, label, cnt) frame per
+      // iteration. row_number ordered by (cnt desc, label asc) picks the
+      // identical winner — same tie rule, oracle re-verified.
+      val winners = neigh
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("host")
+            .orderBy(col("cnt").desc, col("label").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("host"), col("label").as("nl"))
       labels = labels.join(winners, Seq("host"), "left")
         .select(col("host"), coalesce(col("nl"), col("label")).as("label"))
         .localCheckpoint(eager = false)
