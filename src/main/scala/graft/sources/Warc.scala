@@ -207,15 +207,12 @@ object Warc {
           Iterator.continually(nextRec()).takeWhile(_.isDefined).map(_.get)
         }
       }
-    val df = spark.createDataFrame(rows, schema)
-    // one container file = one partition; a corpus with fewer files than
-    // cores would feed every downstream kernel (htmlExtract, dedup) from a
-    // near-serial scan — and an RDD-backed frame has no size statistics for
-    // Par.spread's gate to see. Spread by the KNOWN partition count instead:
-    // at 100 TB (many ~1 GB containers) this is a no-op, locally it unlocks
-    // the other 31 cores. The parse stage itself stays one task per file —
-    // inherent to a sequential container walk, same as any WARC reader.
-    val cores = spark.sparkContext.defaultParallelism
-    if (rows.getNumPartitions < cores) df.repartition(cores) else df
+    // Deliberately NOT re-partitioned here (r15 optimization round): an
+    // unconditional spread of the parsed rows was A/B'd and lost ~1 s on the
+    // pipeline queries — the raw html payload is shuffled for nothing, since
+    // every downstream consumer either joins (whose exchange re-partitions
+    // anyway) or runs an operator whose own Par.spread guard handles a
+    // too-narrow input. At 100 TB the container count supplies parallelism.
+    spark.createDataFrame(rows, schema)
   }
 }
