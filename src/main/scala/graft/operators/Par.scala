@@ -37,7 +37,11 @@ object Par {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
     if (cores <= 2) return df
-    val maxBytes = spark.conf.getOption(MaxBytesKey).map(_.toLong)
+    // malformed conf falls back to the default instead of failing every
+    // operator that spreads (ADVICE r15), consistent with the try-wrapped
+    // plan/stats accesses below
+    val maxBytes = spark.conf.getOption(MaxBytesKey)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
       .getOrElse(DefaultMaxBytes)
     if (maxBytes <= 0) return df
     // Fire ONLY on narrow chains over source scans — the single-small-file
@@ -77,6 +81,30 @@ object Par {
     else df
   }
 
+  /** Materialize a frame once (lazy localCheckpoint) when its lineage is
+    * COMPUTED — contains a join/aggregate/window/distinct — so an operator
+    * that consumes it several times neither recomputes the subtree per
+    * consumer nor replays Catalyst analysis/optimization over N copies of it
+    * (guide §3.3: very wide plans make planning itself the bottleneck —
+    * "materialising an intermediate result (write + read back, or
+    * localCheckpoint) truncates the plan"; measured here: a 20 s
+    * q_dedup_semantic_retract run whose stage wall-sum was 7 s — the rest
+    * was the driver re-planning the state subtree per consumer). A
+    * scan-chain input (a parquet-backed state table) passes through
+    * untouched: re-scanning cheap source bytes with pruning beats copying
+    * them into block storage. Rows are unchanged — only where they are read
+    * from the second time.
+    */
+  def sever(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val deep =
+      try df.queryExecution.analyzed.collectFirst {
+        case p @ (_: Join | _: Aggregate | _: Window | _: Deduplicate) => p
+      }.isDefined
+      catch { case _: Exception => false }
+    if (deep) df.localCheckpoint(eager = false) else df
+  }
+
   /** Run independent side-effecting Spark actions concurrently (guide §2.6
     * "overlap independent jobs"): the scheduler happily runs jobs from
     * several driver threads, and FIFO scheduling back-fills one job's
@@ -91,10 +119,21 @@ object Par {
       val futs = units.map(u => pool.submit(new java.util.concurrent.Callable[Unit] {
         def call(): Unit = u()
       }))
+      // await EVERY future before the pool dies — shutdownNow on first
+      // failure would interrupt still-running sibling writes mid-file
+      // (ADVICE r15); collect the first failure and rethrow it after all
+      // units have finished or failed on their own
+      var firstFailure: Throwable = null
       futs.foreach { f =>
         try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+          case e: Throwable =>
+            if (firstFailure == null) firstFailure = e
+        }
       }
+      if (firstFailure != null) throw firstFailure
     } finally pool.shutdownNow()
   }
 }

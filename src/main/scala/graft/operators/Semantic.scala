@@ -247,15 +247,20 @@ object Semantic {
       "state must be a semanticState table: (vec_id, cell, v, is_seed)")
     require(vecIds.columns.contains("vec_id"),
       "vecIds must carry the retracted ids as 'vec_id'")
-    val ids = vecIds.select("vec_id").distinct()
-    val seedHit = state.filter(col("is_seed"))
+    // the seed probe is an EAGER action and the anti-join result is read
+    // again downstream — sever a computed state lineage once so the probe's
+    // forced computation is reused instead of repeated (Par.sever is a no-op
+    // for a parquet-backed state table)
+    val st = Par.sever(state)
+    val ids = Par.sever(vecIds.select("vec_id").distinct())
+    val seedHit = st.filter(col("is_seed"))
       .join(broadcast(ids), Seq("vec_id"), "left_semi")
       .limit(1).collect()
     require(seedHit.isEmpty,
       s"cannot retract codebook seed vec_id=${seedHit.headOption.map(_.get(0))}" +
         " — seeds define the frozen cell geometry; re-seeding requires a " +
         "full semanticDedup rebuild (the re-banding rule)")
-    state.join(ids, Seq("vec_id"), "left_anti")
+    st.join(ids, Seq("vec_id"), "left_anti")
   }
 
   /** Incremental semantic dedup — the continuously-ingesting form of
@@ -279,7 +284,13 @@ object Semantic {
     require(Seq("vec_id", "cell", "v", "is_seed").forall(state.columns.contains),
       "state must be a semanticState table: (vec_id, cell, v, is_seed)")
     graft.functions.GraftFunctions.register(newEmb.sparkSession)
-    val seeds = state.filter(col("is_seed"))
+    // the state feeds FOUR subplans (seeds, hot-cell widths, the cold and
+    // hot history sides) — a computed state lineage (the retract form chains
+    // semanticState → semanticRetract in one plan) would be recomputed and
+    // RE-PLANNED per consumer; sever materializes it once (no-op for a
+    // parquet-backed state, which each consumer re-scans with pruning)
+    val st = Par.sever(state)
+    val seeds = st.filter(col("is_seed"))
       .select(col("vec_id").as("seed_id"),
         expr("transform(v, x -> floor(cast(x as double) * 1000000.0d + 0.5d))")
           .as("sv"))
@@ -306,13 +317,16 @@ object Semantic {
     val vecs = newEmb.filter(col(vecCol).isNotNull)
       .select(Keys.id(newEmb, idCol).as("vec_id"), col(vecCol).as("v"),
         quantized(vecCol).as("qv"))
-    val assigned = vecs.crossJoin(broadcast(seedsG))
+    // batch-sized; severed because it feeds the history tag, the survivor
+    // anti-join AND the within-batch prune — three consumers of one
+    // crossJoin+aggregate subtree
+    val assigned = Par.sever(vecs.crossJoin(broadcast(seedsG))
       .select(col("vec_id"), col("v"), col("seed_id"),
         aggregate(zip_with(col("qv"), col("sv"), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x).as("d2"))
       .groupBy("vec_id")
       .agg(min(struct(col("d2"), col("seed_id"))).as("m"), first(col("v")).as("v"))
-      .select(col("vec_id"), col("m.seed_id").as("cell"), col("v"))
+      .select(col("vec_id"), col("m.seed_id").as("cell"), col("v")))
     // History check, with the SAME hot-cell bound the within-batch prune
     // has: a cell whose STATE side exceeds maxCell would otherwise put
     // |batch-in-cell| × width cosines in one reducer. Cold cells join
@@ -325,11 +339,11 @@ object Semantic {
     // (vec_a =!= vec_b) — so re-ingestion degrades predictably (the row
     // survives or falls on its OTHER neighbors) instead of silently
     // self-dropping in cold cells only.
-    val hotCells = state.groupBy("cell").agg(count(lit(1)).as("c"))
+    val hotCells = st.groupBy("cell").agg(count(lit(1)).as("c"))
       .filter(col("c") > maxCell).select("cell")
       .withColumn("__hot", lit(true))
     val aTag = assigned.join(broadcast(hotCells), Seq("cell"), "left")
-    val sTag = state.select(col("cell"), col("vec_id"), col("v"))
+    val sTag = st.select(col("cell"), col("vec_id"), col("v"))
       .join(broadcast(hotCells), Seq("cell"), "left")
     val coldHits = aTag.filter(col("__hot").isNull).as("n")
       .join(sTag.filter(col("__hot").isNull)
@@ -350,7 +364,7 @@ object Semantic {
       "vec_id", "v", threshold, within = Seq("cell"))
       .select(col("vec_a").as("vec_id"))
     val hits = coldHits.unionByName(hotHits).distinct()
-    val fresh = assigned.join(hits, Seq("vec_id"), "left_anti")
+    val fresh = Par.sever(assigned.join(hits, Seq("vec_id"), "left_anti"))
     fresh
       .join(withinCellDrops(fresh.select("cell", "vec_id", "v"), threshold, maxCell),
         Seq("vec_id"), "left_anti")
@@ -450,6 +464,45 @@ object Semantic {
       subspaceDistCols(m, dim / m), m)
   }
 
+  /** Per-query flattened ADC LUT — ONE row per query: (lqid, ks, lut) where
+    * `lut[j·ks + r + 1]` (1-based element_at) is the exact-integer subspace-j
+    * distance from the query to codebook entry r, built from the SAME
+    * [[subspaceDistCols]] arithmetic as the row-per-(j,r) form it replaces.
+    * Collapsing the LUT j-major into one array row lets the scoring side
+    * ([[adcDist]]) read it with two integer ops per code inside whole-stage
+    * codegen, instead of posexploding every corpus row m-ways, joining an
+    * (|queries|·m·ksub)-row broadcast, and re-aggregating the pair stream
+    * back with a (query_id, vec_id) hash aggregate — the r16 optimization
+    * round measured that explode/join/agg shape as the dominant cost of
+    * every ADC query (guide §2.3 "aggregate before you shuffle" /
+    * §2.4 "remove shuffles outright": the explode multiplied the pair
+    * stream ×m and the re-aggregate was a full extra exchange).
+    */
+  private[operators] def queryLuts(qv: DataFrame, seeds: DataFrame,
+      distCols: Seq[org.apache.spark.sql.Column], m: Int): DataFrame = {
+    val fields = col("r") +: (0 until m).map(j => col(s"d$j"))
+    qv.crossJoin(broadcast(seeds))
+      .select(col("query_id") +: col("r") +: distCols: _*)
+      .groupBy("query_id")
+      // array_sort on (r, ...) structs: r is 0..ksub-1 and distinct, so the
+      // list is keyed by rank regardless of collect_list's arrival order
+      .agg(array_sort(collect_list(struct(fields: _*))).as("ls"))
+      .select(col("query_id").as("lqid"), size(col("ls")).as("ks"),
+        flatten(array((0 until m).map(j =>
+          expr(s"transform(ls, s -> s.d$j)")): _*)).as("lut"))
+  }
+
+  /** ADC distance of a `codes` array against a joined [[queryLuts]] row:
+    * Σ_j lut[j·ks + codes[j]] — the SAME integers the old explode/join/sum
+    * path added (each LUT entry and the m-term sum stay < 2^53 under the
+    * qvGuard bound, so double addition is exact and order-irrelevant; the
+    * hash-oracle contract is untouched), evaluated in one codegen'd pass
+    * per (query, vector) pair with no exchange.
+    */
+  private[operators] def adcDist(m: Int): org.apache.spark.sql.Column =
+    expr(s"cast(aggregate(sequence(0, ${m - 1}), 0.0d, (acc, j) -> " +
+      "acc + element_at(lut, j * ks + cast(element_at(codes, j + 1) as int) + 1)) as long)")
+
   /** Nearest-cell assignment against GIVEN coarse seeds (cell, cv quantized)
     * — [[assignCells]]' argmin with a frozen codebook, for index appends and
     * probes. Returns (vec_id, cell).
@@ -507,19 +560,17 @@ object Semantic {
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 8, ksub: Int = 16): DataFrame = {
     val p = pqParts(emb, idCol, vecCol, m, ksub)
-    // LUT: the query row against every codebook entry, one row per (j, r)
-    val lut = p.vecs.filter(col("vec_id") === queryId)
-      .crossJoin(broadcast(p.seeds))
-      .select(col("r") +: p.distCols: _*)
-      .select(col("r"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
-      .select(col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    // LUT: the query row against every codebook entry, flattened j-major
+    // into ONE broadcast row (see queryLuts) — scoring is then a single
+    // codegen'd array pass per corpus row, no explode/join/re-aggregate
+    val lut = queryLuts(
+      p.vecs.filter(col("vec_id") === queryId)
+        .select(col("vec_id").as("query_id"), col("qv")),
+      p.seeds, p.distCols, m)
     encodeCodeArray(p)
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
-      .join(broadcast(lut),
-        col("j") === col("lj") && col("cj").cast("int") === col("r"))
-      .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
+      .crossJoin(broadcast(lut))
+      .select(col("vec_id"), adcDist(m).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -546,21 +597,16 @@ object Semantic {
     val p = pqParts(emb, idCol, vecCol, m, ksub)
     val qv = queries.filter(col(qVecCol).isNotNull)
       .select(Keys.id(queries, qIdCol).as("query_id"), quantized(qVecCol).as("qv"))
-    // all query LUTs at once: |queries| × ksub rows, m distances per row,
-    // exploded to (query_id, j, r, d) — the multi-query generalization of
-    // pqTopK's single LUT, built by the SAME distCols so the integer
-    // arithmetic cannot drift between the forms
-    val luts = qv.crossJoin(broadcast(p.seeds))
-      .select(col("query_id") +: col("r") +: p.distCols: _*)
-      .select(col("query_id"), col("r"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
-      .select(col("query_id"), col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    // all query LUTs at once: ONE flattened row per query (queryLuts),
+    // built by the SAME distCols so the integer arithmetic cannot drift
+    // between the forms; scoring each (corpus row × query) pair is then a
+    // single codegen'd array pass — no explode, no LUT join, no pair-stream
+    // re-aggregate
+    val luts = queryLuts(qv, p.seeds, p.distCols, m)
     encodeCodeArray(p)
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
-      .join(broadcast(luts),
-        col("j") === col("lj") && col("cj").cast("int") === col("r"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id").agg(sum("d").cast("long").as("adist"))
+      .crossJoin(broadcast(luts))
+      .filter(col("vec_id") =!= col("lqid"))
+      .select(col("lqid").as("query_id"), col("vec_id"), adcDist(m).as("adist"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
       .filter(col("__rn") <= k)

@@ -502,23 +502,30 @@ object Similarity {
     require(qq.length % m == 0,
       s"query dim ${qq.length} does not divide the index's m=$m subspaces")
     val dsub = qq.length / m
-    val lut = cb.toSeq.flatMap { row =>
+    // the single query's LUT, flattened j-major into one literal array —
+    // Semantic.queryLuts' layout (lut[j·ksub + r]) built driver-side from
+    // the already-collected sidecar rows; scoring is then one codegen'd
+    // array pass per probed row instead of explode + LUT join + re-aggregate
+    val ksub = cb.length
+    val flat = new Array[Long](m * ksub)
+    cb.foreach { row =>
       val r = row.getAs[Int]("r")
       val sv = row.getSeq[Long](row.fieldIndex("sv"))
-      (0 until m).map { j =>
+      (0 until m).foreach { j =>
         var d = 0L; var i = j * dsub
         while (i < (j + 1) * dsub) { val t = qq(i) - sv(i); d += t * t; i += 1 }
-        (j, r, d)
+        flat(j * ksub + r) = d
       }
     }
     val idx = dropTombstoned(spark, dir, spark.read.parquet(dir)
       .filter(col("cell").isin(probeCells.toSeq: _*)))
     val base = excludeId.fold(idx)(id => idx.filter(col("vec_id") =!= id))
     base
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "cj")))
-      .join(broadcast(lut.toDF("lj", "r", "d")),
-        col("j") === col("lj") && col("cj").cast("int") === col("r"))
-      .groupBy("vec_id").agg(sum("d").cast("long").as("adist"))
+      // double literals to match queryLuts' element type (exact: every
+      // entry is an integer below 2^53)
+      .withColumn("lut", array(flat.toSeq.map(d => lit(d.toDouble)): _*))
+      .withColumn("ks", lit(ksub))
+      .select(col("vec_id"), Semantic.adcDist(m).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(k)
   }
@@ -717,23 +724,17 @@ object Similarity {
         Window.partitionBy("query_id").orderBy(col("cd").asc, col("cell").asc)))
       .filter(col("__rn") <= nprobe)
       .select("query_id", "cell")
-    val distCols = (0 until m).map { j =>
-      val lo = j * dsub + 1
-      expr(s"aggregate(zip_with(slice(qv, $lo, $dsub), slice(sv, $lo, $dsub), " +
-        s"(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)").as(s"d$j")
-    }
-    val luts = qv.crossJoin(broadcast(cb.select(col("r"), col("sv"))))
-      .select(col("query_id") +: col("r") +: distCols: _*)
-      .select(col("query_id").as("lqid"), col("r"), explode(array((0 until m).map(j =>
-        struct(lit(j).as("j"), col(s"d$j").as("d"))): _*)).as("e"))
-      .select(col("lqid"), col("e.j").as("lj"), col("r"), col("e.d").as("d"))
+    // one flattened LUT row per query (Semantic.queryLuts — the same
+    // subspaceDistCols arithmetic as the index build), broadcast-joined to
+    // the DPP-pruned pair stream; scoring is one codegen'd array pass per
+    // (query, vector) pair — no m-way explode, no (|Q|·m·ksub)-row LUT
+    // join, no (query_id, vec_id) re-aggregate exchange
+    val luts = Semantic.queryLuts(qv, cb.select(col("r"), col("sv")),
+      Semantic.subspaceDistCols(m, dsub), m)
     dropTombstoned(spark, dir, spark.read.parquet(dir).join(probe, "cell"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        posexplode(col("codes")).as(Seq("j", "cj")))
-      .join(broadcast(luts), col("query_id") === col("lqid") &&
-        col("j") === col("lj") && col("cj").cast("int") === col("r"))
-      .groupBy("query_id", "vec_id").agg(sum("d").cast("long").as("adist"))
+      .join(broadcast(luts), col("query_id") === col("lqid"))
+      .select(col("query_id"), col("vec_id"), Semantic.adcDist(m).as("adist"))
       .withColumn("__rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
       .filter(col("__rn") <= k)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.PortableLog
-import graft.operators.{AsOfJoin, Dedup, Links, Pipelines, Similarity, States, TextAnalysis, Urls}
+import graft.operators.{AsOfJoin, Dedup, Links, Par, Pipelines, Similarity, States, TextAnalysis, Urls}
 import graft.plans.{ColumnMask, Governance, GovernancePolicies, TablePolicy}
 import graft.sources.{Multimodal, Tables, Writers}
 import graft.streaming.EventStreams
@@ -40,20 +40,20 @@ object ExtensionQueries {
     * sentence-per-<p> body, entities that must decode AFTER tag stripping.
     * Restated verbatim by the DuckDB oracle CTE.
     */
-  private def htmlFixture(docs: DataFrame): DataFrame = {
-    val html = concat(
-      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-      lit(" index</title><style media=\"all\">body { margin: 0; }</style>" +
-        "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>" +
-        "</head><body><nav>Home About Contact</nav>" +
-        "<h1>Document heading for item "), col("doc_id").cast("string"),
-      lit("</h1><p>"),
-      replace(coalesce(col("text"), lit("")), lit(". "), lit(".</p><p>")),
-      lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Sons " +
-        "&lt;contact&gt; page</div><ul><li>one</li><li>two</li></ul>" +
-        "</body></html>"))
-    docs.select(col("doc_id"), html.as("html"))
-  }
+  private def htmlFixtureCol: org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+    lit(" index</title><style media=\"all\">body { margin: 0; }</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script>" +
+      "</head><body><nav>Home About Contact</nav>" +
+      "<h1>Document heading for item "), col("doc_id").cast("string"),
+    lit("</h1><p>"),
+    replace(coalesce(col("text"), lit("")), lit(". "), lit(".</p><p>")),
+    lit("</p><div class=\"footer\">&copy; 2026 Example &amp; Sons " +
+      "&lt;contact&gt; page</div><ul><li>one</li><li>two</li></ul>" +
+      "</body></html>"))
+
+  private def htmlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), htmlFixtureCol.as("html"))
 
   /** Re-served-page fixture for the coverage family: every doc_id % 5 == 0
     * fetch of a domain returns the domain's one cached landing page (exact
@@ -75,10 +75,17 @@ object ExtensionQueries {
   private def warcFixture(docs: DataFrame, withNulls: Boolean): DataFrame = {
     val html =
       if (withNulls)
-        when(col("doc_id") % 10 === 7, lit(null: String)).otherwise(col("html"))
-      else col("html")
-    urlFixture(docs).join(htmlFixture(docs), "doc_id")
-      .select(col("doc_id").as("record_id"), col("url"),
+        when(col("doc_id") % 10 === 7, lit(null: String)).otherwise(htmlFixtureCol)
+      else htmlFixtureCol
+    // ONE spread projection instead of urlFixture(docs) ⋈ htmlFixture(docs):
+    // doc_id is unique, so the self-join of two projections of the same rows
+    // recombined exactly this row set — but planned as two serial 1-task
+    // fixture map stages plus a join exchange (profiled at ~5 s EACH on the
+    // e2e pipelines, the top stages of the query). The single projection
+    // rides one spread scan; identical output, two exchanges and one join
+    // fewer, and the expensive html/url construction runs 32-way.
+    Par.spread(docs)
+      .select(col("doc_id").as("record_id"), urlFixtureCol.as("url"),
         expr("timestamp'2026-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")
           .as("fetch_ts"),
         html.as("html"))
@@ -170,9 +177,9 @@ object ExtensionQueries {
     * scheme/host case variants, default ports, fragments, tracking params,
     * shuffled param order. Restated verbatim by the DuckDB oracle CTE.
     */
-  private def urlFixture(docs: DataFrame): DataFrame = {
+  private def urlFixtureCol: org.apache.spark.sql.Column = {
     val d = col("doc_id")
-    val url = concat(
+    concat(
       when(d % 3 === 0, "HTTPS://").when(d % 3 === 1, "https://")
         .otherwise("http://"),
       lit("WWW."), col("source"), lit(".Example.COM"),
@@ -183,8 +190,10 @@ object ExtensionQueries {
         .when(d % 4 === 1, lit("?a=1&b=2"))
         .when(d % 4 === 2, lit("#top"))
         .otherwise(lit("?b=2&utm_campaign=x&gclid=abc&a=1")))
-    docs.select(d.as("doc_id"), url.as("url"))
   }
+
+  private def urlFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlFixtureCol.as("url"))
 
   /** Deterministic per-host robots.txt fixture over [[urlFixture]]'s hosts
     * (`www.srcN.example.com`). Every parser feature gets signal: comment
