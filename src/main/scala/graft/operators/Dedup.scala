@@ -1149,8 +1149,12 @@ object Dedup {
       // count compare is near-free on the materialized frame and gates the
       // except pass: a round that changed the edge count cannot be stable.
       val nNext = next.count()
+      // set equality via ONE anti-join probe: both sides are DISTINCT sets,
+      // so equal cardinality + (next \ edges) = ∅ ⇒ next = edges — half the
+      // shuffles of the old except/union/except pass, and isEmpty
+      // short-circuits at the first witness
       converged = nNext == nEdges &&
-        next.except(edges).unionByName(edges.except(next)).isEmpty
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       nEdges = nNext
       // old rounds' checkpoint blocks are reclaimed by the context cleaner
       // once unreferenced; explicit unpersist on a checkpointed frame is a

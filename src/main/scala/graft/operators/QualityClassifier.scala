@@ -125,42 +125,48 @@ object QualityClassifier {
       s"training corpus too large for exact fixed-point GD (n=$n); " +
         "subsample the reference set upstream")
 
-    // weights live on the driver between iterations: nBuckets+1 longs in
-    // 1e-6 units — bounded model state, not data
-    var bias6 = 0L
-    var w6: Map[Long, Long] = (0L until nBuckets.toLong).map(_ -> 0L).toMap
+    // weights live as an (nBuckets+1)-row frame (bias at f = -1), the whole
+    // GD recurrence chained IN-PLAN with a lazy localCheckpoint per round —
+    // no blocking collect per iteration (r16 opt round; the Links.hits
+    // treatment: r15 had already halved this loop from two collects per
+    // iteration to one, this removes the last). Bounded model state per
+    // round, identical exact fixed-point integers, materialized once by the
+    // caller's first action.
+    var wDf = ((0L until nBuckets.toLong).map(_ -> 0L) :+ (-1L -> 0L))
+      .toDF("f", "w6").localCheckpoint(eager = false)
 
     for (_ <- 1 to iters) {
-      val wDf = w6.toSeq.toDF("f", "w6")
-      // margin per doc: z6 = b6 + Σ_{f ∈ doc} w6_f — exact integer sum
-      val zs = labels.join(
-        feats.join(broadcast(wDf), "f")
-          .groupBy("doc_id").agg(sum("w6").as("s6")),
-        Seq("doc_id"), "left")
+      val biasDf = wDf.filter(col("f") === -1L).select(col("w6").as("b6"))
+      // margin per doc: z6 = b6 + Σ_{f ∈ doc} w6_f — exact integer sum; the
+      // bias rides a broadcast 1-row cross join instead of a collected literal
+      val zs = labels.crossJoin(broadcast(biasDf))
+        .join(
+          feats.join(broadcast(wDf.filter(col("f") >= 0L)), "f")
+            .groupBy("doc_id").agg(sum("w6").as("s6")),
+          Seq("doc_id"), "left")
         .select(col("doc_id"), col("y6"),
-          (lit(bias6) + coalesce(col("s6"), lit(0L))).as("z6"))
-      // algebraic sigmoid, all-integer — no libm anywhere
-      val errs = zs.select(col("doc_id"), expr(errExprSql).as("err6")).cache()
+          (col("b6") + coalesce(col("s6"), lit(0L))).as("z6"))
+      // algebraic sigmoid, all-integer — no libm anywhere; checkpointed (not
+      // cached) because both gradient branches below read it
+      val errs = zs.select(col("doc_id"), expr(errExprSql).as("err6"))
+        .localCheckpoint(eager = false)
       // gradient: presence features ⇒ g6_f = Σ_{docs ∋ f} err6 — exact.
       // The bias gradient rides the SAME frame as the f = -1 row (features
-      // are non-negative buckets, so -1 never collides), halving the
-      // blocking driver round-trips per iteration (r15 opt round: this loop
-      // previously ran two collect jobs per iteration, one of them a 1-row
-      // head() for the bias alone).
+      // are non-negative buckets, so -1 never collides).
       val steps = feats.join(errs, "doc_id")
         .groupBy("f").agg(sum("err6").as("g6"))
         .unionByName(errs.agg(sum("err6").as("g6"))
           .select(lit(-1L).as("f"), col("g6")))
         .select(col("f"), expr(stepExprSql(lr6, n)).as("step6"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      errs.unpersist()
-      w6 = w6.map { case (f, wf) => (f, wf - steps.getOrElse(f, 0L)) }
-      bias6 -= steps.getOrElse(-1L, 0L)
+      wDf = wDf.join(steps, Seq("f"), "left")
+        .select(col("f"),
+          (col("w6") - coalesce(col("step6"), lit(0L))).as("w6"))
+        .localCheckpoint(eager = false)
     }
-    (w6.toSeq :+ (-1L -> bias6))
-      .map { case (f, v) => (f, BigDecimal(java.math.BigDecimal.valueOf(v, 6))) }
-      .toDF("f", "w_raw")
-      .select(col("f"), col("w_raw").cast(Dec).as("w"))
+    // w6 / 1e6 at 6dp is exact; the cast to DECIMAL(18,6) matches the old
+    // BigDecimal.valueOf(v, 6) surface bit-for-bit
+    wDf.select(col("f"),
+      (col("w6").cast(DecimalType(24, 0)) / lit(1000000L)).cast(Dec).as("w"))
   }
 
   /** Score docs under a trained (f, w) model: (doc_id, score_e6, pred) with

@@ -126,7 +126,11 @@ object Similarity {
       // WITHOUT scanning the index — a vec_id filter over the partitioned
       // table would touch every cell directory
       rows.filter(col("vec_id") === col("cell"))
-        .coalesce(1) // nlist rows, read whole by every probe: one file
+        // repartition, NOT coalesce: coalesce(1) propagates up the narrow
+        // chain and serializes the whole cached-partition filter pass on one
+        // task (ADVICE r15); repartition keeps the scan parallel and
+        // shuffles only the nlist result rows to the single writer
+        .repartition(1) // nlist rows, read whole by every probe: one file
         .write.mode("overwrite").parquet(s"$dir.seeds")
     } finally rows.unpersist()
   }
@@ -445,21 +449,32 @@ object Similarity {
       .cache() // the index write and the .cells sidecar both read it; an
                // uncached plan would run encode + assignment twice
     try {
-      // hash-cluster by cell before the write (the ivfWrite rationale)
-      rows.repartition(col("cell"))
-        .write.partitionBy("cell").mode("overwrite").parquet(dir)
-      // coarse-seed sidecar: nlist quantized vectors, keyed by the cell they
-      // anchor (a vec_id filter over the partitioned index would touch every
-      // cell directory — the ivfWrite.seeds reasoning)
-      p.vecs
-        .join(rows.filter(col("vec_id") === col("cell")).select("vec_id"), "vec_id")
-        .select(col("vec_id").as("cell"), col("qv"))
-        .coalesce(1) // nlist rows, collected whole by every probe: one file
-        .write.mode("overwrite").parquet(s"$dir.cells")
-      // PQ-codebook sidecar: ksub ranked quantized seeds + the subspace count
-      // (m rides along so a probe needs no out-of-band metadata)
-      p.seeds.select(col("r"), col("sv"), lit(p.m).as("m"))
-        .write.mode("overwrite").parquet(s"$dir.codebook")
+      // the codebook sidecar depends only on p.seeds — overlap it with the
+      // index + cells writes (guide §2.6: independent output jobs from a
+      // small pool; disjoint paths)
+      Par.inParallel(
+        () => {
+          // hash-cluster by cell before the write (the ivfWrite rationale)
+          rows.repartition(col("cell"))
+            .write.partitionBy("cell").mode("overwrite").parquet(dir)
+          // coarse-seed sidecar: nlist quantized vectors, keyed by the cell
+          // they anchor (a vec_id filter over the partitioned index would
+          // touch every cell directory — the ivfWrite.seeds reasoning);
+          // sequenced after the index write so it reads the materialized
+          // `rows` cache instead of racing to compute it
+          p.vecs
+            .join(rows.filter(col("vec_id") === col("cell")).select("vec_id"), "vec_id")
+            .select(col("vec_id").as("cell"), col("qv"))
+            // repartition, NOT coalesce: coalesce(1) would propagate up
+            // through the narrow broadcast join and serialize the full
+            // cached-vecs pass on one task (ADVICE r15)
+            .repartition(1) // nlist rows, read whole by every probe: one file
+            .write.mode("overwrite").parquet(s"$dir.cells")
+        },
+        // PQ-codebook sidecar: ksub ranked quantized seeds + the subspace
+        // count (m rides along so a probe needs no out-of-band metadata)
+        () => p.seeds.select(col("r"), col("sv"), lit(p.m).as("m"))
+          .write.mode("overwrite").parquet(s"$dir.codebook"))
     } finally { rows.unpersist(); p.vecs.unpersist() }
   }
 

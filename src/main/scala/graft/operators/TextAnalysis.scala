@@ -267,20 +267,24 @@ object TextAnalysis {
       .withColumn("dl", size(col("ws")).cast("long"))
       .cache() // the writes below share the tokenize pass
     try {
-      base.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("ltot"))
-        .write.mode("overwrite").parquet(s"$dir.stats")
-      base.select("doc_id", "dl")
-        .write.mode("overwrite").parquet(s"$dir.docs")
-      base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
-        // hash-cluster by bucket before the partitioned write so each bucket
-        // directory holds one file per writing task that OWNS it, not one
-        // per upstream partition (guide §6 small-files; the Similarity
-        // ivfWrite rationale) — probes open ~|terms| files, not |terms|·cores
-        .repartition(col("bucket"))
-        .write.partitionBy("bucket").mode("overwrite").parquet(dir)
+      // three independent outputs off the shared cached tokenize pass —
+      // overlap them (guide §2.6); the cache lock dedupes the first
+      // materialization between the racing jobs
+      Par.inParallel(
+        () => base.agg(count(lit(1)).as("nd"), coalesce(sum("dl"), lit(0L)).as("ltot"))
+          .write.mode("overwrite").parquet(s"$dir.stats"),
+        () => base.select("doc_id", "dl")
+          .write.mode("overwrite").parquet(s"$dir.docs"),
+        () => base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
+          // hash-cluster by bucket before the partitioned write so each bucket
+          // directory holds one file per writing task that OWNS it, not one
+          // per upstream partition (guide §6 small-files; the Similarity
+          // ivfWrite rationale) — probes open ~|terms| files, not |terms|·cores
+          .repartition(col("bucket"))
+          .write.partitionBy("bucket").mode("overwrite").parquet(dir))
       // a rebuild starts from a clean slate: clear any tombstones left by
       // bm25IndexDelete against the PREVIOUS index generation
       val (fs, pTomb) = fsAt(spark, s"$dir.tombstones")
@@ -379,16 +383,19 @@ object TextAnalysis {
       // merged sidecar staged beside, postings appended, then the sidecar
       // rename-swapped (the ivfPqCompact idiom) — a crash leaves either the
       // old or the new sidecar in place, never a torn or missing one
-      Seq((prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1)))
-        .toDF("nd", "ltot").write.mode("overwrite").parquet(s"$dir.stats.next")
-      base.select("doc_id", "dl")
-        .write.mode("append").parquet(s"$dir.docs")
-      base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
-        .groupBy("term", "doc_id")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
-        .repartition(col("bucket")) // bucket-clustered append (see write)
-        .write.partitionBy("bucket").mode("append").parquet(dir)
+      // the three payload writes are independent (disjoint paths) and the
+      // commit marker only lands after ALL of them — overlap (guide §2.6)
+      Par.inParallel(
+        () => Seq((prev.getLong(0) + delta.getLong(0), prev.getLong(1) + delta.getLong(1)))
+          .toDF("nd", "ltot").write.mode("overwrite").parquet(s"$dir.stats.next"),
+        () => base.select("doc_id", "dl")
+          .write.mode("append").parquet(s"$dir.docs"),
+        () => base.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+          .groupBy("term", "doc_id")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .withColumn("bucket", concat(lit("b"), substring(md5(col("term")), 1, 2)))
+          .repartition(col("bucket")) // bucket-clustered append (see write)
+          .write.partitionBy("bucket").mode("append").parquet(dir))
       markPayloadCommitted(spark, dir)
       swapStats(spark, dir)
     } finally base.unpersist()

@@ -130,7 +130,7 @@ object ExtensionQueries {
     * the HTML) is restated by the DuckDB oracle — a hash match proves the
     * regex extraction + resolution against an independent derivation.
     */
-  private def linkHtmlFixture(docs: DataFrame): DataFrame = {
+  private def linkHtmlFixtureCol: org.apache.spark.sql.Column = {
     val d = col("doc_id")
     val block = concat(
       lit("<div id=\"links\"><a href=\"https://www.src"),
@@ -145,17 +145,20 @@ object ExtensionQueries {
         "<a href=\"mailto:team@example.com\">mail</a>" +
         "<a href=\"javascript:void(0)\">js</a>" +
         "<a href=\"relative/page.html\">rel</a></div>"))
-    htmlFixture(docs).select(col("doc_id"),
-      replace(col("html"), lit("</body></html>"),
-        concat(block, lit("</body></html>"))).as("html"))
+    replace(htmlFixtureCol, lit("</body></html>"),
+      concat(block, lit("</body></html>")))
   }
 
-  /** The [[linkHtmlFixture]] link-extraction queries' shared input:
-    * (doc_id, url, html) — the urlFixture URL joined to the link-bearing
-    * HTML payload.
+  /** The link-extraction queries' shared input: (doc_id, url, html) — the
+    * urlFixture URL beside the link-bearing HTML payload.
     */
   private[graft] def linkPages(docs: DataFrame): DataFrame =
-    urlFixture(docs).join(linkHtmlFixture(docs), "doc_id")
+    // one projection instead of urlFixture ⋈ linkHtmlFixture: identical rows
+    // (doc_id is unique), and the absence of a join below lets the link
+    // extractors' Par.spread fire, parallelizing the regex pass that
+    // otherwise rides the single-file scan task (the warcFixture story)
+    docs.select(col("doc_id"), urlFixtureCol.as("url"),
+      linkHtmlFixtureCol.as("html"))
 
   /** Deterministic sitemap-XML fixture over documents: a dated per-source
     * page entry, an undated hub entry, and an empty-loc entry (must drop).
@@ -870,8 +873,10 @@ object ExtensionQueries {
     // incremental URL dedup with the discovered set as state, so the
     // composition reuses urlDedupIncremental verbatim.
     "q_link_frontier" -> ((s, d) => {
+      // materialized once: the regex link extraction feeds both the batch
+      // and the state side of the incremental dedup
       val links = Links.extractLinks(linkPages(t(s, d, "documents")),
-        "doc_id", "url", "html")
+        "doc_id", "url", "html").localCheckpoint(eager = false)
       graft.operators.Urls.urlDedupIncremental(
         links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
         graft.operators.Urls.urlState(
@@ -882,8 +887,10 @@ object ExtensionQueries {
     // to host PageRank — fetch-priority by source reputation, rank 0 for
     // hosts outside the endorsement graph
     "q_frontier_ranked" -> ((s, d) => {
+      // materialized once: three consumers (frontier batch, frontier state,
+      // the PageRank edge pass) would each re-run the regex extraction
       val links = Links.extractLinks(linkPages(t(s, d, "documents")),
-        "doc_id", "url", "html")
+        "doc_id", "url", "html").localCheckpoint(eager = false)
       val frontier = graft.operators.Urls.urlDedupIncremental(
         links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
         graft.operators.Urls.urlState(
@@ -928,12 +935,15 @@ object ExtensionQueries {
     // priority order; disallowed URLs never reach the plan
     "q_fetch_plan" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // materialized once: frontier batch + frontier state + PageRank edges
+      // all read the extraction; the robots fixture feeds rules AND delays
       val links = Links.extractLinks(linkPages(docs), "doc_id", "url", "html")
+        .localCheckpoint(eager = false)
       val frontier = graft.operators.Urls.urlDedupIncremental(
         links.filter(col("doc_id") >= 20), "doc_id", "dst_url",
         graft.operators.Urls.urlState(
           links.filter(col("doc_id") < 20), "doc_id", "dst_url"))
-      val robots = frontierRobotsFixture(docs)
+      val robots = frontierRobotsFixture(docs).localCheckpoint(eager = false)
       val verdicts = graft.operators.Urls.robotsFilter(
         frontier, "url_canon", "url_canon",
         graft.operators.Urls.robotsRules(robots, "host", "content", "graftbot"))
@@ -1064,7 +1074,11 @@ object ExtensionQueries {
       val quotes = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 250)
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           col("text"))
+      // materialized once, EAGERLY: both container writes consume it from
+      // concurrent inParallel threads, and a lazy checkpoint first
+      // materialized by two racing jobs degrades to duplicate computation
       val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+        .localCheckpoint()
       val dir0 = s"target/gwarc_${new java.io.File(d).getName}_inc0"
       val dir1 = s"target/gwarc_${new java.io.File(d).getName}_inc1"
       graft.operators.Par.inParallel(
@@ -1135,10 +1149,15 @@ object ExtensionQueries {
       val quotes = docs.filter(col("doc_id") % 20 === 0 && col("doc_id") < 150)
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           col("text"))
+      // materialized once, EAGERLY (consumed from concurrent inParallel
+      // threads — see q_pipeline_e2e_incremental): three container writes
+      // read `all`; retrDocs feeds the recrawl records and the takedowns
       val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+        .localCheckpoint()
       val retrDocs = docs
         .filter(col("doc_id") % 10 === 1 && col("doc_id") < 150)
         .select("doc_id", "source", "text")
+        .localCheckpoint()
       val dir0 = s"target/gwarc_${sfn}_r3a"
       val dir1 = s"target/gwarc_${sfn}_r3b"
       val dir2 = s"target/gwarc_${sfn}_r3c"

@@ -1218,8 +1218,11 @@ object SurfaceQueries {
     // in one declarative chain; the recursive-CTE oracle proves the whole
     // multimodal-to-dedup-grid composition ----
     "q_image_dedup" -> ((s, d) => {
+      // cached (the q_image_dedup_incremental convention): the PNG decode
+      // kernel runs once; clustering and the survivor anti-join both read it
       val hashes = graft.sources.Multimodal.imageHash(
         graft.sources.Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text"))
+        .cache()
       // hammingClusters = clusters∘hammingPairs with the clone-flood clique
       // removed: CC over distinct fingerprints, members join their fp's
       // label — identical components (see its scaladoc), pair-free plan
