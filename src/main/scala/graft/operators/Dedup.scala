@@ -484,8 +484,13 @@ object Dedup {
       threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
     require(state.columns.toSet == Set("doc_id", "sh"),
       s"state must be (doc_id, sh) postings, got ${state.columns.mkString(",")}")
-    val shNew = shingles(newDocs, idCol, textCol, n)
-    val shAll = state.select("doc_id", "sh").unionByName(shNew)
+    // severed: containmentCore reads shNew twice (prefixes + verify arrays)
+    // and shAll three times (df, index, verify arrays) — a COMPUTED state
+    // lineage (the bench fixtures chain containmentState in-plan) would be
+    // recomputed and re-planned per consumer; a parquet-backed States.read
+    // passes through sever untouched and re-scans with pruning as before
+    val shNew = Par.sever(shingles(newDocs, idCol, textCol, n))
+    val shAll = Par.sever(state.select("doc_id", "sh")).unionByName(shNew)
     containmentCore(shNew, shAll, threshold, minShingles, earlierOnly = true)
   }
 

@@ -1076,8 +1076,13 @@ object ExtensionQueries {
           col("text"))
       // materialized once, EAGERLY: both container writes consume it from
       // concurrent inParallel threads, and a lazy checkpoint first
-      // materialized by two racing jobs degrades to duplicate computation
-      val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+      // materialized by two racing jobs degrades to duplicate computation.
+      // Spread BEFORE the checkpoint: the checkpointed RDD pins its
+      // partitioning, and an unspread scan+union materializes as 1-2
+      // partitions — every downstream fixture pass would run serial
+      // (warcFixture's own spread correctly declines on LogicalRDD leaves)
+      val all = graft.operators.Par.spread(
+        docs.select("doc_id", "source", "text").unionByName(quotes))
         .localCheckpoint()
       val dir0 = s"target/gwarc_${new java.io.File(d).getName}_inc0"
       val dir1 = s"target/gwarc_${new java.io.File(d).getName}_inc1"
@@ -1150,13 +1155,16 @@ object ExtensionQueries {
         .select((col("doc_id") + 100000L).as("doc_id"), col("source"),
           col("text"))
       // materialized once, EAGERLY (consumed from concurrent inParallel
-      // threads — see q_pipeline_e2e_incremental): three container writes
-      // read `all`; retrDocs feeds the recrawl records and the takedowns
-      val all = docs.select("doc_id", "source", "text").unionByName(quotes)
+      // threads — see q_pipeline_e2e_incremental), spread BEFORE the
+      // checkpoint so the pinned partitioning stays parallel: three
+      // container writes read `all`; retrDocs feeds the recrawl records
+      // and the takedowns
+      val all = graft.operators.Par.spread(
+        docs.select("doc_id", "source", "text").unionByName(quotes))
         .localCheckpoint()
-      val retrDocs = docs
+      val retrDocs = graft.operators.Par.spread(docs
         .filter(col("doc_id") % 10 === 1 && col("doc_id") < 150)
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "text"))
         .localCheckpoint()
       val dir0 = s"target/gwarc_${sfn}_r3a"
       val dir1 = s"target/gwarc_${sfn}_r3b"

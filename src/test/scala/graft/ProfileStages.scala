@@ -25,7 +25,9 @@ object ProfileStages extends App {
     var tasks: Int = 0, var taskTime: Long = 0L, var shufRead: Long = 0L,
     var shufWrite: Long = 0L, var input: Long = 0L)
   val stages = mutable.LinkedHashMap[Int, St]()
-  var collecting = false
+  // volatile: read from the listener-bus thread (ADVICE r15) — and flipped
+  // false only after the post-run drain below, so tail events still land
+  @volatile var collecting = false
   val listener = new SparkListener {
     override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
       if (collecting) stages.synchronized {
@@ -63,12 +65,13 @@ object ProfileStages extends App {
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
-    collecting = false
+    if (i < reps) collecting = false
     println(f"[profile] rep $i $name $dt%.2f s")
     if (i < reps) graft.operators.Caches.release(spark)
   }
+  Thread.sleep(500) // drain listener bus BEFORE stopping collection
+  collecting = false
   spark.sparkContext.removeSparkListener(listener)
-  Thread.sleep(500) // drain listener bus
   val sts = stages.synchronized(stages.values.toSeq)
   println(f"[profile] ${sts.size} stages, wall sum ${sts.map(s => (s.completed - s.submitted) / 1e9).sum}%.2f s (overlap possible)")
   sts.sortBy(s => -(s.completed - s.submitted)).take(40).foreach { s =>
