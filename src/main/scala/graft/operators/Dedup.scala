@@ -484,13 +484,12 @@ object Dedup {
       threshold: Double = 0.9, minShingles: Int = 5): DataFrame = {
     require(state.columns.toSet == Set("doc_id", "sh"),
       s"state must be (doc_id, sh) postings, got ${state.columns.mkString(",")}")
-    // severed: containmentCore reads shNew twice (prefixes + verify arrays)
-    // and shAll three times (df, index, verify arrays) — a COMPUTED state
-    // lineage (the bench fixtures chain containmentState in-plan) would be
-    // recomputed and re-planned per consumer; a parquet-backed States.read
-    // passes through sever untouched and re-scans with pruning as before
-    val shNew = Par.sever(shingles(newDocs, idCol, textCol, n))
-    val shAll = Par.sever(state.select("doc_id", "sh")).unionByName(shNew)
+    // NOT severed (tried in r16, measured +0.5 s and reverted): both sides
+    // end in a distinct, and Spark's ReuseExchange already dedupes the
+    // repeated subtrees across containmentCore's consumers — materializing
+    // the postings to checkpoint blocks only added an extra write/read pass
+    val shNew = shingles(newDocs, idCol, textCol, n)
+    val shAll = state.select("doc_id", "sh").unionByName(shNew)
     containmentCore(shNew, shAll, threshold, minShingles, earlierOnly = true)
   }
 
